@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * The reference (Qihoo360/XLearning "Hbox") has no session concept — its
+  * Client/AM/Container trio (reference `README.md:28-33`) is replaced wholesale
+  * by the Spark driver/executor machinery (SURVEY.md §3.1). What we standardize
+  * here is what the reference put in `HboxConfiguration`: parallelism defaults
+  * and I/O behavior, re-expressed as Spark conf.
+  *
+  * Scale notes (100 TB design):
+  *   - AQE on: runtime partition coalescing + skew-join splitting replace the
+  *     reference's static round-robin placement (`AM/ApplicationMaster.java:971-1041`)
+  *     and chief-minimum-data skew guard (`:987-1008`).
+  *   - shuffle.partitions is a *local-mode* default; on a real cluster this is
+  *     overridden (AQE's coalescing makes the initial number non-critical).
+  *   - UTC session TZ so results are stable across environments (oracle parity).
+  */
+object GraftSession {
+
+  /** Apply the engine's standard conf to an existing builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int = 32): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // the synthetic events table carries TIMESTAMP(NANOS) which Spark's
+      // parquet reader rejects by default; read as long and convert in Tables
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / benchmarks. */
+  def local(cores: Int = java.lang.Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over the test-data star schema.
+  *
+  * Mirrors the reference's input model — a named list of files mapped to a
+  * local alias (`common/.../InputInfo.java:16-67`, CLI `hdfsPath#alias`,
+  * `AM/ApplicationMaster.java:841-845`) — as Spark temp views: the alias is
+  * the view name, the file list is whatever the glob expands to.
+  *
+  * Scans are plain `spark.read.parquet`, so Catalyst predicate pushdown and
+  * column pruning reach the parquet reader for free; at 100 TB the same code
+  * reads a partitioned directory tree with partition pruning.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
+    // (spark.sql.legacy.parquet.nanosAsLong=true) and truncate to micros —
+    // the same thing DuckDB's micro-precision TIMESTAMP does on read.
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    else df
+  }
+
+  def region: DataFrame     = table("region")
+  def nation: DataFrame     = table("nation")
+  def customer: DataFrame   = table("customer")
+  def supplier: DataFrame   = table("supplier")
+  def part: DataFrame       = table("part")
+  def orders: DataFrame     = table("orders")
+  def lineitem: DataFrame   = table("lineitem")
+  def events: DataFrame     = table("events")
+  def documents: DataFrame  = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  /** Register every table as a temp view (alias → files, like the reference's
+    * `hdfsGlob#alias`). Enables the `spark.sql(...)` surface. */
+  def registerViews(): Unit = Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+}

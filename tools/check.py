@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+For each query parquet in OUT_DIR, run the matching oracle SQL (from
+oracle_sql.json) in DuckDB with views over SF_DIR's parquet tables, then
+compare: sort columns by name, sort rows, compare values.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize tz-aware timestamps to naive UTC for value comparison
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            try:
+                df[c] = df[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_weak = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing ({e})")
+            n_fail += 1
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        g, x = canon(got), canon(exp)
+        if list(g.columns) != list(x.columns):
+            print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(x.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(x):
+            print(f"FAIL {name}: rows spark={len(g)} oracle={len(x)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, x, check_dtype=False,
+                                          check_exact=True)
+            print(f"PASS {name} ({len(g)} rows)")
+            n_pass += 1
+        except AssertionError:
+            # retry with tolerance to report whether it's a float-noise issue
+            try:
+                pd.testing.assert_frame_equal(g, x, check_dtype=False,
+                                              check_exact=False, rtol=1e-9)
+                print(f"FLOAT-NOISE {name}: equal at rtol=1e-9 but not exact")
+                n_fail += 1
+            except AssertionError as e2:
+                msg = str(e2).replace("\n", " | ")[:300]
+                print(f"FAIL {name}: {msg}")
+                n_fail += 1
+    # queries with no oracle → weaker rows-only check
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if os.path.isdir(p) and name not in oracles:
+            try:
+                n = len(pd.read_parquet(p))
+                print(f"WEAK {name}: rows={n} (no oracle)")
+                n_weak += 1
+            except Exception as e:
+                print(f"FAIL {name}: unreadable ({e})")
+                n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
