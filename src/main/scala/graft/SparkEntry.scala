@@ -1,7 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import org.apache.spark.sql.functions.col
+import graft.operators.{Relational, Temporal, TextQueries}
+import graft.dedup.Dedup
+import graft.similarity.Knn
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +46,23 @@ object SparkEntry {
     "q20_having_subquery" -> ((s, d) => Relational.q20HavingSubquery(t(s, d))),
     "q21_exists_sql"      -> ((s, d) => Relational.q21ExistsSql(t(s, d))),
     "q22_union_by_name"   -> ((s, d) => Relational.q22UnionByName(t(s, d))),
+    "q23_window_tumbling" -> ((s, d) => Temporal.q23WindowTumbling(t(s, d))),
+    "q24_sessionize"      -> ((s, d) => Temporal.q24Sessionize(t(s, d))),
+    "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
+    "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
+    "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
+    "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
+    "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
+    "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
+    "d05_embedding_dup"   -> ((s, d) => Dedup.embeddingDupPairs(t(s, d).embeddings)),
+    "s01_knn_brute"       -> ((s, d) => Knn.bruteForce(t(s, d).embeddings)),
+    "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
+    "t01_token_stats"     -> ((s, d) => TextQueries.t01TokenStats(t(s, d))),
+    "t02_langid"          -> ((s, d) => TextQueries.t02LangId(t(s, d))),
+    "t03_quality"         -> ((s, d) => TextQueries.t03Quality(t(s, d))),
+    "m01_media_features"  -> ((s, d) =>
+      Multimodal.extractFeatures(s, Multimodal.asMedia(t(s, d).documents))
+        .toDF().select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -188,5 +209,126 @@ object SparkEntry {
       """SELECT 'cust' AS side, count(*) AS n, round(sum(c_acctbal),2) AS bal_sum FROM customer
         |UNION ALL
         |SELECT 'supp' AS side, count(*) AS n, round(sum(s_acctbal),2) AS bal_sum FROM supplier""".stripMargin,
+    "q23_window_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n, round(sum(value),2) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q24_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_s
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM e)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | count(*) AS n_events, round(sum(value),2) AS value_sum
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q25_range_join" ->
+      """SELECT e.event_id AS error_id, count(p.ts) AS n_purchases_1h,
+        | round(coalesce(sum(p.value), 0.0), 2) AS purchase_value_1h
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='error') e
+        |LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type='purchase') p
+        | ON e.user_id = p.user_id AND p.ts > e.ts AND p.ts <= e.ts + INTERVAL '1 hour'
+        |GROUP BY e.event_id""".stripMargin,
+    "q26_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        | strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+        | strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS prior_signup_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type='signup') a
+        | ON e.user_id = a.user_id AND e.ts >= a.ts""".stripMargin,
+    "d01_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d02_ngram_jaccard" -> ngramJaccardSql,
+    "d03_minhash_lsh"   -> ngramJaccardSql,
+    "d05_embedding_dup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        | round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45""".stripMargin,
+    "s01_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        | SELECT query_id, e.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(qv, v), 8) AS cos
+        | FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        | FROM scored)
+        |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+        | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS INT) AS n_bpeish,
+        | CAST(length(text) - (len(string_split(lower(text), ' ')) - 1) AS DOUBLE)
+        |   / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS mean_token_len,
+        | CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |   / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        |FROM documents""".stripMargin,
+    "t02_langid" ->
+      s"""WITH g AS (
+         | SELECT lang,
+         |  len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS c_en,
+         |  len(list_filter(string_split(lower(text), ' '), t -> t IN ($inDe))) AS c_de,
+         |  len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEs))) AS c_es,
+         |  len(list_filter(string_split(lower(text), ' '), t -> t IN ($inFr))) AS c_fr
+         | FROM documents)
+         |SELECT lang,
+         | CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+         |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |      WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS guess,
+         | count(*) AS n
+         |FROM g GROUP BY 1, 2""".stripMargin,
+    "t03_quality" ->
+      s"""WITH m AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nt,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS ar,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS DOUBLE)
+         |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS sr
+         | FROM documents)
+        |SELECT doc_id,
+        | least(nt / 100.0, 1.0) * 0.5 + ar * 0.3 + least(sr * 5.0, 1.0) * 0.2 AS quality
+        |FROM m""".stripMargin,
+    "m01_media_features" ->
+      """SELECT doc_id, 'text/plain' AS format,
+        | CAST(strlen(text) AS INT) AS n_bytes,
+        | ascii(substr(text, 1, 1)) AS first_byte
+        |FROM documents""".stripMargin,
   )
+
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+  private val inEn = inList(graft.functions.TextFns.stopEn)
+  private val inDe = inList(graft.functions.TextFns.stopDe)
+  private val inEs = inList(graft.functions.TextFns.stopEs)
+  private val inFr = inList(graft.functions.TextFns.stopFr)
+
+  /** Shared oracle for d02 (exact) and d03 (MinHash-LSH, exact-verified):
+    * both must produce the identical near-dup pair set. */
+  private val ngramJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      | FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)
+      |SELECT d1, d2,
+      | CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+      |WHERE CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8""".stripMargin
 }

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the LLM-data-pipeline surface.
+  *
+  * Four families, by cost/fidelity:
+  *   - exact: content-hash groupBy (one shuffle on the hash)
+  *   - exact n-gram Jaccard: all-pairs via inverted shingle index — the
+  *     *baseline/oracle*; candidate set is bounded by shared shingles, not
+  *     |docs|², but stop-shingles still make it superlinear → not the 100 TB
+  *     path
+  *   - MinHash+LSH: the 100 TB path — fixed-size signatures (one shuffle),
+  *     banded bucketing (one shuffle on (band, key)), exact verification of
+  *     candidates only
+  *   - SimHash: 64-bit sketch, hamming-banded candidate pairs
+  *
+  * All hashing is xxhash64 (Spark built-in, codegen'd); no UDFs anywhere —
+  * signatures and bands are pure Column expression trees.
+  */
+object Dedup {
+
+  /** d01: exact dedup groups over normalized content. Every group keeps its
+    * smallest doc_id; `n_copies` > 1 marks exact duplicates. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exploded distinct shingle sets: (doc_id, shingle). */
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(TextFns.shingles(col("text"), k)).as("shingle"))
+
+  private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = pairs
+      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double")).as("jaccard"))
+  }
+
+  /** d02: exact n-gram-Jaccard near-dup pairs (d1 < d2, jaccard ≥ threshold)
+    * via an inverted shingle index — the correctness baseline the LSH path
+    * must reproduce. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
+    val sh = shingleSets(docs, k)
+    val pairs = sh.select(col("doc_id").as("d1"), col("shingle"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    jaccardOf(pairs, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signature columns: min over the shingle set of k seeded
+    * xxhash64 draws. One aggregation pass computes the whole signature. */
+  private def minhashAgg(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(col("shingle"), lit(0))).as("mh0"),
+        (1 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh$i")): _*)
+
+  /** d03: MinHash + banded LSH near-dup pairs, exact-verified.
+    * bands=16 × rows=4 → collision prob ≈ 1-(1-j⁴)¹⁶ (≈0.9998 at j=0.8).
+    * Candidates from band-bucket self-join; exact Jaccard on candidates only.
+    * This is the shape that holds at 100 TB: signatures are fixed-size, the
+    * bucket join shuffles on (band, bucket-hash), and verification touches
+    * only candidate pairs. */
+  def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8,
+                      bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = shingleSets(docs, k)
+    val sig = minhashAgg(sh, numHashes)
+    // one row per band: (band, bucket = hash of the band's signature slice)
+    val bandCols: Column = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*).as("bucket"))
+    }: _*)
+    val buckets = sig.select(col("doc_id"), explode(bandCols).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    jaccardOf(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash of the token multiset: sign of the per-bit ±1 vote sum,
+    * built as a pure expression tree (64 conditional sums per doc). */
+  def simHash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val votes: Seq[Column] = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /** d04: SimHash near-dup pairs — band the 64 bits into 4×16-bit keys
+    * (hamming ≤ 3 ⇒ at least one band identical), verify with bit_count. */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simHash(docs)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.key").as("key"))
+    banded.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("d2"), col("simhash").as("s2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** d05: embedding-cosine near-dup pairs (d1 < d2, cos ≥ threshold).
+    * Exact all-pairs — the small-data baseline; the LSH/IVF scale path lives
+    * in graft.similarity.Knn. Cosine follows dot/(√n1·√n2) with sequential
+    * double accumulation (DuckDB-compatible). */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = v.select(col("vec_id").as("d1"), col("v").as("va"))
+    val b = v.select(col("vec_id").as("d2"), col("v").as("vb"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(graft.functions.VectorFns.cosine(col("va"), col("vb")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Tables adapter used by SparkEntry. */
+  def docs(t: Tables): DataFrame = t.documents
+}

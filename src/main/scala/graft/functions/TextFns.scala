@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline surface.
+  *
+  * All of these are Catalyst `Column` expression trees over built-ins (no
+  * Scala UDFs), so they stay inside whole-stage codegen and scale linearly —
+  * the property the reference's opaque per-record python scripts (e.g.
+  * `examples/tensorflow/dataDeal.py:1-40`) never had.
+  */
+object TextFns {
+
+  /** Whitespace tokenization (single-space; the corpus is single-spaced). */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Word-count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token count: alpha runs, digits, and punctuation each count
+    * as one token (regex kept RE2-compatible for oracle parity). */
+  def bpeishCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9 ]"))
+
+  /** Distinct k-gram shingles of the token stream ("a b c" k=3-grams). */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Stopword-hit count for a fixed list (occurrence count, not distinct). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  // tiny per-language function-word lists for the n-gram/stopword language
+  // heuristic; deliberately ascii-only and RE2-safe.
+  val stopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val stopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "ein", "nicht")
+  val stopEs: Seq[String] = Seq("el", "los", "y", "es", "en", "que", "una")
+  val stopFr: Seq[String] = Seq("le", "les", "et", "est", "une", "dans", "pas")
+
+  /** Language-ID heuristic: argmax of function-word hit counts with a fixed
+    * tie order en > de > es > fr; 'und' (unknown) when nothing hits. */
+  def langGuess(text: Column): Column = {
+    val en = stopwordHits(text, stopEn)
+    val de = stopwordHits(text, stopDe)
+    val es = stopwordHits(text, stopEs)
+    val fr = stopwordHits(text, stopFr)
+    when(greatest(en, de, es, fr) === 0, "und")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Quality signals: token count, mean token length, stopword ratio,
+    * alpha-character ratio. Pure integer-derived arithmetic → bit-stable. */
+  def nTokens(text: Column): Column = tokenCount(text)
+  def meanTokenLen(text: Column): Column =
+    (length(text) - (tokenCount(text) - 1).cast("double")) / tokenCount(text).cast("double")
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, stopEn).cast("double") / tokenCount(text).cast("double")
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text).cast("double")
+
+  /** Composite quality score in [0,1]-ish: long-enough, wordy, not too much
+    * punctuation. Deterministic arithmetic only. */
+  def qualityScore(text: Column): Column =
+    least(nTokens(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
+      alphaRatio(text) * lit(0.3) +
+      least(stopwordRatio(text) * lit(5.0), lit(1.0)) * lit(0.2)
+
+  /** Content fingerprint: md5 of the whitespace/case-normalized text.
+    * (The scale story for near-dup grouping is MinHash — see graft.dedup.) */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

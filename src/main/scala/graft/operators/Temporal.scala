@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table.
+  *
+  * These are the batch semantics of the engine's streaming surface (SURVEY.md
+  * §2.3 "Streaming"): the same `window`/`session_window` expressions run
+  * unchanged under Structured Streaming with a watermark (see
+  * graft.streaming.EventStreams and its spec). The reference's only temporal
+  * behavior is its heartbeat/save-model timer loop
+  * (`container/Heartbeat.java:150-242`) — superseded by real event-time
+  * processing here.
+  *
+  * Scale notes: tumbling windows and sessions shuffle once on the group key;
+  * the as-of join is the union+last-over-window form (one sort per user
+  * partition, no quadratic per-user join), which is the 100 TB-safe plan.
+  */
+object Temporal {
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  /** q23: tumbling 1-hour window aggregate (event-time). */
+  def q23WindowTumbling(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_sum"))
+      .select(
+        date_format(col("w.start"), fmt).as("window_start"),
+        col("event_type"), col("n"), col("value_sum"))
+
+  /** q24: session windows per user with a 30-minute inactivity gap.
+    * A session's `end` is last-event + gap (half-open: an event exactly at
+    * the gap boundary starts a new session). */
+  def q24Sessionize(t: Tables): DataFrame =
+    t.events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("value_sum"))
+      .select(
+        col("user_id"),
+        date_format(col("w.start"), fmt).as("session_start"),
+        col("n_events"), col("value_sum"))
+
+  /** q25: event-time range join — purchases within 1 hour after each error,
+    * per user. Equi-key (user_id) carries the shuffle; the time bound is a
+    * post-join filter, so this stays a hash/sort-merge join (no NL join). */
+  def q25RangeJoin(t: Tables): DataFrame = {
+    val e = t.events.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("u"), col("ts").as("err_ts"))
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("p_ts"), col("value").as("p_value"))
+    e.join(p,
+        col("u") === col("u2") &&
+        col("p_ts") > col("err_ts") &&
+        col("p_ts") <= col("err_ts") + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("error_id"))
+      .agg(
+        count(col("p_ts")).as("n_purchases_1h"),
+        round(coalesce(sum("p_value"), lit(0.0)), 2).as("purchase_value_1h"))
+  }
+
+  /** q26: as-of join — for each error event, the most recent signup of the
+    * same user at-or-before it. Implemented the scale-safe way: union both
+    * sides, one window sort per user, `last(signup_ts)` carried forward —
+    * no per-user cross join, one shuffle total. */
+  def q26AsOfJoin(t: Tables): DataFrame = {
+    val tagged = t.events
+      .filter(col("event_type").isin("error", "signup"))
+      .select(
+        col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "signup", col("ts")).as("signup_ts"))
+    // ties (identical ts): signup sorts before the error so it is visible
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_type").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("prior_signup", last(col("signup_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        date_format(col("ts"), fmt).as("error_ts"),
+        date_format(col("prior_signup"), fmt).as("prior_signup_ts"))
+  }
+}

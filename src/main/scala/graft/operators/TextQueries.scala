@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the documents table (LLM-pipeline surface).
+  * Thin compositions of the TextFns column library — everything stays in
+  * whole-stage codegen; one narrow scan of (doc_id, text[, lang]). */
+object TextQueries {
+
+  /** t01: per-document token statistics. */
+  def t01TokenStats(t: Tables): DataFrame = {
+    val text = col("text")
+    t.documents.select(
+      col("doc_id"),
+      TextFns.tokenCount(text).as("n_tokens"),
+      TextFns.bpeishCount(text).as("n_bpeish"),
+      TextFns.meanTokenLen(text).as("mean_token_len"),
+      TextFns.alphaRatio(text).as("alpha_ratio"))
+  }
+
+  /** t02: language-ID heuristic vs the labeled lang column (confusion
+    * counts). */
+  def t02LangId(t: Tables): DataFrame =
+    t.documents
+      .select(col("lang"), TextFns.langGuess(col("text")).as("guess"))
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n"))
+
+  /** t03: composite quality score per document. */
+  def t03Quality(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+}

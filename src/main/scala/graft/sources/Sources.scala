@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.hadoop.io.{LongWritable, Text}
+import org.apache.hadoop.mapred.{JobConf, TextInputFormat}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.3 "Scans / sources" and "Sinks").
+  *
+  * The reference's scan operators are file enumeration + whole-file or
+  * InputFormat-split distribution (S1–S5, `AM/ApplicationMaster.java:833-903`);
+  * its sinks are upload/rename commit and a gzip TextOutputFormat stream
+  * (K1/K2, `container/HboxContainer.java:524-613`, `1211-1257`). Spark
+  * DataSource covers all of it; this object pins the engine's entry points
+  * and keeps the Hadoop-InputFormat compatibility path alive.
+  */
+object Sources {
+
+  // ---- scans -------------------------------------------------------------
+  def parquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+          header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(s => r.schema(s)).json(path)
+  }
+
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  def text(spark: SparkSession, path: String): Dataset[String] = spark.read.textFile(path)
+
+  /** Hadoop `InputFormat` compatibility (parity with the reference's STREAM
+    * scan S3/S5): identical split computation, records as lines. */
+  def hadoopText(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    val conf = new JobConf(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.mapred.FileInputFormat.setInputPaths(conf, path)
+    spark.createDataset(
+      spark.sparkContext
+        .hadoopRDD(conf, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+        .map(_._2.toString))
+  }
+
+  // ---- sinks (all emit _SUCCESS via FileOutputCommitter — parity with the
+  // reference's _temporary→rename→_SUCCESS protocol, K1) -------------------
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Gzip text sink — the reference's default output format
+    * (gzip TextOutputFormat, `HboxConfiguration2.java:11-12`). */
+  def writeGzipText(ds: Dataset[String], path: String): Unit =
+    ds.write.mode("overwrite").option("compression", "gzip").text(path)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.PipeOps
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference-parity data plane: sources/sinks round-trips, Hadoop InputFormat
+  * compatibility, the pipe (opaque worker) operator, and multimodal
+  * feature-extraction plumbing. */
+class DataPlaneSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val tmp = java.nio.file.Files.createTempDirectory("graft_dp").toString
+
+  test("csv/json/orc/parquet round-trip preserves rows and schema") {
+    val src = tables.nation
+    for ((fmt, w, r) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame, String) => Unit,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      ("csv", Sources.writeCsv, (s, p) => Sources.csv(s, p)),
+      ("json", Sources.writeJson, (s, p) => Sources.json(s, p)),
+      ("orc", Sources.writeOrc, (s, p) => Sources.orc(s, p)),
+      ("parquet", Sources.writeParquet, (s, p) => Sources.parquet(s, p)))) {
+      val path = s"$tmp/rt_$fmt"
+      w(src, path)
+      val back = r(spark, path)
+      assert(back.count() === src.count(), s"$fmt row count")
+      assert(new java.io.File(s"$path/_SUCCESS").exists(), s"$fmt _SUCCESS commit marker")
+    }
+  }
+
+  test("hadoopRDD TextInputFormat reads what the gzip text sink wrote") {
+    val lines = (1 to 100).map(i => s"record-$i").toDS()
+    Sources.writeGzipText(lines, s"$tmp/gz")
+    assert(new java.io.File(s"$tmp/gz").listFiles().exists(_.getName.endsWith(".gz")))
+    val back = Sources.hadoopText(spark, s"$tmp/gz/*.gz")
+    assert(back.count() === 100)
+    assert(back.collect().toSet === lines.collect().toSet)
+  }
+
+  test("pipe operator: stdin→child→stdout round trip through sed") {
+    val in = (1 to 50).map(i => s"x$i").toDS().repartition(4)
+    val out = PipeOps.pipeLines(in, Seq("sed", "s/^x/y_/"), Map("GRAFT_ROLE" -> "worker"))
+    assert(out.collect().toSet === (1 to 50).map(i => s"y_$i").toSet)
+  }
+
+  test("full reference-style text job: read → pipe → gzip sink with _SUCCESS") {
+    val inPath = s"$tmp/job_in"
+    (1 to 40).map(_.toString).toDS().write.text(inPath)
+    val n = PipeOps.runTextJob(spark, inPath, Seq("cat"), s"$tmp/job_out", epochs = 2)
+    assert(n === 40)
+    assert(new java.io.File(s"$tmp/job_out/_SUCCESS").exists())
+  }
+
+  test("multimodal: payload bytes and checksum are deterministic") {
+    val media = multimodal.Multimodal.asMedia(tables.documents)
+    val f1 = multimodal.Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    val f2 = multimodal.Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(f1.map(_.checksum).sameElements(f2.map(_.checksum)))
+    // ascii corpus: byte length == char length
+    val chars = tables.documents.select(col("doc_id"), length(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    f1.foreach(f => assert(f.n_bytes === chars(f.doc_id)))
+  }
+
+  test("barrier rendezvous hands every task the full cluster address list") {
+    val got = ml.MlOps.rendezvous(spark, 4)
+    assert(got.length === 4)
+    assert(got.map(_._1).sorted.sameElements(0 until 4))
+    assert(got.forall(_._3 == 4))
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.similarity.Knn
+import org.scalatest.funsuite.AnyFunSuite
+
+class KnnSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("brute-force: ranks are 1..k per query, cosine non-increasing") {
+    val rows = Knn.bruteForce(tables.embeddings, "vec_id < 5", k = 5).collect()
+      .groupBy(_.getLong(0))
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).sameElements(1 to 5))
+      val cs = sorted.map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF recall@5 tracks the nProbe/nCells bound on this corpus") {
+    // the synthetic embeddings are near-random (no label geometry), so the
+    // information-theoretic recall of cell pruning is ≈ nProbe/nCells = 0.3;
+    // on clustered real data recall would approach 1. Assert we're at or
+    // above that bound and structurally correct.
+    val exact = Knn.bruteForce(tables.embeddings, "vec_id < 5", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Knn.ivf(tables.embeddings, "vec_id < 5", k = 5, nProbe = 3).collect()
+    approx.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+    val recall = (exact intersect approx.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / exact.size
+    assert(recall >= 0.25, s"recall=$recall below the cell-pruning bound")
+  }
+}

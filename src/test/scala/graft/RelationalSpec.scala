@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("every declared query runs and returns a stable schema at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      assert(df.count() >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("semi + anti join partition the customer set") {
+    val cust = tables.customer.count()
+    val highVal = tables.orders.filter(col("o_totalprice") > 300000).select("o_custkey")
+    val semi = tables.customer.join(highVal, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = tables.customer.join(highVal, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(semi + anti === cust)
+  }
+
+  test("top-k matches sort-then-take") {
+    val topk = operators.Relational.q10TopK(tables).collect().map(_.getLong(0))
+    val full = tables.orders.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10).select("o_orderkey").collect().map(_.getLong(0))
+    assert(topk.sameElements(full))
+  }
+
+  test("cube contains the grand total") {
+    val grand = operators.Relational.q12Cube(tables)
+      .filter(col("g_flag") === 1 && col("g_status") === 1).collect()
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n") === tables.lineitem.count())
+  }
+
+  test("approx_count_distinct within 5% of exact (HLL++ scale path)") {
+    val r = tables.lineitem.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey")).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}

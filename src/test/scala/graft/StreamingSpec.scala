@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(min: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("streaming tumbling window equals the batch result on closed input") {
+    implicit val sql = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0), Event(4, ts(70), 1, "click", 4.0),
+      Event(5, ts(200), 2, "view", 5.0))
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumbling")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.tumblingCounts(events.toDF())
+    // batch path: same expressions, watermark is a no-op on a bounded df
+    val expected = batch
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === expected)
+    assert(streamed.contains(("00:00", "click", 2L)))
+  }
+
+  test("watermark drops rows later than the threshold (append mode)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    mem.addData(Event(1, ts(10), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(600), 1, "click", 1.0)) // advance watermark to 10:00-2h=08:00
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(15), 1, "click", 1.0))  // 00:15 < watermark → dropped
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(1200), 1, "click", 1.0)) // flush all windows
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("late")
+      .select(date_format(col("window_start"), "HH:mm"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("00:00") === 1L, "late row must not be counted")
+  }
+
+  test("flatMapGroupsWithState keeps per-user running state across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.statefulPerUser(spark, mem.toDS())
+      .writeStream.format("memory").queryName("stateful").outputMode("append").start()
+    mem.addData(Event(1, ts(1), 7, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(2), 7, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("stateful").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .filter(_._1 == 7L).maxBy(_._2)
+    assert(last === ((7L, 2, 5.0)))
+  }
+}
