@@ -31,9 +31,15 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exploded distinct shingle sets: (doc_id, shingle). */
+  /** Exploded distinct shingle sets, keyed by xxhash64 of the shingle:
+    * (doc_id, shingle: long). Joining/counting on the 8-byte hash instead of
+    * the string shrinks the self-join shuffle ~3×; a 64-bit collision would
+    * need two distinct shingles of the same corpus to collide (~1e-11 at
+    * ~10⁵ distinct shingles). */
   def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(TextFns.shingles(col("text"), k)).as("shingle"))
+    docs.select(col("doc_id"),
+      explode(TextFns.shingles(col("text"), k)).as("shingle_str"))
+      .select(col("doc_id"), xxhash64(col("shingle_str")).as("shingle"))
 
   private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -54,12 +60,24 @@ object Dedup {
     * via an inverted shingle index — the correctness baseline the LSH path
     * must reproduce. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
-    val sh = shingleSets(docs, k)
-    val pairs = sh.select(col("doc_id").as("d1"), col("shingle"))
+    // reused by the pair join (twice) and the size agg — cache the 16-byte
+    // rows instead of re-running tokenize+shingle+hash three times
+    val sh = shingleSets(docs, k).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // single pass: the inverted-index self-join *is* the common count —
+    // no distinct-then-rejoin (that doubled the shuffle volume)
+    val common = sh.select(col("doc_id").as("d1"), col("shingle"))
       .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
       .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    jaccardOf(pairs, sh).filter(col("jaccard") >= threshold)
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signature columns: min over the shingle set of k seeded
@@ -69,6 +87,8 @@ object Dedup {
       .agg(
         min(xxhash64(col("shingle"), lit(0))).as("mh0"),
         (1 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh$i")): _*)
+  // (shingle is already a 64-bit hash; re-hashing with a seed column gives
+  // the k independent draws)
 
   /** d03: MinHash + banded LSH near-dup pairs, exact-verified.
     * bands=16 × rows=4 → collision prob ≈ 1-(1-j⁴)¹⁶ (≈0.9998 at j=0.8).
@@ -79,7 +99,7 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingleSets(docs, k)
+    val sh = shingleSets(docs, k).persist()
     val sig = minhashAgg(sh, numHashes)
     // one row per band: (band, bucket = hash of the band's signature slice)
     val bandCols: Column = array((0 until bands).map { b =>
@@ -131,17 +151,45 @@ object Dedup {
   }
 
   /** d05: embedding-cosine near-dup pairs (d1 < d2, cos ≥ threshold).
-    * Exact all-pairs — the small-data baseline; the LSH/IVF scale path lives
-    * in graft.similarity.Knn. Cosine follows dot/(√n1·√n2) with sequential
-    * double accumulation (DuckDB-compatible). */
+    * Exact all-pairs baseline: the corpus is broadcast once (with
+    * precomputed squared norms) and each partition loops its rows against
+    * the upper triangle in tight JVM code — O(n²/2·dims) flops spread over
+    * all cores, no per-pair Catalyst overhead. Accumulation is sequential
+    * left-to-right (DuckDB list_cosine_similarity-compatible). Broadcast
+    * bounds this to corpora that fit in executor memory — beyond that, the
+    * LSH/IVF paths in graft.similarity.Knn are the scale route. */
   def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = v.select(col("vec_id").as("d1"), col("v").as("va"))
-    val b = v.select(col("vec_id").as("d2"), col("v").as("vb"))
-    a.crossJoin(b).filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"),
-        round(graft.functions.VectorFns.cosine(col("va"), col("vb")), 4).as("cos"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])]
+    val corpus = data.collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, normSq(v)) }
+    val bc = spark.sparkContext.broadcast(corpus)
+    // prefilter slack: round(·,4) can lift a value by at most 5e-5
+    val pre = threshold - 1e-4
+    val pairs = data.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (id, v) =>
+        val nv = math.sqrt(normSq(v))
+        all.iterator
+          .filter(_._1 > id)
+          .map { case (jd, jv, jn) =>
+            var dot = 0.0; var i = 0
+            while (i < v.length) { dot += v(i) * jv(i); i += 1 }
+            (id, jd, dot / (nv * math.sqrt(jn)))
+          }
+          .filter(_._3 >= pre)
+      }
+    }.toDF("d1", "d2", "cos_raw")
+    pairs.select(col("d1"), col("d2"), round(col("cos_raw"), 4).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  private def normSq(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    s
   }
 
   /** Tables adapter used by SparkEntry. */
