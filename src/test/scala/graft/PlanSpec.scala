@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that make these queries survive
+  * a 100 TB scale-up must be visible in the plan, not assumed. */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** Final (post-AQE) formatted plan: execute, then explain. */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // execute THIS plan so AQE finalizes it (count() builds a different one)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_returnflag"), "scan should not read unused columns")
+  }
+
+  test("q03: dimension join is broadcast, not shuffled") {
+    assert(plan("q03_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("q01: aggregation is two-phase (partial then final)") {
+    assert(plan("q01_agg").toLowerCase.contains("partial_sum"))
+  }
+
+  test("q10: top-k plans as TakeOrderedAndProject, not global sort") {
+    assert(plan("q10_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q06: semi join does not duplicate probe rows (LeftSemi in plan)") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // codegen shows as "*(n)" stage markers in the executed plan string
+    Seq("q01_agg", "q02_filter_project", "q15_strings", "t01_token_stats").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("*("), s"$q fell out of codegen:\n$s")
+    }
+  }
+}
