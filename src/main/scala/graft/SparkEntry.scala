@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import graft.operators.{Relational, Temporal, TextQueries}
+import graft.operators.{Relational, Relational2, Temporal, TextQueries}
 import graft.dedup.Dedup
 import graft.similarity.Knn
 import graft.multimodal.Multimodal
@@ -46,6 +46,13 @@ object SparkEntry {
     "q20_having_subquery" -> ((s, d) => Relational.q20HavingSubquery(t(s, d))),
     "q21_exists_sql"      -> ((s, d) => Relational.q21ExistsSql(t(s, d))),
     "q22_union_by_name"   -> ((s, d) => Relational.q22UnionByName(t(s, d))),
+    "q27_window_offsets"  -> ((s, d) => Relational2.q27WindowOffsets(t(s, d))),
+    "q28_math"            -> ((s, d) => Relational2.q28Math(t(s, d))),
+    "q29_map_json"        -> ((s, d) => Relational2.q29MapJson(t(s, d))),
+    "q30_percentile"      -> ((s, d) => Relational2.q30Percentile(t(s, d))),
+    "q31_array_hof"       -> ((s, d) => Relational2.q31ArrayHof(t(s, d))),
+    "q32_pivot"           -> ((s, d) => Relational2.q32Pivot(t(s, d))),
+    "q33_scalar_subquery" -> ((s, d) => Relational2.q33ScalarSubquery(t(s, d))),
     "q23_window_tumbling" -> ((s, d) => Temporal.q23WindowTumbling(t(s, d))),
     "q24_sessionize"      -> ((s, d) => Temporal.q24Sessionize(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
@@ -58,6 +65,13 @@ object SparkEntry {
     "s01_knn_brute"       -> ((s, d) => Knn.bruteForce(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     "t01_token_stats"     -> ((s, d) => TextQueries.t01TokenStats(t(s, d))),
+    "t04_fingerprint"     -> ((s, d) => {
+      graft.plans.GraftExtensions.register(s)
+      t(s, d).documents.select(
+        col("doc_id"),
+        graft.plans.GraftExtensions.rolling_hash(col("text")).as("rhash"),
+        graft.functions.TextFns.fingerprint(col("text")).as("fingerprint"))
+    }),
     "t02_langid"          -> ((s, d) => TextQueries.t02LangId(t(s, d))),
     "t03_quality"         -> ((s, d) => TextQueries.t03Quality(t(s, d))),
     "m01_media_features"  -> ((s, d) =>
@@ -209,6 +223,58 @@ object SparkEntry {
       """SELECT 'cust' AS side, count(*) AS n, round(sum(c_acctbal),2) AS bal_sum FROM customer
         |UNION ALL
         |SELECT 'supp' AS side, count(*) AS n, round(sum(s_acctbal),2) AS bal_sum FROM supplier""".stripMargin,
+    "q27_window_offsets" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | CAST(dense_rank() OVER w AS INT) AS drank,
+        | lead(o_orderkey, 1) OVER w AS next_orderkey,
+        | first_value(o_orderkey) OVER wf AS first_orderkey,
+        | last_value(o_orderkey) OVER wf AS last_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q28_math" ->
+      """SELECT l_orderkey,
+        | sqrt(l_extendedprice) AS sqrt_price,
+        | abs(l_discount - 0.05) AS abs_disc,
+        | ceil(l_quantity) AS ceil_qty,
+        | floor(l_quantity / 7) AS floor_qty7,
+        | l_orderkey % 97 AS mod97,
+        | round(pow(l_quantity, 1.5), 6) AS pow_qty,
+        | round(ln(l_extendedprice), 6) AS ln_price,
+        | round(exp(l_discount), 6) AS exp_disc
+        |FROM lineitem WHERE l_linenumber = 1""".stripMargin,
+    "q29_map_json" ->
+      """SELECT event_id,
+        | array_to_string(json_keys(props), ',') AS keys,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+        | CAST(len(json_keys(props)) AS INT) AS n_keys
+        |FROM events""".stripMargin,
+    "q30_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q31_array_hof" ->
+      """SELECT vec_id,
+        | round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 4) AS norm_sq,
+        | CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INT) AS n_positive,
+        | round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim
+        |FROM embeddings""".stripMargin,
+    "q32_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q33_scalar_subquery" ->
+      """SELECT n_name,
+        | (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust,
+        | (SELECT round(coalesce(sum(s_acctbal), 0.0), 2) FROM supplier
+        |  WHERE s_nationkey = n_nationkey) AS supp_bal
+        |FROM nation""".stripMargin,
     "q23_window_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, round(sum(value),2) AS value_sum
