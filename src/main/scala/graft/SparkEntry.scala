@@ -53,6 +53,7 @@ object SparkEntry {
     "q31_array_hof"       -> ((s, d) => Relational2.q31ArrayHof(t(s, d))),
     "q32_pivot"           -> ((s, d) => Relational2.q32Pivot(t(s, d))),
     "q33_scalar_subquery" -> ((s, d) => Relational2.q33ScalarSubquery(t(s, d))),
+    "q34_multiset_setops" -> ((s, d) => Relational2.q34MultisetSetOps(t(s, d))),
     "q23_window_tumbling" -> ((s, d) => Temporal.q23WindowTumbling(t(s, d))),
     "q24_sessionize"      -> ((s, d) => Temporal.q24Sessionize(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
@@ -275,6 +276,12 @@ object SparkEntry {
         | (SELECT round(coalesce(sum(s_acctbal), 0.0), 2) FROM supplier
         |  WHERE s_nationkey = n_nationkey) AS supp_bal
         |FROM nation""".stripMargin,
+    "q34_multiset_setops" ->
+      """WITH a AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+        | b AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT 'intersect_all' AS op, custkey FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+        |UNION ALL
+        |SELECT 'except_all' AS op, custkey FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)""".stripMargin,
     "q23_window_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, round(sum(value),2) AS value_sum

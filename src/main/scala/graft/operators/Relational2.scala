@@ -87,6 +87,16 @@ object Relational2 {
       .select(col("o_orderpriority"),
         col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
 
+  /** q34: multiset set ops — intersectAll/exceptAll keep duplicate
+    * multiplicity (planned as aggregated counts + replication, one shuffle
+    * each). */
+  def q34MultisetSetOps(t: Tables): DataFrame = {
+    val a = t.orders.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("custkey"))
+    val b = t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+    a.intersectAll(b).select(lit("intersect_all").as("op"), col("custkey"))
+      .union(a.exceptAll(b).select(lit("except_all").as("op"), col("custkey")))
+  }
+
   /** q33: scalar subqueries in SELECT (Catalyst plans them as broadcast
     * scalar aggregates — one extra tiny stage, no per-row subplan). */
   def q33ScalarSubquery(t: Tables): DataFrame = {
