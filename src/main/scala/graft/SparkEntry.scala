@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, round, sum}
 import graft.operators.{Relational, Relational2, Temporal, TextQueries}
 import graft.dedup.Dedup
 import graft.similarity.Knn
@@ -54,6 +54,15 @@ object SparkEntry {
     "q32_pivot"           -> ((s, d) => Relational2.q32Pivot(t(s, d))),
     "q33_scalar_subquery" -> ((s, d) => Relational2.q33ScalarSubquery(t(s, d))),
     "q34_multiset_setops" -> ((s, d) => Relational2.q34MultisetSetOps(t(s, d))),
+    "q35_salted_join"     -> ((s, d) => {
+      val tb = t(s, d)
+      graft.operators.SkewOps.saltedJoin(
+          tb.lineitem.select(col("l_suppkey"), col("l_quantity")),
+          tb.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_name")),
+          "l_suppkey", n = 8)
+        .groupBy(col("s_name"))
+        .agg(count(col("l_quantity")).as("n"), round(sum("l_quantity"), 2).as("qty"))
+    }),
     "q23_window_tumbling" -> ((s, d) => Temporal.q23WindowTumbling(t(s, d))),
     "q24_sessionize"      -> ((s, d) => Temporal.q24Sessionize(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
@@ -282,6 +291,10 @@ object SparkEntry {
         |SELECT 'intersect_all' AS op, custkey FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
         |UNION ALL
         |SELECT 'except_all' AS op, custkey FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)""".stripMargin,
+    "q35_salted_join" ->
+      """SELECT s_name, count(l_quantity) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name""".stripMargin,
     "q23_window_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, round(sum(value),2) AS value_sum
