@@ -23,18 +23,32 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** s01: exact cosine top-k for each query vector. */
+  /** s01: exact cosine top-k for each query vector.
+    * Scoring streams over corpus partitions against the broadcast query set;
+    * the per-query top-k is a bounded-heap Aggregator (TopKAgg), so partial
+    * aggregation clips every partition to k candidates *before* the shuffle —
+    * the exchange is O(|Q|·k·partitions), independent of corpus size. */
   def bruteForce(emb: DataFrame, queryPred: String = "vec_id < 10", k: Int = 5): DataFrame = {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = v.filter(expr(queryPred)).select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerKey(scored, k)
+  }
+
+  /** Shared (query_id, neighbor_id, cos) → ranked top-k reshaper. */
+  private[similarity] def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAgg(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("neighbor_id"),
+        col("col._1").as("cos"))
   }
 
   /** s02: IVF top-k — bucket corpus by nearest of the per-label centroids,
@@ -72,9 +86,6 @@ object Knn {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    topKPerKey(scored, k)
   }
 }
