@@ -32,6 +32,22 @@ object TextFns {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Distinct 64-bit shingle identities: xxhash64 over the k token columns
+    * directly (no per-shingle string allocation — the hash accumulates each
+    * token with its length, so token boundaries stay unambiguous). Equivalent
+    * to hashing the `shingles` strings modulo 64-bit collisions: tokens are
+    * space-free, so "a b c" ↔ (a,b,c) is a bijection. Docs with < k tokens
+    * hash their whole token list (single-arg hash — disjoint identity space
+    * from the k-arg hashes, matching the string semantics where a < k-token
+    * text can never equal a k-gram). */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array(xxhash64(concat_ws(" ", toks))))
+  }
+
   /** Stopword-hit count for a fixed list (occurrence count, not distinct). */
   def stopwordHits(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(words)))

@@ -46,6 +46,18 @@ object Sources {
         .map(_._2.toString))
   }
 
+  /** Fan compute-heavy per-row work out to every core when the scan yields
+    * fewer partitions than the session's parallelism — the "tiny file, heavy
+    * map" case (a single small parquet file scans as ONE partition, so an
+    * expensive projection — shingling, hashing, cosine loops — would run on
+    * one core). At production scale this is a no-op: a multi-TB source
+    * already scans as ≥ parallelism partitions, and the round-robin exchange
+    * is skipped entirely. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   // ---- sinks (all emit _SUCCESS via FileOutputCommitter — parity with the
   // reference's _temporary→rename→_SUCCESS protocol, K1) -------------------
   def writeParquet(df: DataFrame, path: String): Unit =
