@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, count, round, sum}
-import graft.operators.{Relational, Relational2, Temporal, TextQueries}
+import graft.operators.{Relational, Relational2, Relational3, Temporal, TextQueries}
 import graft.dedup.Dedup
 import graft.similarity.Knn
 import graft.multimodal.Multimodal
@@ -54,6 +54,9 @@ object SparkEntry {
     "q32_pivot"           -> ((s, d) => Relational2.q32Pivot(t(s, d))),
     "q33_scalar_subquery" -> ((s, d) => Relational2.q33ScalarSubquery(t(s, d))),
     "q34_multiset_setops" -> ((s, d) => Relational2.q34MultisetSetOps(t(s, d))),
+    "q36_grouping_sets"   -> ((s, d) => Relational3.q36GroupingSets(t(s, d))),
+    "q37_date_trunc"      -> ((s, d) => Relational3.q37DateTrunc(t(s, d))),
+    "q38_to_json"         -> ((s, d) => Relational3.q38ToJson(t(s, d))),
     "q35_salted_join"     -> ((s, d) => {
       val tb = t(s, d)
       graft.operators.SkewOps.saltedJoin(
@@ -291,6 +294,23 @@ object SparkEntry {
         |SELECT 'intersect_all' AS op, custkey FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
         |UNION ALL
         |SELECT 'except_all' AS op, custkey FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT c_mktsegment, n_name,
+        | CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+        | CAST(GROUPING(n_name) AS INT) AS g_nation,
+        | count(*) AS n_cust, round(sum(c_acctbal),2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment, n_name), (c_mktsegment), ())""".stripMargin,
+    "q37_date_trunc" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q38_to_json" ->
+      """SELECT event_id,
+        | to_json(struct_pack(et := event_type,
+        |                     k := CAST(json_extract_string(props, '$.k') AS INT))) AS js
+        |FROM events""".stripMargin,
     "q35_salted_join" ->
       """SELECT s_name, count(l_quantity) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -26,7 +26,7 @@ object Dedup {
   /** d01: exact dedup groups over normalized content. Every group keeps its
     * smallest doc_id; `n_copies` > 1 marks exact duplicates. */
   def exact(docs: DataFrame): DataFrame =
-    graft.sources.Sources.fanOut(docs)
+    docs
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -37,7 +37,7 @@ object Dedup {
     * need two distinct shingles of the same corpus to collide (~1e-11 at
     * ~10⁵ distinct shingles). */
   def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
-    graft.sources.Sources.fanOut(docs).select(col("doc_id"),
+    docs.select(col("doc_id"),
       explode(TextFns.shingleHashes(col("text"), k)).as("shingle"))
 
   private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
@@ -117,7 +117,7 @@ object Dedup {
   /** 64-bit SimHash of the token multiset: sign of the per-bit ±1 vote sum,
     * built as a pure expression tree (64 conditional sums per doc). */
   def simHash(docs: DataFrame): DataFrame = {
-    val tok = graft.sources.Sources.fanOut(docs).select(col("doc_id"),
+    val tok = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("token"))
       .withColumn("h", xxhash64(col("token")))
     val votes: Seq[Column] = (0 until 64).map { b =>
@@ -160,8 +160,7 @@ object Dedup {
   def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val data = graft.sources.Sources.fanOut(
-        emb.select(col("vec_id"), col("embedding").cast("array<double>")))
+    val data = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
     val corpus = data.collect().sortBy(_._1)
       .map { case (id, v) => (id, v, normSq(v)) }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Third tranche of the relational surface (SURVEY.md §2.3): explicit
+  * GROUPING SETS, date-truncation battery, and JSON *generation* (to_json —
+  * the inverse of q19/q29's parsing). Same conventions as Relational. */
+object Relational3 {
+
+  /** q36: explicit GROUPING SETS — the general form cube/rollup specialize
+    * (one shuffled aggregate; Catalyst expands the sets map-side, so this
+    * stays a single exchange like q12/q13). */
+  def q36GroupingSets(t: Tables): DataFrame =
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment"), col("n_name")), Seq(col("c_mktsegment")), Seq()),
+        col("c_mktsegment"), col("n_name"))
+      .agg(
+        grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+        grouping(col("n_name")).cast("int").as("g_nation"),
+        count(lit(1)).as("n_cust"),
+        round(sum(col("c_acctbal")), 2).as("acctbal"))
+
+  /** q37: date truncation/derivation — date_trunc to month, to_date, and
+    * last_day; grouped so the truncation is also exercised as a shuffle key.
+    * Truncated values are emitted as strings for cross-engine comparability
+    * (Spark's date_trunc yields TIMESTAMP, DuckDB's yields DATE). */
+  def q37DateTrunc(t: Tables): DataFrame =
+    t.orders
+      .select(
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(to_date(col("o_orderdate"))), "yyyy-MM-dd").as("month_end"),
+        col("o_totalprice"))
+      .groupBy(col("month_start"), col("month_end"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** q38: JSON generation — re-serialize parsed event props plus a typed
+    * column into a compact JSON string (round-trips q19's extraction). */
+  def q38ToJson(t: Tables): DataFrame =
+    t.events
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type"))
+      .select(
+        col("event_id"),
+        to_json(struct(col("event_type").as("et"), col("k"))).as("js"))
+}

@@ -29,8 +29,7 @@ object Knn {
     * aggregation clips every partition to k candidates *before* the shuffle —
     * the exchange is O(|Q|·k·partitions), independent of corpus size. */
   def bruteForce(emb: DataFrame, queryPred: String = "vec_id < 10", k: Int = 5): DataFrame = {
-    val v = graft.sources.Sources.fanOut(
-      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = v.filter(expr(queryPred)).select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -58,8 +57,7 @@ object Knn {
     * measures recall against bruteForce. */
   def ivf(emb: DataFrame, queryPred: String = "vec_id < 10",
           k: Int = 5, nProbe: Int = 3): DataFrame = {
-    val v = graft.sources.Sources.fanOut(
-      emb.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v")))
+    val v = emb.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     // centroids: per-label mean vector (k-means stand-in; labels are the cells)
     val dims = 64
     val centroids = v

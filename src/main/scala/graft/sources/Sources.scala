@@ -54,8 +54,15 @@ object Sources {
     * already scans as ≥ parallelism partitions, and the round-robin exchange
     * is skipped entirely. */
   def fanOut(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // Estimate the scan's parallelism from optimizer stats instead of
+    // df.rdd.getNumPartitions — the .rdd route compiles a second physical
+    // plan (and its codegen) per call, which costs ~1s of driver time per
+    // query. Stats are driver-side metadata only.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPart = BigInt(spark.sessionState.conf.filesMaxPartitionBytes)
+    if (bytes < maxPart * p) df.repartition(p) else df
   }
 
   // ---- sinks (all emit _SUCCESS via FileOutputCommitter — parity with the

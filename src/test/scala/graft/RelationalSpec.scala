@@ -51,4 +51,33 @@ class RelationalSpec extends AnyFunSuite {
   test("every oracleSql key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("grouping sets emit exactly the declared set shapes with a grand total") {
+    val gs = operators.Relational3.q36GroupingSets(tables)
+    val grand = gs.filter(col("g_seg") === 1 && col("g_nation") === 1).collect()
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n_cust") === tables.customer.count())
+    // rollup-style subtotal rows present, cube-only shape (seg=1, nation=0) absent
+    assert(gs.filter(col("g_seg") === 0 && col("g_nation") === 1).count() > 0)
+    assert(gs.filter(col("g_seg") === 1 && col("g_nation") === 0).count() === 0)
+  }
+
+  test("date_trunc buckets partition all orders") {
+    val buckets = operators.Relational3.q37DateTrunc(tables)
+    assert(buckets.agg(sum(col("n_orders"))).collect()(0).getLong(0) === tables.orders.count())
+    // month_end is always the last day of month_start's month
+    assert(buckets.filter(
+      last_day(col("month_start").cast("date")) =!= col("month_end").cast("date")).count() === 0)
+  }
+
+  test("to_json output parses back to the source columns") {
+    val parsed = operators.Relational3.q38ToJson(tables)
+      .select(col("event_id"),
+        from_json(col("js"),
+          org.apache.spark.sql.types.DataType.fromDDL("struct<et:string,k:int>")).as("s"))
+      .select(col("event_id"), col("s.et").as("event_type"), col("s.k").as("k"))
+    val src = tables.events.select(col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("k"))
+    assert(parsed.exceptAll(src).count() === 0 && src.exceptAll(parsed).count() === 0)
+  }
 }
