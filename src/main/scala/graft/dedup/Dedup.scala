@@ -37,8 +37,12 @@ object Dedup {
     * need two distinct shingles of the same corpus to collide (~1e-11 at
     * ~10⁵ distinct shingles). */
   def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-      explode(TextFns.shingleHashes(col("text"), k)).as("shingle"))
+    // two-step projection: bind the token array to an attribute first so the
+    // shingle lambda reads it instead of re-running the tokenizer per element
+    // (see TextFns.shingleHashesOfTokens)
+    docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFns.shingleHashesOfTokens(col("toks"), k)).as("shingle"))
 
   private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -40,13 +40,21 @@ object TextFns {
     * hash their whole token list (single-arg hash — disjoint identity space
     * from the k-arg hashes, matching the string semantics where a < k-token
     * text can never equal a k-gram). */
-  def shingleHashes(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    shingleHashesOfTokens(tokens(text), k)
+
+  /** Same, over an already-bound token-array column.
+    *
+    * IMPORTANT perf note: expressions captured inside a higher-order-function
+    * lambda are re-evaluated PER ELEMENT (no subexpression elimination inside
+    * `transform`). Pass an *attribute* (a column materialized by a prior
+    * projection), not a `split(...)` expression — otherwise the tokenizer
+    * reruns for every shingle, which measured ~9× slower on the dedup path. */
+  def shingleHashesOfTokens(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => xxhash64((0 until k).map(j => element_at(toks, i + j + 1)): _*))))
       .otherwise(array(xxhash64(concat_ws(" ", toks))))
-  }
 
   /** Stopword-hit count for a fixed list (occurrence count, not distinct). */
   def stopwordHits(text: Column, words: Seq[String]): Column =
