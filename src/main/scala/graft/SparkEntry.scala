@@ -57,6 +57,7 @@ object SparkEntry {
     "q36_grouping_sets"   -> ((s, d) => Relational3.q36GroupingSets(t(s, d))),
     "q37_date_trunc"      -> ((s, d) => Relational3.q37DateTrunc(t(s, d))),
     "q38_to_json"         -> ((s, d) => Relational3.q38ToJson(t(s, d))),
+    "q39_range_frame"     -> ((s, d) => Relational3.q39RangeFrame(t(s, d))),
     "q35_salted_join"     -> ((s, d) => {
       val tb = t(s, d)
       graft.operators.SkewOps.saltedJoin(
@@ -311,6 +312,13 @@ object SparkEntry {
         | to_json(struct_pack(et := event_type,
         |                     k := CAST(json_extract_string(props, '$.k') AS INT))) AS js
         |FROM events""".stripMargin,
+    "q39_range_frame" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS totalprice,
+        | round(sum(o_totalprice) OVER w, 2) AS nearby_spend,
+        | count(*) OVER w AS n_nearby
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q35_salted_join" ->
       """SELECT s_name, count(l_quantity) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

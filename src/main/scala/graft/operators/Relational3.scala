@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Third tranche of the relational surface (SURVEY.md §2.3): explicit
@@ -36,6 +37,21 @@ object Relational3 {
         col("o_totalprice"))
       .groupBy(col("month_start"), col("month_end"))
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** q39: RANGE window frame — value-based frame bounds (all orders of the
+    * same customer within 10000 of the current price, peers included), the
+    * frame kind q09/q27's ROWS frames don't exercise. Deterministic under
+    * ties because RANGE includes all peers of the current row. */
+  def q39RangeFrame(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, Window.currentRow)
+    t.orders.select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      round(col("o_totalprice"), 2).as("totalprice"),
+      round(sum(col("o_totalprice")).over(w), 2).as("nearby_spend"),
+      count(lit(1)).over(w).as("n_nearby"))
+  }
 
   /** q38: JSON generation — re-serialize parsed event props plus a typed
     * column into a compact JSON string (round-trips q19's extraction). */

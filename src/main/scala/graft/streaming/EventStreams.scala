@@ -38,6 +38,25 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"), col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: purchases within 1 hour after an error by
+    * the same user (streaming analog of operators.Temporal.q25RangeJoin).
+    * Both sides carry watermarks and the join condition bounds event time on
+    * both sides, so each side's buffered state is evictable — the shape that
+    * keeps stream-stream joins bounded-memory at scale. */
+  def errorPurchaseJoin(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val p = purchases
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+    e.join(p,
+      col("e_user") === col("p_user") &&
+        col("p_ts") > col("e_ts") &&
+        col("p_ts") <= col("e_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("error_id"), col("e_user").as("user_id"), col("e_ts"), col("p_ts"), col("value"))
+  }
+
   /** Custom keyed state: per-user running totals flushed on processing-time
     * timeout — the `flatMapGroupsWithState` shape used for bespoke
     * sessionization at scale. */

@@ -38,6 +38,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q06_semi_join").contains("LeftSemi"))
   }
 
+  test("bucketed tables join with no shuffle exchange (co-located join)") {
+    import org.apache.spark.sql.functions.col
+    // the 100 TB story for repeated fact-fact joins: bucket both sides on the
+    // join key at write time, then the sort-merge join needs no exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      tables.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+      tables.lineitem.select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      assert(j.count() > 0)
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"), s"bucketed join still shuffles:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen shows as "*(n)" stage markers in the executed plan string
     Seq("q01_agg", "q02_filter_project", "q15_strings", "t01_token_stats").foreach { q =>

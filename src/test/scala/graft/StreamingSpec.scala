@@ -55,6 +55,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("00:00") === 1L, "late row must not be counted")
   }
 
+  test("stream-stream interval join matches the batch join on closed input") {
+    implicit val sql = spark.sqlContext
+    val errors = Seq(
+      Event(1, ts(10), 1, "error", 0.0),
+      Event(2, ts(100), 2, "error", 0.0))
+    val purchases = Seq(
+      Event(10, ts(30), 1, "purchase", 5.0),   // 20 min after error 1 → joined
+      Event(11, ts(75), 1, "purchase", 7.0),   // 65 min after → outside 1h
+      Event(12, ts(130), 2, "purchase", 9.0))  // 30 min after error 2 → joined
+    val memE = MemoryStream[Event]; val memP = MemoryStream[Event]
+    memE.addData(errors: _*); memP.addData(purchases: _*)
+    val q = EventStreams.errorPurchaseJoin(memE.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjoin")
+      .select("error_id", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(streamed === Set((1L, 5.0), (2L, 9.0)))
+    // batch path runs the identical plan on bounded frames
+    val batch = EventStreams.errorPurchaseJoin(errors.toDF(), purchases.toDF())
+      .select("error_id", "value").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(batch === streamed)
+  }
+
   test("flatMapGroupsWithState keeps per-user running state across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
