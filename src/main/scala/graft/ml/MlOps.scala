@@ -3,9 +3,10 @@ package graft.ml
 import org.apache.spark.BarrierTaskContext
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{HashingTF, IDF, Tokenizer}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, MinHashLSH, NGram, Tokenizer}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** ML / distributed-training parity (SURVEY.md §2.2 C1–C5, §7 M4).
   *
@@ -40,6 +41,51 @@ object MlOps {
       .toDF("vec_id", "features")
     val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(vecs)
     model.transform(vecs).select("vec_id", "prediction")
+  }
+
+  /** MLlib-native near-dup candidates: tokenize → 3-grams → binary HashingTF
+    * → MinHashLSH approx self-join. The library counterpart of the hand-tuned
+    * banded implementation in graft.dedup.Dedup.minHashLshPairs (which stays
+    * the bench path); OR-amplified with 8 hash tables, so a pair at jaccard
+    * ≥ 0.8 is missed with probability (1-0.8)^8 ≈ 3e-6.
+    * `maxDistance` is Jaccard *distance* (1 - similarity). */
+  def mlMinHashNearDups(docs: DataFrame, maxDistance: Double = 0.2): DataFrame = {
+    val featurize = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol("text").setOutputCol("words"),
+      new NGram().setN(3).setInputCol("words").setOutputCol("grams"),
+      new HashingTF().setInputCol("grams").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)))
+    val feats = featurize.fit(docs).transform(docs)
+      .filter(size(col("grams")) > 0) // MinHashLSH rejects all-zero vectors
+      .select("doc_id", "features")
+    val model = new MinHashLSH().setNumHashTables(8).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes").fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxDistance, "dist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+      .select(
+        col("datasetA.doc_id").as("d1"),
+        col("datasetB.doc_id").as("d2"),
+        round(lit(1.0) - col("dist"), 4).as("jaccard"))
+  }
+
+  /** MLlib-native ANN over embeddings: random-hyperplane bucketing
+    * (BucketedRandomProjectionLSH) + approx self-join within a euclidean
+    * radius. Library counterpart of graft.similarity.Knn.ivf. */
+  def mlEuclideanNearDups(spark: SparkSession, emb: DataFrame,
+                          radius: Double = 4.0): DataFrame = {
+    import spark.implicits._
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, a) => (id, Vectors.dense(a.map(_.toDouble))) }
+      .toDF("vec_id", "features")
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+      .setInputCol("features").setOutputCol("hashes").fit(vecs)
+    model.approxSimilarityJoin(vecs, vecs, radius, "dist")
+      .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
+      .select(
+        col("datasetA.vec_id").as("d1"),
+        col("datasetB.vec_id").as("d2"),
+        round(col("dist"), 6).as("dist"))
   }
 
   /** Barrier-mode rendezvous: every task learns the full task-address list

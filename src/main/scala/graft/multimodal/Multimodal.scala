@@ -43,6 +43,52 @@ object Multimodal {
     (if (payload.isEmpty) -1 else payload(0) & 0xff, checksum)
   }
 
+  /** Typed row for resized ("thumbnail") payloads. */
+  final case class ResizedMedia(
+      doc_id: Long, format: String, width: Int, height: Int, thumb: Array[Byte])
+
+  /** Typed row for sampled frames. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Resize stub — stands in for an image resize (decode → scale → re-encode
+    * with a real codec). The stub strides the payload down to width×height
+    * bytes, deterministically; the Spark-side shape (typed output schema,
+    * partition-local batching) is what a real resizer plugs into. */
+  def resize(spark: SparkSession, media: DataFrame,
+             width: Int = 4, height: Int = 4): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        val target = width * height
+        rows.map { case (id, payload, format) =>
+          val thumb =
+            if (payload.length <= target) payload
+            else Array.tabulate(target)(i => payload((i.toLong * payload.length / target).toInt))
+          ResizedMedia(id, format, width, height, thumb)
+        }
+      }
+  }
+
+  /** Frame-sample stub — stands in for video frame extraction: treat the
+    * payload as fixed-size frames and keep every `everyN`-th one. One output
+    * row per kept frame (explode shape), so downstream per-frame featurizers
+    * parallelize over frames, not videos. */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  frameBytes: Int = 256, everyN: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val nFrames = math.max(1, payload.length / frameBytes)
+          (0 until nFrames by everyN).iterator.map { f =>
+            FrameSample(id, f, payload.slice(f * frameBytes,
+              math.min((f + 1) * frameBytes, payload.length)))
+          }
+        }
+      }
+  }
+
   /** m01: partition-local feature extraction over the binary payload.
     * One decoder instantiation per partition (the expensive part with real
     * codecs), iterator-to-iterator so spill/codegen pipelining is preserved. */
