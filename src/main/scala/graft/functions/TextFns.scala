@@ -69,17 +69,21 @@ object TextFns {
 
   /** Language-ID heuristic: argmax of function-word hit counts with a fixed
     * tie order en > de > es > fr; 'und' (unknown) when nothing hits. */
-  def langGuess(text: Column): Column = {
-    val en = stopwordHits(text, stopEn)
-    val de = stopwordHits(text, stopDe)
-    val es = stopwordHits(text, stopEs)
-    val fr = stopwordHits(text, stopFr)
+  def langGuess(text: Column): Column =
+    langGuessOfCounts(
+      stopwordHits(text, stopEn), stopwordHits(text, stopDe),
+      stopwordHits(text, stopEs), stopwordHits(text, stopFr))
+
+  /** Argmax over pre-bound hit-count columns. Prefer binding the counts in a
+    * prior projection (see TextQueries.t02LangId): each count is referenced
+    * up to 4 times here, and an unbound count re-runs its tokenizer filter
+    * per reference (HOFs sit outside codegen subexpression elimination). */
+  def langGuessOfCounts(en: Column, de: Column, es: Column, fr: Column): Column =
     when(greatest(en, de, es, fr) === 0, "und")
       .when(en >= de && en >= es && en >= fr, "en")
       .when(de >= es && de >= fr, "de")
       .when(es >= fr, "es")
       .otherwise("fr")
-  }
 
   /** Quality signals: token count, mean token length, stopword ratio,
     * alpha-character ratio. Pure integer-derived arithmetic → bit-stable. */
@@ -94,9 +98,14 @@ object TextFns {
   /** Composite quality score in [0,1]-ish: long-enough, wordy, not too much
     * punctuation. Deterministic arithmetic only. */
   def qualityScore(text: Column): Column =
-    least(nTokens(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.5) +
-      alphaRatio(text) * lit(0.3) +
-      least(stopwordRatio(text) * lit(5.0), lit(1.0)) * lit(0.2)
+    qualityScoreOf(nTokens(text).cast("double"), alphaRatio(text), stopwordRatio(text))
+
+  /** Same formula over pre-bound (token count, alpha ratio, stopword ratio)
+    * columns — bind them in a prior projection to avoid retokenization. */
+  def qualityScoreOf(nt: Column, ar: Column, sr: Column): Column =
+    least(nt / lit(100.0), lit(1.0)) * lit(0.5) +
+      ar * lit(0.3) +
+      least(sr * lit(5.0), lit(1.0)) * lit(0.2)
 
   /** Content fingerprint: md5 of the whitespace/case-normalized text.
     * (The scale story for near-dup grouping is MinHash — see graft.dedup.) */

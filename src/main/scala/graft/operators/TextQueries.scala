@@ -25,11 +25,23 @@ object TextQueries {
     * counts). */
   def t02LangId(t: Tables): DataFrame =
     t.documents
-      .select(col("lang"), TextFns.langGuess(col("text")).as("guess"))
+      .select(col("lang"),
+        TextFns.stopwordHits(col("text"), TextFns.stopEn).as("c_en"),
+        TextFns.stopwordHits(col("text"), TextFns.stopDe).as("c_de"),
+        TextFns.stopwordHits(col("text"), TextFns.stopEs).as("c_es"),
+        TextFns.stopwordHits(col("text"), TextFns.stopFr).as("c_fr"))
+      .select(col("lang"), TextFns.langGuessOfCounts(
+        col("c_en"), col("c_de"), col("c_es"), col("c_fr")).as("guess"))
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n"))
 
   /** t03: composite quality score per document. */
   def t03Quality(t: Tables): DataFrame =
-    t.documents.select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+    t.documents
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("double").as("nt"),
+        TextFns.alphaRatio(col("text")).as("ar"),
+        TextFns.stopwordRatio(col("text")).as("sr"))
+      .select(col("doc_id"),
+        TextFns.qualityScoreOf(col("nt"), col("ar"), col("sr")).as("quality"))
 }
