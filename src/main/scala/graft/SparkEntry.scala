@@ -58,6 +58,8 @@ object SparkEntry {
     "q37_date_trunc"      -> ((s, d) => Relational3.q37DateTrunc(t(s, d))),
     "q38_to_json"         -> ((s, d) => Relational3.q38ToJson(t(s, d))),
     "q39_range_frame"     -> ((s, d) => Relational3.q39RangeFrame(t(s, d))),
+    "q40_lateral"         -> ((s, d) => Relational3.q40Lateral(t(s, d))),
+    "q41_unpivot"         -> ((s, d) => Relational3.q41Unpivot(t(s, d))),
     "q35_salted_join"     -> ((s, d) => {
       val tb = t(s, d)
       graft.operators.SkewOps.saltedJoin(
@@ -319,6 +321,20 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
         |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q40_lateral" ->
+      """SELECT n_name, c_custkey, acctbal FROM nation,
+        |LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) top2""".stripMargin,
+    "q41_unpivot" ->
+      """WITH a AS (SELECT o_orderpriority,
+        |  round(sum(o_totalprice),2) AS total_price,
+        |  round(avg(o_totalprice),4) AS avg_price,
+        |  CAST(count(*) AS DOUBLE) AS n_orders
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM a
+        |UNION ALL SELECT o_orderpriority, 'avg_price', avg_price FROM a
+        |UNION ALL SELECT o_orderpriority, 'n_orders', n_orders FROM a""".stripMargin,
     "q35_salted_join" ->
       """SELECT s_name, count(l_quantity) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

@@ -53,6 +53,34 @@ object Relational3 {
       count(lit(1)).over(w).as("n_nearby"))
   }
 
+  /** q40: LATERAL correlated subquery — per-nation top-2 customers by
+    * balance. The lateral form decorrelates to a ranked window under the
+    * hood; expressed in SQL because LATERAL is a SQL-surface feature. */
+  def q40Lateral(t: Tables): DataFrame = {
+    val spark = t.spark
+    t.nation.createOrReplaceTempView("nation")
+    t.customer.createOrReplaceTempView("customer")
+    spark.sql(
+      """SELECT n_name, c_custkey, acctbal FROM nation,
+        |LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) top2""".stripMargin)
+  }
+
+  /** q41: unpivot/melt — wide per-priority metrics to long (metric, value)
+    * rows, the inverse reshape of q32's pivot. */
+  def q41Unpivot(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(sum("o_totalprice"), 2).as("total_price"),
+        round(avg("o_totalprice"), 4).as("avg_price"),
+        count(lit(1)).cast("double").as("n_orders"))
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("total_price"), col("avg_price"), col("n_orders")),
+        "metric", "value")
+
   /** q38: JSON generation — re-serialize parsed event props plus a typed
     * column into a compact JSON string (round-trips q19's extraction). */
   def q38ToJson(t: Tables): DataFrame =
