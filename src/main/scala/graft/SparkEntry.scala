@@ -60,6 +60,7 @@ object SparkEntry {
     "q39_range_frame"     -> ((s, d) => Relational3.q39RangeFrame(t(s, d))),
     "q40_lateral"         -> ((s, d) => Relational3.q40Lateral(t(s, d))),
     "q41_unpivot"         -> ((s, d) => Relational3.q41Unpivot(t(s, d))),
+    "q42_cross_join"      -> ((s, d) => Relational3.q42CrossJoin(t(s, d))),
     "q35_salted_join"     -> ((s, d) => {
       val tb = t(s, d)
       graft.operators.SkewOps.saltedJoin(
@@ -335,6 +336,12 @@ object SparkEntry {
         |SELECT o_orderpriority, 'total_price' AS metric, total_price AS value FROM a
         |UNION ALL SELECT o_orderpriority, 'avg_price', avg_price FROM a
         |UNION ALL SELECT o_orderpriority, 'n_orders', n_orders FROM a""".stripMargin,
+    "q42_cross_join" ->
+      """SELECT r_name, o_orderpriority, n_cust
+        |FROM (SELECT r_name, count(*) AS n_cust
+        |      FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey GROUP BY 1) r
+        |CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p""".stripMargin,
     "q35_salted_join" ->
       """SELECT s_name, count(l_quantity) AS n, round(sum(l_quantity),2) AS qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey

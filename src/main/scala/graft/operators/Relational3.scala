@@ -81,6 +81,20 @@ object Relational3 {
         Array(col("total_price"), col("avg_price"), col("n_orders")),
         "metric", "value")
 
+  /** q42: explicit cross join — every (region, orderpriority) cell with the
+    * region's customer count. Both sides are tiny aggregates, so the product
+    * is a BroadcastNestedLoopJoin of O(|regions|·|priorities|) rows — the
+    * only safe cross-join shape at scale (never fact × fact). */
+  def q42CrossJoin(t: Tables): DataFrame = {
+    val regions = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n_cust"))
+    val prios = t.orders.select(col("o_orderpriority")).distinct()
+    regions.crossJoin(prios)
+      .select(col("r_name"), col("o_orderpriority"), col("n_cust"))
+  }
+
   /** q38: JSON generation — re-serialize parsed event props plus a typed
     * column into a compact JSON string (round-trips q19's extraction). */
   def q38ToJson(t: Tables): DataFrame =

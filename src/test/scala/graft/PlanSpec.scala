@@ -63,6 +63,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sortWithinPartitions sorts locally with no exchange") {
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    val df = tables.lineitem.select("l_orderkey", "l_shipdate")
+      .repartition(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_shipdate"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // exactly the repartition exchange — the sort adds none (no global range exchange)
+    assert(!p.contains("rangepartitioning"), s"local sort must not range-shuffle:\n$p")
+    // and each partition really is sorted
+    val ok = df.select(unix_timestamp(col("l_shipdate").cast("timestamp"))).rdd
+      .mapPartitions { it =>
+        val ts = it.map(_.getLong(0)).toSeq
+        Iterator(ts.zip(ts.drop(1)).forall { case (a, b) => a <= b })
+      }.collect()
+    assert(ok.forall(identity))
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen shows as "*(n)" stage markers in the executed plan string
     Seq("q01_agg", "q02_filter_project", "q15_strings", "t01_token_stats").foreach { q =>
