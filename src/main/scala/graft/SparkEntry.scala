@@ -74,6 +74,7 @@ object SparkEntry {
     "q24_sessionize"      -> ((s, d) => Temporal.q24Sessionize(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
+    "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
@@ -377,6 +378,34 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='error') e
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type='signup') a
         | ON e.user_id = a.user_id AND e.ts >= a.ts""".stripMargin,
+    "p01_clean_corpus" ->
+      s"""WITH m AS (
+         | SELECT doc_id, lang,
+         |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+         |  CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nt,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS ar,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS DOUBLE) AS c_en,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inDe))) AS DOUBLE) AS c_de,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEs))) AS DOUBLE) AS c_es,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inFr))) AS DOUBLE) AS c_fr
+         | FROM documents),
+         |g AS (
+         | SELECT doc_id, lang, n_tokens,
+         |  least(nt / 100.0, 1.0) * 0.5 + ar * 0.3 + least((c_en / nt) * 5.0, 1.0) * 0.2 AS quality,
+         |  CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+         |       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |       WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS guess
+         | FROM m),
+         |fp AS (SELECT min(doc_id) AS keep_id FROM documents
+         |       GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         |nd AS ($ngramJaccardSql)
+         |SELECT doc_id, lang, guess, n_tokens, quality
+         |FROM g
+         |WHERE quality >= 0.5 AND guess = 'en'
+         | AND doc_id IN (SELECT keep_id FROM fp)
+         | AND doc_id NOT IN (SELECT d2 FROM nd)""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies

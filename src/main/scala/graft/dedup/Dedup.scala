@@ -68,7 +68,10 @@ object Dedup {
     val sh = shingleSets(docs, k).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // single pass: the inverted-index self-join *is* the common count —
-    // no distinct-then-rejoin (that doubled the shuffle volume)
+    // no distinct-then-rejoin (that doubled the shuffle volume). Measured
+    // against grouped posting-list pair emission (collect_list + combination
+    // lambda): the join form wins — per-element slice copies cost more than
+    // the second shuffle side saves.
     val common = sh.select(col("doc_id").as("d1"), col("shingle"))
       .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
       .filter(col("d1") < col("d2"))

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus cleaning — the composition the LLM-pipeline
+  * operators exist for: quality floor → language filter → exact dedup →
+  * near-dup removal. Every stage is the already-verified operator; the
+  * composition itself is oracle-checked (p01).
+  *
+  * Scale shape: the metrics projection is scan-local; exact dedup is one
+  * exchange on the content hash; near-dup pairs come from the dedup family
+  * (exact Jaccard here for oracle parity — at 100 TB swap in
+  * Dedup.minHashLshPairs, which produces the same pair set); the final
+  * keep/drop sets join back as semi/anti joins on doc_id.
+  */
+object CorpusPipeline {
+
+  /** p01: cleaned corpus — English, quality ≥ `qualityMin`, one survivor per
+    * exact-duplicate group, near-duplicate followers (the larger doc_id of
+    * each pair) dropped. */
+  def cleanCorpus(t: Tables, qualityMin: Double = 0.5): DataFrame = {
+    val docs = t.documents
+    // bound metric columns (see TextFns: HOF lambdas must read attributes)
+    val m = docs
+      .select(col("doc_id"), col("lang"),
+        TextFns.tokenCount(col("text")).as("nt"),
+        TextFns.alphaRatio(col("text")).as("ar"),
+        TextFns.stopwordHits(col("text"), TextFns.stopEn).as("c_en"),
+        TextFns.stopwordHits(col("text"), TextFns.stopDe).as("c_de"),
+        TextFns.stopwordHits(col("text"), TextFns.stopEs).as("c_es"),
+        TextFns.stopwordHits(col("text"), TextFns.stopFr).as("c_fr"))
+      .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
+        TextFns.qualityScoreOf(
+          col("nt").cast("double"), col("ar"),
+          col("c_en").cast("double") / col("nt").cast("double")).as("quality"),
+        TextFns.langGuessOfCounts(
+          col("c_en"), col("c_de"), col("c_es"), col("c_fr")).as("guess"))
+    val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val nearDupFollowers = Dedup.ngramJaccardPairs(docs)
+      .select(col("d2").as("doc_id")).distinct()
+    m.filter(col("quality") >= qualityMin && col("guess") === "en")
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(nearDupFollowers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("guess"), col("n_tokens"), col("quality"))
+  }
+}

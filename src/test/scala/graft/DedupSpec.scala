@@ -46,4 +46,19 @@ class DedupSpec extends AnyFunSuite {
     val rows = Dedup.embeddingDupPairs(tables.embeddings, 0.45).collect()
     rows.foreach(r => assert(r.getDouble(2) >= 0.45))
   }
+
+  test("clean-corpus pipeline composes its stage invariants") {
+    val cleaned = graft.operators.CorpusPipeline.cleanCorpus(tables).collect()
+    assert(cleaned.nonEmpty && cleaned.length < tables.documents.count())
+    // every survivor satisfies each stage's predicate
+    assert(cleaned.forall(_.getAs[String]("guess") == "en"))
+    assert(cleaned.forall(_.getAs[Double]("quality") >= 0.5))
+    val ids = cleaned.map(_.getAs[Long]("doc_id")).toSet
+    val followers = Dedup.ngramJaccardPairs(tables.documents)
+      .select("d2").collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(followers).isEmpty, "near-dup followers must be dropped")
+    val keepers = Dedup.exact(tables.documents)
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(keepers), "only exact-dup group keepers may survive")
+  }
 }
