@@ -30,6 +30,16 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_sum"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("value_sum"))
 
+  /** Sliding 1-hour windows every 30 minutes: each event lands in two
+    * overlapping windows (window explode is map-side; the aggregate still
+    * shuffles once on the window+type key). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Session windows with gap, streaming-native. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

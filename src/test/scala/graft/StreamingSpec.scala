@@ -55,6 +55,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("00:00") === 1L, "late row must not be counted")
   }
 
+  test("sliding windows double-count each event across overlaps, stream == batch") {
+    implicit val sql = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(10), 1, "click", 1.0),  // windows starting 23:30 (prev day) & 00:00
+      Event(2, ts(40), 1, "click", 1.0),  // windows 00:00 & 00:30
+      Event(3, ts(100), 2, "view", 1.0))
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("sliding").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sliding")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.slidingCounts(events.toDF())
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // every event appears in exactly 2 windows: total n = 2 × events
+    assert(streamed.toSeq.map(_._3).sum === 2L * events.length)
+    assert(streamed.contains(("00:00", "click", 2L))) // both clicks overlap here
+  }
+
+  test("update output mode re-emits only changed aggregate rows") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("updates").outputMode("update").start()
+    mem.addData(Event(1, ts(5), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(10), 1, "click", 1.0)) // same window → updated row
+    mem.addData(Event(3, ts(70), 2, "view", 1.0))  // new window → new row
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("updates")
+      .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // batch 1 emitted (00:00, click, 1); batch 2 re-emitted it as n=2 plus the new window
+    assert(rows.count(_ == (("00:00", "click", 1L))) === 1)
+    assert(rows.count(_ == (("00:00", "click", 2L))) === 1)
+    assert(rows.count(_ == (("01:00", "view", 1L))) === 1)
+  }
+
   test("stream-stream interval join matches the batch join on closed input") {
     implicit val sql = spark.sqlContext
     val errors = Seq(
