@@ -72,6 +72,7 @@ object SparkEntry {
     }),
     "q23_window_tumbling" -> ((s, d) => Temporal.q23WindowTumbling(t(s, d))),
     "q24_sessionize"      -> ((s, d) => Temporal.q24Sessionize(t(s, d))),
+    "q43_sliding_window"  -> ((s, d) => Temporal.q43SlidingWindow(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
@@ -364,6 +365,15 @@ object SparkEntry {
         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
         | count(*) AS n_events, round(sum(value),2) AS value_sum
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q43_sliding_window" ->
+      """WITH slid AS (
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) AS w, event_type, value FROM events
+        | UNION ALL
+        | SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value
+        | FROM events)
+        |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n, round(sum(value),2) AS value_sum
+        |FROM slid GROUP BY 1, 2""".stripMargin,
     "q25_range_join" ->
       """SELECT e.event_id AS error_id, count(p.ts) AS n_purchases_1h,
         | round(coalesce(sum(p.value), 0.0), 2) AS purchase_value_1h

@@ -32,6 +32,17 @@ object Temporal {
         date_format(col("w.start"), fmt).as("window_start"),
         col("event_type"), col("n"), col("value_sum"))
 
+  /** q43: sliding 1-hour windows every 30 minutes (batch semantics of
+    * streaming.EventStreams.slidingCounts): each event is counted in the two
+    * windows covering it. */
+  def q43SlidingWindow(t: Tables): DataFrame =
+    t.events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("value_sum"))
+      .select(
+        date_format(col("w.start"), fmt).as("window_start"),
+        col("event_type"), col("n"), col("value_sum"))
+
   /** q24: session windows per user with a 30-minute inactivity gap.
     * A session's `end` is last-event + gap (half-open: an event exactly at
     * the gap boundary starts a new session). */
