@@ -67,9 +67,9 @@ object EventStreams {
       .select(col("error_id"), col("e_user").as("user_id"), col("e_ts"), col("p_ts"), col("value"))
   }
 
-  /** Custom keyed state: per-user running totals flushed on processing-time
-    * timeout — the `flatMapGroupsWithState` shape used for bespoke
-    * sessionization at scale. */
+  /** Custom keyed state: per-user running totals, re-emitted each batch the
+    * key appears in — the `flatMapGroupsWithState` shape used for bespoke
+    * sessionization at scale (add a GroupStateTimeout to flush idle keys). */
   def statefulPerUser(spark: SparkSession, events: Dataset[Event]): Dataset[SessionSummary] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
