@@ -476,10 +476,17 @@ object SparkEntry {
         |SELECT doc_id,
         | least(nt / 100.0, 1.0) * 0.5 + ar * 0.3 + least(sr * 5.0, 1.0) * 0.2 AS quality
         |FROM m""".stripMargin,
+    // first_byte = the payload's first UTF-8 byte; derived from the first
+    // code point in DuckDB (ascii() alone would diverge on non-ASCII or
+    // empty text — cp<128: identity, else the UTF-8 lead byte; empty: -1)
     "m01_media_features" ->
       """SELECT doc_id, 'text/plain' AS format,
         | CAST(strlen(text) AS INT) AS n_bytes,
-        | ascii(substr(text, 1, 1)) AS first_byte
+        | CASE WHEN length(text) = 0 THEN -1
+        |      WHEN unicode(text) < 128 THEN unicode(text)
+        |      WHEN unicode(text) < 2048 THEN 192 + unicode(text) // 64
+        |      WHEN unicode(text) < 65536 THEN 224 + unicode(text) // 4096
+        |      ELSE 240 + unicode(text) // 262144 END AS first_byte
         |FROM documents""".stripMargin,
   )
 

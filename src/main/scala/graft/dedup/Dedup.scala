@@ -45,12 +45,17 @@ object Dedup {
         explode(TextFns.shingleHashesOfTokens(col("toks"), k)).as("shingle"))
 
   private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = pairs
       .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
       .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("common"))
+    jaccardFromCommon(common, sh)
+  }
+
+  /** Shared tail: (d1, d2, common) + per-doc set sizes → jaccard. */
+  private def jaccardFromCommon(common: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     common
       .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
@@ -64,9 +69,11 @@ object Dedup {
     * must reproduce. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
     // reused by the pair join (twice) and the size agg — cache the 16-byte
-    // rows instead of re-running tokenize+shingle+hash three times
+    // rows instead of re-running tokenize+shingle+hash three times. The
+    // persist's lifetime is the returned plan's: identical calls share the
+    // cache (CacheManager plan-matching); release with
+    // spark.catalog.clearCache() between unrelated corpora.
     val sh = shingleSets(docs, k).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // single pass: the inverted-index self-join *is* the common count —
     // no distinct-then-rejoin (that doubled the shuffle volume). Measured
     // against grouped posting-list pair emission (collect_list + combination
@@ -77,13 +84,7 @@ object Dedup {
       .filter(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
-      .select(col("d1"), col("d2"),
-        (col("common").cast("double") /
-          (col("n1") + col("n2") - col("common")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardFromCommon(common, sh).filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signature columns: min over the shingle set of k seeded

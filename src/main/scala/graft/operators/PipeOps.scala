@@ -25,17 +25,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 object PipeOps {
 
   /** Stream a Dataset of lines through an external command, one child per
-    * partition. `env` is visible to the child; TASK_INDEX mirrors the
-    * reference's container index env. */
+    * partition. `env` is visible to the child (task-global: Spark's pipe env
+    * cannot vary per task — a script needing the reference's per-container
+    * index should take it from its input or a printPipeContext header). */
   def pipeLines(ds: Dataset[String], cmd: Seq[String],
                 env: Map[String, String] = Map.empty): Dataset[String] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val piped = ds.rdd
-      .mapPartitionsWithIndex { case (i, it) => it.map(l => (i, l)) }
-      .map(_._2) // keep partitioning; index available to env via TaskContext
-      .pipe(cmd, env)
-    spark.createDataset(piped)
+    spark.createDataset(ds.rdd.pipe(cmd, env))
   }
 
   /** One full reference-style job: read text → pipe through worker cmd →
@@ -46,9 +43,13 @@ object PipeOps {
     import spark.implicits._
     val in = spark.read.textFile(inputPath)
     val cached = if (epochs > 1) in.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) else in
-    var out: Dataset[String] = null
-    (1 to epochs).foreach { _ => out = pipeLines(cached, cmd) }
-    out.write.mode("overwrite").option("compression", "gzip").text(outputPath)
+    // epoch replay = one ACTION per epoch over the disk-cached input: each
+    // epoch re-runs the child over the full input (the reference replays its
+    // gzip cache into the child, `HboxContainer.java:1158`); the final
+    // epoch's output is the one committed
+    (1 until epochs).foreach(_ => pipeLines(cached, cmd).count())
+    pipeLines(cached, cmd)
+      .write.mode("overwrite").option("compression", "gzip").text(outputPath)
     if (epochs > 1) cached.unpersist()
     spark.read.textFile(outputPath).count()
   }

@@ -61,7 +61,6 @@ object Knn {
           k: Int = 5, nProbe: Int = 3): DataFrame = {
     val v = emb.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
     // centroids: per-label mean vector (k-means stand-in; labels are the cells)
-    val dims = 64
     val centroids = v
       .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
