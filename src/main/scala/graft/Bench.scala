@@ -21,8 +21,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // any failure poisons the headline value (-1): a breakage can never
+    // read as a speedup to a consumer of "value" alone
+    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    val failedJs = failed.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failedJs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

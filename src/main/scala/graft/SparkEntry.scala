@@ -257,8 +257,8 @@ object SparkEntry {
       """SELECT l_orderkey,
         | sqrt(l_extendedprice) AS sqrt_price,
         | abs(l_discount - 0.05) AS abs_disc,
-        | ceil(l_quantity) AS ceil_qty,
-        | floor(l_quantity / 7) AS floor_qty7,
+        | CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+        | CAST(floor(l_quantity / 7) AS BIGINT) AS floor_qty7,
         | l_orderkey % 97 AS mod97,
         | round(pow(l_quantity, 1.5), 6) AS pow_qty,
         | round(ln(l_extendedprice), 6) AS ln_price,

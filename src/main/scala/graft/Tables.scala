@@ -17,11 +17,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong=true) and truncate to micros —
-    // the same thing DuckDB's micro-precision TIMESTAMP does on read.
+    // (spark.sql.legacy.parquet.nanosAsLong=true) and floor to micros —
+    // floor, not DIV (truncate-toward-zero), so pre-1970 nanos round the
+    // same way DuckDB's micro-precision TIMESTAMP read does. Integer-exact:
+    // pmod(ts,1000) is the non-negative remainder, so the subtraction lands
+    // on the floor multiple (no double-precision loss at 1e18 nanos).
     if (name == "events")
       df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) DIV 1000")))
     else df
   }
 

@@ -67,13 +67,17 @@ object Dedup {
   /** d02: exact n-gram-Jaccard near-dup pairs (d1 < d2, jaccard ≥ threshold)
     * via an inverted shingle index — the correctness baseline the LSH path
     * must reproduce. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
-    // reused by the pair join (twice) and the size agg — cache the 16-byte
-    // rows instead of re-running tokenize+shingle+hash three times. The
-    // persist's lifetime is the returned plan's: identical calls share the
-    // cache (CacheManager plan-matching); release with
-    // spark.catalog.clearCache() between unrelated corpora.
-    val sh = shingleSets(docs, k).persist()
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame =
+    // convenience wrapper: persists the shingle set for the duration of the
+    // session (identical calls share the cache via CacheManager
+    // plan-matching). Long-lived sessions processing many corpora should
+    // call ngramJaccardPairsOf with their own persisted shingle set and
+    // unpersist it after the terminal action — lifetime ownership is theirs.
+    ngramJaccardPairsOf(shingleSets(docs, k).persist(), threshold)
+
+  /** d02 core over a caller-managed shingle set (from [[shingleSets]]):
+    * the caller decides persist()/unpersist() around the terminal action. */
+  def ngramJaccardPairsOf(sh: DataFrame, threshold: Double = 0.8): DataFrame = {
     // single pass: the inverted-index self-join *is* the common count —
     // no distinct-then-rejoin (that doubled the shuffle volume). Measured
     // against grouped posting-list pair emission (collect_list + combination
@@ -104,9 +108,15 @@ object Dedup {
     * bucket join shuffles on (band, bucket-hash), and verification touches
     * only candidate pairs. */
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8,
-                      bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+                      bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame =
+    // session-lifetime cache, same ownership note as ngramJaccardPairs
+    minHashLshPairsOf(shingleSets(docs, k).persist(), threshold, bands, rowsPerBand)
+
+  /** d03 core over a caller-managed shingle set — caller owns the
+    * persist()/unpersist() lifecycle. */
+  def minHashLshPairsOf(sh: DataFrame, threshold: Double = 0.8,
+                        bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingleSets(docs, k).persist()
     val sig = minhashAgg(sh, numHashes)
     // one row per band: (band, bucket = hash of the band's signature slice)
     val bandCols: Column = array((0 until bands).map { b =>
@@ -122,30 +132,47 @@ object Dedup {
     jaccardOf(cand, sh).filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of the token multiset: sign of the per-bit ±1 vote sum,
-    * built as a pure expression tree (64 conditional sums per doc). */
-  def simHash(docs: DataFrame): DataFrame = {
+  /** Portable 60-bit token hash: the first 15 hex chars of md5, parsed as an
+    * integer. Slower than xxhash64 but reproducible in any engine with md5
+    * (the DuckDB oracle parses the same prefix), so SimHash built on it is
+    * hash-checkable end-to-end. */
+  def md5Hash60(token: Column): Column =
+    conv(substring(md5(token), 1, 15), 16, 10).cast("long")
+
+  /** Fast 64-bit token hash for production scale (not oracle-reproducible). */
+  def xxHash64Token(token: Column): Column = xxhash64(token)
+
+  /** SimHash of the token multiset: sign of the per-bit ±1 vote sum, built
+    * as a pure expression tree (`bits` conditional sums per doc). Default
+    * token hash is the portable [[md5Hash60]] (oracle-checkable); pass
+    * [[xxHash64Token]] with bits=64 for the cheapest-per-token variant. */
+  def simHash(docs: DataFrame, bits: Int = 60,
+              tokenHash: Column => Column = md5Hash60): DataFrame = {
+    require(bits % 4 == 0 && bits <= 64)
     val tok = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val votes: Seq[Column] = (0 until 64).map { b =>
+      .withColumn("h", tokenHash(col("token")))
+    val votes: Seq[Column] = (0 until bits).map { b =>
       sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"v$b")
     }
     tok.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+        (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ bitwiseOR _).as("simhash"))
   }
 
-  /** d04: SimHash near-dup pairs — band the 64 bits into 4×16-bit keys
+  /** d04: SimHash near-dup pairs — band the `bits` bits into 4 equal keys
     * (hamming ≤ 3 ⇒ at least one band identical), verify with bit_count. */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simHash(docs)
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 60,
+                   tokenHash: Column => Column = md5Hash60): DataFrame = {
+    val bandBits = bits / 4
+    val bandMask = (1L << bandBits) - 1
+    val sh = simHash(docs, bits, tokenHash)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bb"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(bandMask)).as("key"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.key").as("key"))
     banded.select(col("doc_id").as("d1"), col("simhash").as("s1"), col("band"), col("key"))
       .join(banded.select(col("doc_id").as("d2"), col("simhash").as("s2"), col("band"), col("key")),

@@ -18,13 +18,19 @@ object SkewOps {
     * Produces exactly the rows of the unsalted join. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
     require(n > 0)
-    // deterministic salt spreads each hot key over n reducers; any
-    // per-row-stable value works since the small side carries all salts
-    val salted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(n)).cast("int"))
-    val replicated = small.withColumn("_salt",
+    val salt = "__graft_salt"
+    require(!big.columns.contains(salt) && !small.columns.contains(salt),
+      s"inputs must not carry a $salt column")
+    // salt from the row's physical position, not its payload: a hot key
+    // whose rows carry identical values still fans out over all n buckets
+    // (monotonically_increasing_id = partitionId<<33 | row index, so
+    // pmod round-robins within every partition). Any assignment is
+    // correct — the small side is replicated across all n salts.
+    val salted = big.withColumn(salt,
+      pmod(monotonically_increasing_id(), lit(n.toLong)).cast("int"))
+    val replicated = small.withColumn(salt,
       explode(sequence(lit(0), lit(n - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(key, salt)).drop(salt)
   }
 
   /** Convenience: top-k heaviest keys of a column (to decide what to salt). */
