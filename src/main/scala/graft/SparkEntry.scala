@@ -422,6 +422,36 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
+    // d04: the portable md5Hash60 token hash exists exactly so this oracle
+    // can reproduce SimHash end-to-end: md5 prefix → 60-bit int (hex digits
+    // folded with shifts), per-bit ±1 votes over the token multiset, 4×15-bit
+    // banded self-join, hamming ≤ 3 via bit_count(xor).
+    "d04_simhash" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+        |th AS (SELECT doc_id, md5(token) AS m FROM tok),
+        |hv AS (
+        | SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS h
+        | FROM th),
+        |hl AS (SELECT doc_id, list(h) AS hs FROM hv GROUP BY doc_id),
+        |sh AS (
+        | SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 59), b ->
+        |    CASE WHEN list_sum(list_transform(hs, x ->
+        |           CASE WHEN (x & (CAST(1 AS BIGINT) << b)) <> 0 THEN 1 ELSE -1 END)) > 0
+        |         THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS simhash
+        | FROM hl),
+        |banded AS (
+        | SELECT doc_id, simhash, t.b AS band, (simhash >> (t.b * 15)) & 32767 AS key
+        | FROM sh, generate_series(0, 3) t(b)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS s1, c.simhash AS s2
+        | FROM banded a JOIN banded c ON a.band = c.band AND a.key = c.key AND a.doc_id < c.doc_id)
+        |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin,
     "d05_embedding_dup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS d1, b.vec_id AS d2,

@@ -144,11 +144,16 @@ object Dedup {
 
   /** SimHash of the token multiset: sign of the per-bit ±1 vote sum, built
     * as a pure expression tree (`bits` conditional sums per doc). Default
-    * token hash is the portable [[md5Hash60]] (oracle-checkable); pass
-    * [[xxHash64Token]] with bits=64 for the cheapest-per-token variant. */
+    * token hash is the portable [[md5Hash60]] (oracle-checkable; see the
+    * d04_simhash DuckDB oracle in SparkEntry); pass [[xxHash64Token]] with
+    * bits = hashBits = 64 for the cheapest-per-token variant. `hashBits`
+    * declares the token hash's width so `bits` can't silently exceed it
+    * (bits above the hash width would never vote positive). */
   def simHash(docs: DataFrame, bits: Int = 60,
-              tokenHash: Column => Column = md5Hash60): DataFrame = {
-    require(bits % 4 == 0 && bits <= 64)
+              tokenHash: Column => Column = md5Hash60,
+              hashBits: Int = 60): DataFrame = {
+    require(bits % 4 == 0 && bits <= hashBits,
+      s"bits=$bits must be a multiple of 4 and <= the token hash width ($hashBits)")
     val tok = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("token"))
       .withColumn("h", tokenHash(col("token")))
@@ -165,10 +170,11 @@ object Dedup {
   /** d04: SimHash near-dup pairs — band the `bits` bits into 4 equal keys
     * (hamming ≤ 3 ⇒ at least one band identical), verify with bit_count. */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 60,
-                   tokenHash: Column => Column = md5Hash60): DataFrame = {
+                   tokenHash: Column => Column = md5Hash60,
+                   hashBits: Int = 60): DataFrame = {
     val bandBits = bits / 4
     val bandMask = (1L << bandBits) - 1
-    val sh = simHash(docs, bits, tokenHash)
+    val sh = simHash(docs, bits, tokenHash, hashBits)
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -185,28 +191,33 @@ object Dedup {
   }
 
   /** d05: embedding-cosine near-dup pairs (d1 < d2, cos ≥ threshold).
-    * Exact all-pairs baseline: the corpus is broadcast once (with
-    * precomputed squared norms) and each partition loops its rows against
-    * the upper triangle in tight JVM code — O(n²/2·dims) flops spread over
-    * all cores, no per-pair Catalyst overhead. Accumulation is sequential
-    * left-to-right (DuckDB list_cosine_similarity-compatible). Broadcast
-    * bounds this to corpora that fit in executor memory — beyond that, the
-    * LSH/IVF paths in graft.similarity.Knn are the scale route. */
-  def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    * Exact all-pairs baseline, executed as a distributed block nested loop:
+    * the corpus is split into `blocks` partitions and each of the blocks²
+    * (row-partition × glommed-block) tasks compares its row slice against
+    * one block in tight JVM code — O(n²/2·dims) flops spread over all
+    * cores, no per-pair Catalyst overhead, no driver-side collect(), no
+    * full-corpus broadcast: a task holds exactly two n/blocks slices, so
+    * memory is bounded by the block size regardless of corpus size (pick
+    * blocks ∝ √cluster-cores at scale). Accumulation is sequential
+    * left-to-right (DuckDB list_cosine_similarity-compatible). Still
+    * quadratic in flops — the declared exact baseline; the scale routes are
+    * the LSH/IVF paths in graft.similarity.Knn / graft.ml.MlOps. */
+  def embeddingDupPairs(emb: DataFrame, threshold: Double = 0.45,
+                        blocks: Int = 8): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val data = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-    val corpus = data.collect().sortBy(_._1)
-      .map { case (id, v) => (id, v, normSq(v)) }
-    val bc = spark.sparkContext.broadcast(corpus)
+      .rdd.map { case (id, v) => (id, v, normSq(v)) }
+      .repartition(blocks)
     // prefilter slack: round(·,4) can lift a value by at most 5e-5
     val pre = threshold - 1e-4
-    val pairs = data.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (id, v) =>
-        val nv = math.sqrt(normSq(v))
-        all.iterator
+    // every (row, block) meets in exactly one task; jd > id keeps the upper
+    // triangle exactly once across all block pairs
+    val pairs = data.cartesian(data.glom())
+      .flatMap { case ((id, v, nv2), block) =>
+        val nv = math.sqrt(nv2)
+        block.iterator
           .filter(_._1 > id)
           .map { case (jd, jv, jn) =>
             var dot = 0.0; var i = 0
@@ -214,8 +225,7 @@ object Dedup {
             (id, jd, dot / (nv * math.sqrt(jn)))
           }
           .filter(_._3 >= pre)
-      }
-    }.toDF("d1", "d2", "cos_raw")
+      }.toDF("d1", "d2", "cos_raw")
     pairs.select(col("d1"), col("d2"), round(col("cos_raw"), 4).as("cos"))
       .filter(col("cos") >= threshold)
   }

@@ -32,15 +32,30 @@ object MlOps {
     pipe.fit(docs).transform(docs)
   }
 
+  /** (vec_id, features) MLlib vector view of an embedding table. */
+  private def toFeatures(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .map { case (id, a) => (id, Vectors.dense(a.map(_.toDouble))) }
+      .toDF("vec_id", "features")
+  }
+
   /** KMeans over the embedding column — distributed training wholly inside
     * the engine (what the reference shipped out to an external framework). */
   def kmeansClusters(spark: SparkSession, emb: DataFrame, k: Int = 10): DataFrame = {
-    import spark.implicits._
-    val vecs = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
-      .map { case (id, a) => (id, Vectors.dense(a.map(_.toDouble))) }
-      .toDF("vec_id", "features")
+    val vecs = toFeatures(emb)
     val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(vecs)
     model.transform(vecs).select("vec_id", "prediction")
+  }
+
+  /** KMeans cluster centers — the tiny model artifact (k × dims doubles)
+    * that parameterizes Knn.ivf's cells. Training is distributed; only the
+    * centers come back to the driver. */
+  def kmeansCenters(emb: DataFrame, k: Int = 10, maxIter: Int = 10): Array[Array[Double]] = {
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(toFeatures(emb))
+    model.clusterCenters.map(_.toArray)
   }
 
   /** MLlib-native near-dup candidates: tokenize → 3-grams → binary HashingTF

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * composition itself is oracle-checked (p01).
   *
   * Scale shape: the metrics projection is scan-local; exact dedup is one
-  * exchange on the content hash; near-dup pairs come from the dedup family
-  * (exact Jaccard here for oracle parity — at 100 TB swap in
-  * Dedup.minHashLshPairs, which produces the same pair set); the final
-  * keep/drop sets join back as semi/anti joins on doc_id.
+  * exchange on the content hash; near-dup pairs come from
+  * Dedup.minHashLshPairs — the 100 TB path (fixed-size signatures, banded
+  * bucket join, candidates-only verification). The exact-Jaccard d02 path
+  * produces the identical pair set (both are oracle-proven against the same
+  * SQL) but is superlinear on hot shingles, so it stays a correctness
+  * baseline only. The final keep/drop sets join back as semi/anti joins on
+  * doc_id.
   */
 object CorpusPipeline {
 
@@ -40,7 +43,7 @@ object CorpusPipeline {
         TextFns.langGuessOfCounts(
           col("c_en"), col("c_de"), col("c_es"), col("c_fr")).as("guess"))
     val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-    val nearDupFollowers = Dedup.ngramJaccardPairs(docs)
+    val nearDupFollowers = Dedup.minHashLshPairs(docs)
       .select(col("d2").as("doc_id")).distinct()
     m.filter(col("quality") >= qualityMin && col("guess") === "en")
       .join(exactKeepers, Seq("doc_id"), "left_semi")

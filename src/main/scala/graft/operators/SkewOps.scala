@@ -10,24 +10,33 @@ import org.apache.spark.sql.functions._
   * First line of defense is AQE's skew-join splitting (on in GraftSession).
   * `saltedJoin` is the explicit fallback for pathological keys AQE can't
   * split (e.g. one key = 30% of a 100 TB fact table): the big side gets a
-  * deterministic salt in [0, n), the small side is replicated n ways, and
-  * the join key becomes (key, salt) — fanning one hot partition out to n. */
+  * deterministic payload-derived salt in [0, n), the small side is
+  * replicated n ways, and the join key becomes (key, salt) — fanning one
+  * hot partition out to n. */
 object SkewOps {
 
   /** Inner equi-join of `big` ⋈ `small` on `key`, salted `n` ways.
-    * Produces exactly the rows of the unsalted join. */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
+    * Produces exactly the rows of the unsalted join.
+    *
+    * The default salt is `pmod(xxhash64(<every big column>), n)` — a pure
+    * function of the row payload, so a task retry recomputing a
+    * shuffle-derived `big` reassigns identical salts and the join output is
+    * stable under recomputation (a positional salt like
+    * monotonically_increasing_id is NOT: a fetch-failure retry could reorder
+    * rows and duplicate/drop matches). The trade-off: rows with identical
+    * payloads share a salt, so a hot key whose rows are byte-identical will
+    * not fan out. For that degenerate shape pass `saltExpr` derived from a
+    * unique column (e.g. `xxhash64(col("row_id"))`). Any deterministic
+    * assignment is correct — the small side is replicated across all n
+    * salts. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, n: Int,
+                 saltExpr: Option[Column] = None): DataFrame = {
     require(n > 0)
     val salt = "__graft_salt"
     require(!big.columns.contains(salt) && !small.columns.contains(salt),
       s"inputs must not carry a $salt column")
-    // salt from the row's physical position, not its payload: a hot key
-    // whose rows carry identical values still fans out over all n buckets
-    // (monotonically_increasing_id = partitionId<<33 | row index, so
-    // pmod round-robins within every partition). Any assignment is
-    // correct — the small side is replicated across all n salts.
-    val salted = big.withColumn(salt,
-      pmod(monotonically_increasing_id(), lit(n.toLong)).cast("int"))
+    val basis = saltExpr.getOrElse(xxhash64(big.columns.map(col).toSeq: _*))
+    val salted = big.withColumn(salt, pmod(basis, lit(n.toLong)).cast("int"))
     val replicated = small.withColumn(salt,
       explode(sequence(lit(0), lit(n - 1))))
     salted.join(replicated, Seq(key, salt)).drop(salt)

@@ -1,8 +1,8 @@
 package graft.similarity
 
 import graft.functions.VectorFns
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import graft.ml.MlOps
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   *     |Q|·|corpus| dot products, embarrassingly parallel over corpus
   *     partitions (queries are broadcast, corpus is never shuffled — only
   *     the |Q|·k candidate rows move).
-  *   - `ivf`: inverted-file index — corpus is bucketed by nearest centroid
-  *     (here: the per-label mean, a stand-in for k-means at this scale);
-  *     queries probe only the nProbe nearest centroids. This is the 100 TB
-  *     path: the scan touches nProbe/nCells of the corpus.
+  *   - `ivf`: inverted-file index — corpus is bucketed by nearest KMeans
+  *     centroid; queries probe only the nProbe nearest centroids. This is
+  *     the 100 TB path: the scan touches nProbe/nCells of the corpus, and
+  *     cell assignment is pure map-side (no shuffle between the scan and
+  *     the cell filter).
   *
   * Ranking uses round(cos, 8) with vec_id tiebreak so ordering is stable
   * across engines and runs.
@@ -53,37 +54,42 @@ object Knn {
         col("col._1").as("cos"))
   }
 
-  /** s02: IVF top-k — bucket corpus by nearest of the per-label centroids,
-    * probe the nProbe closest cells per query. Approximate (recall < 1 when
-    * the true neighbor lives in an unprobed cell) → no SQL oracle; its spec
-    * measures recall against bruteForce. */
+  /** s02: IVF top-k — bucket corpus by nearest KMeans centroid, probe the
+    * nProbe closest cells per query. Approximate (recall < 1 when the true
+    * neighbor lives in an unprobed cell) → no SQL oracle; its spec measures
+    * recall against bruteForce.
+    *
+    * Scale shape: centroids come from distributed KMeans (MlOps) but the
+    * fitted model is tiny (nCells × dims doubles), so it rides into every
+    * task as a *literal array column* — cell assignment is an argmin
+    * expression evaluated map-side during the scan, with NO shuffle between
+    * the scan and the cell filter. (The previous formulation crossJoined
+    * corpus × centroids and ran a row_number window partitioned by vec_id —
+    * shuffling corpus×nCells rows to compute an argmin that needs none.)
+    * The only exchanges left are the broadcast of the probe set and the
+    * final top-k aggregation. */
   def ivf(emb: DataFrame, queryPred: String = "vec_id < 10",
-          k: Int = 5, nProbe: Int = 3): DataFrame = {
-    val v = emb.select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-    // centroids: per-label mean vector (k-means stand-in; labels are the cells)
-    val centroids = v
-      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("parts"))
-      .select(col("label").as("cell"), transform(col("parts"), p => p.getField("m")).as("cv"))
-    // assign corpus rows to their nearest centroid cell
-    val assigned = v.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cell"),
-        VectorFns.l2Sq(col("v"), col("cv")).as("d2"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell").asc)))
-      .filter(col("rnk") === 1).select(col("vec_id"), col("v"), col("cell"))
-    // queries probe their nProbe nearest cells
+          k: Int = 5, nProbe: Int = 3, nCells: Int = 10): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents: Column = array(MlOps.kmeansCenters(emb, nCells).zipWithIndex.map {
+      case (c, i) => struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cv"))
+    }: _*)
+    // distances to every centroid as (d2, cell) structs: struct comparison
+    // is lexicographic, so array_min IS the argmin (ties → lower cell) and
+    // array_sort + slice yields the nProbe nearest cells
+    def dists(vec: Column): Column =
+      transform(cents, c => struct(
+        VectorFns.l2Sq(vec, c.getField("cv")).as("d2"),
+        c.getField("cell").as("cell")))
+    val assigned = v.select(col("vec_id"), col("v"),
+      array_min(dists(col("v"))).getField("cell").as("cell"))
     val q = v.filter(expr(queryPred)).select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("cell"),
-        VectorFns.l2Sq(col("qv"), col("cv")).as("d2"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cell").asc)))
-      .filter(col("rnk") <= nProbe).select(col("query_id"), col("qv"), col("cell"))
-    // scan only the probed cells
-    val scored = assigned.join(probes, Seq("cell"))
+    val probes = q.select(col("query_id"), col("qv"),
+        explode(slice(array_sort(dists(col("qv"))), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    // scan only the probed cells: probes are broadcast, the corpus side
+    // streams through the join unshuffled
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
