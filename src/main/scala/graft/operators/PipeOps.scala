@@ -26,13 +26,28 @@ object PipeOps {
 
   /** Stream a Dataset of lines through an external command, one child per
     * partition. `env` is visible to the child (task-global: Spark's pipe env
-    * cannot vary per task — a script needing the reference's per-container
-    * index should take it from its input or a printPipeContext header). */
+    * cannot vary per task).
+    *
+    * `taskIndexHeader = true` gives the child the reference's per-container
+    * index contract (the reference exported the container role/index to the
+    * child's env, `container/HboxContainer.java:915-1137`): the FIRST stdin
+    * line each child receives is `GRAFT_TASK_INDEX=<partitionId>`. Spark's
+    * pipe env can't vary per task, but `printPipeContext` runs inside the
+    * task, where TaskContext knows the partition — a worker script reads its
+    * index from line 1 and data from line 2 on. Default off: headerless
+    * children (e.g. plain `sed`/`wc` filters) see pure data. */
   def pipeLines(ds: Dataset[String], cmd: Seq[String],
-                env: Map[String, String] = Map.empty): Dataset[String] = {
+                env: Map[String, String] = Map.empty,
+                taskIndexHeader: Boolean = false): Dataset[String] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    spark.createDataset(ds.rdd.pipe(cmd, env))
+    val piped =
+      if (taskIndexHeader)
+        ds.rdd.pipe(cmd, env,
+          printPipeContext = (emit: String => Unit) =>
+            emit(s"GRAFT_TASK_INDEX=${org.apache.spark.TaskContext.getPartitionId()}"))
+      else ds.rdd.pipe(cmd, env)
+    spark.createDataset(piped)
   }
 
   /** One full reference-style job: read text → pipe through worker cmd →

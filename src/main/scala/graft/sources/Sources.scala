@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.hadoop.io.{LongWritable, Text}
-import org.apache.hadoop.mapred.{JobConf, TextInputFormat}
+import org.apache.hadoop.io.{LongWritable, NullWritable, Text, Writable}
+import org.apache.hadoop.mapred.{InputFormat, JobConf, OutputFormat, TextInputFormat}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -13,6 +13,14 @@ import org.apache.spark.sql.types.StructType
   * (K1/K2, `container/HboxContainer.java:524-613`, `1211-1257`). Spark
   * DataSource covers all of it; this object pins the engine's entry points
   * and keeps the Hadoop-InputFormat compatibility path alive.
+  *
+  * Path schemes: every reader/writer here goes through the Hadoop
+  * FileSystem API, so any scheme with a filesystem implementation on the
+  * classpath works unchanged (hdfs://, file://). S3 (parity with the
+  * reference's S2/K3, `core/.../storage/AmazonS3.java`) means `s3a://`
+  * paths + the `hadoop-aws`/`aws-sdk-bundle` jars; those jars are NOT in
+  * this environment, so the s3a route is documented-but-untested here —
+  * no code change is needed, only the jars and credentials conf.
   */
 object Sources {
 
@@ -36,13 +44,31 @@ object Sources {
 
   /** Hadoop `InputFormat` compatibility (parity with the reference's STREAM
     * scan S3/S5): identical split computation, records as lines. */
-  def hadoopText(spark: SparkSession, path: String): Dataset[String] = {
+  def hadoopText(spark: SparkSession, path: String): Dataset[String] =
+    hadoopRecords(spark, path, classOf[TextInputFormat].getName)
+
+  /** Arbitrary `mapred.InputFormat` scan, reflectively instantiated — full
+    * parity with the reference's `hbox.inputformat.class` conf
+    * (`HboxConfiguration2.java:8-9`, reflective split computation at
+    * `AM/ApplicationMaster.java:882-903`). Records are rendered
+    * `value.toString`, exactly like the reference's stdin feed
+    * (`container/HboxContainer.java:1172-1173`). Split computation and
+    * record reading run distributed in the scan tasks; nothing is
+    * format-specific here. */
+  def hadoopRecords(spark: SparkSession, path: String,
+                    inputFormatClass: String,
+                    keyClass: String = classOf[LongWritable].getName,
+                    valueClass: String = classOf[Text].getName): Dataset[String] = {
     import spark.implicits._
     val conf = new JobConf(spark.sparkContext.hadoopConfiguration)
     org.apache.hadoop.mapred.FileInputFormat.setInputPaths(conf, path)
     spark.createDataset(
       spark.sparkContext
-        .hadoopRDD(conf, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+        .hadoopRDD(conf,
+          Class.forName(inputFormatClass)
+            .asInstanceOf[Class[InputFormat[Writable, Writable]]],
+          Class.forName(keyClass).asInstanceOf[Class[Writable]],
+          Class.forName(valueClass).asInstanceOf[Class[Writable]])
         .map(_._2.toString))
   }
 
@@ -83,4 +109,18 @@ object Sources {
     * (gzip TextOutputFormat, `HboxConfiguration2.java:11-12`). */
   def writeGzipText(ds: Dataset[String], path: String): Unit =
     ds.write.mode("overwrite").option("compression", "gzip").text(path)
+
+  /** Arbitrary `mapred.OutputFormat` sink, reflectively instantiated — full
+    * parity with the reference's `hbox.outputformat.class` writer
+    * (`HboxConfiguration2.java:11-12`, reflective record writer at
+    * `container/HboxContainer.java:1222-1227`). Each line is written as a
+    * (NullWritable, Text) record, matching the reference's `write(null,
+    * line)` calls; commit goes through the same FileOutputCommitter
+    * `_temporary`→rename→`_SUCCESS` protocol as every other sink (K1). */
+  def saveAsHadoopText(ds: Dataset[String], path: String,
+                       outputFormatClass: String): Unit =
+    ds.rdd.map(s => (NullWritable.get(), new Text(s)))
+      .saveAsHadoopFile(path, classOf[NullWritable], classOf[Text],
+        Class.forName(outputFormatClass)
+          .asInstanceOf[Class[OutputFormat[NullWritable, Text]]])
 }

@@ -67,9 +67,43 @@ object EventStreams {
       .select(col("error_id"), col("e_user").as("user_id"), col("e_ts"), col("p_ts"), col("value"))
   }
 
+  final case class SessionFlush(user_id: Long, n_events: Int,
+                                total_value: Double, evicted: Boolean)
+
+  /** [[statefulPerUser]] with BOUNDED state: an event-time timeout evicts a
+    * user's state once the watermark passes last-event-time + `idleGapMs`,
+    * emitting a final `evicted = true` flush row. The state store then holds
+    * only recently-active keys instead of every key ever seen — at scale the
+    * difference between state ∝ active users and state ∝ all-time users
+    * (the unbounded variant below is kept for the always-on-keys shape). */
+  def statefulPerUserBounded(spark: SparkSession, events: Dataset[Event],
+                             idleGapMs: Long = 60 * 60 * 1000L): Dataset[SessionFlush] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Int, Double), SessionFlush](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid: Long, rows: Iterator[Event], state: GroupState[(Int, Double)]) =>
+          if (state.hasTimedOut) {
+            val (n, v) = state.get
+            state.remove()
+            Iterator(SessionFlush(uid, n, v, evicted = true))
+          } else {
+            val (n0, v0) = state.getOption.getOrElse((0, 0.0))
+            var n = n0; var v = v0; var maxTs = Long.MinValue
+            rows.foreach { e => n += 1; v += e.value; maxTs = math.max(maxTs, e.ts.getTime) }
+            state.update((n, v))
+            state.setTimeoutTimestamp(maxTs + idleGapMs)
+            Iterator(SessionFlush(uid, n, v, evicted = false))
+          }
+      }
+  }
+
   /** Custom keyed state: per-user running totals, re-emitted each batch the
     * key appears in — the `flatMapGroupsWithState` shape used for bespoke
-    * sessionization at scale (add a GroupStateTimeout to flush idle keys). */
+    * sessionization; state here never evicts (use [[statefulPerUserBounded]]
+    * when the key space is unbounded). */
   def statefulPerUser(spark: SparkSession, events: Dataset[Event]): Dataset[SessionSummary] = {
     import spark.implicits._
     events.groupByKey(_.user_id)

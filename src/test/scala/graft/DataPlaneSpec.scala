@@ -46,6 +46,31 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(out.collect().toSet === (1 to 50).map(i => s"y_$i").toSet)
   }
 
+  test("pipe operator: task-index header gives each child a distinct index") {
+    // reference parity: the per-container index env
+    // (container/HboxContainer.java:915-1137) — here the child reads its
+    // index from stdin line 1 and the data from line 2 on
+    val in = (1 to 40).map(i => s"x$i").toDS().repartition(4)
+    val out = PipeOps.pipeLines(in,
+      Seq("sh", "-c", "read hdr; echo \"$hdr\"; cat > /dev/null"),
+      taskIndexHeader = true)
+    val headers = out.collect().toSet
+    assert(headers === (0 until 4).map(i => s"GRAFT_TASK_INDEX=$i").toSet)
+  }
+
+  test("reflective SequenceFile Input/OutputFormat round-trip (K2/S3 parity)") {
+    val lines = (1 to 64).map(i => s"seqrec-$i").toDS().repartition(3)
+    val path = s"$tmp/seqfile"
+    Sources.saveAsHadoopText(lines, path,
+      "org.apache.hadoop.mapred.SequenceFileOutputFormat")
+    assert(new java.io.File(s"$path/_SUCCESS").exists(), "_SUCCESS commit marker")
+    val back = Sources.hadoopRecords(spark, path,
+      "org.apache.hadoop.mapred.SequenceFileInputFormat",
+      keyClass = "org.apache.hadoop.io.NullWritable",
+      valueClass = "org.apache.hadoop.io.Text")
+    assert(back.collect().toSet === lines.collect().toSet)
+  }
+
   test("full reference-style text job: read → pipe → gzip sink with _SUCCESS") {
     val inPath = s"$tmp/job_in"
     (1 to 40).map(_.toString).toDS().write.text(inPath)

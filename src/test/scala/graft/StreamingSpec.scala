@@ -146,6 +146,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.contains(3L))
   }
 
+  test("bounded state: event-time timeout evicts idle keys and emits a flush") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.statefulPerUserBounded(spark, mem.toDS())
+      .writeStream.format("memory").queryName("bounded").outputMode("append").start()
+    mem.addData(Event(1, ts(10), 7, "click", 2.0)) // user 7 active at 00:10
+    q.processAllAvailable()                         // watermark → 00:00
+    mem.addData(Event(2, ts(300), 8, "click", 1.0)) // 05:00 → watermark 04:50 after batch
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(310), 8, "click", 1.0)) // batch 3 runs with wm 04:50 > 01:10
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("bounded").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    // user 7 idle past last-event + 1h: state flushed exactly once, then gone
+    assert(rows.count(_ == ((7L, 1, 2.0, true))) === 1, s"no eviction flush: ${rows.toSeq}")
+    // user 8 stays live (never timed out in this run)
+    assert(rows.filter(_._1 == 8L).forall(!_._4))
+  }
+
+  test("streaming file source: new files in a directory are picked up (append)") {
+    implicit val sql = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.write(f, String.join("\n", lines: _*).getBytes)
+    }
+    writeFile("a.json", Seq("""{"id": 1, "v": 1.5}""", """{"id": 2, "v": 2.5}"""))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val q = spark.readStream.schema(schema).json(dir.toString)
+      .writeStream.format("memory").queryName("filesrc").outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("filesrc").count() === 2)
+    writeFile("b.json", Seq("""{"id": 3, "v": 3.5}"""))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("filesrc").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got === Set((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+  }
+
   test("flatMapGroupsWithState keeps per-user running state across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
