@@ -51,11 +51,18 @@ object MlOps {
 
   /** KMeans cluster centers — the tiny model artifact (k × dims doubles)
     * that parameterizes Knn.ivf's cells. Training is distributed; only the
-    * centers come back to the driver. */
-  def kmeansCenters(emb: DataFrame, k: Int = 10, maxIter: Int = 10): Array[Array[Double]] = {
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
-      .setFeaturesCol("features").fit(toFeatures(emb))
-    model.clusterCenters.map(_.toArray)
+    * centers come back to the driver. Random init + few Lloyd iterations:
+    * IVF cells only need a reasonable space partition, not converged
+    * clusters, and k-means|| init alone costs more passes over the corpus
+    * than the handful of iterations that matter. Input is cached for the
+    * iteration passes and released before returning. */
+  def kmeansCenters(emb: DataFrame, k: Int = 10, maxIter: Int = 5): Array[Array[Double]] = {
+    val vecs = toFeatures(emb).persist()
+    try {
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
+        .setInitMode("random").setFeaturesCol("features").fit(vecs)
+      model.clusterCenters.map(_.toArray)
+    } finally { vecs.unpersist(blocking = false); () }
   }
 
   /** MLlib-native near-dup candidates: tokenize → 3-grams → binary HashingTF
