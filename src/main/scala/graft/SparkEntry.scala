@@ -518,6 +518,24 @@ object SparkEntry {
         |      WHEN unicode(text) < 65536 THEN 224 + unicode(text) // 4096
         |      ELSE 240 + unicode(text) // 262144 END AS first_byte
         |FROM documents""".stripMargin,
+    // t04: the rolling polynomial hash (h·B + byte, wrapping 64-bit) folded
+    // in HUGEINT modulo 2^64, then mapped to the signed BIGINT Spark emits.
+    // Per-character unicode() equals the UTF-8 byte only for ASCII — which
+    // the synthetic corpus is (asserted: octet_length(encode(text)) ==
+    // length(text) at every SF); a non-ASCII corpus would need a byte-level
+    // fold DuckDB can't express, reverting t04 to rows-only.
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN r >= 9223372036854775808 THEN r - 18446744073709551616
+        |      ELSE r END AS BIGINT) AS rhash,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM (
+        | SELECT doc_id, text,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        |    (h, b) -> (h * 1000003 + b) % 18446744073709551616) AS r
+        | FROM documents)""".stripMargin,
   )
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")

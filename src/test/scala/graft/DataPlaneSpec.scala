@@ -90,6 +90,28 @@ class DataPlaneSpec extends AnyFunSuite {
     f1.foreach(f => assert(f.n_bytes === chars(f.doc_id)))
   }
 
+  test("P7 stream-split deal: contiguous and round-robin, no shuffle") {
+    val rdd = spark.sparkContext.parallelize(0 until 100, 10) // partition i = [10i, 10i+10)
+    val contig = operators.PlacementOps.dealContiguous(rdd, 3)
+    val rr = operators.PlacementOps.dealRoundRobin(rdd, 3)
+    for (dealt <- Seq(contig, rr)) {
+      assert(dealt.getNumPartitions === 3)
+      // narrow dependency — the deal moves no rows
+      assert(dealt.dependencies.forall(!_.isInstanceOf[org.apache.spark.ShuffleDependency[_, _, _]]))
+      assert(dealt.collect().sorted.sameElements(0 until 100))
+    }
+    val contigGroups = contig.mapPartitionsWithIndex((i, it) => Iterator(i -> it.toSet)).collect().toMap
+    // reference nsplit/msplit: 10 splits over 3 workers → 4,3,3 contiguous
+    assert(contigGroups(0) === (0 until 40).toSet)
+    assert(contigGroups(1) === (40 until 70).toSet)
+    assert(contigGroups(2) === (70 until 100).toSet)
+    val rrGroups = rr.mapPartitionsWithIndex((i, it) => Iterator(i -> it.toSet)).collect().toMap
+    // split i → worker i % 3
+    assert(rrGroups(0) === Seq(0, 3, 6, 9).flatMap(p => p * 10 until (p + 1) * 10).toSet)
+    assert(rrGroups(1) === Seq(1, 4, 7).flatMap(p => p * 10 until (p + 1) * 10).toSet)
+    assert(rrGroups(2) === Seq(2, 5, 8).flatMap(p => p * 10 until (p + 1) * 10).toSet)
+  }
+
   test("barrier rendezvous hands every task the full cluster address list") {
     val got = ml.MlOps.rendezvous(spark, 4)
     assert(got.length === 4)
