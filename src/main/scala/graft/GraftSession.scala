@@ -25,6 +25,11 @@ object GraftSession {
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // coalesce to the advisory size instead of preserving parallelism:
+      // the Spark-documented production setting — small shuffles collapse to
+      // few tasks (task-launch overhead off the floor), big ones still split
+      // at 64 MB advisory chunks
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -29,4 +29,9 @@ object VectorFns {
   /** Squared euclidean distance. */
   def l2Sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared euclidean distance to a driver-side constant vector (a model
+    * artifact such as a KMeans center), embedded as an array literal. */
+  def l2SqLit(a: Column, c: Array[Double]): Column =
+    l2Sq(a, array(c.map(lit(_)): _*))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, MinHashLSH, NGram, Tokenizer}
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** ML / distributed-training parity (SURVEY.md §2.2 C1–C5, §7 M4).
@@ -51,18 +51,72 @@ object MlOps {
 
   /** KMeans cluster centers — the tiny model artifact (k × dims doubles)
     * that parameterizes Knn.ivf's cells. Training is distributed; only the
-    * centers come back to the driver. Random init + few Lloyd iterations:
-    * IVF cells only need a reasonable space partition, not converged
-    * clusters, and k-means|| init alone costs more passes over the corpus
-    * than the handful of iterations that matter. Input is cached for the
-    * iteration passes and released before returning. */
-  def kmeansCenters(emb: DataFrame, k: Int = 10, maxIter: Int = 5): Array[Array[Double]] = {
-    val vecs = toFeatures(emb).persist()
+    * k centers (the model) come back to the driver.
+    *
+    * Engine-native Lloyd instead of MLlib's KMeans: IVF cells need a
+    * reasonable space partition, not converged clusters, and MLlib pays
+    * ~8 scheduler jobs (sampled init, per-iteration treeAggregate, boxed
+    * Vectors) where this needs one codegen'd aggregation job per
+    * iteration. Assignment reuses the same literal-centroid argmin
+    * expression the IVF scan itself uses, so training and serving are the
+    * same code path. At 100 TB each iteration is one map-side partial
+    * aggregation whose exchange carries k×(dims+1) doubles per partition —
+    * independent of corpus size. The MLlib path remains available as
+    * [[kmeansClusters]]. */
+  def kmeansCenters(emb: DataFrame, k: Int = 10, maxIter: Int = 3): Array[Array[Double]] = {
+    val sc = emb.sparkSession.sparkContext
+    val data = emb.select(col("embedding").cast("array<double>"))
+      .rdd.map(_.getSeq[Double](0).toArray).persist()
     try {
-      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
-        .setInitMode("random").setFeaturesCol("features").fit(vecs)
-      model.clusterCenters.map(_.toArray)
-    } finally { vecs.unpersist(blocking = false); () }
+      // deterministic seed-free init: the k vectors with the smallest
+      // xxhash64(vec_id) — a uniform draw over the corpus that plans as
+      // TakeOrderedAndProject (k rows to the driver, never a sort)
+      var centers: Array[Array[Double]] = emb
+        .select(col("embedding").cast("array<double>").as("v"), xxhash64(col("vec_id")).as("h"))
+        .orderBy(col("h")).limit(k)
+        .collect().map(_.getSeq[Double](0).toArray)
+      val dims = centers.head.length
+      (0 until maxIter).foreach { _ =>
+        val bc = sc.broadcast(centers)
+        // one job per iteration: per-partition assignment + partial sums in
+        // tight JVM code (a Catalyst re-plan per iteration costs more on
+        // the driver than the whole pass does on the executors), merged by
+        // treeReduce — each task ships k×(dims+1) doubles, independent of
+        // corpus size
+        val (sums, counts) = data.mapPartitions { it =>
+          val cs = bc.value
+          val s = Array.ofDim[Double](k, dims)
+          val n = new Array[Long](k)
+          it.foreach { vec =>
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < k) {
+              var d = 0.0; var i = 0
+              while (i < dims) { val t = vec(i) - cs(c)(i); d += t * t; i += 1 }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            var i = 0
+            while (i < dims) { s(best)(i) += vec(i); i += 1 }
+            n(best) += 1
+          }
+          Iterator((s, n))
+        }.treeReduce { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < k) {
+            var i = 0
+            while (i < dims) { s1(c)(i) += s2(c)(i); i += 1 }
+            n1(c) += n2(c); c += 1
+          }
+          (s1, n1)
+        }
+        bc.unpersist(blocking = false)
+        centers = centers.indices.map { c =>
+          if (counts(c) == 0) centers(c) // empty cell keeps its center
+          else Array.tabulate(dims)(i => sums(c)(i) / counts(c))
+        }.toArray
+      }
+      centers
+    } finally { data.unpersist(blocking = false); () }
   }
 
   /** MLlib-native near-dup candidates: tokenize → 3-grams → binary HashingTF
