@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{TextFns, VectorFns}
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-callable function surface: every GraftExtensions registration
+  * must produce exactly what the Column API produces (they share the same
+  * expression builders, so this pins the adapter, not a reimplementation).
+  * The `spark.sql.extensions` install path uses the identical builder seq
+  * via injectFunction. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  GraftExtensions.register(spark)
+  tables.registerViews()
+
+  test("text functions: SQL ≡ Column API on the corpus") {
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_token_count(text) AS tc, graft_bpeish_count(text) AS bc,
+        |  graft_lang_guess(text) AS lg, graft_quality(text) AS q,
+        |  graft_fingerprint(text) AS fp, graft_rolling_hash(text) AS rh
+        |FROM documents""".stripMargin)
+    val viaCol = tables.documents.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).as("tc"),
+      TextFns.bpeishCount(col("text")).as("bc"),
+      TextFns.langGuess(col("text")).as("lg"),
+      TextFns.qualityScore(col("text")).as("q"),
+      TextFns.fingerprint(col("text")).as("fp"),
+      GraftExtensions.rolling_hash(col("text")).as("rh"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
+  test("vector functions: SQL ≡ Column API on embeddings") {
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, graft_cosine(a.embedding, a.embedding) AS c,
+        |  graft_dot(a.embedding, a.embedding) AS d,
+        |  graft_l2sq(a.embedding, a.embedding) AS z
+        |FROM embeddings a""".stripMargin)
+    val e = col("embedding")
+    val viaCol = tables.embeddings.select(col("vec_id"),
+      VectorFns.cosine(e, e).as("c"), VectorFns.dot(e, e).as("d"),
+      VectorFns.l2Sq(e, e).as("z"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // self-cosine is 1 (same association in SQL and Column form)
+    val cs = viaSql.select(min(col("c")), max(col("c"))).collect()(0)
+    assert(math.abs(cs.getDouble(0) - 1.0) < 1e-9 && math.abs(cs.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("graft_shingles and graft_tokens compose in SQL") {
+    val n = spark.sql(
+      """SELECT size(graft_shingles(text)) AS ns, size(graft_tokens(text)) AS nt
+        |FROM documents WHERE graft_token_count(text) >= 3""".stripMargin)
+      .filter(col("ns") =!= col("nt") - 2) // distinct shingles ≤ n-k+1
+      .filter(col("ns") > col("nt") - 2)
+    assert(n.count() === 0)
+  }
+}
