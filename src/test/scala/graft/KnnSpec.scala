@@ -31,4 +31,21 @@ class KnnSpec extends AnyFunSuite {
     val recall = (exact intersect approx.map(r => (r.getLong(0), r.getLong(2))).toSet).size.toDouble / exact.size
     assert(recall >= 0.25, s"recall=$recall below the cell-pruning bound")
   }
+
+  test("Lloyd centers: k centers inside the data envelope, every point assigned") {
+    val k = 7
+    val centers = ml.MlOps.kmeansCenters(tables.embeddings, k, maxIter = 2)
+    assert(centers.length === k)
+    val dims = centers.head.length
+    assert(centers.forall(_.length === dims))
+    // each center is a mean of data points → inside the per-dim envelope
+    import org.apache.spark.sql.functions._
+    val env = tables.embeddings
+      .select(explode(col("embedding").cast("array<double>")).as("x"))
+      .agg(min("x"), max("x")).collect()(0)
+    val (lo, hi) = (env.getDouble(0), env.getDouble(1))
+    assert(centers.forall(_.forall(x => x >= lo && x <= hi)))
+    // centers are distinct (no collapsed/empty-cell degeneracy on this corpus)
+    assert(centers.map(_.toSeq).distinct.length === k)
+  }
 }

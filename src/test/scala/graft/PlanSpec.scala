@@ -81,6 +81,20 @@ class PlanSpec extends AnyFunSuite {
     assert(ok.forall(identity))
   }
 
+  test("s02 IVF: cell assignment is map-side — no exchange between scan and cell join") {
+    import org.apache.spark.sql.functions.col
+    val df = similarity.Knn.ivf(tables.embeddings)
+    df.collect()
+    // AQE's toString prints Final AND Initial plans — count only the final
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the only exchanges: the probe-set broadcast and the final top-k agg —
+    // the corpus side streams scan → argmin-project → broadcast join with
+    // no hash repartitioning before the aggregation
+    assert(p.contains("BroadcastExchange"), s"probe set must broadcast:\n$p")
+    val corpusShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(corpusShuffles <= 1, s"IVF must shuffle only for the final top-k agg:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen shows as "*(n)" stage markers in the executed plan string
     Seq("q01_agg", "q02_filter_project", "q15_strings", "t01_token_stats").foreach { q =>
