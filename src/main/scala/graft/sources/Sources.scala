@@ -110,6 +110,17 @@ object Sources {
   def writeGzipText(ds: Dataset[String], path: String): Unit =
     ds.write.mode("overwrite").option("compression", "gzip").text(path)
 
+  /** Bucketed, sorted managed table — the co-located join path: two tables
+    * bucketed on their join key by the same bucket count join with ZERO
+    * shuffle exchanges (PlanSpec proves the exchange-free SortMergeJoin).
+    * This is the 100 TB answer to "the same fact-fact join runs every day":
+    * pay the bucketing shuffle once at write time, never at read time. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** Arbitrary `mapred.OutputFormat` sink, reflectively instantiated — full
     * parity with the reference's `hbox.outputformat.class` writer
     * (`HboxConfiguration2.java:11-12`, reflective record writer at

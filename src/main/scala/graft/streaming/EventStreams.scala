@@ -21,6 +21,20 @@ object EventStreams {
 
   final case class SessionSummary(user_id: Long, n_events: Int, total_value: Double)
 
+  /** Built-in rate source as a synthetic event stream (SURVEY §2.3
+    * "Streaming source"): maps (timestamp, value) onto the events schema so
+    * every operator here runs against it unchanged — the load-generator
+    * analog of the reference's stream-fed training input. */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int = 100): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond.toString).load()
+      .select(
+        col("value").as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(col("value"), lit(50)).as("user_id"),
+        element_at(array(lit("view"), lit("click"), lit("purchase"), lit("error")),
+          (pmod(col("value"), lit(4)) + 1).cast("int")).as("event_type"),
+        round(pmod(col("value") * lit(7919), lit(1000)) / lit(100.0), 2).as("value"))
+
   /** Tumbling 1-hour event-time aggregate with a 2-hour watermark: late rows
     * beyond the watermark are dropped, state is bounded. */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -44,12 +44,12 @@ class PlanSpec extends AnyFunSuite {
     // join key at write time, then the sort-merge join needs no exchange
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      tables.orders.select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("b_orders")
-      tables.lineitem.select("l_orderkey", "l_quantity")
-        .write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("b_lineitem")
+      sources.Sources.writeBucketed(
+        tables.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", "o_orderkey", buckets = 4)
+      sources.Sources.writeBucketed(
+        tables.lineitem.select("l_orderkey", "l_quantity"),
+        "b_lineitem", "l_orderkey", buckets = 4)
       val j = spark.table("b_orders")
         .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
       assert(j.count() > 0)

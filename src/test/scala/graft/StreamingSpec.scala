@@ -186,6 +186,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Set((1L, 1.5), (2L, 2.5), (3L, 3.5)))
   }
 
+  test("rate source feeds the event operators (schema-compatible load generator)") {
+    val q = EventStreams.tumblingCounts(EventStreams.rateEvents(spark, rowsPerSecond = 500))
+      .writeStream.format("memory").queryName("ratesrc").outputMode("complete").start()
+    // rate rows materialize on wall time: wait for at least one batch of data
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var n = 0L
+    while (n == 0 && System.nanoTime() < deadline) {
+      Thread.sleep(500); q.processAllAvailable()
+      n = spark.table("ratesrc").count()
+    }
+    q.stop()
+    assert(n > 0, "rate source produced no aggregated rows within 30s")
+    val types = spark.table("ratesrc").select("event_type").collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("view", "click", "purchase", "error")))
+  }
+
   test("flatMapGroupsWithState keeps per-user running state across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
