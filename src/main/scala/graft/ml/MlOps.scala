@@ -75,6 +75,9 @@ object MlOps {
         .select(col("embedding").cast("array<double>").as("v"), xxhash64(col("vec_id")).as("h"))
         .orderBy(col("h")).limit(k)
         .collect().map(_.getSeq[Double](0).toArray)
+      require(centers.nonEmpty, "kmeansCenters: empty corpus")
+      // corpora smaller than k: every point is its own center
+      val kEff = centers.length
       val dims = centers.head.length
       (0 until maxIter).foreach { _ =>
         val bc = sc.broadcast(centers)
@@ -85,11 +88,11 @@ object MlOps {
         // corpus size
         val (sums, counts) = data.mapPartitions { it =>
           val cs = bc.value
-          val s = Array.ofDim[Double](k, dims)
-          val n = new Array[Long](k)
+          val s = Array.ofDim[Double](kEff, dims)
+          val n = new Array[Long](kEff)
           it.foreach { vec =>
             var best = 0; var bestD = Double.MaxValue; var c = 0
-            while (c < k) {
+            while (c < kEff) {
               var d = 0.0; var i = 0
               while (i < dims) { val t = vec(i) - cs(c)(i); d += t * t; i += 1 }
               if (d < bestD) { bestD = d; best = c }
@@ -102,7 +105,7 @@ object MlOps {
           Iterator((s, n))
         }.treeReduce { case ((s1, n1), (s2, n2)) =>
           var c = 0
-          while (c < k) {
+          while (c < kEff) {
             var i = 0
             while (i < dims) { s1(c)(i) += s2(c)(i); i += 1 }
             n1(c) += n2(c); c += 1

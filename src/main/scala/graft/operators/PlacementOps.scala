@@ -45,23 +45,28 @@ object PlacementOps {
     override def coalesce(maxPartitions: Int, parent: RDD[_]): Array[PartitionGroup] = {
       val n = parent.partitions.length
       val w = math.min(maxPartitions, math.max(1, n))
-      val groups = Array.fill(w)(new PartitionGroup())
-      if (roundRobin) {
-        (0 until n).foreach(i => groups(i % w).partitions += parent.partitions(i))
-      } else {
-        // reference nsplit/msplit: each worker a block of n/w, first n%w
-        // workers one extra — identical contiguous ranges
-        val nsplit = n / w
-        val msplit = n % w
-        var count = 0
-        (0 until w).foreach { i =>
-          val take = nsplit + (if (i < msplit) 1 else 0)
-          (0 until take).foreach { _ =>
-            groups(i).partitions += parent.partitions(count); count += 1
+      // pure index assignment first (both reference layouts), then groups
+      // seeded with their first split's preferred location so the scheduler
+      // can still place each worker-task near its data
+      val assignment: Seq[Seq[Int]] =
+        if (roundRobin) (0 until w).map(g => g until n by w)
+        else {
+          // reference nsplit/msplit: each worker a block of n/w, first n%w
+          // workers one extra — identical contiguous ranges
+          val nsplit = n / w
+          val msplit = n % w
+          (0 until w).map { i =>
+            val start = i * nsplit + math.min(i, msplit)
+            start until (start + nsplit + (if (i < msplit) 1 else 0))
           }
         }
-      }
-      groups
+      assignment.map { idxs =>
+        val pg = new PartitionGroup(
+          idxs.headOption.flatMap(i =>
+            parent.preferredLocations(parent.partitions(i)).headOption))
+        idxs.foreach(i => pg.partitions += parent.partitions(i))
+        pg
+      }.toArray
     }
   }
 }

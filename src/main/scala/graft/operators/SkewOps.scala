@@ -35,6 +35,12 @@ object SkewOps {
     val salt = "__graft_salt"
     require(!big.columns.contains(salt) && !small.columns.contains(salt),
       s"inputs must not carry a $salt column")
+    // statically reject the shape where the payload hash is provably
+    // constant per key (big projected to the key alone): the salt would
+    // never fan out and the operator's purpose is silently defeated
+    require(saltExpr.isDefined || big.columns.exists(_ != key),
+      s"big is projected to only '$key' — payload-derived salt cannot fan " +
+        "out a hot key; pass saltExpr over a unique column instead")
     val basis = saltExpr.getOrElse(xxhash64(big.columns.map(col).toSeq: _*))
     val salted = big.withColumn(salt, pmod(basis, lit(n.toLong)).cast("int"))
     val replicated = small.withColumn(salt,

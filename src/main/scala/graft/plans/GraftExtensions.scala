@@ -30,25 +30,45 @@ object GraftExtensions {
   private def expr(c: Column): Expression = ColumnBridge.toExpression(c)
   private def col(e: Expression): Column = ColumnBridge.toColumn(e)
 
-  /** (name, arity, builder) for every SQL-exposed engine function. */
-  private[plans] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_rolling_hash" -> (args => RollingHash(args.head)),
-    "graft_tokens" -> (args => expr(TextFns.tokens(col(args.head)))),
-    "graft_token_count" -> (args => expr(TextFns.tokenCount(col(args.head)))),
-    "graft_bpeish_count" -> (args => expr(TextFns.bpeishCount(col(args.head)))),
-    "graft_shingles" -> (args => expr(TextFns.shingles(col(args.head)))),
-    "graft_lang_guess" -> (args => expr(TextFns.langGuess(col(args.head)))),
-    "graft_quality" -> (args => expr(TextFns.qualityScore(col(args.head)))),
-    "graft_fingerprint" -> (args => expr(TextFns.fingerprint(col(args.head)))),
-    "graft_dot" -> (args => expr(VectorFns.dot(col(args(0)), col(args(1))))),
-    "graft_cosine" -> (args => expr(VectorFns.cosine(col(args(0)), col(args(1))))),
-    "graft_l2sq" -> (args => expr(VectorFns.l2Sq(col(args(0)), col(args(1))))),
+  /** (name, arity, builder) for every SQL-exposed engine function; the
+    * arity check turns a wrong-argument-count call into a clear
+    * AnalysisException instead of a builder IndexOutOfBounds. */
+  private[plans] val builders: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("graft_rolling_hash", 1, (args: Seq[Expression]) => RollingHash(args.head)),
+    ("graft_tokens", 1, (args: Seq[Expression]) => expr(TextFns.tokens(col(args.head)))),
+    ("graft_token_count", 1, (args: Seq[Expression]) => expr(TextFns.tokenCount(col(args.head)))),
+    ("graft_bpeish_count", 1, (args: Seq[Expression]) => expr(TextFns.bpeishCount(col(args.head)))),
+    ("graft_shingles", 1, (args: Seq[Expression]) => expr(TextFns.shingles(col(args.head)))),
+    ("graft_lang_guess", 1, (args: Seq[Expression]) => expr(TextFns.langGuess(col(args.head)))),
+    ("graft_quality", 1, (args: Seq[Expression]) => expr(TextFns.qualityScore(col(args.head)))),
+    ("graft_fingerprint", 1, (args: Seq[Expression]) => expr(TextFns.fingerprint(col(args.head)))),
+    ("graft_dot", 2, (args: Seq[Expression]) => expr(VectorFns.dot(col(args(0)), col(args(1))))),
+    ("graft_cosine", 2, (args: Seq[Expression]) => expr(VectorFns.cosine(col(args(0)), col(args(1))))),
+    ("graft_l2sq", 2, (args: Seq[Expression]) => expr(VectorFns.l2Sq(col(args(0)), col(args(1))))),
   )
+
+  private def checked(name: String, arity: Int,
+                      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length != arity)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> arity.toString,
+            "actualNum" -> args.length.toString, "docroot" -> ""))
+      b(args)
+    }
+
+  // the sourceName is metadata only (DESCRIBE FUNCTION): RollingHash for the
+  // native expression, this registrar for the composed Column functions
+  private def infoClass(name: String): String =
+    if (name == "graft_rolling_hash") classOf[RollingHash].getName
+    else classOf[GraftExtensions].getName
 
   private[plans] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    builders.map { case (name, b) =>
-      (FunctionIdentifier(name), new ExpressionInfo(classOf[RollingHash].getName, name), b)
+    builders.map { case (name, arity, b) =>
+      (FunctionIdentifier(name), new ExpressionInfo(infoClass(name), name), checked(name, arity, b))
     }
 
   /** Column-API surface (requires `register(spark)` or the extensions conf;
@@ -58,7 +78,8 @@ object GraftExtensions {
 
   /** Register on an already-built session (tests, REPL). */
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, b) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "built-in")
+    builders.foreach { case (name, arity, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, checked(name, arity, b), "built-in")
     }
 }

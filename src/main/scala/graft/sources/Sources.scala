@@ -65,12 +65,21 @@ object Sources {
     spark.createDataset(
       spark.sparkContext
         .hadoopRDD(conf,
-          Class.forName(inputFormatClass)
+          loadClass(inputFormatClass)
             .asInstanceOf[Class[InputFormat[Writable, Writable]]],
-          Class.forName(keyClass).asInstanceOf[Class[Writable]],
-          Class.forName(valueClass).asInstanceOf[Class[Writable]])
+          loadClass(keyClass).asInstanceOf[Class[Writable]],
+          loadClass(valueClass).asInstanceOf[Class[Writable]])
         .map(_._2.toString))
   }
+
+  /** Resolve user-supplied format classes through the thread context
+    * classloader (Spark's own pattern): classes shipped via `--jars` live in
+    * Spark's mutable URL loader, not necessarily in this library's defining
+    * loader. */
+  private def loadClass(name: String): Class[_] =
+    Class.forName(name, true,
+      Option(Thread.currentThread().getContextClassLoader)
+        .getOrElse(getClass.getClassLoader))
 
   /** Fan compute-heavy per-row work out to every core when the scan yields
     * fewer partitions than the session's parallelism — the "tiny file, heavy
@@ -132,6 +141,6 @@ object Sources {
                        outputFormatClass: String): Unit =
     ds.rdd.map(s => (NullWritable.get(), new Text(s)))
       .saveAsHadoopFile(path, classOf[NullWritable], classOf[Text],
-        Class.forName(outputFormatClass)
+        loadClass(outputFormatClass)
           .asInstanceOf[Class[OutputFormat[NullWritable, Text]]])
 }

@@ -96,18 +96,22 @@ object EventStreams {
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Int, Double), SessionFlush](
+      .flatMapGroupsWithState[(Int, Double, Long), SessionFlush](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (uid: Long, rows: Iterator[Event], state: GroupState[(Int, Double)]) =>
+        case (uid: Long, rows: Iterator[Event], state: GroupState[(Int, Double, Long)]) =>
           if (state.hasTimedOut) {
-            val (n, v) = state.get
+            val (n, v, _) = state.get
             state.remove()
             Iterator(SessionFlush(uid, n, v, evicted = true))
           } else {
-            val (n0, v0) = state.getOption.getOrElse((0, 0.0))
-            var n = n0; var v = v0; var maxTs = Long.MinValue
+            val (n0, v0, maxTs0) = state.getOption.getOrElse((0, 0.0, Long.MinValue))
+            var n = n0; var v = v0; var maxTs = maxTs0
             rows.foreach { e => n += 1; v += e.value; maxTs = math.max(maxTs, e.ts.getTime) }
-            state.update((n, v))
+            state.update((n, v, maxTs))
+            // the deadline derives from the max event time EVER SEEN (kept
+            // in state), not just this batch's max: a late-but-valid batch
+            // must never move the eviction deadline backwards and split a
+            // live session
             state.setTimeoutTimestamp(maxTs + idleGapMs)
             Iterator(SessionFlush(uid, n, v, evicted = false))
           }

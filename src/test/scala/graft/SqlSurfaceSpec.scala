@@ -49,11 +49,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
   }
 
   test("graft_shingles and graft_tokens compose in SQL") {
-    val n = spark.sql(
+    // distinct shingles ≤ raw shingle count = n_tokens - k + 1 (k = 3)
+    val violations = spark.sql(
       """SELECT size(graft_shingles(text)) AS ns, size(graft_tokens(text)) AS nt
         |FROM documents WHERE graft_token_count(text) >= 3""".stripMargin)
-      .filter(col("ns") =!= col("nt") - 2) // distinct shingles ≤ n-k+1
       .filter(col("ns") > col("nt") - 2)
-    assert(n.count() === 0)
+    assert(violations.count() === 0)
+  }
+
+  test("wrong arity raises an AnalysisException, not an internal error") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(embedding) FROM embeddings").collect()
+    }
+    assert(e.getMessage.contains("graft_cosine"))
   }
 }

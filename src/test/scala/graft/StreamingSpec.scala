@@ -165,6 +165,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 8L).forall(!_._4))
   }
 
+  test("bounded state: a late-but-valid batch never moves the eviction deadline backwards") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.statefulPerUserBounded(spark, mem.toDS())
+      .writeStream.format("memory").queryName("boundedlate").outputMode("append").start()
+    mem.addData(Event(1, ts(100), 7, "click", 2.0)) // deadline 100+60=160; wm → 90
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(92), 7, "click", 3.0))  // late but > wm: deadline must STAY 160
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(165), 9, "click", 1.0)) // wm → 155 after this batch
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(166), 9, "click", 1.0)) // batch runs with wm 155: 152<155<160
+    q.processAllAvailable()
+    val early = spark.table("boundedlate").collect()
+      .filter(r => r.getLong(0) == 7L && r.getBoolean(3))
+    assert(early.isEmpty, s"deadline regressed to last-batch max: ${early.toSeq}")
+    mem.addData(Event(5, ts(250), 9, "click", 1.0)) // wm → 240 ≥ 160
+    q.processAllAvailable()
+    mem.addData(Event(6, ts(251), 9, "click", 1.0)) // timeout fires in this batch
+    q.processAllAvailable(); q.stop()
+    val flushes = spark.table("boundedlate").collect()
+      .filter(r => r.getLong(0) == 7L && r.getBoolean(3))
+      .map(r => (r.getInt(1), r.getDouble(2)))
+    // one eviction carrying BOTH events — the session was never split
+    assert(flushes.toSeq === Seq((2, 5.0)), s"session split or lost: ${flushes.toSeq}")
+  }
+
   test("streaming file source: new files in a directory are picked up (append)") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
