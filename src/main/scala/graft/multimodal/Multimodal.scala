@@ -9,16 +9,24 @@ import org.apache.spark.sql.functions._
   * as a `binary` column (parquet keeps them out of dictionary/stats paths),
   * metadata as a typed struct alongside, and decode/feature-extraction runs
   * partition-local over iterator batches (`mapPartitions`) so a native
-  * decoder is amortized per-partition, never per-row — the Spark-side
-  * plumbing (schema, batching, partitioning) is real; the decoder itself is
-  * a deterministic stub here because no image/audio libs ship in this
-  * container (see `decodeStub`).
+  * decoder is amortized per-partition, never per-row.
+  *
+  * Decode/resize/frame-sample are REAL for the formats pure JVM byte
+  * parsing covers — BMP 24bpp (dimensions, pixels, nearest-neighbor
+  * thumbnails) and WAV PCM16 (sample rate, duration, amplitude, PCM
+  * frames) via [[MediaCodecs]]; formats that need an actual codec
+  * (JPEG/PNG/MP4) fall back to the deterministic byte-level stubs, with
+  * `sniffed` recording which path ran.
   */
 object Multimodal {
 
-  /** Typed row for the decoded-feature output. */
+  /** Typed row for the decoded-feature output. Media-specific fields are -1
+    * when the payload isn't that medium (or needs an absent codec). */
   final case class MediaFeatures(
-      doc_id: Long, format: String, n_bytes: Int, first_byte: Int, checksum: Long)
+      doc_id: Long, format: String, n_bytes: Int, first_byte: Int, checksum: Long,
+      sniffed: String = "application/octet-stream",
+      width: Int = -1, height: Int = -1,
+      sample_rate: Int = -1, duration_ms: Long = -1L, mean_amplitude: Double = -1.0)
 
   /** Wrap a text corpus as a multimodal table: payload = utf-8 bytes,
     * metadata struct carried alongside. (With real media, payload comes off
@@ -32,10 +40,10 @@ object Multimodal {
         col("source").as("origin"),
         col("n_chars").as("content_length")).as("meta"))
 
-  /** STUB decoder — stands in for an image/audio decode (libs absent in this
-    * container). Deterministic over the payload bytes so results are
-    * verifiable; a real decoder would replace the body, keeping the
-    * signature. */
+  /** Byte-level fallback features for payloads whose format needs a codec
+    * this container doesn't ship (JPEG/PNG/MP4). Deterministic over the
+    * payload bytes so results stay verifiable; BMP/WAV never reach this as
+    * their real decoders in [[MediaCodecs]] run first. */
   private def decodeStub(payload: Array[Byte]): (Int, Long) = {
     var checksum = 0L
     var i = 0
@@ -50,10 +58,10 @@ object Multimodal {
   /** Typed row for sampled frames. */
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Resize stub — stands in for an image resize (decode → scale → re-encode
-    * with a real codec). The stub strides the payload down to width×height
-    * bytes, deterministically; the Spark-side shape (typed output schema,
-    * partition-local batching) is what a real resizer plugs into. */
+  /** Image resize. BMP payloads take the real path: decode → nearest-
+    * neighbor scale → re-encode (the thumb is itself a valid BMP). Other
+    * formats stride the payload down to width×height bytes as the declared
+    * codec-less stand-in. Partition-local either way. */
   def resize(spark: SparkSession, media: DataFrame,
              width: Int = 4, height: Int = 4): Dataset[ResizedMedia] = {
     import spark.implicits._
@@ -62,28 +70,49 @@ object Multimodal {
       .mapPartitions { rows =>
         val target = width * height
         rows.map { case (id, payload, format) =>
-          val thumb =
-            if (payload.length <= target) payload
-            else Array.tabulate(target)(i => payload((i.toLong * payload.length / target).toInt))
-          ResizedMedia(id, format, width, height, thumb)
+          MediaCodecs.decodeBmp(payload) match {
+            case Some(img) =>
+              val thumb = MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, width, height))
+              ResizedMedia(id, "image/bmp", width, height, thumb)
+            case None =>
+              val thumb =
+                if (payload.length <= target) payload
+                else Array.tabulate(target)(i => payload((i.toLong * payload.length / target).toInt))
+              ResizedMedia(id, format, width, height, thumb)
+          }
         }
       }
   }
 
-  /** Frame-sample stub — stands in for video frame extraction: treat the
-    * payload as fixed-size frames and keep every `everyN`-th one. One output
-    * row per kept frame (explode shape), so downstream per-frame featurizers
-    * parallelize over frames, not videos. */
+  /** Frame sampling: keep every `everyN`-th frame, one output row per kept
+    * frame (explode shape) so downstream per-frame featurizers parallelize
+    * over frames, not media files. WAV payloads take the real path — frames
+    * are `frameBytes`-sized slices of the decoded PCM stream, aligned to
+    * sample boundaries (each frame is playable audio). Other payloads use
+    * raw byte framing as the declared codec-less stand-in for video. */
   def frameSample(spark: SparkSession, media: DataFrame,
                   frameBytes: Int = 256, everyN: Int = 4): Dataset[FrameSample] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          val nFrames = math.max(1, payload.length / frameBytes)
+          val bytes = MediaCodecs.decodeWav(payload) match {
+            case Some(a) => // PCM16: re-pack the sample stream (header dropped)
+              val pcm = new Array[Byte](a.samples.length * 2)
+              var i = 0
+              while (i < a.samples.length) {
+                pcm(i * 2) = a.samples(i).toByte
+                pcm(i * 2 + 1) = (a.samples(i) >> 8).toByte
+                i += 1
+              }
+              pcm
+            case None => payload
+          }
+          val step = frameBytes & ~1 // sample-aligned for PCM16
+          val nFrames = math.max(1, bytes.length / math.max(2, step))
           (0 until nFrames by everyN).iterator.map { f =>
-            FrameSample(id, f, payload.slice(f * frameBytes,
-              math.min((f + 1) * frameBytes, payload.length)))
+            FrameSample(id, f, bytes.slice(f * step,
+              math.min((f + 1) * step, bytes.length)))
           }
         }
       }
@@ -91,16 +120,28 @@ object Multimodal {
 
   /** m01: partition-local feature extraction over the binary payload.
     * One decoder instantiation per partition (the expensive part with real
-    * codecs), iterator-to-iterator so spill/codegen pipelining is preserved. */
+    * codecs), iterator-to-iterator so spill/codegen pipelining is preserved.
+    * BMP/WAV payloads get real decoded features (dimensions / sample rate,
+    * duration, amplitude); everything else keeps the deterministic
+    * byte-level features. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { rows =>
-        // per-partition decoder setup would go here
         rows.map { case (id, payload, format) =>
           val (first, sum) = decodeStub(payload)
-          MediaFeatures(id, format, payload.length, first, sum)
+          val base = MediaFeatures(id, format, payload.length, first, sum,
+            sniffed = MediaCodecs.sniff(payload))
+          MediaCodecs.decodeBmp(payload) match {
+            case Some(img) => base.copy(width = img.width, height = img.height)
+            case None => MediaCodecs.decodeWav(payload) match {
+              case Some(a) => base.copy(sample_rate = a.sampleRate,
+                duration_ms = a.durationMs,
+                mean_amplitude = MediaCodecs.meanAbsAmplitude(a))
+              case None => base
+            }
+          }
         }
       }
   }

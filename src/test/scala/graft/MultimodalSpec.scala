@@ -1,13 +1,89 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaCodecs, Multimodal}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
+  import spark.implicits._
 
   private lazy val media = Multimodal.asMedia(tables.documents)
+
+  /** 6×4 24bpp gradient, exercised through the real encoder. */
+  private def testBmp: Array[Byte] = {
+    val (w, h) = (6, 4)
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      rgb(d) = (x * 40).toByte; rgb(d + 1) = (y * 60).toByte; rgb(d + 2) = (x + y).toByte
+    }
+    MediaCodecs.encodeBmp(MediaCodecs.BmpImage(w, h, rgb))
+  }
+
+  /** Canonical 44-byte-header mono PCM16 WAV: 800 samples at 8 kHz. */
+  private def testWav: Array[Byte] = {
+    val n = 800
+    val data = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * i / 50.0) * 3000).toInt
+      data(i * 2) = s.toByte; data(i * 2 + 1) = (s >> 8).toByte
+    }
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    out.put("data".getBytes).putInt(data.length).put(data)
+    out.array()
+  }
+
+  private def mediaOf(payloads: (Long, Array[Byte])*) =
+    payloads.toSeq.toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("application/octet-stream").as("format"),
+          lit("test").as("origin"), lit(0).as("content_length")).as("meta"))
+
+  test("BMP: encode/decode round-trips pixels, features carry real dimensions") {
+    val img = MediaCodecs.decodeBmp(testBmp).get
+    assert(img.width === 6 && img.height === 4)
+    val again = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img)).get
+    assert(again.rgb.sameElements(img.rgb))
+    val f = Multimodal.extractFeatures(spark, mediaOf(1L -> testBmp)).collect()(0)
+    assert(f.sniffed === "image/bmp" && f.width === 6 && f.height === 4)
+    assert(f.sample_rate === -1)
+  }
+
+  test("BMP: resize takes the real path — thumb is a valid BMP with NN pixels") {
+    val out = Multimodal.resize(spark, mediaOf(1L -> testBmp), width = 2, height = 2).collect()(0)
+    assert(out.format === "image/bmp")
+    val thumb = MediaCodecs.decodeBmp(out.thumb).get
+    assert(thumb.width === 2 && thumb.height === 2)
+    // nearest-neighbor: (x,y) samples source (x*6/2, y*4/2) of the gradient
+    for (y <- 0 until 2; x <- 0 until 2) {
+      val (sx, sy) = (x * 3, y * 2)
+      val d = (y * 2 + x) * 3
+      assert(thumb.rgb(d) === (sx * 40).toByte, s"R at ($x,$y)")
+      assert(thumb.rgb(d + 1) === (sy * 60).toByte, s"G at ($x,$y)")
+    }
+  }
+
+  test("WAV: decode yields real rate/duration/amplitude, frames are PCM slices") {
+    val a = MediaCodecs.decodeWav(testWav).get
+    assert(a.channels === 1 && a.sampleRate === 8000 && a.samples.length === 800)
+    assert(a.durationMs === 100)
+    val f = Multimodal.extractFeatures(spark, mediaOf(2L -> testWav)).collect()(0)
+    assert(f.sniffed === "audio/wav" && f.sample_rate === 8000 && f.duration_ms === 100)
+    assert(f.mean_amplitude > 0 && f.width === -1)
+    // frames slice the decoded PCM stream (no header bytes), sample-aligned
+    val frames = Multimodal.frameSample(spark, mediaOf(2L -> testWav),
+      frameBytes = 64, everyN = 4).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 4, 8, 12, 16, 20, 24))
+    val pcm = testWav.drop(44)
+    frames.foreach { fr =>
+      assert(fr.frame.sameElements(pcm.slice(fr.frame_idx * 64, fr.frame_idx * 64 + 64)))
+    }
+  }
 
   test("media table carries binary payload + typed metadata struct") {
     val schema = media.schema
