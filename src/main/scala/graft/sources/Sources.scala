@@ -42,6 +42,24 @@ object Sources {
 
   def text(spark: SparkSession, path: String): Dataset[String] = spark.read.textFile(path)
 
+  /** Media-file ingestion: `binaryFile` scan mapped to the engine's
+    * multimodal schema (doc_id = xxhash64(path), payload, meta struct) so
+    * the output feeds `Multimodal.extractFeatures/resize/frameSample`
+    * directly. Whole files as single rows — the reference's DOWNLOAD
+    * strategy for opaque inputs (S4); format comes from content sniffing
+    * downstream, not the filename. */
+  def binaryFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("content").as("payload"),
+        struct(
+          lit("application/octet-stream").as("format"),
+          col("path").as("origin"),
+          col("length").cast("int").as("content_length")).as("meta"))
+  }
+
   /** Hadoop `InputFormat` compatibility (parity with the reference's STREAM
     * scan S3/S5): identical split computation, records as lines. */
   def hadoopText(spark: SparkSession, path: String): Dataset[String] =

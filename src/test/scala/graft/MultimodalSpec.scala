@@ -85,6 +85,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryFile ingestion feeds the decode pipeline end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media")
+    java.nio.file.Files.write(dir.resolve("img.bmp"), testBmp)
+    java.nio.file.Files.write(dir.resolve("sound.wav"), testWav)
+    val media = sources.Sources.binaryFiles(spark, dir.toString)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length === 2)
+    val img = feats.find(_.sniffed == "image/bmp").get
+    assert(img.width === 6 && img.height === 4)
+    val wav = feats.find(_.sniffed == "audio/wav").get
+    assert(wav.sample_rate === 8000 && wav.duration_ms === 100)
+  }
+
   test("media table carries binary payload + typed metadata struct") {
     val schema = media.schema
     assert(schema("payload").dataType.typeName === "binary")

@@ -20,6 +20,21 @@ class SkewAndSketchSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("salted join rejects a big side with provably constant per-key salt") {
+    val big = tables.lineitem.select("l_suppkey")
+    val small = tables.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    val e = intercept[IllegalArgumentException] {
+      SkewOps.saltedJoin(big, small, "l_suppkey", n = 8)
+    }
+    assert(e.getMessage.contains("saltExpr"))
+    // the same shape with an explicit unique-column salt is accepted
+    val withSalt = SkewOps.saltedJoin(
+      tables.lineitem.select("l_suppkey", "l_orderkey"), small, "l_suppkey", n = 8,
+      saltExpr = Some(xxhash64(col("l_orderkey"))))
+    assert(withSalt.count() ===
+      tables.lineitem.select("l_suppkey", "l_orderkey").join(small, "l_suppkey").count())
+  }
+
   test("heavy hitters finds the hottest join keys") {
     val hh = SkewOps.heavyHitters(tables.lineitem, col("l_suppkey"), 5).collect()
     assert(hh.length === 5)
