@@ -95,6 +95,19 @@ class PlanSpec extends AnyFunSuite {
     assert(corpusShuffles <= 1, s"IVF must shuffle only for the final top-k agg:\n$p")
   }
 
+  test("dedup family plans are bucketed, never all-pairs") {
+    // d01–d04 must join on hash/band/bucket keys — any cartesian or
+    // nested-loop join means an all-pairs explosion at 100 TB. (d05/s01 are
+    // *declared* exact baselines with broadcast/block-NL shapes; excluded.)
+    Seq("d01_dedup_exact", "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen shows as "*(n)" stage markers in the executed plan string
     Seq("q01_agg", "q02_filter_project", "q15_strings", "t01_token_stats").foreach { q =>
