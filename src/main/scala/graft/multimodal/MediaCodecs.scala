@@ -1,17 +1,21 @@
 package graft.multimodal
 
-/** Real, dependency-free media codecs for the formats plain JVM byte
-  * parsing can fully handle: BMP (24bpp uncompressed) and WAV (PCM16).
+/** Real, dependency-free media codecs.
   *
   * This is the substance behind Multimodal's decode/resize/frame-sample
-  * surface: where the container ships no image/audio libraries, formats
-  * that are pure header+array layouts are still decoded for real —
-  * dimensions, pixels, sample rates, PCM frames. Formats that genuinely
-  * need a codec (JPEG/PNG/MP4) remain declared stubs; `sniff` recognizes
-  * their magic bytes so the dispatch is honest about which path ran.
+  * surface. Two layers:
+  *   - pure byte parsing for formats that are plain header+array layouts:
+  *     BMP (24bpp uncompressed) and WAV (PCM16);
+  *   - the JDK's `javax.imageio` (part of every standard JDK — no extra
+  *     dependency) for JPEG/PNG via [[decodeImageIO]].
+  * Only formats that genuinely need an absent codec (video: MP4) remain
+  * declared byte-level stubs; `sniff` recognizes magic bytes so the
+  * dispatch is honest about which path ran.
   *
   * Everything here is driver-free per-partition code: codecs are static
   * pure functions called inside `mapPartitions`, no state, no natives.
+  * All header fields are treated as untrusted input — corrupt payloads
+  * decode to None (stub fallback), never to a thrown task failure.
   */
 object MediaCodecs {
 
@@ -46,7 +50,10 @@ object MediaCodecs {
     b.length >= 54 && b(0) == 'B' && b(1) == 'M'
 
   /** Decode a 24bpp uncompressed BMP (the self-describing subset; returns
-    * None for palettes/compression/other depths — those need a real codec). */
+    * None for palettes/compression/other depths — those go through ImageIO
+    * or the stub). Header fields are untrusted: pixelOff and the size math
+    * are validated in Long before any allocation or indexing, so a crafted
+    * header returns None instead of throwing (and failing the task). */
   def decodeBmp(b: Array[Byte]): Option[BmpImage] = {
     if (!isBmp(b)) return None
     val pixelOff = i32(b, 10)
@@ -56,11 +63,13 @@ object MediaCodecs {
     val heightRaw = i32(b, 22)
     val bpp = u16(b, 28)
     val compression = i32(b, 30)
-    if (bpp != 24 || compression != 0 || width <= 0 || heightRaw == 0) return None
+    if (bpp != 24 || compression != 0 || width <= 0 ||
+      heightRaw == 0 || heightRaw == Int.MinValue) return None
     val height = math.abs(heightRaw)
     val topDown = heightRaw < 0
-    val rowStride = ((width * 3) + 3) & ~3 // rows pad to 4 bytes
-    if (pixelOff + rowStride.toLong * height > b.length) return None
+    val strideL = ((width.toLong * 3) + 3) & ~3L // rows pad to 4 bytes
+    if (pixelOff < 54 || pixelOff.toLong + strideL * height > b.length) return None
+    val rowStride = strideL.toInt // fits: bounded by b.length above
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -102,6 +111,42 @@ object MediaCodecs {
     out
   }
 
+  /** Decode JPEG/PNG through the JDK's `javax.imageio` into the same RGB
+    * carrier as [[decodeBmp]], so resize/encode downstream is shared code.
+    * Only sniffed JPEG/PNG payloads attempt the (comparatively expensive)
+    * ImageIO reader; anything ImageIO rejects returns None → stub fallback. */
+  def decodeImageIO(b: Array[Byte]): Option[BmpImage] = {
+    val m = sniff(b)
+    if (m != "image/jpeg" && m != "image/png") return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) None
+        else {
+          val px = img.getRGB(0, 0, w, h, null, 0, w) // packed ARGB, row-major
+          val rgb = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            val p = px(i)
+            rgb(i * 3) = ((p >> 16) & 0xff).toByte
+            rgb(i * 3 + 1) = ((p >> 8) & 0xff).toByte
+            rgb(i * 3 + 2) = (p & 0xff).toByte
+            i += 1
+          }
+          Some(BmpImage(w, h, rgb))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Unified still-image decode: the zero-copy-ish BMP byte parser first
+    * (cheapest, and never touches ImageIO), then the JDK ImageIO path for
+    * JPEG/PNG. None ⇒ not a decodable image (stub path). */
+  def decodeImage(b: Array[Byte]): Option[BmpImage] =
+    decodeBmp(b).orElse(decodeImageIO(b))
+
   /** Nearest-neighbor resize — a real thumbnail, not a byte stride. */
   def resizeBmp(img: BmpImage, w: Int, h: Int): BmpImage = {
     val rgb = new Array[Byte](w * h * 3)
@@ -134,22 +179,29 @@ object MediaCodecs {
     b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
-  /** Decode a PCM16 WAV by walking its RIFF chunks (fmt then data). */
+  /** Decode a PCM16 WAV by walking its RIFF chunks (fmt then data).
+    * Chunk lengths are untrusted input: a negative length is rejected (it
+    * would stall or rewind the walk) and the offset advances in Long so a
+    * huge declared length can't overflow into a negative index — corrupt
+    * payloads return None (→ byte-stub fallback) instead of hanging or
+    * throwing in the executor task. */
   def decodeWav(b: Array[Byte]): Option[WavAudio] = {
     if (!isWav(b)) return None
-    var off = 12
+    var off = 12L
     var channels = 0; var rate = 0; var bits = 0; var fmt = 0
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= b.length) {
-      val id = new String(b, off, 4, "US-ASCII")
-      val len = i32(b, off + 4)
+      val o = off.toInt
+      val id = new String(b, o, 4, "US-ASCII")
+      val len = i32(b, o + 4)
+      if (len < 0) return None // corrupt: a chunk can't be negative-sized
       if (id == "fmt " && off + 8 + 16 <= b.length) {
-        fmt = u16(b, off + 8); channels = u16(b, off + 10)
-        rate = i32(b, off + 12); bits = u16(b, off + 22)
+        fmt = u16(b, o + 8); channels = u16(b, o + 10)
+        rate = i32(b, o + 12); bits = u16(b, o + 22)
       } else if (id == "data") {
-        dataOff = off + 8; dataLen = math.min(len, b.length - dataOff)
+        dataOff = o + 8; dataLen = math.max(0, math.min(len, b.length - dataOff))
       }
-      off += 8 + len + (len & 1) // chunks are word-aligned
+      off += 8L + len + (len & 1) // chunks are word-aligned
     }
     if (fmt != 1 || bits != 16 || channels <= 0 || rate <= 0 || dataOff < 0) return None
     val n = dataLen / 2

@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * partition-local over iterator batches (`mapPartitions`) so a native
   * decoder is amortized per-partition, never per-row.
   *
-  * Decode/resize/frame-sample are REAL for the formats pure JVM byte
-  * parsing covers — BMP 24bpp (dimensions, pixels, nearest-neighbor
-  * thumbnails) and WAV PCM16 (sample rate, duration, amplitude, PCM
-  * frames) via [[MediaCodecs]]; formats that need an actual codec
-  * (JPEG/PNG/MP4) fall back to the deterministic byte-level stubs, with
-  * `sniffed` recording which path ran.
+  * Decode/resize/frame-sample are REAL for every format the JDK covers —
+  * BMP 24bpp via the pure byte parser, JPEG/PNG via `javax.imageio`
+  * (shipped in every standard JDK), WAV PCM16 via the pure RIFF parser
+  * (see [[MediaCodecs]]): dimensions, pixels, nearest-neighbor thumbnails,
+  * sample rates, PCM frames. Only formats that genuinely need an absent
+  * codec (video: MP4) fall back to the deterministic byte-level stubs,
+  * with `sniffed` recording which path ran.
   */
 object Multimodal {
 
@@ -38,12 +39,13 @@ object Multimodal {
       struct(
         lit("text/plain").as("format"),
         col("source").as("origin"),
-        col("n_chars").as("content_length")).as("meta"))
+        // long to match Sources.binaryFiles' meta schema (file lengths)
+        col("n_chars").cast("long").as("content_length")).as("meta"))
 
   /** Byte-level fallback features for payloads whose format needs a codec
-    * this container doesn't ship (JPEG/PNG/MP4). Deterministic over the
-    * payload bytes so results stay verifiable; BMP/WAV never reach this as
-    * their real decoders in [[MediaCodecs]] run first. */
+    * this container doesn't ship (video: MP4) — and the deterministic
+    * checksum every payload gets regardless of format. BMP/JPEG/PNG/WAV
+    * never stop here: their real decoders in [[MediaCodecs]] run first. */
   private def decodeStub(payload: Array[Byte]): (Int, Long) = {
     var checksum = 0L
     var i = 0
@@ -58,8 +60,9 @@ object Multimodal {
   /** Typed row for sampled frames. */
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Image resize. BMP payloads take the real path: decode → nearest-
-    * neighbor scale → re-encode (the thumb is itself a valid BMP). Other
+  /** Image resize. BMP/JPEG/PNG payloads take the real path: decode
+    * (byte parser or JDK ImageIO) → nearest-neighbor scale → re-encode
+    * (the thumb is itself a valid BMP, whatever the source format). Other
     * formats stride the payload down to width×height bytes as the declared
     * codec-less stand-in. Partition-local either way. */
   def resize(spark: SparkSession, media: DataFrame,
@@ -70,7 +73,7 @@ object Multimodal {
       .mapPartitions { rows =>
         val target = width * height
         rows.map { case (id, payload, format) =>
-          MediaCodecs.decodeBmp(payload) match {
+          MediaCodecs.decodeImage(payload) match {
             case Some(img) =>
               val thumb = MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, width, height))
               ResizedMedia(id, "image/bmp", width, height, thumb)
@@ -92,11 +95,15 @@ object Multimodal {
     * raw byte framing as the declared codec-less stand-in for video. */
   def frameSample(spark: SparkSession, media: DataFrame,
                   frameBytes: Int = 256, everyN: Int = 4): Dataset[FrameSample] = {
+    require(frameBytes >= 1, s"frameBytes=$frameBytes must be >= 1")
+    require(everyN >= 1, s"everyN=$everyN must be >= 1")
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          val bytes = MediaCodecs.decodeWav(payload) match {
+          // even-aligning the step is a PCM16 concern only: raw-byte framing
+          // of non-WAV payloads keeps frameBytes exactly as documented
+          val (bytes, step) = MediaCodecs.decodeWav(payload) match {
             case Some(a) => // PCM16: re-pack the sample stream (header dropped)
               val pcm = new Array[Byte](a.samples.length * 2)
               var i = 0
@@ -105,11 +112,10 @@ object Multimodal {
                 pcm(i * 2 + 1) = (a.samples(i) >> 8).toByte
                 i += 1
               }
-              pcm
-            case None => payload
+              (pcm, math.max(2, frameBytes & ~1))
+            case None => (payload, frameBytes)
           }
-          val step = frameBytes & ~1 // sample-aligned for PCM16
-          val nFrames = math.max(1, bytes.length / math.max(2, step))
+          val nFrames = math.max(1, bytes.length / step)
           (0 until nFrames by everyN).iterator.map { f =>
             FrameSample(id, f, bytes.slice(f * step,
               math.min((f + 1) * step, bytes.length)))
@@ -121,9 +127,9 @@ object Multimodal {
   /** m01: partition-local feature extraction over the binary payload.
     * One decoder instantiation per partition (the expensive part with real
     * codecs), iterator-to-iterator so spill/codegen pipelining is preserved.
-    * BMP/WAV payloads get real decoded features (dimensions / sample rate,
-    * duration, amplitude); everything else keeps the deterministic
-    * byte-level features. */
+    * BMP/JPEG/PNG payloads get real decoded dimensions, WAV gets real
+    * sample rate / duration / amplitude; everything else keeps the
+    * deterministic byte-level features. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
@@ -133,7 +139,7 @@ object Multimodal {
           val (first, sum) = decodeStub(payload)
           val base = MediaFeatures(id, format, payload.length, first, sum,
             sniffed = MediaCodecs.sniff(payload))
-          MediaCodecs.decodeBmp(payload) match {
+          MediaCodecs.decodeImage(payload) match {
             case Some(img) => base.copy(width = img.width, height = img.height)
             case None => MediaCodecs.decodeWav(payload) match {
               case Some(a) => base.copy(sample_rate = a.sampleRate,

@@ -57,7 +57,9 @@ object Sources {
         struct(
           lit("application/octet-stream").as("format"),
           col("path").as("origin"),
-          col("length").cast("int").as("content_length")).as("meta"))
+          // long, not int: a whole-file media payload can exceed 2 GiB and
+          // must not wrap negative (Multimodal.asMedia matches this type)
+          col("length").as("content_length")).as("meta"))
   }
 
   /** Hadoop `InputFormat` compatibility (parity with the reference's STREAM

@@ -85,6 +85,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** The same 6×4 gradient re-encoded through the JDK's ImageIO writer. */
+  private def encodeVia(fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.setRGB(x, y, (((x * 40) & 0xff) << 16) | (((y * 60) & 0xff) << 8) | ((x + y) & 0xff))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("PNG: JDK ImageIO path decodes real dimensions and exact pixels") {
+    val png = encodeVia("png")
+    assert(MediaCodecs.sniff(png) === "image/png")
+    val img = MediaCodecs.decodeImage(png).get
+    assert(img.width === 6 && img.height === 4)
+    // PNG is lossless: pixels match the same gradient through the BMP codec
+    assert(img.rgb.sameElements(MediaCodecs.decodeBmp(testBmp).get.rgb))
+    val f = Multimodal.extractFeatures(spark, mediaOf(7L -> png)).collect()(0)
+    assert(f.sniffed === "image/png" && f.width === 6 && f.height === 4)
+  }
+
+  test("JPEG: ImageIO decodes real dimensions; resize emits a real BMP thumb") {
+    val jpg = encodeVia("jpg")
+    assert(MediaCodecs.sniff(jpg) === "image/jpeg")
+    val f = Multimodal.extractFeatures(spark, mediaOf(8L -> jpg)).collect()(0)
+    assert(f.sniffed === "image/jpeg" && f.width === 6 && f.height === 4)
+    assert(f.sample_rate === -1)
+    val out = Multimodal.resize(spark, mediaOf(8L -> jpg), width = 2, height = 2).collect()(0)
+    assert(out.format === "image/bmp") // thumbs re-encode as BMP whatever the source
+    val thumb = MediaCodecs.decodeBmp(out.thumb).get
+    assert(thumb.width === 2 && thumb.height === 2)
+  }
+
+  test("corrupt headers fall back to the stub instead of failing the task") {
+    // WAV with a negative chunk length: None, not an infinite chunk walk
+    val negLen = testWav.clone()
+    java.nio.ByteBuffer.wrap(negLen).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(16, -16)
+    assert(MediaCodecs.decodeWav(negLen).isEmpty)
+    // WAV claiming a huge data length: clamps to the bytes present
+    val hugeLen = testWav.clone()
+    java.nio.ByteBuffer.wrap(hugeLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue)
+    assert(MediaCodecs.decodeWav(hugeLen).get.samples.length === 800)
+    // BMP with a bogus pixel offset / absurd width: None, no OOB indexing
+    val badOff = testBmp.clone()
+    java.nio.ByteBuffer.wrap(badOff).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, Int.MaxValue - 7)
+    assert(MediaCodecs.decodeBmp(badOff).isEmpty)
+    val badW = testBmp.clone()
+    java.nio.ByteBuffer.wrap(badW).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 0x40000000)
+    assert(MediaCodecs.decodeBmp(badW).isEmpty)
+    // and the pipeline degrades to byte-stub features rather than throwing
+    val f = Multimodal.extractFeatures(spark, mediaOf(9L -> negLen)).collect()(0)
+    assert(f.sample_rate === -1 && f.width === -1 && f.n_bytes === negLen.length)
+  }
+
+  test("frameSample rejects non-positive framing params") {
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(spark, mediaOf(1L -> testWav), frameBytes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(spark, mediaOf(1L -> testWav), everyN = 0)
+    }
+  }
+
   test("binaryFile ingestion feeds the decode pipeline end-to-end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media")
     java.nio.file.Files.write(dir.resolve("img.bmp"), testBmp)
