@@ -139,6 +139,15 @@ object Sources {
   def writeGzipText(ds: Dataset[String], path: String): Unit =
     ds.write.mode("overwrite").option("compression", "gzip").text(path)
 
+  /** Hive-style partitioned parquet tree (`path/col=value/part-*.parquet`).
+    * This is the 100 TB scan-side story the flat-file sinks can't tell: a
+    * predicate on a partition column becomes a PartitionFilter, pruning
+    * whole directories at planning time — a day-filtered query over a
+    * years-deep tree lists and reads only the matching directories
+    * (PlanSpec asserts the pruning, not just the layout). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** Bucketed, sorted managed table — the co-located join path: two tables
     * bucketed on their join key by the same bucket count join with ZERO
     * shuffle exchanges (PlanSpec proves the exchange-free SortMergeJoin).

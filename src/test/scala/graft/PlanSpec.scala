@@ -63,6 +63,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("partitioned tree: partition filters prune directories at the scan") {
+    import org.apache.spark.sql.functions.{col, month}
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    sources.Sources.writePartitioned(
+      tables.orders.withColumn("month", month(col("o_orderdate"))), dir, "month")
+    def scanOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+    }
+    val pruned = scanOf(spark.read.parquet(dir).filter(col("month") === 3))
+    // the month predicate must surface as a PartitionFilter (pruned at
+    // listing time), not a data Filter evaluated per row after a full read
+    assert(pruned.partitionFilters.exists(_.toString.contains("month")),
+      s"month predicate not a partition filter: ${pruned.partitionFilters}")
+    val full = scanOf(spark.read.parquet(dir))
+    val (prunedFiles, allFiles) =
+      (pruned.metrics("numFiles").value, full.metrics("numFiles").value)
+    assert(prunedFiles > 0 && prunedFiles < allFiles,
+      s"pruning read $prunedFiles of $allFiles files")
+    // pruned read returns exactly the month's rows
+    assert(spark.read.parquet(dir).filter(col("month") === 3).count() ===
+      tables.orders.filter(month(col("o_orderdate")) === 3).count())
+  }
+
   test("sortWithinPartitions sorts locally with no exchange") {
     import org.apache.spark.sql.functions.{col, unix_timestamp}
     val df = tables.lineitem.select("l_orderkey", "l_shipdate")
