@@ -32,6 +32,22 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"recall=$recall below the cell-pruning bound")
   }
 
+  test("IVF: explicit-model serving matches the trained-once default path") {
+    // train once, serve with the artifact — same result as the memoized
+    // default (Lloyd init is deterministic), and no retraining per query
+    val centers = Knn.trainIvf(tables.embeddings, nCells = 10)
+    assert(centers.length === 10)
+    val served = Knn.ivfServe(tables.embeddings, centers, "vec_id < 5", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val default = Knn.ivf(tables.embeddings, "vec_id < 5", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(served === default)
+    // the second default call hits the model registry (object identity)
+    val again = Knn.ivf(tables.embeddings, "vec_id < 7", k = 3, nProbe = 2)
+    assert(again.count() > 0)
+    Knn.clearIvfModels(spark)
+  }
+
   test("Lloyd centers: k centers inside the data envelope, every point assigned") {
     val k = 7
     val centers = ml.MlOps.kmeansCenters(tables.embeddings, k, maxIter = 2)
