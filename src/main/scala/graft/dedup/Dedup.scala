@@ -2,7 +2,7 @@ package graft.dedup
 
 import graft.Tables
 import graft.functions.TextFns
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface.
@@ -30,6 +30,31 @@ object Dedup {
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Session-scoped shingle-set registry. d02, d03 and the corpus pipeline
+    * all consume the same exploded shingle table; memoizing the *persisted
+    * DataFrame object* (keyed by the docs plan's semantic hash and k) gives
+    * them one shared cache entry instead of three persist() attempts on
+    * plan-identical frames (the CacheManager "already cached" warning), and
+    * gives the cache lifecycle a single owner: call [[releaseShingles]]
+    * after the terminal action of the last consumer. */
+  private val shingleMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Int), DataFrame]()
+
+  /** The memoized, persisted shingle set for `docs` (see [[shingleMemo]]). */
+  def sharedShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    shingleMemo.computeIfAbsent(
+      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), k),
+      _ => shingleSets(docs, k).persist())
+
+  /** Unpersist and drop every shingle set memoized under `spark`. */
+  def releaseShingles(spark: SparkSession): Unit = {
+    val it = shingleMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(blocking = false); it.remove() }
+    }
+  }
 
   /** Exploded distinct shingle sets, keyed by xxhash64 of the shingle:
     * (doc_id, shingle: long). Joining/counting on the 8-byte hash instead of
@@ -68,12 +93,12 @@ object Dedup {
     * via an inverted shingle index — the correctness baseline the LSH path
     * must reproduce. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame =
-    // convenience wrapper: persists the shingle set for the duration of the
-    // session (identical calls share the cache via CacheManager
-    // plan-matching). Long-lived sessions processing many corpora should
-    // call ngramJaccardPairsOf with their own persisted shingle set and
-    // unpersist it after the terminal action — lifetime ownership is theirs.
-    ngramJaccardPairsOf(shingleSets(docs, k).persist(), threshold)
+    // convenience wrapper over the session-scoped registry: repeated calls
+    // (and d03/p01 on the same docs) share ONE persisted shingle set.
+    // Long-lived sessions processing many corpora should either call
+    // releaseShingles between corpora or own the lifecycle outright via
+    // ngramJaccardPairsOf + their own persist/unpersist.
+    ngramJaccardPairsOf(sharedShingles(docs, k), threshold)
 
   /** d02 core over a caller-managed shingle set (from [[shingleSets]]):
     * the caller decides persist()/unpersist() around the terminal action. */
@@ -109,8 +134,8 @@ object Dedup {
     * only candidate pairs. */
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame =
-    // session-lifetime cache, same ownership note as ngramJaccardPairs
-    minHashLshPairsOf(shingleSets(docs, k).persist(), threshold, bands, rowsPerBand)
+    // session-scoped registry, same ownership note as ngramJaccardPairs
+    minHashLshPairsOf(sharedShingles(docs, k), threshold, bands, rowsPerBand)
 
   /** d03 core over a caller-managed shingle set — caller owns the
     * persist()/unpersist() lifecycle. */

@@ -43,7 +43,10 @@ object CorpusPipeline {
         TextFns.langGuessOfCounts(
           col("c_en"), col("c_de"), col("c_es"), col("c_fr")).as("guess"))
     val exactKeepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-    val nearDupFollowers = Dedup.minHashLshPairs(docs)
+    // explicit about the shared-cache contract: the shingle set comes from
+    // the session-scoped registry (one persisted copy shared with d02/d03),
+    // released by the session owner via Dedup.releaseShingles
+    val nearDupFollowers = Dedup.minHashLshPairsOf(Dedup.sharedShingles(docs))
       .select(col("d2").as("doc_id")).distinct()
     m.filter(col("quality") >= qualityMin && col("guess") === "en")
       .join(exactKeepers, Seq("doc_id"), "left_semi")
