@@ -120,9 +120,10 @@ object EventStreams {
 
   /** Custom keyed state: per-user running totals, re-emitted each batch the
     * key appears in — the `flatMapGroupsWithState` shape used for bespoke
-    * sessionization; state here never evicts (use [[statefulPerUserBounded]]
-    * when the key space is unbounded). */
-  def statefulPerUser(spark: SparkSession, events: Dataset[Event]): Dataset[SessionSummary] = {
+    * sessionization. UNBOUNDED by design (the name says so): state never
+    * evicts, so this fits only always-on key spaces (devices, tenants);
+    * [[statefulPerUserBounded]] is the default for unbounded key spaces. */
+  def statefulPerUserUnbounded(spark: SparkSession, events: Dataset[Event]): Dataset[SessionSummary] = {
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Int, Double), SessionSummary](

@@ -31,6 +31,23 @@ class DataPlaneSpec extends AnyFunSuite {
     }
   }
 
+  test("s3a route (S2/K3): S3AFileSystem loads when hadoop-aws is present — gated") {
+    // the s3a path needs only the hadoop-aws + aws-sdk jars on the
+    // classpath (no code change: every reader/writer here goes through the
+    // Hadoop FileSystem API). This environment ships without those jars, so
+    // the test CANCELS and SURVEY §8.1 records the route as unverified; on
+    // a cluster with the jars it asserts the filesystem actually resolves.
+    val s3aClass =
+      try Some(Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"))
+      catch { case _: ClassNotFoundException => None }
+    assume(s3aClass.nonEmpty,
+      "hadoop-aws not on the classpath — s3a unverified in this environment")
+    assert(classOf[org.apache.hadoop.fs.FileSystem].isAssignableFrom(s3aClass.get))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create("s3a://bucket/"), conf)
+    assert(fs.getScheme === "s3a")
+  }
+
   test("hadoopRDD TextInputFormat reads what the gzip text sink wrote") {
     val lines = (1 to 100).map(i => s"record-$i").toDS()
     Sources.writeGzipText(lines, s"$tmp/gz")

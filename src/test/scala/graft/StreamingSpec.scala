@@ -192,6 +192,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(flushes.toSeq === Seq((2, 5.0)), s"session split or lost: ${flushes.toSeq}")
   }
 
+  test("bounded state runs under the RocksDB state store (the 100 TB state backend)") {
+    // same semantics as the in-memory provider test, but with state held in
+    // RocksDB — the provider SURVEY §8.4 names for state that outgrows the
+    // executor heap (rocksdbjni ships with the Spark distribution)
+    implicit val sql = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val q = EventStreams.statefulPerUserBounded(spark, mem.toDS())
+        .writeStream.format("memory").queryName("rocksdb_bounded").outputMode("append").start()
+      mem.addData(Event(1, ts(10), 7, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(300), 8, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(310), 8, "click", 1.0)) // wm 04:50 > 01:10 → evict user 7
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("rocksdb_bounded").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+      assert(rows.count(_ == ((7L, 1, 2.0, true))) === 1,
+        s"no eviction flush under RocksDB: ${rows.toSeq}")
+      assert(rows.filter(_._1 == 8L).forall(!_._4))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming file source: new files in a directory are picked up (append)") {
     implicit val sql = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
@@ -232,7 +263,7 @@ class StreamingSpec extends AnyFunSuite {
   test("flatMapGroupsWithState keeps per-user running state across batches") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
-    val q = EventStreams.statefulPerUser(spark, mem.toDS())
+    val q = EventStreams.statefulPerUserUnbounded(spark, mem.toDS())
       .writeStream.format("memory").queryName("stateful").outputMode("append").start()
     mem.addData(Event(1, ts(1), 7, "click", 2.0))
     q.processAllAvailable()
