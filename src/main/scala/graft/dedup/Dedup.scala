@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Four families, by cost/fidelity:
   *   - exact: content-hash groupBy (one shuffle on the hash)
-  *   - exact n-gram Jaccard: all-pairs via inverted shingle index — the
-  *     *baseline/oracle*; candidate set is bounded by shared shingles, not
-  *     |docs|², but stop-shingles still make it superlinear → not the 100 TB
-  *     path
+  *   - exact n-gram Jaccard: prefix-filtered inverted-index join (ssjoin/
+  *     All-Pairs) — the *baseline/oracle*: exact results, candidates only
+  *     from each doc's rare-shingle prefix, so stop-shingles no longer
+  *     explode the candidate set (they sort into the suffixes); still an
+  *     exact all-candidates verify, so d03 remains the cheap path at scale
   *   - MinHash+LSH: the 100 TB path — fixed-size signatures (one shuffle),
   *     banded bucketing (one shuffle on (band, key)), exact verification of
   *     candidates only
@@ -90,8 +91,8 @@ object Dedup {
   }
 
   /** d02: exact n-gram-Jaccard near-dup pairs (d1 < d2, jaccard ≥ threshold)
-    * via an inverted shingle index — the correctness baseline the LSH path
-    * must reproduce. */
+    * via a prefix-filtered inverted shingle index — the correctness baseline
+    * the LSH path must reproduce. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame =
     // convenience wrapper over the session-scoped registry: repeated calls
     // (and d03/p01 on the same docs) share ONE persisted shingle set.
@@ -101,19 +102,42 @@ object Dedup {
     ngramJaccardPairsOf(sharedShingles(docs, k), threshold)
 
   /** d02 core over a caller-managed shingle set (from [[shingleSets]]):
-    * the caller decides persist()/unpersist() around the terminal action. */
+    * the caller decides persist()/unpersist() around the terminal action.
+    *
+    * Exact, with PREFIX FILTERING (ssjoin/All-Pairs): candidates come from a
+    * self-join over each doc's first `n − ceil(τ·n) + 1` shingles in a
+    * global rarity order, then exact Jaccard verifies candidates only.
+    * Why this is still exact: J(A,B) ≥ τ implies |A∩B| ≥ τ·max(|A|,|B|)
+    * (from c(1+τ) ≥ τ(|A|+|B|) and min ≥ c), so the dropped suffix of
+    * ceil(τ·n)−1 elements cannot contain the whole intersection, and with a
+    * consistent total order the two prefixes must share an element
+    * (pigeonhole on the order's maximum — the classic prefix-filter
+    * theorem). Why this is the 100 TB shape: a *hot* shingle has high
+    * document frequency, sorts to the suffixes, and never generates
+    * candidates — the inverted-index join's quadratic blowup on stop-
+    * shingles (the declared scale-killer of the naive form) is gone, at the
+    * cost of one extra aggregation for document frequencies.
+    * ceil(τ·n) is computed in exact integer arithmetic (threshold scaled to
+    * a /1e6 rational): a double `ceil` at the boundary (e.g. 0.8·10 →
+    * 8.0000000000000009 → 9) would shrink the prefix and silently drop
+    * qualifying pairs. */
   def ngramJaccardPairsOf(sh: DataFrame, threshold: Double = 0.8): DataFrame = {
-    // single pass: the inverted-index self-join *is* the common count —
-    // no distinct-then-rejoin (that doubled the shuffle volume). Measured
-    // against grouped posting-list pair emission (collect_list + combination
-    // lambda): the join form wins — per-element slice copies cost more than
-    // the second shuffle side saves.
-    val common = sh.select(col("doc_id").as("d1"), col("shingle"))
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+    val num = math.round(threshold * 1e6) // τ as an exact /1e6 rational
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefixes = sh.join(freq, "shingle")
+      .groupBy(col("doc_id"))
+      // rare-first consistent order: (document frequency, shingle hash)
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+      .select(col("doc_id"), expr(
+        // p = n − α + 1, α = ceil(n·num/1e6) in integer arithmetic
+        s"slice(ranked.shingle, 1, size(ranked) - ((size(ranked) * ${num}L + 999999L) div 1000000L) + 1)"
+      ).as("prefix"))
+      .select(col("doc_id"), explode(col("prefix")).as("shingle"))
+    val cand = prefixes.select(col("doc_id").as("d1"), col("shingle"))
+      .join(prefixes.select(col("doc_id").as("d2"), col("shingle")), "shingle")
       .filter(col("d1") < col("d2"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, sh).filter(col("jaccard") >= threshold)
+      .select("d1", "d2").distinct()
+    jaccardOf(cand, sh).filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signature columns: min over the shingle set of k seeded

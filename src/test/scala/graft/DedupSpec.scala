@@ -16,6 +16,22 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "test corpus should contain planted near-dups")
   }
 
+  test("prefix filter keeps the boundary pair at exactly jaccard = threshold") {
+    // n1=10, n2=8 shingles, 8 common → J = 8/(10+8−8) = 0.8 exactly.
+    // ceil(0.8·10) must be 8 (integer arithmetic), not 9 (double ceil of
+    // 8.000000000000002) — the latter shrinks the prefix and can drop this
+    // pair. Also the d02 path must agree with a driver-style exact check.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"t$i").mkString(" ")), // shingles t1t2t3 … t10t11t12
+      (2L, (1 to 10).map(i => s"t$i").mkString(" "))  // its first 8 shingles
+    ).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, threshold = 0.8).collect()
+    assert(pairs.length === 1, s"boundary pair dropped: ${pairs.toSeq}")
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
+    assert(pairs(0).getDouble(2) === 0.8)
+  }
+
   test("exact dedup: fingerprints count matches distinct normalized texts") {
     val n = Dedup.exact(tables.documents).count()
     val d = tables.documents
