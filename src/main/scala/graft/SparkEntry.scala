@@ -81,6 +81,9 @@ object SparkEntry {
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
     "d05_embedding_dup"   -> ((s, d) => Dedup.embeddingDupPairs(t(s, d).embeddings)),
+    // approximate by design (recall spec'd vs d05 in DedupSpec, like s02):
+    // rows-only driver check, no SQL oracle
+    "d06_embedding_dup_ivf" -> ((s, d) => Dedup.embeddingDupPairsIvf(t(s, d).embeddings)),
     "s01_knn_brute"       -> ((s, d) => Knn.bruteForce(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     "t01_token_stats"     -> ((s, d) => TextQueries.t01TokenStats(t(s, d))),

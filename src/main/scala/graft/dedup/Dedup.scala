@@ -285,6 +285,42 @@ object Dedup {
     s
   }
 
+  /** d06: IVF-bucketed embedding near-dup pairs — the at-scale counterpart
+    * of the exact [[embeddingDupPairs]] baseline. Each vector is assigned
+    * map-side to its `nProbe` nearest KMeans cells (the same literal-
+    * centroid argmin shape as `similarity.Knn.ivfServe` — no shuffle
+    * between scan and assignment); candidate pairs are vectors sharing a
+    * cell; exact cosine verifies candidates only. Flops drop from n²/2 to
+    * ~n²·nProbe²/(2·nCells) expected (cells ∝ corpus at scale keeps the
+    * per-cell work bounded), at the price of recall < 1 when a qualifying
+    * pair shares no probed cell — approximate by design, so like s02 it has
+    * a recall spec against the exact baseline instead of a SQL oracle.
+    * Every emitted pair is exact-verified: precision is 1 by construction. */
+  def embeddingDupPairsIvf(emb: DataFrame, threshold: Double = 0.45,
+                           nCells: Int = 10, nProbe: Int = 2,
+                           centers: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cs = centers.getOrElse(graft.ml.MlOps.kmeansCenters(emb, nCells))
+    val cents: Column = array(cs.zipWithIndex.map {
+      case (c, i) => struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cv"))
+    }: _*)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // nProbe nearest cells per vector, computed in the scan's projection:
+    // struct comparison is lexicographic so array_sort orders by distance
+    val probed = v.select(col("vec_id"), col("v"),
+      explode(slice(array_sort(transform(cents, c => struct(
+        graft.functions.VectorFns.l2Sq(col("v"), c.getField("cv")).as("d2"),
+        c.getField("cell").as("cell")))), 1, nProbe).getField("cell")).as("cell"))
+    val cand = probed.select(col("cell"), col("vec_id").as("d1"), col("v").as("v1"))
+      .join(probed.select(col("cell"), col("vec_id").as("d2"), col("v").as("v2")), Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("v1"), col("v2"))
+      .dropDuplicates("d1", "d2") // multi-probe: a pair may share several cells
+    cand
+      .select(col("d1"), col("d2"),
+        round(graft.functions.VectorFns.cosine(col("v1"), col("v2")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Tables adapter used by SparkEntry. */
   def docs(t: Tables): DataFrame = t.documents
 }

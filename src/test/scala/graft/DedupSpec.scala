@@ -63,6 +63,24 @@ class DedupSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(2) >= 0.45))
   }
 
+  test("IVF embedding dedup: exact-verified subset with recall above the cell bound") {
+    val exact = Dedup.embeddingDupPairs(tables.embeddings, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf = Dedup.embeddingDupPairsIvf(tables.embeddings, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // precision 1 by construction: every emitted pair is exact-verified with
+    // identical rounding, so it must appear verbatim in the exact baseline
+    assert(ivf.subsetOf(exact), s"false positives: ${ivf -- exact}")
+    // recall: pair survives iff the two vectors share ≥1 of their nProbe=2
+    // cells; on near-random synthetic data the information bound is
+    // ~1-(1-nProbe/nCells)² ≈ 0.36 — assert we're at or above the single-
+    // probe floor (on clustered real embeddings recall approaches 1)
+    if (exact.nonEmpty) {
+      val recall = (exact intersect ivf).size.toDouble / exact.size
+      assert(recall >= 0.2, s"recall=$recall below the cell-probe floor")
+    }
+  }
+
   test("clean-corpus pipeline composes its stage invariants") {
     val cleaned = graft.operators.CorpusPipeline.cleanCorpus(tables).collect()
     assert(cleaned.nonEmpty && cleaned.length < tables.documents.count())

@@ -122,10 +122,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("dedup family plans are bucketed, never all-pairs") {
-    // d01–d04 must join on hash/band/bucket keys — any cartesian or
+    // d01–d04/d06 must join on hash/band/bucket/cell keys — any cartesian or
     // nested-loop join means an all-pairs explosion at 100 TB. (d05/s01 are
     // *declared* exact baselines with broadcast/block-NL shapes; excluded.)
-    Seq("d01_dedup_exact", "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash").foreach { q =>
+    Seq("d01_dedup_exact", "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
+        "d06_embedding_dup_ivf").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
