@@ -105,6 +105,67 @@ object GraftProperties extends Properties("graft") {
       got == rows.map(s => RollingHash.hash(s.getBytes("UTF-8")))
     }
 
+  property("BMP encode∘decode is identity on arbitrary images") = {
+    val img = for {
+      w <- Gen.chooseNum(1, 24); h <- Gen.chooseNum(1, 24)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield graft.multimodal.MediaCodecs.BmpImage(w, h, px.toArray)
+    Prop.forAllNoShrink(img) { im =>
+      val back = graft.multimodal.MediaCodecs.decodeBmp(
+        graft.multimodal.MediaCodecs.encodeBmp(im)).get
+      back.width == im.width && back.height == im.height &&
+        back.rgb.sameElements(im.rgb)
+    }
+  }
+
+  property("WAV decode recovers arbitrary PCM16 streams exactly") = {
+    val wav = for {
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      n <- Gen.chooseNum(0, 400)
+      samples <- Gen.listOfN(n, Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, samples.map(_.toShort))
+    Prop.forAllNoShrink(wav) { case (rate, samples) =>
+      val data = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        data(i * 2) = s.toByte; data(i * 2 + 1) = (s >> 8).toByte
+      }
+      val buf = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      buf.put("data".getBytes).putInt(data.length).put(data)
+      graft.multimodal.MediaCodecs.decodeWav(buf.array()) match {
+        // payloads under the 44-byte header floor are (correctly) not WAV
+        case None => buf.array().length < 44 + 2
+        case Some(a) =>
+          a.sampleRate == rate && a.samples.toList == samples
+      }
+    }
+  }
+
+  property("corrupt byte soup never crashes any decoder (total functions)") = {
+    val soup = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray))
+    // bias toward magic-byte prefixes so the parsers actually engage
+    val magic = Gen.oneOf(
+      Array[Byte]('B', 'M'),
+      "RIFFxxxxWAVE".getBytes("US-ASCII"),
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a),
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
+    val payload = Gen.frequency(
+      1 -> soup,
+      2 -> Gen.zip(magic, soup).map { case (m, s) => m ++ s })
+    Prop.forAllNoShrink(payload) { b =>
+      // must return (possibly None), never throw or hang
+      graft.multimodal.MediaCodecs.decodeBmp(b)
+      graft.multimodal.MediaCodecs.decodeWav(b)
+      graft.multimodal.MediaCodecs.decodeImage(b)
+      graft.multimodal.MediaCodecs.sniff(b)
+      true
+    }
+  }
+
   property("TopKAgg equals sort-then-take on every key") =
     forAll(Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(-100, 100), Gen.chooseNum(0L, 500L))))) { xs =>
