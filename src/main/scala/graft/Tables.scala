@@ -14,7 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reads a partitioned directory tree with partition pruning.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = {
+  def table(name: String): DataFrame =
+    // memoized per (session, dir, name): constructing the relation reads
+    // parquet footers for schema, and every query call builds a fresh
+    // Tables — without the memo each invocation re-pays footer I/O per
+    // table touched (and registerViews pays it ×10). The cached object is
+    // an immutable logical plan; Tables.invalidate drops it if the files
+    // under `dir` are rewritten mid-session.
+    Tables.relCache.computeIfAbsent((spark, dir, name), _ => load(name))
+
+  private def load(name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
     // (spark.sql.legacy.parquet.nanosAsLong=true) and floor to micros —
@@ -40,12 +49,30 @@ final case class Tables(spark: SparkSession, dir: String) {
   def embeddings: DataFrame = table("embeddings")
 
   /** Register every table as a temp view (alias → files, like the reference's
-    * `hdfsGlob#alias`). Enables the `spark.sql(...)` surface. */
-  def registerViews(): Unit = Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
+    * `hdfsGlob#alias`). Enables the `spark.sql(...)` surface. Idempotent per
+    * (session, dir): re-registration is skipped unless the session's views
+    * currently point at a different dir. */
+  def registerViews(): Unit =
+    if (Tables.lastViews.put(spark, dir) != dir)
+      Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
 }
 
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val relCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private val lastViews =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Drop memoized relations/views for `spark` (e.g. after rewriting the
+    * files under a dir this session already read). */
+  def invalidate(spark: SparkSession): Unit = {
+    val it = relCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+    lastViews.remove(spark)
+    ()
+  }
 }

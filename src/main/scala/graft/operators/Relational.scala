@@ -146,12 +146,27 @@ object Relational {
   /** q11: set operators union / intersect / except over key sets, tagged so a
     * single result exercises all three. */
   def q11SetOps(t: Tables): DataFrame = {
-    val bigSpenders  = t.orders.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("custkey")).distinct()
-    val richAccounts = t.customer.filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey")).distinct()
-    val u = bigSpenders.union(richAccounts).distinct().select(lit("union").as("op"), col("custkey"))
-    val i = bigSpenders.intersect(richAccounts).select(lit("intersect").as("op"), col("custkey"))
-    val e = bigSpenders.except(richAccounts).select(lit("except").as("op"), col("custkey"))
-    u.union(i).union(e)
+    // union/intersect/except as ONE aggregation: tag each side, collapse to
+    // per-key membership flags, then derive each op's rows from the flags.
+    // The naive form (3 distincts + intersect + except over re-scanned
+    // inputs) shuffles the key set 3+ times; this shuffles it once — at
+    // 100 TB the difference between one exchange over |keys| and a chain of
+    // them. Result is row-identical to the set-op formulation.
+    val bigSpenders  = t.orders.filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("custkey"), lit(1).as("src"))
+    val richAccounts = t.customer.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"), lit(2).as("src"))
+    bigSpenders.union(richAccounts)
+      .groupBy(col("custkey"))
+      .agg(max(when(col("src") === 1, 1).otherwise(0)).as("in_big"),
+        max(when(col("src") === 2, 1).otherwise(0)).as("in_rich"))
+      .select(col("custkey"), explode(concat(
+        array(lit("union")), // every surviving key is in the union
+        when(col("in_big") === 1 && col("in_rich") === 1, array(lit("intersect")))
+          .otherwise(array().cast("array<string>")),
+        when(col("in_big") === 1 && col("in_rich") === 0, array(lit("except")))
+          .otherwise(array().cast("array<string>")))).as("op"))
+      .select(col("op"), col("custkey"))
   }
 
   /** q12: CUBE over two keys with grouping() disambiguation of the generated
