@@ -76,6 +76,14 @@ object SparkEntry {
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
+    "p02_decontaminate"   -> ((s, d) => graft.operators.DataPipeline.decontaminate(
+                               t(s, d).documents, col("doc_id") % 10 === 0)),
+    "p03_split_sample"    -> ((s, d) => graft.operators.DataPipeline.splitSample(t(s, d).documents)),
+    "p04_pii_scrub"       -> ((s, d) => graft.operators.DataPipeline.scrub(
+                               t(s, d).documents,
+                               Seq(graft.operators.DataPipeline.piiRules.head,
+                                   graft.operators.DataPipeline.ScrubRule("\\bcustomer\\b", "<NAME>")))),
+    "p05_pack_sequences"  -> ((s, d) => graft.operators.DataPipeline.packSequences(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
@@ -419,6 +427,59 @@ object SparkEntry {
          |WHERE quality >= 0.5 AND guess = 'en'
          | AND doc_id IN (SELECT keep_id FROM fp)
          | AND doc_id NOT IN (SELECT d2 FROM nd)""".stripMargin,
+    // p02: 8-gram decontamination (PaLM-style n-gram rule); eval set =
+    // doc_id % 10 == 0. Spark joins on xxhash64 shingle identities, the
+    // oracle on shingle strings — same set-overlap semantics (the d02/d03
+    // precedent), collision-free at these cardinalities.
+    "p02_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(generate_series(1, len(w)-7), i ->
+        |      concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM sh
+        |         WHERE doc_id % 10 <> 0 AND shingle IN (SELECT shingle FROM ev))
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+    // p03: the salted md5-fold hash is the same 60-bit portable hash as d04
+    // (hex digits folded with shifts), so the split is reproducible here.
+    "p03_split_sample" ->
+      """WITH h AS (
+        | SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS h
+        | FROM (SELECT doc_id, source, md5('split:' || CAST(doc_id AS VARCHAR)) AS m
+        |       FROM documents)),
+        |b AS (SELECT doc_id, source, h,
+        |       CAST(h % 100 AS INT) AS bucket,
+        |       row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM h)
+        |SELECT doc_id, source, bucket,
+        | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        | rn <= 16 AS sampled
+        |FROM b""".stripMargin,
+    // p04: both patterns are RE2-safe (no backrefs/lookaround) so Java regex
+    // and DuckDB RE2 agree; counts run per-rule against the source text.
+    "p04_pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(text,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |   '\bcustomer\b', '<NAME>', 'g') AS scrubbed,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |    + len(regexp_extract_all(text, '\bcustomer\b')) AS INT) AS n_redacted
+        |FROM documents""".stripMargin,
+    "p05_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source, doc_id // 1000 AS shard,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, source, shard, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM d)
+        |SELECT doc_id, source, shard, n_tokens, tok_offset,
+        | CAST(tok_offset // 512 AS BIGINT) AS seq_id FROM o""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies

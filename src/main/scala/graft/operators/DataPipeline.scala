@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.dedup.Dedup
+import graft.functions.TextFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond cleaning/dedup: the curation
+  * steps a large-scale LLM corpus build runs between "raw documents" and
+  * "tokenized batches". Reference context: Hbox's data plane moves opaque
+  * record streams into training processes (`container/HboxContainer.java:
+  * 1142-1209`) and leaves all corpus curation to user scripts; here each
+  * step is a first-class, oracle-checked relational operator.
+  *
+  * All four are pure Column expression trees (no UDFs) so they stay inside
+  * whole-stage codegen, and each documents its shuffle structure — the
+  * property that decides whether the step survives 100 TB.
+  */
+object DataPipeline {
+
+  /** p02: benchmark decontamination — drop every training document sharing
+    * at least one k-token shingle with the held-out eval set (the published
+    * practice for LLM corpora; k=8 matches the PaLM-style 8-gram rule, vs
+    * 13-grams in the GPT-3 appendix — k is the caller's policy knob).
+    *
+    * Scale shape: eval sets are tiny (thousands of documents) while the
+    * corpus is the 100 TB side, so the eval shingle set is broadcast and the
+    * corpus-side shingles take a broadcast semi-join — the corpus is NEVER
+    * shuffled, only scanned. The shingle explosion itself is scan-local
+    * (one projection), shared with d02/d03 via the session shingle registry
+    * when k matches.
+    */
+  def decontaminate(docs: DataFrame, isEval: Column, k: Int = 8): DataFrame = {
+    val sh = Dedup.sharedShingles(docs, k) // (doc_id, shingle: long)
+    val evalIds = docs.where(isEval).select("doc_id")
+    val evalShingles = sh.join(evalIds, Seq("doc_id"), "left_semi")
+      .select("shingle").distinct()
+    val contaminated = sh.join(evalIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    docs.where(not(isEval))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** p03: deterministic train/val/test split + per-source quota sample.
+    *
+    * The split is a pure function of the document id (salted portable
+    * 60-bit md5 hash, bucket = hash mod 100) — reproducible across engines,
+    * runs, and partitionings, which is what makes a split auditable; a
+    * `rand()` split is none of those. Zero shuffle: the bucket is computed
+    * in the scan projection.
+    *
+    * The quota sample keeps the `quota` hash-smallest documents per source —
+    * deterministic "random" sampling (the hash order is uncorrelated with
+    * any data order). One exchange on `source`. At 100 TB with few giant
+    * sources, pre-filter by a hash threshold (quota/estimated-count
+    * quantile) before the window so each source's sort sees only
+    * ~quota×slack candidates rather than every row.
+    */
+  def splitSample(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+                  quota: Int = 16, salt: String = "split:"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"trainPct=$trainPct valPct=$valPct must be >= 0 and sum <= 100")
+    val h = Dedup.md5Hash60(concat(lit(salt), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(100L)).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .withColumn("sampled", row_number().over(w) <= quota)
+      .select(col("doc_id"), col("source"), col("bucket"), col("split"), col("sampled"))
+  }
+
+  /** One scrub rule: a Java/RE2-compatible pattern and its replacement
+    * token. Patterns must avoid constructs RE2 lacks (backrefs, lookaround)
+    * so the same rule runs verbatim in engines like DuckDB for auditing. */
+  final case class ScrubRule(pattern: String, replacement: String)
+
+  /** PII-shaped default rules: email, NANP-style phone, dotted IPv4. */
+  val piiRules: Seq[ScrubRule] = Seq(
+    ScrubRule("[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ScrubRule("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ScrubRule("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** p04: pattern scrubbing/redaction — replace every match of every rule,
+    * and count the matches (counted per-rule against the SOURCE text, so
+    * n_redacted is independent of rule order; replacements apply
+    * sequentially). Zero shuffle: one scan-local projection, all regex work
+    * inside whole-stage codegen — at 100 TB this runs at scan speed.
+    */
+  def scrub(docs: DataFrame, rules: Seq[ScrubRule] = piiRules): DataFrame = {
+    require(rules.nonEmpty, "at least one scrub rule required")
+    val n = rules.map(r => regexp_count(col("text"), lit(r.pattern)))
+      .reduce(_ + _)
+    val scrubbed = rules.foldLeft(col("text")) { (c, r) =>
+      regexp_replace(c, r.pattern, r.replacement)
+    }
+    docs.select(col("doc_id"), scrubbed.as("scrubbed"),
+      n.cast("int").as("n_redacted"))
+  }
+
+  /** p05: sequence packing by token budget — concat-and-chunk assignment of
+    * documents to fixed-budget training sequences. Documents are laid out in
+    * doc_id order within a (source, shard) cell; each document's
+    * `tok_offset` is the token count before it, and it joins the sequence
+    * its first token lands in (`seq_id = tok_offset div budget`) — the
+    * standard "concatenate then split every `budget` tokens" batching, as a
+    * deterministic relational operator.
+    *
+    * Scale shape: one exchange on (source, shard). The shard key caps the
+    * window partition at `shardDocs` documents BY CONSTRUCTION — packing is
+    * embarrassingly parallel across shards and never needs a global order,
+    * which is what makes this hold at 100 TB where a single corpus-wide
+    * running sum would serialize.
+    */
+  def packSequences(docs: DataFrame, budget: Int = 512,
+                    shardDocs: Int = 1000): DataFrame = {
+    require(budget >= 1 && shardDocs >= 1,
+      s"budget=$budget and shardDocs=$shardDocs must be >= 1")
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("source"),
+        floor(col("doc_id") / lit(shardDocs)).cast("long").as("shard"),
+        TextFns.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("tok_offset") / lit(budget)).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("tok_offset"), col("seq_id"))
+  }
+}

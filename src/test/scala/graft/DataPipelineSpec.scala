@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.DataPipeline
+import graft.functions.TextFns
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data curation operators: decontamination, deterministic
+  * split/sample, scrubbing, sequence packing — correctness invariants plus
+  * the plan shapes that make each hold at 100 TB. */
+class DataPipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val docs = tables.documents
+  private val isEval = col("doc_id") % 10 === 0
+
+  test("p02: a training doc sharing an 8-gram with the eval set is dropped") {
+    // plant a train-side copy of an eval doc (doc 0 is eval: 0 % 10 == 0)
+    val planted = docs.where(col("doc_id") === 0)
+      .select(lit(9001L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val corpus = docs.unionByName(planted)
+    val out = DataPipeline.decontaminate(corpus, isEval).select("doc_id")
+      .as[Long].collect().toSet
+    assert(!out.contains(9001L), "planted eval copy must be decontaminated away")
+    assert(!out.contains(0L), "eval docs are never part of the training output")
+  }
+
+  test("p02: hash-shingle survivors equal string-shingle survivors") {
+    // recompute with shingle STRINGS (no xxhash64) — cross-checks the
+    // 64-bit identity layer the operator joins on
+    val sh = docs.select(col("doc_id"),
+      explode(TextFns.shingles(col("text"), 8)).as("shingle"))
+    val evalSh = sh.where(col("doc_id") % 10 === 0).select("shingle").distinct()
+    val contaminated = sh.where(col("doc_id") % 10 =!= 0)
+      .join(evalSh, Seq("shingle"), "left_semi").select("doc_id").distinct()
+    val expected = docs.where(col("doc_id") % 10 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    val got = DataPipeline.decontaminate(docs, isEval).select("doc_id")
+      .as[Long].collect().toSet
+    assert(got === expected)
+  }
+
+  test("p02 plan: eval shingles broadcast; the corpus is never sort-merge joined") {
+    val df = DataPipeline.decontaminate(docs, isEval)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"eval shingle set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p03: split is a pure function of doc_id (portable md5 fold) and covers all rows") {
+    val out = DataPipeline.splitSample(docs)
+      .select("doc_id", "source", "bucket", "split", "sampled")
+      .as[(Long, String, Int, String, Boolean)].collect()
+    assert(out.length === docs.count())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (id, _, bucket, split, _) =>
+      val hex = md.digest(s"split:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) // 60 bits, fits
+      assert(bucket === (h % 100).toInt, s"doc $id")
+      val expected = if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(split === expected, s"doc $id")
+    }
+    // determinism: a second run is bit-identical
+    val again = DataPipeline.splitSample(docs)
+      .select("doc_id", "source", "bucket", "split", "sampled")
+      .as[(Long, String, Int, String, Boolean)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("p03: per-source quota is respected and hash-smallest docs win") {
+    val quota = 3
+    val out = DataPipeline.splitSample(docs, quota = quota)
+    val perSource = out.where(col("sampled")).groupBy("source").count()
+      .as[(String, Long)].collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (src, n) => assert(n <= quota, src) }
+    // a source with >= quota docs samples exactly quota
+    val counts = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    perSource.foreach { case (src, n) =>
+      assert(n === math.min(quota, counts(src)), src)
+    }
+  }
+
+  test("p04: rules replace matches and count them against the source text") {
+    val rules = Seq(DataPipeline.piiRules.head,
+      DataPipeline.ScrubRule("\\bcustomer\\b", "<NAME>"))
+    val out = DataPipeline.scrub(docs, rules)
+      .as[(Long, String, Int)].collect()
+    val src = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val term = "\\bcustomer\\b".r
+    var total = 0
+    out.foreach { case (id, scrubbed, n) =>
+      val expected = src(id)
+        .replaceAll(DataPipeline.piiRules.head.pattern, "<EMAIL>")
+        .replaceAll("\\bcustomer\\b", "<NAME>")
+      assert(scrubbed === expected, s"doc $id")
+      assert(n === term.findAllIn(src(id)).size, s"doc $id") // emails: 0 here
+      total += n
+    }
+    assert(total > 0, "the term rule must actually fire on this corpus")
+    assert(out.forall(r => term.findFirstIn(r._2).isEmpty), "no match survives")
+  }
+
+  test("p04 plan: scrubbing is scan-local (zero exchanges)") {
+    val df = DataPipeline.scrub(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"scrub must not shuffle:\n$p")
+  }
+
+  test("p05: offsets are running sums within (source, shard) and bins follow the budget") {
+    val budget = 64
+    val out = DataPipeline.packSequences(docs, budget = budget, shardDocs = 20)
+      .as[(Long, String, Long, Int, Long, Long)].collect()
+    assert(out.length === docs.count())
+    out.groupBy(r => (r._2, r._3)).foreach { case ((src, shard), rows) =>
+      val sorted = rows.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (id, _, sh, nTok, off, seq) =>
+        assert(sh === id / 20, s"doc $id shard")
+        assert(off === cum, s"doc $id offset in ($src,$shard)")
+        assert(seq === off / budget, s"doc $id seq_id")
+        cum += nTok
+      }
+    }
+  }
+
+  test("p05 plan: one exchange (the per-shard window), bounded by construction") {
+    val df = DataPipeline.packSequences(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"packing must shuffle once, on (source, shard):\n$p")
+  }
+}
