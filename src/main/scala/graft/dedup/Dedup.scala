@@ -124,19 +124,30 @@ object Dedup {
   def ngramJaccardPairsOf(sh: DataFrame, threshold: Double = 0.8): DataFrame = {
     val num = math.round(threshold * 1e6) // τ as an exact /1e6 rational
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // rank each doc's shingles rare-first in ONE pass (row_number + count
+    // share one doc_id exchange); keep the first p = n − α + 1,
+    // α = ceil(n·num/1e6) in exact integer arithmetic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     val prefixes = sh.join(freq, "shingle")
-      .groupBy(col("doc_id"))
-      // rare-first consistent order: (document frequency, shingle hash)
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
-      .select(col("doc_id"), expr(
-        // p = n − α + 1, α = ceil(n·num/1e6) in integer arithmetic
-        s"slice(ranked.shingle, 1, size(ranked) - ((size(ranked) * ${num}L + 999999L) div 1000000L) + 1)"
-      ).as("prefix"))
-      .select(col("doc_id"), explode(col("prefix")).as("shingle"))
-    val cand = prefixes.select(col("doc_id").as("d1"), col("shingle"))
-      .join(prefixes.select(col("doc_id").as("d2"), col("shingle")), "shingle")
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+      .select(col("doc_id"), col("shingle"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+      .where(expr(s"rn <= n - ((n * ${num}L + 999999L) div 1000000L) + 1"))
+    // candidate pairs straight off the inverted prefix index: group the
+    // (rare, so short) per-shingle posting lists and emit ordered pairs.
+    // One shuffle on the shingle — and, unlike a prefix self-join, the
+    // prefix pipeline runs ONCE (a self-join re-executes its subtree on
+    // both sides; measured 2× the freq agg + doc ranking at sf0.1).
+    val cand = prefixes.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS d1, y AS d2))))"
+      )).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
     jaccardOf(cand, sh).filter(col("jaccard") >= threshold)
   }
 
