@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, round, sum}
+import org.apache.spark.sql.functions.{col, concat_ws, count, round, sum}
 import graft.operators.{Relational, Relational2, Relational3, Temporal, TextQueries}
 import graft.dedup.Dedup
 import graft.similarity.Knn
@@ -94,6 +94,13 @@ object SparkEntry {
     "d06_embedding_dup_ivf" -> ((s, d) => Dedup.embeddingDupPairsIvf(t(s, d).embeddings)),
     "s01_knn_brute"       -> ((s, d) => Knn.bruteForce(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
+    // the library surface returns qvec: array<tinyint>; the registered query
+    // serializes it to CSV because the driver's hash compare (like any
+    // row-hash harness) needs scalar cells
+    "s03_quantize"        -> ((s, d) => graft.similarity.Quantize.quantized(t(s, d).embeddings)
+                               .select(col("vec_id"), col("scale"),
+                                 concat_ws(",", org.apache.spark.sql.functions.transform(
+                                   col("qvec"), q => q.cast("string"))).as("qvec_csv"))),
     "t01_token_stats"     -> ((s, d) => TextQueries.t01TokenStats(t(s, d))),
     "t04_fingerprint"     -> ((s, d) => {
       graft.plans.GraftExtensions.register(s)
@@ -534,6 +541,17 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
         |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // s03: floor(x/scale + 0.5) instead of round() — IEEE floor is
+    // bit-identical across engines while round()'s half-way rule is not,
+    // so the int8 bytes hash-match exactly.
+    "s03_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |  FROM e)
+        |SELECT vec_id, scale,
+        | array_to_string(list_transform(v, x -> CAST(floor(x / scale + 0.5) AS TINYINT)), ',') AS qvec_csv
+        |FROM s""".stripMargin,
     "t01_token_stats" ->
       """SELECT doc_id,
         | CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
