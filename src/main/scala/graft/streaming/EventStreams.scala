@@ -81,6 +81,21 @@ object EventStreams {
       .select(col("error_id"), col("e_user").as("user_id"), col("e_ts"), col("p_ts"), col("value"))
   }
 
+  /** Exactly-once-per-id event stream: drops re-deliveries of an event_id
+    * arriving within the watermark horizon — the streaming counterpart of
+    * d01 exact dedup, and the idempotence layer an at-least-once upstream
+    * needs (the reference re-streams records wholesale when a container
+    * retries an epoch, `container/HboxContainer.java:1158-1199`; a
+    * downstream consumer sees duplicates unless something holds this line).
+    *
+    * State is per-id but watermark-BOUNDED: `dropDuplicatesWithinWatermark`
+    * evicts an id's tombstone once the watermark passes its event time, so
+    * state ∝ ids-per-horizon, not all-time ids — a plain streaming
+    * `dropDuplicates` would grow forever. At 100 TB/day the horizon is the
+    * knob: it must cover the upstream's maximum re-delivery lag only. */
+  def dedupedEvents(events: DataFrame, horizon: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
+
   final case class SessionFlush(user_id: Long, n_events: Int,
                                 total_value: Double, evicted: Boolean)
 

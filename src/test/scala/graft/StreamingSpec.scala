@@ -55,6 +55,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("00:00") === 1L, "late row must not be counted")
   }
 
+  test("streaming dedup drops within-horizon re-deliveries and evicts state after") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupedEvents(mem.toDF())
+      .writeStream.format("memory").queryName("stream_dedup").outputMode("append").start()
+    // same-batch duplicate + cross-batch re-delivery, both within the horizon
+    mem.addData(Event(1, ts(10), 1, "click", 1.0), Event(1, ts(10), 1, "click", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts(12), 1, "click", 1.0), Event(2, ts(20), 2, "view", 2.0))
+    q.processAllAvailable()
+    // advance the watermark (10:00 − 2 h = 08:00) far past id 1's tombstone…
+    mem.addData(Event(3, ts(600), 1, "click", 3.0))
+    q.processAllAvailable()
+    // …so a post-horizon re-delivery of id 1 passes again: state was evicted,
+    // which is exactly the bounded-state contract (ids-per-horizon, not
+    // all-time ids)
+    mem.addData(Event(1, ts(620), 1, "click", 9.0))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("stream_dedup").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.count(_ == 1L) === 2, "id 1: once deduped, once after eviction")
+    assert(ids.count(_ == 2L) === 1)
+    assert(ids.count(_ == 3L) === 1)
+    assert(ids.length === 4)
+  }
+
   test("sliding windows double-count each event across overlaps, stream == batch") {
     implicit val sql = spark.sqlContext
     val events = Seq(
