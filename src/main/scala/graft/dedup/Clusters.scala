@@ -1,0 +1,92 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** d07: duplicate-cluster resolution — pairs are only half of dedup.
+  *
+  * d02/d03/d04 emit near-dup *pairs*; an actual corpus clean needs the
+  * transitive closure of those pairs (if A~B and B~C, keep exactly one of
+  * {A,B,C}), i.e. connected components of the pair graph, with one canonical
+  * keeper per component. The reference leaves this entirely to user scripts
+  * around its record streams (`container/HboxContainer.java:1142-1209`);
+  * here it is a first-class, oracle-checked operator.
+  *
+  * Scale shape: the label table holds only documents that appear in at least
+  * one pair — a small fraction of the corpus (the corpus itself is never
+  * shuffled here). Each round is two hash joins + one aggregation, all
+  * shuffling the (id, comp) pairs; min-label propagation alone needs
+  * O(diameter) rounds, so every round also path-compresses (comp :=
+  * comp(comp), the pointer-jumping step of Kiveris et al.'s "Connected
+  * Components in MapReduce" family), which cuts convergence to
+  * O(log diameter): 50 rounds covers any component a real corpus can
+  * produce. Convergence is detected, not assumed — and non-convergence
+  * throws instead of returning wrong clusters.
+  */
+object Clusters {
+
+  /** Connected components over an undirected edge list (columns d1, d2).
+    * Returns (id, comp) for every endpoint, comp = smallest id in the
+    * component.
+    *
+    * Invariant: comp(id) is always the id of some node reachable from id and
+    * never increases, so the fixpoint is exactly the component minimum; at
+    * the fixpoint comp is edge-constant (comp(a) ≤ comp(b) both ways), and
+    * the component's minimum node pins the shared value to itself. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true) // eager: truncates lineage at every round
+    var converged = labels.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // relax: comp := min(comp, neighbors' comp) — one join + one agg
+      val viaEdges = labels.join(edges, col("id") === col("a"))
+        .select(col("b").as("id"), col("comp"))
+      val relaxed = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+      // compress: comp := comp(comp) — comp values are node ids, and
+      // comp(comp) ≤ comp by monotonicity, so this only ever jumps downhill
+      val next = relaxed.as("x")
+        .join(relaxed.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
+          col("x.comp") === col("y.cid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.comp") < col("o.comp")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (compression makes rounds logarithmic in diameter)")
+    labels
+  }
+
+  /** d07: near-dup clusters of a document corpus — MinHash-LSH pairs (the
+    * at-scale candidate path, see [[Dedup.minHashLshPairs]]) closed under
+    * transitivity. One row per document that has at least one near-dup:
+    * its cluster id (= smallest doc_id in the cluster), the cluster size,
+    * and `keep` marking the one canonical document per cluster. A corpus
+    * clean keeps every unpaired document plus the `keep` rows. */
+  def dupClusters(docs: DataFrame, threshold: Double = 0.8,
+                  bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(docs, threshold, bands, rowsPerBand, k)
+      .select(col("d1"), col("d2"))
+    connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+}
