@@ -92,6 +92,7 @@ object SparkEntry {
     // approximate by design (recall spec'd vs d05 in DedupSpec, like s02):
     // rows-only driver check, no SQL oracle
     "d06_embedding_dup_ivf" -> ((s, d) => Dedup.embeddingDupPairsIvf(t(s, d).embeddings)),
+    "d07_dup_clusters"    -> ((s, d) => graft.dedup.Clusters.dupClusters(t(s, d).documents)),
     "s01_knn_brute"       -> ((s, d) => Knn.bruteForce(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
@@ -493,6 +494,24 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
+    // d07: connected components of the d03 pair set (== the d02/d03 oracle
+    // pair set) via recursive min-label propagation — every node's comp
+    // candidates are all nodes reachable from it; min = the component
+    // minimum. The UNION (distinct) bounds the walk; components in a real
+    // corpus are tiny, so the CTE closes quickly.
+    "d07_dup_clusters" ->
+      s"""WITH RECURSIVE
+         |nd AS ($ngramJaccardSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM nd UNION SELECT d2, d1 FROM nd),
+         |walk(id, comp) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id),
+         |cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | doc_id = cluster_id AS keep
+         |FROM cc""".stripMargin,
     // d04: the portable md5Hash60 token hash exists exactly so this oracle
     // can reproduce SimHash end-to-end: md5 prefix → 60-bit int (hex digits
     // folded with shifts), per-bit ±1 votes over the token multiset, 4×15-bit

@@ -12,7 +12,9 @@ import org.apache.spark.storage.StorageLevel
   * {A,B,C}), i.e. connected components of the pair graph, with one canonical
   * keeper per component. The reference leaves this entirely to user scripts
   * around its record streams (`container/HboxContainer.java:1142-1209`);
-  * here it is a first-class, oracle-checked operator.
+  * here it is a first-class operator: registered as `d07_dup_clusters`,
+  * oracle-checked against a DuckDB recursive-CTE min-label propagation,
+  * and round-count/convergence spec'd (ClustersSpec).
   *
   * Scale shape: the label table holds only documents that appear in at least
   * one pair — a small fraction of the corpus (the corpus itself is never
@@ -23,19 +25,29 @@ import org.apache.spark.storage.StorageLevel
   * Components in MapReduce" family), which cuts convergence to
   * O(log diameter): 50 rounds covers any component a real corpus can
   * produce. Convergence is detected, not assumed — and non-convergence
-  * throws instead of returning wrong clusters.
+  * throws instead of returning wrong clusters. Each round runs exactly ONE
+  * blocking materialization (the eager localCheckpoint); the changed-row
+  * check is a count over the already-checkpointed blocks, not a second
+  * join pipeline.
   */
 object Clusters {
 
   /** Connected components over an undirected edge list (columns d1, d2).
     * Returns (id, comp) for every endpoint, comp = smallest id in the
-    * component.
+    * component. See [[connectedComponentsWithRounds]]. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds the fixpoint loop
+    * ran (the convergence-detecting final round included) — pointer
+    * jumping makes this ≤ ⌈log₂ diameter⌉ + 1, which ClustersSpec pins on
+    * a planted path graph.
     *
     * Invariant: comp(id) is always the id of some node reachable from id and
     * never increases, so the fixpoint is exactly the component minimum; at
     * the fixpoint comp is edge-constant (comp(a) ≤ comp(b) both ways), and
     * the component's minimum node pins the shared value to itself. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
@@ -47,22 +59,32 @@ object Clusters {
     var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      // relax: comp := min(comp, neighbors' comp) — one join + one agg
+      // relax: comp := min(comp, neighbors' comp) — one join + one agg.
+      // The previous label rides along (`prev`): every edge endpoint is in
+      // `labels`, so each id-group has exactly one non-null prev, and the
+      // convergence check below never needs a second join against `labels`.
       val viaEdges = labels.join(edges, col("id") === col("a"))
-        .select(col("b").as("id"), col("comp"))
-      val relaxed = labels.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .select(col("b").as("id"), col("comp"), lit(null).cast("long").as("prev"))
+      val relaxed = labels.select(col("id"), col("comp"), col("comp").as("prev"))
+        .unionByName(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("comp")).as("comp"), min(col("prev")).as("prev"))
+        // read twice by the compress self-join below — persist so the
+        // relax pipeline (join + agg) runs once per round, not twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // compress: comp := comp(comp) — comp values are node ids, and
       // comp(comp) ≤ comp by monotonicity, so this only ever jumps downhill
       val next = relaxed.as("x")
         .join(relaxed.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
           col("x.comp") === col("y.cid"), "left")
         .select(col("x.id").as("id"),
-          coalesce(col("y.ccomp"), col("x.comp")).as("comp"))
-        .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.comp") < col("o.comp")).isEmpty
-      labels = next
+          coalesce(col("y.ccomp"), col("x.comp")).as("comp"),
+          col("x.prev").as("prev"))
+        .localCheckpoint(true) // the round's ONE blocking materialization
+      relaxed.unpersist(blocking = false)
+      // cheap scan of the checkpointed blocks — no joins, no recompute
+      converged = next.where(col("comp") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     edges.unpersist(blocking = false)
@@ -70,7 +92,7 @@ object Clusters {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter (compression makes rounds logarithmic in diameter)")
-    labels
+    (labels, iter)
   }
 
   /** d07: near-dup clusters of a document corpus — MinHash-LSH pairs (the
@@ -78,7 +100,8 @@ object Clusters {
     * transitivity. One row per document that has at least one near-dup:
     * its cluster id (= smallest doc_id in the cluster), the cluster size,
     * and `keep` marking the one canonical document per cluster. A corpus
-    * clean keeps every unpaired document plus the `keep` rows. */
+    * clean keeps every unpaired document plus the `keep` rows — see
+    * [[dedupByClusters]]. */
   def dupClusters(docs: DataFrame, threshold: Double = 0.8,
                   bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
     val pairs = Dedup.minHashLshPairs(docs, threshold, bands, rowsPerBand, k)
@@ -89,4 +112,15 @@ object Clusters {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
+
+  /** Corpus clean by cluster resolution: keep every document that has no
+    * near-dup plus the one canonical keeper per cluster. Unlike dropping
+    * each pair's larger id (the p01 shape — correct only when every
+    * follower is directly paired with its keeper), this is transitively
+    * correct: A~C and B~C with no A~B pair still collapses {A,B,C} to A.
+    * One anti join on doc_id; the corpus is never shuffled. */
+  def dedupByClusters(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(!col("keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.dedup.{Clusters, Dedup}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClustersSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("connected components close a planted A~B~C chain transitively") {
+    // no direct A~C edge: only transitivity can put all three in one cluster
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val got = Clusters.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("pointer jumping converges in <= ceil(log2 diameter) + 1 rounds on a path graph") {
+    // path 0-1-…-15: diameter 15, the worst shape for pure min-propagation
+    // (15 rounds); compression must close it in ceil(log2 15) + 1 = 5
+    val path = (0L until 15L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = Clusters.connectedComponentsWithRounds(path)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 16)
+    assert(got.forall(_._2 == 0L), s"not all labels reached the minimum: ${got.toSeq}")
+    assert(rounds <= 5, s"pointer jumping regressed: $rounds rounds for diameter 15")
+  }
+
+  test("non-convergence throws instead of returning wrong clusters") {
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      Clusters.connectedComponentsWithRounds(path, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("empty pair set yields empty clusters without running the loop") {
+    val none = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Clusters.connectedComponents(none).count() === 0L)
+  }
+
+  test("d07 over the corpus: canonical keeper = min id, sizes consistent, pairs covered") {
+    val clusters = Clusters.dupClusters(tables.documents).collect()
+    assert(clusters.nonEmpty, "test corpus should contain planted near-dups")
+    val byCluster = clusters.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_.getAs[Long]("doc_id"))
+      assert(ids.min === cid, s"cluster $cid: keeper is not the min id")
+      assert(members.forall(_.getAs[Long]("cluster_size") === ids.length.toLong))
+      // exactly one keeper per cluster, and it is the cluster id
+      val keepers = members.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id"))
+      assert(keepers.toSeq === Seq(cid))
+      assert(ids.length >= 2, s"cluster $cid: a clustered doc must have a near-dup")
+    }
+    // every LSH pair's endpoints share a cluster (closure covers the pairs)
+    val comp = clusters.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    Dedup.minHashLshPairs(tables.documents).select("d1", "d2").collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(comp(a) === comp(b), s"pair ($a,$b) split across clusters")
+      }
+  }
+
+  test("dedupByClusters keeps exactly the unpaired docs plus one keeper per cluster") {
+    val docs = tables.documents
+    val clusters = Clusters.dupClusters(docs)
+    val cleaned = Clusters.dedupByClusters(docs, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = clusters.collect()
+    val paired = rows.map(_.getAs[Long]("doc_id")).toSet
+    val keepers = rows.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("doc_id")).toSet
+    assert(cleaned === (all -- paired) ++ keepers)
+    assert(cleaned.size < all.size, "planted near-dups must shrink the corpus")
+  }
+}
