@@ -20,8 +20,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     // Tables — without the memo each invocation re-pays footer I/O per
     // table touched (and registerViews pays it ×10). The cached object is
     // an immutable logical plan; Tables.invalidate drops it if the files
-    // under `dir` are rewritten mid-session.
-    Tables.relCache.computeIfAbsent((spark, dir, name), _ => load(name))
+    // under `dir` are rewritten mid-session. SessionCaches reclaims the
+    // entries when the session's application ends.
+    Tables.relCache.getOrElseUpdate(spark, (dir, name))(load(name))
 
   private def load(name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
@@ -53,7 +54,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     * (session, dir): re-registration is skipped unless the session's views
     * currently point at a different dir. */
   def registerViews(): Unit =
-    if (Tables.lastViews.put(spark, dir) != dir)
+    if (!Tables.lastViews.put(spark, (), dir).contains(dir))
       Tables.names.foreach(n => table(n).createOrReplaceTempView(n))
 }
 
@@ -62,17 +63,13 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  private val relCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-  private val lastViews =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  private val relCache = new SessionKeyedCache[(String, String), DataFrame]()
+  private val lastViews = new SessionKeyedCache[Unit, String]()
 
   /** Drop memoized relations/views for `spark` (e.g. after rewriting the
     * files under a dir this session already read). */
   def invalidate(spark: SparkSession): Unit = {
-    val it = relCache.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
-    lastViews.remove(spark)
-    ()
+    relCache.purgeSession(Some(spark), None)
+    lastViews.purgeSession(Some(spark), None)
   }
 }

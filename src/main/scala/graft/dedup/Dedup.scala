@@ -38,24 +38,21 @@ object Dedup {
     * them one shared cache entry instead of three persist() attempts on
     * plan-identical frames (the CacheManager "already cached" warning), and
     * gives the cache lifecycle a single owner: call [[releaseShingles]]
-    * after the terminal action of the last consumer. */
+    * after the terminal action of the last consumer. Registered with
+    * [[graft.SessionCaches]], so a forgotten release is reclaimed when the
+    * session's application ends instead of leaking the persisted frames. */
   private val shingleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Int), DataFrame]()
+    new graft.SessionKeyedCache[(Int, Int), DataFrame](_.unpersist(blocking = false))
 
   /** The memoized, persisted shingle set for `docs` (see [[shingleMemo]]). */
   def sharedShingles(docs: DataFrame, k: Int = 3): DataFrame =
-    shingleMemo.computeIfAbsent(
-      (docs.sparkSession, docs.queryExecution.analyzed.semanticHash(), k),
-      _ => shingleSets(docs, k).persist())
+    shingleMemo.getOrElseUpdate(
+      docs.sparkSession, (docs.queryExecution.analyzed.semanticHash(), k))(
+      shingleSets(docs, k).persist())
 
   /** Unpersist and drop every shingle set memoized under `spark`. */
-  def releaseShingles(spark: SparkSession): Unit = {
-    val it = shingleMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) { e.getValue.unpersist(blocking = false); it.remove() }
-    }
-  }
+  def releaseShingles(spark: SparkSession): Unit =
+    shingleMemo.purgeSession(Some(spark), None)
 
   /** Exploded distinct shingle sets, keyed by xxhash64 of the shingle:
     * (doc_id, shingle: long). Joining/counting on the 8-byte hash instead of

@@ -63,7 +63,7 @@ object Knn {
     * (keyed by the corpus plan's semantic hash — a re-read of the same
     * data reuses the model; a different corpus trains its own). */
   private val models =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int, Int), Array[Array[Double]]]()
+    new graft.SessionKeyedCache[(Int, Int), Array[Array[Double]]]()
 
   /** Train an IVF model: nCells Lloyd centroids over the embedding column.
     * One codegen'd job per iteration; only k×dims doubles reach the driver. */
@@ -71,10 +71,8 @@ object Knn {
     MlOps.kmeansCenters(emb, nCells, maxIter)
 
   /** Drop every model fitted under `spark` (e.g. between corpora in tests). */
-  def clearIvfModels(spark: SparkSession): Unit = {
-    val it = models.keySet().iterator()
-    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
-  }
+  def clearIvfModels(spark: SparkSession): Unit =
+    models.purgeSession(Some(spark), None)
 
   /** s02: IVF top-k — bucket corpus by nearest KMeans centroid, probe the
     * nProbe closest cells per query. Approximate (recall < 1 when the true
@@ -84,8 +82,9 @@ object Knn {
     * centers. */
   def ivf(emb: DataFrame, queryPred: String = "vec_id < 10",
           k: Int = 5, nProbe: Int = 3, nCells: Int = 10): DataFrame = {
-    val key = (emb.sparkSession, emb.queryExecution.analyzed.semanticHash(), nCells)
-    val centers = models.computeIfAbsent(key, _ => trainIvf(emb, nCells))
+    val centers = models.getOrElseUpdate(
+      emb.sparkSession, (emb.queryExecution.analyzed.semanticHash(), nCells))(
+      trainIvf(emb, nCells))
     ivfServe(emb, centers, queryPred, k, nProbe)
   }
 
