@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Middle element (mean of the middle two for even n). */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // one load-contaminated sample poisons trend tracking (round 5's 116.7 s
+    // recording vs 38 s re-measured); n>=3 with the per-query MEDIAN is
+    // robust to a transient external-load spike landing on any single rep
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,22 +29,42 @@ object Bench {
       val t = Tables(spark, sfDir)
       t.documents.count(); t.embeddings.count(); t.events.count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false
+    // the shared shingle set (d02/d03/d07/p01 all reuse one persisted frame)
+    // is timed as its own entry so its one-time materialization isn't
+    // charged to whichever consumer happens to run first
+    val names = "_shared_shingles" +: SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    for (_ <- 1 to reps) {
+      // reps are independent: drop the session memos so every rep re-pays
+      // (and the pseudo entry re-captures) shingle + IVF materialization
+      graft.dedup.Dedup.releaseShingles(spark)
+      graft.similarity.Knn.clearIvfModels(spark)
+      for (name <- names) {
+        val t0 = System.nanoTime()
+        val ok = try {
+          if (name == "_shared_shingles")
+            graft.dedup.Dedup.sharedShingles(Tables(spark, sfDir).documents).count()
+          else SparkEntry.queries(name)(spark, sfDir).count()
+          true
+        } catch {
+          case e: Throwable => System.err.println(s"BENCH FAIL $name: $e"); false
+        }
+        // a failed rep records -1 so it can never read as a fast success
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        samples(name) = samples.getOrElse(name, Vector.empty) :+ sec
       }
-      // a failed query records -1 so it can never read as a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // lifecycle-own the session caches the dedup/ANN paths registered
-    graft.dedup.Dedup.releaseShingles(spark)
-    graft.similarity.Knn.clearIvfModels(spark)
+    SessionCaches.release(spark)
+    // any failed rep poisons that query's median (-1): a breakage can never
+    // read as a speedup to a consumer of the per-query value
+    val results = names.map { n =>
+      val xs = samples(n)
+      n -> (if (xs.exists(_ < 0)) -1.0 else median(xs))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    // any failure poisons the headline value (-1): a breakage can never
-    // read as a speedup to a consumer of "value" alone
+    // any failure poisons the headline value (-1) for the same reason
     val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
     // split headline (SURVEY §8.3): d02/d05 are *declared* exact oracle
     // baselines users must never run at scale — report the production-path
@@ -42,7 +74,7 @@ object Bench {
       else results.collect { case (k, v) if baselineQs(k) => v }.sum
     val production = if (failed.nonEmpty) -1.0 else total - baseline
     val failedJs = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","production_sec":$production,"baseline_sec":$baseline,"failed":$failedJs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"failed":$failedJs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
