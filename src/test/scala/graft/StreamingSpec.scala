@@ -81,6 +81,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.length === 4)
   }
 
+  test("streaming dedup equals batch dropDuplicates on closed within-horizon input") {
+    // the SURVEY §5 streaming-oracle method: over a CLOSED input whose
+    // re-deliveries all land inside the watermark horizon, the streaming
+    // operator's output set must equal the batch dropDuplicates of the same
+    // rows — the semantic the docstring promises ("exactly-once-per-id")
+    implicit val sql = spark.sqlContext
+    val uniques = Seq(
+      Event(1, ts(10), 1, "click", 1.0), Event(2, ts(20), 2, "view", 2.0),
+      Event(3, ts(40), 1, "purchase", 3.0), Event(4, ts(55), 3, "click", 4.0))
+    // re-deliveries are byte-identical rows (the at-least-once upstream
+    // contract), spread across batches but inside the 2h horizon
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupedEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_eq").outputMode("append").start()
+    mem.addData(uniques(0), uniques(1), uniques(0))
+    q.processAllAvailable()
+    mem.addData(uniques(2), uniques(1), uniques(3), uniques(2))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("dedup_eq").as[Event].collect().toSet
+    val batch = (uniques ++ Seq(uniques(0), uniques(1), uniques(2)))
+      .toDF().dropDuplicates("event_id").as[Event].collect().toSet
+    assert(streamed === batch, "closed within-horizon input: streaming == batch")
+    assert(streamed === uniques.toSet)
+  }
+
+  test("streaming dedup diverges from batch beyond the horizon — by contract") {
+    // the documented divergence: once the watermark passes an id's event
+    // time its tombstone is evicted, so the same id arriving again WITH A
+    // FRESH EVENT TIME is re-admitted — the streaming output has one more
+    // row than batch dropDuplicates of the same closed input. (A re-delivery
+    // of the byte-identical old row is instead dropped as late — that case
+    // converges with batch and isn't the divergence.) This is the
+    // bounded-state trade the horizon knob buys; pinning it means a silent
+    // semantics change (e.g. swapping in plain dropDuplicates, which never
+    // re-admits but never evicts) fails loudly.
+    implicit val sql = spark.sqlContext
+    val rows = Seq(
+      Event(1, ts(10), 1, "click", 1.0),   // admitted
+      Event(2, ts(600), 2, "view", 2.0),   // advances watermark past ts(10)+2h
+      Event(1, ts(620), 1, "click", 9.0))  // same id, fresh ts: re-admitted
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupedEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_div").outputMode("append").start()
+    rows.foreach { e => mem.addData(e); q.processAllAvailable() }
+    q.stop()
+    val streamedN = spark.table("dedup_div").count()
+    val batchN = rows.toDF().dropDuplicates("event_id").count()
+    assert(batchN === 2)
+    assert(streamedN === 3, "beyond-horizon fresh-ts re-delivery re-admits: streaming = batch + 1")
+  }
+
   test("sliding windows double-count each event across overlaps, stream == batch") {
     implicit val sql = spark.sqlContext
     val events = Seq(
