@@ -211,6 +211,49 @@ object MediaCodecs {
     Some(WavAudio(channels, rate, samples))
   }
 
+  /** Encode interleaved PCM16 samples as a canonical 44-byte-header WAV —
+    * the inverse of [[decodeWav]] (round-trip spec'd in MultimodalSpec). */
+  def encodeWav(a: WavAudio): Array[Byte] = {
+    val dataLen = a.samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    w32(out, 4, 36 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    w32(out, 16, 16); w16(out, 20, 1); w16(out, 22, a.channels)
+    w32(out, 24, a.sampleRate)
+    w32(out, 28, a.sampleRate * a.channels * 2) // byte rate
+    w16(out, 32, a.channels * 2); w16(out, 34, 16)
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    w32(out, 40, dataLen)
+    var i = 0
+    while (i < a.samples.length) { w16(out, 44 + i * 2, a.samples(i) & 0xffff); i += 1 }
+    out
+  }
+
+  /** Encode RGB top-down pixels as PNG through the JDK ImageIO writer.
+    * PNG is lossless, so [[decodeImageIO]] round-trips the pixels exactly —
+    * the image-side inverse that lets fixtures exercise the ImageIO decode
+    * path without shipping binary blobs. */
+  def encodePng(img: BmpImage): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      img.width, img.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        bi.setRGB(x, y,
+          ((img.rgb(s) & 0xff) << 16) | ((img.rgb(s + 1) & 0xff) << 8) | (img.rgb(s + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
   /** Mean absolute amplitude — a real audio feature. */
   def meanAbsAmplitude(a: WavAudio): Double =
     if (a.samples.isEmpty) 0.0

@@ -42,6 +42,46 @@ object Multimodal {
         // long to match Sources.binaryFiles' meta schema (file lengths)
         col("n_chars").cast("long").as("content_length")).as("meta"))
 
+  /** Deterministic REAL-media corpus derived from a text corpus: each
+    * document re-materializes as a valid BMP / WAV / PNG payload (cycling on
+    * doc_id) whose pixels/samples derive from the document's text bytes and
+    * whose dimensions/length derive from its doc_id. This is the m02 driver
+    * fixture: DuckDB can't decode media, so the m02 row is a rows+schema
+    * check whose decoded VALUES are pinned by MultimodalSpec (the same
+    * honest pattern as d06/s02) — unlike m01, whose oracle covers only the
+    * byte-stub features of a text/plain corpus, every m02 row exercises a
+    * real decoder (byte-parser BMP, RIFF WAV, ImageIO PNG).
+    * Partition-local, zero shuffle: fixture encode is a map over the scan. */
+  def syntheticMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          def b(i: Int): Byte = if (bytes.isEmpty) 0 else bytes(i % bytes.length)
+          (id % 3) match {
+            case 0 =>
+              val w = 4 + (id % 5).toInt; val h = 3 + (id % 4).toInt
+              val rgb = Array.tabulate(w * h * 3)(b)
+              (id, "image/bmp", MediaCodecs.encodeBmp(MediaCodecs.BmpImage(w, h, rgb)))
+            case 1 =>
+              val n = 160 + (id % 100).toInt * 2
+              val samples = Array.tabulate(n)(i =>
+                ((b(2 * i) & 0xff) | ((b(2 * i + 1) & 0x3f) << 8)).toShort)
+              (id, "audio/wav", MediaCodecs.encodeWav(MediaCodecs.WavAudio(1, 8000, samples)))
+            case _ =>
+              val w = 5 + (id % 4).toInt; val h = 2 + (id % 5).toInt
+              val rgb = Array.tabulate(w * h * 3)(b)
+              (id, "image/png", MediaCodecs.encodePng(MediaCodecs.BmpImage(w, h, rgb)))
+          }
+        }
+      }
+      .toDF("doc_id", "fmt", "payload")
+    rows.select(col("doc_id"), col("payload"),
+      struct(col("fmt").as("format"), lit("synthetic").as("origin"),
+        length(col("payload")).cast("long").as("content_length")).as("meta"))
+  }
+
   /** Byte-level fallback features for payloads whose format needs a codec
     * this container doesn't ship (video: MP4) — and the deterministic
     * checksum every payload gets regardless of format. BMP/JPEG/PNG/WAV

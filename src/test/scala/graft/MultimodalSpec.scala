@@ -142,6 +142,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.sample_rate === -1 && f.width === -1 && f.n_bytes === negLen.length)
   }
 
+  test("WAV: encode/decode round-trips samples, rate and channels") {
+    val a = MediaCodecs.decodeWav(testWav).get
+    val again = MediaCodecs.decodeWav(MediaCodecs.encodeWav(a)).get
+    assert(again.sampleRate === a.sampleRate && again.channels === a.channels)
+    assert(again.samples.sameElements(a.samples))
+    assert(MediaCodecs.encodeWav(a).sameElements(testWav),
+      "canonical header: encode reproduces the fixture byte-for-byte")
+  }
+
+  test("m02: synthetic media corpus exercises every real decode path (driver-row semantics)") {
+    // the m02 driver row is rows+schema only (DuckDB can't decode media) —
+    // this spec pins the decoded VALUES the driver row carries: each doc_id
+    // determines its format, dimensions and sample count by construction
+    val feats = Multimodal.extractFeatures(
+      spark, Multimodal.syntheticMedia(spark, tables.documents.limit(30))).collect()
+    assert(feats.length === 30)
+    feats.foreach { f =>
+      assert(f.sniffed === f.format, s"doc ${f.doc_id}: sniff must agree with declared format")
+      (f.doc_id % 3) match {
+        case 0 => // BMP through the byte parser
+          assert(f.format === "image/bmp")
+          assert(f.width === 4 + (f.doc_id % 5).toInt && f.height === 3 + (f.doc_id % 4).toInt)
+          assert(f.sample_rate === -1)
+        case 1 => // WAV through the RIFF parser
+          val n = 160 + (f.doc_id % 100).toInt * 2
+          assert(f.format === "audio/wav")
+          assert(f.sample_rate === 8000 && f.duration_ms === n * 1000L / 8000)
+          assert(f.mean_amplitude >= 0 && f.width === -1)
+        case _ => // PNG through JDK ImageIO
+          assert(f.format === "image/png")
+          assert(f.width === 5 + (f.doc_id % 4).toInt && f.height === 2 + (f.doc_id % 5).toInt)
+          assert(f.sample_rate === -1)
+      }
+    }
+    // no row fell through to the byte stub: every payload really decoded
+    assert(feats.forall(f => f.width > 0 || f.sample_rate > 0))
+  }
+
   test("frameSample rejects non-positive framing params") {
     intercept[IllegalArgumentException] {
       Multimodal.frameSample(spark, mediaOf(1L -> testWav), frameBytes = 0)
