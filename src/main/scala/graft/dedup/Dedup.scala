@@ -120,6 +120,14 @@ object Dedup {
     * qualifying pairs. */
   def ngramJaccardPairsOf(sh: DataFrame, threshold: Double = 0.8): DataFrame = {
     val num = math.round(threshold * 1e6) // τ as an exact /1e6 rational
+    // the exactness claim below rests on τ really BEING num/1e6: a threshold
+    // that quantizes (1.0/3 → 333333/1e6) would make the prefix fractionally
+    // conservative-or-not depending on rounding direction — reject it
+    // instead of silently substituting the nearest representable value
+    require(num / 1e6 == threshold,
+      s"threshold=$threshold is not exactly a /1e6 rational; the prefix " +
+        s"filter computes ceil(t*n) in exact integer arithmetic at 6 decimal " +
+        s"digits — pass a threshold with at most 6 decimal places (nearest: ${num / 1e6})")
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // rank each doc's shingles rare-first in ONE pass (row_number + count
     // share one doc_id exchange); keep the first p = n − α + 1,

@@ -32,6 +32,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs(0).getDouble(2) === 0.8)
   }
 
+  test("non-/1e6-representable threshold is rejected, not silently quantized") {
+    // 1/3 is representable to 4.7e-8 as a double but NOT as num/1e6; the
+    // prefix filter's exactness claim rests on t == num/1e6, so substituting
+    // the nearest rational silently shifts the boundary — reject instead
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, threshold = 1.0 / 3)
+    }
+    assert(e.getMessage.contains("/1e6 rational"))
+    // representable 6-decimal thresholds still pass (0.333333 = 333333/1e6)
+    Dedup.ngramJaccardPairs(docs, threshold = 0.333333).count()
+  }
+
   test("exact dedup: fingerprints count matches distinct normalized texts") {
     val n = Dedup.exact(tables.documents).count()
     val d = tables.documents
