@@ -415,8 +415,11 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='error') e
         |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type='signup') a
         | ON e.user_id = a.user_id AND e.ts >= a.ts""".stripMargin,
+    // p01's near-dup stage is cluster-resolved (d07 semantics): the oracle
+    // closes the pair graph with the same recursive min-label CTE as d07 and
+    // drops every clustered doc except the component minimum.
     "p01_clean_corpus" ->
-      s"""WITH m AS (
+      s"""WITH RECURSIVE m AS (
          | SELECT doc_id, lang,
          |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
          |  CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nt,
@@ -437,12 +440,18 @@ object SparkEntry {
          | FROM m),
          |fp AS (SELECT min(doc_id) AS keep_id FROM documents
          |       GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
-         |nd AS ($ngramJaccardSql)
+         |nd AS ($ngramJaccardSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM nd UNION SELECT d2, d1 FROM nd),
+         |walk(id, comp) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id),
+         |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
          |SELECT doc_id, lang, guess, n_tokens, quality
          |FROM g
          |WHERE quality >= 0.5 AND guess = 'en'
          | AND doc_id IN (SELECT keep_id FROM fp)
-         | AND doc_id NOT IN (SELECT d2 FROM nd)""".stripMargin,
+         | AND doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)""".stripMargin,
     // p02: 8-gram decontamination (PaLM-style n-gram rule); eval set =
     // doc_id % 10 == 0. Spark joins on xxhash64 shingle identities, the
     // oracle on shingle strings — same set-overlap semantics (the d02/d03

@@ -23,8 +23,12 @@ import org.apache.spark.sql.functions._
 object CorpusPipeline {
 
   /** p01: cleaned corpus — English, quality ≥ `qualityMin`, one survivor per
-    * exact-duplicate group, near-duplicate followers (the larger doc_id of
-    * each pair) dropped. */
+    * exact-duplicate group, near-duplicates CLUSTER-resolved: the LSH pair
+    * graph is closed under transitivity (d07 connected components) and only
+    * each cluster's minimum doc_id survives. Dropping each pair's larger id
+    * instead would be correct only when every follower is directly paired
+    * with its keeper — A~C and B~C with no A~B pair would leave BOTH A and
+    * B in the corpus. */
   def cleanCorpus(t: Tables, qualityMin: Double = 0.5): DataFrame = {
     val docs = t.documents
     // bound metric columns (see TextFns: HOF lambdas must read attributes)
@@ -46,11 +50,17 @@ object CorpusPipeline {
     // explicit about the shared-cache contract: the shingle set comes from
     // the session-scoped registry (one persisted copy shared with d02/d03),
     // released by the session owner via Dedup.releaseShingles
-    val nearDupFollowers = Dedup.minHashLshPairsOf(Dedup.sharedShingles(docs))
-      .select(col("d2").as("doc_id")).distinct()
+    val pairs = Dedup.minHashLshPairsOf(Dedup.sharedShingles(docs))
+      .select(col("d1"), col("d2"))
+    // transitive closure over the pair graph; everything but each cluster's
+    // minimum id is dropped. The label table holds only paired docs — a
+    // small fraction of the corpus — so the CC rounds never touch the scan.
+    val nearDupNonKeepers = graft.dedup.Clusters.connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
     m.filter(col("quality") >= qualityMin && col("guess") === "en")
       .join(exactKeepers, Seq("doc_id"), "left_semi")
-      .join(nearDupFollowers, Seq("doc_id"), "left_anti")
+      .join(nearDupNonKeepers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("guess"), col("n_tokens"), col("quality"))
   }
 }

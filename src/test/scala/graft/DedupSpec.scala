@@ -102,9 +102,17 @@ class DedupSpec extends AnyFunSuite {
     assert(cleaned.forall(_.getAs[String]("guess") == "en"))
     assert(cleaned.forall(_.getAs[Double]("quality") >= 0.5))
     val ids = cleaned.map(_.getAs[Long]("doc_id")).toSet
-    val followers = Dedup.ngramJaccardPairs(tables.documents)
-      .select("d2").collect().map(_.getLong(0)).toSet
-    assert(ids.intersect(followers).isEmpty, "near-dup followers must be dropped")
+    // near-dup removal is CLUSTER-resolved: every clustered doc except each
+    // component's minimum is gone (a strict superset of the pairwise
+    // followers — a doc paired only with larger ids still drops unless it
+    // is the component min)
+    val nonKeepers = graft.dedup.Clusters
+      .connectedComponents(
+        Dedup.ngramJaccardPairs(tables.documents).select("d1", "d2"))
+      .filter(org.apache.spark.sql.functions.col("id") =!=
+        org.apache.spark.sql.functions.col("comp"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.intersect(nonKeepers).isEmpty, "cluster non-keepers must be dropped")
     val keepers = Dedup.exact(tables.documents)
       .select("keep_id").collect().map(_.getLong(0)).toSet
     assert(ids.subsetOf(keepers), "only exact-dup group keepers may survive")
