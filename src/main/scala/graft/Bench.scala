@@ -35,10 +35,10 @@ object Bench {
     val names = "_shared_shingles" +: SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     for (_ <- 1 to reps) {
-      // reps are independent: drop the session memos so every rep re-pays
-      // (and the pseudo entry re-captures) shingle + IVF materialization
-      graft.dedup.Dedup.releaseShingles(spark)
-      graft.similarity.Knn.clearIvfModels(spark)
+      // reps are independent: drop every session memo (shingles, IVF
+      // models, CC labels, relations) so each rep re-pays — and the pseudo
+      // entry re-captures — the shared materializations
+      SessionCaches.release(spark)
       for (name <- names) {
         val t0 = System.nanoTime()
         val ok = try {

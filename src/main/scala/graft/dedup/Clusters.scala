@@ -38,6 +38,21 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
     connectedComponentsWithRounds(pairs, maxIter)._1
 
+  /** Session-scoped memo of computed label tables, keyed by the pair plan's
+    * semantic hash — the [[graft.dedup.Dedup.sharedShingles]] precedent: d07
+    * and the p01 pipeline both close the SAME pair graph, and the fixpoint
+    * loop is a multi-job eager computation worth running once per corpus.
+    * The labels are localCheckpoint-backed (lineage already truncated), so
+    * eviction needs no unpersist — [[graft.SessionCaches]] reclaims entries
+    * when the session's application ends. */
+  private val ccMemo = new graft.SessionKeyedCache[(Int, Int), DataFrame]()
+
+  /** [[connectedComponents]] through the session memo. */
+  def sharedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
+    ccMemo.getOrElseUpdate(
+      pairs.sparkSession, (pairs.queryExecution.analyzed.semanticHash(), maxIter))(
+      connectedComponents(pairs, maxIter))
+
   /** [[connectedComponents]] plus the number of rounds the fixpoint loop
     * ran (the convergence-detecting final round included) — pointer
     * jumping makes this ≤ ⌈log₂ diameter⌉ + 1, which ClustersSpec pins on
@@ -106,7 +121,7 @@ object Clusters {
                   bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
     val pairs = Dedup.minHashLshPairs(docs, threshold, bands, rowsPerBand, k)
       .select(col("d1"), col("d2"))
-    connectedComponents(pairs)
+    sharedComponents(pairs)
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))

@@ -55,7 +55,8 @@ object CorpusPipeline {
     // transitive closure over the pair graph; everything but each cluster's
     // minimum id is dropped. The label table holds only paired docs — a
     // small fraction of the corpus — so the CC rounds never touch the scan.
-    val nearDupNonKeepers = graft.dedup.Clusters.connectedComponents(pairs)
+    // sharedComponents: d07 closes the same graph this session — one run.
+    val nearDupNonKeepers = graft.dedup.Clusters.sharedComponents(pairs)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     m.filter(col("quality") >= qualityMin && col("guess") === "en")
