@@ -115,14 +115,16 @@ object SparkEntry {
     "m01_media_features"  -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.asMedia(t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"))),
-    // m02: the REAL decode paths (BMP byte parser, RIFF WAV, ImageIO PNG)
-    // over the deterministic synthetic-media corpus. DuckDB can't decode
-    // media → no oracleSql entry (rows+schema driver check); the decoded
-    // values are pinned by MultimodalSpec, like d06/s02's recall specs.
+    // m02: the REAL decode paths (BMP byte parser, RIFF WAV, ImageIO PNG,
+    // ISO-BMFF MP4 demux) over the deterministic synthetic-media corpus.
+    // DuckDB can't decode media → no oracleSql entry (rows+schema driver
+    // check); the decoded values are pinned by MultimodalSpec, like
+    // d06/s02's recall specs.
     "m02_decoded_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("sniffed"), col("n_bytes"),
-          col("width"), col("height"), col("sample_rate"), col("duration_ms"))),
+          col("width"), col("height"), col("sample_rate"), col("duration_ms"),
+          col("n_tracks"), col("n_frames"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -5,12 +5,15 @@ package graft.multimodal
   * This is the substance behind Multimodal's decode/resize/frame-sample
   * surface. Two layers:
   *   - pure byte parsing for formats that are plain header+array layouts:
-  *     BMP (24bpp uncompressed) and WAV (PCM16);
+  *     BMP (24bpp uncompressed), WAV (PCM16), and the MP4/ISO-BMFF
+  *     container (box tree + sample tables — the demuxer layer);
   *   - the JDK's `javax.imageio` (part of every standard JDK — no extra
   *     dependency) for JPEG/PNG via [[decodeImageIO]].
-  * Only formats that genuinely need an absent codec (video: MP4) remain
-  * declared byte-level stubs; `sniff` recognizes magic bytes so the
-  * dispatch is honest about which path ran.
+  * The only remaining stub layer is the video codec INSIDE an MP4 sample
+  * (H.264 etc., genuinely absent from the JDK): container metadata and
+  * per-frame byte ranges are decoded for real, the frame payloads stay
+  * opaque. `sniff` recognizes magic bytes so dispatch is honest about
+  * which path ran.
   *
   * Everything here is driver-free per-partition code: codecs are static
   * pure functions called inside `mapPartitions`, no state, no natives.
@@ -32,10 +35,21 @@ object MediaCodecs {
     b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
   }
 
+  // big-endian (network order) readers/writers — ISO-BMFF is big-endian
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def be64(b: Array[Byte], o: Int): Long =
+    ((be32(b, o) & 0xffffffffL) << 32) | (be32(b, o + 4) & 0xffffffffL)
+  private def wbe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v >> 24).toByte; b(o + 1) = (v >> 16).toByte
+    b(o + 2) = (v >> 8).toByte; b(o + 3) = v.toByte
+  }
+
   /** Content sniffing by magic bytes — metadata can lie; payloads don't. */
   def sniff(b: Array[Byte]): String =
     if (isBmp(b)) "image/bmp"
     else if (isWav(b)) "audio/wav"
+    else if (isMp4(b)) "video/mp4"
     else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
       "image/png"
     else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "image/jpeg"
@@ -262,4 +276,215 @@ object MediaCodecs {
       while (i < a.samples.length) { s += math.abs(a.samples(i).toInt); i += 1 }
       s / a.samples.length
     }
+
+  // ---- MP4 / ISO-BMFF (ISO/IEC 14496-12 box layout) -----------------------
+
+  /** Container-level MP4 metadata — everything a demuxer knows without a
+    * codec: movie duration, track count/kinds, the video track's declared
+    * dimensions, and the byte ranges of its samples (each sample is one
+    * encoded video frame, addressed by the stsz/stsc/stco sample table). */
+  final case class Mp4Meta(brand: String, durationMs: Long, nTracks: Int,
+      width: Int, height: Int, hasVideo: Boolean, hasAudio: Boolean,
+      sampleRanges: Vector[(Int, Int)])
+
+  def isMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Walk the ISO-BMFF box tree: ftyp brand, mvhd duration, per-trak tkhd
+    * dimensions + hdlr handler, and the first video track's full sample
+    * table (stsz sizes × stsc chunk runs × stco/co64 chunk offsets expanded
+    * to per-sample byte ranges). All sizes/counts/offsets are untrusted:
+    * bounds run in Long, box counts and sample counts are capped, and any
+    * violation returns None (stub fallback) — never a thrown task failure.
+    * No codec: this is the demuxer layer; sample PAYLOADS stay opaque. */
+  def decodeMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    if (!isMp4(b)) return None
+    var corrupt = false
+    // sibling-box walk over [start, end); f sees (type, payloadStart, payloadEnd)
+    def boxes(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var off = start.toLong
+      var n = 0
+      while (!corrupt && off + 8 <= end) {
+        n += 1
+        if (n > 4096) { corrupt = true; return } // runaway sibling list
+        val o = off.toInt
+        val sz = be32(b, o) & 0xffffffffL
+        var hdr = 8L
+        val size =
+          if (sz == 0) end - off // "extends to end of enclosing box"
+          else if (sz == 1) {    // 64-bit largesize
+            if (off + 16 > end) { corrupt = true; return }
+            hdr = 16L; be64(b, o + 8)
+          } else sz
+        if (size < hdr || off + size > end) { corrupt = true; return }
+        f(new String(b, o + 4, 4, "US-ASCII"), (off + hdr).toInt, (off + size).toInt)
+        off += size
+      }
+    }
+    // sample table of one trak: stsz/stsc/stco(co64) → per-sample (off, len)
+    def parseStbl(s: Int, e: Int): Vector[(Int, Int)] = {
+      val maxN = 1 << 16 // fixture/feature cap, far above any sane clip
+      var sizes: Array[Int] = null
+      var chunkOff: Array[Long] = null
+      var runs: Array[(Int, Int)] = null // (first_chunk, samples_per_chunk)
+      boxes(s, e) { (t, ps, pe) =>
+        t match {
+          case "stsz" if pe - ps >= 12 =>
+            val uniform = be32(b, ps + 4)
+            val count = be32(b, ps + 8)
+            if (count < 0 || count > maxN) corrupt = true
+            else if (uniform != 0) sizes = Array.fill(count)(uniform)
+            else if (ps + 12 + count.toLong * 4 > pe) corrupt = true
+            else sizes = Array.tabulate(count)(i => be32(b, ps + 12 + i * 4))
+          case "stco" if pe - ps >= 8 =>
+            val count = be32(b, ps + 4)
+            if (count < 0 || count > maxN || ps + 8 + count.toLong * 4 > pe) corrupt = true
+            else chunkOff = Array.tabulate(count)(i => be32(b, ps + 8 + i * 4) & 0xffffffffL)
+          case "co64" if pe - ps >= 8 =>
+            val count = be32(b, ps + 4)
+            if (count < 0 || count > maxN || ps + 8 + count.toLong * 8 > pe) corrupt = true
+            else chunkOff = Array.tabulate(count)(i => be64(b, ps + 8 + i * 8))
+          case "stsc" if pe - ps >= 8 =>
+            val count = be32(b, ps + 4)
+            if (count < 0 || count > maxN || ps + 8 + count.toLong * 12 > pe) corrupt = true
+            else runs = Array.tabulate(count)(i =>
+              (be32(b, ps + 8 + i * 12), be32(b, ps + 8 + i * 12 + 4)))
+          case _ => ()
+        }
+      }
+      if (corrupt || sizes == null || chunkOff == null || runs == null) return Vector.empty
+      val out = Vector.newBuilder[(Int, Int)]
+      var si = 0; var ci = 0
+      while (ci < chunkOff.length && si < sizes.length && !corrupt) {
+        // samples-per-chunk of chunk ci+1 = last run with first_chunk <= ci+1
+        var spc = 0; var k = 0
+        while (k < runs.length && runs(k)._1 <= ci + 1) { spc = runs(k)._2; k += 1 }
+        var base = chunkOff(ci)
+        var j = 0
+        while (j < spc && si < sizes.length && !corrupt) {
+          val len = sizes(si)
+          if (len < 0 || base < 0 || base + len > b.length) corrupt = true
+          else { out += ((base.toInt, len)); base += len; si += 1 }
+          j += 1
+        }
+        ci += 1
+      }
+      if (corrupt) Vector.empty else out.result()
+    }
+    var brand = ""
+    var durationMs = -1L
+    var nTracks = 0
+    var width = -1; var height = -1
+    var hasVideo = false; var hasAudio = false
+    var videoSamples: Vector[(Int, Int)] = Vector.empty
+    boxes(0, b.length) { (t, ps, pe) =>
+      t match {
+        case "ftyp" if pe - ps >= 4 => brand = new String(b, ps, 4, "US-ASCII").trim
+        case "moov" => boxes(ps, pe) { (t2, p2, e2) =>
+          t2 match {
+            case "mvhd" if e2 - p2 >= 20 =>
+              val v = b(p2) & 0xff
+              val (ts, dur) =
+                if (v == 1 && e2 - p2 >= 32) (be32(b, p2 + 20), be64(b, p2 + 24))
+                else (be32(b, p2 + 12), be32(b, p2 + 16) & 0xffffffffL)
+              if (ts > 0 && dur >= 0 && dur <= Long.MaxValue / 1000)
+                durationMs = dur * 1000 / ts
+            case "trak" =>
+              nTracks += 1
+              var handler = ""
+              var tw = -1; var th = -1
+              var stbl: Vector[(Int, Int)] = Vector.empty
+              boxes(p2, e2) { (t3, p3, e3) =>
+                t3 match {
+                  case "tkhd" =>
+                    val wOff = if ((b(p3) & 0xff) == 1) 88 else 76
+                    if (e3 - p3 >= wOff + 8) {
+                      tw = be32(b, p3 + wOff) >>> 16 // 16.16 fixed point
+                      th = be32(b, p3 + wOff + 4) >>> 16
+                    }
+                  case "mdia" => boxes(p3, e3) { (t4, p4, e4) =>
+                    t4 match {
+                      case "hdlr" if e4 - p4 >= 12 =>
+                        handler = new String(b, p4 + 8, 4, "US-ASCII")
+                      case "minf" => boxes(p4, e4) { (t5, p5, e5) =>
+                        if (t5 == "stbl") stbl = parseStbl(p5, e5)
+                      }
+                      case _ => ()
+                    }
+                  }
+                  case _ => ()
+                }
+              }
+              if (handler == "vide") {
+                hasVideo = true
+                if (tw > 0 && th > 0) { width = tw; height = th }
+                if (videoSamples.isEmpty) videoSamples = stbl
+              } else if (handler == "soun") hasAudio = true
+            case _ => ()
+          }
+        }
+        case _ => ()
+      }
+    }
+    if (corrupt || nTracks == 0) None
+    else Some(Mp4Meta(brand, durationMs, nTracks, width, height,
+      hasVideo, hasAudio, videoSamples))
+  }
+
+  /** Build a minimal, structurally valid MP4: `ftyp` + `mdat` holding the
+    * frame payloads + `moov` (mvhd at timescale 1000, a video trak whose
+    * stsz/stsc/stco sample table addresses the mdat frames, optionally an
+    * audio trak). The inverse fixture for [[decodeMp4]] — any conforming
+    * demuxer agrees on the layout, so specs exercise the real demux path
+    * without shipping binary blobs. */
+  def encodeMp4(width: Int, height: Int, durationMs: Long,
+                frames: Array[Array[Byte]], withAudio: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && durationMs >= 0 && frames.nonEmpty)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.map(_.length).sum)
+      wbe32(out, 0, out.length)
+      var i = 0
+      while (i < 4) { out(4 + i) = typ(i).toByte; i += 1 }
+      var o = 8
+      payload.foreach { p => System.arraycopy(p, 0, out, o, p.length); o += p.length }
+      out
+    }
+    def be(vs: Int*): Array[Byte] = {
+      val a = new Array[Byte](vs.length * 4)
+      vs.zipWithIndex.foreach { case (v, i) => wbe32(a, i * 4, v) }
+      a
+    }
+    val matrix = be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000) // identity
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be(0), "isom".getBytes("US-ASCII"))
+    val mdat = box("mdat", frames.flatten.toArray)
+    val mdatPayloadOff = ftyp.length + 8
+    val mvhd = box("mvhd", be(0, 0, 0, 1000, durationMs.toInt, 0x10000),
+      Array[Byte](1, 0, 0, 0), be(0, 0), matrix, be(0, 0, 0, 0, 0, 0), be(3))
+    // tkhd v0: vf, creation, modification, track_ID, reserved, duration,
+    // reserved×2, layer/alternate, volume/reserved — 40 bytes before matrix
+    def tkhd(trackId: Int, w: Int, h: Int) =
+      box("tkhd", be(7 /* flags: enabled+in-movie */, 0, 0, trackId, 0,
+        durationMs.toInt, 0, 0, 0, 0), matrix, be(w << 16, h << 16))
+    // mdhd v0 tail: language "und" (0x55c4) packed high, pre_defined 0
+    def mdhd = box("mdhd", be(0, 0, 0, 1000, durationMs.toInt), be(0x55c40000))
+    def hdlr(kind: String) =
+      box("hdlr", be(0, 0), kind.getBytes("US-ASCII"), be(0, 0, 0), Array[Byte](0))
+    def stblOf(fs: Array[Array[Byte]]) = box("stbl",
+      box("stsd", be(0, 0)),
+      box("stts", be(0, 1, fs.length, 1)),
+      box("stsc", be(0, 1, 1, fs.length, 1)),
+      box("stsz", be(0, 0, fs.length) ++ be(fs.map(_.length).toIndexedSeq: _*)),
+      box("stco", be(0, 1, mdatPayloadOff)))
+    val emptyStbl = box("stbl",
+      box("stsd", be(0, 0)), box("stts", be(0, 0)),
+      box("stsc", be(0, 0)), box("stsz", be(0, 0, 0)), box("stco", be(0, 0)))
+    val videoTrak = box("trak", tkhd(1, width, height),
+      box("mdia", mdhd, hdlr("vide"), box("minf", stblOf(frames))))
+    val audioTrak = box("trak", tkhd(2, 0, 0),
+      box("mdia", mdhd, hdlr("soun"), box("minf", emptyStbl)))
+    val moov =
+      if (withAudio) box("moov", mvhd, videoTrak, audioTrak)
+      else box("moov", mvhd, videoTrak)
+    ftyp ++ mdat ++ moov
+  }
 }

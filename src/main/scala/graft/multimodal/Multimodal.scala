@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Decode/resize/frame-sample are REAL for every format the JDK covers —
   * BMP 24bpp via the pure byte parser, JPEG/PNG via `javax.imageio`
-  * (shipped in every standard JDK), WAV PCM16 via the pure RIFF parser
-  * (see [[MediaCodecs]]): dimensions, pixels, nearest-neighbor thumbnails,
-  * sample rates, PCM frames. Only formats that genuinely need an absent
-  * codec (video: MP4) fall back to the deterministic byte-level stubs,
-  * with `sniffed` recording which path ran.
+  * (shipped in every standard JDK), WAV PCM16 via the pure RIFF parser,
+  * MP4 via the pure ISO-BMFF demuxer (see [[MediaCodecs]]): dimensions,
+  * pixels, nearest-neighbor thumbnails, sample rates, PCM frames, movie
+  * duration/tracks and per-sample video frames. Only the codec layer
+  * INSIDE an MP4 sample (H.264 etc.) is out of JDK reach — sample
+  * payloads stay opaque bytes; everything the container declares is
+  * decoded for real, with `sniffed` recording which path ran.
   */
 object Multimodal {
 
@@ -27,7 +29,8 @@ object Multimodal {
       doc_id: Long, format: String, n_bytes: Int, first_byte: Int, checksum: Long,
       sniffed: String = "application/octet-stream",
       width: Int = -1, height: Int = -1,
-      sample_rate: Int = -1, duration_ms: Long = -1L, mean_amplitude: Double = -1.0)
+      sample_rate: Int = -1, duration_ms: Long = -1L, mean_amplitude: Double = -1.0,
+      n_tracks: Int = -1, n_frames: Int = -1)
 
   /** Wrap a text corpus as a multimodal table: payload = utf-8 bytes,
     * metadata struct carried alongside. (With real media, payload comes off
@@ -43,14 +46,15 @@ object Multimodal {
         col("n_chars").cast("long").as("content_length")).as("meta"))
 
   /** Deterministic REAL-media corpus derived from a text corpus: each
-    * document re-materializes as a valid BMP / WAV / PNG payload (cycling on
-    * doc_id) whose pixels/samples derive from the document's text bytes and
-    * whose dimensions/length derive from its doc_id. This is the m02 driver
-    * fixture: DuckDB can't decode media, so the m02 row is a rows+schema
-    * check whose decoded VALUES are pinned by MultimodalSpec (the same
-    * honest pattern as d06/s02) — unlike m01, whose oracle covers only the
-    * byte-stub features of a text/plain corpus, every m02 row exercises a
-    * real decoder (byte-parser BMP, RIFF WAV, ImageIO PNG).
+    * document re-materializes as a valid BMP / WAV / PNG / MP4 payload
+    * (cycling on doc_id) whose pixels/samples/frames derive from the
+    * document's text bytes and whose dimensions/length derive from its
+    * doc_id. This is the m02 driver fixture: DuckDB can't decode media, so
+    * the m02 row is a rows+schema check whose decoded VALUES are pinned by
+    * MultimodalSpec (the same honest pattern as d06/s02) — unlike m01,
+    * whose oracle covers only the byte-stub features of a text/plain
+    * corpus, every m02 row exercises a real decoder (byte-parser BMP, RIFF
+    * WAV, ImageIO PNG, ISO-BMFF MP4).
     * Partition-local, zero shuffle: fixture encode is a map over the scan. */
   def syntheticMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -59,7 +63,7 @@ object Multimodal {
         it.map { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
           def b(i: Int): Byte = if (bytes.isEmpty) 0 else bytes(i % bytes.length)
-          (id % 3) match {
+          (id % 4) match {
             case 0 =>
               val w = 4 + (id % 5).toInt; val h = 3 + (id % 4).toInt
               val rgb = Array.tabulate(w * h * 3)(b)
@@ -69,10 +73,17 @@ object Multimodal {
               val samples = Array.tabulate(n)(i =>
                 ((b(2 * i) & 0xff) | ((b(2 * i + 1) & 0x3f) << 8)).toShort)
               (id, "audio/wav", MediaCodecs.encodeWav(MediaCodecs.WavAudio(1, 8000, samples)))
-            case _ =>
+            case 2 =>
               val w = 5 + (id % 4).toInt; val h = 2 + (id % 5).toInt
               val rgb = Array.tabulate(w * h * 3)(b)
               (id, "image/png", MediaCodecs.encodePng(MediaCodecs.BmpImage(w, h, rgb)))
+            case _ => // MP4 through the ISO-BMFF demuxer
+              val nf = 2 + (id % 3).toInt
+              val frames = Array.tabulate(nf)(f =>
+                Array.tabulate(8 + (id % 5).toInt)(i => b(f * 16 + i)))
+              val w = 16 * (1 + (id % 3).toInt); val h = 9 * (1 + (id % 2).toInt)
+              (id, "video/mp4", MediaCodecs.encodeMp4(w, h, 500 + (id % 40) * 25,
+                frames, withAudio = id % 8 == 3)) // ids are odd here: half get audio
           }
         }
       }
@@ -82,10 +93,10 @@ object Multimodal {
         length(col("payload")).cast("long").as("content_length")).as("meta"))
   }
 
-  /** Byte-level fallback features for payloads whose format needs a codec
-    * this container doesn't ship (video: MP4) — and the deterministic
-    * checksum every payload gets regardless of format. BMP/JPEG/PNG/WAV
-    * never stop here: their real decoders in [[MediaCodecs]] run first. */
+  /** Byte-level fallback features for payloads no decoder recognizes — and
+    * the deterministic checksum every payload gets regardless of format.
+    * BMP/JPEG/PNG/WAV/MP4 never stop here: their real decoders in
+    * [[MediaCodecs]] run first. */
   private def decodeStub(payload: Array[Byte]): (Int, Long) = {
     var checksum = 0L
     var i = 0
@@ -131,8 +142,12 @@ object Multimodal {
     * frame (explode shape) so downstream per-frame featurizers parallelize
     * over frames, not media files. WAV payloads take the real path — frames
     * are `frameBytes`-sized slices of the decoded PCM stream, aligned to
-    * sample boundaries (each frame is playable audio). Other payloads use
-    * raw byte framing as the declared codec-less stand-in for video. */
+    * sample boundaries (each frame is playable audio). MP4 payloads take the
+    * real demux path: each frame is one sample of the video track, sliced at
+    * the byte ranges the stsz/stsc/stco sample table declares (the encoded
+    * frame a codec would decode — `frameBytes` doesn't apply, the container
+    * sets the frame size). Other payloads use raw byte framing as the
+    * declared codec-less stand-in. */
   def frameSample(spark: SparkSession, media: DataFrame,
                   frameBytes: Int = 256, everyN: Int = 4): Dataset[FrameSample] = {
     require(frameBytes >= 1, s"frameBytes=$frameBytes must be >= 1")
@@ -141,35 +156,50 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, payload) =>
-          // even-aligning the step is a PCM16 concern only: raw-byte framing
-          // of non-WAV payloads keeps frameBytes exactly as documented
-          val (bytes, step) = MediaCodecs.decodeWav(payload) match {
-            case Some(a) => // PCM16: re-pack the sample stream (header dropped)
-              val pcm = new Array[Byte](a.samples.length * 2)
-              var i = 0
-              while (i < a.samples.length) {
-                pcm(i * 2) = a.samples(i).toByte
-                pcm(i * 2 + 1) = (a.samples(i) >> 8).toByte
-                i += 1
-              }
-              (pcm, math.max(2, frameBytes & ~1))
-            case None => (payload, frameBytes)
-          }
-          val nFrames = math.max(1, bytes.length / step)
-          (0 until nFrames by everyN).iterator.map { f =>
-            FrameSample(id, f, bytes.slice(f * step,
-              math.min((f + 1) * step, bytes.length)))
-          }
+          val mp4Frames = MediaCodecs.decodeMp4(payload)
+            .map(_.sampleRanges).filter(_.nonEmpty)
+          if (mp4Frames.isDefined) {
+            val ranges = mp4Frames.get
+            (0 until ranges.length by everyN).iterator.map { f =>
+              val (o, n) = ranges(f)
+              FrameSample(id, f, payload.slice(o, o + n))
+            }
+          } else frameBytesOf(id, payload, frameBytes, everyN)
         }
       }
+  }
+
+  /** The WAV/raw-byte framing path of [[frameSample]] (non-MP4 payloads). */
+  private def frameBytesOf(id: Long, payload: Array[Byte],
+                           frameBytes: Int, everyN: Int): Iterator[FrameSample] = {
+    // even-aligning the step is a PCM16 concern only: raw-byte framing
+    // of non-WAV payloads keeps frameBytes exactly as documented
+    val (bytes, step) = MediaCodecs.decodeWav(payload) match {
+      case Some(a) => // PCM16: re-pack the sample stream (header dropped)
+        val pcm = new Array[Byte](a.samples.length * 2)
+        var i = 0
+        while (i < a.samples.length) {
+          pcm(i * 2) = a.samples(i).toByte
+          pcm(i * 2 + 1) = (a.samples(i) >> 8).toByte
+          i += 1
+        }
+        (pcm, math.max(2, frameBytes & ~1))
+      case None => (payload, frameBytes)
+    }
+    val nFrames = math.max(1, bytes.length / step)
+    (0 until nFrames by everyN).iterator.map { f =>
+      FrameSample(id, f, bytes.slice(f * step,
+        math.min((f + 1) * step, bytes.length)))
+    }
   }
 
   /** m01: partition-local feature extraction over the binary payload.
     * One decoder instantiation per partition (the expensive part with real
     * codecs), iterator-to-iterator so spill/codegen pipelining is preserved.
     * BMP/JPEG/PNG payloads get real decoded dimensions, WAV gets real
-    * sample rate / duration / amplitude; everything else keeps the
-    * deterministic byte-level features. */
+    * sample rate / duration / amplitude, MP4 gets real container duration /
+    * track count / declared dimensions / frame count; everything else keeps
+    * the deterministic byte-level features. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload"), col("meta.format").as("format"))
@@ -185,7 +215,12 @@ object Multimodal {
               case Some(a) => base.copy(sample_rate = a.sampleRate,
                 duration_ms = a.durationMs,
                 mean_amplitude = MediaCodecs.meanAbsAmplitude(a))
-              case None => base
+              case None => MediaCodecs.decodeMp4(payload) match {
+                case Some(m) => base.copy(width = m.width, height = m.height,
+                  duration_ms = m.durationMs, n_tracks = m.nTracks,
+                  n_frames = m.sampleRanges.length)
+                case None => base
+              }
             }
           }
         }

@@ -160,7 +160,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length === 30)
     feats.foreach { f =>
       assert(f.sniffed === f.format, s"doc ${f.doc_id}: sniff must agree with declared format")
-      (f.doc_id % 3) match {
+      (f.doc_id % 4) match {
         case 0 => // BMP through the byte parser
           assert(f.format === "image/bmp")
           assert(f.width === 4 + (f.doc_id % 5).toInt && f.height === 3 + (f.doc_id % 4).toInt)
@@ -170,14 +170,85 @@ class MultimodalSpec extends AnyFunSuite {
           assert(f.format === "audio/wav")
           assert(f.sample_rate === 8000 && f.duration_ms === n * 1000L / 8000)
           assert(f.mean_amplitude >= 0 && f.width === -1)
-        case _ => // PNG through JDK ImageIO
+        case 2 => // PNG through JDK ImageIO
           assert(f.format === "image/png")
           assert(f.width === 5 + (f.doc_id % 4).toInt && f.height === 2 + (f.doc_id % 5).toInt)
+          assert(f.sample_rate === -1)
+        case _ => // MP4 through the ISO-BMFF demuxer
+          assert(f.format === "video/mp4")
+          assert(f.width === 16 * (1 + (f.doc_id % 3).toInt))
+          assert(f.height === 9 * (1 + (f.doc_id % 2).toInt))
+          assert(f.duration_ms === 500 + (f.doc_id % 40) * 25)
+          assert(f.n_tracks === (if (f.doc_id % 8 == 3) 2 else 1))
+          assert(f.n_frames === 2 + (f.doc_id % 3).toInt)
           assert(f.sample_rate === -1)
       }
     }
     // no row fell through to the byte stub: every payload really decoded
-    assert(feats.forall(f => f.width > 0 || f.sample_rate > 0))
+    assert(feats.forall(f => f.width > 0 || f.sample_rate > 0 || f.n_tracks > 0))
+  }
+
+  /** Two-track MP4: 3 video frames with distinct payloads + an audio trak. */
+  private def testMp4: Array[Byte] = {
+    val frames = Array.tabulate(3)(f => Array.tabulate(10 + f)(i => (f * 50 + i).toByte))
+    MediaCodecs.encodeMp4(64, 36, 1500L, frames, withAudio = true)
+  }
+
+  test("MP4: ISO-BMFF demux yields real duration, tracks, dimensions and frame ranges") {
+    val b = testMp4
+    assert(MediaCodecs.sniff(b) === "video/mp4")
+    val m = MediaCodecs.decodeMp4(b).get
+    assert(m.brand === "isom")
+    assert(m.durationMs === 1500L && m.nTracks === 2)
+    assert(m.width === 64 && m.height === 36)
+    assert(m.hasVideo && m.hasAudio)
+    // the sample table addresses exactly the encoded frames, byte-for-byte
+    assert(m.sampleRanges.length === 3)
+    val frames = Array.tabulate(3)(f => Array.tabulate(10 + f)(i => (f * 50 + i).toByte))
+    m.sampleRanges.zip(frames).foreach { case ((o, n), expect) =>
+      assert(b.slice(o, o + n).sameElements(expect))
+    }
+    val f = Multimodal.extractFeatures(spark, mediaOf(11L -> b)).collect()(0)
+    assert(f.sniffed === "video/mp4" && f.width === 64 && f.height === 36)
+    assert(f.duration_ms === 1500L && f.n_tracks === 2 && f.n_frames === 3)
+    assert(f.sample_rate === -1)
+  }
+
+  test("MP4: frameSample emits real video samples, not byte strides") {
+    val b = testMp4
+    val frames = Multimodal.frameSample(spark, mediaOf(12L -> b), everyN = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0, 2)) // samples 0 and 2 of 3
+    assert(frames(0).frame.sameElements(Array.tabulate(10)(i => i.toByte)))
+    assert(frames(1).frame.sameElements(Array.tabulate(12)(i => (100 + i).toByte)))
+  }
+
+  test("MP4: corrupt boxes fall back to the stub instead of failing the task") {
+    // a box whose declared size overruns the payload: None, not an OOB read
+    val overrun = testMp4.clone()
+    java.nio.ByteBuffer.wrap(overrun).putInt(0, Int.MaxValue)
+    assert(MediaCodecs.decodeMp4(overrun).isEmpty)
+    // a zero-size inner box loop can't spin forever (sibling cap): still None
+    val tiny = "....ftypisom".getBytes("US-ASCII") // 12 bytes, size field garbage
+    assert(MediaCodecs.decodeMp4(tiny).isEmpty)
+    // stsz claiming a huge sample count: None, no allocation bomb
+    val b = testMp4
+    val stszAt = {
+      var i = -1
+      var o = 0
+      while (o < b.length - 4 && i < 0) {
+        if (b(o) == 's' && b(o + 1) == 't' && b(o + 2) == 's' && b(o + 3) == 'z' && i < 0) i = o
+        o += 1
+      }
+      i
+    }
+    assert(stszAt > 0)
+    val hugeCount = b.clone()
+    java.nio.ByteBuffer.wrap(hugeCount).putInt(stszAt + 12, Int.MaxValue)
+    assert(MediaCodecs.decodeMp4(hugeCount).isEmpty)
+    // and the pipeline degrades to byte-stub features rather than throwing
+    val f = Multimodal.extractFeatures(spark, mediaOf(13L -> overrun)).collect()(0)
+    assert(f.n_tracks === -1 && f.width === -1 && f.n_bytes === overrun.length)
   }
 
   test("frameSample rejects non-positive framing params") {
