@@ -112,6 +112,7 @@ object SparkEntry {
     }),
     "t02_langid"          -> ((s, d) => TextQueries.t02LangId(t(s, d))),
     "t03_quality"         -> ((s, d) => TextQueries.t03Quality(t(s, d))),
+    "t05_repetition"      -> ((s, d) => TextQueries.t05Repetition(t(s, d))),
     "m01_media_features"  -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.asMedia(t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"))),
@@ -625,6 +626,25 @@ object SparkEntry {
          | FROM documents)
         |SELECT doc_id,
         | least(nt / 100.0, 1.0) * 0.5 + ar * 0.3 + least(sr * 5.0, 1.0) * 0.2 AS quality
+        |FROM m""".stripMargin,
+    // t05: the oracle recomputes the same counts the slow way (count per
+    // distinct element); Spark's sorted-run fold yields identical maxima.
+    // All three ratios are integer/integer divisions — bit-exact both sides.
+    "t05_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |m AS (SELECT doc_id, w,
+        |  len(w) AS n,
+        |  len(list_distinct(w)) AS nd,
+        |  list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) AS topc,
+        |  CASE WHEN len(w) >= 2
+        |    THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+        |    ELSE [array_to_string(w, ' ')] END AS bg
+        | FROM tk)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        | CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) AS dup_token_frac,
+        | CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) AS top_token_frac,
+        | CAST(list_max(list_transform(list_distinct(bg), t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE)
+        |   / CAST(len(bg) AS DOUBLE) AS top_bigram_frac
         |FROM m""".stripMargin,
     // first_byte = the payload's first UTF-8 byte; derived from the first
     // code point in DuckDB (ascii() alone would diverge on non-ASCII or

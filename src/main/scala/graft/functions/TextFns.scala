@@ -111,4 +111,39 @@ object TextFns {
     * (The scale story for near-dup grouping is MinHash — see graft.dedup.) */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  // ---- repetition signals (Gopher-style quality rules) --------------------
+
+  /** Adjacent token bigrams of a bound token array ("a b" strings); docs with
+    * a single token degenerate to that token (mirrors `shingles` k<n case). */
+  def bigramsOfTokens(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  /** Highest occurrence count of any single element in the array, computed as
+    * the longest equal-run of the SORTED array: O(n log n) sort + one O(n)
+    * fold, instead of the naive O(distinct·n) count-per-distinct-element —
+    * the difference between linear-ish and quadratic on repetitive spam docs,
+    * which are exactly the docs these signals exist to catch. Pure codegen
+    * HOFs, zero shuffle. */
+  def topElementCount(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * (n − n_distinct) / n. Integer-derived division → bit-stable. */
+  def dupTokenFrac(toks: Column): Column =
+    (size(toks) - size(array_distinct(toks))).cast("double") /
+      size(toks).cast("double")
 }

@@ -44,4 +44,25 @@ object TextQueries {
         TextFns.stopwordRatio(col("text")).as("sr"))
       .select(col("doc_id"),
         TextFns.qualityScoreOf(col("nt"), col("ar"), col("sr")).as("quality"))
+
+  /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
+    * tokens, most-frequent-token share, most-frequent-bigram share. The
+    * canonical filter for template/spam/boilerplate docs in a training-data
+    * pipeline. Tokens and bigrams bind as attributes in prior projections
+    * (HOFs re-evaluate captured expressions per element — see
+    * [[graft.functions.TextFns.shingleHashesOfTokens]]); all ratios are
+    * integer-derived divisions, so DuckDB reproduces them bit-exactly. */
+  def t05Repetition(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        TextFns.bigramsOfTokens(col("toks")).as("bg"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        TextFns.dupTokenFrac(col("toks")).as("dup_token_frac"),
+        (TextFns.topElementCount(col("toks")).cast("double") /
+          size(col("toks")).cast("double")).as("top_token_frac"),
+        (TextFns.topElementCount(col("bg")).cast("double") /
+          size(col("bg")).cast("double")).as("top_bigram_frac"))
 }

@@ -31,6 +31,45 @@ class TextFnsSpec extends AnyFunSuite {
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
 
+  test("t05 repetition signals: hand-computed fractions on planted docs") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),        // one token ×4
+      (2L, "a b a b a b"),                // bigram "a b" ×3 of 5, "b a" ×2
+      (3L, "all words here are unique"),  // no repetition
+      (4L, "solo")                        // degenerate single token
+    ).toDF("doc_id", "text")
+    val got = df
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), TextFns.bigramsOfTokens(col("toks")).as("bg"))
+      .select(col("doc_id"),
+        TextFns.dupTokenFrac(col("toks")).as("dup"),
+        (TextFns.topElementCount(col("toks")).cast("double") /
+          size(col("toks")).cast("double")).as("toptok"),
+        (TextFns.topElementCount(col("bg")).cast("double") /
+          size(col("bg")).cast("double")).as("topbg"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((3.0 / 4, 1.0, 1.0)))          // "spam spam" bigram ×3 of 3
+    assert(got(2L) === ((4.0 / 6, 3.0 / 6, 3.0 / 5)))  // top token a or b = 3 of 6
+    assert(got(3L) === ((0.0, 1.0 / 5, 1.0 / 4)))
+    assert(got(4L) === ((0.0, 1.0, 1.0)))              // 1 token, 1 degenerate bigram
+  }
+
+  test("topElementCount: sorted-run fold equals the naive count (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1 to 40).map { i =>
+      (i.toLong, Vector.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFns.topElementCount(col("toks")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docs.foreach { case (id, text) =>
+      val naive = text.split(" ").groupBy(identity).values.map(_.length).max
+      assert(got(id) === naive, s"doc $id: '$text'")
+    }
+  }
+
   test("fingerprint is whitespace/case-insensitive (seeded round-trip)") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
