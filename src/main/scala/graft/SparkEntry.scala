@@ -102,6 +102,13 @@ object SparkEntry {
                                .select(col("vec_id"), col("scale"),
                                  concat_ws(",", org.apache.spark.sql.functions.transform(
                                    col("qvec"), q => q.cast("string"))).as("qvec_csv"))),
+    // s04: exact kNN over the int8-quantized corpus — the memory-scale
+    // serving shape (8x smaller vectors). Quantization is deterministic
+    // (s03 hash-matches byte-exactly), so unlike IVF this approximation IS
+    // SQL-expressible: the oracle dequantizes the same way and must agree
+    // on every neighbor, rank and rounded score.
+    "s04_knn_quantized"   -> ((s, d) =>
+      Knn.bruteForce(graft.similarity.Quantize.dequantized(t(s, d).embeddings))),
     "t01_token_stats"     -> ((s, d) => TextQueries.t01TokenStats(t(s, d))),
     "t04_fingerprint"     -> ((s, d) => {
       graft.plans.GraftExtensions.register(s)
@@ -575,6 +582,28 @@ object SparkEntry {
         | SELECT query_id, e.vec_id AS neighbor_id,
         |  round(list_cosine_similarity(qv, v), 8) AS cos
         | FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        | FROM scored)
+        |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // s04: s03's dequantization composed with s01's ranking — every term
+    // (scale, int8 code, q*scale product, cosine rounded to 8) is
+    // IEEE-deterministic on both engines, so the full quantized search
+    // result hash-matches exactly.
+    "s04_knn_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |  FROM e),
+        |dq AS (SELECT vec_id,
+        |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS TINYINT) * scale) AS v
+        |  FROM s),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM dq WHERE vec_id < 10),
+        |scored AS (
+        | SELECT query_id, dq.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(qv, dq.v), 8) AS cos
+        | FROM q JOIN dq ON dq.vec_id <> q.query_id),
         |ranked AS (SELECT query_id, neighbor_id, cos,
         | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
         | FROM scored)
