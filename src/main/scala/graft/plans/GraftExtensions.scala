@@ -42,6 +42,12 @@ object GraftExtensions {
     ("graft_lang_guess", 1, (args: Seq[Expression]) => expr(TextFns.langGuess(col(args.head)))),
     ("graft_quality", 1, (args: Seq[Expression]) => expr(TextFns.qualityScore(col(args.head)))),
     ("graft_fingerprint", 1, (args: Seq[Expression]) => expr(TextFns.fingerprint(col(args.head)))),
+    ("graft_bigrams", 1, (args: Seq[Expression]) =>
+      expr(TextFns.bigramsOfTokens(col(args.head)))),
+    ("graft_top_element_count", 1, (args: Seq[Expression]) =>
+      expr(TextFns.topElementCount(col(args.head)))),
+    ("graft_dup_token_frac", 1, (args: Seq[Expression]) =>
+      expr(TextFns.dupTokenFrac(col(args.head)))),
     ("graft_dot", 2, (args: Seq[Expression]) => expr(VectorFns.dot(col(args(0)), col(args(1))))),
     ("graft_cosine", 2, (args: Seq[Expression]) => expr(VectorFns.cosine(col(args(0)), col(args(1))))),
     ("graft_l2sq", 2, (args: Seq[Expression]) => expr(VectorFns.l2Sq(col(args(0)), col(args(1))))),

@@ -135,6 +135,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t05: repetition signals are scan-local — zero exchanges") {
+    val df = SparkEntry.queries("t05_repetition")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"t05 must not shuffle:\n$p")
+  }
+
+  test("s04: quantized kNN keeps s01's shape — corpus unshuffled, queries broadcast") {
+    val df = SparkEntry.queries("s04_knn_quantized")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"query set must broadcast:\n$p")
+    // dequantize is a projection over the scan; the only hash exchange is the
+    // final top-k aggregation (TopKAgg partials clip per-partition first)
+    val corpusShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(corpusShuffles <= 1, s"s04 must shuffle only for the top-k agg:\n$p")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     // codegen shows as "*(n)" stage markers in the executed plan string
     Seq("q01_agg", "q02_filter_project", "q15_strings", "t01_token_stats").foreach { q =>

@@ -57,6 +57,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(violations.count() === 0)
   }
 
+  test("repetition functions: SQL ≡ Column API on the corpus") {
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_dup_token_frac(graft_tokens(text)) AS dup,
+        |  graft_top_element_count(graft_tokens(text)) AS toptok,
+        |  graft_top_element_count(graft_bigrams(graft_tokens(text))) AS topbg
+        |FROM documents""".stripMargin)
+    val toks = TextFns.tokens(col("text"))
+    val viaCol = tables.documents.select(col("doc_id"),
+      TextFns.dupTokenFrac(toks).as("dup"),
+      TextFns.topElementCount(toks).as("toptok"),
+      TextFns.topElementCount(TextFns.bigramsOfTokens(toks)).as("topbg"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
   test("wrong arity raises an AnalysisException, not an internal error") {
     val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_cosine(embedding) FROM embeddings").collect()
