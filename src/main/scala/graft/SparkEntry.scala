@@ -84,6 +84,7 @@ object SparkEntry {
                                Seq(graft.operators.DataPipeline.piiRules.head,
                                    graft.operators.DataPipeline.ScrubRule("\\bcustomer\\b", "<NAME>")))),
     "p05_pack_sequences"  -> ((s, d) => graft.operators.DataPipeline.packSequences(t(s, d).documents)),
+    "p06_segment_dedup"   -> ((s, d) => graft.operators.DataPipeline.segmentDedup(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
@@ -515,6 +516,25 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, source, shard, n_tokens, tok_offset,
         | CAST(tok_offset // 512 AS BIGINT) AS seq_id FROM o""".stripMargin,
+    // p06: keeper of each distinct k-token chunk = lexicographic min
+    // (doc_id, seg_idx); the oracle ranks with a window where the engine
+    // uses an agg+join (same keeper, skew-safe shape)
+    "p06_segment_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |seglist AS (
+        |  SELECT doc_id, list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+        |                                i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS segs
+        |  FROM toks),
+        |segs AS (SELECT doc_id, generate_subscripts(segs, 1) - 1 AS seg_idx,
+        |                unnest(segs) AS seg FROM seglist),
+        |ranked AS (SELECT doc_id, seg_idx, seg,
+        |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+        |           FROM segs)
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS text_clean,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_seg_kept,
+        |  CAST(count(*) AS BIGINT) AS n_seg_total
+        |FROM ranked GROUP BY doc_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies

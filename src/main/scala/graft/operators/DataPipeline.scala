@@ -103,6 +103,51 @@ object DataPipeline {
       n.cast("int").as("n_redacted"))
   }
 
+  /** p06: chunk-level exact span dedup across the corpus — segment every
+    * document into fixed-width k-token chunks, keep only the globally FIRST
+    * occurrence (lexicographic min (doc_id, seg_idx)) of each distinct
+    * chunk, drop every repeat, and reassemble the surviving chunks in
+    * order. This is the scalable fixed-width approximation of exact
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", which uses a suffix array a distributed
+    * engine cannot hold): repeated boilerplate spans are removed from every
+    * document after their first appearance, not just from whole-document
+    * near-dups. Exact and deterministic, hence fully oracle-checkable —
+    * unlike d03/d06 there is no probabilistic stage.
+    *
+    * Scale shape: the chunk explosion is scan-local; then one partial-
+    * aggregated exchange on the chunk text (`min(struct(doc_id, seg_idx))`
+    * — hot boilerplate chunks combine map-side, so skew cannot pile up), a
+    * many-to-ONE join back (each chunk has exactly one keeper row, no
+    * blowup), and one exchange on doc_id to reassemble. The shuffles carry
+    * the chunk text itself — that is the honest price of EXACT dedup; a
+    * hash-keyed variant halves the bytes but must re-verify collisions.
+    */
+  def segmentDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k chunk width must be >= 1")
+    val toks = split(col("text"), " ")
+    // ⌈n/k⌉ in integer arithmetic; split("") = [""] so nSeg >= 1 always
+    val nSeg = floor((size(toks) + lit(k) - 1) / lit(k)).cast("int")
+    val segList = transform(sequence(lit(0), nSeg - 1),
+      i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))
+    val segs = docs.select(col("doc_id"), posexplode(segList).as(Seq("seg_idx", "seg")))
+    val keep = segs.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
+    val kept = segs.join(keep, Seq("seg"))
+      .where(col("first.doc_id") === col("doc_id") &&
+        col("first.seg_idx") === col("seg_idx"))
+    val assembled = kept.groupBy(col("doc_id")).agg(
+      concat_ws(" ", transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+        s => s.getField("seg"))).as("text_clean"),
+      count(lit(1)).as("n_seg_kept"))
+    segs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_seg_total"))
+      .join(assembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_seg_kept"), lit(0L)).as("n_seg_kept"),
+        col("n_seg_total"))
+  }
+
   /** p05: sequence packing by token budget — concat-and-chunk assignment of
     * documents to fixed-budget training sequences. Documents are laid out in
     * doc_id order within a (source, shard) cell; each document's
