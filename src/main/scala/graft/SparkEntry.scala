@@ -85,6 +85,10 @@ object SparkEntry {
                                    graft.operators.DataPipeline.ScrubRule("\\bcustomer\\b", "<NAME>")))),
     "p05_pack_sequences"  -> ((s, d) => graft.operators.DataPipeline.packSequences(t(s, d).documents)),
     "p06_segment_dedup"   -> ((s, d) => graft.operators.DataPipeline.segmentDedup(t(s, d).documents)),
+    // p07: Bloom-prefiltered decontamination — exact semantics (the BF only
+    // prices the confirm join), so it shares p02's oracle verbatim
+    "p07_decontaminate_bloom" -> ((s, d) => graft.operators.DataPipeline.decontaminateBloom(
+                               t(s, d).documents, col("doc_id") % 10 === 0)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
@@ -467,19 +471,10 @@ object SparkEntry {
     // doc_id % 10 == 0. Spark joins on xxhash64 shingle identities, the
     // oracle on shingle strings — same set-overlap semantics (the d02/d03
     // precedent), collision-free at these cardinalities.
-    "p02_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(CASE WHEN len(w) >= 8
-        |    THEN list_transform(generate_series(1, len(w)-7), i ->
-        |      concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))
-        |    ELSE [array_to_string(w, ' ')] END) AS shingle
-        | FROM toks),
-        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
-        |cont AS (SELECT DISTINCT doc_id FROM sh
-        |         WHERE doc_id % 10 <> 0 AND shingle IN (SELECT shingle FROM ev))
-        |SELECT doc_id, source, n_chars FROM documents
-        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin,
+    "p02_decontaminate" -> decontaminateSql,
+    // p07 is p02 under a Bloom prefilter whose false positives are removed
+    // by an exact confirm join — same answer, same oracle
+    "p07_decontaminate_bloom" -> decontaminateSql,
     // p03: the salted md5-fold hash is the same 60-bit portable hash as d04
     // (hex digits folded with shifts), so the split is reproducible here.
     "p03_split_sample" ->
@@ -735,6 +730,23 @@ object SparkEntry {
 
   /** Shared oracle for d02 (exact) and d03 (MinHash-LSH, exact-verified):
     * both must produce the identical near-dup pair set. */
+  /** Shared by p02 and p07: both compute exact 8-gram decontamination
+    * against the doc_id%10==0 eval slice; p07 only changes the execution
+    * strategy (Bloom prefilter + exact confirm), never the answer. */
+  private val decontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN len(w) >= 8
+      |    THEN list_transform(generate_series(1, len(w)-7), i ->
+      |      concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      | FROM toks),
+      |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0),
+      |cont AS (SELECT DISTINCT doc_id FROM sh
+      |         WHERE doc_id % 10 <> 0 AND shingle IN (SELECT shingle FROM ev))
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
+
   private val ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,

@@ -44,6 +44,56 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** p07: Bloom-prefiltered decontamination — identical SEMANTICS to
+    * [[decontaminate]] (and the same oracle), different scale regime. p02
+    * broadcasts the eval shingle set exactly, which holds while that set
+    * fits an exact broadcast (~8+ bytes/shingle plus hash-set overhead).
+    * When the held-out suite is itself large, the right shape is the one
+    * Spark's own runtime filters use: build a Bloom filter over the eval
+    * shingles (~1.2 bytes/item at 1% FPP), test every corpus shingle
+    * MAP-SIDE against the BF literal, and exact-confirm only the hits with
+    * a semi-join — false positives die there, so the result is EXACT; the
+    * FPP only prices the confirm-join traffic (fpp × corpus shingles), it
+    * never changes the answer.
+    *
+    * Scale shape: corpus shingles are never shuffled — the BF test runs in
+    * the scan's filter. The BF itself is built by partial aggregation
+    * (BloomFilterAggregate merges map-side) and lands on the driver as one
+    * binary cell — a fixed-size model artifact, the same traffic class as
+    * the IVF centroids (`Knn.trainIvf`).
+    */
+  def decontaminateBloom(docs: DataFrame, isEval: Column, k: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
+    val sh = Dedup.sharedShingles(docs, k) // (doc_id, shingle: long)
+    val evalIds = docs.where(isEval).select("doc_id")
+    val evalShingles = sh.join(evalIds, Seq("doc_id"), "left_semi")
+      .select("shingle").distinct()
+    // size the BF from the actual item count (the eval side is the small
+    // side by contract, so this count is cheap); m = -n·ln(p)/(ln 2)²
+    val nItems = math.max(evalShingles.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val hashed = xxhash64(col("shingle"))
+    val bfAgg = new BloomFilterAggregate(ColumnBridge.toExpression(hashed),
+      Literal(nItems), Literal(numBits)).toAggregateExpression()
+    val bfRow = evalShingles.select(ColumnBridge.toColumn(bfAgg)).head
+    if (bfRow.isNullAt(0)) // empty eval set: nothing can be contaminated
+      return docs.where(not(isEval)).select(col("doc_id"), col("source"), col("n_chars"))
+    val mightContain = ColumnBridge.toColumn(BloomFilterMightContain(
+      Literal(bfRow.getAs[Array[Byte]](0)), ColumnBridge.toExpression(hashed)))
+    val contaminated = sh.join(evalIds, Seq("doc_id"), "left_anti")
+      .where(mightContain) // map-side prefilter: no shuffle reaches this point
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi") // exact confirm
+      .select("doc_id").distinct()
+    docs.where(not(isEval))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** p03: deterministic train/val/test split + per-source quota sample.
     *
     * The split is a pure function of the document id (salted portable

@@ -131,6 +131,32 @@ class DataPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p07: Bloom-prefiltered decontamination returns exactly p02's answer") {
+    val exact = DataPipeline.decontaminate(docs, isEval).select("doc_id")
+      .as[Long].collect().toSet
+    // a tight filter (1% fpp) and a deliberately sloppy one (30% fpp) must
+    // both agree: false positives die in the exact confirm join
+    Seq(0.01, 0.3).foreach { fpp =>
+      val got = DataPipeline.decontaminateBloom(docs, isEval, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === exact, s"fpp=$fpp")
+    }
+  }
+
+  test("p07: empty eval set keeps every training document") {
+    val got = DataPipeline.decontaminateBloom(docs, lit(false)).count()
+    assert(got === docs.count())
+  }
+
+  test("p07 plan: BF test is map-side; the corpus is never sort-merge joined") {
+    val df = DataPipeline.decontaminateBloom(docs, isEval)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("might_contain"), s"Bloom prefilter missing from the plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle-join:\n$p")
+    assert(p.contains("BroadcastExchange"), s"confirm join must broadcast the eval set:\n$p")
+  }
+
   test("p06: later duplicates of a chunk are dropped, first occurrence survives") {
     val k = 3
     val corpus = Seq(
