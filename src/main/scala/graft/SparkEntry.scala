@@ -125,6 +125,7 @@ object SparkEntry {
     "t02_langid"          -> ((s, d) => TextQueries.t02LangId(t(s, d))),
     "t03_quality"         -> ((s, d) => TextQueries.t03Quality(t(s, d))),
     "t05_repetition"      -> ((s, d) => TextQueries.t05Repetition(t(s, d))),
+    "t06_unigram_ppl"     -> ((s, d) => TextQueries.t06UnigramPpl(t(s, d))),
     "m01_media_features"  -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.asMedia(t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"))),
@@ -690,6 +691,21 @@ object SparkEntry {
         | CAST(list_max(list_transform(list_distinct(bg), t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE)
         |   / CAST(len(bg) AS DOUBLE) AS top_bigram_frac
         |FROM m""".stripMargin,
+    // t06: avg_nll is an aggregated double → rounded (6 dp) like q01's
+    // sums; ppl derives from the ROUNDED avg_nll so the columns agree
+    // across engines by construction
+    "t06_unigram_ppl" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT sum(c)::DOUBLE AS n FROM lm),
+        |logp AS (SELECT token, ln(c / (SELECT n FROM tot)) AS logp FROM lm),
+        |s AS (SELECT t.doc_id, count(*) AS n_tokens, sum(l.logp) AS sll
+        |      FROM tok t JOIN logp l USING (token) GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  round(-sll / n_tokens, 6) AS avg_nll,
+        |  round(exp(round(-sll / n_tokens, 6)), 4) AS ppl
+        |FROM s""".stripMargin,
     // first_byte = the payload's first UTF-8 byte; derived from the first
     // code point in DuckDB (ascii() alone would diverge on non-ASCII or
     // empty text — cp<128: identity, else the UTF-8 lead byte; empty: -1)

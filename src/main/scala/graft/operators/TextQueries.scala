@@ -45,6 +45,48 @@ object TextQueries {
       .select(col("doc_id"),
         TextFns.qualityScoreOf(col("nt"), col("ar"), col("sr")).as("quality"))
 
+  /** t06: unigram-LM perplexity scoring — the CCNet-style statistical
+    * quality filter: fit a unigram language model on the corpus (token
+    * relative frequencies), then score every document by its average
+    * per-token negative log-likelihood and perplexity. Documents whose
+    * token distribution diverges from the corpus (gibberish, boilerplate,
+    * wrong-language shards) land in the high-perplexity tail; the caller
+    * thresholds there. CCNet uses a 5-gram KenLM — the unigram model is the
+    * degenerate, exactly-reproducible member of that family, which is what
+    * makes this oracle-checkable.
+    *
+    * Scale shape: the LM fit is one partial-aggregated exchange on token
+    * (vocab-bounded output, not corpus-bounded); the total-count reduce
+    * runs over the vocab-sized LM table, not the corpus. Scoring joins the
+    * exploded corpus against the BROADCAST LM (vocabularies are millions of
+    * rows — megabytes — while the corpus is the 100 TB side), then one
+    * exchange on doc_id for the per-doc sum. The corpus is scanned twice
+    * (fit + score); persisting the token frame trades memory for the
+    * second scan. avg_nll is a float aggregate, so it is rounded (6 dp)
+    * like every other aggregated double in the oracle surface; ppl is
+    * derived from the ROUNDED avg_nll so the two columns can never
+    * disagree across engines.
+    */
+  def t06UnigramPpl(t: Tables): DataFrame = unigramPpl(t.documents)
+
+  /** See [[t06UnigramPpl]]; the library surface takes any (doc_id, text)
+    * frame so the LM can be fit on one corpus and thresholds audited on a
+    * planted one. */
+  def unigramPpl(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("token"))
+    val lm = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    // total tokens: a sum over the vocab-sized LM table (tiny reduce)
+    val total = lm.agg(sum(col("c"))).head.getLong(0).toDouble
+    val logp = lm.select(col("token"), log(col("c") / lit(total)).as("logp"))
+    tok.join(broadcast(logp), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("sll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("sll") / col("n_tokens"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+  }
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

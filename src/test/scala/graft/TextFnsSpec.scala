@@ -70,6 +70,29 @@ class TextFnsSpec extends AnyFunSuite {
     }
   }
 
+  test("t06: unigram perplexity matches hand-computed values on a planted corpus") {
+    // counts: a=3, b=1, c=1, total=5
+    val corpus = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = graft.operators.TextQueries.unigramPpl(corpus)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pa = math.log(3.0 / 5); val pr = math.log(1.0 / 5)
+    val nll1 = r6(-(2 * pa + pr) / 3); val nll2 = r6(-(pa + pr) / 2)
+    assert(got(0) === ((1L, 3L, nll1, r4(math.exp(nll1)))))
+    assert(got(1) === ((2L, 2L, nll2, r4(math.exp(nll2)))))
+    // the common-token doc is less surprising than the rare-token doc
+    assert(got(0)._4 < got(1)._4)
+  }
+
+  test("t06 plan: LM broadcast to the corpus side — no sort-merge join on token") {
+    val df = graft.operators.TextQueries.t06UnigramPpl(tables)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"LM must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on token:\n$p")
+  }
+
   test("fingerprint is whitespace/case-insensitive (seeded round-trip)") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
