@@ -29,14 +29,30 @@ import org.apache.spark.storage.StorageLevel
   * blocking materialization (the eager localCheckpoint); the changed-row
   * check is a count over the already-checkpointed blocks, not a second
   * join pipeline.
+  *
+  * Below [[SmallGraphEdges]] the closure instead runs as a bounded
+  * driver-side union-find (an AQE-broadcast-threshold-style adaptive
+  * decision — see [[smallGraphComponents]]); ClustersSpec pins the two
+  * paths label-identical on a seeded random graph.
   */
 object Clusters {
+
+  /** Below this many (deduplicated, directed) edges the closure runs as a
+    * driver-side union-find instead of the distributed fixpoint loop — the
+    * same decision class as AQE's broadcast threshold: 1M edges ≈ 16 MB,
+    * bounded and configurable, against which the loop's per-round cluster
+    * jobs are pure overhead. Near-dup pair graphs are tiny relative to
+    * their corpus (pairs ∝ actual duplication, not corpus size), so in
+    * practice most corpora take this path; the pointer-jumping loop remains
+    * the unbounded-scale path and the two are spec-pinned identical. */
+  val SmallGraphEdges: Long = 1000000L
 
   /** Connected components over an undirected edge list (columns d1, d2).
     * Returns (id, comp) for every endpoint, comp = smallest id in the
     * component. See [[connectedComponentsWithRounds]]. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, maxIter)._1
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          smallGraphEdges: Long = SmallGraphEdges): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter, smallGraphEdges)._1
 
   /** Session-scoped memo of computed label tables, keyed by the pair plan's
     * semantic hash — the [[graft.dedup.Dedup.sharedShingles]] precedent: d07
@@ -62,16 +78,30 @@ object Clusters {
     * never increases, so the fixpoint is exactly the component minimum; at
     * the fixpoint comp is edge-constant (comp(a) ≤ comp(b) both ways), and
     * the component's minimum node pins the shared value to itself. */
-  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
+  def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
+                                    smallGraphEdges: Long = SmallGraphEdges): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the edge count gates the small-graph fast path; it doubles as the
+    // emptiness check the loop needed anyway, so it costs no extra job
+    val nEdges = edges.count()
+    val integralIds = pairs.schema.take(2).forall(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    if (nEdges <= smallGraphEdges && integralIds) {
+      val result = smallGraphComponents(pairs, edges)
+      edges.unpersist(blocking = false)
+      return (result, 0)
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true) // eager: truncates lineage at every round
-    var converged = labels.isEmpty
+    var converged = nEdges == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // relax: comp := min(comp, neighbors' comp) — one join + one agg.
@@ -108,6 +138,45 @@ object Clusters {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter (compression makes rounds logarithmic in diameter)")
     (labels, iter)
+  }
+
+  /** The bounded driver-side closure: collect the (≤ smallGraphEdges,
+    * integral-id) edge list, run union-find with path halving and min-root
+    * union (so every root IS its component's minimum id — no relabel pass),
+    * and hand the labels back as a local relation in the caller's id type.
+    * This is the only data `collect()` in the engine gated by an explicit
+    * size bound; like the IVF centroids it is a model-artifact-scale
+    * transfer, not a corpus transfer. */
+  private def smallGraphComponents(pairs: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val idType = pairs.schema.head.dataType
+    val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving: point x at its grandparent
+        val g = parent.getOrDefault(p, p)
+        parent.put(x, g); x = g; p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min-root union keeps every root the component min
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+      parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+    }
+    // snapshot keys before the final find pass: path halving overwrites
+    // existing entries (never inserts), but iterating a live keySet while
+    // mutating values is a habit worth not keeping
+    val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
+    val nodes = keys.map(id => (id.longValue(), find(id.longValue())))
+    nodes.toSeq.toDF("id", "comp")
+      .select(col("id").cast(idType).as("id"), col("comp").cast(idType).as("comp"))
   }
 
   /** d07: near-dup clusters of a document corpus — MinHash-LSH pairs (the

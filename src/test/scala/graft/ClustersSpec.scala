@@ -20,7 +20,8 @@ class ClustersSpec extends AnyFunSuite {
     // path 0-1-…-15: diameter 15, the worst shape for pure min-propagation
     // (15 rounds); compression must close it in ceil(log2 15) + 1 = 5
     val path = (0L until 15L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val (labels, rounds) = Clusters.connectedComponentsWithRounds(path)
+    // smallGraphEdges = 0 forces the distributed loop this test measures
+    val (labels, rounds) = Clusters.connectedComponentsWithRounds(path, smallGraphEdges = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length === 16)
     assert(got.forall(_._2 == 0L), s"not all labels reached the minimum: ${got.toSeq}")
@@ -30,9 +31,24 @@ class ClustersSpec extends AnyFunSuite {
   test("non-convergence throws instead of returning wrong clusters") {
     val path = (0L until 63L).map(i => (i, i + 1)).toDF("d1", "d2")
     val e = intercept[IllegalStateException] {
-      Clusters.connectedComponentsWithRounds(path, maxIter = 1)
+      Clusters.connectedComponentsWithRounds(path, maxIter = 1, smallGraphEdges = 0)
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("small-graph union-find and the distributed loop label identically") {
+    // seeded random graph: mixed component sizes, shuffled ids
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((0L until 120L).toVector)
+    val edges = (1 to 300).map { _ =>
+      (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+    }.filter { case (a, b) => a != b }.toDF("d1", "d2")
+    val viaUnionFind = Clusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Clusters.connectedComponents(edges, smallGraphEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaUnionFind === viaLoop)
+    assert(viaUnionFind.nonEmpty)
   }
 
   test("empty pair set yields empty clusters without running the loop") {
