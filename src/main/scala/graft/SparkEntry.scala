@@ -89,6 +89,7 @@ object SparkEntry {
     // prices the confirm join), so it shares p02's oracle verbatim
     "p07_decontaminate_bloom" -> ((s, d) => graft.operators.DataPipeline.decontaminateBloom(
                                t(s, d).documents, col("doc_id") % 10 === 0)),
+    "p08_mix_sources"     -> ((s, d) => graft.operators.DataPipeline.mixSources(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
@@ -691,6 +692,25 @@ object SparkEntry {
         | CAST(list_max(list_transform(list_distinct(bg), t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE)
         |   / CAST(len(bg) AS DOUBLE) AS top_bigram_frac
         |FROM m""".stripMargin,
+    // p08: w is rounded to 6 dp BEFORE the quota arithmetic so floor(
+    // budget·w + 0.5) runs over identical doubles in both engines; the
+    // hash rank reuses p03's portable md5 fold with the 'mix:' salt
+    "p08_mix_sources" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |w AS (SELECT source, n_docs,
+        |       round(pow(n_docs, 0.7) / sum(pow(n_docs, 0.7)) OVER (), 6) AS w FROM c),
+        |q AS (SELECT source, w,
+        |       CAST(least(n_docs, floor(200 * w + 0.5)) AS BIGINT) AS quota FROM w),
+        |h AS (SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS h
+        | FROM (SELECT doc_id, source, md5('mix:' || CAST(doc_id AS VARCHAR)) AS m
+        |       FROM documents)),
+        |r AS (SELECT doc_id, source, h,
+        |       row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM h)
+        |SELECT r.doc_id, r.source, q.w, q.quota, r.rn <= q.quota AS sampled
+        |FROM r JOIN q USING (source)""".stripMargin,
     // t06: avg_nll is an aggregated double → rounded (6 dp) like q01's
     // sums; ppl derives from the ROUNDED avg_nll so the columns agree
     // across engines by construction

@@ -125,6 +125,46 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("bucket"), col("split"), col("sampled"))
   }
 
+  /** p08: temperature-based source mixing — the standard LLM data-mixing
+    * step (UNIMAX / multilingual-sampling family): sample source s with
+    * probability ∝ n_s^α, α ∈ (0, 1], so low-resource sources are
+    * up-weighted relative to their raw share (α = 1 is proportional, α → 0
+    * approaches uniform). Each source's quota is `budget · w_s` capped at
+    * its population, filled by the hash-smallest documents — the same
+    * deterministic, engine-portable sampling as p03, so the mix is
+    * auditable and reproducible run-to-run.
+    *
+    * Float discipline: w_s is rounded to 6 dp BEFORE the quota arithmetic,
+    * so both engines compute `floor(budget · w + 0.5)` over identical
+    * doubles — the only cross-engine float exposure is the weight rounding
+    * itself, the same class as every rounded aggregate in the surface.
+    *
+    * Scale shape: one partial-aggregated exchange for the source counts
+    * (source-cardinality output — tiny by nature), weights and quotas on
+    * that tiny frame (the global-sum window is over #sources rows), quotas
+    * broadcast back, and one exchange on source for the per-source rank —
+    * p03's pre-filter-by-hash-threshold strategy applies verbatim when one
+    * source dominates at 100 TB.
+    */
+  def mixSources(docs: DataFrame, alpha: Double = 0.7, budget: Long = 200,
+                 salt: String = "mix:"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    val wRaw = pow(col("n_docs").cast("double"), lit(alpha))
+    val quotas = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(wRaw / sum(wRaw).over(Window.partitionBy()), 6))
+      .withColumn("quota",
+        least(col("n_docs"), floor(lit(budget) * col("w") + 0.5)).cast("long"))
+      .select(col("source"), col("w"), col("quota"))
+    val h = Dedup.md5Hash60(concat(lit(salt), col("doc_id").cast("string")))
+    val rankW = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("rn", row_number().over(rankW))
+      .join(broadcast(quotas), Seq("source"))
+      .select(col("doc_id"), col("source"), col("w"), col("quota"),
+        (col("rn") <= col("quota")).as("sampled"))
+  }
+
   /** One scrub rule: a Java/RE2-compatible pattern and its replacement
     * token. Patterns must avoid constructs RE2 lacks (backrefs, lookaround)
     * so the same rule runs verbatim in engines like DuckDB for auditing. */

@@ -157,6 +157,42 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"confirm join must broadcast the eval set:\n$p")
   }
 
+  test("p08: weights follow n^alpha, quotas cap at population, sampling is deterministic") {
+    val alpha = 0.7; val budget = 40L
+    val out = DataPipeline.mixSources(docs, alpha, budget)
+      .as[(Long, String, Double, Long, Boolean)].collect()
+    assert(out.length === docs.count())
+    val counts = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val denom = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      val w = r6(math.pow(counts(src).toDouble, alpha) / denom)
+      assert(rows.head._3 === w, s"source $src weight")
+      val quota = math.min(counts(src), math.floor(budget * w + 0.5).toLong)
+      assert(rows.head._4 === quota, s"source $src quota")
+      assert(rows.count(_._5) === quota, s"source $src sampled count")
+    }
+    // low-resource up-weighting: sampled share exceeds raw share for the
+    // smallest source, when alpha < 1
+    val smallest = counts.minBy(_._2)._1
+    val sampledTotal = out.count(_._5).toDouble
+    assert(out.filter(r => r._2 == smallest && r._5).length / sampledTotal >=
+      counts(smallest).toDouble / counts.values.sum)
+    // determinism
+    val again = DataPipeline.mixSources(docs, alpha, budget)
+      .as[(Long, String, Double, Long, Boolean)].collect()
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("p08: alpha = 1 reproduces proportional allocation") {
+    val out = DataPipeline.mixSources(docs, alpha = 1.0, budget = 100L)
+      .select("source", "w").distinct().as[(String, Double)].collect().toMap
+    val counts = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    counts.foreach { case (src, n) => assert(out(src) === r6(n / total), src) }
+  }
+
   test("p06: later duplicates of a chunk are dropped, first occurrence survives") {
     val k = 3
     val corpus = Seq(
