@@ -115,6 +115,10 @@ object SparkEntry {
     // on every neighbor, rank and rounded score.
     "s04_knn_quantized"   -> ((s, d) =>
       Knn.bruteForce(graft.similarity.Quantize.dequantized(t(s, d).embeddings))),
+    // s05: product-quantized ADC search — approximate by design (codebook
+    // distortion), so rows-only driver check; PqSpec pins codes/ADC sums on
+    // planted codebooks and recall vs the exact-L2 ranking (the s02 pattern)
+    "s05_knn_pq"          -> ((s, d) => graft.similarity.Pq.pq(t(s, d).embeddings)),
     "t01_token_stats"     -> ((s, d) => TextQueries.t01TokenStats(t(s, d))),
     "t04_fingerprint"     -> ((s, d) => {
       graft.plans.GraftExtensions.register(s)

@@ -1,0 +1,150 @@
+package graft.similarity
+
+import graft.functions.VectorFns
+import graft.ml.MlOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization — the at-scale ANN memory lever beyond s03's
+  * scalar int8: split each D-dim vector into `m` subvectors, fit a
+  * per-subspace KMeans codebook of `k` centroids, and store each vector as
+  * `m` one-byte codes (64 dims × 8 B doubles = 512 B → 8 B at m=8, a 64×
+  * resident-corpus reduction; 32× vs the float source). Search uses
+  * Asymmetric Distance Computation: the QUERY stays exact, its per-
+  * subspace distance table to every centroid is precomputed once per
+  * query, and a corpus vector's approximate distance is m table lookups —
+  * no decode, no per-pair subvector arithmetic. (Jégou, Douze, Schmid,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 — the
+  * public method; reference context: Hbox has no similarity surface at
+  * all, SURVEY §2.3.)
+  *
+  * Scale shape mirrors s01/s04: encoding is a pure expression tree over
+  * the scan (codebooks ride in as literals — zero shuffle, map-side
+  * argmin per subspace, exactly the ivfServe trick per subspace); search
+  * broadcasts the query-side tables and clips per-partition top-k before
+  * the one exchange (TopKAgg). Training is m small Lloyd runs whose
+  * exchanges carry k×(subDim+1) doubles per partition — corpus-size-
+  * independent — and the fitted codebook (m×k×subDim doubles) is a
+  * model artifact memoized per (session, corpus, m, k) like Knn.models.
+  *
+  * Approximate by design (codebook distortion) → no SQL oracle; PqSpec
+  * pins hand-computed codes/ADC sums on planted codebooks and recall
+  * against the exact-L2 ranking, the d06/s02 pattern.
+  */
+object Pq {
+
+  /** Fitted codebooks: codebooks(s)(c) = centroid c of subspace s. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private val models =
+    new graft.SessionKeyedCache[(Int, Int, Int), Codebooks]()
+
+  /** Drop every codebook fitted under `spark`. */
+  def clearPqModels(spark: SparkSession): Unit =
+    models.purgeSession(Some(spark), None)
+
+  private def dims(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head.getInt(0)
+
+  /** Train per-subspace codebooks: m independent Lloyd fits over the
+    * subvector slices (deterministic init — see MlOps.kmeansCenters). */
+  def trainPq(emb: DataFrame, m: Int = 8, k: Int = 16, maxIter: Int = 3): Codebooks = {
+    require(m >= 1 && k >= 2, s"m=$m must be >= 1, k=$k must be >= 2")
+    val d = dims(emb)
+    require(d % m == 0, s"dims=$d must divide into m=$m subspaces")
+    val sub = d / m
+    (0 until m).map { s =>
+      MlOps.kmeansCenters(
+        emb.select(col("vec_id"),
+          slice(col("embedding").cast("array<double>"), s * sub + 1, sub).as("embedding")),
+        k, maxIter)
+    }.toArray
+  }
+
+  /** Codebook of subspace s as a literal array<struct<code, cv>>. */
+  private def bookLit(cb: Codebooks, s: Int): Column =
+    array(cb(s).zipWithIndex.map { case (cv, c) =>
+      struct(lit(c).as("code"), array(cv.map(lit(_)): _*).as("cv"))
+    }: _*)
+
+  /** Subvector s of a full vector column. */
+  private def subVec(v: Column, cb: Codebooks, s: Int): Column =
+    slice(v, s * cb(0)(0).length + 1, cb(0)(0).length)
+
+  /** Encode: (vec_id, codes array<tinyint>) — per-subspace argmin against
+    * the literal codebook, computed map-side in the scan projection (the
+    * struct array_min IS the argmin; ties take the lower code). */
+  def pqEncode(emb: DataFrame, cb: Codebooks): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val codes = array((0 until cb.length).map { s =>
+      array_min(transform(bookLit(cb, s), c => struct(
+        VectorFns.l2Sq(subVec(v, cb, s), c.getField("cv")).as("d2"),
+        c.getField("code").as("code"))))
+        .getField("code").cast("tinyint")
+    }: _*)
+    emb.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** s05: ADC top-k — every query's per-subspace distance table to all k
+    * centroids is computed ONCE (query side, broadcast); a corpus row
+    * costs m array lookups. Ranking uses round(adist, 8) with neighbor-id
+    * tiebreak, the s01 stability rule. */
+  def pqSearch(emb: DataFrame, cb: Codebooks,
+               queryPred: String = "vec_id < 10", k: Int = 5): DataFrame = {
+    val enc = pqEncode(emb, cb)
+    val qv = col("embedding").cast("array<double>")
+    val tables = array((0 until cb.length).map { s =>
+      transform(bookLit(cb, s), c => VectorFns.l2Sq(subVec(qv, cb, s), c.getField("cv")))
+    }: _*)
+    val q = emb.filter(expr(queryPred))
+      .select(col("vec_id").as("query_id"), tables.as("tables"))
+    val adist = aggregate(
+      zip_with(col("tables"), col("codes"),
+        (t, c) => element_at(t, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (-round(adist, 8)).as("cos")) // TopKAgg keeps largest: negate distance
+    Knn.topKPerKey(scored, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("cos")).as("adist"))
+  }
+
+  /** ADC shortlist + exact re-rank — the production PQ serving shape: the
+    * compressed corpus prunes to a `shortlist` of candidates per query
+    * (the only pass that touches every row, at m-lookup cost), then ONLY
+    * those |Q|×shortlist rows are re-scored against their exact vectors.
+    * Recall is then the probability the true top-k survives into the
+    * shortlist, not the probability ADC ranks them exactly — the knob that
+    * makes PQ usable on clusterless (worst-case) data. The candidate →
+    * vector join broadcasts the tiny candidate set, so the corpus is
+    * scanned, never shuffled, in both passes. */
+  def pqRefined(emb: DataFrame, cb: Codebooks,
+                queryPred: String = "vec_id < 10", k: Int = 5,
+                shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cands = pqSearch(emb, cb, queryPred, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(expr(queryPred))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = v.join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-round(VectorFns.l2Sq(col("qv"), col("v")), 8)).as("cos"))
+    Knn.topKPerKey(exact, k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        (-col("cos")).as("d2"))
+  }
+
+  /** s05: [[pqRefined]] with codebooks trained at most once per (session,
+    * corpus plan, m, k) — the Knn.ivf registry pattern. */
+  def pq(emb: DataFrame, queryPred: String = "vec_id < 10", k: Int = 5,
+         m: Int = 8, codebookSize: Int = 16, shortlist: Int = 50): DataFrame = {
+    val cb = models.getOrElseUpdate(
+      emb.sparkSession,
+      (emb.queryExecution.analyzed.semanticHash(), m, codebookSize))(
+      trainPq(emb, m, codebookSize))
+    pqRefined(emb, cb, queryPred, k, shortlist)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.VectorFns
+import graft.similarity.{Knn, Pq}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: encode/ADC semantics on planted codebooks (exact,
+  * hand-computable), recall against the exact-L2 ranking on the corpus,
+  * and the scan-local/broadcast plan shapes. */
+class PqSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private val emb = tables.embeddings
+
+  test("pqEncode picks the nearest centroid per subspace (planted codebooks)") {
+    // 4 dims, m=2 subspaces of 2; codebooks chosen so the answers are obvious
+    val cb: Pq.Codebooks = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(0.0, 5.0), Array(5.0, 0.0)))
+    val vecs = Seq(
+      (1L, Seq(9.0, 9.0, 0.2, 4.8)), // sub0 → code 1, sub1 → code 0
+      (2L, Seq(1.0, -1.0, 4.0, 1.0)) // sub0 → code 0, sub1 → code 1
+    ).toDF("vec_id", "embedding")
+    val got = Pq.pqEncode(vecs, cb).as[(Long, Seq[Byte])].collect().sortBy(_._1)
+    assert(got(0) === ((1L, Seq(1.toByte, 0.toByte))))
+    assert(got(1) === ((2L, Seq(0.toByte, 1.toByte))))
+  }
+
+  test("ADC distance is the sum of per-subspace table lookups (hand-computed)") {
+    val cb: Pq.Codebooks = Array(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)),
+      Array(Array(0.0, 5.0), Array(5.0, 0.0)))
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0, 0.0, 5.0)),  // query
+      (2L, Seq(9.0, 9.0, 0.0, 5.0)),  // codes (1, 0)
+      (3L, Seq(1.0, 1.0, 5.0, 0.0))   // codes (0, 1)
+    ).toDF("vec_id", "embedding")
+    val got = Pq.pqSearch(vecs, cb, "vec_id = 1", k = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    // query (0,0,0,5): d² to sub0 centroids = [0, 200]; to sub1 = [0, 50]
+    // neighbor 2 → table[0][1] + table[1][0] = 200 + 0 = 200
+    // neighbor 3 → table[0][0] + table[1][1] = 0 + 50 = 50 → rank 1
+    assert(got(0) === ((1L, 1, 3L, 50.0)))
+    assert(got(1) === ((1L, 2, 2L, 200.0)))
+  }
+
+  test("recall@5 vs the exact-L2 ranking clears the codebook bound on this corpus") {
+    Pq.clearPqModels(spark)
+    val k = 5
+    val exact = {
+      val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = v.filter("vec_id < 10").select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (-round(VectorFns.l2Sq(col("qv"), col("v")), 8)).as("cos"))
+      Knn.topKPerKey(scored, k)
+    }
+    val truth = exact.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Pq.pq(emb, k = k).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === truth.keySet)
+    val recall = got.map { case (q, ns) => (ns & truth(q)).size.toDouble / k }.sum / got.size
+    assert(recall >= 0.7, f"PQ recall@5 = $recall%.2f below floor on this corpus")
+  }
+
+  test("the PQ registry trains once per (corpus, m, k): second call replans nothing new") {
+    Pq.clearPqModels(spark)
+    val a = Pq.pq(emb).collect()
+    val b = Pq.pq(emb).collect() // registry hit — no retrain (covered by timing-free identity)
+    assert(a.toSeq === b.toSeq, "PQ search must be deterministic across registry hits")
+  }
+
+  test("plan: encoding is scan-local; search shuffles only for the top-k agg") {
+    val cb = Pq.trainPq(emb, m = 8, k = 16)
+    val encPlan = Pq.pqEncode(emb, cb).queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), s"encode must be map-side:\n$encPlan")
+    val df = Pq.pqSearch(emb, cb)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"query tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"only the top-k aggregation may shuffle:\n$p")
+  }
+
+  test("codes stay within the codebook and use exactly m bytes per vector") {
+    val cb = Pq.trainPq(emb, m = 8, k = 16)
+    assert(cb.length === 8 && cb.forall(_.length <= 16))
+    val codes = Pq.pqEncode(emb, cb).select(col("codes")).as[Seq[Byte]].collect()
+    assert(codes.forall(_.length === 8))
+    assert(codes.flatten.forall(c => c >= 0 && c < 16))
+  }
+}
