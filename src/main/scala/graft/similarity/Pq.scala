@@ -1,7 +1,6 @@
 package graft.similarity
 
 import graft.functions.VectorFns
-import graft.ml.MlOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -46,19 +45,78 @@ object Pq {
   private def dims(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).head.getInt(0)
 
-  /** Train per-subspace codebooks: m independent Lloyd fits over the
-    * subvector slices (deterministic init — see MlOps.kmeansCenters). */
+  /** Train all m per-subspace codebooks in ONE Lloyd pass per iteration —
+    * not m independent fits: every subspace assigns and accumulates inside
+    * the same partition sweep, so the whole training costs 1 init job +
+    * maxIter aggregation jobs regardless of m (the per-subspace variant
+    * pays m×(init + maxIter) scans of the same corpus). Same deterministic
+    * hash-smallest init and empty-cell rule as [[MlOps.kmeansCenters]];
+    * each task ships m×k×(subDim+1) doubles, independent of corpus size. */
   def trainPq(emb: DataFrame, m: Int = 8, k: Int = 16, maxIter: Int = 3): Codebooks = {
     require(m >= 1 && k >= 2, s"m=$m must be >= 1, k=$k must be >= 2")
     val d = dims(emb)
     require(d % m == 0, s"dims=$d must divide into m=$m subspaces")
     val sub = d / m
-    (0 until m).map { s =>
-      MlOps.kmeansCenters(
-        emb.select(col("vec_id"),
-          slice(col("embedding").cast("array<double>"), s * sub + 1, sub).as("embedding")),
-        k, maxIter)
-    }.toArray
+    val sc = emb.sparkSession.sparkContext
+    val data = emb.select(col("embedding").cast("array<double>"))
+      .rdd.map(_.getSeq[Double](0).toArray).persist()
+    try {
+      // k hash-smallest rows seed every subspace (TakeOrderedAndProject)
+      val initRows = emb
+        .select(col("embedding").cast("array<double>").as("v"), xxhash64(col("vec_id")).as("h"))
+        .orderBy(col("h")).limit(k)
+        .collect().map(_.getSeq[Double](0).toArray)
+      require(initRows.nonEmpty, "trainPq: empty corpus")
+      val kEff = initRows.length
+      var books: Codebooks =
+        Array.tabulate(m)(s => initRows.map(v => v.slice(s * sub, (s + 1) * sub)))
+      (0 until maxIter).foreach { _ =>
+        val bc = sc.broadcast(books)
+        val (sums, counts) = data.mapPartitions { it =>
+          val bs = bc.value
+          val acc = Array.ofDim[Double](m, kEff, sub)
+          val n = Array.ofDim[Long](m, kEff)
+          it.foreach { vec =>
+            var s = 0
+            while (s < m) {
+              val off = s * sub
+              var best = 0; var bestD = Double.MaxValue; var c = 0
+              while (c < kEff) {
+                var dd = 0.0; var i = 0
+                while (i < sub) { val t = vec(off + i) - bs(s)(c)(i); dd += t * t; i += 1 }
+                if (dd < bestD) { bestD = dd; best = c }
+                c += 1
+              }
+              var i = 0
+              while (i < sub) { acc(s)(best)(i) += vec(off + i); i += 1 }
+              n(s)(best) += 1
+              s += 1
+            }
+          }
+          Iterator((acc, n))
+        }.treeReduce { case ((a1, n1), (a2, n2)) =>
+          var s = 0
+          while (s < m) {
+            var c = 0
+            while (c < kEff) {
+              var i = 0
+              while (i < sub) { a1(s)(c)(i) += a2(s)(c)(i); i += 1 }
+              n1(s)(c) += n2(s)(c); c += 1
+            }
+            s += 1
+          }
+          (a1, n1)
+        }
+        bc.unpersist(blocking = false)
+        books = Array.tabulate(m) { s =>
+          Array.tabulate(kEff) { c =>
+            if (counts(s)(c) == 0) books(s)(c) // empty cell keeps its center
+            else Array.tabulate(sub)(i => sums(s)(c)(i) / counts(s)(c))
+          }
+        }
+      }
+      books
+    } finally { data.unpersist(blocking = false); () }
   }
 
   /** Codebook of subspace s as a literal array<struct<code, cv>>. */
