@@ -96,6 +96,34 @@ object EventStreams {
   def dedupedEvents(events: DataFrame, horizon: String = "2 hours"): DataFrame =
     events.withWatermark("ts", horizon).dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming decontamination quarantine: a document STREAM checked
+    * against a STATIC eval corpus — Structured Streaming's stream-static
+    * join (the static side is re-planned per micro-batch and broadcast
+    * when small, exactly p02's broadcast shape per batch). Emits each
+    * contaminated doc_id once: the shingle explode is map-side, the
+    * semi-join against the static shingle set is stateless, and the only
+    * state is the dedup tombstone bounded by the watermark horizon (a doc
+    * hit by many shingles must still quarantine once). The clean corpus
+    * remains a batch concern (operators.DataPipeline.decontaminate) — a
+    * stream can only ever prove contamination, never a doc's absence from
+    * a set that future batches cannot extend. */
+  def contaminatedDocIds(docStream: DataFrame, evalDocs: DataFrame,
+                         k: Int = 8, horizon: String = "2 hours"): DataFrame = {
+    val evalShingles = graft.dedup.Dedup.shingleSets(evalDocs, k)
+      .select("shingle").distinct()
+    docStream
+      .withWatermark("ts", horizon)
+      // bind toks to an attribute first — HOF lambdas re-evaluate captured
+      // expressions per element (see TextFns.shingleHashesOfTokens)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("ts"),
+        explode(graft.functions.TextFns.shingleHashesOfTokens(col("toks"), k)).as("shingle"))
+      .join(evalShingles, Seq("shingle"), "left_semi")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .select(col("doc_id"), col("ts"))
+  }
+
   final case class SessionFlush(user_id: Long, n_events: Int,
                                 total_value: Double, evicted: Boolean)
 

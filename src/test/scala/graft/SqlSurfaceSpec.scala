@@ -36,12 +36,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       """SELECT a.vec_id, graft_cosine(a.embedding, a.embedding) AS c,
         |  graft_dot(a.embedding, a.embedding) AS d,
-        |  graft_l2sq(a.embedding, a.embedding) AS z
+        |  graft_l2sq(a.embedding, a.embedding) AS z,
+        |  graft_norm_sq(a.embedding) AS n
         |FROM embeddings a""".stripMargin)
     val e = col("embedding")
     val viaCol = tables.embeddings.select(col("vec_id"),
       VectorFns.cosine(e, e).as("c"), VectorFns.dot(e, e).as("d"),
-      VectorFns.l2Sq(e, e).as("z"))
+      VectorFns.l2Sq(e, e).as("z"), VectorFns.normSq(e).as("n"))
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
     // self-cosine is 1 (same association in SQL and Column form)
     val cs = viaSql.select(min(col("c")), max(col("c"))).collect()(0)

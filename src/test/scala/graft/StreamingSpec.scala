@@ -351,4 +351,30 @@ class StreamingSpec extends AnyFunSuite {
       .filter(_._1 == 7L).maxBy(_._2)
     assert(last === ((7L, 2, 5.0)))
   }
+
+  test("stream-static decontamination quarantines each contaminated doc once") {
+    implicit val sql = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "one two three")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.contaminatedDocIds(
+        mem.toDF().toDF("doc_id", "ts", "text"), evalDocs, k = 3)
+      .writeStream.format("memory").queryName("quarantine").outputMode("append").start()
+    // doc 1 shares TWO 3-gram shingles with eval doc 100 -> must emit once;
+    // doc 2 shares none -> never emitted
+    mem.addData(
+      (1L, ts(10), "alpha beta gamma delta zz"),
+      (2L, ts(11), "totally clean wording here"))
+    q.processAllAvailable()
+    // within-horizon re-delivery of doc 1 stays deduped; doc 3 hits the
+    // OTHER static doc, proving the set spans the whole eval corpus
+    mem.addData(
+      (1L, ts(12), "alpha beta gamma delta zz"),
+      (3L, ts(13), "xx one two three yy"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("quarantine").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(1L, 3L), s"quarantine list: $got")
+  }
 }
