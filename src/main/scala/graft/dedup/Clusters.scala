@@ -81,8 +81,13 @@ object Clusters {
   def connectedComponentsWithRounds(pairs: DataFrame, maxIter: Int = 50,
                                     smallGraphEdges: Long = SmallGraphEdges): (DataFrame, Int) = {
     require(maxIter >= 1, s"maxIter=$maxIter must be >= 1")
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+    // both directions via a map-side explode: ONE evaluation of the pair
+    // subtree (a union of two selects would compute the LSH pipeline twice)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("d1").as("a"), col("d2").as("b")),
+        struct(col("d2").as("a"), col("d1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the edge count gates the small-graph fast path; it doubles as the

@@ -172,10 +172,23 @@ object Dedup {
     * This is the shape that holds at 100 TB: signatures are fixed-size, the
     * bucket join shuffles on (band, bucket-hash), and verification touches
     * only candidate pairs. */
+  /** LSH pair sets memoized per (session, corpus plan, parameters) and
+    * persisted: d03, d07 cluster resolution and the p01 pipeline all close
+    * over the SAME pair set, and the verified pair frame is tiny (∝ actual
+    * duplication, not corpus size), so recomputing the signature/band/verify
+    * pipeline per consumer is pure waste. [[graft.SessionCaches]] drains the
+    * persisted frames with the other session memos. */
+  private val pairMemo =
+    new graft.SessionKeyedCache[(Int, Long, Int, Int, Int), DataFrame](
+      _.unpersist(blocking = false))
+
   def minHashLshPairs(docs: DataFrame, threshold: Double = 0.8,
                       bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame =
-    // session-scoped registry, same ownership note as ngramJaccardPairs
-    minHashLshPairsOf(sharedShingles(docs, k), threshold, bands, rowsPerBand)
+    pairMemo.getOrElseUpdate(
+      docs.sparkSession,
+      (docs.queryExecution.analyzed.semanticHash(),
+        java.lang.Double.doubleToLongBits(threshold), bands, rowsPerBand, k))(
+      minHashLshPairsOf(sharedShingles(docs, k), threshold, bands, rowsPerBand).persist())
 
   /** d03 core over a caller-managed shingle set — caller owns the
     * persist()/unpersist() lifecycle. */

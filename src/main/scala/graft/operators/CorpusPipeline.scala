@@ -50,7 +50,7 @@ object CorpusPipeline {
     // explicit about the shared-cache contract: the shingle set comes from
     // the session-scoped registry (one persisted copy shared with d02/d03),
     // released by the session owner via Dedup.releaseShingles
-    val pairs = Dedup.minHashLshPairsOf(Dedup.sharedShingles(docs))
+    val pairs = Dedup.minHashLshPairs(docs) // session pair memo: shared with d03/d07
       .select(col("d1"), col("d2"))
     // transitive closure over the pair graph; everything but each cluster's
     // minimum id is dropped. The label table holds only paired docs — a
