@@ -134,6 +134,15 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** XML sink/scan — built into spark-sql since Spark 4 (the former
+    * spark-xml package); rowTag frames each record element. Rounds out the
+    * semi-structured surface next to json: same schema'd read contract. */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
+  def readXml(spark: SparkSession, path: String, rowTag: String = "row"): DataFrame =
+    spark.read.option("rowTag", rowTag).xml(path)
+
   /** Gzip text sink — the reference's default output format
     * (gzip TextOutputFormat, `HboxConfiguration2.java:11-12`). */
   def writeGzipText(ds: Dataset[String], path: String): Unit =

@@ -14,7 +14,7 @@ class DataPlaneSpec extends AnyFunSuite {
 
   private val tmp = java.nio.file.Files.createTempDirectory("graft_dp").toString
 
-  test("csv/json/orc/parquet round-trip preserves rows and schema") {
+  test("csv/json/orc/parquet/xml round-trip preserves rows and schema") {
     val src = tables.nation
     for ((fmt, w, r) <- Seq[(String,
         (org.apache.spark.sql.DataFrame, String) => Unit,
@@ -22,7 +22,9 @@ class DataPlaneSpec extends AnyFunSuite {
       ("csv", Sources.writeCsv, (s, p) => Sources.csv(s, p)),
       ("json", Sources.writeJson, (s, p) => Sources.json(s, p)),
       ("orc", Sources.writeOrc, (s, p) => Sources.orc(s, p)),
-      ("parquet", Sources.writeParquet, (s, p) => Sources.parquet(s, p)))) {
+      ("parquet", Sources.writeParquet, (s, p) => Sources.parquet(s, p)),
+      ("xml", (df: org.apache.spark.sql.DataFrame, p: String) => Sources.writeXml(df, p),
+        (s: org.apache.spark.sql.SparkSession, p: String) => Sources.readXml(s, p)))) {
       val path = s"$tmp/rt_$fmt"
       w(src, path)
       val back = r(spark, path)
