@@ -119,6 +119,9 @@ object SparkEntry {
     // distortion), so rows-only driver check; PqSpec pins codes/ADC sums on
     // planted codebooks and recall vs the exact-L2 ranking (the s02 pattern)
     "s05_knn_pq"          -> ((s, d) => graft.similarity.Pq.pq(t(s, d).embeddings)),
+    // s06: IVF-PQ (cell pruning + residual PQ codes + ADC + exact re-rank)
+    // — approximate like s02/s05, rows-only; recall spec'd in IvfPqSpec
+    "s06_knn_ivfpq"       -> ((s, d) => graft.similarity.IvfPq.ivfPq(t(s, d).embeddings)),
     "t01_token_stats"     -> ((s, d) => TextQueries.t01TokenStats(t(s, d))),
     "t04_fingerprint"     -> ((s, d) => {
       graft.plans.GraftExtensions.register(s)

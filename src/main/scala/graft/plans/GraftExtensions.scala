@@ -49,6 +49,7 @@ object GraftExtensions {
     ("graft_dup_token_frac", 1, (args: Seq[Expression]) =>
       expr(TextFns.dupTokenFrac(col(args.head)))),
     ("graft_norm_sq", 1, (args: Seq[Expression]) => expr(VectorFns.normSq(col(args.head)))),
+    ("graft_l2_normalize", 1, (args: Seq[Expression]) => expr(VectorFns.l2Normalize(col(args.head)))),
     ("graft_dot", 2, (args: Seq[Expression]) => expr(VectorFns.dot(col(args(0)), col(args(1))))),
     ("graft_cosine", 2, (args: Seq[Expression]) => expr(VectorFns.cosine(col(args(0)), col(args(1))))),
     ("graft_l2sq", 2, (args: Seq[Expression]) => expr(VectorFns.l2Sq(col(args(0)), col(args(1))))),

@@ -64,6 +64,21 @@ object VectorKernels {
     acc
   }
 
+  /** a / ‖a‖ (zero vector: returned as-is); null if any element is null. */
+  def l2Normalize(a: ArrayData): ArrayData = {
+    val nsq = normSq(a)
+    if (nsq == null) return null
+    val n = a.numElements()
+    val out = new Array[Any](n)
+    val norm = math.sqrt(nsq.doubleValue())
+    var i = 0
+    while (i < n) {
+      out(i) = if (norm > 0) a.getDouble(i) / norm else a.getDouble(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Σ (aᵢ−bᵢ)²; null if lengths differ or any visited element is null. */
   def l2Sq(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
@@ -128,6 +143,32 @@ case class VecL2Sq(left: Expression, right: Expression) extends VecBinaryKernel 
     VectorKernels.l2Sq(a, b)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecL2Sq =
     copy(left = l, right = r)
+}
+
+/** `graft_l2_normalize(a)` — a / ‖a‖; zero vectors pass through. */
+case class VecL2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorKernels.checkDoubleArrays(prettyName, Seq(child))
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.l2Normalize(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("vecKernel")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.plans.VectorKernels.l2Normalize($a);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VecL2Normalize =
+    copy(child = newChild)
 }
 
 /** `graft_norm_sq(a)` — Σ aᵢ². */

@@ -129,19 +129,35 @@ object Pq {
   private def subVec(v: Column, cb: Codebooks, s: Int): Column =
     slice(v, s * cb(0)(0).length + 1, cb(0)(0).length)
 
-  /** Encode: (vec_id, codes array<tinyint>) — per-subspace argmin against
-    * the literal codebook, computed map-side in the scan projection (the
-    * struct array_min IS the argmin; ties take the lower code). */
-  def pqEncode(emb: DataFrame, cb: Codebooks): DataFrame = {
-    val v = col("embedding").cast("array<double>")
-    val codes = array((0 until cb.length).map { s =>
+  /** The m-byte code array for a full-vector column: per-subspace argmin
+    * against the literal codebook (the struct array_min IS the argmin;
+    * ties take the lower code). */
+  private[similarity] def codesExpr(cb: Codebooks, v: Column): Column =
+    array((0 until cb.length).map { s =>
       array_min(transform(bookLit(cb, s), c => struct(
         VectorFns.l2Sq(subVec(v, cb, s), c.getField("cv")).as("d2"),
         c.getField("code").as("code"))))
         .getField("code").cast("tinyint")
     }: _*)
-    emb.select(col("vec_id"), codes.as("codes"))
-  }
+
+  /** The m×k ADC table for a full-vector column: per subspace, distances
+    * to every centroid. */
+  private[similarity] def tablesExpr(cb: Codebooks, v: Column): Column =
+    array((0 until cb.length).map { s =>
+      transform(bookLit(cb, s), c => VectorFns.l2Sq(subVec(v, cb, s), c.getField("cv")))
+    }: _*)
+
+  /** Σ per-subspace table lookups for a (tables, codes) row pair. */
+  private[similarity] def adcExpr(tables: Column, codes: Column): Column =
+    aggregate(
+      zip_with(tables, codes, (t, c) => element_at(t, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Encode: (vec_id, codes array<tinyint>) — map-side in the scan
+    * projection. */
+  def pqEncode(emb: DataFrame, cb: Codebooks): DataFrame =
+    emb.select(col("vec_id"),
+      codesExpr(cb, col("embedding").cast("array<double>")).as("codes"))
 
   /** s05: ADC top-k — every query's per-subspace distance table to all k
     * centroids is computed ONCE (query side, broadcast); a corpus row
@@ -150,16 +166,10 @@ object Pq {
   def pqSearch(emb: DataFrame, cb: Codebooks,
                queryPred: String = "vec_id < 10", k: Int = 5): DataFrame = {
     val enc = pqEncode(emb, cb)
-    val qv = col("embedding").cast("array<double>")
-    val tables = array((0 until cb.length).map { s =>
-      transform(bookLit(cb, s), c => VectorFns.l2Sq(subVec(qv, cb, s), c.getField("cv")))
-    }: _*)
     val q = emb.filter(expr(queryPred))
-      .select(col("vec_id").as("query_id"), tables.as("tables"))
-    val adist = aggregate(
-      zip_with(col("tables"), col("codes"),
-        (t, c) => element_at(t, c.cast("int") + 1)),
-      lit(0.0), (acc, x) => acc + x)
+      .select(col("vec_id").as("query_id"),
+        tablesExpr(cb, col("embedding").cast("array<double>")).as("tables"))
+    val adist = adcExpr(col("tables"), col("codes"))
     val scored = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (-round(adist, 8)).as("cos")) // TopKAgg keeps largest: negate distance

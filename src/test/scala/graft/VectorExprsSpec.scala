@@ -79,6 +79,31 @@ class VectorExprsSpec extends AnyFunSuite {
       VectorFns.hofCosine($"a".cast("array<double>"), $"b".cast("array<double>"))))
   }
 
+  test("l2Normalize: unit norm, zero-vector passthrough, null propagation, cosine≡L2 rank") {
+    val df = Seq(
+      (1L, Seq(3.0, 4.0)),
+      (2L, Seq(0.0, 0.0)),
+      (3L, Seq(-1.0, 1.0))).toDF("vec_id", "a")
+    val got = df.select($"vec_id", VectorFns.l2Normalize($"a").as("u"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(got(0)._2 === Seq(0.6, 0.8))
+    assert(got(1)._2 === Seq(0.0, 0.0), "zero vector passes through")
+    val norm = math.sqrt(got(2)._2.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-12)
+    val nul = Seq((Option.empty[Seq[Double]])).toDF("a")
+    assert(nul.select(VectorFns.l2Normalize($"a")).collect()(0).isNullAt(0))
+    // after normalization cosine order == ascending L2 order (the property
+    // that lets L2-space ANN serve cosine workloads)
+    val v = tables.embeddings.limit(100)
+      .select($"vec_id", VectorFns.l2Normalize($"embedding").as("u"))
+    val q = v.limit(1).select($"u".as("qu"))
+    val both = v.crossJoin(q)
+      .select(VectorFns.cosine($"u", $"qu").as("c"), VectorFns.l2Sq($"u", $"qu").as("d"))
+      .as[(Double, Double)].collect()
+    val byCos = both.sortBy(-_._1).map(_._2).toSeq
+    assert(byCos === byCos.sorted, "descending cosine must equal ascending L2")
+  }
+
   test("interpreted eval path (codegen off) agrees with the generated path") {
     val df = tables.embeddings.limit(64)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
