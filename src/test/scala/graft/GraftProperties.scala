@@ -166,6 +166,36 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+
+  // ---- p06 chunk dedup laws ------------------------------------------------
+
+  private val wordCorpus: Gen[List[String]] = for {
+    nDocs <- Gen.chooseNum(1, 5)
+    docs <- Gen.listOfN(nDocs, Gen.chooseNum(1, 20))
+  } yield docs.zipWithIndex.map { case (n, i) =>
+    // disjoint per-doc vocabularies: every chunk is globally unique
+    (0 until n).map(j => s"d${i}w$j").mkString(" ")
+  }
+
+  property("segmentDedup is identity when every chunk is globally unique") =
+    forAll(wordCorpus) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.operators.DataPipeline.segmentDedup(df, 4)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      out.zip(texts).forall { case ((_, clean, kept, total), orig) =>
+        clean == orig && kept == total
+      }
+    }
+
+  property("segmentDedup empties an exact later copy of any document") =
+    forAll(Gen.chooseNum(1, 24)) { n =>
+      val text = (0 until n).map(j => s"w$j").mkString(" ")
+      val df = List((1L, text), (2L, text)).toDF("doc_id", "text")
+      val out = graft.operators.DataPipeline.segmentDedup(df, 4)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      out(0)._2 == text && out(1)._2 == "" && out(1)._3 == 0L
+    }
+
   property("TopKAgg equals sort-then-take on every key") =
     forAll(Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(-100, 100), Gen.chooseNum(0L, 500L))))) { xs =>
