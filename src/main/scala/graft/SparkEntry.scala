@@ -90,6 +90,7 @@ object SparkEntry {
     "p07_decontaminate_bloom" -> ((s, d) => graft.operators.DataPipeline.decontaminateBloom(
                                t(s, d).documents, col("doc_id") % 10 === 0)),
     "p08_mix_sources"     -> ((s, d) => graft.operators.DataPipeline.mixSources(t(s, d).documents)),
+    "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
@@ -699,6 +700,22 @@ object SparkEntry {
         | CAST(list_max(list_transform(list_distinct(bg), t -> len(list_filter(bg, x -> x = t)))) AS DOUBLE)
         |   / CAST(len(bg) AS DOUBLE) AS top_bigram_frac
         |FROM m""".stripMargin,
+    // p09: pure integer arithmetic over p05's offsets — exact oracle
+    "p09_pack_spans" ->
+      """WITH d AS (SELECT doc_id, source, doc_id // 1000 AS shard,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, source, shard, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM d),
+        |e AS (SELECT doc_id, source, shard, n_tokens, tok_offset,
+        |      unnest(generate_series(tok_offset // 512, (tok_offset + n_tokens - 1) // 512)) AS seq_id
+        |      FROM o)
+        |SELECT doc_id, source, shard, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(greatest(seq_id * 512, tok_offset) - tok_offset AS BIGINT) AS tok_start,
+        |  CAST(least((seq_id + 1) * 512, tok_offset + n_tokens)
+        |     - greatest(seq_id * 512, tok_offset) AS BIGINT) AS span_len
+        |FROM e""".stripMargin,
     // p08: w is rounded to 6 dp BEFORE the quota arithmetic so floor(
     // budget·w + 0.5) runs over identical doubles in both engines; the
     // hash rank reuses p03's portable md5 fold with the 'mix:' salt

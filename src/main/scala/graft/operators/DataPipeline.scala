@@ -193,6 +193,36 @@ object DataPipeline {
       n.cast("int").as("n_redacted"))
   }
 
+  /** p09: span-level sequence packing — [[packSequences]] assigns each doc
+    * to the sequence its FIRST token lands in; real packers instead split
+    * a document across every sequence it overlaps (a 2000-token doc under
+    * a 512 budget contributes spans to 4–5 sequences). One row per
+    * (doc, sequence) overlap: where the span starts inside the doc and how
+    * many tokens it contributes. Pure integer arithmetic over p05's
+    * offsets, so the invariants are exact: per-doc span lengths sum to
+    * n_tokens, and every sequence except a shard's last holds exactly
+    * `budget` tokens.
+    *
+    * Scale shape: p05's one exchange on (source, shard), then a map-side
+    * explode of at most ⌈n_tokens/budget⌉+1 rows per doc — no further
+    * shuffle.
+    */
+  def packSpans(docs: DataFrame, budget: Int = 512,
+                shardDocs: Int = 1000): DataFrame = {
+    val base = packSequences(docs, budget, shardDocs)
+    val firstSeq = floor(col("tok_offset") / lit(budget))
+    val lastSeq = floor((col("tok_offset") + col("n_tokens") - 1) / lit(budget))
+    base
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        col("tok_offset"), explode(sequence(firstSeq, lastSeq)).as("seq_id"))
+      .select(col("doc_id"), col("source"), col("shard"), col("seq_id"),
+        (greatest(col("seq_id") * budget, col("tok_offset")) - col("tok_offset"))
+          .cast("long").as("tok_start"),
+        (least((col("seq_id") + 1) * budget, col("tok_offset") + col("n_tokens"))
+          - greatest(col("seq_id") * budget, col("tok_offset")))
+          .cast("long").as("span_len"))
+  }
+
   /** p06: chunk-level exact span dedup across the corpus — segment every
     * document into fixed-width k-token chunks, keep only the globally FIRST
     * occurrence (lexicographic min (doc_id, seg_idx)) of each distinct

@@ -252,6 +252,36 @@ class DataPipelineSpec extends AnyFunSuite {
       s"keeper min must partial-aggregate map-side:\n$p")
   }
 
+  test("p09: spans tile each doc exactly and every non-final sequence is full") {
+    val budget = 64
+    val out = DataPipeline.packSpans(docs, budget = budget, shardDocs = 20)
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    // per-doc: spans start at 0, are contiguous, and sum to n_tokens
+    val nTok = DataPipeline.packSequences(docs, budget, 20)
+      .select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    out.groupBy(_._1).foreach { case (id, spans) =>
+      val s = spans.sortBy(_._4)
+      assert(s.head._5 === 0L, s"doc $id first span starts at 0")
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 === a._5 + a._6, s"doc $id spans contiguous")
+        case _ =>
+      }
+      assert(s.map(_._6).sum === nTok(id).toLong, s"doc $id span lengths sum to n_tokens")
+      assert(s.forall(_._6 > 0), s"doc $id empty span")
+    }
+    // per (source, shard): every sequence but the last holds exactly budget
+    out.groupBy(r => (r._2, r._3)).foreach { case ((src, shard), rows) =>
+      val bySeq = rows.groupBy(_._4).view.mapValues(_.map(_._6).sum).toMap
+      val last = bySeq.keys.max
+      bySeq.foreach { case (seq, tot) =>
+        if (seq != last) assert(tot === budget.toLong, s"($src,$shard) seq $seq not full")
+        else assert(tot <= budget.toLong, s"($src,$shard) last seq overflows")
+      }
+    }
+    // a doc longer than the budget spans multiple sequences
+    assert(out.groupBy(_._1).exists(_._2.length > 1), "corpus must contain a split doc")
+  }
+
   test("p05 plan: one exchange (the per-shard window), bounded by construction") {
     val df = DataPipeline.packSequences(docs)
     df.collect()
