@@ -18,8 +18,15 @@ class SessionCachesSpec extends AnyFunSuite {
     val s2 = spark.newSession()
     val t2 = Tables(s2, sf)
     Dedup.sharedShingles(t2.documents).count() // populates the shingle memo
-    Knn.ivf(t2.embeddings).count()             // populates the model registry
+    Dedup.minHashLshPairs(t2.documents).count() // populates the pair memo
+    Knn.ivf(t2.embeddings).count()             // populates the IVF registry
+    graft.similarity.Pq.pq(t2.embeddings).count()      // PQ codebooks
+    graft.similarity.IvfPq.ivfPq(t2.embeddings).count() // IVF-PQ model
+    graft.dedup.Clusters.sharedComponents(             // CC label memo
+      Dedup.minHashLshPairs(t2.documents).select("d1", "d2")).count()
     t2.registerViews()                         // populates relCache + lastViews
+    assert(SessionCaches.entriesFor(s2) >= 6,
+      "every registry family must hold an entry for the session")
     assert(SessionCaches.entriesFor(s2) > 0, "population must register entries")
     val sharedBefore = SessionCaches.entriesFor(spark)
     SessionCaches.release(s2)
