@@ -135,6 +135,7 @@ object SparkEntry {
     "t03_quality"         -> ((s, d) => TextQueries.t03Quality(t(s, d))),
     "t05_repetition"      -> ((s, d) => TextQueries.t05Repetition(t(s, d))),
     "t06_unigram_ppl"     -> ((s, d) => TextQueries.t06UnigramPpl(t(s, d))),
+    "t07_token_entropy"   -> ((s, d) => TextQueries.t07TokenEntropy(t(s, d))),
     "m01_media_features"  -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.asMedia(t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"))),
@@ -750,6 +751,16 @@ object SparkEntry {
         |  round(-sll / n_tokens, 6) AS avg_nll,
         |  round(exp(round(-sll / n_tokens, 6)), 4) AS ppl
         |FROM s""".stripMargin,
+    // t07: the single-fraction entropy form means ONE rounded aggregated
+    // double per engine, not a per-type p·ln p sum with its own float order
+    "t07_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |cnt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+        |FROM cnt GROUP BY doc_id""".stripMargin,
     // first_byte = the payload's first UTF-8 byte; derived from the first
     // code point in DuckDB (ascii() alone would diverge on non-ASCII or
     // empty text — cp<128: identity, else the UTF-8 lead byte; empty: -1)

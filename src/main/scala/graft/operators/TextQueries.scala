@@ -87,6 +87,29 @@ object TextQueries {
       .withColumn("ppl", round(exp(col("avg_nll")), 4))
   }
 
+  /** t07: unigram (token) entropy per document — the Shannon-entropy
+    * member of the repetition/quality family: low entropy flags template
+    * and spam docs whose token mass concentrates on few types (t05's
+    * fractions see the top element; entropy sees the whole distribution).
+    * H = ln n − (Σ c·ln c)/n over the doc's token counts, computed in that
+    * single-fraction form so each engine evaluates ONE aggregated double
+    * (rounded 6 dp, the q01 rule) instead of a per-type p·ln p sum.
+    *
+    * Scale shape: one exchange on (doc_id, token) for the type counts
+    * (partial-aggregated), one on doc_id for the entropy fold — both
+    * key-bounded.
+    */
+  def t07TokenEntropy(t: Tables): DataFrame = {
+    val tok = t.documents.select(col("doc_id"),
+      explode(TextFns.tokens(col("text"))).as("token"))
+    tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        round(log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")), 6)
+          .as("entropy"))
+  }
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

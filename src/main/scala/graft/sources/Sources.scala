@@ -134,6 +134,22 @@ object Sources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Compacting parquet sink — the small-files mitigation every long-lived
+    * table needs (a curation pipeline's filtered outputs otherwise
+    * fragment into one sliver per task, and at 100 TB the NameNode/driver
+    * pays per file forever after). Sizes the file count from optimizer
+    * stats (driver-side metadata, no extra job) against a target bytes-
+    * per-file, then round-robin repartitions to exactly that many writers.
+    */
+  def writeCompacted(df: DataFrame, path: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(targetFileBytes > 0, s"targetFileBytes=$targetFileBytes must be > 0")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).toLong.max(1L)
+      .min(Int.MaxValue.toLong).toInt
+    df.repartition(nFiles).write.mode("overwrite").parquet(path)
+  }
+
   /** XML sink/scan — built into spark-sql since Spark 4 (the former
     * spark-xml package); rowTag frames each record element. Rounds out the
     * semi-structured surface next to json: same schema'd read contract. */

