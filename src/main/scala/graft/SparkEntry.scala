@@ -136,6 +136,17 @@ object SparkEntry {
     "t05_repetition"      -> ((s, d) => TextQueries.t05Repetition(t(s, d))),
     "t06_unigram_ppl"     -> ((s, d) => TextQueries.t06UnigramPpl(t(s, d))),
     "t07_token_entropy"   -> ((s, d) => TextQueries.t07TokenEntropy(t(s, d))),
+    // t08: trained-BPE subword stats — deterministic (tie-broken training,
+    // greedy encode) but not SQL-reproducible → rows-only driver check;
+    // BpeSpec pins hand-derived merges, the concat-identity law and codegen
+    "t08_bpe_encode"      -> ((s, d) => {
+      val docs = t(s, d).documents
+      val model = graft.functions.Bpe.sharedModel(docs)
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.tokenCount(col("text")).as("n_tokens"),
+        org.apache.spark.sql.functions.size(
+          graft.functions.Bpe.encode(col("text"), model)).as("n_subwords"))
+    }),
     "m01_media_features"  -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.asMedia(t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("n_bytes"), col("first_byte"))),
