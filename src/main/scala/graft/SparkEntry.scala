@@ -100,6 +100,13 @@ object SparkEntry {
     // rows-only driver check, no SQL oracle
     "d06_embedding_dup_ivf" -> ((s, d) => Dedup.embeddingDupPairsIvf(t(s, d).embeddings)),
     "d07_dup_clusters"    -> ((s, d) => graft.dedup.Clusters.dupClusters(t(s, d).documents)),
+    // d08: incremental ingestion — every third doc arrives as the new batch
+    // against the rest as the standing corpus
+    "d08_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d).documents
+      Dedup.incrementalExact(
+        docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+    }),
     "s01_knn_brute"       -> ((s, d) => Knn.bruteForce(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
@@ -556,6 +563,17 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // d08: same normalized-md5 fingerprint as d01; the incoming batch keeps
+    // its smallest doc_id per fingerprint, then anti-joins the standing set
+    "d08_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  doc_id % 3 = 0 AS incoming FROM documents),
+        |seen AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT incoming),
+        |batch AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp
+        |          WHERE incoming GROUP BY fingerprint)
+        |SELECT doc_id, fingerprint FROM batch
+        |WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
     // d07: connected components of the d03 pair set (== the d02/d03 oracle

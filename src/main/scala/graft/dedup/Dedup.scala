@@ -32,6 +32,31 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** d08: incremental exact dedup — the production ingestion flow: admit
+    * from an incoming batch only documents whose normalized fingerprint is
+    * (a) unseen in the EXISTING corpus and (b) first within the batch
+    * itself (smallest doc_id wins, the d01 rule). The corpus never
+    * re-dedupes; each batch pays one fingerprint scan of itself plus an
+    * anti-join against the existing fingerprint set.
+    *
+    * Scale shape: both sides reduce to (fingerprint) keys — the incoming
+    * side partial-aggregates to one row per distinct batch fingerprint
+    * before the anti-join, so the exchange carries batch-distinct keys,
+    * not batch rows. The existing side is a corpus-sized fingerprint scan;
+    * amortize it by persisting the fingerprint set between batches, or
+    * prefilter with a Bloom filter of the existing set exactly as p07 does
+    * for decontamination (false positives would only re-check, never
+    * wrongly drop, since the BF guards an anti-join confirm). */
+  def incrementalExact(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val seen = existing
+      .select(TextFns.fingerprint(col("text")).as("fingerprint")).distinct()
+    incoming
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fingerprint"))
+      .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("doc_id"))
+      .join(seen, Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"), col("fingerprint"))
+  }
+
   /** Session-scoped shingle-set registry. d02, d03 and the corpus pipeline
     * all consume the same exploded shingle table; memoizing the *persisted
     * DataFrame object* (keyed by the docs plan's semantic hash and k) gives

@@ -46,6 +46,26 @@ class DedupSpec extends AnyFunSuite {
     Dedup.ngramJaccardPairs(docs, threshold = 0.333333).count()
   }
 
+  test("d08 incremental: existing dupes dropped, batch-internal first wins, fresh admitted") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "ALPHA   beta"),   // normalizes to an existing fingerprint → dropped
+      (11L, "fresh words"),    // new → admitted
+      (12L, "fresh  WORDS"),   // same normalized content as 11 → batch dupe, dropped
+      (13L, "another one")     // new → admitted
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.incrementalExact(existing, incoming)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(11L, 13L))
+    // idempotence: re-admitting the admitted batch against existing+admitted
+    // yields nothing
+    val admitted = incoming.where(col("doc_id").isin(11L, 13L))
+    val again = graft.dedup.Dedup.incrementalExact(
+      existing.unionByName(admitted), admitted)
+    assert(again.count() === 0L)
+  }
+
   test("exact dedup: fingerprints count matches distinct normalized texts") {
     val n = Dedup.exact(tables.documents).count()
     val d = tables.documents
