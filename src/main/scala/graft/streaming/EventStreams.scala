@@ -124,6 +124,27 @@ object EventStreams {
       .select(col("doc_id"), col("ts"))
   }
 
+  /** Streaming admission — the d08 incremental-dedup flow against a live
+    * document stream: drop any doc whose normalized fingerprint exists in
+    * the STANDING corpus (stream-static anti join, stateless) and admit
+    * each new fingerprint once within the watermark horizon (bounded
+    * dedup state). Divergence from batch d08, by contract: within the
+    * stream, ARRIVAL order wins, not smallest doc_id — a stream has no
+    * retrospective minimum. */
+  def admittedDocs(docStream: DataFrame, standing: DataFrame,
+                   horizon: String = "2 hours"): DataFrame = {
+    val seen = standing
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fingerprint"))
+      .distinct()
+    docStream
+      .withWatermark("ts", horizon)
+      .select(col("doc_id"), col("ts"),
+        graft.functions.TextFns.fingerprint(col("text")).as("fingerprint"))
+      .join(seen, Seq("fingerprint"), "left_anti")
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select(col("doc_id"), col("ts"), col("fingerprint"))
+  }
+
   final case class SessionFlush(user_id: Long, n_events: Int,
                                 total_value: Double, evicted: Boolean)
 

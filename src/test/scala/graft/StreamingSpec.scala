@@ -377,4 +377,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(got === Seq(1L, 3L), s"quarantine list: $got")
   }
+
+  test("stream-static admission drops standing dupes and admits each fingerprint once") {
+    implicit val sql = spark.sqlContext
+    val standing = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = EventStreams.admittedDocs(
+        mem.toDF().toDF("doc_id", "ts", "text"), standing)
+      .writeStream.format("memory").queryName("admitted").outputMode("append").start()
+    mem.addData(
+      (1L, ts(10), "ALPHA  beta gamma"),  // normalizes to the standing doc -> dropped
+      (2L, ts(11), "fresh words"))        // new -> admitted
+    q.processAllAvailable()
+    mem.addData(
+      (3L, ts(12), "fresh   WORDS"),      // same fingerprint as doc 2 -> dropped
+      (4L, ts(13), "another one"))        // new -> admitted
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("admitted").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got === Seq(2L, 4L), s"admitted: $got")
+  }
 }
