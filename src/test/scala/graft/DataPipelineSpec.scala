@@ -282,6 +282,22 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(out.groupBy(_._1).exists(_._2.length > 1), "corpus must contain a split doc")
   }
 
+  test("p09 plan: no exchange beyond p05's per-shard window (explode is map-side)") {
+    val df = DataPipeline.packSpans(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"span explode must add no shuffle:\n$p")
+  }
+
+  test("p08 plan: quotas broadcast; only the counts agg and the rank shuffle") {
+    val df = DataPipeline.mixSources(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"quota frame must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join on source:\n$p")
+  }
+
   test("p05 plan: one exchange (the per-shard window), bounded by construction") {
     val df = DataPipeline.packSequences(docs)
     df.collect()

@@ -66,6 +66,17 @@ class DedupSpec extends AnyFunSuite {
     assert(again.count() === 0L)
   }
 
+  test("d08 plan: batch aggregates to distinct fingerprints before the anti-join") {
+    val docs = tables.documents
+    val df = graft.dedup.Dedup.incrementalExact(
+      docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"batch side must partial-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("exact dedup: fingerprints count matches distinct normalized texts") {
     val n = Dedup.exact(tables.documents).count()
     val d = tables.documents

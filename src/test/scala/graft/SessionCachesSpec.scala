@@ -24,8 +24,9 @@ class SessionCachesSpec extends AnyFunSuite {
     graft.similarity.IvfPq.ivfPq(t2.embeddings).count() // IVF-PQ model
     graft.dedup.Clusters.sharedComponents(             // CC label memo
       Dedup.minHashLshPairs(t2.documents).select("d1", "d2")).count()
+    graft.functions.Bpe.sharedModel(t2.documents)      // BPE merge model
     t2.registerViews()                         // populates relCache + lastViews
-    assert(SessionCaches.entriesFor(s2) >= 6,
+    assert(SessionCaches.entriesFor(s2) >= 7,
       "every registry family must hold an entry for the session")
     assert(SessionCaches.entriesFor(s2) > 0, "population must register entries")
     val sharedBefore = SessionCaches.entriesFor(spark)
