@@ -162,6 +162,15 @@ object SparkEntry {
     // DuckDB can't decode media → no oracleSql entry (rows+schema driver
     // check); the decoded values are pinned by MultimodalSpec, like
     // d06/s02's recall specs.
+    // m03: the frame-level dataset — container frames exploded into rows
+    // (MP4 samples via the ISO-BMFF sample table, WAV PCM slices, raw-byte
+    // framing otherwise). Deterministic but undecodable in SQL → rows-only;
+    // MultimodalSpec pins the frame contents. Parallelism shifts from media
+    // files to frames, the property that matters when one video dominates.
+    "m03_frame_dataset" -> ((s, d) =>
+      Multimodal.frameSample(s, Multimodal.syntheticMedia(s, t(s, d).documents))
+        .toDF().select(col("doc_id"), col("frame_idx"),
+          org.apache.spark.sql.functions.length(col("frame")).as("n_bytes"))),
     "m02_decoded_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("sniffed"), col("n_bytes"),
