@@ -91,6 +91,7 @@ object SparkEntry {
                                t(s, d).documents, col("doc_id") % 10 === 0)),
     "p08_mix_sources"     -> ((s, d) => graft.operators.DataPipeline.mixSources(t(s, d).documents)),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
+    "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
@@ -755,6 +756,16 @@ object SparkEntry {
         |  CAST(least((seq_id + 1) * 512, tok_offset + n_tokens)
         |     - greatest(seq_id * 512, tok_offset) AS BIGINT) AS span_len
         |FROM e""".stripMargin,
+    // p10: same normalized fingerprint as d01; mean_chars is the one
+    // rounded aggregated double
+    "p10_corpus_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS distinct_fps,
+        |  count(DISTINCT lang) AS n_langs,
+        |  round(avg(n_chars), 2) AS mean_chars,
+        |  count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS dup_docs
+        |FROM documents GROUP BY source""".stripMargin,
     // p08: w is rounded to 6 dp BEFORE the quota arithmetic so floor(
     // budget·w + 0.5) runs over identical doubles in both engines; the
     // hash rank reuses p03's portable md5 fold with the 'mix:' salt

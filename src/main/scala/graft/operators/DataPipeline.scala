@@ -165,6 +165,27 @@ object DataPipeline {
         (col("rn") <= col("quota")).as("sampled"))
   }
 
+  /** p10: the corpus data card — per-source summary statistics, the
+    * dataset-documentation step every released training corpus ships
+    * (docs, token volume, exact-duplicate load, language spread, size
+    * profile). One partial-aggregated exchange on source; the
+    * count-distincts run through Spark's two-phase expand, still
+    * source-key-bounded.
+    */
+  def corpusCard(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"), col("n_chars"),
+        TextFns.fingerprint(col("text")).as("fp"),
+        TextFns.tokenCount(col("text")).as("nt"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("total_tokens"),
+        countDistinct(col("fp")).as("distinct_fps"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_chars")), 2).as("mean_chars"))
+      .withColumn("dup_docs", col("n_docs") - col("distinct_fps"))
+
   /** One scrub rule: a Java/RE2-compatible pattern and its replacement
     * token. Patterns must avoid constructs RE2 lacks (backrefs, lookaround)
     * so the same rule runs verbatim in engines like DuckDB for auditing. */

@@ -193,6 +193,22 @@ class DataPipelineSpec extends AnyFunSuite {
     counts.foreach { case (src, n) => assert(out(src) === r6(n / total), src) }
   }
 
+  test("p10: card totals reconcile with the corpus and the d01 duplicate load") {
+    val card = DataPipeline.corpusCard(docs).collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val dupTotal = card.map(_.getAs[Long]("dup_docs")).sum
+    // d01's global duplicate count bounds the per-source sum from below
+    // (duplicates across sources split per-source, never merge)
+    val globalDupes = graft.dedup.Dedup.exact(docs)
+      .agg(sum(col("n_copies") - 1)).as[Long].collect()(0)
+    assert(dupTotal <= globalDupes)
+    card.foreach { r =>
+      assert(r.getAs[Long]("distinct_fps") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_langs") >= 1)
+      assert(r.getAs[Long]("dup_docs") >= 0)
+    }
+  }
+
   test("p06: later duplicates of a chunk are dropped, first occurrence survives") {
     val k = 3
     val corpus = Seq(
