@@ -108,6 +108,10 @@ object SparkEntry {
       Dedup.incrementalExact(
         docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
     }),
+    // d09: SemDeDup-style semantic clusters — cluster resolution over the
+    // d06 pair family; approximate pairs (d06 recall spec) → rows-only
+    "d09_embedding_clusters" -> ((s, d) =>
+      graft.dedup.Clusters.embeddingClusters(t(s, d).embeddings)),
     "s01_knn_brute"       -> ((s, d) => Knn.bruteForce(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query

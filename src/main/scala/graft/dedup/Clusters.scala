@@ -202,6 +202,24 @@ object Clusters {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** d09: semantic duplicate clusters — the SemDeDup-style flow (Abbas et
+    * al. 2023: embedding-space near-dup groups, one keeper each) as the
+    * same closure over a DIFFERENT pair family: d06's IVF-bucketed
+    * embedding pairs instead of d03's LSH text pairs. Cluster resolution
+    * is pair-family-generic by construction — this operator is the second
+    * instantiation that proves it. Same output contract as [[dupClusters]]
+    * (cluster id = min vec_id, one `keep` per cluster). */
+  def embeddingClusters(emb: DataFrame, threshold: Double = 0.45,
+                        nCells: Int = 10, nProbe: Int = 2): DataFrame = {
+    val pairs = Dedup.embeddingDupPairsIvf(emb, threshold, nCells, nProbe)
+      .select(col("d1"), col("d2"))
+    sharedComponents(pairs)
+      .select(col("id").as("vec_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("keep", col("vec_id") === col("cluster_id"))
+  }
+
   /** Corpus clean by cluster resolution: keep every document that has no
     * near-dup plus the one canonical keeper per cluster. Unlike dropping
     * each pair's larger id (the p01 shape — correct only when every

@@ -78,6 +78,25 @@ class ClustersSpec extends AnyFunSuite {
       }
   }
 
+  test("d09: embedding clusters carry the dupClusters contract over the d06 pair family") {
+    val clusters = Clusters.embeddingClusters(tables.embeddings).collect()
+    assert(clusters.nonEmpty, "corpus must contain embedding near-dups at this threshold")
+    clusters.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, members) =>
+      val ids = members.map(_.getAs[Long]("vec_id"))
+      assert(ids.min === cid, s"cluster $cid keeper is not the min id")
+      assert(members.count(_.getAs[Boolean]("keep")) === 1)
+      assert(members.forall(_.getAs[Long]("cluster_size") === ids.length.toLong))
+      assert(ids.length >= 2)
+    }
+    // every d06 pair's endpoints land in one cluster
+    val comp = clusters.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    Dedup.embeddingDupPairsIvf(tables.embeddings).select("d1", "d2").collect()
+      .foreach { r =>
+        assert(comp(r.getLong(0)) === comp(r.getLong(1)),
+          s"pair (${r.getLong(0)},${r.getLong(1)}) split across clusters")
+      }
+  }
+
   test("dedupByClusters keeps exactly the unpaired docs plus one keeper per cluster") {
     val docs = tables.documents
     val clusters = Clusters.dupClusters(docs)
