@@ -16,6 +16,14 @@ object Bench {
     // recording vs 38 s re-measured); n>=3 with the per-query MEDIAN is
     // robust to a transient external-load spike landing on any single rep
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt)
+    // sampled BEFORE any work: the pre-existing external load (the bench's
+    // own 32 threads would dominate an end-of-run reading). External load
+    // poisons whole recordings in ways per-query medians can't catch
+    // (round-5 lesson: uniform 3x inflation across unchanged queries);
+    // recording it makes a contaminated sample self-describing.
+    val loadAvg = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -78,7 +86,7 @@ object Bench {
       else results.collect { case (k, v) if baselineQs(k) => v }.sum
     val production = if (failed.nonEmpty) -1.0 else total - baseline
     val failedJs = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"failed":$failedJs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"pre_run_load_1m":$loadAvg,"failed":$failedJs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
