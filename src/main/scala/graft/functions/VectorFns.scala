@@ -56,7 +56,7 @@ object VectorFns {
   /** Squared euclidean distance to a driver-side constant vector (a model
     * artifact such as a KMeans center), embedded as an array literal. */
   def l2SqLit(a: Column, c: Array[Double]): Column =
-    l2Sq(a, array(c.map(lit(_)): _*))
+    l2Sq(a, array(c.toIndexedSeq.map(lit(_)): _*))
 
   // ---- higher-order-function reference forms (semantic spec; interpreted) --
 

@@ -80,7 +80,7 @@ object DataPipeline {
     val hashed = xxhash64(col("shingle"))
     val bfAgg = new BloomFilterAggregate(ColumnBridge.toExpression(hashed),
       Literal(nItems), Literal(numBits)).toAggregateExpression()
-    val bfRow = evalShingles.select(ColumnBridge.toColumn(bfAgg)).head
+    val bfRow = evalShingles.select(ColumnBridge.toColumn(bfAgg)).head()
     if (bfRow.isNullAt(0)) // empty eval set: nothing can be contaminated
       return docs.where(not(isEval)).select(col("doc_id"), col("source"), col("n_chars"))
     val mightContain = ColumnBridge.toColumn(BloomFilterMightContain(

@@ -77,7 +77,7 @@ object TextQueries {
       explode(TextFns.tokens(col("text"))).as("token"))
     val lm = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
     // total tokens: a sum over the vocab-sized LM table (tiny reduce)
-    val total = lm.agg(sum(col("c"))).head.getLong(0).toDouble
+    val total = lm.agg(sum(col("c"))).head().getLong(0).toDouble
     val logp = lm.select(col("token"), log(col("c") / lit(total)).as("logp"))
     tok.join(broadcast(logp), Seq("token"))
       .groupBy(col("doc_id"))

@@ -40,8 +40,8 @@ object IvfPq {
 
   /** Coarse centers as a literal array<struct<cell, cv>>. */
   private def centsLit(centers: Array[Array[Double]]): Column =
-    array(centers.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cv"))
+    array(centers.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.toIndexedSeq.map(lit(_)): _*).as("cv"))
     }: _*)
 
   /** (d2, cell) structs to every coarse centroid — array_min is the argmin,

@@ -103,8 +103,8 @@ object Knn {
                k: Int = 5, nProbe: Int = 3): DataFrame = {
     require(centers.nonEmpty, "ivfServe: empty model")
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents: Column = array(centers.zipWithIndex.map {
-      case (c, i) => struct(lit(i).as("cell"), array(c.map(lit(_)): _*).as("cv"))
+    val cents: Column = array(centers.zipWithIndex.toIndexedSeq.map {
+      case (c, i) => struct(lit(i).as("cell"), array(c.toIndexedSeq.map(lit(_)): _*).as("cv"))
     }: _*)
     // distances to every centroid as (d2, cell) structs: struct comparison
     // is lexicographic, so array_min IS the argmin (ties → lower cell) and

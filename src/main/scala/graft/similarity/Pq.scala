@@ -43,7 +43,7 @@ object Pq {
     models.purgeSession(Some(spark), None)
 
   private def dims(emb: DataFrame): Int =
-    emb.select(size(col("embedding"))).head.getInt(0)
+    emb.select(size(col("embedding"))).head().getInt(0)
 
   /** Train all m per-subspace codebooks in ONE Lloyd pass per iteration —
     * not m independent fits: every subspace assigns and accumulates inside
@@ -121,8 +121,8 @@ object Pq {
 
   /** Codebook of subspace s as a literal array<struct<code, cv>>. */
   private def bookLit(cb: Codebooks, s: Int): Column =
-    array(cb(s).zipWithIndex.map { case (cv, c) =>
-      struct(lit(c).as("code"), array(cv.map(lit(_)): _*).as("cv"))
+    array(cb(s).zipWithIndex.toIndexedSeq.map { case (cv, c) =>
+      struct(lit(c).as("code"), array(cv.toIndexedSeq.map(lit(_)): _*).as("cv"))
     }: _*)
 
   /** Subvector s of a full vector column. */
