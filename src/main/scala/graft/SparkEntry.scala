@@ -148,6 +148,7 @@ object SparkEntry {
     "t05_repetition"      -> ((s, d) => TextQueries.t05Repetition(t(s, d))),
     "t06_unigram_ppl"     -> ((s, d) => TextQueries.t06UnigramPpl(t(s, d))),
     "t07_token_entropy"   -> ((s, d) => TextQueries.t07TokenEntropy(t(s, d))),
+    "t09_bigram_ppl"      -> ((s, d) => TextQueries.t09BigramPpl(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -803,6 +804,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  round(-sll / n_tokens, 6) AS avg_nll,
         |  round(exp(round(-sll / n_tokens, 6)), 4) AS ppl
+        |FROM s""".stripMargin,
+    // t09: bigram construction mirrors t05's (incl. the whole-text
+    // pseudo-bigram for short docs); add-one smoothing keeps both engines
+    // on identical division trees, and ppl derives from the rounded NLL
+    "t09_bigram_ppl" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+        |  THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+        |  ELSE [array_to_string(w, ' ')] END) AS bigram FROM tk),
+        |v AS (SELECT count(DISTINCT token)::DOUBLE AS vocab FROM
+        |      (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)),
+        |lm2 AS (SELECT bigram, count(*) AS c12, split_part(bigram, ' ', 1) AS w1
+        |        FROM bg GROUP BY bigram),
+        |lm1 AS (SELECT w1, sum(c12) AS c1 FROM lm2 GROUP BY w1),
+        |logp AS (SELECT bigram, ln((c12 + 1) / (c1 + (SELECT vocab FROM v))) AS logp
+        |         FROM lm2 JOIN lm1 USING (w1)),
+        |s AS (SELECT b.doc_id, count(*) AS n_bigrams, sum(l.logp) AS sll
+        |      FROM bg b JOIN logp l USING (bigram) GROUP BY b.doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  round(-sll / n_bigrams, 6) AS avg_nll,
+        |  round(exp(round(-sll / n_bigrams, 6)), 4) AS ppl
         |FROM s""".stripMargin,
     // t07: the single-fraction entropy form means ONE rounded aggregated
     // double per engine, not a per-type p·ln p sum with its own float order

@@ -87,6 +87,41 @@ object TextQueries {
       .withColumn("ppl", round(exp(col("avg_nll")), 4))
   }
 
+  /** t09: bigram-LM perplexity with add-one smoothing — one order up from
+    * t06 toward CCNet's KenLM scoring, still exactly reproducible:
+    * p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), with c(w₁·) the count of bigrams
+    * starting with w₁ and V the corpus vocabulary size (the smoothing mass
+    * that keeps unseen continuations finite). Documents score by average
+    * bigram NLL; short docs (< 2 tokens) carry the whole-text pseudo-bigram,
+    * the t05 convention, identically in both engines.
+    *
+    * Scale shape: bigram counts = one partial-aggregated exchange
+    * (bigram-type-bounded); the prefix counts derive from the bigram table
+    * (NOT another corpus scan); scoring joins the exploded corpus against
+    * the BROADCAST bigram LM, then one doc_id exchange. avg_nll rounds at
+    * 6 dp and ppl derives from the rounded value — the t06 float rule.
+    */
+  def t09BigramPpl(t: Tables): DataFrame = {
+    val docs = t.documents
+    val bg = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextFns.bigramsOfTokens(col("toks"))).as("bigram"))
+    val vocab = docs
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0).toDouble
+    val lm2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val lm1 = lm2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val logp = lm2.join(lm1, Seq("w1"))
+      .select(col("bigram"), log((col("c12") + 1) / (col("c1") + lit(vocab))).as("logp"))
+    bg.join(broadcast(logp), Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("sll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sll") / col("n_bigrams"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+  }
+
   /** t07: unigram (token) entropy per document — the Shannon-entropy
     * member of the repetition/quality family: low entropy flags template
     * and spam docs whose token mass concentrates on few types (t05's

