@@ -93,7 +93,11 @@ object Clusters {
     // the edge count gates the small-graph fast path; it doubles as the
     // emptiness check the loop needed anyway, so it costs no extra job
     val nEdges = edges.count()
-    val integralIds = pairs.schema.take(2).forall(f => f.dataType match {
+    // look the id fields up BY NAME — edges are built from col("d1")/
+    // col("d2"), so a frame where d1/d2 are not the first two columns must
+    // still gate on the right types (positional take(2) would check the
+    // wrong fields and could send string ids down the integral fast path)
+    val integralIds = Seq("d1", "d2").forall(n => pairs.schema(n).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
       case _ => false

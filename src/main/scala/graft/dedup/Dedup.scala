@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the LLM-data-pipeline surface.
   *
-  * Four families, by cost/fidelity:
+  * Five families, by cost/fidelity:
   *   - exact: content-hash groupBy (one shuffle on the hash)
+  *   - incremental exact: batch admission against the existing corpus'
+  *     fingerprint set (d08) — the production ingestion flow
   *   - exact n-gram Jaccard: prefix-filtered inverted-index join (ssjoin/
   *     All-Pairs) — the *baseline/oracle*: exact results, candidates only
   *     from each doc's rare-shingle prefix, so stop-shingles no longer

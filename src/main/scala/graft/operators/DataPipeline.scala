@@ -75,8 +75,20 @@ object DataPipeline {
     // size the BF from the actual item count (the eval side is the small
     // side by contract, so this count is cheap); m = -n·ln(p)/(ln 2)²
     val nItems = math.max(evalShingles.count(), 1L)
-    val numBits = math.max(64L,
+    val wantBits = math.max(64L,
       math.ceil(-nItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently clamps numBits to the session max; for
+    // huge eval sets the effective FPP would then degrade past the request
+    // without a trace. Clamp knowingly and say so: correctness is preserved
+    // by the exact confirm join either way, but the confirm-join traffic
+    // this doc prices by fpp grows with the real (degraded) FPP.
+    val maxBits = docs.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    if (wantBits > maxBits)
+      System.err.println(s"decontaminateBloom: numBits=$wantBits exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits; " +
+        s"clamped — effective fpp (and confirm-join traffic) will exceed $fpp")
+    val numBits = math.min(wantBits, maxBits)
     val hashed = xxhash64(col("shingle"))
     val bfAgg = new BloomFilterAggregate(ColumnBridge.toExpression(hashed),
       Literal(nItems), Literal(numBits)).toAggregateExpression()

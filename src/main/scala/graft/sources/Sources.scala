@@ -145,8 +145,13 @@ object Sources {
                      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     require(targetFileBytes > 0, s"targetFileBytes=$targetFileBytes must be > 0")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).toLong.max(1L)
-      .min(Int.MaxValue.toLong).toInt
+    // clamp in BigInt space BEFORE narrowing: optimizer stats on joins /
+    // local relations can exceed Long range, and BigInt.toLong WRAPS (low
+    // 64 bits) — a garbage file count the old .min cap could not guard.
+    // 1M files also bounds the writer-task count for unknown-stats plans.
+    val maxFiles = BigInt(1 << 20)
+    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes)
+      .max(BigInt(1)).min(maxFiles).toInt
     df.repartition(nFiles).write.mode("overwrite").parquet(path)
   }
 
