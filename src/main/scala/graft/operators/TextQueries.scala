@@ -76,9 +76,13 @@ object TextQueries {
     val tok = docs.select(col("doc_id"),
       explode(TextFns.tokens(col("text"))).as("token"))
     val lm = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    // total tokens: a sum over the vocab-sized LM table (tiny reduce)
-    val total = lm.agg(sum(col("c"))).head().getLong(0).toDouble
-    val logp = lm.select(col("token"), log(col("c") / lit(total)).as("logp"))
+    // total tokens: a sum over the vocab-sized LM table, folded into the
+    // plan as a broadcast 1-row crossJoin (the q33 scalar-subquery shape) —
+    // CONSTRUCTING this DataFrame launches zero jobs; a .head() here would
+    // fire a corpus scan per construction and re-pay it on every retry
+    val total = lm.agg(sum(col("c")).cast("double").as("total"))
+    val logp = lm.crossJoin(broadcast(total))
+      .select(col("token"), log(col("c") / col("total")).as("logp"))
     tok.join(broadcast(logp), Seq("token"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("sll"))
@@ -106,14 +110,16 @@ object TextQueries {
     val bg = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(TextFns.bigramsOfTokens(col("toks"))).as("bigram"))
+    // vocabulary size as an in-plan 1-row aggregate (the t06 crossJoin
+    // shape) — zero jobs at construction
     val vocab = docs
       .select(explode(TextFns.tokens(col("text"))).as("w"))
-      .agg(countDistinct(col("w"))).head().getLong(0).toDouble
+      .agg(countDistinct(col("w")).cast("double").as("vocab"))
     val lm2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val lm1 = lm2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val logp = lm2.join(lm1, Seq("w1"))
-      .select(col("bigram"), log((col("c12") + 1) / (col("c1") + lit(vocab))).as("logp"))
+    val logp = lm2.join(lm1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("bigram"), log((col("c12") + 1) / (col("c1") + col("vocab"))).as("logp"))
     bg.join(broadcast(logp), Seq("bigram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("sll"))

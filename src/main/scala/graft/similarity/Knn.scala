@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   *     cell assignment is pure map-side (no shuffle between the scan and
   *     the cell filter).
   *
+  * Train/index/serve are split like a real ANN store: [[trainIvf]] fits the
+  * tiny model (nCells × dims doubles), [[ivfIndex]] materializes the
+  * assigned corpus ONCE per (session, corpus, nCells) as a persisted frame,
+  * and every serve call after the first reads that in-memory index
+  * (InMemoryTableScan) — a served index must never re-pay the full-corpus
+  * assignment scan per query batch, the same rule that makes the reference
+  * cache its downloaded inputs across epochs instead of re-fetching
+  * (`container/HboxContainer.java:1174-1186`).
+  *
   * Ranking uses round(cos, 8) with vec_id tiebreak so ordering is stable
   * across engines and runs.
   */
@@ -65,63 +74,110 @@ object Knn {
   private val models =
     new graft.SessionKeyedCache[(Int, Int), Array[Array[Double]]]()
 
+  /** Materialized serving indexes — the assigned (vec_id, v, cell) corpus
+    * frame, persisted, memoized per (session, corpus plan, nCells). The
+    * model registry above makes training once-per-corpus; this makes the
+    * ASSIGNMENT once-per-corpus too. Without it every serve call streams
+    * the whole corpus through the argmin projection before cell pruning —
+    * the one structure that re-pays corpus-scan work per query batch at
+    * 100 TB. Eviction unpersists (SessionCaches drains on app end). */
+  private val indexes =
+    new graft.SessionKeyedCache[(Int, Int), DataFrame](_.unpersist(blocking = false))
+
   /** Train an IVF model: nCells Lloyd centroids over the embedding column.
     * One codegen'd job per iteration; only k×dims doubles reach the driver. */
   def trainIvf(emb: DataFrame, nCells: Int = 10, maxIter: Int = 3): Array[Array[Double]] =
     MlOps.kmeansCenters(emb, nCells, maxIter)
 
-  /** Drop every model fitted under `spark` (e.g. between corpora in tests). */
-  def clearIvfModels(spark: SparkSession): Unit =
+  /** Drop every model and materialized index fitted under `spark` (e.g.
+    * between corpora in tests). */
+  def clearIvfModels(spark: SparkSession): Unit = {
     models.purgeSession(Some(spark), None)
+    indexes.purgeSession(Some(spark), None)
+  }
+
+  private def modelFor(emb: DataFrame, nCells: Int): Array[Array[Double]] =
+    models.getOrElseUpdate(
+      emb.sparkSession, (emb.queryExecution.analyzed.semanticHash(), nCells))(
+      trainIvf(emb, nCells))
+
+  private def centsLit(centers: Array[Array[Double]]): Column =
+    array(centers.zipWithIndex.toIndexedSeq.map {
+      case (c, i) => struct(lit(i).as("cell"), array(c.toIndexedSeq.map(lit(_)): _*).as("cv"))
+    }: _*)
+
+  // distances to every centroid as (d2, cell) structs: struct comparison
+  // is lexicographic, so array_min IS the argmin (ties → lower cell) and
+  // array_sort + slice yields the nProbe nearest cells
+  private def dists(vec: Column, cents: Column): Column =
+    transform(cents, c => struct(
+      VectorFns.l2Sq(vec, c.getField("cv")).as("d2"),
+      c.getField("cell").as("cell")))
+
+  /** The (vec_id, v, cell) assignment projection — the IVF index as a
+    * plan: centers ride in as a literal array column, so cell assignment
+    * is a map-side argmin expression in the scan, zero shuffle. */
+  def assigned(emb: DataFrame, centers: Array[Array[Double]]): DataFrame = {
+    require(centers.nonEmpty, "assigned: empty model")
+    val cents = centsLit(centers)
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        array_min(dists(col("v"), cents)).getField("cell").as("cell"))
+  }
+
+  /** The memoized, PERSISTED serving index for (corpus, nCells): trains the
+    * model at most once and materializes the assignment at most once per
+    * session — [[ivf]] serves from this, so the corpus is scanned+assigned
+    * once and every later query batch reads the in-memory index only. */
+  def ivfIndex(emb: DataFrame, nCells: Int = 10): DataFrame = {
+    val centers = modelFor(emb, nCells)
+    indexes.getOrElseUpdate(
+      emb.sparkSession, (emb.queryExecution.analyzed.semanticHash(), nCells))(
+      assigned(emb, centers).persist())
+  }
 
   /** s02: IVF top-k — bucket corpus by nearest KMeans centroid, probe the
     * nProbe closest cells per query. Approximate (recall < 1 when the true
     * neighbor lives in an unprobed cell) → no SQL oracle; its spec measures
-    * recall against bruteForce. Trains at most once per (session, corpus,
-    * nCells) — see [[models]]; call [[ivfServe]] directly to bring your own
-    * centers. */
+    * recall against bruteForce. Trains at most once AND materializes the
+    * assigned index at most once per (session, corpus, nCells) — see
+    * [[models]]/[[indexes]]; call [[ivfServe]] directly to bring your own
+    * centers (stateless), or [[ivfServeIndexed]] with your own index. */
   def ivf(emb: DataFrame, queryPred: String = "vec_id < 10",
-          k: Int = 5, nProbe: Int = 3, nCells: Int = 10): DataFrame = {
-    val centers = models.getOrElseUpdate(
-      emb.sparkSession, (emb.queryExecution.analyzed.semanticHash(), nCells))(
-      trainIvf(emb, nCells))
-    ivfServe(emb, centers, queryPred, k, nProbe)
-  }
+          k: Int = 5, nProbe: Int = 3, nCells: Int = 10): DataFrame =
+    ivfServeIndexed(ivfIndex(emb, nCells), modelFor(emb, nCells), queryPred, k, nProbe)
 
-  /** IVF serving against an already-fitted model (from [[trainIvf]] or an
-    * external source).
-    *
-    * Scale shape: the fitted model is tiny (nCells × dims doubles), so it
-    * rides into every task as a *literal array column* — cell assignment is
-    * an argmin expression evaluated map-side during the scan, with NO
-    * shuffle between the scan and the cell filter. (A crossJoin corpus ×
-    * centroids + row_number window would shuffle corpus×nCells rows to
-    * compute an argmin that needs none.) The only exchanges: the broadcast
-    * of the probe set and the final top-k aggregation. */
+  /** Stateless IVF serving against an already-fitted model (from
+    * [[trainIvf]] or an external source): assigns on the fly, then serves.
+    * For repeated query batches use [[ivf]]/[[ivfIndex]] — this path
+    * re-pays the assignment projection per call by construction. */
   def ivfServe(emb: DataFrame, centers: Array[Array[Double]],
                queryPred: String = "vec_id < 10",
-               k: Int = 5, nProbe: Int = 3): DataFrame = {
-    require(centers.nonEmpty, "ivfServe: empty model")
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents: Column = array(centers.zipWithIndex.toIndexedSeq.map {
-      case (c, i) => struct(lit(i).as("cell"), array(c.toIndexedSeq.map(lit(_)): _*).as("cv"))
-    }: _*)
-    // distances to every centroid as (d2, cell) structs: struct comparison
-    // is lexicographic, so array_min IS the argmin (ties → lower cell) and
-    // array_sort + slice yields the nProbe nearest cells
-    def dists(vec: Column): Column =
-      transform(cents, c => struct(
-        VectorFns.l2Sq(vec, c.getField("cv")).as("d2"),
-        c.getField("cell").as("cell")))
-    val assigned = v.select(col("vec_id"), col("v"),
-      array_min(dists(col("v"))).getField("cell").as("cell"))
-    val q = v.filter(expr(queryPred)).select(col("vec_id").as("query_id"), col("v").as("qv"))
+               k: Int = 5, nProbe: Int = 3): DataFrame =
+    ivfServeIndexed(assigned(emb, centers), centers, queryPred, k, nProbe)
+
+  /** IVF serving against a materialized (vec_id, v, cell) index — the
+    * query side is drawn from the index too, so a cached index means a
+    * serve call touches NO source scan at all.
+    *
+    * Scale shape: the fitted model is tiny (nCells × dims doubles), so it
+    * rides into the probe computation as a *literal array column*; the
+    * only exchanges are the broadcast of the probe set and the final
+    * top-k aggregation — the index side streams through the cell join
+    * unshuffled, touching nProbe/nCells of the rows. */
+  def ivfServeIndexed(index: DataFrame, centers: Array[Array[Double]],
+                      queryPred: String = "vec_id < 10",
+                      k: Int = 5, nProbe: Int = 3): DataFrame = {
+    require(centers.nonEmpty, "ivfServeIndexed: empty model")
+    val cents = centsLit(centers)
+    val q = index.filter(expr(queryPred))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probes = q.select(col("query_id"), col("qv"),
-        explode(slice(array_sort(dists(col("qv"))), 1, nProbe)).as("p"))
+        explode(slice(array_sort(dists(col("qv"), cents)), 1, nProbe)).as("p"))
       .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
-    // scan only the probed cells: probes are broadcast, the corpus side
+    // scan only the probed cells: probes are broadcast, the index side
     // streams through the join unshuffled
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    val scored = index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))

@@ -57,6 +57,40 @@ class IvfPqSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("serving index is materialized once: second serve reads the in-memory index") {
+    IvfPq.clearModels(spark)
+    val first = IvfPq.ivfPq(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val df2 = IvfPq.ivfPq(emb)
+    val plan = df2.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"second serve must read the cached encoded index, not re-encode:\n$plan")
+    assert(df2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet === first)
+  }
+
+  test("durable index: probed-cell predicate lands in PartitionFilters; parity with stateless serve") {
+    val (centers, cb) = IvfPq.train(emb)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    IvfPq.writeIndex(emb, centers, cb, dir)
+    // hive-style cell partition directories on disk
+    val cellDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, s"expected cell=N directories under $dir")
+    val queries = emb.filter("vec_id < 3")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+      .map { case (id, v) => (id, v.toArray) }
+    val df = IvfPq.searchIndex(spark, dir, centers, cb, queries, k = 5, nProbe = 2)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the cell IN (…) predicate must surface as a PartitionFilter (pruned
+    // at listing time), not a data Filter after a full read
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probed-cell predicate must be a PartitionFilter:\n$plan")
+    val want = IvfPq.search(emb, centers, cb, "vec_id < 3", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("plan: corpus cell-pruned and unshuffled; probes broadcast; two top-k exchanges") {
     val (centers, cb) = IvfPq.train(emb)
     val df = IvfPq.search(emb, centers, cb)

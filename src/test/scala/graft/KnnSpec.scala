@@ -48,6 +48,23 @@ class KnnSpec extends AnyFunSuite {
     Knn.clearIvfModels(spark)
   }
 
+  test("ivf serving index is materialized once: second serve reads the in-memory index") {
+    Knn.clearIvfModels(spark)
+    val first = Knn.ivf(tables.embeddings, "vec_id < 5", k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // the assigned frame is persisted and fully materialized by the first serve
+    assert(spark.sparkContext.getRDDStorageInfo.exists(_.numCachedPartitions > 0),
+      "serving index must be persisted after the first serve")
+    // the second serve's plan reads through the cache — corpus scan and
+    // argmin assignment are not re-paid per query batch
+    val df2 = Knn.ivf(tables.embeddings, "vec_id < 5", k = 5)
+    val plan = df2.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"second serve must read the cached index:\n$plan")
+    assert(df2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet === first)
+    Knn.clearIvfModels(spark)
+  }
+
   test("Lloyd centers: k centers inside the data envelope, every point assigned") {
     val k = 7
     val centers = ml.MlOps.kmeansCenters(tables.embeddings, k, maxIter = 2)
