@@ -85,6 +85,10 @@ object SparkEntry {
                                    graft.operators.DataPipeline.ScrubRule("\\bcustomer\\b", "<NAME>")))),
     "p05_pack_sequences"  -> ((s, d) => graft.operators.DataPipeline.packSequences(t(s, d).documents)),
     "p06_segment_dedup"   -> ((s, d) => graft.operators.DataPipeline.segmentDedup(t(s, d).documents)),
+    // p11: identical semantics via 8-byte hash shuffle keys + exact
+    // collision fallback — shares p06's oracle verbatim
+    "p11_segment_dedup_hashed" -> ((s, d) =>
+      graft.operators.DataPipeline.segmentDedupHashed(t(s, d).documents)),
     // p07: Bloom-prefiltered decontamination — exact semantics (the BF only
     // prices the confirm join), so it shares p02's oracle verbatim
     "p07_decontaminate_bloom" -> ((s, d) => graft.operators.DataPipeline.decontaminateBloom(
@@ -555,25 +559,13 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, source, shard, n_tokens, tok_offset,
         | CAST(tok_offset // 512 AS BIGINT) AS seq_id FROM o""".stripMargin,
-    // p06: keeper of each distinct k-token chunk = lexicographic min
+    // p06/p11: keeper of each distinct k-token chunk = lexicographic min
     // (doc_id, seg_idx); the oracle ranks with a window where the engine
-    // uses an agg+join (same keeper, skew-safe shape)
-    "p06_segment_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |seglist AS (
-        |  SELECT doc_id, list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
-        |                                i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS segs
-        |  FROM toks),
-        |segs AS (SELECT doc_id, generate_subscripts(segs, 1) - 1 AS seg_idx,
-        |                unnest(segs) AS seg FROM seglist),
-        |ranked AS (SELECT doc_id, seg_idx, seg,
-        |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
-        |           FROM segs)
-        |SELECT doc_id,
-        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS text_clean,
-        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_seg_kept,
-        |  CAST(count(*) AS BIGINT) AS n_seg_total
-        |FROM ranked GROUP BY doc_id""".stripMargin,
+    // uses an agg+join (same keeper, skew-safe shape). p11 shares the SQL
+    // verbatim — the hash keying is an engine-side shuffle optimization
+    // with identical semantics (exact collision fallback)
+    "p06_segment_dedup" -> segmentDedupSql,
+    "p11_segment_dedup_hashed" -> segmentDedupSql,
     "d01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies
@@ -892,6 +884,23 @@ object SparkEntry {
       |         WHERE doc_id % 10 <> 0 AND shingle IN (SELECT shingle FROM ev))
       |SELECT doc_id, source, n_chars FROM documents
       |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)""".stripMargin
+
+  private val segmentDedupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |seglist AS (
+      |  SELECT doc_id, list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+      |                                i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS segs
+      |  FROM toks),
+      |segs AS (SELECT doc_id, generate_subscripts(segs, 1) - 1 AS seg_idx,
+      |                unnest(segs) AS seg FROM seglist),
+      |ranked AS (SELECT doc_id, seg_idx, seg,
+      |           row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      |           FROM segs)
+      |SELECT doc_id,
+      |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS text_clean,
+      |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_seg_kept,
+      |  CAST(count(*) AS BIGINT) AS n_seg_total
+      |FROM ranked GROUP BY doc_id""".stripMargin
 
   private val ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

@@ -3,7 +3,7 @@ package graft.ml
 import org.apache.spark.BarrierTaskContext
 import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, MinHashLSH, NGram, Tokenizer}
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, HashingTF, IDF, MinHashLSH, NGram, Tokenizer, Word2Vec, Word2VecModel}
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -121,6 +121,32 @@ object MlOps {
       centers
     } finally { data.unpersist(blocking = false); () }
   }
+
+  /** Word2Vec token embeddings over the corpus — the skip-gram text-analysis
+    * member of the §2.3 ML row (alongside Tokenizer/HashingTF/IDF and the
+    * LSH families). Seed-pinned and single-partition so the fit is
+    * deterministic run-to-run — model values, no SQL oracle; spec'd like
+    * [[kmeansClusters]]. At scale, raise `numPartitions` (MLlib trains
+    * Hogwild-style across partitions) at the declared cost of run-to-run
+    * bit determinism — the same trade KenLM-scale corpora accept. */
+  def word2vecModel(docs: DataFrame, vectorSize: Int = 16,
+                    minCount: Int = 2): Word2VecModel = {
+    val words = new Tokenizer().setInputCol("text").setOutputCol("words").transform(docs)
+    new Word2Vec().setInputCol("words").setOutputCol("w2v")
+      .setVectorSize(vectorSize).setMinCount(minCount)
+      .setSeed(42L).setNumPartitions(1).setMaxIter(1)
+      .fit(words)
+  }
+
+  /** The fitted (word, vector) embedding table. */
+  def word2vecVectors(docs: DataFrame, vectorSize: Int = 16,
+                      minCount: Int = 2): DataFrame =
+    word2vecModel(docs, vectorSize, minCount).getVectors
+
+  /** The n nearest tokens to `token` in the fitted embedding space
+    * ((word, similarity) rows, best first). */
+  def similarTokens(docs: DataFrame, token: String, n: Int = 5): DataFrame =
+    word2vecModel(docs).findSynonyms(token, n)
 
   /** MLlib-native near-dup candidates: tokenize → 3-grams → binary HashingTF
     * → MinHashLSH approx self-join. The library counterpart of the hand-tuned

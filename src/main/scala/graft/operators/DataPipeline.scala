@@ -272,23 +272,82 @@ object DataPipeline {
     * aggregated exchange on the chunk text (`min(struct(doc_id, seg_idx))`
     * — hot boilerplate chunks combine map-side, so skew cannot pile up), a
     * many-to-ONE join back (each chunk has exactly one keeper row, no
-    * blowup), and one exchange on doc_id to reassemble. The shuffles carry
-    * the chunk text itself — that is the honest price of EXACT dedup; a
-    * hash-keyed variant halves the bytes but must re-verify collisions.
+    * blowup), and one exchange on doc_id to reassemble. The shuffles KEY
+    * on the chunk text itself — the simplest exact shape;
+    * [[segmentDedupHashed]] (p11) keys them on a fixed 8-byte hash with
+    * an exact collision fallback, the at-scale variant.
     */
   def segmentDedup(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 1, s"k=$k chunk width must be >= 1")
-    val toks = split(col("text"), " ")
-    // ⌈n/k⌉ in integer arithmetic; split("") = [""] so nSeg >= 1 always
-    val nSeg = floor((size(toks) + lit(k) - 1) / lit(k)).cast("int")
-    val segList = transform(sequence(lit(0), nSeg - 1),
-      i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))
-    val segs = docs.select(col("doc_id"), posexplode(segList).as(Seq("seg_idx", "seg")))
+    val segs = segsOf(docs, k)
     val keep = segs.groupBy(col("seg"))
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("first"))
     val kept = segs.join(keep, Seq("seg"))
       .where(col("first.doc_id") === col("doc_id") &&
         col("first.seg_idx") === col("seg_idx"))
+    assembleSegments(segs, kept)
+  }
+
+  /** p11: [[segmentDedup]]'s hash-keyed variant — IDENTICAL semantics and
+    * oracle, cheaper shuffles: the keeper decision groups and joins on a
+    * fixed 8-byte chunk hash instead of the chunk text, so exchange
+    * partitioning/sorting never touches variable-length text and the
+    * keeper-agg exchange carries one (hash, keeper-struct) row per
+    * partition-distinct chunk with the winner's text as PAYLOAD, not as
+    * the grouping KEY (p06 keys BOTH the agg and the join by full text).
+    * This is the declared at-scale alternative in the p06 scaladoc /
+    * SURVEY §8.4.
+    *
+    * Exactness under collisions: the bucket winner (global min
+    * (doc_id, seg_idx)) is necessarily the keeper of its OWN text (it is
+    * also the minimum over that text's rows); rows whose text equals the
+    * winner's are its duplicates and drop; rows whose text DIFFERS — hash
+    * collisions, ≈ absent at 64 bits — fall through to the exact
+    * text-keyed keeper on just that remainder. The spec forces collisions
+    * through a deliberately weak `chunkKey` and proves output equality
+    * with [[segmentDedup]]; the driver oracle is p06's SQL verbatim.
+    */
+  def segmentDedupHashed(docs: DataFrame, k: Int = 8,
+                         chunkKey: Column => Column = c => xxhash64(c)): DataFrame = {
+    require(k >= 1, s"k=$k chunk width must be >= 1")
+    val segs = segsOf(docs, k)
+    val keyed = segs.withColumn("h", chunkKey(col("seg")))
+    // partial-aggregated keeper per hash bucket (hot chunks combine
+    // map-side — the agg shape, never a per-chunk window sort); the min
+    // struct is ordered by (doc_id, seg_idx) — unique per row, so the
+    // trailing seg never decides, it only rides along as the winner text
+    val keep = keyed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"), col("seg"))).as("first"))
+    val tagged = keyed.join(keep, Seq("h"))
+    val keptClean = tagged.where(col("first.doc_id") === col("doc_id") &&
+      col("first.seg_idx") === col("seg_idx"))
+    // collision remainder: rows sharing the winner's hash but not its text
+    val remainder = tagged.where(col("seg") =!= col("first.seg"))
+    val keep2 = remainder.groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("f2"))
+    val keptColl = remainder.join(keep2, Seq("seg"))
+      .where(col("f2.doc_id") === col("doc_id") &&
+        col("f2.seg_idx") === col("seg_idx"))
+    val kept = keptClean.select(col("doc_id"), col("seg_idx"), col("seg"))
+      .unionByName(keptColl.select(col("doc_id"), col("seg_idx"), col("seg")))
+    assembleSegments(segs, kept)
+  }
+
+  /** (doc_id, seg_idx, seg): the fixed-width k-token chunk explosion the
+    * segment-dedup family shares — scan-local, zero shuffle. */
+  private def segsOf(docs: DataFrame, k: Int): DataFrame = {
+    val toks = split(col("text"), " ")
+    // ⌈n/k⌉ in integer arithmetic; split("") = [""] so nSeg >= 1 always
+    val nSeg = floor((size(toks) + lit(k) - 1) / lit(k)).cast("int")
+    val segList = transform(sequence(lit(0), nSeg - 1),
+      i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))
+    docs.select(col("doc_id"), posexplode(segList).as(Seq("seg_idx", "seg")))
+  }
+
+  /** Shared reassembly tail: surviving chunks back in order per document,
+    * plus kept/total counts (docs whose every chunk was dropped keep an
+    * empty text_clean). One exchange on doc_id. */
+  private def assembleSegments(segs: DataFrame, kept: DataFrame): DataFrame = {
     val assembled = kept.groupBy(col("doc_id")).agg(
       concat_ws(" ", transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
         s => s.getField("seg"))).as("text_clean"),

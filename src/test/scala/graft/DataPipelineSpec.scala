@@ -268,6 +268,45 @@ class DataPipelineSpec extends AnyFunSuite {
       s"keeper min must partial-aggregate map-side:\n$p")
   }
 
+  test("p11: hash-keyed variant matches p06 exactly (default 64-bit key)") {
+    val a = DataPipeline.segmentDedup(docs, 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val b = DataPipeline.segmentDedupHashed(docs, 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("p11: exact under forced collisions — planted weak chunk keys still yield p06's answer") {
+    // constant key: EVERY chunk lands in one bucket, so all non-winner
+    // texts must flow through the exact collision fallback
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y z a b c"),
+      (3L, "a b c d e f"),
+      (4L, "d e f g")
+    ).toDF("doc_id", "text")
+    val want = DataPipeline.segmentDedup(corpus, 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val got = DataPipeline.segmentDedupHashed(corpus, 3, _ => lit(0L))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // and a weak-but-nonconstant key (2 buckets) over the real corpus
+    val want2 = DataPipeline.segmentDedup(docs, 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    val got2 = DataPipeline.segmentDedupHashed(docs, 8, c => pmod(xxhash64(c), lit(2)))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got2.toSeq === want2.toSeq)
+  }
+
+  test("p11 plan: keeper agg partial-aggregates on the hash — no window sort, no cartesian") {
+    val df = DataPipeline.segmentDedupHashed(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"keeper selection must be partial-aggregated, not a per-chunk window sort:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p09: spans tile each doc exactly and every non-final sequence is full") {
     val budget = 64
     val out = DataPipeline.packSpans(docs, budget = budget, shardDocs = 20)

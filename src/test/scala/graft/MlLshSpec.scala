@@ -21,6 +21,32 @@ class MlLshSpec extends AnyFunSuite {
       s"MLlib path missed exact pairs: ${exact.diff(ml).take(5)}")
   }
 
+  test("Word2Vec: seed-pinned fit is deterministic; vocabulary and synonyms behave") {
+    val vecs = MlOps.word2vecVectors(tables.documents, vectorSize = 16, minCount = 2)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray.toSeq).toMap
+    assert(vecs.nonEmpty, "vocabulary must be non-empty")
+    assert(vecs.values.forall(_.length === 16))
+    // minCount: every vocab word occurs at least twice in the tokenized corpus
+    val counts = tables.documents
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vecs.keys.forall(w => counts.getOrElse(w, 0L) >= 2L),
+      "vocab must respect minCount")
+    // determinism: a second fit reproduces the vectors bit-for-bit
+    val again = MlOps.word2vecVectors(tables.documents, vectorSize = 16, minCount = 2)
+      .collect().map(r => r.getString(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray.toSeq).toMap
+    assert(again === vecs, "seed-pinned single-partition fit must be deterministic")
+    // synonym query: n rows, best-first, never echoing the query token
+    val probe = vecs.keys.min // deterministic vocab member
+    val syn = MlOps.similarTokens(tables.documents, probe, n = 5).collect()
+    assert(syn.length === 5)
+    assert(syn.forall(_.getString(0) != probe))
+    val sims = syn.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "best-first order")
+  }
+
   test("BucketedRandomProjectionLSH pairs report true euclidean distances") {
     val pairs = MlOps.mlEuclideanNearDups(spark, tables.embeddings, radius = 4.0)
     val got = pairs.collect()
