@@ -93,6 +93,10 @@ object SparkEntry {
     // prices the confirm join), so it shares p02's oracle verbatim
     "p07_decontaminate_bloom" -> ((s, d) => graft.operators.DataPipeline.decontaminateBloom(
                                t(s, d).documents, col("doc_id") % 10 === 0)),
+    // p12: the audit view of p02's semantics — per contaminated training
+    // doc, distinct eval docs + distinct shingles shared (exact oracle)
+    "p12_contamination_report" -> ((s, d) => graft.operators.DataPipeline.contaminationReport(
+                               t(s, d).documents, col("doc_id") % 10 === 0)),
     "p08_mix_sources"     -> ((s, d) => graft.operators.DataPipeline.mixSources(t(s, d).documents)),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
@@ -153,6 +157,9 @@ object SparkEntry {
     "t06_unigram_ppl"     -> ((s, d) => TextQueries.t06UnigramPpl(t(s, d))),
     "t07_token_entropy"   -> ((s, d) => TextQueries.t07TokenEntropy(t(s, d))),
     "t09_bigram_ppl"      -> ((s, d) => TextQueries.t09BigramPpl(t(s, d))),
+    // t10: rank on the ROUNDED tfidf (t06 float rule) with term tiebreak —
+    // order can never disagree across engines at a rounding boundary
+    "t10_tfidf_keywords"  -> ((s, d) => TextQueries.t10TfidfKeywords(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -523,6 +530,23 @@ object SparkEntry {
     // p07 is p02 under a Bloom prefilter whose false positives are removed
     // by an exact confirm join — same answer, same oracle
     "p07_decontaminate_bloom" -> decontaminateSql,
+    // p12: the audit view of p02's overlap — same shingle construction,
+    // counting distinct eval docs / shared shingles per contaminated doc
+    // (hashed vs string shingles: the d02/d03 collision-free precedent)
+    "p12_contamination_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(generate_series(1, len(w)-7), i ->
+        |      concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |ev AS (SELECT DISTINCT doc_id AS eval_doc, shingle FROM sh WHERE doc_id % 10 = 0),
+        |hits AS (SELECT s.doc_id, s.shingle, e.eval_doc
+        |         FROM sh s JOIN ev e USING (shingle) WHERE s.doc_id % 10 <> 0)
+        |SELECT doc_id, count(DISTINCT eval_doc) AS n_eval_docs,
+        |  count(DISTINCT shingle) AS n_shared_shingles
+        |FROM hits GROUP BY doc_id""".stripMargin,
     // p03: the salted md5-fold hash is the same 60-bit portable hash as d04
     // (hex digits folded with shifts), so the split is reproducible here.
     "p03_split_sample" ->
@@ -818,6 +842,22 @@ object SparkEntry {
         |  round(-sll / n_bigrams, 6) AS avg_nll,
         |  round(exp(round(-sll / n_bigrams, 6)), 4) AS ppl
         |FROM s""".stripMargin,
+    // t10: df derives from the tf table (one row per (doc, term)), N is a
+    // 1-row cross join, and the rank orders on the ROUNDED tfidf with a
+    // term tiebreak — the engines can never disagree on order
+    "t10_tfidf_keywords" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |s AS (SELECT doc_id, term, round(tf * (ln((n + 1) / (df + 1)) + 1), 6) AS tfidf
+        |      FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |      FROM s)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
+        |FROM r WHERE rank <= 3""".stripMargin,
     // t07: the single-fraction entropy form means ONE rounded aggregated
     // double per engine, not a per-type p·ln p sum with its own float order
     "t07_token_entropy" ->

@@ -106,6 +106,30 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** p12: contamination audit report — for each contaminated TRAINING
+    * document, how many distinct eval documents it shares k-token shingles
+    * with and how many distinct shingles are shared. p02/p07 silently drop
+    * contaminated docs; this is the review artifact a real
+    * decontamination run ships first (which benchmarks leak where, how
+    * badly) — the audit view of the same semantics, same k policy knob.
+    *
+    * Scale shape: the eval shingle set (with eval doc ids) is broadcast —
+    * eval is the small side by contract, exactly p02's regime; corpus
+    * shingles stream through the broadcast join unshuffled, then ONE
+    * exchange on the training doc_id for the two count-distincts
+    * (key-bounded: rows ∝ contaminated docs only). */
+  def contaminationReport(docs: DataFrame, isEval: Column, k: Int = 8): DataFrame = {
+    val sh = Dedup.sharedShingles(docs, k) // (doc_id, shingle: long)
+    val evalIds = docs.where(isEval).select("doc_id")
+    val evalSh = sh.join(evalIds, Seq("doc_id"), "left_semi")
+      .select(col("shingle"), col("doc_id").as("eval_doc")).distinct()
+    sh.join(evalIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("eval_doc")).as("n_eval_docs"),
+        countDistinct(col("shingle")).as("n_shared_shingles"))
+  }
+
   /** p03: deterministic train/val/test split + per-source quota sample.
     *
     * The split is a pure function of the document id (salted portable

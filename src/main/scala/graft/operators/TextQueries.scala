@@ -151,6 +151,40 @@ object TextQueries {
           .as("entropy"))
   }
 
+  /** t10: TF-IDF keyword extraction — the top-k terms per document by
+    * tf·idf with the smoothed idf = ln((N+1)/(df+1)) + 1 (the
+    * scikit-learn/standard smoothing, never log 0, never a zero weight).
+    * The per-doc topic-signature step corpus tooling runs for document
+    * summaries, dataset cards and cluster labeling. Deterministic ranking:
+    * (rounded tfidf desc, term asc) — both engines rank on the ROUNDED
+    * score, the t06 float rule, so order can never disagree at a rounding
+    * boundary.
+    *
+    * Scale shape: term counts = one partial-aggregated exchange on
+    * (doc_id, term); document frequencies derive from the term table
+    * (distinct + vocab-bounded agg, NOT a corpus rescan); N folds in as a
+    * 1-row broadcast crossJoin (zero jobs at construction, the t06 shape);
+    * the df table is BROADCAST back (vocab-sized, megabytes); the final
+    * rank is a per-doc window bounded by doc vocabulary. */
+  def t10TfidfKeywords(t: Tables, k: Int = 3): DataFrame = tfidfKeywords(t.documents, k)
+
+  /** See [[t10TfidfKeywords]]; the library surface takes any (doc_id, text)
+    * frame. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * (log((col("n") + 1) / (col("df") + 1)) + 1), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

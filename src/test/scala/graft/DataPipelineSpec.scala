@@ -268,6 +268,30 @@ class DataPipelineSpec extends AnyFunSuite {
       s"keeper min must partial-aggregate map-side:\n$p")
   }
 
+  test("p12: contamination report counts planted overlaps and partitions p02's drop set") {
+    // k=2 shingles; eval docs are id >= 10
+    val corpus = Seq(
+      (1L, "a b x"),   // shares "a b" with eval 10        → (1, 1)
+      (2L, "a b c"),   // "a b","b c" hit evals 10 and 20  → (2, 2)
+      (3L, "z z z"),   // clean → absent from the report
+      (10L, "a b c"),  // eval: shingles "a b", "b c"
+      (20L, "b c d")   // eval: shingles "b c", "c d"
+    ).toDF("doc_id", "text")
+    val rep = DataPipeline.contaminationReport(corpus, col("doc_id") >= 10, k = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rep.toSeq === Seq((1L, 1L, 1L), (2L, 2L, 2L)))
+    // audit/drop consistency on the real corpus: the reported docs are
+    // EXACTLY the training docs p02 removes (partition, no overlap)
+    val isEval = col("doc_id") % 10 === 0
+    val reported = DataPipeline.contaminationReport(docs, isEval)
+      .select("doc_id").as[Long].collect().toSet
+    val survivors = DataPipeline.decontaminate(docs, isEval)
+      .select("doc_id").as[Long].collect().toSet
+    val training = docs.where(!isEval).select("doc_id").as[Long].collect().toSet
+    assert(reported.nonEmpty && (reported & survivors).isEmpty)
+    assert((reported | survivors) === training)
+  }
+
   test("p11: hash-keyed variant matches p06 exactly (default 64-bit key)") {
     val a = DataPipeline.segmentDedup(docs, 8)
       .as[(Long, String, Long, Long)].collect().sortBy(_._1)

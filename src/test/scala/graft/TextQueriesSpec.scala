@@ -12,6 +12,28 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextQueriesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("t10: tf-idf keywords match hand-computed scores and ranks") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "durian durian durian")
+    ).toDF("doc_id", "text")
+    // N=3; idf(t) = ln(4/(df+1)) + 1: df(apple)=1, df(banana)=2,
+    // df(cherry)=1, df(durian)=1
+    val idf1 = math.log(2.0) + 1 // df = 1
+    val idf2 = math.log(4.0 / 3) + 1 // df = 2
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = TextQueries.tfidfKeywords(docs, k = 3)
+      .as[(Long, Int, String, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (1L, 1, "apple", r6(2 * idf1)),
+      (1L, 2, "banana", r6(idf2)),
+      (2L, 1, "cherry", r6(idf1)),
+      (2L, 2, "banana", r6(idf2)),
+      (3L, 1, "durian", r6(3 * idf1))))
+  }
+
   test("t06/t09 perplexity DataFrames launch zero jobs at construction") {
     val t = tables
     t.documents.schema // relation creation (schema read) outside the probe
