@@ -10,6 +10,27 @@ import org.apache.spark.sql.functions._
   * whole-stage codegen; one narrow scan of (doc_id, text[, lang]). */
 object TextQueries {
 
+  /** Session-scoped exploded-token registry — the [[graft.dedup.Dedup
+    * .sharedShingles]] pattern for the (doc_id, token) table that t06, t07
+    * and t10 all explode (and that t06 otherwise scans TWICE — LM fit +
+    * scoring join). Memoized per (session, docs plan), persisted; owned by
+    * [[graft.SessionCaches]], so a forgotten release drains at application
+    * end. The token frame is corpus-sized rows but two narrow columns —
+    * the standard memory-for-rescan trade SURVEY §8.4 prices for t06. */
+  private val tokenMemo =
+    new graft.SessionKeyedCache[Int, DataFrame](_.unpersist(blocking = false))
+
+  /** The memoized, persisted (doc_id, token) explosion for `docs`. */
+  def sharedTokens(docs: DataFrame): DataFrame =
+    tokenMemo.getOrElseUpdate(
+      docs.sparkSession, docs.queryExecution.analyzed.semanticHash())(
+      docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+        .persist())
+
+  /** Unpersist and drop every token frame memoized under `spark`. */
+  def releaseTokens(spark: org.apache.spark.sql.SparkSession): Unit =
+    tokenMemo.purgeSession(Some(spark), None)
+
   /** t01: per-document token statistics. */
   def t01TokenStats(t: Tables): DataFrame = {
     val text = col("text")
@@ -60,9 +81,11 @@ object TextQueries {
     * runs over the vocab-sized LM table, not the corpus. Scoring joins the
     * exploded corpus against the BROADCAST LM (vocabularies are millions of
     * rows — megabytes — while the corpus is the 100 TB side), then one
-    * exchange on doc_id for the per-doc sum. The corpus is scanned twice
-    * (fit + score); persisting the token frame trades memory for the
-    * second scan. avg_nll is a float aggregate, so it is rounded (6 dp)
+    * exchange on doc_id for the per-doc sum. The fit and the scoring pass
+    * both read the SHARED persisted token frame ([[sharedTokens]], also
+    * reused by t07/t09/t10) — the corpus itself is tokenized once per
+    * session, not twice per query. avg_nll is a float aggregate, so it is
+    * rounded (6 dp)
     * like every other aggregated double in the oracle surface; ppl is
     * derived from the ROUNDED avg_nll so the two columns can never
     * disagree across engines.
@@ -73,8 +96,7 @@ object TextQueries {
     * frame so the LM can be fit on one corpus and thresholds audited on a
     * planted one. */
   def unigramPpl(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(TextFns.tokens(col("text"))).as("token"))
+    val tok = sharedTokens(docs) // scanned twice (fit + score) → memoized
     val lm = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
     // total tokens: a sum over the vocab-sized LM table, folded into the
     // plan as a broadcast 1-row crossJoin (the q33 scalar-subquery shape) —
@@ -111,10 +133,10 @@ object TextQueries {
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(TextFns.bigramsOfTokens(col("toks"))).as("bigram"))
     // vocabulary size as an in-plan 1-row aggregate (the t06 crossJoin
-    // shape) — zero jobs at construction
-    val vocab = docs
-      .select(explode(TextFns.tokens(col("text"))).as("w"))
-      .agg(countDistinct(col("w")).cast("double").as("vocab"))
+    // shape) — zero jobs at construction, counted over the shared token
+    // frame rather than a fresh corpus scan
+    val vocab = sharedTokens(docs)
+      .agg(countDistinct(col("token")).cast("double").as("vocab"))
     val lm2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val lm1 = lm2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -141,8 +163,7 @@ object TextQueries {
     * key-bounded.
     */
   def t07TokenEntropy(t: Tables): DataFrame = {
-    val tok = t.documents.select(col("doc_id"),
-      explode(TextFns.tokens(col("text"))).as("token"))
+    val tok = sharedTokens(t.documents)
     tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
@@ -171,7 +192,7 @@ object TextQueries {
   /** See [[t10TfidfKeywords]]; the library surface takes any (doc_id, text)
     * frame. */
   def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+    val tok = sharedTokens(docs).select(col("doc_id"), col("token").as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))

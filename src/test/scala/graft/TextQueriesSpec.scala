@@ -34,6 +34,21 @@ class TextQueriesSpec extends AnyFunSuite {
       (3L, 1, "durian", r6(3 * idf1))))
   }
 
+  test("t06/t07/t10 share one persisted token frame (tokenize once per session)") {
+    TextQueries.releaseTokens(spark)
+    val t = tables
+    TextQueries.t06UnigramPpl(t).count() // materializes the shared frame
+    val plan7 = TextQueries.t07TokenEntropy(t).queryExecution.executedPlan.toString
+    val plan10 = TextQueries.t10TfidfKeywords(t).queryExecution.executedPlan.toString
+    assert(plan7.contains("InMemoryTableScan"),
+      s"t07 must read the shared token cache:\n$plan7")
+    assert(plan10.contains("InMemoryTableScan"),
+      s"t10 must read the shared token cache:\n$plan10")
+    // one cache entry per (session, corpus) — not one per query
+    assert(TextQueries.sharedTokens(t.documents) eq TextQueries.sharedTokens(t.documents))
+    TextQueries.releaseTokens(spark)
+  }
+
   test("t06/t09 perplexity DataFrames launch zero jobs at construction") {
     val t = tables
     t.documents.schema // relation creation (schema read) outside the probe
