@@ -116,6 +116,14 @@ object SparkEntry {
       Dedup.incrementalExact(
         docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
     }),
+    // d10: near-dup admission — same batch convention as d08; LSH
+    // candidates + exact verify hash-match the exact-jaccard oracle (the
+    // d03 banding-recall precedent)
+    "d10_incremental_neardup" -> ((s, d) => {
+      val docs = t(s, d).documents
+      Dedup.incrementalNearDup(
+        docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+    }),
     // d09: SemDeDup-style semantic clusters — cluster resolution over the
     // d06 pair family; approximate pairs (d06 recall spec) → rows-only
     "d09_embedding_clusters" -> ((s, d) =>
@@ -605,6 +613,27 @@ object SparkEntry {
         |          WHERE incoming GROUP BY fingerprint)
         |SELECT doc_id, fingerprint FROM batch
         |WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)""".stripMargin,
+    // d10: admitted = incoming docs (doc_id%3==0) with NO exact cross-side
+    // near-dup in the standing corpus; the engine's LSH+verify path must
+    // reproduce this exact set (d03's banding-recall precedent)
+    "d10_incremental_neardup" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        | SELECT a.doc_id AS din, b.doc_id AS dex, count(*) AS common
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle
+        | WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        | GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT din
+        |        FROM pairs JOIN sz s1 ON s1.doc_id = din JOIN sz s2 ON s2.doc_id = dex
+        |        WHERE CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT din FROM dup)""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
     // d07: connected components of the d03 pair set (== the d02/d03 oracle

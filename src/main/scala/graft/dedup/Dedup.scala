@@ -59,6 +59,55 @@ object Dedup {
       .select(col("doc_id"), col("fingerprint"))
   }
 
+  /** d10: incremental NEAR-dup admission — [[incrementalExact]] (d08)
+    * lifted from exact to near duplicates: admit from an incoming batch
+    * only documents with no n-gram-Jaccard near-dup (≥ threshold) in the
+    * existing corpus. Candidates come from d03's banded MinHash — incoming
+    * band buckets probe the existing ones — and every candidate pair is
+    * EXACTLY verified, so a dropped doc always has a real near-dup
+    * (precision 1); recall is the d03 banding guarantee (≈ 0.9998 at
+    * j = 0.8 under 16×4 — the registered query hash-matches the exact
+    * oracle at this corpus scale, the d03 precedent).
+    *
+    * Batch-INTERNAL near-dups are deliberately not resolved here: that is
+    * a clustering decision (compose d03 + d07 over the batch); this
+    * operator answers the admission question against the standing corpus,
+    * exactly as d08 answers it for exact duplicates.
+    *
+    * Scale shape: both sides reduce to fixed-size signatures (one
+    * partial-aggregated exchange each — the batch side is batch-bounded);
+    * the candidate join shuffles (band, bucket) keys only; exact
+    * verification touches candidate pairs only. A long-lived ingester
+    * should persist the EXISTING side's buckets and shingles between
+    * batches (the [[sharedShingles]] lifecycle pattern) so each batch pays
+    * only its own signatures plus the probe. */
+  def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
+                         threshold: Double = 0.8, bands: Int = 16,
+                         rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val shIn = shingleSets(incoming, k)
+    val shEx = shingleSets(existing, k)
+    val bIn = bandBuckets(minhashAgg(shIn, bands * rowsPerBand), bands, rowsPerBand)
+      .select(col("doc_id").as("din"), col("band"), col("bucket"))
+    val bEx = bandBuckets(minhashAgg(shEx, bands * rowsPerBand), bands, rowsPerBand)
+      .select(col("doc_id").as("dex"), col("band"), col("bucket"))
+    val cand = bIn.join(bEx, Seq("band", "bucket"))
+      .select(col("din"), col("dex")).distinct()
+    // exact cross-side verify: common shingles + both set sizes → jaccard
+    val common = cand
+      .join(shIn.select(col("doc_id").as("din"), col("shingle")), "din")
+      .join(shEx.select(col("doc_id").as("dex"), col("shingle")), Seq("dex", "shingle"))
+      .groupBy(col("din"), col("dex")).agg(count(lit(1)).as("common"))
+    val nIn = shIn.groupBy(col("doc_id")).agg(count(lit(1)).as("n1"))
+    val nEx = shEx.groupBy(col("doc_id")).agg(count(lit(1)).as("n2"))
+    val dupped = common
+      .join(nIn.select(col("doc_id").as("din"), col("n1")), "din")
+      .join(nEx.select(col("doc_id").as("dex"), col("n2")), "dex")
+      .where(col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")).cast("double") >= threshold)
+      .select(col("din").as("doc_id")).distinct()
+    incoming.select(col("doc_id")).join(dupped, Seq("doc_id"), "left_anti")
+  }
+
   /** Session-scoped shingle-set registry. d02, d03 and the corpus pipeline
     * all consume the same exploded shingle table; memoizing the *persisted
     * DataFrame object* (keyed by the docs plan's semantic hash and k) gives
@@ -219,17 +268,21 @@ object Dedup {
 
   /** d03 core over a caller-managed shingle set — caller owns the
     * persist()/unpersist() lifecycle. */
-  def minHashLshPairsOf(sh: DataFrame, threshold: Double = 0.8,
-                        bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minhashAgg(sh, numHashes)
-    // one row per band: (band, bucket = hash of the band's signature slice)
+  /** (doc_id, band, bucket) rows from a signature frame: one row per band,
+    * bucket = hash of the band's signature slice. Shared by d03's
+    * self-join and d10's incoming-vs-existing probe. */
+  private def bandBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandCols: Column = array((0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*).as("bucket"))
     }: _*)
-    val buckets = sig.select(col("doc_id"), explode(bandCols).as("bb"))
+    sig.select(col("doc_id"), explode(bandCols).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  def minHashLshPairsOf(sh: DataFrame, threshold: Double = 0.8,
+                        bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val buckets = bandBuckets(minhashAgg(sh, bands * rowsPerBand), bands, rowsPerBand)
     val cand = buckets.select(col("doc_id").as("d1"), col("band"), col("bucket"))
       .join(buckets.select(col("doc_id").as("d2"), col("band"), col("bucket")), Seq("band", "bucket"))
       .filter(col("d1") < col("d2"))

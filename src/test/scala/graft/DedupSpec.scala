@@ -16,6 +16,27 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "test corpus should contain planted near-dups")
   }
 
+  test("d10: near-dup admission drops corpus near-dups, keeps fresh and batch-internal-only dups") {
+    import spark.implicits._
+    // shingles are 3-grams; docs 1/2 are the standing corpus
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different standing text about other things entirely here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                                        // exact dup of 1 → dropped
+      (11L, (1 to 11).map(i => s"w$i").mkString(" ")),    // near-dup of 1 (J = 9/10) → dropped
+      (12L, "a fresh incoming document sharing nothing with the corpus at all"),
+      (13L, "a fresh incoming document sharing nothing with the corpus at all x")
+      // 12/13 are near-dups of EACH OTHER only → both admitted (batch-
+      // internal resolution is d03+d07's job, the documented contract)
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalNearDup(existing, incoming)
+      .as[Long].collect().toSet
+    assert(admitted === Set(12L, 13L))
+  }
+
   test("prefix filter keeps the boundary pair at exactly jaccard = threshold") {
     // n1=10, n2=8 shingles, 8 common → J = 8/(10+8−8) = 0.8 exactly.
     // ceil(0.8·10) must be 8 (integer arithmetic), not 9 (double ceil of
