@@ -44,7 +44,8 @@ object Bench {
     // whichever consumer happens to run first — the serve-side queries then
     // measure what a served index actually costs per query batch
     val names = Seq("_shared_shingles", "_shared_lsh_pairs",
-      "_shared_ivf_index", "_shared_ivfpq_index", "_shared_tokens") ++
+      "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
+      "_shared_tokens") ++
       SparkEntry.queries.keys.toSeq.sorted
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     for (_ <- 1 to reps) {
@@ -63,6 +64,8 @@ object Bench {
             graft.similarity.Knn.ivfIndex(Tables(spark, sfDir).embeddings).count()
           else if (name == "_shared_ivfpq_index")
             graft.similarity.IvfPq.encodedIndex(Tables(spark, sfDir).embeddings).count()
+          else if (name == "_shared_pq_index")
+            graft.similarity.Pq.encodedIndex(Tables(spark, sfDir).embeddings).count()
           else if (name == "_shared_tokens")
             graft.operators.TextQueries.sharedTokens(Tables(spark, sfDir).documents).count()
           else SparkEntry.queries(name)(spark, sfDir).count()

@@ -38,9 +38,19 @@ object Pq {
   private val models =
     new graft.SessionKeyedCache[(Int, Int, Int), Codebooks]()
 
-  /** Drop every codebook fitted under `spark`. */
-  def clearPqModels(spark: SparkSession): Unit =
+  /** Materialized serving indexes — the (vec_id, v, codes) frame,
+    * persisted, memoized per (session, corpus plan, m, k): the round-7
+    * index rule (s02/s06 precedent) applied to plain PQ, so [[pq]] serves
+    * without re-encoding the corpus per query batch. The raw vector rides
+    * along for the exact re-rank (IndexRefineFlat). */
+  private val indexes =
+    new graft.SessionKeyedCache[(Int, Int, Int), DataFrame](_.unpersist(blocking = false))
+
+  /** Drop every codebook and materialized index fitted under `spark`. */
+  def clearPqModels(spark: SparkSession): Unit = {
     models.purgeSession(Some(spark), None)
+    indexes.purgeSession(Some(spark), None)
+  }
 
   private def dims(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).head().getInt(0)
@@ -159,18 +169,47 @@ object Pq {
     emb.select(col("vec_id"),
       codesExpr(cb, col("embedding").cast("array<double>")).as("codes"))
 
+  /** The serving-index projection: codes plus the raw vector for the
+    * exact re-rank (IndexRefineFlat) — still one scan, zero shuffle. */
+  def pqEncodeRefine(emb: DataFrame, cb: Codebooks): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), codesExpr(cb, col("v")).as("codes"))
+
+  private def modelFor(emb: DataFrame, m: Int, k: Int): Codebooks =
+    models.getOrElseUpdate(
+      emb.sparkSession,
+      (emb.queryExecution.analyzed.semanticHash(), m, k))(
+      trainPq(emb, m, k))
+
+  /** The memoized, PERSISTED serving index for (corpus, m, k) — [[pq]]
+    * serves from this; repeated query batches read the in-memory index
+    * only (no source scan, no re-encode). */
+  def encodedIndex(emb: DataFrame, m: Int = 8, codebookSize: Int = 16): DataFrame = {
+    val cb = modelFor(emb, m, codebookSize)
+    indexes.getOrElseUpdate(
+      emb.sparkSession,
+      (emb.queryExecution.analyzed.semanticHash(), m, codebookSize))(
+      pqEncodeRefine(emb, cb).persist())
+  }
+
   /** s05: ADC top-k — every query's per-subspace distance table to all k
     * centroids is computed ONCE (query side, broadcast); a corpus row
     * costs m array lookups. Ranking uses round(adist, 8) with neighbor-id
-    * tiebreak, the s01 stability rule. */
+    * tiebreak, the s01 stability rule. Stateless: encodes on the fly —
+    * repeated batches should go through [[pq]]/[[encodedIndex]]. */
   def pqSearch(emb: DataFrame, cb: Codebooks,
-               queryPred: String = "vec_id < 10", k: Int = 5): DataFrame = {
-    val enc = pqEncode(emb, cb)
-    val q = emb.filter(expr(queryPred))
-      .select(col("vec_id").as("query_id"),
-        tablesExpr(cb, col("embedding").cast("array<double>")).as("tables"))
+               queryPred: String = "vec_id < 10", k: Int = 5): DataFrame =
+    pqSearchIndexed(pqEncodeRefine(emb, cb), cb, queryPred, k)
+
+  /** ADC top-k against a materialized (vec_id, v, codes) index; queries
+    * are drawn from the index, so a cached index serves with no source
+    * scan at all. */
+  def pqSearchIndexed(index: DataFrame, cb: Codebooks,
+                      queryPred: String = "vec_id < 10", k: Int = 5): DataFrame = {
+    val q = index.filter(expr(queryPred))
+      .select(col("vec_id").as("query_id"), tablesExpr(cb, col("v")).as("tables"))
     val adist = adcExpr(col("tables"), col("codes"))
-    val scored = enc.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = index.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (-round(adist, 8)).as("cos")) // TopKAgg keeps largest: negate distance
     Knn.topKPerKey(scored, k)
@@ -185,18 +224,26 @@ object Pq {
     * Recall is then the probability the true top-k survives into the
     * shortlist, not the probability ADC ranks them exactly — the knob that
     * makes PQ usable on clusterless (worst-case) data. The candidate →
-    * vector join broadcasts the tiny candidate set, so the corpus is
-    * scanned, never shuffled, in both passes. */
+    * vector join broadcasts the tiny candidate set, so the index is
+    * scanned, never shuffled, in both passes. Stateless wrapper over
+    * [[pqRefinedIndexed]]. */
   def pqRefined(emb: DataFrame, cb: Codebooks,
                 queryPred: String = "vec_id < 10", k: Int = 5,
-                shortlist: Int = 50): DataFrame = {
+                shortlist: Int = 50): DataFrame =
+    pqRefinedIndexed(pqEncodeRefine(emb, cb), cb, queryPred, k, shortlist)
+
+  /** Shortlist + exact re-rank against a materialized index: candidates,
+    * queries and refine vectors all come from the index frame. */
+  def pqRefinedIndexed(index: DataFrame, cb: Codebooks,
+                       queryPred: String = "vec_id < 10", k: Int = 5,
+                       shortlist: Int = 50): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
-    val cands = pqSearch(emb, cb, queryPred, shortlist)
+    val cands = pqSearchIndexed(index, cb, queryPred, shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = v.filter(expr(queryPred))
+    val q = index.filter(expr(queryPred))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val exact = v.join(broadcast(cands), col("vec_id") === col("neighbor_id"))
+    val exact = index.select(col("vec_id"), col("v"))
+      .join(broadcast(cands), col("vec_id") === col("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (-round(VectorFns.l2Sq(col("qv"), col("v")), 8)).as("cos"))
@@ -205,14 +252,12 @@ object Pq {
         (-col("cos")).as("d2"))
   }
 
-  /** s05: [[pqRefined]] with codebooks trained at most once per (session,
-    * corpus plan, m, k) — the Knn.ivf registry pattern. */
+  /** s05: [[pqRefinedIndexed]] with codebooks trained at most once and the
+    * index materialized at most once per (session, corpus plan, m, k) —
+    * the Knn.ivf registry pattern plus the round-7 index rule. */
   def pq(emb: DataFrame, queryPred: String = "vec_id < 10", k: Int = 5,
          m: Int = 8, codebookSize: Int = 16, shortlist: Int = 50): DataFrame = {
-    val cb = models.getOrElseUpdate(
-      emb.sparkSession,
-      (emb.queryExecution.analyzed.semanticHash(), m, codebookSize))(
-      trainPq(emb, m, codebookSize))
-    pqRefined(emb, cb, queryPred, k, shortlist)
+    val cb = modelFor(emb, m, codebookSize)
+    pqRefinedIndexed(encodedIndex(emb, m, codebookSize), cb, queryPred, k, shortlist)
   }
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface (SURVEY.md §2.3 "Streaming").
   *
@@ -144,6 +144,30 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select(col("doc_id"), col("ts"), col("fingerprint"))
   }
+
+  /** Streaming NEAR-dup admission — the d10 flow against a live stream,
+    * per micro-batch via `foreachBatch`. A continuous-query form is
+    * impossible by plan class: d10 needs a signature aggregation on the
+    * stream side, a candidate join and a verify aggregation — more than
+    * streaming's single-aggregation budget — so `foreachBatch` is the
+    * documented escape hatch, and each micro-batch runs the full batch
+    * operator (LSH probe + exact verify, precision 1) against the
+    * STANDING corpus. Contract matches d10: batch-internal near-dups are
+    * not resolved (compose d03+d07 downstream), and admission is against
+    * the standing corpus as of query start — appending admitted docs back
+    * into `standing` across batches is the caller's choice of sink.
+    * `onBatch` receives (admitted doc_ids, batchId). */
+  def admitNearDupsStream(docStream: DataFrame, standing: DataFrame,
+                          onBatch: (DataFrame, Long) => Unit,
+                          threshold: Double = 0.8): DataStreamWriter[Row] =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.dedup.Dedup.incrementalNearDup(
+            standing, batch.select(col("doc_id"), col("text")), threshold),
+          batchId)
+      }
 
   final case class SessionFlush(user_id: Long, n_events: Int,
                                 total_value: Double, evicted: Boolean)

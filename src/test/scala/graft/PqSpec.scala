@@ -73,6 +73,18 @@ class PqSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq, "PQ search must be deterministic across registry hits")
   }
 
+  test("serving index is materialized once: second serve reads the in-memory index") {
+    Pq.clearPqModels(spark)
+    val first = Pq.pq(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val df2 = Pq.pq(emb)
+    val plan = df2.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"second serve must read the cached encoded index, not re-encode:\n$plan")
+    assert(df2.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet === first)
+    Pq.clearPqModels(spark)
+  }
+
   test("plan: encoding is scan-local; search shuffles only for the top-k agg") {
     val cb = Pq.trainPq(emb, m = 8, k = 16)
     val encPlan = Pq.pqEncode(emb, cb).queryExecution.executedPlan.toString

@@ -55,6 +55,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("00:00") === 1L, "late row must not be counted")
   }
 
+  test("streaming near-dup admission matches the per-document batch d10 decision") {
+    implicit val sql = spark.sqlContext
+    val standing = Seq((1L, (1 to 12).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val q = EventStreams.admitNearDupsStream(
+      mem.toDF().toDF("doc_id", "text"), standing,
+      (df, _) => admitted ++= df.collect().map(_.getLong(0))).start()
+    // batch 1: an exact dup of standing doc 1 (dropped) + a fresh doc
+    mem.addData((10L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (11L, "totally fresh text one two three"))
+    q.processAllAvailable()
+    // batch 2: a near-dup of standing doc 1 (J = 9/10, dropped) + fresh
+    mem.addData((12L, (1 to 11).map(i => s"w$i").mkString(" ")),
+      (13L, "another unrelated document entirely"))
+    q.processAllAvailable(); q.stop()
+    // admission depends only on (doc, standing corpus) — the streamed
+    // union must equal the batch operator's decision doc-by-doc
+    assert(admitted.toSet === Set(11L, 13L))
+  }
+
   test("streaming dedup drops within-horizon re-deliveries and evicts state after") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
