@@ -87,10 +87,14 @@ object IvfPq {
     zip_with(v, element_at(cents, cell + 1).getField("cv"), (a, b) => a - b)
 
   /** Train: coarse Lloyd over the corpus, then PQ codebooks over the
-    * residuals of every vector to its assigned centroid. */
+    * residuals of every vector to its assigned centroid. The coarse model
+    * comes from Knn's registry ([[Knn.sharedCenters]]): Lloyd is
+    * deterministic, so when s02 already trained this (corpus, nCells) the
+    * coarse pass costs nothing — one training run serves both index
+    * families. */
   def train(emb: DataFrame, nCells: Int = 10, m: Int = 8, k: Int = 16)
       : (Array[Array[Double]], Pq.Codebooks) = {
-    val centers = Knn.trainIvf(emb, nCells)
+    val centers = Knn.sharedCenters(emb, nCells)
     val cents = centsLit(centers)
     val v = col("embedding").cast("array<double>")
     val residuals = emb

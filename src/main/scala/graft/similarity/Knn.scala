@@ -101,6 +101,13 @@ object Knn {
       emb.sparkSession, (emb.queryExecution.analyzed.semanticHash(), nCells))(
       trainIvf(emb, nCells))
 
+  /** Memoized coarse centers for (session, corpus, nCells) — shared with
+    * IVF-PQ's coarse quantizer: Lloyd is deterministic, so the IVF index
+    * and the IVF-PQ index built on the same corpus use the SAME model and
+    * one training run serves both families. */
+  private[similarity] def sharedCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] =
+    modelFor(emb, nCells)
+
   private def centsLit(centers: Array[Array[Double]]): Column =
     array(centers.zipWithIndex.toIndexedSeq.map {
       case (c, i) => struct(lit(i).as("cell"), array(c.toIndexedSeq.map(lit(_)): _*).as("cv"))
