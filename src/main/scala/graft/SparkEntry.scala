@@ -73,6 +73,9 @@ object SparkEntry {
     "q23_window_tumbling" -> ((s, d) => Temporal.q23WindowTumbling(t(s, d))),
     "q24_sessionize"      -> ((s, d) => Temporal.q24Sessionize(t(s, d))),
     "q43_sliding_window"  -> ((s, d) => Temporal.q43SlidingWindow(t(s, d))),
+    // q44: Spark 4 recursive CTE (UnionLoop) — identical WITH RECURSIVE
+    // text runs in DuckDB as the oracle
+    "q44_recursive_cte"   -> ((s, d) => Relational3.q44RecursiveCte(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
@@ -97,6 +100,9 @@ object SparkEntry {
     // doc, distinct eval docs + distinct shingles shared (exact oracle)
     "p12_contamination_report" -> ((s, d) => graft.operators.DataPipeline.contaminationReport(
                                t(s, d).documents, col("doc_id") % 10 === 0)),
+    // p13: every signal is an exact integer-derived fraction, so the
+    // thresholded verdict + first-failing-reason are hash-checkable
+    "p13_quality_gate"    -> ((s, d) => graft.operators.DataPipeline.qualityGate(t(s, d).documents)),
     "p08_mix_sources"     -> ((s, d) => graft.operators.DataPipeline.mixSources(t(s, d).documents)),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
@@ -479,6 +485,17 @@ object SparkEntry {
         |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, round(sum(value),2) AS value_sum
         |FROM slid GROUP BY 1, 2""".stripMargin,
+    // q44: identical recursive-CTE text in both engines; count(col) over
+    // the LEFT join makes empty months exact zeros in both
+    "q44_recursive_cte" ->
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT m + 1 FROM months WHERE m < 12)
+        |SELECT m AS month, count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON month(o_orderdate) = m AND year(o_orderdate) = 1995
+        |GROUP BY m""".stripMargin,
     "q25_range_join" ->
       """SELECT e.event_id AS error_id, count(p.ts) AS n_purchases_1h,
         | round(coalesce(sum(p.value), 0.0), 2) AS purchase_value_1h
@@ -774,6 +791,26 @@ object SparkEntry {
     // t05: the oracle recomputes the same counts the slow way (count per
     // distinct element); Spark's sorted-run fold yields identical maxima.
     // All three ratios are integer/integer divisions — bit-exact both sides.
+    // p13: the t01 alpha-ratio and t05 repetition expressions feeding a
+    // fixed-order CASE — identical rule order in both engines
+    "p13_quality_gate" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(w) AS n,
+        |  len(list_distinct(w)) AS nd,
+        |  list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) AS topc,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS ar
+        | FROM tk),
+        |r AS (SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CASE WHEN n < 20 THEN 'too_short'
+        |       WHEN n > 100000 THEN 'too_long'
+        |       WHEN ar < 0.6 THEN 'low_alpha'
+        |       WHEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) > 0.3 THEN 'repetitive_dups'
+        |       WHEN CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) > 0.2 THEN 'dominant_token'
+        |       ELSE 'ok' END AS reason
+        | FROM m)
+        |SELECT doc_id, n_tokens, reason, reason = 'ok' AS keep FROM r""".stripMargin,
     "t05_repetition" ->
       """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
         |m AS (SELECT doc_id, w,

@@ -222,6 +222,40 @@ object DataPipeline {
         round(avg(col("n_chars")), 2).as("mean_chars"))
       .withColumn("dup_docs", col("n_docs") - col("distinct_fps"))
 
+  /** p13: Gopher-rule quality gate (the Rae et al. 2021 repetition/length
+    * filter family, as one deterministic decision): each document gets a
+    * keep/drop verdict plus the FIRST failing rule in a fixed order —
+    * too_short, too_long, low_alpha, repetitive_dups, dominant_token, ok.
+    * t03 scores quality continuously; this is the thresholded gate a
+    * pipeline actually branches on, with the reason column a corpus card
+    * can aggregate (why was 12% of source X dropped?).
+    *
+    * Exactness: every signal is an integer-derived fraction or a
+    * length-ratio (the t01/t05 oracle-parity expressions), and thresholds
+    * compare those exact doubles — both engines agree rule-for-rule, so
+    * the verdict is hash-checkable. Zero shuffle: one scan projection.
+    */
+  def qualityGate(docs: DataFrame, minTokens: Int = 20, maxTokens: Int = 100000,
+                  minAlpha: Double = 0.6, maxDupFrac: Double = 0.3,
+                  maxTopFrac: Double = 0.2): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        TextFns.alphaRatio(col("text")).as("alpha_ratio"),
+        TextFns.dupTokenFrac(col("toks")).as("dup_token_frac"),
+        (TextFns.topElementCount(col("toks")).cast("double") /
+          size(col("toks")).cast("double")).as("top_token_frac"))
+    val reason = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("n_tokens") > maxTokens, "too_long")
+      .when(col("alpha_ratio") < minAlpha, "low_alpha")
+      .when(col("dup_token_frac") > maxDupFrac, "repetitive_dups")
+      .when(col("top_token_frac") > maxTopFrac, "dominant_token")
+      .otherwise("ok")
+    sig.select(col("doc_id"), col("n_tokens"), reason.as("reason"),
+      (reason === "ok").as("keep"))
+  }
+
   /** One scrub rule: a Java/RE2-compatible pattern and its replacement
     * token. Patterns must avoid constructs RE2 lacks (backrefs, lookaround)
     * so the same rule runs verbatim in engines like DuckDB for auditing. */

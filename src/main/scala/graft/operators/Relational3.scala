@@ -95,6 +95,29 @@ object Relational3 {
       .select(col("r_name"), col("o_orderpriority"), col("n_cust"))
   }
 
+  /** q44: recursive CTE — Spark 4's `WITH RECURSIVE` (UnionLoop): a
+    * recursively generated month scaffold LEFT-joined to 1995 order
+    * counts, so months with no orders surface as zero rows — the gapless
+    * series/scaffold pattern warehouses use for calendar reports, which a
+    * plain GROUP BY cannot produce (absent groups simply don't exist).
+    * DuckDB runs the identical WITH RECURSIVE text as the oracle.
+    *
+    * Scale shape: the recursion iterates 12 times over a ONE-ROW frame
+    * (driver-cheap UnionLoopExec); the corpus side is scanned once and
+    * joined after the scaffold materializes — never a corpus-sized loop. */
+  def q44RecursiveCte(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT 1
+        |  UNION ALL
+        |  SELECT m + 1 FROM months WHERE m < 12)
+        |SELECT m AS month, count(o_orderkey) AS n_orders
+        |FROM months LEFT JOIN orders
+        |  ON month(o_orderdate) = m AND year(o_orderdate) = 1995
+        |GROUP BY m""".stripMargin)
+  }
+
   /** q38: JSON generation — re-serialize parsed event props plus a typed
     * column into a compact JSON string (round-trips q19's extraction). */
   def q38ToJson(t: Tables): DataFrame =

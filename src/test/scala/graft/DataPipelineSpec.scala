@@ -268,6 +268,30 @@ class DataPipelineSpec extends AnyFunSuite {
       s"keeper min must partial-aggregate map-side:\n$p")
   }
 
+  test("p13: quality gate fires the first failing rule in fixed order on planted docs") {
+    // letter-only tokens keep alpha_ratio high except where planted low
+    val clean = (0 until 30).map(i =>
+      s"tok${('a' + i % 26).toChar}${('a' + i / 26).toChar}").mkString(" ") // ok
+    val short = "a b"                                                // too_short
+    val digits = (1 to 30).map(i => s"$i$i$i").mkString(" ")         // low_alpha
+    val dups = Seq.fill(15)("xx yy").mkString(" ")                   // repetitive_dups
+    // 7×"aa" + 23 distinct: dup_frac 6/30 = 0.2 ≤ 0.3 but top 7/30 > 0.2
+    val dominant = (Seq.fill(7)("aa") ++
+      (0 until 23).map(i => s"zz${('a' + i).toChar}")).mkString(" ")
+    val corpus = Seq(
+      (1L, clean), (2L, short), (3L, digits), (4L, dups), (5L, dominant)
+    ).toDF("doc_id", "text")
+    val got = DataPipeline.qualityGate(corpus)
+      .select("doc_id", "reason", "keep")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "ok", true),
+      (2L, "too_short", false),
+      (3L, "low_alpha", false),
+      (4L, "repetitive_dups", false),
+      (5L, "dominant_token", false)))
+  }
+
   test("p12: contamination report counts planted overlaps and partitions p02's drop set") {
     // k=2 shingles; eval docs are id >= 10
     val corpus = Seq(

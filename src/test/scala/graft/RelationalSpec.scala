@@ -6,6 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 class RelationalSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("q44: recursive scaffold yields exactly months 1..12 and conserves the 1995 order count") {
+    val rows = graft.operators.Relational3.q44RecursiveCte(tables).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === (1 to 12).toSet, "the scaffold must be gapless")
+    val total = tables.orders.where(year(col("o_orderdate")) === 1995).count()
+    assert(rows.values.sum === total)
+  }
+
   test("every declared query runs and returns a stable schema at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
