@@ -174,6 +174,9 @@ object SparkEntry {
     // t10: rank on the ROUNDED tfidf (t06 float rule) with term tiebreak —
     // order can never disagree across engines at a rounding boundary
     "t10_tfidf_keywords"  -> ((s, d) => TextQueries.t10TfidfKeywords(t(s, d))),
+    // t11: integer counts + plain IEEE arithmetic — unrounded by design
+    // (bit-identical projections, the q28 rule)
+    "t11_readability"     -> ((s, d) => TextQueries.t11Readability(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -924,6 +927,18 @@ object SparkEntry {
         |      FROM s)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf
         |FROM r WHERE rank <= 3""".stripMargin,
+    // t11: the three counts are regex-derived integers, flesch is plain
+    // IEEE arithmetic on them — bit-identical unrounded
+    "t11_readability" ->
+      """SELECT doc_id, n_words, n_sentences, n_syllables,
+        | 206.835 - 1.015 * (n_words / n_sentences)
+        |         - 84.6 * (n_syllables / n_words) AS flesch
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syllables
+        | FROM documents)""".stripMargin,
     // t07: the single-fraction entropy form means ONE rounded aggregated
     // double per engine, not a per-type p·ln p sum with its own float order
     "t07_token_entropy" ->

@@ -206,6 +206,31 @@ object TextQueries {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** t11: readability scoring — Flesch reading ease over regex-derived
+    * counts: words (the t01 token count), sentences (runs of [.!?],
+    * floored at 1), syllables approximated as vowel-group runs (the
+    * standard cheap estimator). flesch = 206.835 − 1.015·(w/s) −
+    * 84.6·(syll/w). A quality-pipeline signal complementary to t03/p13:
+    * extremely low readability flags OCR noise and boilerplate, extremely
+    * high flags telegraphic spam.
+    *
+    * Exactness: all three counts are integers both engines derive from
+    * the same regexes, and the score is plain IEEE arithmetic on them
+    * (single divisions and multiplies — bit-identical, so NO rounding is
+    * needed, the "never round plain projections" rule). Zero shuffle. */
+  def t11Readability(t: Tables): DataFrame = readability(t.documents)
+
+  /** See [[t11Readability]]; library surface over any (doc_id, text). */
+  def readability(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_words"),
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)).as("n_sentences"),
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") / col("n_words"))).as("flesch"))
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

@@ -163,6 +163,49 @@ object Knn {
                k: Int = 5, nProbe: Int = 3): DataFrame =
     ivfServeIndexed(assigned(emb, centers), centers, queryPred, k, nProbe)
 
+  /** Durable IVF index: the assigned (vec_id, v, cell) frame as a
+    * cell-partitioned parquet tree — pay the scan+assignment once at
+    * write time; [[searchIvfIndex]] reads only the probed cell
+    * directories (the IvfPq.writeIndex sibling). */
+  def writeIvfIndex(emb: DataFrame, centers: Array[Array[Double]], path: String): Unit =
+    graft.sources.Sources.writePartitioned(assigned(emb, centers), path, "cell")
+
+  /** Serve from an on-disk cell-partitioned IVF index. The query batch is
+    * driver-side by contract (it is the broadcast-small side), so the
+    * probed cells are computed in plain Scala — the same (d2, cell)
+    * lexicographic argmin as the plan expression — and land in the scan
+    * as a LITERAL `cell IN (…)` predicate: a PartitionFilter pruning
+    * whole directories at listing time. */
+  def searchIvfIndex(spark: SparkSession, path: String,
+                     centers: Array[Array[Double]],
+                     queries: Seq[(Long, Array[Double])],
+                     k: Int = 5, nProbe: Int = 3): DataFrame = {
+    require(queries.nonEmpty, "searchIvfIndex: empty query batch")
+    require(centers.nonEmpty, "searchIvfIndex: empty model")
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    val probedCells = queries
+      .flatMap { case (_, qv) =>
+        centers.indices.map(c => (l2sq(qv, centers(c)), c)).sorted.take(nProbe).map(_._2) }
+      .distinct.sorted
+    val cents = centsLit(centers)
+    val qDf = spark.createDataFrame(queries.map { case (id, qv) => (id, qv.toSeq) })
+      .toDF("query_id", "qv")
+    val idx = spark.read.parquet(path)
+      .where(col("cell").isin(probedCells.map(Int.box): _*))
+    val probes = qDf.select(col("query_id"), col("qv"),
+        explode(slice(array_sort(dists(col("qv"), cents)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    val scored = idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
+    topKPerKey(scored, k)
+  }
+
   /** IVF serving against a materialized (vec_id, v, cell) index — the
     * query side is drawn from the index too, so a cached index means a
     * serve call touches NO source scan at all.

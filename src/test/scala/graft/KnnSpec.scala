@@ -65,6 +65,28 @@ class KnnSpec extends AnyFunSuite {
     Knn.clearIvfModels(spark)
   }
 
+  test("durable IVF index: probed-cell PartitionFilters; parity with stateless serve") {
+    import org.apache.spark.sql.functions._
+    val centers = Knn.trainIvf(tables.embeddings, nCells = 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Knn.writeIvfIndex(tables.embeddings, centers, dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("cell=")))
+    val queries = {
+      import SparkTestSession.spark.implicits._
+      tables.embeddings.filter("vec_id < 3")
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq.map { case (id, v) => (id, v.toArray) }
+    }
+    val df = Knn.searchIvfIndex(spark, dir, centers, queries, k = 5, nProbe = 2)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"probed-cell predicate must be a PartitionFilter:\n$plan")
+    val want = Knn.ivfServe(tables.embeddings, centers, "vec_id < 3", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("Lloyd centers: k centers inside the data envelope, every point assigned") {
     val k = 7
     val centers = ml.MlOps.kmeansCenters(tables.embeddings, k, maxIter = 2)

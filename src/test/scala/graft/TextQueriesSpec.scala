@@ -34,6 +34,17 @@ class TextQueriesSpec extends AnyFunSuite {
       (3L, 1, "durian", r6(3 * idf1))))
   }
 
+  test("t11: readability counts and flesch match a hand-derived document") {
+    import spark.implicits._
+    val docs = Seq((1L, "Hello world. It is sunny!")).toDF("doc_id", "text")
+    val r = TextQueries.readability(docs)
+      .as[(Long, Int, Int, Int, Double)].collect().head
+    // words: hello/world./it/is/sunny! = 5; sentence runs: "." "!" = 2;
+    // vowel-group syllables: he-llo 2, world 1, it 1, is 1, su-nny+y 2 = 7
+    assert(r._2 === 5 && r._3 === 2 && r._4 === 7)
+    assert(r._5 === 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (7.0 / 5.0))
+  }
+
   test("t06/t07/t10 share one persisted token frame (tokenize once per session)") {
     TextQueries.releaseTokens(spark)
     val t = tables
