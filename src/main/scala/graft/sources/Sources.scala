@@ -145,14 +145,19 @@ object Sources {
                      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     require(targetFileBytes > 0, s"targetFileBytes=$targetFileBytes must be > 0")
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    // clamp in BigInt space BEFORE narrowing: optimizer stats on joins /
-    // local relations can exceed Long range, and BigInt.toLong WRAPS (low
-    // 64 bits) — a garbage file count the old .min cap could not guard.
-    // 1M files also bounds the writer-task count for unknown-stats plans.
+    df.repartition(compactedFileCount(bytes, targetFileBytes))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** ⌈bytes / targetFileBytes⌉ clamped in BigInt space BEFORE narrowing:
+    * optimizer stats on joins / local relations can exceed Long range, and
+    * BigInt.toLong WRAPS (low 64 bits) — a garbage file count a post-hoc
+    * .min cap cannot guard. The 1M-file ceiling also bounds the
+    * writer-task count for unknown-stats plans. */
+  private[graft] def compactedFileCount(bytes: BigInt, targetFileBytes: Long): Int = {
     val maxFiles = BigInt(1 << 20)
-    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes)
+    ((bytes + targetFileBytes - 1) / targetFileBytes)
       .max(BigInt(1)).min(maxFiles).toInt
-    df.repartition(nFiles).write.mode("overwrite").parquet(path)
   }
 
   /** XML sink/scan — built into spark-sql since Spark 4 (the former

@@ -47,6 +47,19 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(new java.io.File(s"$small/_SUCCESS").exists())
   }
 
+  test("compacting sink: file count clamps in BigInt space (overflow-safe)") {
+    // optimizer stats on joins/local relations can exceed Long range; the
+    // old BigInt.toLong narrowing WRAPPED to an arbitrary huge/garbage
+    // count — the clamp must saturate instead
+    val tfb = 128L * 1024 * 1024
+    assert(Sources.compactedFileCount(BigInt(0), tfb) === 1)
+    assert(Sources.compactedFileCount(BigInt(1), tfb) === 1)
+    assert(Sources.compactedFileCount(BigInt(tfb) * 3 + 1, tfb) === 4)
+    // far beyond Long range: saturates at the 1M ceiling, never wraps
+    assert(Sources.compactedFileCount(BigInt(2).pow(80), tfb) === (1 << 20))
+    assert(Sources.compactedFileCount(BigInt(Long.MaxValue) * 16, tfb) === (1 << 20))
+  }
+
   test("s3a route (S2/K3): S3AFileSystem loads when hadoop-aws is present — gated") {
     // the s3a path needs only the hadoop-aws + aws-sdk jars on the
     // classpath (no code change: every reader/writer here goes through the
