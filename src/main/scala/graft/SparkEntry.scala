@@ -76,6 +76,9 @@ object SparkEntry {
     // q44: Spark 4 recursive CTE (UnionLoop) — identical WITH RECURSIVE
     // text runs in DuckDB as the oracle
     "q44_recursive_cte"   -> ((s, d) => Relational3.q44RecursiveCte(t(s, d))),
+    // q45: Spark 4 VARIANT (parse_json + variant_get); oracle extracts the
+    // same typed values via DuckDB's JSON functions
+    "q45_variant_json"    -> ((s, d) => Relational3.q45Variant(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
@@ -499,6 +502,15 @@ object SparkEntry {
         |FROM months LEFT JOIN orders
         |  ON month(o_orderdate) = m AND year(o_orderdate) = 1995
         |GROUP BY m""".stripMargin,
+    // q45: DuckDB's JSON extraction is the oracle for the VARIANT path —
+    // same typed values, sum cast to BIGINT (HUGEINT parity rule)
+    "q45_variant_json" ->
+      """SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | CAST(min(k) AS INT) AS min_k, CAST(max(k) AS INT) AS max_k,
+        | count(DISTINCT k) AS distinct_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
     "q25_range_join" ->
       """SELECT e.event_id AS error_id, count(p.ts) AS n_purchases_1h,
         | round(coalesce(sum(p.value), 0.0), 2) AS purchase_value_1h

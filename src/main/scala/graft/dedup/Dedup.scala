@@ -410,7 +410,10 @@ object Dedup {
                            centers: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val cs = centers.getOrElse(graft.ml.MlOps.kmeansCenters(emb, nCells))
+    // the session-memoized model: Lloyd is deterministic, so this is the
+    // SAME centers kmeansCenters would return, trained at most once per
+    // (session, corpus, nCells) across d06 / s02 / s06
+    val cs = centers.getOrElse(graft.similarity.Knn.sharedCenters(emb, nCells))
     val bc = spark.sparkContext.broadcast(cs)
     // prefilter slack before the 4-decimal round, exactly as in d05
     val pre = threshold - 1e-4

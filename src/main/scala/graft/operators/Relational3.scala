@@ -118,6 +118,25 @@ object Relational3 {
         |GROUP BY m""".stripMargin)
   }
 
+  /** q45: VARIANT ingestion — Spark 4's semi-structured type: `parse_json`
+    * produces a binary VARIANT (shredded, columnar-friendly encoding — the
+    * modern replacement for per-row `get_json_object` string parsing used
+    * in q19/q29), and `variant_get` extracts typed values path-wise. The
+    * aggregation shape proves the extracted values behave as first-class
+    * typed columns. At 100 TB the difference is material: VARIANT decodes
+    * once at the scan and serves every downstream extraction, where
+    * string-path JSON re-parses per expression. */
+  def q45Variant(t: Tables): DataFrame =
+    t.events
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("distinct_k"))
+
   /** q38: JSON generation — re-serialize parsed event props plus a typed
     * column into a compact JSON string (round-trips q19's extraction). */
   def q38ToJson(t: Tables): DataFrame =

@@ -102,10 +102,10 @@ object Knn {
       trainIvf(emb, nCells))
 
   /** Memoized coarse centers for (session, corpus, nCells) — shared with
-    * IVF-PQ's coarse quantizer: Lloyd is deterministic, so the IVF index
-    * and the IVF-PQ index built on the same corpus use the SAME model and
-    * one training run serves both families. */
-  private[similarity] def sharedCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] =
+    * IVF-PQ's coarse quantizer and d06's cell bucketing: Lloyd is
+    * deterministic, so every consumer of the same (corpus, nCells) uses
+    * the SAME model and one training run serves them all. */
+  private[graft] def sharedCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] =
     modelFor(emb, nCells)
 
   private def centsLit(centers: Array[Array[Double]]): Column =

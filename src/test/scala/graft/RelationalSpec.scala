@@ -14,6 +14,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.values.sum === total)
   }
 
+  test("q45/variant: parse_json + variant_get extract typed values incl. nested paths") {
+    import spark.implicits._
+    val df = Seq((1L, """{"a": {"b": [1, 2, 3]}, "s": "x"}""")).toDF("id", "js")
+    val r = df.select(
+      variant_get(parse_json(col("js")), "$.a.b[1]", "int").as("b1"),
+      variant_get(parse_json(col("js")), "$.s", "string").as("s")).head()
+    assert(r.getInt(0) === 2 && r.getString(1) === "x")
+    // the registered aggregation sees the same k values q19's string path sees
+    val variant = graft.operators.Relational3.q45Variant(tables)
+      .select("event_type", "sum_k").collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val string = tables.events
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type").agg(sum("k").as("sum_k"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(variant === string)
+  }
+
   test("every declared query runs and returns a stable schema at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
