@@ -268,6 +268,21 @@ class DataPipelineSpec extends AnyFunSuite {
       s"keeper min must partial-aggregate map-side:\n$p")
   }
 
+  test("p12 plan: eval shingles broadcast — the corpus side never shuffles before the count") {
+    val df = DataPipeline.contaminationReport(docs, col("doc_id") % 10 === 0)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"eval shingle set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("p13 plan: scan-local projection — zero exchanges") {
+    val df = DataPipeline.qualityGate(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), s"the gate must run at scan speed:\n$p")
+  }
+
   test("p13: quality gate fires the first failing rule in fixed order on planted docs") {
     // letter-only tokens keep alpha_ratio high except where planted low
     val clean = (0 until 30).map(i =>

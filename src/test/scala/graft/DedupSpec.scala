@@ -37,6 +37,16 @@ class DedupSpec extends AnyFunSuite {
     assert(admitted === Set(12L, 13L))
   }
 
+  test("d10 plan: banded probe join, no cartesian, no all-pairs") {
+    val docs = tables.documents
+    val df = Dedup.incrementalNearDup(
+      docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the (band, bucket) probe join, never all-pairs:\n$p")
+  }
+
   test("prefix filter keeps the boundary pair at exactly jaccard = threshold") {
     // n1=10, n2=8 shingles, 8 common → J = 8/(10+8−8) = 0.8 exactly.
     // ceil(0.8·10) must be 8 (integer arithmetic), not 9 (double ceil of

@@ -60,6 +60,17 @@ class TextQueriesSpec extends AnyFunSuite {
     TextQueries.releaseTokens(spark)
   }
 
+  test("t10 plan: df table broadcast back to the term counts — no sort-merge join") {
+    TextQueries.releaseTokens(spark)
+    val df = TextQueries.t10TfidfKeywords(tables)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"),
+      s"the vocab-sized df table (and the 1-row N) must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    TextQueries.releaseTokens(spark)
+  }
+
   test("t06/t09 perplexity DataFrames launch zero jobs at construction") {
     val t = tables
     t.documents.schema // relation creation (schema read) outside the probe
