@@ -79,6 +79,9 @@ object SparkEntry {
     // q45: Spark 4 VARIANT (parse_json + variant_get); oracle extracts the
     // same typed values via DuckDB's JSON functions
     "q45_variant_json"    -> ((s, d) => Relational3.q45Variant(t(s, d))),
+    // q46: aggregate FILTER clause + GROUP BY ALL — identical SQL text
+    // runs in DuckDB as the oracle (the q44 convention)
+    "q46_filter_agg"      -> ((s, d) => Relational3.q46FilterAgg(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
@@ -107,9 +110,16 @@ object SparkEntry {
     // thresholded verdict + first-failing-reason are hash-checkable
     "p13_quality_gate"    -> ((s, d) => graft.operators.DataPipeline.qualityGate(t(s, d).documents)),
     "p08_mix_sources"     -> ((s, d) => graft.operators.DataPipeline.mixSources(t(s, d).documents)),
+    // p14: deterministic shuffle layout — shard + in-shard position from
+    // the salted portable hash (p03's md5 fold), reproducible in DuckDB
+    "p14_shuffle_layout"  -> ((s, d) => graft.operators.DataPipeline.shuffleLayout(t(s, d).documents)),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
+    // d11: exact dedup with the best-copy keeper (longest text, id
+    // tiebreak) — the oracle ranks with a window where the engine uses a
+    // skew-safe max(struct) aggregate; same keeper by construction
+    "d11_keep_best"       -> ((s, d) => Dedup.keepBest(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
@@ -138,6 +148,9 @@ object SparkEntry {
     "d09_embedding_clusters" -> ((s, d) =>
       graft.dedup.Clusters.embeddingClusters(t(s, d).embeddings)),
     "s01_knn_brute"       -> ((s, d) => Knn.bruteForce(t(s, d).embeddings)),
+    // s07: exact radius search — ranking-free threshold variant of s01,
+    // fully hash-checkable (round(cos, 8) both sides)
+    "s07_radius_search"   -> ((s, d) => Knn.radius(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
     // serializes it to CSV because the driver's hash compare (like any
@@ -180,6 +193,9 @@ object SparkEntry {
     // t11: integer counts + plain IEEE arithmetic — unrounded by design
     // (bit-identical projections, the q28 rule)
     "t11_readability"     -> ((s, d) => TextQueries.t11Readability(t(s, d))),
+    // t12: integer type/hapax/bigram counts + single IEEE divisions —
+    // unrounded (the t05 rule)
+    "t12_lexical_diversity" -> ((s, d) => TextQueries.t12LexicalDiversity(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -511,6 +527,8 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY event_type""".stripMargin,
+    // q46: the engine runs this identical text (Relational3.q46Sql)
+    "q46_filter_agg" -> graft.operators.Relational3.q46Sql,
     "q25_range_join" ->
       """SELECT e.event_id AS error_id, count(p.ts) AS n_purchases_1h,
         | round(coalesce(sum(p.value), 0.0), 2) AS purchase_value_1h
@@ -666,6 +684,63 @@ object SparkEntry {
         |        WHERE CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8)
         |SELECT doc_id FROM documents
         |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT din FROM dup)""".stripMargin,
+    // d11: the oracle ranks (n_chars DESC, doc_id ASC) with a window; the
+    // engine's max(struct(n_chars, -doc_id)) aggregate picks the same
+    // keeper (longest text, smallest id on ties)
+    "d11_keep_best" ->
+      """WITH f AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        | FROM documents),
+        |r AS (SELECT fingerprint, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY fingerprint ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |  count(*) OVER (PARTITION BY fingerprint) AS n_copies FROM f)
+        |SELECT fingerprint, n_chars, doc_id AS keep_id, n_copies
+        |FROM r WHERE rn = 1""".stripMargin,
+    // p14: shard and in-shard rank over the same salted md5-fold portable
+    // hash as p03 (salt 'shuffle:')
+    "p14_shuffle_layout" ->
+      """WITH h AS (
+        | SELECT doc_id, source,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS h
+        | FROM (SELECT doc_id, source, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS m
+        |       FROM documents))
+        |SELECT doc_id, source, CAST(h % 16 AS INT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+    // s07: s01's scoring without the rank — every neighbor at
+    // round(cos, 8) >= 0.3; the rounded score is the filter key on both
+    // sides so boundary rows can never disagree
+    "s07_radius_search" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+        |SELECT query_id, e.vec_id AS neighbor_id,
+        | round(list_cosine_similarity(qv, v), 8) AS cos
+        |FROM q JOIN e ON e.vec_id <> q.query_id
+        |WHERE round(list_cosine_similarity(qv, v), 8) >= 0.3""".stripMargin,
+    // t12: integer counts from the (doc, token) table + t05's bigram
+    // construction; all three ratios single IEEE divisions — unrounded
+    "t12_lexical_diversity" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+        |u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |      FROM c GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |       CAST(len(bg) AS INT) AS n_bigrams,
+        |       CAST(len(list_distinct(bg)) AS INT) AS n_distinct_bigrams
+        |      FROM (SELECT doc_id, CASE WHEN len(w) >= 2
+        |              THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+        |              ELSE [array_to_string(w, ' ')] END AS bg
+        |            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)))
+        |SELECT u.doc_id, n_tokens, n_types, n_hapax,
+        | CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        | CAST(n_hapax AS DOUBLE) / n_types AS hapax_frac,
+        | CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS bigram_ttr
+        |FROM u JOIN b ON u.doc_id = b.doc_id""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
     // d07: connected components of the d03 pair set (== the d02/d03 oracle

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for the LLM-data-pipeline surface.
   *
   * Five families, by cost/fidelity:
-  *   - exact: content-hash groupBy (one shuffle on the hash)
+  *   - exact: content-hash groupBy (one shuffle on the hash); two keeper
+  *     rules — d01 smallest-id, d11 best-copy (longest text)
   *   - incremental exact: batch admission against the existing corpus'
   *     fingerprint set (d08) — the production ingestion flow
   *   - exact n-gram Jaccard: prefix-filtered inverted-index join (ssjoin/
@@ -33,6 +34,28 @@ object Dedup {
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fingerprint"))
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** d11: canonical selection — exact dedup keeping the BEST copy of each
+    * duplicate group rather than d01's smallest-id copy: the curation rule
+    * real pipelines use when near-identical scrapes differ in completeness
+    * (keep the longest text; ties break to the smallest doc_id so the
+    * choice is total). The keeper is computed as one `max(struct(n_chars,
+    * -doc_id))` aggregate — a partial-aggregated exchange on the
+    * fingerprint, never a per-group window sort, so a hot fingerprint
+    * (boilerplate duplicated millions of times) combines map-side instead
+    * of serializing through one task (the p06 agg-not-window rule). The
+    * struct buffer makes it a SortAggregate physically — the partial_max
+    * still runs before the exchange, which is the property that matters. */
+  def keepBest(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fingerprint"),
+        length(col("text")).as("n_chars"))
+      .groupBy(col("fingerprint"))
+      .agg(
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("fingerprint"), col("best.n_chars").as("n_chars"),
+        (-col("best.neg_id")).as("keep_id"), col("n_copies"))
 
   /** d08: incremental exact dedup — the production ingestion flow: admit
     * from an incoming batch only documents whose normalized fingerprint is

@@ -161,6 +161,35 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("bucket"), col("split"), col("sampled"))
   }
 
+  /** p14: deterministic corpus shuffle layout — the "global shuffle before
+    * training" step every epoch pipeline needs: assign each document a
+    * shard and a position within it, both pure functions of the salted
+    * portable hash (the p03 discipline), so the training order is
+    * reproducible across engines, runs, and partitionings — a
+    * `repartition(rand())` shuffle is none of those, and cannot be
+    * re-derived for a given checkpoint. Documents land uniformly across
+    * shards (the hash is uncorrelated with any data order), and reading
+    * shards in (shard, pos) order IS the shuffled epoch order.
+    *
+    * Scale shape: the hash and shard are scan-projection work (zero
+    * shuffle); the position is a per-shard rank — ONE exchange on the
+    * shard key and a within-shard sort, never a global total sort: this is
+    * exactly the physical layout a `writePartitioned(shard)` +
+    * sortWithinPartitions materialization wants, so the layout computation
+    * and the layout write share a plan. nShards scales with the corpus
+    * (100 TB → tens of thousands of shards), keeping each in-shard sort
+    * executor-sized. */
+  def shuffleLayout(docs: DataFrame, nShards: Int = 16,
+                    salt: String = "shuffle:"): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards must be > 0")
+    val h = Dedup.md5Hash60(concat(lit(salt), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+  }
+
   /** p08: temperature-based source mixing — the standard LLM data-mixing
     * step (UNIMAX / multilingual-sampling family): sample source s with
     * probability ∝ n_s^α, α ∈ (0, 1], so low-resource sources are

@@ -137,6 +137,31 @@ object Relational3 {
         max(col("k")).as("max_k"),
         countDistinct(col("k")).as("distinct_k"))
 
+  /** q46: aggregate FILTER clause + GROUP BY ALL — per-group conditional
+    * aggregates without the CASE-WHEN contortion q32's manual pivot uses:
+    * each aggregate carries its own predicate, evaluated map-side inside
+    * the same single-exchange hash aggregate (the filter prunes rows into
+    * the partial agg, so the shuffle still carries one row per group per
+    * aggregate — nothing widens). GROUP BY ALL infers the grouping keys
+    * from the non-aggregate select items (Spark 3.4+/DuckDB share the
+    * syntax), so the identical SQL text runs in both engines. The
+    * no-qualifying-rows case (an avg FILTER that matches nothing) must
+    * surface as NULL in both — exercised by the high-price predicate. */
+  def q46FilterAgg(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(q46Sql)
+  }
+
+  /** Identical text runs as the DuckDB oracle (the q44 convention). */
+  val q46Sql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      | count(*) AS n_orders,
+      | count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      | round(coalesce(sum(o_totalprice) FILTER (WHERE o_totalprice > 200000), 0.0), 2) AS big_value,
+      | round(avg(o_totalprice) FILTER (WHERE o_totalprice > 400000), 4) AS avg_huge
+      |FROM orders
+      |GROUP BY ALL""".stripMargin
+
   /** q38: JSON generation — re-serialize parsed event props plus a typed
     * column into a compact JSON string (round-trips q19's extraction). */
   def q38ToJson(t: Tables): DataFrame =

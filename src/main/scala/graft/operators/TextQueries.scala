@@ -231,6 +231,43 @@ object TextQueries {
           - lit(1.015) * (col("n_words") / col("n_sentences"))
           - lit(84.6) * (col("n_syllables") / col("n_words"))).as("flesch"))
 
+  /** t12: lexical diversity — type-token ratio, hapax fraction (share of
+    * token TYPES occurring exactly once) and distinct-bigram ratio: the
+    * vocabulary-richness complement of t05/t07 (repetition sees the top of
+    * the distribution, entropy its shape; diversity sees its SUPPORT —
+    * template spam scores low on all three, but machine-generated text
+    * with a rotated template scores high-entropy yet low-hapax). All six
+    * outputs are integers or single integer-derived IEEE divisions —
+    * unrounded, the t05/q28 rule.
+    *
+    * Scale shape: type counts ride the SHARED token frame (one exchange on
+    * (doc_id, token), partial-aggregated), then one doc_id exchange for the
+    * fold; the bigram stats are scan-local array expressions (size/
+    * array_distinct over the per-doc bigram array) joined back on doc_id —
+    * every exchange key-bounded, nothing corpus-shuffled twice. */
+  def t12LexicalDiversity(t: Tables): DataFrame = lexicalDiversity(t.documents)
+
+  /** See [[t12LexicalDiversity]]; library surface over any (doc_id, text). */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val uni = sharedTokens(docs)
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    val bg = docs
+      .select(col("doc_id"),
+        TextFns.bigramsOfTokens(TextFns.tokens(col("text"))).as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).as("n_bigrams"),
+        size(array_distinct(col("bg"))).as("n_distinct_bigrams"))
+    uni.join(bg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"),
+        (col("n_distinct_bigrams").cast("double") / col("n_bigrams")).as("bigram_ttr"))
+  }
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

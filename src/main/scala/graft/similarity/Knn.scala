@@ -63,6 +63,25 @@ object Knn {
         col("col._1").as("cos"))
   }
 
+  /** s07: radius (threshold) search — every corpus vector within cosine ≥
+    * `tau` of each query, the range-query member of the similarity family
+    * (top-k asks "the k nearest"; radius asks "ALL sufficiently near" —
+    * retrieval dedup gates, kNN-graph construction and recall audits want
+    * the latter). Exact: same broadcast-queries/unshuffled-corpus shape as
+    * [[bruteForce]], but the per-row predicate replaces the bounded heap —
+    * the scan filters map-side, so the only rows that ever move are actual
+    * matches (output ∝ matches, not |Q|·k·partitions). Ranking-free, so
+    * the result is fully hash-checkable (round(cos, 8), the s01 rule). */
+  def radius(emb: DataFrame, queryPred: String = "vec_id < 10",
+             tau: Double = 0.3): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(expr(queryPred)).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
+      .where(col("cos") >= tau)
+  }
+
   /** Fitted IVF models, memoized per (session, corpus plan, nCells).
     * Training (Lloyd over the corpus) and serving (cell-pruned scan) are
     * separate concerns: the fitted artifact is tiny (nCells × dims doubles)

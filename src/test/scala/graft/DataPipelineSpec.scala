@@ -157,6 +157,22 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"confirm join must broadcast the eval set:\n$p")
   }
 
+  test("p14: layout is a pure function of doc_id — partition-invariant, gapless per shard") {
+    val a = DataPipeline.shuffleLayout(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    val b = DataPipeline.shuffleLayout(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(a === b, "the layout must not depend on the input partitioning")
+    assert(a.values.forall { case (s, _) => s >= 0 && s < 16 })
+    assert(a.values.map(_._1).toSet.size > 1, "docs must spread across shards")
+    // positions are exactly 1..n within every shard — reading shards in
+    // (shard, pos) order is a permutation of the corpus
+    a.values.groupBy(_._1).foreach { case (shard, g) =>
+      val ps = g.map(_._2).toSeq.sorted
+      assert(ps === (1L to g.size.toLong), s"shard $shard positions not gapless")
+    }
+  }
+
   test("p08: weights follow n^alpha, quotas cap at population, sampling is deterministic") {
     val alpha = 0.7; val budget = 40L
     val out = DataPipeline.mixSources(docs, alpha, budget)

@@ -77,6 +77,27 @@ class DedupSpec extends AnyFunSuite {
     Dedup.ngramJaccardPairs(docs, threshold = 0.333333).count()
   }
 
+  test("d11: keeper is the longest copy; length ties break to the smallest doc_id") {
+    import spark.implicits._
+    // docs 1/2/3 share a normalized fingerprint ("alpha  beta" collapses);
+    // doc 2's RAW text is longest, so it is the keeper. docs 5/6 tie on
+    // length → smallest id (5) wins.
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha  beta"), (3L, "alpha beta"),
+      (5L, "gamma delta"), (6L, "gamma delta")).toDF("doc_id", "text")
+    val got = Dedup.keepBest(docs).collect()
+      .map(r => r.getLong(2) -> ((r.getInt(1), r.getLong(3)))).toMap
+    assert(got === Map(2L -> ((11, 3L)), 5L -> ((11, 2L))))
+  }
+
+  test("d11 plan: the keeper is a partial aggregate, never a per-group window sort") {
+    val plan = Dedup.keepBest(tables.documents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "keep-best must not window-sort hot fingerprints")
+    // struct buffers sort-aggregate, but the property that matters at scale
+    // holds: hot fingerprints combine map-side BEFORE the exchange
+    assert(plan.contains("partial_max"), "keeper must partial-aggregate map-side")
+  }
+
   test("d08 incremental: existing dupes dropped, batch-internal first wins, fresh admitted") {
     import spark.implicits._
     val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")

@@ -17,6 +17,18 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s07: radius result is exactly the thresholded exact-cosine pair set") {
+    val tau = 0.1
+    val got = Knn.radius(tables.embeddings, "vec_id < 5", tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // independent path: unbounded top-k (k >= corpus) then threshold
+    val exp = Knn.bruteForce(tables.embeddings, "vec_id < 5", k = 1000000).collect()
+      .filter(_.getDouble(3) >= tau)
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === exp)
+    assert(got.nonEmpty, "tau=0.1 must match something on this corpus")
+  }
+
   test("IVF recall@5 tracks the nProbe/nCells bound on this corpus") {
     // the synthetic embeddings are near-random (no label geometry), so the
     // information-theoretic recall of cell pruning is ≈ nProbe/nCells = 0.3;

@@ -31,6 +31,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(variant === string)
   }
 
+  test("q46: FILTER-clause aggregates match their CASE-WHEN equivalents") {
+    val got = graft.operators.Relational3.q46FilterAgg(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    val exp = tables.orders
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+        round(coalesce(sum(when(col("o_totalprice") > 200000, col("o_totalprice"))),
+          lit(0.0)), 2).as("big_value"),
+        round(avg(when(col("o_totalprice") > 400000, col("o_totalprice"))), 4).as("avg_huge"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(got === exp)
+    assert(got.values.exists(_._2 > 0), "some group must have qualifying rows")
+    assert(got.values.exists(v => v._2 < v._1), "the filter must exclude rows somewhere")
+  }
+
   test("every declared query runs and returns a stable schema at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

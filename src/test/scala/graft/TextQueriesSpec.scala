@@ -12,6 +12,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextQueriesSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("t12: diversity fractions match hand-computed values") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b c"), // n=4 types=3 hapax=2(b,c); bigrams [a a, a b, b c] all distinct
+      (2L, "x"),       // single token; whole-text pseudo-bigram (the t05 rule)
+      (3L, "a a a")    // bigrams [a a, a a] → distinct 1 of 2
+    ).toDF("doc_id", "text")
+    val got = TextQueries.lexicalDiversity(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(1L) === ((4L, 3L, 2L, 3.0 / 4, 2.0 / 3, 1.0)))
+    assert(got(2L) === ((1L, 1L, 1L, 1.0, 1.0, 1.0)))
+    assert(got(3L) === ((3L, 1L, 0L, 1.0 / 3, 0.0, 0.5)))
+  }
+
   test("t10: tf-idf keywords match hand-computed scores and ranks") {
     import spark.implicits._
     val docs = Seq(
