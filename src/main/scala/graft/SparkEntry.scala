@@ -224,6 +224,13 @@ object SparkEntry {
       Multimodal.frameSample(s, Multimodal.syntheticMedia(s, t(s, d).documents))
         .toDF().select(col("doc_id"), col("frame_idx"),
           org.apache.spark.sql.functions.length(col("frame")).as("n_bytes"))),
+    // m04: perceptual image dedup hashes — real BMP/PNG decode + 64-bit
+    // dHash over the synthetic-media corpus. Deterministic but DuckDB
+    // can't decode media → rows-only (the m02 pattern); MultimodalSpec
+    // pins hash invariance (container change, noise), the planted
+    // cross-container dup pair, and banding-exactness vs brute force.
+    "m04_image_phash" -> ((s, d) =>
+      Multimodal.imageHashes(s, Multimodal.syntheticMedia(s, t(s, d).documents)).toDF()),
     "m02_decoded_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("sniffed"), col("n_bytes"),

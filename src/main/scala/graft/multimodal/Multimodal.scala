@@ -193,6 +193,71 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image: nearest-neighbor
+    * resize to 9×8, grayscale, one bit per adjacent-pixel comparison per
+    * row. The standard cheap perceptual fingerprint — stable under
+    * re-encoding, scaling and small noise (it thresholds on gradient
+    * DIRECTION, not pixel values), which is exactly what byte-level
+    * fingerprints (d01/t04) cannot see: the same photo saved as BMP and
+    * PNG shares no bytes but shares this hash. */
+  def dHash64(img: MediaCodecs.BmpImage): Long = {
+    val small = MediaCodecs.resizeBmp(img, 9, 8)
+    def gray(x: Int, y: Int): Int = {
+      val i = (y * 9 + x) * 3
+      (small.rgb(i) & 0xff) + (small.rgb(i + 1) & 0xff) + (small.rgb(i + 2) & 0xff)
+    }
+    var h = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        h = (h << 1) | (if (gray(x, y) > gray(x + 1, y)) 1L else 0L)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Typed row for per-image perceptual hashes. */
+  final case class ImageHash(doc_id: Long, phash: Long)
+
+  /** m04 (hashes): perceptual hash per decodable image payload (BMP via
+    * the byte parser, JPEG/PNG via ImageIO); non-image payloads drop out.
+    * Partition-local, zero shuffle — the decoder amortizes per partition
+    * like every other media path. */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        MediaCodecs.decodeImage(p).map(img => ImageHash(id, dHash64(img)))
+      })
+  }
+
+  /** m04 (pairs): visually-near-duplicate image pairs — the d04 SimHash
+    * shape instantiated over [[dHash64]]: band the 64 bits into 4×16-bit
+    * keys (hamming ≤ 3 ⇒ pigeonhole, at least one band identical — recall
+    * 1 within the cap), self-join on (band, key), verify with bit_count.
+    * Candidates only ever meet inside a shared band bucket, never an
+    * all-pairs product; the pair set is exact for the ≤ 3 threshold. */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4x16 banding guarantees recall only to hamming 3")
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bb"))
+      .select(col("doc_id"), col("phash"), col("bb.band").as("band"), col("bb.key").as("key"))
+    banded.select(col("doc_id").as("d1"), col("phash").as("h1"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("d2"), col("phash").as("h2"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** m01: partition-local feature extraction over the binary payload.
     * One decoder instantiation per partition (the expensive part with real
     * codecs), iterator-to-iterator so spill/codegen pipelining is preserved.

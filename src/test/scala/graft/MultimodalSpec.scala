@@ -151,6 +151,59 @@ class MultimodalSpec extends AnyFunSuite {
       "canonical header: encode reproduces the fixture byte-for-byte")
   }
 
+  test("m04: dHash survives container change and sub-step noise; inversion is far") {
+    import MediaCodecs._
+    val (w, h) = (18, 8)
+    def gradient(perturb: Int): BmpImage = BmpImage(w, h,
+      Array.tabulate(w * h * 3) { i =>
+        val x = (i / 3) % w
+        (math.min(x * 10, 255) + (if (i == 0) perturb else 0)).toByte
+      })
+    val base = gradient(0)
+    val hBase = Multimodal.dHash64(base)
+    // same pixels through BMP and PNG containers → identical hash (the
+    // property byte fingerprints d01/t04 cannot have)
+    assert(Multimodal.dHash64(decodeImage(encodeBmp(base)).get) === hBase)
+    assert(Multimodal.dHash64(decodeImage(encodePng(base)).get) === hBase)
+    // noise smaller than the gradient step flips no comparison
+    assert(java.lang.Long.bitCount(hBase ^ Multimodal.dHash64(gradient(1))) <= 3)
+    // inverted gradient flips (nearly) every comparison
+    val inv = BmpImage(w, h, Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w; math.min((w - 1 - x) * 10, 255).toByte
+    })
+    assert(java.lang.Long.bitCount(hBase ^ Multimodal.dHash64(inv)) > 16)
+  }
+
+  test("m04: banded pairs equal brute-force hamming<=3; cross-container planted dup found") {
+    import MediaCodecs._
+    val (w, h) = (18, 8)
+    val base = BmpImage(w, h, Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w; math.min(x * 10, 255).toByte
+    })
+    val inv = BmpImage(w, h, Array.tabulate(w * h * 3) { i =>
+      val x = (i / 3) % w; math.min((w - 1 - x) * 10, 255).toByte
+    })
+    val planted = Seq(
+      (1L, encodeBmp(base)), (2L, encodePng(base)), (3L, encodeBmp(inv)))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDups(
+        Multimodal.imageHashes(spark, planted).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), "the cross-container duplicate, and only it")
+    // banding is exact for the <=3 cap: equal to brute force on the corpus
+    val hashes = Multimodal.imageHashes(
+      spark, Multimodal.syntheticMedia(spark, tables.documents)).collect()
+    val brute = (for {
+      a <- hashes; b <- hashes
+      if a.doc_id < b.doc_id && java.lang.Long.bitCount(a.phash ^ b.phash) <= 3
+    } yield (a.doc_id, b.doc_id)).toSet
+    val banded = Multimodal.imageNearDups(
+        Multimodal.imageHashes(
+          spark, Multimodal.syntheticMedia(spark, tables.documents)).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+  }
+
   test("m02: synthetic media corpus exercises every real decode path (driver-row semantics)") {
     // the m02 driver row is rows+schema only (DuckDB can't decode media) —
     // this spec pins the decoded VALUES the driver row carries: each doc_id
