@@ -82,6 +82,9 @@ object SparkEntry {
     // q46: aggregate FILTER clause + GROUP BY ALL — identical SQL text
     // runs in DuckDB as the oracle (the q44 convention)
     "q46_filter_agg"      -> ((s, d) => Relational3.q46FilterAgg(t(s, d))),
+    // q47: listagg WITHIN GROUP — deterministic via the total ORDER BY;
+    // DuckDB spells it string_agg(x, d ORDER BY ...)
+    "q47_listagg"         -> ((s, d) => Relational3.q47Listagg(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
@@ -536,6 +539,13 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin,
     // q46: the engine runs this identical text (Relational3.q46Sql)
     "q46_filter_agg" -> graft.operators.Relational3.q46Sql,
+    // q47: same ordered concatenation, DuckDB spelling
+    "q47_listagg" ->
+      """SELECT r_name,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "q25_range_join" ->
       """SELECT e.event_id AS error_id, count(p.ts) AS n_purchases_1h,
         | round(coalesce(sum(p.value), 0.0), 2) AS purchase_value_1h

@@ -162,6 +162,27 @@ object Relational3 {
       |FROM orders
       |GROUP BY ALL""".stripMargin
 
+  /** q47: ordered string aggregation — Spark 4's `listagg(expr, delim)
+    * WITHIN GROUP (ORDER BY …)`, the denormalizing reshape reporting
+    * pipelines use (one row per group, members as a delimited string).
+    * The explicit total ORDER BY is what makes the concatenation
+    * deterministic and therefore oracle-checkable (an unordered listagg
+    * is partition-order-dependent — never hashable). Scale note: the
+    * output string is group-sized by construction, so this operator
+    * belongs on BOUNDED groups (dimension rollups like this region →
+    * nations one) — on fact-sized groups the correct tool is q10's top-k
+    * or p05's packing, not a gigastring. DuckDB's `string_agg(x, d ORDER
+    * BY …)` is the oracle spelling of the same aggregate. */
+  def q47Listagg(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT r_name,
+        | listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        | count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin)
+  }
+
   /** q38: JSON generation — re-serialize parsed event props plus a typed
     * column into a compact JSON string (round-trips q19's extraction). */
   def q38ToJson(t: Tables): DataFrame =

@@ -15,6 +15,32 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("s07: radius search is scan-local — queries broadcast, zero exchanges") {
+    val p = plan("s07_radius_search")
+    assert(p.contains("Broadcast"), "the query set must broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "radius matching must never shuffle the corpus")
+  }
+
+  test("p14: layout shuffles once — on the shard key only") {
+    val df = SparkEntry.queries("p14_shuffle_layout")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly the shard exchange:\n$p")
+    assert(p.contains("hashpartitioning(shard"), p)
+  }
+
+  test("q46: filtered aggregates stay one two-phase hash aggregate") {
+    val df = SparkEntry.queries("q46_filter_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.toLowerCase.contains("partial_count"),
+      "aggregate must partial-aggregate map-side")
+    val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"per-aggregate FILTERs must not add exchanges:\n$p")
+  }
+
   test("q02: filters and column pruning reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters"), p)

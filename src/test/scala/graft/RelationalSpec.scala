@@ -52,6 +52,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.exists(v => v._2 < v._1), "the filter must exclude rows somewhere")
   }
 
+  test("q47: listagg concatenates in the WITHIN GROUP order") {
+    val rows = graft.operators.Relational3.q47Listagg(tables).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    rows.foreach { case (_, (nations, n)) =>
+      val parts = nations.split(",").toSeq
+      assert(parts.length.toLong === n, "one member per nation")
+      assert(parts === parts.sorted, "members must follow the ORDER BY")
+    }
+    // cross-check one group against the relational path
+    val expected = tables.nation
+      .join(tables.region, col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === rows.keys.min)
+      .select("n_name").collect().map(_.getString(0)).sorted.mkString(",")
+    assert(rows(rows.keys.min)._1 === expected)
+  }
+
   test("every declared query runs and returns a stable schema at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
