@@ -116,6 +116,13 @@ object SparkEntry {
     // p14: deterministic shuffle layout — shard + in-shard position from
     // the salted portable hash (p03's md5 fold), reproducible in DuckDB
     "p14_shuffle_layout"  -> ((s, d) => graft.operators.DataPipeline.shuffleLayout(t(s, d).documents)),
+    // p15: corpus version diff — v1/v2 are overlapping doc_id slices so
+    // all three statuses occur; both sides reduce to fingerprint counts
+    "p15_corpus_diff"     -> ((s, d) => {
+      val docs = t(s, d).documents
+      graft.operators.DataPipeline.corpusDiff(
+        docs.where(col("doc_id") % 5 =!= 0), docs.where(col("doc_id") % 5 =!= 1))
+    }),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
@@ -199,6 +206,9 @@ object SparkEntry {
     // t12: integer type/hapax/bigram counts + single IEEE divisions —
     // unrounded (the t05 rule)
     "t12_lexical_diversity" -> ((s, d) => TextQueries.t12LexicalDiversity(t(s, d))),
+    // t13: source-pair vocabulary Jaccard — integer counts, one IEEE
+    // division, unrounded
+    "t13_vocab_overlap"   -> ((s, d) => TextQueries.t13VocabOverlap(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -758,6 +768,31 @@ object SparkEntry {
         | CAST(n_hapax AS DOUBLE) / n_types AS hapax_frac,
         | CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS bigram_ttr
         |FROM u JOIN b ON u.doc_id = b.doc_id""".stripMargin,
+    // p15: same normalized-md5 fingerprint as d01; counts per version,
+    // full outer join, status from the zero sides
+    "p15_corpus_diff" ->
+      """WITH v1 AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |            count(*) AS n_v1 FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |v2 AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |       count(*) AS n_v2 FROM documents WHERE doc_id % 5 <> 1 GROUP BY 1)
+        |SELECT coalesce(v1.fingerprint, v2.fingerprint) AS fingerprint,
+        | coalesce(n_v1, 0) AS n_v1, coalesce(n_v2, 0) AS n_v2,
+        | CASE WHEN coalesce(n_v1, 0) = 0 THEN 'added'
+        |      WHEN coalesce(n_v2, 0) = 0 THEN 'removed'
+        |      ELSE 'retained' END AS status
+        |FROM v1 FULL OUTER JOIN v2 USING (fingerprint)""".stripMargin,
+    // t13: vocab sets per source from the same tokenization; candidate
+    // pairs meet on token, jaccard is one unrounded IEEE division
+    "t13_vocab_overlap" ->
+      """WITH st AS (SELECT DISTINCT source, unnest(string_split(lower(text), ' ')) AS token
+        |            FROM documents),
+        |sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+        |cm AS (SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+        |       FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT s1, s2, z1.n AS n1, z2.n AS n2, n_common,
+        | CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common) AS jaccard
+        |FROM cm JOIN sz z1 ON z1.source = s1 JOIN sz z2 ON z2.source = s2""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
     // d07: connected components of the d03 pair set (== the d02/d03 oracle

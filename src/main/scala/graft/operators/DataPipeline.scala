@@ -190,6 +190,32 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("shard"), col("pos"))
   }
 
+  /** p15: corpus version diff — the dataset-versioning audit: given two
+    * releases of a corpus, report per normalized fingerprint whether the
+    * content was added, removed, or retained, and how its copy count
+    * moved. This is the review artifact a corpus release ships alongside
+    * p10's data card (what changed since v1?), and the pipeline guard
+    * against silent mass-drops (a scraper regression shows up as a
+    * `removed` spike before training does).
+    *
+    * Scale shape: each side partial-aggregates to (fingerprint, count) —
+    * exchanges carry distinct fingerprints, not docs — then ONE full outer
+    * join on the fingerprint key (the q05 shape). Output ∝ distinct
+    * contents across both versions. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def fps(docs: DataFrame, n: String) = docs
+      .select(TextFns.fingerprint(col("text")).as("fingerprint"))
+      .groupBy(col("fingerprint")).agg(count(lit(1)).as(n))
+    fps(v1, "n_v1").join(fps(v2, "n_v2"), Seq("fingerprint"), "full_outer")
+      .select(col("fingerprint"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+      .withColumn("status",
+        when(col("n_v1") === 0, "added")
+          .when(col("n_v2") === 0, "removed")
+          .otherwise("retained"))
+  }
+
   /** p08: temperature-based source mixing — the standard LLM data-mixing
     * step (UNIMAX / multilingual-sampling family): sample source s with
     * probability ∝ n_s^α, α ∈ (0, 1], so low-resource sources are

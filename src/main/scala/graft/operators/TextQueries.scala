@@ -268,6 +268,41 @@ object TextQueries {
         (col("n_distinct_bigrams").cast("double") / col("n_bigrams")).as("bigram_ttr"))
   }
 
+  /** t13: cross-source vocabulary overlap — pairwise Jaccard similarity of
+    * the distinct-token vocabularies of every source pair: the domain-
+    * similarity matrix mixing decisions (p08's α, dedup scoping, eval-set
+    * placement) consult — two sources with near-identical vocabularies are
+    * one domain for mixing purposes, however their doc counts differ.
+    *
+    * Scale shape: the (source, token) distinct set partial-aggregates off
+    * the shared token frame (one exchange, vocab×sources-bounded); per-
+    * source sizes are a tiny agg; candidate pairs come from a self-join ON
+    * TOKEN over that vocab-bounded frame (never over the corpus), and the
+    * final jaccard is integer-derived — one IEEE division, unrounded (the
+    * t05 rule). Output ∝ source-pairs. */
+  def t13VocabOverlap(t: Tables): DataFrame = vocabOverlap(t.documents)
+
+  /** See [[t13VocabOverlap]]; library surface over any (doc_id, source,
+    * text) frame. */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    // the same `docs` plan as t06/t07/t09/t10 so the memoized token frame
+    // is shared, not re-keyed by a projection
+    val st = sharedTokens(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("token")).distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = st.select(col("source").as("s1"), col("token"))
+      .join(st.select(col("source").as("s2"), col("token")), Seq("token"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("source").as("s1"), col("n").as("n1")), Seq("s1"))
+      .join(sizes.select(col("source").as("s2"), col("n").as("n2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n1"), col("n2"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
+  }
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

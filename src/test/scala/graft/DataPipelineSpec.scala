@@ -173,6 +173,20 @@ class DataPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p15: diff classifies added/removed/retained and tracks copy counts") {
+    val v1 = Seq((1L, "kept doc"), (2L, "dropped doc"), (3L, "dup doc"), (4L, "dup doc"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((10L, "kept doc"), (11L, "new doc"), (12L, "dup doc"))
+      .toDF("doc_id", "text")
+    val got = DataPipeline.corpusDiff(v1, v2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === Set(
+      (1L, 1L, "retained"),  // kept doc
+      (1L, 0L, "removed"),   // dropped doc
+      (2L, 1L, "retained"),  // dup doc: copy count 2 -> 1
+      (0L, 1L, "added")))    // new doc
+  }
+
   test("p08: weights follow n^alpha, quotas cap at population, sampling is deterministic") {
     val alpha = 0.7; val budget = 40L
     val out = DataPipeline.mixSources(docs, alpha, budget)

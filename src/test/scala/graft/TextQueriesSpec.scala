@@ -28,6 +28,22 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got(3L) === ((3L, 1L, 0L, 1.0 / 3, 0.0, 0.5)))
   }
 
+  test("t13: vocabulary jaccard matches hand-computed overlap per source pair") {
+    import spark.implicits._
+    // vocab A = {a, b, c}; B = {b, c, d}; C = {x}
+    val docs = Seq(
+      (1L, "A", "a b"), (2L, "A", "b c"),
+      (3L, "B", "b c d"),
+      (4L, "C", "x")
+    ).toDF("doc_id", "source", "text")
+    val got = TextQueries.vocabOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // pairs without common tokens (A-C, B-C) produce no row — jaccard 0
+    assert(got.keySet === Set(("A", "B")))
+    assert(got(("A", "B")) === ((3L, 3L, 2L, 2.0 / 4)))
+  }
+
   test("t10: tf-idf keywords match hand-computed scores and ranks") {
     import spark.implicits._
     val docs = Seq(
