@@ -85,6 +85,9 @@ object SparkEntry {
     // q47: listagg WITHIN GROUP — deterministic via the total ORDER BY;
     // DuckDB spells it string_agg(x, d ORDER BY ...)
     "q47_listagg"         -> ((s, d) => Relational3.q47Listagg(t(s, d))),
+    // q48: percent_rank/cume_dist/nth_value — integer-derived fractions
+    // over a total order, unrounded (the t05 rule)
+    "q48_window_dist"     -> ((s, d) => Relational3.q48WindowDist(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
@@ -549,6 +552,17 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin,
     // q46: the engine runs this identical text (Relational3.q46Sql)
     "q46_filter_agg" -> graft.operators.Relational3.q46Sql,
+    // q48: both fractions are single integer-derived divisions over a
+    // total order — bit-exact unrounded in both engines
+    "q48_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cdist,
+        | nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     // q47: same ordered concatenation, DuckDB spelling
     "q47_listagg" ->
       """SELECT r_name,

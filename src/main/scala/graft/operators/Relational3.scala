@@ -183,6 +183,27 @@ object Relational3 {
         |GROUP BY r_name""".stripMargin)
   }
 
+  /** q48: distribution window functions — percent_rank, cume_dist and
+    * nth_value, the remaining members of the window battery (q08/q09/q27/
+    * q39 cover ranking/running/offset/RANGE). Both fractions are integer-
+    * derived single divisions ((rank−1)/(n−1), ranked_rows/n) over a TOTAL
+    * order (orderkey tiebreak), so they are bit-exact across engines
+    * unrounded; nth_value runs over the full ROWS frame, the q27
+    * first/last convention. Same one-exchange window shape as q08. */
+  def q48WindowDist(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val wf = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.orders.select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cdist"),
+      nth_value(col("o_orderkey"), 2).over(wf).as("second_order"))
+  }
+
   /** q38: JSON generation — re-serialize parsed event props plus a typed
     * column into a compact JSON string (round-trips q19's extraction). */
   def q38ToJson(t: Tables): DataFrame =

@@ -68,6 +68,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows(rows.keys.min)._1 === expected)
   }
 
+  test("q48: percent_rank/cume_dist bounds and the nth_value full-frame contract") {
+    val groups = graft.operators.Relational3.q48WindowDist(tables).collect()
+      .groupBy(_.getLong(0))
+    groups.foreach { case (_, rs) =>
+      val prs = rs.map(_.getDouble(2))
+      if (rs.length > 1) assert(prs.min === 0.0 && prs.max === 1.0)
+      else assert(prs.head === 0.0) // single row: (rank-1)/(n-1) defined as 0
+      assert(rs.map(_.getDouble(3)).max === 1.0, "cume_dist tops out at 1")
+      // full ROWS frame → every row of the group sees the same 2nd order,
+      // NULL exactly when the customer has a single order
+      val second = rs.map(r => if (r.isNullAt(4)) None else Some(r.getLong(4))).distinct
+      assert(second.length === 1)
+      assert(second.head.isDefined === (rs.length > 1))
+    }
+  }
+
   test("every declared query runs and returns a stable schema at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
