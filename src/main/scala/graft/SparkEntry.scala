@@ -119,6 +119,10 @@ object SparkEntry {
     // p14: deterministic shuffle layout — shard + in-shard position from
     // the salted portable hash (p03's md5 fold), reproducible in DuckDB
     "p14_shuffle_layout"  -> ((s, d) => graft.operators.DataPipeline.shuffleLayout(t(s, d).documents)),
+    // p16: budget-constrained quality selection — histogram plan, never a
+    // global sort; keep rule is pure integer arithmetic over the bucket
+    // offsets, boundary order is the portable hash
+    "p16_budget_select"   -> ((s, d) => graft.operators.DataPipeline.budgetSelect(t(s, d).documents)),
     // p15: corpus version diff — v1/v2 are overlapping doc_id slices so
     // all three statuses occur; both sides reduce to fingerprint counts
     "p15_corpus_diff"     -> ((s, d) => {
@@ -782,6 +786,40 @@ object SparkEntry {
         | CAST(n_hapax AS DOUBLE) / n_types AS hapax_frac,
         | CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS bigram_ttr
         |FROM u JOIN b ON u.doc_id = b.doc_id""".stripMargin,
+    // p16: t03's quality formula rounded to the 4-dp bucket, the p03 md5
+    // fold with the 'select:' salt for the in-bucket order, and the
+    // uniform integer keep rule — both engines walk identical buckets
+    "p16_budget_select" ->
+      s"""WITH m AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nt,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS ar,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS DOUBLE)
+         |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS sr
+         | FROM documents),
+         |q AS (SELECT doc_id, n_tokens,
+         |  round(least(nt / 100.0, 1.0) * 0.5 + ar * 0.3 + least(sr * 5.0, 1.0) * 0.2, 4) AS quality
+         | FROM m),
+         |h AS (SELECT quality, sum(n_tokens) AS bucket_tokens FROM q GROUP BY quality),
+         |hc AS (SELECT quality,
+         |  CAST(coalesce(sum(bucket_tokens) OVER (ORDER BY quality DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         | FROM h),
+         |d AS (SELECT q.doc_id, q.quality, q.n_tokens, hc.cum_before,
+         |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+         |    (CAST(strpos('0123456789abcdef', substring(md, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+         |  )) AS BIGINT) AS hsh
+         | FROM (SELECT *, md5('select:' || CAST(doc_id AS VARCHAR)) AS md FROM q) q
+         | JOIN hc USING (quality)),
+         |r AS (SELECT doc_id, quality, n_tokens, cum_before,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY quality ORDER BY hsh, doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_in_bucket
+         | FROM d)
+         |SELECT doc_id, quality, n_tokens,
+         | cum_before + run_in_bucket <= 10000 AS kept
+         |FROM r""".stripMargin,
     // p15: same normalized-md5 fingerprint as d01; counts per version,
     // full outer join, status from the zero sides
     "p15_corpus_diff" ->

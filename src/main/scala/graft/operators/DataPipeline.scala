@@ -216,6 +216,58 @@ object DataPipeline {
           .otherwise("retained"))
   }
 
+  /** p16: budget-constrained quality selection — keep the highest-quality
+    * documents until a token budget is exhausted: the data-selection step
+    * of a quality-filtered pretraining mix ("train on the best N tokens
+    * we have", the quality-pruning family of DoReMi/phi-style pipelines).
+    *
+    * The naive plan is a GLOBAL sort by quality with a running token sum —
+    * a total order over the corpus, the one shape §8.4 bans at 100 TB.
+    * This operator replaces it with a quality HISTOGRAM: quality rounds to
+    * 4 dp (≤ 10⁰⁴ buckets by construction), the per-bucket token mass
+    * partial-aggregates (one bucket-bounded exchange), a running sum over
+    * the TINY histogram finds each bucket's cumulative offset, and the
+    * uniform keep rule `cum_before + run_in_bucket ≤ budget` resolves
+    * whole buckets for free — only the single boundary bucket actually
+    * depends on its within-bucket order, which is the deterministic
+    * portable-hash order (the p03 discipline), so the selection is
+    * reproducible and auditable run-to-run, engine-to-engine.
+    *
+    * Scale shape: one exchange on the quality bucket for the histogram;
+    * the histogram window runs over ≤ 10k rows (one task, by
+    * construction); histogram broadcast back; one exchange on the bucket
+    * key for the per-bucket hash-order window. A dominant bucket makes
+    * that window partition large — the mitigation is finer rounding
+    * (more buckets) or p03's hash-threshold prefilter, both documented
+    * knobs, and the window carries (hash, tokens) only. */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long = 10000,
+                   salt: String = "select:"): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
+    val scored = docs
+      .select(col("doc_id"), col("text"),
+        TextFns.tokenCount(col("text")).cast("double").as("nt"),
+        TextFns.alphaRatio(col("text")).as("ar"),
+        TextFns.stopwordRatio(col("text")).as("sr"))
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFns.qualityScoreOf(col("nt"), col("ar"), col("sr")), 4).as("quality"))
+    val hist = scored.groupBy(col("quality")).agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val wh = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("cum_before", coalesce(sum(col("bucket_tokens")).over(wh), lit(0L)))
+      .select(col("quality"), col("cum_before"))
+    val wb = Window.partitionBy(col("quality"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("h", Dedup.md5Hash60(concat(lit(salt), col("doc_id").cast("string"))))
+      .join(broadcast(offsets), Seq("quality"))
+      .withColumn("run_in_bucket", sum(col("n_tokens")).over(wb))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        (col("cum_before") + col("run_in_bucket") <= budgetTokens).as("kept"))
+  }
+
   /** p08: temperature-based source mixing — the standard LLM data-mixing
     * step (UNIMAX / multilingual-sampling family): sample source s with
     * probability ∝ n_s^α, α ∈ (0, 1], so low-resource sources are

@@ -173,6 +173,28 @@ class DataPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p16: budget fills greedily by quality; only the boundary bucket splits") {
+    val out = DataPipeline.budgetSelect(docs, budgetTokens = 2000).collect()
+    val kept = out.filter(_.getBoolean(3))
+    val dropped = out.filterNot(_.getBoolean(3))
+    assert(kept.nonEmpty && dropped.nonEmpty, "budget 2000 must split this corpus")
+    assert(kept.map(_.getLong(2)).sum <= 2000, "kept tokens must fit the budget")
+    // every kept doc outranks (or ties, in the one split bucket) every
+    // dropped doc — the greedy-by-quality contract
+    assert(kept.map(_.getDouble(1)).min >= dropped.map(_.getDouble(1)).max)
+    assert(kept.map(_.getDouble(1)).toSet.intersect(
+      dropped.map(_.getDouble(1)).toSet).size <= 1, "at most one bucket splits")
+    // degenerate budgets
+    val all = DataPipeline.budgetSelect(docs, budgetTokens = Long.MaxValue).collect()
+    assert(all.forall(_.getBoolean(3)))
+    val none = DataPipeline.budgetSelect(docs, budgetTokens = 0).collect()
+    assert(!none.exists(_.getBoolean(3)))
+    // partition-invariant (deterministic hash order, not data order)
+    val rep = DataPipeline.budgetSelect(docs.repartition(7), budgetTokens = 2000)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(rep === out.map(r => r.getLong(0) -> r.getBoolean(3)).toMap)
+  }
+
   test("p15: diff classifies added/removed/retained and tracks copy counts") {
     val v1 = Seq((1L, "kept doc"), (2L, "dropped doc"), (3L, "dup doc"), (4L, "dup doc"))
       .toDF("doc_id", "text")
