@@ -251,6 +251,11 @@ object SparkEntry {
     // cross-container dup pair, and banding-exactness vs brute force.
     "m04_image_phash" -> ((s, d) =>
       Multimodal.imageHashes(s, Multimodal.syntheticMedia(s, t(s, d).documents)).toDF()),
+    // m05: the audio sibling — real WAV PCM decode + 64-bit energy-contour
+    // hash; volume-invariance and banding-exactness fixture-pinned in
+    // MultimodalSpec (rows-only, the m04/m02 media-decode class)
+    "m05_audio_phash" -> ((s, d) =>
+      Multimodal.audioHashes(s, Multimodal.syntheticMedia(s, t(s, d).documents)).toDF()),
     "m02_decoded_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("sniffed"), col("n_bytes"),

@@ -234,13 +234,19 @@ object Multimodal {
       })
   }
 
-  /** m04 (pairs): visually-near-duplicate image pairs — the d04 SimHash
-    * shape instantiated over [[dHash64]]: band the 64 bits into 4×16-bit
-    * keys (hamming ≤ 3 ⇒ pigeonhole, at least one band identical — recall
-    * 1 within the cap), self-join on (band, key), verify with bit_count.
-    * Candidates only ever meet inside a shared band bucket, never an
-    * all-pairs product; the pair set is exact for the ≤ 3 threshold. */
-  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** m04 (pairs): visually-near-duplicate image pairs over [[dHash64]];
+    * see [[hammingNearDups]] for the join shape. */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingNearDups(hashes, maxHamming)
+
+  /** Generic perceptual near-dup pair join — the d04 SimHash shape over
+    * any 64-bit (doc_id, phash) sketch column: band the 64 bits into
+    * 4×16-bit keys (hamming ≤ 3 ⇒ pigeonhole, at least one band identical
+    * — recall 1 within the cap), self-join on (band, key), verify with
+    * bit_count. Candidates only ever meet inside a shared band bucket,
+    * never an all-pairs product; the pair set is exact for the ≤ 3
+    * threshold. Shared by m04 (images) and m05 (audio). */
+  def hammingNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: 4x16 banding guarantees recall only to hamming 3")
     val banded = hashes.select(col("doc_id"), col("phash"),
@@ -256,6 +262,46 @@ object Multimodal {
         bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit audio energy-contour hash over decoded PCM: 65 equal sample
+    * windows, mean energy per window, one bit per consecutive-window
+    * energy comparison. The audio sibling of [[dHash64]] — it thresholds
+    * on energy DIRECTION, so it is invariant to uniform volume change
+    * (scaling samples by c scales every window energy by c², preserving
+    * all comparisons) and to container/codec byte differences, which is
+    * what byte fingerprints cannot see: the same recording at half volume
+    * shares no bytes but shares this hash. */
+  def aHash64(samples: Array[Short]): Long = {
+    val nw = 65
+    if (samples.isEmpty) return 0L
+    val e = new Array[Double](nw)
+    var w = 0
+    while (w < nw) {
+      val from = (w.toLong * samples.length / nw).toInt
+      val to = ((w + 1).toLong * samples.length / nw).toInt
+      var s = 0.0
+      var i = from
+      while (i < to) { val v = samples(i).toDouble; s += v * v; i += 1 }
+      e(w) = s / math.max(1, to - from)
+      w += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) { h = (h << 1) | (if (e(i + 1) > e(i)) 1L else 0L); i += 1 }
+    h
+  }
+
+  /** m05 (hashes): perceptual hash per decodable audio payload (WAV PCM16
+    * via the pure RIFF parser); non-audio payloads drop out. Partition-
+    * local, zero shuffle; pairs come from [[hammingNearDups]], exactly as
+    * m04's images do. */
+  def audioHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        MediaCodecs.decodeWav(p).map(a => ImageHash(id, aHash64(a.samples)))
+      })
   }
 
   /** m01: partition-local feature extraction over the binary payload.

@@ -204,6 +204,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("m05: audio hash is volume-invariant; a monotone contour inverts fully") {
+    val n = 65 * 16 // window size 16, aligned with the amplitude blocks
+    def contour(scale: Double): Array[Short] = Array.tabulate(n) { i =>
+      val amp = ((i / 16 * 37) % 13 + 1) * 100 * scale
+      (if (i % 2 == 0) amp else -amp).toShort
+    }
+    val h = Multimodal.aHash64(contour(1.0))
+    assert(h != 0L && h != -1L, "the test contour must be non-trivial")
+    // exact halving scales every window energy by 0.25 — hash unchanged
+    assert(Multimodal.aHash64(contour(0.5)) === h)
+    // WAV round-trip preserves it
+    val wav = MediaCodecs.encodeWav(MediaCodecs.WavAudio(1, 8000, contour(1.0)))
+    assert(Multimodal.aHash64(MediaCodecs.decodeWav(wav).get.samples) === h)
+    // strictly increasing energy ramp = all ones; its reverse = all zeros
+    val ramp = Array.tabulate(n)(i =>
+      (if (i % 2 == 0) (i / 16 + 1) * 100 else -(i / 16 + 1) * 100).toShort)
+    val hr = Multimodal.aHash64(ramp)
+    assert(java.lang.Long.bitCount(hr ^ Multimodal.aHash64(ramp.reverse)) === 64)
+  }
+
+  test("m05: same-recording-at-half-volume pair found; banding exact vs brute force") {
+    val n = 65 * 16
+    def contour(scale: Double): Array[Short] = Array.tabulate(n) { i =>
+      val amp = ((i / 16 * 37) % 13 + 1) * 100 * scale
+      (if (i % 2 == 0) amp else -amp).toShort
+    }
+    val ramp = Array.tabulate(n)(i =>
+      (if (i % 2 == 0) (i / 16 + 1) * 100 else -(i / 16 + 1) * 100).toShort)
+    def wav(s: Array[Short]) = MediaCodecs.encodeWav(MediaCodecs.WavAudio(1, 8000, s))
+    val planted = Seq(
+      (1L, wav(contour(1.0))), (2L, wav(contour(0.5))), (3L, wav(ramp)))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.hammingNearDups(
+        Multimodal.audioHashes(spark, planted).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), "the volume-changed duplicate, and only it")
+    val hashes = Multimodal.audioHashes(
+      spark, Multimodal.syntheticMedia(spark, tables.documents)).collect()
+    val brute = (for {
+      a <- hashes; b <- hashes
+      if a.doc_id < b.doc_id && java.lang.Long.bitCount(a.phash ^ b.phash) <= 3
+    } yield (a.doc_id, b.doc_id)).toSet
+    val banded = Multimodal.hammingNearDups(
+        Multimodal.audioHashes(
+          spark, Multimodal.syntheticMedia(spark, tables.documents)).toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
+  }
+
   test("m02: synthetic media corpus exercises every real decode path (driver-row semantics)") {
     // the m02 driver row is rows+schema only (DuckDB can't decode media) —
     // this spec pins the decoded VALUES the driver row carries: each doc_id
