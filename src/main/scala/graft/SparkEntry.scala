@@ -137,6 +137,10 @@ object SparkEntry {
     // tiebreak) — the oracle ranks with a window where the engine uses a
     // skew-safe max(struct) aggregate; same keeper by construction
     "d11_keep_best"       -> ((s, d) => Dedup.keepBest(t(s, d).documents)),
+    // d12: directed containment (quote/superset) pairs — hashed shingles
+    // vs the oracle's string shingles, the d02/d03 collision-free
+    // precedent; containment is one unrounded division both sides
+    "d12_containment"     -> ((s, d) => Dedup.containmentPairs(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
@@ -850,6 +854,25 @@ object SparkEntry {
         |SELECT s1, s2, z1.n AS n1, z2.n AS n2, n_common,
         | CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common) AS jaccard
         |FROM cm JOIN sz z1 ON z1.source = s1 JOIN sz z2 ON z2.source = s2""".stripMargin,
+    // d12: the d02 shingle construction, directed pairs, containment =
+    // common/|A| — the engine's asymmetric prefix filter must reproduce
+    // this exact directed set
+    "d12_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT d1, d2,
+        | CAST(common AS DOUBLE) / CAST(s1.n AS DOUBLE) AS containment
+        |FROM pairs JOIN sz s1 ON s1.doc_id = d1
+        |WHERE CAST(common AS DOUBLE) / CAST(s1.n AS DOUBLE) >= 0.9""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
     // d07: connected components of the d03 pair set (== the d02/d03 oracle

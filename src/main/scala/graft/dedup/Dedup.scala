@@ -255,6 +255,55 @@ object Dedup {
     jaccardOf(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** d12: directed shingle-containment pairs — (d1, d2) where d1's shingle
+    * set is ≥ `threshold` contained in d2's: |A∩B| / |A| ≥ τ. The
+    * quote/superset detector Jaccard structurally misses: a short document
+    * fully embedded in a long one has containment 1 but Jaccard
+    * |A|/|B| — far below any near-dup threshold once the container is a
+    * few times larger (boilerplate inclusion, quoted posts, license
+    * blocks, prompt-in-completion leaks).
+    *
+    * Exact, with the ASYMMETRIC prefix filter: only the contained side
+    * needs a prefix — if |A∩B| ≥ τ·|A| then A's suffix of ceil(τ·|A|)−1
+    * rare-last shingles is strictly smaller than the intersection, so A's
+    * rare-first prefix of |A|−ceil(τ·|A|)+1 shingles must hit B's FULL
+    * set (the d02 pigeonhole, one-sided). Probes carry only rare
+    * shingles — a hot shingle sorts into suffixes and never probes — and
+    * the full posting list on the B side is touched only where a rare
+    * probe lands. Candidates then verify with an exact common count;
+    * containment is the single unrounded division, the d02 float rule.
+    * Same integer-exact ceil(τ·n) discipline as [[ngramJaccardPairsOf]]. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9, k: Int = 3): DataFrame =
+    containmentPairsOf(sharedShingles(docs, k), threshold)
+
+  /** See [[containmentPairs]]; core over a caller-managed shingle set. */
+  def containmentPairsOf(sh: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val num = math.round(threshold * 1e6)
+    require(num / 1e6 == threshold,
+      s"threshold=$threshold is not exactly a /1e6 rational (nearest: ${num / 1e6})")
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefixes = sh.join(freq, "shingle")
+      .select(col("doc_id"), col("shingle"),
+        row_number().over(w).as("rn"), count(lit(1)).over(wAll).as("n"))
+      .where(expr(s"rn <= n - ((n * ${num}L + 999999L) div 1000000L) + 1"))
+    val cand = prefixes.select(col("doc_id").as("d1"), col("shingle"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
+      .where(col("d1") =!= col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+    val common = cand
+      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    common.join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .select(col("d1"), col("d2"),
+        (col("common").cast("double") / col("n1").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash signature columns: min over the shingle set of k seeded
     * xxhash64 draws. One aggregation pass computes the whole signature. */
   private def minhashAgg(sh: DataFrame, numHashes: Int): DataFrame =

@@ -98,6 +98,36 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("partial_max"), "keeper must partial-aggregate map-side")
   }
 
+  test("d12: containment finds the embedded quote that Jaccard misses, directed") {
+    import spark.implicits._
+    // doc 1's shingles {abc, bcd, cde} are fully inside doc 2's 7-shingle
+    // set → containment(1→2) = 1; containment(2→1) = 3/7; jaccard = 3/7 —
+    // below any near-dup threshold, the structural blind spot d12 closes
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e x y z w"),
+      (3L, "p q r s t")).toDF("doc_id", "text")
+    Dedup.releaseShingles(spark)
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 1.0)), "only the contained→container direction")
+    val j = Dedup.ngramJaccardPairs(docs).collect()
+    assert(j.isEmpty, "jaccard at 0.8 must miss the quote pair")
+    Dedup.releaseShingles(spark)
+  }
+
+  test("d12: exact duplicates contain each other in both directions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w x y z w x"), (2L, "w x y z w x"), (3L, "totally other text here")
+    ).toDF("doc_id", "text")
+    Dedup.releaseShingles(spark)
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+    Dedup.releaseShingles(spark)
+  }
+
   test("d08 incremental: existing dupes dropped, batch-internal first wins, fresh admitted") {
     import spark.implicits._
     val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
