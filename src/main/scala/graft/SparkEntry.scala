@@ -88,6 +88,9 @@ object SparkEntry {
     // q48: percent_rank/cume_dist/nth_value — integer-derived fractions
     // over a total order, unrounded (the t05 rule)
     "q48_window_dist"     -> ((s, d) => Relational3.q48WindowDist(t(s, d))),
+    // q49: error-safe try_* family — NULL where strict ANSI forms would
+    // fail the query on dirty cells
+    "q49_try_safe"        -> ((s, d) => Relational3.q49TrySafe(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
@@ -576,6 +579,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC),
         | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    // q49: TRY_CAST is shared spelling; try_divide maps to the guarded
+    // CASE; DuckDB list indexing is natively NULL out of range
+    "q49_try_safe" ->
+      """SELECT p_partkey,
+        | TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+        | TRY_CAST(p_name AS INT) AS name_num,
+        | CASE WHEN p_size - p_size = 0 THEN NULL
+        |      ELSE p_retailprice / (p_size - p_size) END AS div0,
+        | string_split(p_name, ' ')[2] AS word2,
+        | string_split(p_name, ' ')[100] AS word100
+        |FROM part""".stripMargin,
     // q47: same ordered concatenation, DuckDB spelling
     "q47_listagg" ->
       """SELECT r_name,

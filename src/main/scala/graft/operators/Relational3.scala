@@ -204,6 +204,27 @@ object Relational3 {
       nth_value(col("o_orderkey"), 2).over(wf).as("second_order"))
   }
 
+  /** q49: error-safe expression battery — the `try_*` family that makes
+    * ANSI mode (Spark 4's default) livable on dirty data: try_cast on
+    * non-numeric text, try_divide by zero, try_element_at past the end —
+    * each yields NULL where the strict form would fail the query. On a
+    * 100 TB corpus a single malformed cell otherwise kills a stage at the
+    * end of an hours-long job; the try-forms turn data errors into
+    * auditable NULL counts. DuckDB oracles the same semantics with
+    * TRY_CAST / a guarded CASE division / native out-of-range NULL
+    * list indexing. */
+  def q49TrySafe(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(
+      """SELECT p_partkey,
+        | try_cast(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+        | try_cast(p_name AS INT) AS name_num,
+        | try_divide(p_retailprice, p_size - p_size) AS div0,
+        | try_element_at(split(p_name, ' '), 2) AS word2,
+        | try_element_at(split(p_name, ' '), 100) AS word100
+        |FROM part""".stripMargin)
+  }
+
   /** q38: JSON generation — re-serialize parsed event props plus a typed
     * column into a compact JSON string (round-trips q19's extraction). */
   def q38ToJson(t: Tables): DataFrame =

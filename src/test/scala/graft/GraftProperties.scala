@@ -217,4 +217,28 @@ object GraftProperties extends Properties("graft") {
       }.toMap
       got == expectedMultiset || got == expected
     }
+
+  property("shuffleLayout is a permutation for any shard count") =
+    forAll(Gen.chooseNum(1, 64), Gen.chooseNum(1, 40)) { (nShards, nDocs) =>
+      val df = (0 until nDocs)
+        .map(i => (i.toLong, "s")).toDF("doc_id", "source")
+      val out = graft.operators.DataPipeline.shuffleLayout(df, nShards)
+        .select("doc_id", "shard", "pos")
+        .as[(Long, Int, Long)].collect()
+      out.map(_._1).toSet == (0L until nDocs).toSet &&
+        out.forall { case (_, s, _) => s >= 0 && s < nShards } &&
+        out.groupBy(_._2).forall { case (_, g) =>
+          g.map(_._3).sorted.toList == (1L to g.length).toList }
+    }
+
+  property("budgetSelect kept set is monotone in the budget") = {
+    val docs = SparkTestSession.tables.documents
+    forAll(Gen.chooseNum(0L, 20000L), Gen.chooseNum(0L, 20000L)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      def kept(budget: Long): Set[Long] =
+        graft.operators.DataPipeline.budgetSelect(docs, budget)
+          .where(col("kept")).select("doc_id").as[Long].collect().toSet
+      kept(lo).subsetOf(kept(hi))
+    }
+  }
 }
