@@ -225,6 +225,30 @@ object Knn {
     topKPerKey(scored, k)
   }
 
+  /** s08 (library surface): radius search served from the materialized
+    * IVF index — [[radius]]'s semantics under [[ivf]]'s execution shape:
+    * every indexed vector in a probed cell with round(cos, 8) ≥ `tau`.
+    * Approximate exactly like s02 (a qualifying neighbor in an unprobed
+    * cell is missed — recall spec'd vs the exact [[radius]] in KnnSpec),
+    * with precision 1 by construction: every emitted pair carries its
+    * exactly-computed cosine. Serves read the in-memory index; no source
+    * scan after the first call (the round-7 index rule). */
+  def ivfRadius(emb: DataFrame, queryPred: String = "vec_id < 10",
+                tau: Double = 0.3, nProbe: Int = 3, nCells: Int = 10): DataFrame = {
+    val index = ivfIndex(emb, nCells)
+    val cents = centsLit(modelFor(emb, nCells))
+    val q = index.filter(expr(queryPred))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = q.select(col("query_id"), col("qv"),
+        explode(slice(array_sort(dists(col("qv"), cents)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    index.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
+      .where(col("cos") >= tau)
+  }
+
   /** IVF serving against a materialized (vec_id, v, cell) index — the
     * query side is drawn from the index too, so a cached index means a
     * serve call touches NO source scan at all.

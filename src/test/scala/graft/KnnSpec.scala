@@ -29,6 +29,21 @@ class KnnSpec extends AnyFunSuite {
     assert(got.nonEmpty, "tau=0.1 must match something on this corpus")
   }
 
+  test("s08: IVF radius is a precision-1 subset of exact radius with bounded recall") {
+    Knn.clearIvfModels(spark)
+    val tau = 0.1
+    val exact = Knn.radius(tables.embeddings, "vec_id < 5", tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Knn.ivfRadius(tables.embeddings, "vec_id < 5", tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact), "every emitted pair is exact-verified (precision 1)")
+    assert(exact.nonEmpty)
+    // near-random embeddings: cell pruning keeps ~nProbe/nCells of the
+    // candidates (the s02 information-theoretic floor)
+    assert(ivf.size.toDouble / exact.size >= 0.2,
+      s"recall ${ivf.size}/${exact.size} fell below the probe-fraction floor")
+  }
+
   test("IVF recall@5 tracks the nProbe/nCells bound on this corpus") {
     // the synthetic embeddings are near-random (no label geometry), so the
     // information-theoretic recall of cell pruning is ≈ nProbe/nCells = 0.3;
