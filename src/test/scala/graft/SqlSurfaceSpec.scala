@@ -49,6 +49,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(math.abs(cs.getDouble(0) - 1.0) < 1e-9 && math.abs(cs.getDouble(1) - 1.0) < 1e-9)
   }
 
+  test("radius search is expressible in pure SQL via graft_cosine") {
+    val viaSql = spark.sql(
+      """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  round(graft_cosine(q.embedding, e.embedding), 8) AS cos
+        |FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        |WHERE q.vec_id < 10
+        |  AND round(graft_cosine(q.embedding, e.embedding), 8) >= 0.1""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaOp = graft.similarity.Knn.radius(tables.embeddings, "vec_id < 10", 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaSql === viaOp)
+    assert(viaOp.nonEmpty)
+  }
+
   test("graft_shingles and graft_tokens compose in SQL") {
     // distinct shingles ≤ raw shingle count = n_tokens - k + 1 (k = 3)
     val violations = spark.sql(
