@@ -91,6 +91,9 @@ object SparkEntry {
     // q49: error-safe try_* family — NULL where strict ANSI forms would
     // fail the query on dirty cells
     "q49_try_safe"        -> ((s, d) => Relational3.q49TrySafe(t(s, d))),
+    // q50: map HOFs serialized to canonical key-sorted strings — the
+    // oracle is plain concatenation over the known keys
+    "q50_map_ops"         -> ((s, d) => Relational3.q50MapOps(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
@@ -590,6 +593,19 @@ object SparkEntry {
         | string_split(p_name, ' ')[2] AS word2,
         | string_split(p_name, ' ')[100] AS word100
         |FROM part""".stripMargin,
+    // q50: the canonical serialization makes the oracle trivial — string
+    // concatenation over the sorted known keys (extra,k,type,user)
+    "q50_map_ops" ->
+      """SELECT event_id,
+        | 'k:' || json_extract_string(props, '$.k') || ',type:' || event_type AS kept,
+        | 'k:k=' || json_extract_string(props, '$.k')
+        |   || ',type:type=' || event_type
+        |   || ',user:user=' || CAST(user_id AS VARCHAR) AS tagged,
+        | 'extra:1,k:' || json_extract_string(props, '$.k')
+        |   || ',type:' || event_type
+        |   || ',user:' || CAST(user_id AS VARCHAR) AS extended,
+        | 3 AS n_entries
+        |FROM events""".stripMargin,
     // q47: same ordered concatenation, DuckDB spelling
     "q47_listagg" ->
       """SELECT r_name,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,6 +223,29 @@ object Relational3 {
         | try_element_at(split(p_name, ' '), 2) AS word2,
         | try_element_at(split(p_name, ' '), 100) AS word100
         |FROM part""".stripMargin)
+  }
+
+  /** q50: map-manipulation battery — map construction from columns, then
+    * `map_filter`, `transform_values` and `map_concat` (the map HOF family
+    * q29/q31's array HOFs don't touch). Maps have no portable cross-engine
+    * representation, so each result serializes to a canonical
+    * key-sorted `k:v` string — the oracle then reduces to plain string
+    * concatenation over the known keys, which is trivially correct and
+    * pins the map semantics (dropped key, rewritten values, appended
+    * entry) value-for-value. Scan-local projection, zero shuffle. */
+  def q50MapOps(t: Tables): DataFrame = {
+    def ser(m: Column): Column = array_join(
+      transform(array_sort(map_keys(m)), k => concat(k, lit(":"), element_at(m, k))), ",")
+    val m = map(
+      lit("k"), get_json_object(col("props"), "$.k"),
+      lit("type"), col("event_type"),
+      lit("user"), col("user_id").cast("string"))
+    t.events.select(
+      col("event_id"),
+      ser(map_filter(m, (k, _) => k =!= "user")).as("kept"),
+      ser(transform_values(m, (k, v) => concat(k, lit("="), v))).as("tagged"),
+      ser(map_concat(m, map(lit("extra"), lit("1")))).as("extended"),
+      size(m).cast("int").as("n_entries"))
   }
 
   /** q38: JSON generation — re-serialize parsed event props plus a typed

@@ -231,6 +231,19 @@ object GraftProperties extends Properties("graft") {
           g.map(_._3).sorted.toList == (1L to g.length).toList }
     }
 
+  property("lexicalDiversity invariants hold on arbitrary text") =
+    forAll(Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, nastyString))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rows = graft.operators.TextQueries.lexicalDiversity(df)
+        .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+      graft.operators.TextQueries.releaseTokens(spark)
+      rows.forall { case (_, n, types, hapax, ttr, hf, btr) =>
+        hapax <= types && types <= n &&
+          ttr > 0 && ttr <= 1 && hf >= 0 && hf <= 1 && btr > 0 && btr <= 1
+      }
+    }
+
   property("budgetSelect kept set is monotone in the budget") = {
     val docs = SparkTestSession.tables.documents
     forAll(Gen.chooseNum(0L, 20000L), Gen.chooseNum(0L, 20000L)) { (a, b) =>
