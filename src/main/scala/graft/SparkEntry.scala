@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, count, round, sum}
-import graft.operators.{Relational, Relational2, Relational3, Temporal, TextQueries}
+import graft.operators.{Relational, Relational2, Relational3, Relational4, Temporal, TextQueries}
 import graft.dedup.Dedup
 import graft.similarity.Knn
 import graft.multimodal.Multimodal
@@ -94,6 +94,21 @@ object SparkEntry {
     // q50: map HOFs serialized to canonical key-sorted strings — the
     // oracle is plain concatenation over the known keys
     "q50_map_ops"         -> ((s, d) => Relational3.q50MapOps(t(s, d))),
+    // q51: regexp battery — RE2-safe patterns (the p04 rule), so Java
+    // regex and DuckDB agree match-for-match; extract-all serialized
+    "q51_regexp"          -> ((s, d) => Relational4.q51Regexp(t(s, d))),
+    // q52: statistical/regression aggregates — O(1)-magnitude columns by
+    // choice so round(.,6) absorbs merge-order float noise
+    "q52_stats_agg"       -> ((s, d) => Relational4.q52StatsAgg(t(s, d))),
+    // q53: bitwise/boolean aggregates + exact interpolated median over
+    // integer keys (IEEE-exact midpoints, unrounded)
+    "q53_bitwise_agg"     -> ((s, d) => Relational4.q53BitwiseAgg(t(s, d))),
+    // q54: sequence generators (int ranges, negative step, month-stepped
+    // dates) serialized to CSV — Spark sequence ≡ DuckDB generate_series
+    "q54_sequence"        -> ((s, d) => Relational4.q54Sequence(t(s, d))),
+    // q55: string-function battery — identical 1-based/edge-case
+    // semantics in both engines, zero shuffle
+    "q55_strings"         -> ((s, d) => Relational4.q55Strings(t(s, d))),
     "q25_range_join"      -> ((s, d) => Temporal.q25RangeJoin(t(s, d))),
     "q26_asof_join"       -> ((s, d) => Temporal.q26AsOfJoin(t(s, d))),
     "p01_clean_corpus"    -> ((s, d) => graft.operators.CorpusPipeline.cleanCorpus(t(s, d))),
@@ -136,6 +151,14 @@ object SparkEntry {
       graft.operators.DataPipeline.corpusDiff(
         docs.where(col("doc_id") % 5 =!= 0), docs.where(col("doc_id") % 5 =!= 1))
     }),
+    // p17: leakage-safe split — the whole near-dup cluster (d07 labels)
+    // inherits one hash bucket; oracle recomputes the clusters via the
+    // d07 recursive CTE and the p03 md5-fold hash
+    "p17_cluster_split"   -> ((s, d) => graft.operators.DataPipeline.clusterSplit(t(s, d).documents)),
+    // p18: per-document eval-overlap (memorization-risk) score — p02's
+    // shingle test as a score over ALL training docs; one IEEE division
+    "p18_overlap_score"   -> ((s, d) => graft.operators.DataPipeline.overlapScore(
+                               t(s, d).documents, col("doc_id") % 10 === 0)),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
@@ -147,6 +170,9 @@ object SparkEntry {
     // vs the oracle's string shingles, the d02/d03 collision-free
     // precedent; containment is one unrounded division both sides
     "d12_containment"     -> ((s, d) => Dedup.containmentPairs(t(s, d).documents)),
+    // d13: rarity-weighted Jaccard — integer /1e6 weights, exact long
+    // sums, integer threshold test; the score is the one final division
+    "d13_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
@@ -706,6 +732,69 @@ object SparkEntry {
         | CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
         | rn <= 16 AS sampled
         |FROM b""".stripMargin,
+    // q51: RE2-safe patterns (the p04 rule); unmatched extract is '' in
+    // both engines; extract-all serialized through the same group index
+    "q51_regexp" ->
+      """SELECT doc_id,
+        | regexp_extract(text, '\b(s[a-z]+)\b', 1) AS first_s_word,
+        | CAST(len(regexp_extract_all(text, '[aeiou][aeiou]')) AS INT) AS n_vowel_pairs,
+        | regexp_matches(text, 'stream') AS has_stream,
+        | coalesce(array_to_string(regexp_extract_all(text, '\b(s[a-z]+)\b', 1), ','), '') AS s_words_csv
+        |FROM documents""".stripMargin,
+    // q52: discount/tax are O(0.1) by choice so round(.,6) absorbs
+    // merge-order float noise in both engines' stable moment merges
+    "q52_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(corr(l_discount, l_tax), 6) AS corr_dt,
+        | round(covar_samp(l_discount, l_tax), 6) AS covar_s,
+        | round(covar_pop(l_discount, l_tax), 6) AS covar_p,
+        | round(var_samp(l_discount), 6) AS var_s,
+        | round(stddev_pop(l_discount), 6) AS stddev_p,
+        | round(regr_slope(l_tax, l_discount), 6) AS slope,
+        | round(regr_intercept(l_tax, l_discount), 6) AS intercept,
+        | round(regr_r2(l_tax, l_discount), 6) AS r2,
+        | CAST(regr_count(l_tax, l_discount) AS BIGINT) AS n_pairs
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // q53: integer/boolean aggregates are exact; the even-count median
+    // midpoint of < 2^52 integers is IEEE-exact in both engines
+    "q53_bitwise_agg" ->
+      """SELECT o_orderpriority,
+        | bit_and(o_custkey) AS custkey_and,
+        | bit_or(o_custkey) AS custkey_or,
+        | bit_xor(o_custkey) AS custkey_xor,
+        | bool_and(o_totalprice > 1000) AS all_over_1k,
+        | bool_or(o_totalprice > 400000) AS any_over_400k,
+        | CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_over_200k,
+        | median(o_custkey) AS median_custkey
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q54: generate_series ≡ Spark sequence (inclusive bounds, negative
+    // step); date series yield timestamps here, dates there — both format
+    // through yyyy-MM-dd before the compare
+    "q54_sequence" ->
+      """SELECT n_nationkey,
+        | array_to_string(generate_series(0, n_nationkey % 5), ',') AS ints_csv,
+        | array_to_string(generate_series(10, 0 - (n_nationkey % 7), -3), ',') AS down_csv,
+        | array_to_string(list_transform(
+        |   generate_series(DATE '2024-01-15',
+        |                   DATE '2024-01-15' + INTERVAL (n_nationkey % 6) MONTH,
+        |                   INTERVAL 1 MONTH),
+        |   d -> strftime(d, '%Y-%m-%d')), ',') AS months_csv
+        |FROM nation""".stripMargin,
+    // q55: pad/translate/reverse/left-right/split_part/repeat/strpos/ascii
+    // share exact semantics (1-based positions, '' edge cases) across
+    // engines; positions cast to INT on both sides
+    "q55_strings" ->
+      """SELECT c_custkey,
+        | lpad(c_name, 22, '*') AS padded,
+        | translate(c_name, '#0', '-x') AS translated,
+        | reverse(c_name) AS rev,
+        | substring(c_name, 1, 8) AS head8,
+        | right(c_name, 4) AS tail4,
+        | split_part(c_name, '#', 2) AS num_part,
+        | repeat(substring(c_name, 1, 2), 3) AS tripled,
+        | CAST(strpos(c_name, '9') AS INT) AS pos_nine,
+        | CAST(ascii(right(c_name, 1)) AS INT) AS last_ascii
+        |FROM customer""".stripMargin,
     // p04: both patterns are RE2-safe (no backrefs/lookaround) so Java regex
     // and DuckDB RE2 agree; counts run per-rule against the source text.
     "p04_pii_scrub" ->
@@ -905,6 +994,67 @@ object SparkEntry {
         |WHERE CAST(common AS DOUBLE) / CAST(s1.n AS DOUBLE) >= 0.9""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
+    // d13: same 3-gram shingles; weight = one integer division, sums are
+    // exact BIGINTs, threshold is the integer comparison, score the one
+    // final double division — boundary rows can never disagree
+    "d13_weighted_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |wsh AS (SELECT doc_id, shingle, 1000000 // df AS wt
+        |        FROM sh JOIN df USING (shingle) WHERE 1000000 // df > 0),
+        |tw AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS tw FROM wsh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(sum(a.wt) AS BIGINT) AS common_w
+        |          FROM wsh a JOIN wsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2,
+        | CAST(common_w AS DOUBLE) / CAST(t1.tw + t2.tw - common_w AS DOUBLE) AS wjaccard
+        |FROM pairs JOIN tw t1 ON t1.doc_id = d1 JOIN tw t2 ON t2.doc_id = d2
+        |WHERE common_w * 1000000 >= 500000 * (t1.tw + t2.tw - common_w)""".stripMargin,
+    // p17: d07's recursive-CTE clusters + p03's md5-fold hash with the
+    // 'csplit:' salt over the CLUSTER key (own id when unclustered)
+    "p17_cluster_split" ->
+      s"""WITH RECURSIVE
+         |nd AS ($ngramJaccardSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM nd UNION SELECT d2, d1 FROM nd),
+         |walk(id, comp) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id),
+         |cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id),
+         |kx AS (SELECT d.doc_id, d.source, coalesce(cc.cluster_id, d.doc_id) AS split_key
+         |       FROM documents d LEFT JOIN cc USING (doc_id)),
+         |h AS (SELECT doc_id, source, split_key,
+         |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+         |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+         |  )) AS BIGINT) AS h
+         | FROM (SELECT doc_id, source, split_key,
+         |        md5('csplit:' || CAST(split_key AS VARCHAR)) AS m FROM kx))
+         |SELECT doc_id, source, split_key, CAST(h % 100 AS INT) AS bucket,
+         | CASE WHEN h % 100 < 80 THEN 'train' WHEN h % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM h""".stripMargin,
+    // p18: p02's 8-gram shingle test as a per-doc score; n_shared counts
+    // eval-matched shingles, overlap_frac is the single IEEE division
+    "p18_overlap_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 8
+        |    THEN list_transform(generate_series(1, len(w)-7), i ->
+        |      concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 0)
+        |SELECT t.doc_id,
+        | CAST(count(*) AS BIGINT) AS n_shingles,
+        | CAST(count(e.shingle) AS BIGINT) AS n_shared,
+        | CAST(count(e.shingle) AS DOUBLE) / count(*) AS overlap_frac
+        |FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0) t
+        |LEFT JOIN ev e ON t.shingle = e.shingle
+        |GROUP BY t.doc_id""".stripMargin,
     // d07: connected components of the d03 pair set (== the d02/d03 oracle
     // pair set) via recursive min-label propagation — every node's comp
     // candidates are all nodes reachable from it; min = the component

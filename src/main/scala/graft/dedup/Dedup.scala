@@ -304,6 +304,83 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** d13: rarity-weighted (IDF-style) Jaccard near-dup pairs — Jaccard
+    * where each shingle votes proportionally to its rarity:
+    * w(s) = ⌊10⁶ / df(s)⌋, J_w(A,B) = w(A∩B) / w(A∪B) ≥ τ. Plain Jaccard
+    * (d02) lets boilerplate shingles (headers, license lines, navigation
+    * chrome) vote with the same weight as content; the weighted form is
+    * the standard fix: documents sharing their RARE content qualify even
+    * when one side is padded with common chrome, and chrome-only overlap
+    * no longer does.
+    *
+    * Exactness discipline: the weight is one integer division (bit-equal
+    * across engines), per-doc and per-pair weight sums are exact longs,
+    * the threshold test is the integer comparison
+    * `w(A∩B)·10⁶ ≥ num·w(A∪B)` (num = τ·10⁶, the d02 /1e6-rational rule),
+    * and the emitted score is the single final IEEE division — no float
+    * ever decides a boundary. df > 10⁶ quantizes to weight 0 — a shingle
+    * in a million-plus documents is exactly the chrome the weighting
+    * exists to ignore — and zero-weight shingles are dropped outright
+    * (they contribute 0 to every sum on both sides of the join, so the
+    * answer is unchanged while their giant posting lists never move).
+    *
+    * Scale shape: the WEIGHTED prefix filter. Rank each doc's shingles
+    * heaviest-first (df asc, shingle asc — w is non-increasing in df) and
+    * keep the minimal prefix whose dropped suffix weighs < τ·w(A): had the
+    * whole intersection sat in A's suffix, w(A∩B) ≤ w(suffix) < τ·w(A) ≤
+    * τ·w(A∪B) would contradict J_w ≥ τ, so some intersection shingle is in
+    * A's prefix and the prefix→full-index probe (the d12 asymmetric shape)
+    * must surface the pair. Hot shingles carry near-zero weight, sort into
+    * suffixes, and never probe. One exchange for df, one doc-keyed window
+    * pass for the prefix, one shingle-keyed candidate join, exact weighted
+    * verification on candidates only. */
+  def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.5, k: Int = 3): DataFrame =
+    weightedJaccardPairsOf(sharedShingles(docs, k), threshold)
+
+  /** See [[weightedJaccardPairs]]; core over a caller-managed shingle set. */
+  def weightedJaccardPairsOf(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val num = math.round(threshold * 1e6)
+    require(num / 1e6 == threshold,
+      s"threshold=$threshold is not exactly a /1e6 rational (nearest: ${num / 1e6})")
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // rarity weight: exact integer division, zero-weight chrome dropped
+    val wsh = sh.join(freq, "shingle")
+      .select(col("doc_id"), col("shingle"), col("df"),
+        expr("1000000L div df").as("w"))
+      .where(col("w") > 0)
+    // heaviest-first rank + running weight before the current row + total,
+    // all in ONE doc_id window pass; keep while the tail from this row on
+    // still weighs >= tau * total (exact integer comparison)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val prefixes = wsh
+      .select(col("doc_id"), col("shingle"),
+        coalesce(sum(col("w")).over(wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)).as("cum_before"),
+        sum(col("w")).over(wAll).as("total_w"))
+      .where(expr(s"(total_w - cum_before) * 1000000L >= ${num}L * total_w"))
+    val cand = prefixes.select(col("doc_id").as("da"), col("shingle"))
+      .join(wsh.select(col("doc_id").as("db"), col("shingle")), "shingle")
+      .where(col("da") =!= col("db"))
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"))
+      .distinct()
+    val common = cand
+      .join(wsh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(wsh.select(col("doc_id").as("d2"), col("shingle"), col("w")),
+        Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(sum(col("w")).as("common_w"))
+    val sizes = wsh.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("tw").as("w1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("tw").as("w2")), "d2")
+      .where(expr(s"common_w * 1000000L >= ${num}L * (w1 + w2 - common_w)"))
+      .select(col("d1"), col("d2"),
+        (col("common_w").cast("double") /
+          (col("w1") + col("w2") - col("common_w")).cast("double")).as("wjaccard"))
+  }
+
   /** MinHash signature columns: min over the shingle set of k seeded
     * xxhash64 draws. One aggregation pass computes the whole signature. */
   private def minhashAgg(sh: DataFrame, numHashes: Int): DataFrame =

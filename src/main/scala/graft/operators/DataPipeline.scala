@@ -161,6 +161,72 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("bucket"), col("split"), col("sampled"))
   }
 
+  /** p17: leakage-safe train/val/test split — p03's deterministic hash
+    * split with the near-dup CLUSTER as the assignment unit: every member
+    * of a d07 duplicate cluster lands in the same split, so a train
+    * document and its eval near-duplicate can never straddle the boundary.
+    * This closes the hole a dedup-then-split pipeline leaves open: dedup
+    * keeps one canonical copy per cluster, but near-dups BELOW the dedup
+    * threshold's reach (or kept deliberately) still leak when the split is
+    * a function of the document id — the published train/test-contamination
+    * failure mode cluster-aware splitting exists to prevent.
+    *
+    * The split key is the cluster id (= the cluster's smallest doc_id) for
+    * clustered documents and the document's own id otherwise; the bucket
+    * is the salted portable hash of that KEY, so a whole cluster inherits
+    * one bucket atomically. Same bucket thresholds as p03.
+    *
+    * Scale shape: cluster labels exist only for documents with at least
+    * one near-dup (∝ actual duplication, not corpus size — the d07
+    * property), so the label join broadcasts; hash, bucket and split are
+    * scan-projection work. The corpus is never shuffled. */
+  def clusterSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+                   salt: String = "csplit:"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"trainPct=$trainPct valPct=$valPct must be >= 0 and sum <= 100")
+    val labels = graft.dedup.Clusters.dupClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", pmod(Dedup.md5Hash60(
+        concat(lit(salt), col("split_key").cast("string"))), lit(100L)).cast("int"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("split_key"), col("bucket"), col("split"))
+  }
+
+  /** p18: memorization-risk overlap score — p02's decontamination test as
+    * a per-document SCORE instead of a drop: for every training document,
+    * how many of its k-token shingles also occur in the held-out eval set,
+    * and the fraction. The soft form of decontamination real pipelines run
+    * first (threshold later, stratify reporting by score, prioritize
+    * manual review) — p02/p07 answer "drop or keep", p12 audits only the
+    * contaminated documents; this scores ALL training documents, zeros
+    * included, so the score's distribution is itself the audit artifact.
+    *
+    * Scale shape: the eval shingle set is broadcast (the p02 small-side
+    * contract); corpus shingles stream through the broadcast join
+    * unshuffled, then ONE doc_id-keyed partial-aggregated exchange.
+    * `overlap_frac` is the single unrounded IEEE division (the t13 rule).
+    */
+  def overlapScore(docs: DataFrame, isEval: Column, k: Int = 8): DataFrame = {
+    val sh = Dedup.sharedShingles(docs, k) // (doc_id, shingle: long), distinct
+    val evalIds = docs.where(isEval).select("doc_id")
+    val evalShingles = sh.join(evalIds, Seq("doc_id"), "left_semi")
+      .select("shingle").distinct().withColumn("hit", lit(1L))
+    sh.join(evalIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(evalShingles), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") /
+          col("n_shingles").cast("double")).as("overlap_frac"))
+  }
+
   /** p14: deterministic corpus shuffle layout — the "global shuffle before
     * training" step every epoch pipeline needs: assign each document a
     * shard and a position within it, both pure functions of the salted

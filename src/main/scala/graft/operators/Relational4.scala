@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fourth tranche of the relational surface (SURVEY.md §2.3): the regexp
+  * scalar battery, statistical/regression aggregates, bitwise/boolean
+  * aggregates, sequence generators, and the string-function battery.
+  * Same conventions as Relational: every computed column aliased
+  * identically in the DuckDB oracle; floats either integer-derived,
+  * single-division, or rounded at an explicitly chosen precision.
+  */
+object Relational4 {
+
+  /** q51: regexp scalar battery — extract (first group), extract-all
+    * (serialized), count, and match-test, all in one scan projection.
+    * Patterns are RE2-safe (no backrefs/lookaround — the p04 rule) so
+    * Java regex and DuckDB's RE2 agree match-for-match; an unmatched
+    * regexp_extract yields '' in both engines. Zero shuffle. */
+  def q51Regexp(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      regexp_extract(col("text"), "\\b(s[a-z]+)\\b", 1).as("first_s_word"),
+      regexp_count(col("text"), lit("[aeiou][aeiou]")).cast("int").as("n_vowel_pairs"),
+      col("text").rlike("stream").as("has_stream"),
+      array_join(regexp_extract_all(col("text"), lit("\\b(s[a-z]+)\\b"), lit(1)), ",")
+        .as("s_words_csv"))
+
+  /** q52: statistical/regression aggregates — corr, covariance, variance,
+    * and the regr_* family over (l_discount, l_tax), grouped by return
+    * flag. Both engines compute numerically-stable merged moments whose
+    * results differ only at ~1e-15 relative; every aggregated value here
+    * is O(1) or smaller by column choice (discount/tax ∈ [0, 0.1]), so
+    * round(·, 6) absorbs merge-order noise without masking real error
+    * (the q01 rounded-aggregate rule). regr_count is exact integers. */
+  def q52StatsAgg(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      round(corr(col("l_discount"), col("l_tax")), 6).as("corr_dt"),
+      round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_s"),
+      round(covar_pop(col("l_discount"), col("l_tax")), 6).as("covar_p"),
+      round(var_samp(col("l_discount")), 6).as("var_s"),
+      round(stddev_pop(col("l_discount")), 6).as("stddev_p"),
+      round(regr_slope(col("l_tax"), col("l_discount")), 6).as("slope"),
+      round(regr_intercept(col("l_tax"), col("l_discount")), 6).as("intercept"),
+      round(regr_r2(col("l_tax"), col("l_discount")), 6).as("r2"),
+      regr_count(col("l_tax"), col("l_discount")).as("n_pairs"))
+
+  /** q53: bitwise/boolean aggregate battery — bit_and/or/xor over the
+    * customer key, bool_and/bool_or/count_if over price predicates, and
+    * the exact interpolated median, grouped by order priority. All
+    * integer or boolean semantics except the median, whose even-count
+    * interpolation (a+b)/2 over integer keys is IEEE-exact in both
+    * engines (sum and halving of < 2^52 integers are representable), so
+    * nothing needs rounding. One partial-aggregated exchange. */
+  def q53BitwiseAgg(t: Tables): DataFrame =
+    t.orders.groupBy(col("o_orderpriority")).agg(
+      bit_and(col("o_custkey")).as("custkey_and"),
+      bit_or(col("o_custkey")).as("custkey_or"),
+      bit_xor(col("o_custkey")).as("custkey_xor"),
+      bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+      bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+      count_if(col("o_totalprice") > 200000).as("n_over_200k"),
+      median(col("o_custkey")).as("median_custkey"))
+
+  /** q54: sequence/generator battery — integer ranges (with and without
+    * step) and a month-stepped date range, driven by per-row values so the
+    * generators are exercised data-dependently, serialized to CSV for
+    * cross-engine comparison (Spark `sequence` ↔ DuckDB `generate_series`;
+    * dates format through yyyy-MM-dd on both sides since DuckDB generates
+    * timestamps). Zero shuffle: one scan projection over nation. */
+  def q54Sequence(t: Tables): DataFrame =
+    t.nation.select(
+      col("n_nationkey"),
+      array_join(transform(
+        sequence(lit(0), pmod(col("n_nationkey"), lit(5))), _.cast("string")), ",")
+        .as("ints_csv"),
+      array_join(transform(
+        sequence(lit(10), lit(0) - pmod(col("n_nationkey"), lit(7)), lit(-3)),
+        _.cast("string")), ",")
+        .as("down_csv"),
+      array_join(transform(
+        sequence(to_date(lit("2024-01-15")),
+          add_months(to_date(lit("2024-01-15")), pmod(col("n_nationkey"), lit(6)).cast("int")),
+          expr("interval 1 month")),
+        d => date_format(d, "yyyy-MM-dd")), ",")
+        .as("months_csv"))
+
+  /** q55: string-function battery — pad, translate, reverse, left/right,
+    * split_part, repeat, position and ascii in one scan projection over
+    * customer names. Every function has identical semantics in DuckDB
+    * (1-based positions, empty-string edge cases); instr↔strpos and ascii
+    * land as ints on both sides. Zero shuffle. */
+  def q55Strings(t: Tables): DataFrame =
+    t.customer.select(
+      col("c_custkey"),
+      lpad(col("c_name"), 22, "*").as("padded"),
+      translate(col("c_name"), "#0", "-x").as("translated"),
+      reverse(col("c_name")).as("rev"),
+      substring(col("c_name"), 1, 8).as("head8"),
+      expr("right(c_name, 4)").as("tail4"),
+      expr("split_part(c_name, '#', 2)").as("num_part"),
+      repeat(substring(col("c_name"), 1, 2), 3).as("tripled"),
+      instr(col("c_name"), "9").cast("int").as("pos_nine"),
+      ascii(expr("right(c_name, 1)")).cast("int").as("last_ascii"))
+}

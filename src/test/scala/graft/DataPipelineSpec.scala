@@ -52,6 +52,56 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("p17: near-dup cluster members always land in the same split") {
+    val out = DataPipeline.clusterSplit(docs)
+    assert(out.count() === docs.count(), "every document gets a split")
+    val labels = graft.dedup.Clusters.dupClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    val joined = out.join(labels, Seq("doc_id"), "left")
+    // clustered docs: split_key is the cluster id and the whole cluster
+    // shares one split; unclustered docs: split_key is the doc's own id
+    val perCluster = joined.where(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("n_splits"),
+        countDistinct(col("split_key")).as("n_keys"))
+      .collect()
+    assert(perCluster.nonEmpty, "the corpus must contain at least one cluster")
+    assert(perCluster.forall(r => r.getLong(1) === 1L && r.getLong(2) === 1L),
+      "a cluster must resolve to exactly one split_key and one split")
+    val solo = joined.where(col("cluster_id").isNull)
+      .where(col("split_key") =!= col("doc_id")).count()
+    assert(solo === 0L, "unclustered docs split by their own id")
+    // a cluster member whose OWN id would hash to a different split than
+    // its cluster key proves the split is cluster-keyed, not doc-keyed
+    val ownSplit = DataPipeline.splitSample(docs, salt = "csplit:")
+      .select(col("doc_id"), col("split").as("own_split"))
+    val moved = out.join(ownSplit, Seq("doc_id"))
+      .where(col("split_key") =!= col("doc_id"))
+      .where(col("split") =!= col("own_split")).count()
+    assert(moved > 0, "some follower must inherit a split differing from its own-id split")
+  }
+
+  test("p18: planted eval copy scores 1.0; zero-overlap rows are exactly p02's survivors") {
+    import spark.implicits._
+    val planted = docs.where(col("doc_id") === 0)
+      .select(lit(9001L).as("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val corpus = docs.unionByName(planted)
+    val out = DataPipeline.overlapScore(corpus, isEval)
+    val r9001 = out.where(col("doc_id") === 9001L)
+      .select("n_shingles", "n_shared", "overlap_frac")
+      .as[(Long, Long, Double)].head()
+    assert(r9001._1 === r9001._2 && r9001._3 === 1.0,
+      s"an eval copy overlaps on every shingle: $r9001")
+    assert(out.where(col("doc_id") === 0).isEmpty, "eval docs are not scored")
+    val zero = out.where(col("n_shared") === 0).select("doc_id")
+      .as[Long].collect().toSet
+    val survivors = DataPipeline.decontaminate(corpus, isEval).select("doc_id")
+      .as[Long].collect().toSet
+    assert(zero === survivors,
+      "overlap_frac == 0 must coincide exactly with p02 survival")
+  }
+
   test("p03: split is a pure function of doc_id (portable md5 fold) and covers all rows") {
     val out = DataPipeline.splitSample(docs)
       .select("doc_id", "source", "bucket", "split", "sampled")

@@ -128,6 +128,56 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseShingles(spark)
   }
 
+  test("d13: weighting separates rare-content overlap from chrome-only overlap") {
+    import spark.implicits._
+    // (1,2) share a rare 5-token run; (3,4) share a 5-token chrome run that
+    // six filler docs also carry (df=8 → weight 125k vs 500k). Both pairs
+    // have IDENTICAL plain Jaccard (3 shared / 9 union = 1/3) — count-based
+    // d02 cannot rank them apart; the weighted score can: 0.2 vs ~0.059.
+    val docs = (Seq(
+      (1L, "q w e r t a1 a2 a3"),
+      (2L, "q w e r t b1 b2 b3"),
+      (3L, "k l m n o c1 c2 c3"),
+      (4L, "k l m n o d1 d2 d3")) ++
+      (10L to 15L).map(i => (i, s"k l m n o f$i g$i h$i"))).toDF("doc_id", "text")
+    Dedup.releaseShingles(spark)
+    val got = Dedup.weightedJaccardPairs(docs, threshold = 0.125)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)),
+      s"rare-content pair qualifies at 0.125, chrome-only pairs must not: $got")
+    Dedup.releaseShingles(spark)
+  }
+
+  test("d13: prefix-filtered result equals the brute-force weighted Jaccard") {
+    // all-pairs brute force over the real corpus (no prefix filter, no
+    // candidate pruning) — the operator's pair set AND scores must match
+    // exactly, which proves the weighted prefix filter drops nothing
+    val docs = tables.documents
+    Dedup.releaseShingles(spark)
+    val sh = Dedup.shingleSets(docs)
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wsh = sh.join(freq, "shingle")
+      .select(col("doc_id"), col("shingle"), expr("1000000L div df").as("w"))
+      .where(col("w") > 0)
+    val tw = wsh.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
+    val brute = wsh.select(col("doc_id").as("d1"), col("shingle"), col("w"))
+      .join(wsh.select(col("doc_id").as("d2"), col("shingle")), Seq("shingle"))
+      .where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(sum(col("w")).as("common_w"))
+      .join(tw.select(col("doc_id").as("d1"), col("tw").as("w1")), "d1")
+      .join(tw.select(col("doc_id").as("d2"), col("tw").as("w2")), "d2")
+      .where(expr("common_w * 1000000L >= 500000L * (w1 + w2 - common_w)"))
+      .select(col("d1"), col("d2"),
+        (col("common_w").cast("double") /
+          (col("w1") + col("w2") - col("common_w")).cast("double")).as("wjaccard"))
+    val exp = brute.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.weightedJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exp.nonEmpty, "the corpus must contain at least one weighted near-dup pair")
+    assert(got === exp)
+    Dedup.releaseShingles(spark)
+  }
+
   test("d08 incremental: existing dupes dropped, batch-internal first wins, fresh admitted") {
     import spark.implicits._
     val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")

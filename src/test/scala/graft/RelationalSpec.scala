@@ -84,6 +84,112 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q51: regexp battery matches a JVM-regex re-derivation on every row") {
+    import spark.implicits._
+    val texts = tables.documents.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val sWord = "\\b(s[a-z]+)\\b".r
+    val vowels = "[aeiou][aeiou]".r
+    val rows = graft.operators.Relational4.q51Regexp(tables).collect()
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      assert(r.getString(1) === sWord.findFirstMatchIn(t).map(_.group(1)).getOrElse(""))
+      assert(r.getInt(2) === vowels.findAllIn(t).length)
+      assert(r.getBoolean(3) === "stream".r.findFirstIn(t).isDefined)
+      assert(r.getString(4) === sWord.findAllMatchIn(t).map(_.group(1)).mkString(","))
+    }
+    assert(rows.exists(_.getString(4).nonEmpty), "some doc must contain s-words")
+  }
+
+  test("q52: moments/regression aggregates match direct two-pass computation") {
+    import spark.implicits._
+    val data = tables.lineitem.select("l_returnflag", "l_discount", "l_tax")
+      .as[(String, Double, Double)].collect().groupBy(_._1)
+    val rows = graft.operators.Relational4.q52StatsAgg(tables).collect()
+    assert(rows.length === data.size)
+    rows.foreach { r =>
+      val xs = data(r.getString(0)).map(_._2)
+      val ys = data(r.getString(0)).map(_._3)
+      val n = xs.length.toDouble
+      val (mx, my) = (xs.sum / n, ys.sum / n)
+      val sxx = xs.map(x => (x - mx) * (x - mx)).sum
+      val syy = ys.map(y => (y - my) * (y - my)).sum
+      val sxy = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      def close(got: Double, exp: Double, what: String): Unit =
+        assert(math.abs(got - exp) < 1e-6 + 1e-9, s"$what: $got vs $exp")
+      assert(r.getLong(1) === xs.length.toLong)
+      close(r.getDouble(2), sxy / math.sqrt(sxx * syy), "corr")
+      close(r.getDouble(3), sxy / (n - 1), "covar_samp")
+      close(r.getDouble(4), sxy / n, "covar_pop")
+      close(r.getDouble(5), sxx / (n - 1), "var_samp")
+      close(r.getDouble(6), math.sqrt(sxx / n), "stddev_pop")
+      val slope = sxy / sxx
+      close(r.getDouble(7), slope, "slope")
+      close(r.getDouble(8), my - slope * mx, "intercept")
+      val rr = sxy / math.sqrt(sxx * syy)
+      close(r.getDouble(9), rr * rr, "r2")
+      assert(r.getLong(10) === xs.length.toLong)
+    }
+  }
+
+  test("q53: bitwise/boolean folds and the interpolated median match a JVM fold") {
+    import spark.implicits._
+    val data = tables.orders.select("o_orderpriority", "o_custkey", "o_totalprice")
+      .as[(String, Long, Double)].collect().groupBy(_._1)
+    val rows = graft.operators.Relational4.q53BitwiseAgg(tables).collect()
+    assert(rows.length === data.size)
+    rows.foreach { r =>
+      val ks = data(r.getString(0)).map(_._2)
+      val ps = data(r.getString(0)).map(_._3)
+      assert(r.getLong(1) === ks.reduce(_ & _))
+      assert(r.getLong(2) === ks.reduce(_ | _))
+      assert(r.getLong(3) === ks.reduce(_ ^ _))
+      assert(r.getBoolean(4) === ps.forall(_ > 1000))
+      assert(r.getBoolean(5) === ps.exists(_ > 400000))
+      assert(r.getLong(6) === ps.count(_ > 200000).toLong)
+      val sorted = ks.sorted
+      val m =
+        if (sorted.length % 2 == 1) sorted(sorted.length / 2).toDouble
+        else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+      assert(r.getDouble(7) === m, "median must be the exact interpolated midpoint")
+    }
+  }
+
+  test("q54: sequences match Range/LocalDate re-derivations, bounds inclusive") {
+    val rows = graft.operators.Relational4.q54Sequence(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      assert(r.getString(1) === (0 to k % 5).mkString(","))
+      assert(r.getString(2) === (10 to (0 - k % 7) by -3).mkString(","))
+      val d0 = java.time.LocalDate.of(2024, 1, 15)
+      assert(r.getString(3) ===
+        (0 to k % 6).map(i => d0.plusMonths(i.toLong).toString).mkString(","))
+    }
+  }
+
+  test("q55: string battery matches JVM string ops on every customer") {
+    import spark.implicits._
+    val names = tables.customer.select("c_custkey", "c_name")
+      .as[(Long, String)].collect().toMap
+    val rows = graft.operators.Relational4.q55Strings(tables).collect()
+    assert(rows.length === names.size)
+    rows.foreach { r =>
+      val nm = names(r.getLong(0))
+      val padded = if (nm.length >= 22) nm.take(22) else "*" * (22 - nm.length) + nm
+      assert(r.getString(1) === padded)
+      assert(r.getString(2) === nm.map(c => if (c == '#') '-' else if (c == '0') 'x' else c))
+      assert(r.getString(3) === nm.reverse)
+      assert(r.getString(4) === nm.take(8))
+      assert(r.getString(5) === nm.takeRight(4))
+      assert(r.getString(6) === nm.split("#", -1).lift(1).getOrElse(""))
+      assert(r.getString(7) === nm.take(2) * 3)
+      assert(r.getInt(8) === nm.indexOf('9') + 1)
+      assert(r.getInt(9) === nm.last.toInt)
+    }
+  }
+
   test("every declared query runs and returns a stable schema at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
