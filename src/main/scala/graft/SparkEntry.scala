@@ -252,6 +252,9 @@ object SparkEntry {
     // t13: source-pair vocabulary Jaccard — integer counts, one IEEE
     // division, unrounded
     "t13_vocab_overlap"   -> ((s, d) => TextQueries.t13VocabOverlap(t(s, d))),
+    // t14: per-source Zipf fit — integer ranks/freqs, ln (t06 precedent),
+    // O(1) regression outputs rounded at 6 dp (the q52 rule)
+    "t14_zipf_fit"        -> ((s, d) => TextQueries.t14ZipfFit(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -973,6 +976,21 @@ object SparkEntry {
         |SELECT s1, s2, z1.n AS n1, z2.n AS n2, n_common,
         | CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common) AS jaccard
         |FROM cm JOIN sz z1 ON z1.source = s1 JOIN sz z2 ON z2.source = s2""".stripMargin,
+    // t14: same tokenization as t12/t13; rank window per source, the q52
+    // regression aggregates over exact-integer-derived ln values
+    "t14_zipf_fit" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |f AS (SELECT d.source, token, count(*) AS freq
+        |      FROM tok JOIN documents d USING (doc_id) GROUP BY d.source, token),
+        |r AS (SELECT source,
+        |       ln(CAST(row_number() OVER (PARTITION BY source ORDER BY freq DESC, token) AS DOUBLE)) AS lr,
+        |       ln(CAST(freq AS DOUBLE)) AS lf
+        |      FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        | round(regr_slope(lf, lr), 6) AS zipf_slope,
+        | round(regr_r2(lf, lr), 6) AS zipf_r2
+        |FROM r GROUP BY source""".stripMargin,
     // d12: the d02 shingle construction, directed pairs, containment =
     // common/|A| — the engine's asymmetric prefix filter must reproduce
     // this exact directed set

@@ -303,6 +303,43 @@ object TextQueries {
           (col("n1") + col("n2") - col("n_common"))).as("jaccard"))
   }
 
+  /** t14: per-source Zipf-law fit — regress ln(freq) on ln(rank) over each
+    * source's token frequency table. Natural text follows Zipf's law with
+    * exponent ≈ −1 and a tight fit; template spam, synthetic/generated
+    * text, and boilerplate-heavy shards bend the curve (slope far from −1,
+    * low r²), so the (slope, r²) pair is the corpus-health diagnostic a
+    * data card reports per source and a pipeline alerts on — the
+    * distributional complement of t05's per-document repetition signals.
+    *
+    * Float discipline: ranks and frequencies are exact integers; ln is the
+    * t06/t07 precedent (both engines' libm agree on these inputs), and the
+    * regression outputs are O(1) by construction, rounded at 6 dp to
+    * absorb merge-order noise (the q52 rule).
+    *
+    * Scale shape: one (source, token) partial-aggregated exchange off the
+    * shared token frame; the rank window and the regression both run over
+    * the VOCABULARY (types, not tokens) per source — MBs at 100 TB, the
+    * t13 bound. */
+  def t14ZipfFit(t: Tables): DataFrame = zipfFit(t.documents)
+
+  /** See [[t14ZipfFit]]; library surface over (doc_id, source, text). */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val freqs = sharedTokens(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("freq").desc, col("token"))
+    freqs
+      .withColumn("rnk", row_number().over(w))
+      .select(col("source"),
+        log(col("rnk").cast("double")).as("lr"),
+        log(col("freq").cast("double")).as("lf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        round(regr_slope(col("lf"), col("lr")), 6).as("zipf_slope"),
+        round(regr_r2(col("lf"), col("lr")), 6).as("zipf_r2"))
+  }
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

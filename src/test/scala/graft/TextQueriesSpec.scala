@@ -44,6 +44,35 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got(("A", "B")) === ((3L, 3L, 2L, 2.0 / 4)))
   }
 
+  test("t14: zipf slope/r2 match a JVM least-squares fit and slope is negative") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = TextQueries.t14ZipfFit(tables).collect()
+    // JVM re-derivation: per-source token frequencies -> rank desc -> OLS
+    val freqs = tables.documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1)
+    assert(rows.length === freqs.size)
+    rows.foreach { r =>
+      val fs = freqs(r.getString(0))
+        .map(t => (t._3, t._2)).sortBy { case (f, tok) => (-f, tok) }
+      assert(r.getLong(1) === fs.length.toLong, "n_types = vocabulary size")
+      val pts = fs.zipWithIndex.map { case ((f, _), i) =>
+        (math.log((i + 1).toDouble), math.log(f.toDouble)) }
+      val n = pts.length.toDouble
+      val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+      val sxx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val syy = pts.map(p => (p._2 - my) * (p._2 - my)).sum
+      val sxy = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+      val slope = sxy / sxx
+      assert(math.abs(r.getDouble(2) - slope) < 1e-5, s"slope ${r.getDouble(2)} vs $slope")
+      assert(math.abs(r.getDouble(3) - (sxy * sxy) / (sxx * syy)) < 1e-5, "r2")
+      assert(r.getDouble(2) < 0, "token frequency must decay with rank")
+    }
+  }
+
   test("t10: tf-idf keywords match hand-computed scores and ranks") {
     import spark.implicits._
     val docs = Seq(
