@@ -244,6 +244,74 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // small word pool so random corpora actually share shingles
+  private val pooledText: Gen[String] = Gen.chooseNum(1, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf("spark", "fast", "join", "scan", "row",
+      "alpha", "beta", "merge"))).map(_.mkString(" "))
+
+  /** JVM mirror of TextFns.tokens + shingles: lowercase, split on single
+    * space (empties kept), distinct k-grams, whole-text fallback. */
+  private def jvmShingles(text: String, k: Int = 3): Set[String] = {
+    val toks = text.toLowerCase.split(" ", -1).toList
+    if (toks.length >= k) toks.sliding(k).map(_.mkString(" ")).toSet
+    else Set(toks.mkString(" "))
+  }
+
+  property("weightedJaccardPairs equals a JVM brute force on arbitrary corpora") =
+    forAll(Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, pooledText))) { texts =>
+      SessionCaches.release(spark)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.weightedJaccardPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      SessionCaches.release(spark)
+      val sh = texts.indices.map(i => i.toLong -> jvmShingles(texts(i))).toMap
+      val df = sh.values.toSeq.flatMap(_.toSeq).groupBy(identity)
+        .map { case (s, xs) => s -> xs.length.toLong }
+      def tw(s: Set[String]): Long = s.toSeq.map(x => 1000000L / df(x)).filter(_ > 0).sum
+      val exp = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        commonW = tw(sh(a) intersect sh(b))
+        union = tw(sh(a)) + tw(sh(b)) - commonW
+        if union > 0 && commonW * 1000000L >= 500000L * union
+      } yield (a, b, commonW.toDouble / union.toDouble)).toSet
+      got == exp
+    }
+
+  property("clusterSplit keeps exact-duplicate documents in one split") =
+    forAll(Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, pooledText))) { texts =>
+      SessionCaches.release(spark)
+      val all = texts ++ texts.headOption.toList // plant one exact dup
+      val docs = all.zipWithIndex.map { case (t, i) => (i.toLong, t, "s") }
+        .toDF("doc_id", "text", "source")
+      val out = graft.operators.DataPipeline.clusterSplit(docs)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      SessionCaches.release(spark)
+      out.size == all.size &&
+        all.zipWithIndex.groupBy(_._1).values.forall { g =>
+          g.map(x => out(x._2.toLong)).toSet.size == 1
+        }
+    }
+
+  property("overlapScore bounds hold and a planted eval copy scores 1.0") =
+    forAll(Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, pooledText))) { texts =>
+      SessionCaches.release(spark)
+      val n = texts.length
+      // ids 0..n-1 plus an exact copy of eval doc 0 at a train-side id
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+        ((3L * n + 1, texts.head))
+      val docs = all.toDF("doc_id", "text")
+      val rows = graft.operators.DataPipeline
+        .overlapScore(docs, col("doc_id") % 3 === 0)
+        .select("doc_id", "n_shingles", "n_shared", "overlap_frac")
+        .as[(Long, Long, Long, Double)].collect()
+      SessionCaches.release(spark)
+      rows.forall { case (_, ns, sh, f) =>
+        sh >= 0 && sh <= ns && f >= 0.0 && f <= 1.0 } &&
+        rows.filter(_._1 == 3L * n + 1).forall(_._4 == 1.0) &&
+        rows.forall(_._1 % 3 != 0)
+    }
+
   property("budgetSelect kept set is monotone in the budget") = {
     val docs = SparkTestSession.tables.documents
     forAll(Gen.chooseNum(0L, 20000L), Gen.chooseNum(0L, 20000L)) { (a, b) =>
