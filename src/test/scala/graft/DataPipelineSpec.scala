@@ -102,6 +102,19 @@ class DataPipelineSpec extends AnyFunSuite {
       "overlap_frac == 0 must coincide exactly with p02 survival")
   }
 
+  test("p17/p18 plans: labels and eval shingles broadcast; the corpus never shuffle-joins") {
+    val s17 = DataPipeline.clusterSplit(docs)
+    s17.collect()
+    val p17 = s17.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p17.contains("BroadcastHashJoin"), s"cluster labels must broadcast:\n$p17")
+    assert(!p17.contains("SortMergeJoin"), s"the corpus must not shuffle for its labels:\n$p17")
+    val s18 = DataPipeline.overlapScore(docs, isEval)
+    s18.collect()
+    val p18 = s18.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p18.contains("BroadcastExchange"), s"eval shingles must broadcast:\n$p18")
+    assert(!p18.contains("SortMergeJoin"), s"corpus shingles must stream unshuffled:\n$p18")
+  }
+
   test("p03: split is a pure function of doc_id (portable md5 fold) and covers all rows") {
     val out = DataPipeline.splitSample(docs)
       .select("doc_id", "source", "bucket", "split", "sampled")

@@ -178,6 +178,16 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseShingles(spark)
   }
 
+  test("d13 plan: candidates from the prefix probe join — no cartesian, no all-pairs") {
+    Dedup.releaseShingles(spark)
+    val df = Dedup.weightedJaccardPairs(tables.documents)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the shingle-keyed prefix probe, never all-pairs:\n$p")
+    Dedup.releaseShingles(spark)
+  }
+
   test("d08 incremental: existing dupes dropped, batch-internal first wins, fresh admitted") {
     import spark.implicits._
     val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
