@@ -324,30 +324,61 @@ object Dedup {
     * (they contribute 0 to every sum on both sides of the join, so the
     * answer is unchanged while their giant posting lists never move).
     *
-    * Scale shape: the WEIGHTED prefix filter. Rank each doc's shingles
-    * heaviest-first (df asc, shingle asc — w is non-increasing in df) and
-    * keep the minimal prefix whose dropped suffix weighs < τ·w(A): had the
-    * whole intersection sat in A's suffix, w(A∩B) ≤ w(suffix) < τ·w(A) ≤
-    * τ·w(A∪B) would contradict J_w ≥ τ, so some intersection shingle is in
-    * A's prefix and the prefix→full-index probe (the d12 asymmetric shape)
-    * must surface the pair. Hot shingles carry near-zero weight, sort into
-    * suffixes, and never probe. One exchange for df, one doc-keyed window
-    * pass for the prefix, one shingle-keyed candidate join, exact weighted
-    * verification on candidates only. */
+    * Scale shape: the WEIGHTED prefix filter, both-sides (the d02 shape
+    * lifted to weights). Rank each doc's shingles heaviest-first (df asc,
+    * shingle asc — w is non-increasing in df, and the order is one GLOBAL
+    * total order restricted to each doc) and keep the minimal prefix whose
+    * dropped suffix weighs < τ·w(doc). Exactness: let x be the FIRST
+    * common shingle of a qualifying pair in the global order; every other
+    * common shingle comes after x, and a doc's suffix is a tail of that
+    * same order — so if x sat in either doc's suffix, the ENTIRE
+    * intersection would, giving w(A∩B) ≤ w(suffix) < τ·w(doc) ≤ τ·w(A∪B),
+    * contradicting J_w ≥ τ. Hence x is in BOTH prefixes and the
+    * posting-list join over prefix rows only must surface the pair.
+    * Prefix shingles are the heavy (= rare) ones, so their posting lists
+    * are short by construction; chrome sorts into suffixes and never
+    * generates candidates. One exchange for df, one doc-keyed window pass
+    * for the prefix, one shingle-keyed posting-list grouping, exact
+    * weighted verification on candidates only.
+    *
+    * Cost honesty: at the default τ = 0.5 the prefix holds half of each
+    * doc's WEIGHT — on corpora where most shingles are unique (uniform
+    * weights) that is half its ROWS, so d13 costs more than d02's
+    * (1−0.8)·n prefix at the same scale; the price of a lower threshold,
+    * not of the weighting. Like d02, this is the exact family member; the
+    * 100 TB sketch route for weighted Jaccard is consistent weighted
+    * sampling (Ioffe 2010 CWS — weighted MinHash), which would slot into
+    * d03's banded-LSH shape with CWS draws replacing the unweighted
+    * min-hashes. Documented, not implemented: the exact path is the oracle
+    * the sketch would be recall-spec'd against, exactly as d03 is to d02. */
   def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.5, k: Int = 3): DataFrame =
     weightedJaccardPairsOf(sharedShingles(docs, k), threshold)
+
+  /** The weighted shingle frame (doc_id, shingle, df, w) is read FOUR
+    * times by one weightedJaccard plan (prefix extraction, candidate
+    * posting lists via the prefix, and the two verify joins + sizes);
+    * without materialization each read re-pays the corpus shingle scan AND
+    * the df aggregation (measured ~4x the query's useful work at sf0.1).
+    * Memoized per (session, shingle plan) and persisted — the
+    * [[sharedShingles]] lifecycle, drained by [[graft.SessionCaches]]. */
+  private val weightedShingleMemo =
+    new graft.SessionKeyedCache[Int, DataFrame](_.unpersist(blocking = false))
 
   /** See [[weightedJaccardPairs]]; core over a caller-managed shingle set. */
   def weightedJaccardPairsOf(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
     val num = math.round(threshold * 1e6)
     require(num / 1e6 == threshold,
       s"threshold=$threshold is not exactly a /1e6 rational (nearest: ${num / 1e6})")
-    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // rarity weight: exact integer division, zero-weight chrome dropped
-    val wsh = sh.join(freq, "shingle")
-      .select(col("doc_id"), col("shingle"), col("df"),
-        expr("1000000L div df").as("w"))
-      .where(col("w") > 0)
+    val wsh = weightedShingleMemo.getOrElseUpdate(
+      sh.sparkSession, sh.queryExecution.analyzed.semanticHash()) {
+      val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      sh.join(freq, "shingle")
+        .select(col("doc_id"), col("shingle"), col("df"),
+          expr("1000000L div df").as("w"))
+        .where(col("w") > 0)
+        .persist()
+    }
     // heaviest-first rank + running weight before the current row + total,
     // all in ONE doc_id window pass; keep while the tail from this row on
     // still weighs >= tau * total (exact integer comparison)
@@ -360,11 +391,17 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)).as("cum_before"),
         sum(col("w")).over(wAll).as("total_w"))
       .where(expr(s"(total_w - cum_before) * 1000000L >= ${num}L * total_w"))
-    val cand = prefixes.select(col("doc_id").as("da"), col("shingle"))
-      .join(wsh.select(col("doc_id").as("db"), col("shingle")), "shingle")
-      .where(col("da") =!= col("db"))
-      .select(least(col("da"), col("db")).as("d1"),
-        greatest(col("da"), col("db")).as("d2"))
+    // candidate pairs straight off the inverted PREFIX index (the d02
+    // shape): group the (rare, so short) per-shingle posting lists of
+    // prefix rows and emit ordered pairs — the prefix pipeline runs once
+    val cand = prefixes.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS d1, y AS d2))))"
+      )).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
     val common = cand
       .join(wsh.select(col("doc_id").as("d1"), col("shingle")), "d1")
