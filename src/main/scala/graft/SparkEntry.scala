@@ -173,6 +173,11 @@ object SparkEntry {
     // d13: rarity-weighted Jaccard — integer /1e6 weights, exact long
     // sums, integer threshold test; the score is the one final division
     "d13_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(t(s, d).documents)),
+    // d14: the CWS weighted-MinHash sketch route for d13 — candidates are
+    // probabilistic at tau=0.5 (genuinely lossy banding, unlike d03's
+    // 0.9998 at 0.8) so the driver check is rows-only; DedupSpec pins
+    // precision 1, exact scores, and the recall floor vs d13
+    "d14_weighted_lsh"    -> ((s, d) => Dedup.weightedMinHashLshPairs(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),

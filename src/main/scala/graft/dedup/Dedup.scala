@@ -346,11 +346,10 @@ object Dedup {
     * weights) that is half its ROWS, so d13 costs more than d02's
     * (1−0.8)·n prefix at the same scale; the price of a lower threshold,
     * not of the weighting. Like d02, this is the exact family member; the
-    * 100 TB sketch route for weighted Jaccard is consistent weighted
-    * sampling (Ioffe 2010 CWS — weighted MinHash), which would slot into
-    * d03's banded-LSH shape with CWS draws replacing the unweighted
-    * min-hashes. Documented, not implemented: the exact path is the oracle
-    * the sketch would be recall-spec'd against, exactly as d03 is to d02. */
+    * implemented 100 TB sketch route is [[weightedMinHashLshPairs]] (d14)
+    * — Ioffe CWS weighted MinHash in d03's banded-LSH shape — and this
+    * exact path is the oracle d14's recall is spec'd against, exactly as
+    * d03 is to d02. */
   def weightedJaccardPairs(docs: DataFrame, threshold: Double = 0.5, k: Int = 3): DataFrame =
     weightedJaccardPairsOf(sharedShingles(docs, k), threshold)
 
@@ -364,13 +363,19 @@ object Dedup {
   private val weightedShingleMemo =
     new graft.SessionKeyedCache[Int, DataFrame](_.unpersist(blocking = false))
 
-  /** See [[weightedJaccardPairs]]; core over a caller-managed shingle set. */
-  def weightedJaccardPairsOf(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** τ as an exact /1e6 rational (the d02 rule), rejected otherwise. */
+  private def tauNum(threshold: Double): Long = {
     val num = math.round(threshold * 1e6)
     require(num / 1e6 == threshold,
       s"threshold=$threshold is not exactly a /1e6 rational (nearest: ${num / 1e6})")
-    // rarity weight: exact integer division, zero-weight chrome dropped
-    val wsh = weightedShingleMemo.getOrElseUpdate(
+    num
+  }
+
+  /** The memoized, persisted weighted shingle frame (doc_id, shingle, df,
+    * w) for a shingle set — rarity weight by exact integer division,
+    * zero-weight chrome dropped (see [[weightedJaccardPairs]]). */
+  private def weightedShingles(sh: DataFrame): DataFrame =
+    weightedShingleMemo.getOrElseUpdate(
       sh.sparkSession, sh.queryExecution.analyzed.semanticHash()) {
       val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       sh.join(freq, "shingle")
@@ -379,6 +384,30 @@ object Dedup {
         .where(col("w") > 0)
         .persist()
     }
+
+  /** Exact weighted verification tail shared by d13 and d14: candidate
+    * (d1, d2) pairs → common/total weight sums (exact longs) → integer
+    * threshold test → the one final IEEE division. */
+  private def weightedVerify(cand: DataFrame, wsh: DataFrame, num: Long): DataFrame = {
+    val common = cand
+      .join(wsh.select(col("doc_id").as("d1"), col("shingle")), "d1")
+      .join(wsh.select(col("doc_id").as("d2"), col("shingle"), col("w")),
+        Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(sum(col("w")).as("common_w"))
+    val sizes = wsh.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("tw").as("w1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("tw").as("w2")), "d2")
+      .where(expr(s"common_w * 1000000L >= ${num}L * (w1 + w2 - common_w)"))
+      .select(col("d1"), col("d2"),
+        (col("common_w").cast("double") /
+          (col("w1") + col("w2") - col("common_w")).cast("double")).as("wjaccard"))
+  }
+
+  /** See [[weightedJaccardPairs]]; core over a caller-managed shingle set. */
+  def weightedJaccardPairsOf(sh: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val num = tauNum(threshold)
+    val wsh = weightedShingles(sh)
     // heaviest-first rank + running weight before the current row + total,
     // all in ONE doc_id window pass; keep while the tail from this row on
     // still weighs >= tau * total (exact integer comparison)
@@ -403,19 +432,107 @@ object Dedup {
       )).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-    val common = cand
-      .join(wsh.select(col("doc_id").as("d1"), col("shingle")), "d1")
-      .join(wsh.select(col("doc_id").as("d2"), col("shingle"), col("w")),
-        Seq("d2", "shingle"))
-      .groupBy(col("d1"), col("d2")).agg(sum(col("w")).as("common_w"))
-    val sizes = wsh.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
-    common
-      .join(sizes.select(col("doc_id").as("d1"), col("tw").as("w1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("tw").as("w2")), "d2")
-      .where(expr(s"common_w * 1000000L >= ${num}L * (w1 + w2 - common_w)"))
-      .select(col("d1"), col("d2"),
-        (col("common_w").cast("double") /
-          (col("w1") + col("w2") - col("common_w")).cast("double")).as("wjaccard"))
+    weightedVerify(cand, wsh, num)
+  }
+
+  /** d14: weighted MinHash + banded LSH — the implemented 100 TB sketch
+    * route for [[weightedJaccardPairs]] (d13), exactly as d03 is for d02.
+    * Signatures are Ioffe 2010 Consistent Weighted Sampling draws: for
+    * element x with weight w and draw i,
+    * r, c ~ Gamma(2,1), β ~ U(0,1) (all deterministic hashes of (x, i)),
+    * t = ⌊ln w / r + β⌋, ln a = ln c − r·(t − β) − r, and the draw's
+    * sketch value is the doc's min ln a — which pins the argmin (x, t)
+    * since equal (x, t) means the identical double. Ioffe's theorem:
+    * P[sketch_A(i) = sketch_B(i)] = J_w(A,B) exactly — the weighted
+    * generalization of the MinHash collision identity (with our global
+    * df-derived weights, Σmin/Σmax reduces to w(A∩B)/w(A∪B), d13's
+    * definition). Because (r, c, β) depend only on (x, i), any two docs
+    * sharing x compute the SAME (t, ln a) for it — consistency is what
+    * makes the collision probability exact.
+    *
+    * Banding: rowsPerBand=2 over bands=16 (32 draws) gives per-band
+    * collision j², band hit 1−(1−j²)^16 ≈ 0.99 at j = 0.5 (0.9996 at
+    * 0.6) — tuned for the LOW weighted threshold the same way d03's 16×4
+    * is tuned for 0.8, at half the signature cost of a 0.9999 floor.
+    * Candidates are exactly verified by the shared weighted tail
+    * ([[weightedVerify]]), so precision is 1 by construction and the
+    * emitted scores are exact; recall is the banding bound, spec-verified
+    * against d13 (the registered query is rows-only for the same reason
+    * d03's own entry hash-matches d02: here the sketch is genuinely
+    * probabilistic at τ = 0.5, so the pair sets are asserted in the spec,
+    * not the driver hash).
+    *
+    * Scale shape: ONE aggregation pass computes all 64 CWS draws as
+    * min(struct) columns (partial-aggregated — signature size is fixed
+    * per doc regardless of doc size); the bucket join shuffles (band,
+    * bucket) keys only; verification touches candidate pairs only. The
+    * transcendental cost (≈ 5 ln per row per draw) is scan-local. */
+  def weightedMinHashLshPairs(docs: DataFrame, threshold: Double = 0.5,
+                              bands: Int = 16, rowsPerBand: Int = 2,
+                              k: Int = 3): DataFrame =
+    weightedMinHashLshPairsOf(sharedShingles(docs, k), threshold, bands, rowsPerBand)
+
+  /** See [[weightedMinHashLshPairs]]; core over a caller-managed shingle
+    * set. */
+  def weightedMinHashLshPairsOf(sh: DataFrame, threshold: Double = 0.5,
+                                bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val num = tauNum(threshold)
+    val wsh = weightedShingles(sh)
+    val nDraws = bands * rowsPerBand
+    // two independent uniform (0,1) draws per seeded xxhash64: the high
+    // and low 32-bit halves, each scaled into the unit interval (the +0.5
+    // offset keeps them off 0; 2^-32 granularity is far below any effect
+    // a sketch could observe)
+    def u2(j: Int): (Column, Column) = {
+      val h = xxhash64(col("shingle"), lit(j))
+      ((shiftrightunsigned(h, 32).cast("double") + 0.5) / lit(4.294967296e9),
+        (pmod(h, lit(4294967296L)).cast("double") + 0.5) / lit(4.294967296e9))
+    }
+    // Two docs collide on draw i iff the argmin ELEMENT and its t agree —
+    // and since (r, c, beta) depend only on (shingle, i) and w is global,
+    // equal (x, t) implies the IDENTICAL double a, while different (x, t)
+    // give continuously-distributed a's that never coincide (a freak
+    // 64-bit double coincidence would only add a false CANDIDATE, killed
+    // by the exact verify). So the sketch value per draw is min(a) ITSELF:
+    // plain double min-aggregates — HashAggregate, codegen, map-side
+    // partials, the d03 signature shape — instead of min(struct(a, x, t)),
+    // whose struct buffers force an interpreted SortAggregate over
+    // signature-width rows (measured 3x the whole query's cost at sf0.1).
+    // The draws are pre-projected in two codegen'd selects (r/lnc/beta,
+    // then a) so each transcendental runs once per row.
+    val step1 = wsh.select(
+      col("doc_id") +: col("shingle") +:
+        log(col("w").cast("double")).as("lnw") +: // w >= 1 so lnw >= 0
+        (0 until nDraws).flatMap { i =>
+          val (ua, ub) = u2(3 * i)
+          val (uc, ud) = u2(3 * i + 1)
+          val (ue, _) = u2(3 * i + 2)
+          Seq((-log(ua) - log(ub)).as(s"r$i"), // Gamma(2,1)
+            log(-log(uc) - log(ud)).as(s"lnc$i"), // ln Gamma(2,1)
+            ue.as(s"b$i")) // beta ~ U(0,1)
+        }: _*)
+    val step2 = step1.select(
+      col("doc_id") +:
+        (0 until nDraws).map { i =>
+          val t = floor(col("lnw") / col(s"r$i") + col(s"b$i"))
+          (col(s"lnc$i") - col(s"r$i") * (t - col(s"b$i")) - col(s"r$i")).as(s"c$i")
+        }: _*)
+    val sig = step2.groupBy(col("doc_id"))
+      .agg(min(col("c0")).as("cw0"),
+        (1 until nDraws).map(i => min(col(s"c$i")).as(s"cw$i")): _*)
+    val bandCols: Column = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"cw$i")): _*).as("bucket"))
+    }: _*)
+    val buckets = sig.select(col("doc_id"), explode(bandCols).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("d2"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    weightedVerify(cand, wsh, num)
   }
 
   /** MinHash signature columns: min over the shingle set of k seeded

@@ -178,6 +178,23 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseShingles(spark)
   }
 
+  test("d14: CWS sketch pairs are a subset of d13 with exact scores and high recall") {
+    SessionCaches.release(spark)
+    val exact = Dedup.weightedJaccardPairs(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sketch = Dedup.weightedMinHashLshPairs(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    SessionCaches.release(spark)
+    assert(exact.nonEmpty)
+    // precision 1: every sketch pair is exact-verified, score identical
+    sketch.foreach { case (p, s) =>
+      assert(exact.get(p).contains(s), s"sketch pair $p must carry d13's exact score") }
+    // recall: banding bound is ~0.9999 at j=0.5 and higher above; allow a
+    // small deterministic shortfall on borderline pairs
+    val recall = sketch.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${sketch.size}/${exact.size})")
+  }
+
   test("d13 plan: candidates from the prefix probe join — no cartesian, no all-pairs") {
     Dedup.releaseShingles(spark)
     val df = Dedup.weightedJaccardPairs(tables.documents)
