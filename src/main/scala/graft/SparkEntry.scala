@@ -161,6 +161,13 @@ object SparkEntry {
                                t(s, d).documents, col("doc_id") % 10 === 0)),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
+    // p19: per-source Tukey-fence length outliers — quartiles rounded at
+    // 4 dp (the q30 rule), fences derived from the rounded quartiles so
+    // the verdict is hash-checkable
+    "p19_length_outliers" -> ((s, d) => graft.operators.DataPipeline.lengthOutliers(t(s, d).documents)),
+    // p20: cross-source syndication matrix over d02's exact pairs —
+    // integer pair counts, fully hash-checkable
+    "p20_syndication"     -> ((s, d) => graft.operators.DataPipeline.syndicationMatrix(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
     // d11: exact dedup with the best-copy keeper (longest text, id
     // tiebreak) — the oracle ranks with a window where the engine uses a
@@ -209,6 +216,10 @@ object SparkEntry {
     // s07: exact radius search — ranking-free threshold variant of s01,
     // fully hash-checkable (round(cos, 8) both sides)
     "s07_radius_search"   -> ((s, d) => Knn.radius(t(s, d).embeddings)),
+    // s08: exact kNN graph — s01's ranking with every vector as a query;
+    // fully hash-checkable (round(cos, 8), id tiebreak); the IVF-pruned
+    // graph (knnGraphIvf) is the served path, recall-spec'd in KnnSpec
+    "s08_knn_graph"       -> ((s, d) => Knn.knnGraph(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
     // serializes it to CSV because the driver's hash compare (like any
@@ -260,6 +271,10 @@ object SparkEntry {
     // t14: per-source Zipf fit — integer ranks/freqs, ln (t06 precedent),
     // O(1) regression outputs rounded at 6 dp (the q52 rule)
     "t14_zipf_fit"        -> ((s, d) => TextQueries.t14ZipfFit(t(s, d))),
+    // t15: source-pair Jensen–Shannon divergence — the common-token-only
+    // identity makes the sum inner-join-shaped; one aggregated double
+    // rounded at 6 dp (the q52 rule)
+    "t15_js_divergence"   -> ((s, d) => TextQueries.t15JsDivergence(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -996,6 +1011,71 @@ object SparkEntry {
         | round(regr_slope(lf, lr), 6) AS zipf_slope,
         | round(regr_r2(lf, lr), 6) AS zipf_r2
         |FROM r GROUP BY source""".stripMargin,
+    // t15: same per-source frequency table as t14; probabilities are
+    // single IEEE divisions of exact integers, the pair sum ranges over
+    // common tokens only (the bracket vanishes one-sided), rounded 6 dp
+    "t15_js_divergence" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |f AS (SELECT d.source, token, count(*) AS freq
+        |      FROM tok JOIN documents d USING (doc_id) GROUP BY d.source, token),
+        |tt AS (SELECT source, CAST(sum(freq) AS BIGINT) AS total FROM f GROUP BY source),
+        |p AS (SELECT source, token, CAST(freq AS DOUBLE) / CAST(total AS DOUBLE) AS p
+        |      FROM f JOIN tt USING (source)),
+        |j AS (SELECT a.source AS s1, b.source AS s2, a.p AS p, b.p AS q
+        |      FROM p a JOIN p b ON a.token = b.token AND a.source < b.source)
+        |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
+        | round(ln(2) + 0.5 * sum(p * ln(p) + q * ln(q) - (p + q) * ln(p + q)), 6) AS jsd
+        |FROM j GROUP BY s1, s2""".stripMargin,
+    // s08: s01's scoring and ranking with every vector as a query — same
+    // round(cos, 8) + neighbor_id tiebreak, so order can never disagree
+    "s08_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(q.v, n.v), 8) AS cos
+        | FROM e q JOIN e n ON n.vec_id <> q.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        | FROM scored)
+        |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // p19: quartiles via quantile_cont (the q30 percentile-parity rule)
+    // rounded at 4 dp; fences derive from the ROUNDED quartiles by plain
+    // IEEE arithmetic so the verdict matches row-for-row
+    "p19_length_outliers" ->
+      """WITH nt AS (SELECT doc_id, source,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens FROM documents),
+        |qs AS (SELECT source, round(quantile_cont(n_tokens, 0.25), 4) AS q1,
+        |        round(quantile_cont(n_tokens, 0.75), 4) AS q3 FROM nt GROUP BY source)
+        |SELECT doc_id, nt.source, n_tokens, q1, q3,
+        | CASE WHEN CAST(n_tokens AS DOUBLE) < q1 - 1.5 * (q3 - q1) THEN 'short_outlier'
+        |      WHEN CAST(n_tokens AS DOUBLE) > q3 + 1.5 * (q3 - q1) THEN 'long_outlier'
+        |      ELSE 'ok' END AS status,
+        | (CAST(n_tokens AS DOUBLE) >= q1 - 1.5 * (q3 - q1)
+        |  AND CAST(n_tokens AS DOUBLE) <= q3 + 1.5 * (q3 - q1)) AS keep
+        |FROM nt JOIN qs ON qs.source = nt.source""".stripMargin,
+    // p20: d02's exact pair SQL + the (doc_id, source) map, grouped by
+    // the unordered source pair — integer counts only
+    "p20_syndication" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |jp AS (SELECT d1, d2
+        | FROM pairs JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2
+        | WHERE CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) >= 0.8),
+        |m AS (SELECT least(a.source, b.source) AS s1, greatest(a.source, b.source) AS s2
+        |      FROM jp JOIN documents a ON a.doc_id = jp.d1 JOIN documents b ON b.doc_id = jp.d2)
+        |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_pairs, s1 <> s2 AS cross_source
+        |FROM m GROUP BY s1, s2""".stripMargin,
     // d12: the d02 shingle construction, directed pairs, containment =
     // common/|A| — the engine's asymmetric prefix filter must reproduce
     // this exact directed set

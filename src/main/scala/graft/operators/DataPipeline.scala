@@ -619,4 +619,74 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
         col("tok_offset"), col("seq_id"))
   }
+
+  /** p19: per-source robust length-outlier gate — Tukey fences over token
+    * counts: a document is flagged when its length falls outside
+    * [Q1 − f·IQR, Q3 + f·IQR] of ITS OWN source's distribution. p13's
+    * absolute min/max thresholds are one policy for every source; real
+    * corpora mix tweets and legal filings, and a fixed cut either bleeds
+    * one or passes the other's garbage — quartile fences adapt per source
+    * (truncated-scrape stubs and concatenation blobs sit outside them
+    * wherever the middle of that source lives).
+    *
+    * Float discipline: quartiles are exact interpolated percentiles over
+    * integers, rounded at 4 dp (the q30 percentile rule — the ONLY
+    * rounded aggregates here); the fences derive from the ROUNDED
+    * quartiles by plain IEEE arithmetic, so both engines compare each
+    * integer length against identical fence doubles and the verdict is
+    * hash-checkable.
+    *
+    * Scale shape: one partial-aggregated exchange on source for the
+    * quartile frame (sources-bounded, tiny), broadcast back onto the
+    * unshuffled corpus scan — the corpus is never exchanged, the p02
+    * regime. */
+  def lengthOutliers(docs: DataFrame, fence: Double = 1.5): DataFrame = {
+    val nt = docs.select(col("doc_id"), col("source"),
+      TextFns.tokenCount(col("text")).as("n_tokens"))
+    val q = nt.groupBy(col("source")).agg(
+      round(expr("percentile(n_tokens, 0.25)"), 4).as("q1"),
+      round(expr("percentile(n_tokens, 0.75)"), 4).as("q3"))
+    val lo = col("q1") - lit(fence) * (col("q3") - col("q1"))
+    val hi = col("q3") + lit(fence) * (col("q3") - col("q1"))
+    nt.join(broadcast(q), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("q1"), col("q3"),
+        when(col("n_tokens").cast("double") < lo, "short_outlier")
+          .when(col("n_tokens").cast("double") > hi, "long_outlier")
+          .otherwise("ok").as("status"),
+        (col("n_tokens").cast("double") >= lo &&
+          col("n_tokens").cast("double") <= hi).as("keep"))
+  }
+
+  /** p20: cross-source syndication matrix — for every source pair, how
+    * many near-duplicate pairs straddle them (and how many live inside
+    * each source: the s1 = s2 diagonal). Built on d02's EXACT Jaccard
+    * pairs, so the matrix is fully hash-checkable. This is the audit that
+    * tells a pipeline where its duplication actually comes from — two
+    * sources sharing a wire service syndicate heavily and should be
+    * deduped jointly and mixed as one domain (p08), while a source that
+    * only self-duplicates needs intra-source dedup only; it also ranks
+    * which source pairs d14's sketch must not miss.
+    *
+    * Scale shape: d02's pair generation (prefix-filtered ssjoin) is the
+    * whole cost; the matrix itself broadcasts the PAIR frame (∝ actual
+    * near-dups — the small side by the dedup premise) against the
+    * unshuffled (doc_id, source) corpus scan, twice, each join output
+    * staying pairs-sized; then one source-pair-bounded aggregation. At
+    * 100 TB swap the exact pair family for d03's sketch pairs (same
+    * downstream shape, the declared d02→d03 trade). */
+  def syndicationMatrix(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = Dedup.ngramJaccardPairs(docs, threshold).select(col("d1"), col("d2"))
+    val withS1 = src.select(col("doc_id").as("d1"), col("source").as("src1"))
+      .join(broadcast(pairs), Seq("d1"))
+    val withBoth = src.select(col("doc_id").as("d2"), col("source").as("src2"))
+      .join(broadcast(withS1), Seq("d2"))
+    withBoth
+      .select(least(col("src1"), col("src2")).as("s1"),
+        greatest(col("src1"), col("src2")).as("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("s1") =!= col("s2"))
+  }
 }

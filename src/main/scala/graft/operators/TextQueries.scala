@@ -340,6 +340,49 @@ object TextQueries {
         round(regr_r2(col("lf"), col("lr")), 6).as("zipf_r2"))
   }
 
+  /** t15: pairwise Jensen–Shannon divergence between per-source unigram
+    * distributions — the DISTRIBUTIONAL domain-distance matrix (t13's
+    * vocab Jaccard asks "do they share words"; this asks "do they use
+    * shared words at the same rates" — a boilerplate-stuffed mirror of a
+    * source shares its vocabulary but not its distribution). JSD is
+    * symmetric, bounded by ln 2, and finite even when supports differ —
+    * the standard corpus-drift / domain-shift measure mixing and
+    * curriculum decisions consult.
+    *
+    * Float discipline: per-source probabilities are single IEEE divisions
+    * of exact integers (identical doubles both engines); the pair sum
+    * uses the identity JSD = ln 2 + ½·Σ_t [p·ln p + q·ln q −
+    * (p+q)·ln(p+q)], whose bracket VANISHES for any token present in only
+    * one source — so the sum ranges over common tokens only (the t13
+    * inner-join shape, no full-outer needed) and is the one aggregated
+    * double, rounded at 6 dp (the q52 rule).
+    *
+    * Scale shape: one (source, token) partial-aggregated exchange off the
+    * shared token frame, then the vocab-bounded self-join on token —
+    * everything past the first agg is types×sources-sized (MBs at 100 TB,
+    * the t13 bound); output ∝ source-pairs. */
+  def t15JsDivergence(t: Tables): DataFrame = jsDivergence(t.documents)
+
+  /** See [[t15JsDivergence]]; library surface over (doc_id, source, text). */
+  def jsDivergence(docs: DataFrame): DataFrame = {
+    val freqs = sharedTokens(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
+    val totals = freqs.groupBy(col("source")).agg(sum(col("freq")).as("total"))
+    val probs = freqs.join(totals, Seq("source"))
+      .select(col("source"), col("token"),
+        (col("freq").cast("double") / col("total").cast("double")).as("p"))
+    probs.select(col("source").as("s1"), col("token"), col("p"))
+      .join(probs.select(col("source").as("s2"), col("token"), col("p").as("q")),
+        Seq("token"))
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_common"),
+        round(lit(math.log(2.0)) + lit(0.5) * sum(
+          col("p") * log(col("p")) + col("q") * log(col("q")) -
+            (col("p") + col("q")) * log(col("p") + col("q"))), 6).as("jsd"))
+  }
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

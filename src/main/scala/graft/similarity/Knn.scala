@@ -82,6 +82,54 @@ object Knn {
       .where(col("cos") >= tau)
   }
 
+  /** s08: exact k-nearest-neighbor GRAPH over the corpus — every vector's
+    * top-k neighbors by cosine, the self-join member of the similarity
+    * family ([[bruteForce]] answers "k nearest to these queries"; the
+    * graph answers it for EVERY vector). This is the building block
+    * SemDeDup-style semantic curation, graph-based ANN (HNSW/NN-descent
+    * seeding), label propagation and diversity sampling all start from.
+    *
+    * Exact and fully hash-checkable: round(cos, 8) scores, id-tiebroken
+    * ranks (the s01 rule). The all-pairs scoring is inherent to the exact
+    * graph (it IS n² dot products — d05's declared-quadratic class); the
+    * per-key heap ([[topKPerKey]]) clips every partition to k before the
+    * shuffle, so the exchange is n·k·partitions, never n². The corpus
+    * rides the scoring join as the probe side with the query copy
+    * broadcast — at 100 TB the exact graph is the correctness baseline
+    * and [[knnGraphIvf]] is the served path, exactly as d05 is to d06. */
+  def knnGraph(emb: DataFrame, k: Int = 5): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = v.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
+    topKPerKey(scored, k)
+  }
+
+  /** The IVF-pruned kNN graph — [[knnGraph]]'s semantics under the
+    * materialized-index execution shape (the 100 TB path): each indexed
+    * vector probes its nProbe nearest cells and scores only vectors
+    * INSIDE those cells, so the dot-product count drops from n² to
+    * Σ_cells |probes into cell|·|cell| — nProbe/nCells of the quadratic
+    * work under balanced cells. Approximate exactly like s02 (a true
+    * neighbor in an unprobed cell is missed; recall spec'd vs [[knnGraph]]
+    * in KnnSpec), precision-meaningless (every emitted edge carries its
+    * exactly-computed cosine). Serves read the in-memory index — no
+    * source re-scan per call (the round-7 index rule). */
+  def knnGraphIvf(emb: DataFrame, k: Int = 5, nProbe: Int = 3, nCells: Int = 10): DataFrame = {
+    val index = ivfIndex(emb, nCells)
+    val cents = centsLit(modelFor(emb, nCells))
+    val probes = index
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(slice(array_sort(dists(col("v"), cents)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    val scored = index.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
+    topKPerKey(scored, k)
+  }
+
   /** Fitted IVF models, memoized per (session, corpus plan, nCells).
     * Training (Lloyd over the corpus) and serving (cell-pruned scan) are
     * separate concerns: the fitted artifact is tiny (nCells × dims doubles)
@@ -225,8 +273,8 @@ object Knn {
     topKPerKey(scored, k)
   }
 
-  /** s08 (library surface): radius search served from the materialized
-    * IVF index — [[radius]]'s semantics under [[ivf]]'s execution shape:
+  /** s07's indexed serving variant (library surface): radius search served
+    * from the materialized IVF index — [[radius]]'s semantics under [[ivf]]'s execution shape:
     * every indexed vector in a probed cell with round(cos, 8) ≥ `tau`.
     * Approximate exactly like s02 (a qualifying neighbor in an unprobed
     * cell is missed — recall spec'd vs the exact [[radius]] in KnnSpec),

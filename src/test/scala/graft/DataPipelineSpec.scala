@@ -538,4 +538,43 @@ class DataPipelineSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"packing must shuffle once, on (source, shard):\n$p")
   }
+
+  test("p19: fences match hand-computed quartiles; only the planted blob is flagged") {
+    import spark.implicits._
+    def doc(id: Long, src: String, n: Int) = (id, src, Seq.fill(n)("w").mkString(" "))
+    // source A lengths [1..5, 100]: q1 = 2.25, q3 = 4.75, IQR = 2.5 →
+    // fences [-1.5, 8.5]; only the 100-token blob falls outside
+    val planted = (Seq.tabulate(5)(i => doc(i.toLong, "A", i + 1)) :+ doc(5L, "A", 100))
+      .toDF("doc_id", "source", "text")
+    val got = DataPipeline.lengthOutliers(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getDouble(3), r.getDouble(4),
+        r.getString(5), r.getBoolean(6)))).toMap
+    assert(got(5L) === ((100, 2.25, 4.75, "long_outlier", false)))
+    (0L to 4L).foreach { id =>
+      assert(got(id)._4 === "ok" && got(id)._5, s"doc $id inside the fences") }
+  }
+
+  test("p19 plan: quartile frame broadcast back — the corpus never shuffle-joins") {
+    val df = DataPipeline.lengthOutliers(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastExchange"), s"per-source quartiles must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join on source:\n$p")
+  }
+
+  test("p20: planted cross- and same-source near-dup pairs land in the right cells") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta"
+    val t2 = "one two three four five six seven"
+    val planted = Seq(
+      (1L, "A", t1), (2L, "B", t1),  // cross-source exact near-dup
+      (3L, "A", t2), (4L, "A", t2),  // same-source pair (the diagonal)
+      (5L, "C", "unrelated words entirely here now")
+    ).toDF("doc_id", "source", "text")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val got = DataPipeline.syndicationMatrix(planted).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    assert(got === Map(("A", "B") -> ((1L, true)), ("A", "A") -> ((1L, false))))
+  }
 }

@@ -29,7 +29,7 @@ class KnnSpec extends AnyFunSuite {
     assert(got.nonEmpty, "tau=0.1 must match something on this corpus")
   }
 
-  test("s08: IVF radius is a precision-1 subset of exact radius with bounded recall") {
+  test("s07 indexed: IVF radius is a precision-1 subset of exact radius with bounded recall") {
     Knn.clearIvfModels(spark)
     val tau = 0.1
     val exact = Knn.radius(tables.embeddings, "vec_id < 5", tau).collect()
@@ -42,6 +42,35 @@ class KnnSpec extends AnyFunSuite {
     // candidates (the s02 information-theoretic floor)
     assert(ivf.size.toDouble / exact.size >= 0.2,
       s"recall ${ivf.size}/${exact.size} fell below the probe-fraction floor")
+  }
+
+  test("s08: kNN graph agrees with per-query brute force for every vector") {
+    val emb = tables.embeddings.filter("vec_id < 40")
+    val graph = Knn.knnGraph(emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // independent path: s01 with every vector in the query predicate
+    val exp = Knn.bruteForce(emb, "vec_id >= 0", k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(graph === exp)
+    assert(graph.groupBy(_._1).size === 40, "one neighborhood per vector")
+  }
+
+  test("s08 served: IVF-pruned graph is edge-exact where emitted, recall above the probe floor") {
+    Knn.clearIvfModels(spark)
+    val exact = Knn.knnGraph(tables.embeddings, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = Knn.knnGraphIvf(tables.embeddings, k = 5, nProbe = 3, nCells = 10).collect()
+    // every served edge carries the exactly-computed cosine: spot-check
+    // against the exact graph's scored universe via a shared-map lookup
+    val exactScores = Knn.knnGraph(tables.embeddings, k = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    served.foreach { r =>
+      assert(exactScores((r.getLong(0), r.getLong(2))) === r.getDouble(3),
+        "served edge must carry the exact cosine")
+    }
+    val recall = (exact intersect served.map(r => (r.getLong(0), r.getLong(2))).toSet)
+      .size.toDouble / exact.size
+    assert(recall >= 0.25, s"graph recall=$recall below the cell-pruning bound")
   }
 
   test("IVF recall@5 tracks the nProbe/nCells bound on this corpus") {

@@ -44,6 +44,26 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got(("A", "B")) === ((3L, 3L, 2L, 2.0 / 4)))
   }
 
+  test("t15: JSD matches the hand-computed value; disjoint-vocab pairs emit no row") {
+    import spark.implicits._
+    // A: p(a)=2/3, p(b)=1/3; B: mirrored; C: disjoint vocabulary
+    val docs = Seq(
+      (1L, "A", "a a b"),
+      (2L, "B", "a b b"),
+      (3L, "C", "x")
+    ).toDF("doc_id", "source", "text")
+    TextQueries.releaseTokens(spark)
+    val got = TextQueries.jsDivergence(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    TextQueries.releaseTokens(spark)
+    // KL(P||M) = 2/3·ln(4/3) + 1/3·ln(2/3), symmetric here, so JSD = that
+    val expected = 2.0 / 3 * math.log(4.0 / 3) + 1.0 / 3 * math.log(2.0 / 3)
+    assert(got.keySet === Set(("A", "B")),
+      "disjoint-vocab pairs (JSD = ln 2) produce no row, the t13 convention")
+    assert(got(("A", "B"))._1 === 2L)
+    assert(math.abs(got(("A", "B"))._2 - expected) < 1e-6)
+  }
+
   test("t14: zipf slope/r2 match a JVM least-squares fit and slope is negative") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
