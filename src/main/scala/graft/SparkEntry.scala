@@ -185,6 +185,19 @@ object SparkEntry {
     // 0.9998 at 0.8) so the driver check is rows-only; DedupSpec pins
     // precision 1, exact scores, and the recall floor vs d13
     "d14_weighted_lsh"    -> ((s, d) => Dedup.weightedMinHashLshPairs(t(s, d).documents)),
+    // d15: incremental cluster maintenance — standing labels from the
+    // sub-corpus' pairs, merged with the batch's incident pairs; equal to
+    // the full d07 recompute by construction, so it shares d07's
+    // recursive-CTE oracle verbatim
+    "d15_incremental_clusters" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val standing = graft.dedup.Clusters.connectedComponents(
+        Dedup.minHashLshPairs(docs.where(col("doc_id") < 250)).select(col("d1"), col("d2")))
+      val batch = Dedup.minHashLshPairs(docs).select(col("d1"), col("d2"))
+        .where(col("d1") >= 250 || col("d2") >= 250)
+      graft.dedup.Clusters.clusterTable(
+        graft.dedup.Clusters.mergeClusters(standing, batch))
+    }),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
@@ -1163,19 +1176,10 @@ object SparkEntry {
     // candidates are all nodes reachable from it; min = the component
     // minimum. The UNION (distinct) bounds the walk; components in a real
     // corpus are tiny, so the CTE closes quickly.
-    "d07_dup_clusters" ->
-      s"""WITH RECURSIVE
-         |nd AS ($ngramJaccardSql),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM nd UNION SELECT d2, d1 FROM nd),
-         |walk(id, comp) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id),
-         |cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
-         |SELECT doc_id, cluster_id,
-         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-         | doc_id = cluster_id AS keep
-         |FROM cc""".stripMargin,
+    "d07_dup_clusters" -> dupClustersSql,
+    // d15: incremental merge == full recompute by construction (contracted
+    // closure preserves component minima), so the oracle is d07's verbatim
+    "d15_incremental_clusters" -> dupClustersSql,
     // d04: the portable md5Hash60 token hash exists exactly so this oracle
     // can reproduce SimHash end-to-end: md5 prefix → 60-bit int (hex digits
     // folded with shifts), per-bit ±1 votes over the token multiset, 4×15-bit
@@ -1524,6 +1528,25 @@ object SparkEntry {
       |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_seg_kept,
       |  CAST(count(*) AS BIGINT) AS n_seg_total
       |FROM ranked GROUP BY doc_id""".stripMargin
+
+  /** d07/d15: connected components of the d03 pair set (== the d02/d03
+    * oracle pair set) via recursive min-label propagation — every node's
+    * comp candidates are all nodes reachable from it; min = the component
+    * minimum. The UNION (distinct) bounds the walk; components in a real
+    * corpus are tiny, so the CTE closes quickly. */
+  private lazy val dupClustersSql: String =
+    s"""WITH RECURSIVE
+       |nd AS ($ngramJaccardSql),
+       |edges AS (SELECT d1 AS a, d2 AS b FROM nd UNION SELECT d2, d1 FROM nd),
+       |walk(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id),
+       |cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
+       |SELECT doc_id, cluster_id,
+       | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       | doc_id = cluster_id AS keep
+       |FROM cc""".stripMargin
 
   private val ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

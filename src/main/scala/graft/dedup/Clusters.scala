@@ -199,11 +199,7 @@ object Clusters {
                   bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
     val pairs = Dedup.minHashLshPairs(docs, threshold, bands, rowsPerBand, k)
       .select(col("d1"), col("d2"))
-    sharedComponents(pairs)
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .withColumn("keep", col("doc_id") === col("cluster_id"))
+    clusterTable(sharedComponents(pairs))
   }
 
   /** d09: semantic duplicate clusters — the SemDeDup-style flow (Abbas et
@@ -223,6 +219,62 @@ object Clusters {
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .withColumn("keep", col("vec_id") === col("cluster_id"))
   }
+
+  /** d15: incremental cluster maintenance — merge a new batch's near-dup
+    * pairs into a STANDING label table without re-closing the full pair
+    * graph. This completes the incremental-ingestion family: d08 admits
+    * exact-new docs, d10 admits near-dup-new docs, and this keeps the
+    * cluster bookkeeping (d07's output, which p17's split and
+    * [[dedupByClusters]]'s clean consume) current as batches land.
+    *
+    * Correctness: the standing labels ARE a contracted forest (every id
+    * points at its component's minimum), so closing the union graph is
+    * equivalent to (1) mapping each new-pair endpoint through its standing
+    * label (unlabeled endpoints map to themselves), (2) running connected
+    * components over the CONTRACTED pairs only, and (3) re-rooting
+    * standing labels through the comp-level result. Merged-component
+    * minima are preserved exactly: every contracted node id is either an
+    * old component minimum or a new doc id, so the min over contracted ids
+    * is the min over all member ids — the result is spec-pinned EQUAL to a
+    * full recompute over the union (ClustersSpec + a randomized
+    * two-batch-vs-full law in GraftProperties).
+    *
+    * Scale shape: the standing labels are joined (left) onto the BATCH
+    * pairs — batch-bounded traffic; the closure runs over contracted
+    * batch pairs only (∝ batch duplication, usually the driver union-find
+    * fast path); the final re-root is one broadcast-sized join against
+    * the comp-level mapping (∝ components touched this batch). The
+    * standing graph's historical pairs are never revisited — per-batch
+    * cost is independent of how much duplication history the corpus has
+    * accumulated, which is what makes nightly ingestion viable at 100 TB. */
+  def mergeClusters(labels: DataFrame, newPairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val l1 = labels.select(col("id").as("d1"), col("comp").as("c1"))
+    val l2 = labels.select(col("id").as("d2"), col("comp").as("c2"))
+    val contracted = newPairs
+      .join(l1, Seq("d1"), "left").join(l2, Seq("d2"), "left")
+      .select(coalesce(col("c1"), col("d1")).as("d1"),
+        coalesce(col("c2"), col("d2")).as("d2"))
+    val cc = connectedComponents(contracted, maxIter)
+    val reroot = cc.select(col("id").as("comp"), col("comp").as("new_comp"))
+    val updated = labels.join(reroot, Seq("comp"), "left")
+      .select(col("id"), coalesce(col("new_comp"), col("comp")).as("comp"))
+    // endpoints first labeled by this batch: their contracted node is
+    // themselves, so cc carries their final label directly
+    val newlyLabeled = newPairs.select(col("d1").as("id"))
+      .union(newPairs.select(col("d2").as("id"))).distinct()
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+      .join(cc, Seq("id"))
+    updated.unionByName(newlyLabeled)
+  }
+
+  /** The d07 output contract over any (id, comp) label table: one row per
+    * labeled document — cluster id, cluster size, canonical keeper flag. */
+  def clusterTable(labels: DataFrame): DataFrame =
+    labels
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
 
   /** Corpus clean by cluster resolution: keep every document that has no
     * near-dup plus the one canonical keeper per cluster. Unlike dropping

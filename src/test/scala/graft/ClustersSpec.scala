@@ -56,6 +56,31 @@ class ClustersSpec extends AnyFunSuite {
     assert(Clusters.connectedComponents(none).count() === 0L)
   }
 
+  test("d15: incremental merge equals the full recompute, including cross-component merges") {
+    // standing: {1,2,3} and {10,11}; the batch bridges both standing
+    // components through a NEW doc (20) and starts a fresh one {30,31}
+    val standingPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val batch = Seq((3L, 20L), (20L, 10L), (30L, 31L)).toDF("d1", "d2")
+    val standing = Clusters.connectedComponents(standingPairs)
+    val merged = Clusters.mergeClusters(standing, batch)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Clusters.connectedComponents(standingPairs.unionByName(batch))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === full)
+    assert(merged(20L) === 1L && merged(10L) === 1L,
+      "bridge doc must pull both standing components to the global minimum")
+    assert(merged(31L) === 30L)
+  }
+
+  test("d15: an empty batch leaves the standing labels unchanged") {
+    val standingPairs = Seq((5L, 6L), (6L, 7L)).toDF("d1", "d2")
+    val standing = Clusters.connectedComponents(standingPairs)
+    val merged = Clusters.mergeClusters(
+      standing, Seq.empty[(Long, Long)].toDF("d1", "d2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("d07 over the corpus: canonical keeper = min id, sizes consistent, pairs covered") {
     val clusters = Clusters.dupClusters(tables.documents).collect()
     assert(clusters.nonEmpty, "test corpus should contain planted near-dups")

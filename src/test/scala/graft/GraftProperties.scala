@@ -312,6 +312,23 @@ object GraftProperties extends Properties("graft") {
         rows.forall(_._1 % 3 != 0)
     }
 
+  property("mergeClusters over any two-batch edge split equals the full closure") = {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 30L); b <- Gen.chooseNum(0L, 30L) if a != b
+      } yield (a, b)))
+    forAll(edgeGen, edgeGen) { (first, second) =>
+      val fullPairs = (first ++ second).toDF("d1", "d2")
+      val standing = graft.dedup.Clusters.connectedComponents(first.toDF("d1", "d2"))
+      val merged = graft.dedup.Clusters
+        .mergeClusters(standing, second.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val full = graft.dedup.Clusters.connectedComponents(fullPairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      merged == full
+    }
+  }
+
   property("budgetSelect kept set is monotone in the budget") = {
     val docs = SparkTestSession.tables.documents
     forAll(Gen.chooseNum(0L, 20000L), Gen.chooseNum(0L, 20000L)) { (a, b) =>
