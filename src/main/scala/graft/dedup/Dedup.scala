@@ -107,6 +107,21 @@ object Dedup {
   def incrementalNearDup(existing: DataFrame, incoming: DataFrame,
                          threshold: Double = 0.8, bands: Int = 16,
                          rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val dupped = crossNearDupPairs(existing, incoming, threshold, bands, rowsPerBand, k)
+      .select(col("d1").as("doc_id")).distinct()
+    incoming.select(col("doc_id")).join(dupped, Seq("doc_id"), "left_anti")
+  }
+
+  /** The cross-side pair core of d10/d15: near-dup PAIRS between an
+    * incoming batch and a standing corpus — d1 = incoming doc, d2 =
+    * standing doc, exact jaccard. Candidates come from the banded MinHash
+    * probe (incoming buckets join standing buckets), every candidate is
+    * exactly verified (precision 1, the d03 contract). d10's admission
+    * drops to the d1 verdict; d15's cluster maintenance consumes the
+    * pairs themselves. */
+  def crossNearDupPairs(existing: DataFrame, incoming: DataFrame,
+                        threshold: Double = 0.8, bands: Int = 16,
+                        rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
     val shIn = shingleSets(incoming, k)
     val shEx = shingleSets(existing, k)
     val bIn = bandBuckets(minhashAgg(shIn, bands * rowsPerBand), bands, rowsPerBand)
@@ -122,13 +137,13 @@ object Dedup {
       .groupBy(col("din"), col("dex")).agg(count(lit(1)).as("common"))
     val nIn = shIn.groupBy(col("doc_id")).agg(count(lit(1)).as("n1"))
     val nEx = shEx.groupBy(col("doc_id")).agg(count(lit(1)).as("n2"))
-    val dupped = common
+    common
       .join(nIn.select(col("doc_id").as("din"), col("n1")), "din")
       .join(nEx.select(col("doc_id").as("dex"), col("n2")), "dex")
-      .where(col("common").cast("double") /
-        (col("n1") + col("n2") - col("common")).cast("double") >= threshold)
-      .select(col("din").as("doc_id")).distinct()
-    incoming.select(col("doc_id")).join(dupped, Seq("doc_id"), "left_anti")
+      .select(col("din").as("d1"), col("dex").as("d2"),
+        (col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** Session-scoped shingle-set registry. d02, d03 and the corpus pipeline

@@ -169,6 +169,46 @@ object EventStreams {
           batchId)
       }
 
+  /** Streaming d15 — duplicate-cluster maintenance against a live document
+    * stream, per micro-batch via `foreachBatch` (the d10 escape-hatch
+    * class: pair generation + the merge closure exceed streaming's
+    * single-aggregation budget). Each batch computes the near-dup pairs
+    * INCIDENT to the batch — cross pairs against `standing` (the banded
+    * MinHash probe, exact verify) plus the batch's internal d03 pairs —
+    * and merges them into the RUNNING label table with
+    * [[graft.dedup.Clusters.mergeClusters]]: cost ∝ batch pairs + touched
+    * components, never the accumulated duplication history (the d15
+    * property). The merged labels are materialized and lineage-truncated
+    * every batch (eager localCheckpoint), so the carried state is a
+    * bounded table, not a per-batch-growing plan — the structural
+    * requirement for a long-running maintenance query.
+    *
+    * Contract: `standing` is re-evaluated each batch, so a caller who
+    * sinks every admitted batch back into standing's source (the d10
+    * appending pattern) gets batch-to-batch pairs covered too; with a
+    * static standing frame, cross-BATCH pairs are out of contract.
+    * `onBatch` receives (merged label table, batchId). */
+  def maintainClustersStream(docStream: DataFrame, standing: DataFrame,
+                             initialLabels: DataFrame,
+                             onBatch: (DataFrame, Long) => Unit,
+                             threshold: Double = 0.8): DataStreamWriter[Row] = {
+    val labels = new java.util.concurrent.atomic.AtomicReference(initialLabels)
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val docs = batch.select(col("doc_id"), col("text"))
+        val pairs = graft.dedup.Dedup
+          .crossNearDupPairs(standing, docs, threshold)
+          .select(col("d1"), col("d2"))
+          .unionByName(graft.dedup.Dedup.minHashLshPairs(docs, threshold)
+            .select(col("d1"), col("d2")))
+        val merged = graft.dedup.Clusters.mergeClusters(labels.get, pairs)
+          .localCheckpoint(true)
+        labels.set(merged)
+        onBatch(merged, batchId)
+      }
+  }
+
   final case class SessionFlush(user_id: Long, n_events: Int,
                                 total_value: Double, evicted: Boolean)
 

@@ -77,6 +77,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.toSet === Set(11L, 13L))
   }
 
+  test("streaming cluster maintenance converges to the full-recompute labels") {
+    implicit val sql = spark.sqlContext
+    // standing corpus: docs 1 and 2 are near-dups (J = 11/12), doc 3 unrelated
+    val standing = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 11).map(i => s"w$i").mkString(" ")),
+      (3L, "completely different standing content here")).toDF("doc_id", "text")
+    val initial = graft.dedup.Clusters.connectedComponents(
+      graft.dedup.Dedup.minHashLshPairs(standing).select(col("d1"), col("d2")))
+    val mem = MemoryStream[(Long, String)]
+    var finalLabels = Map.empty[Long, Long]
+    val q = EventStreams.maintainClustersStream(
+      mem.toDF().toDF("doc_id", "text"), standing, initial,
+      (df, _) => finalLabels = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      .start()
+    // batch 1: doc 20 is a near-dup of standing doc 1 → joins cluster {1, 2}
+    mem.addData((20L, (0 to 11).map(i => s"w$i").mkString(" ")))
+    q.processAllAvailable()
+    // batch 2: an internal pair {30, 31}, untouched by standing
+    mem.addData((30L, (100 to 111).map(i => s"x$i").mkString(" ")),
+      (31L, (100 to 110).map(i => s"x$i").mkString(" ")))
+    q.processAllAvailable(); q.stop()
+    assert(finalLabels === Map(1L -> 1L, 2L -> 1L, 20L -> 1L, 30L -> 30L, 31L -> 30L),
+      "maintained labels must equal the full d07 recompute over standing + batches")
+  }
+
   test("streaming dedup drops within-horizon re-deliveries and evicts state after") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
