@@ -73,6 +73,13 @@ object SparkEntry {
     "q23_window_tumbling" -> ((s, d) => Temporal.q23WindowTumbling(t(s, d))),
     "q24_sessionize"      -> ((s, d) => Temporal.q24Sessionize(t(s, d))),
     "q43_sliding_window"  -> ((s, d) => Temporal.q43SlidingWindow(t(s, d))),
+    // q56: interval RANGE frames over event time — peers-at-same-ts land
+    // in one frame by RANGE semantics both engines; windowed sum rounded
+    // at 4 dp, counts exact
+    "q56_range_interval"  -> ((s, d) => Relational4.q56RangeInterval(t(s, d))),
+    // q57: max_by/min_by with a composite (value, event_id) ordering
+    // struct — tie-deterministic in both engines; extremes unrounded
+    "q57_arg_extremes"    -> ((s, d) => Relational4.q57ArgExtremes(t(s, d))),
     // q44: Spark 4 recursive CTE (UnionLoop) — identical WITH RECURSIVE
     // text runs in DuckDB as the oracle
     "q44_recursive_cte"   -> ((s, d) => Relational3.q44RecursiveCte(t(s, d))),
@@ -561,6 +568,31 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
         |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q56: identical frame spec text both engines; count → BIGINT cast
+    "q56_range_interval" ->
+      """SELECT event_id, user_id,
+        | CAST(count(*) OVER wp AS BIGINT) AS n_last_hour,
+        | round(sum(value) OVER wp, 4) AS sum_last_hour,
+        | CAST(count(*) OVER wf AS BIGINT) AS n_next_half_hour
+        |FROM events
+        |WINDOW
+        | wp AS (PARTITION BY user_id ORDER BY ts
+        |        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+        | wf AS (PARTITION BY user_id ORDER BY ts
+        |        RANGE BETWEEN CURRENT ROW AND INTERVAL 30 MINUTE FOLLOWING)""".stripMargin,
+    // q57: the oracle ranks with the same (value, id) keys max_by's struct
+    // orders by, so the argmax rows agree even under value ties
+    "q57_arg_extremes" ->
+      """WITH r AS (SELECT event_type, event_id, user_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin
+        | FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | max(value) AS max_value, min(value) AS min_value,
+        | max(CASE WHEN rmax = 1 THEN event_id END) AS argmax_id,
+        | max(CASE WHEN rmin = 1 THEN event_id END) AS argmin_id,
+        | max(CASE WHEN rmax = 1 THEN user_id END) AS argmax_user
+        |FROM r GROUP BY event_type""".stripMargin,
     "q40_lateral" ->
       """SELECT n_name, c_custkey, acctbal FROM nation,
         |LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer

@@ -104,4 +104,44 @@ object Relational4 {
       repeat(substring(col("c_name"), 1, 2), 3).as("tripled"),
       instr(col("c_name"), "9").cast("int").as("pos_nine"),
       ascii(expr("right(c_name, 1)")).cast("int").as("last_ascii"))
+
+  /** q56: time-interval RANGE window frames over event time — the rolling
+    * per-user aggregates (last-hour count/sum, next-30-minutes count) an
+    * event pipeline computes without sessionization. q39's RANGE frame
+    * orders by a NUMERIC key; this one orders by the timestamp itself with
+    * INTERVAL bounds — peers at the same ts land in one frame in both
+    * engines by RANGE semantics, so ties can never disagree. The windowed
+    * sum is an aggregated double (segment-tree vs running order), rounded
+    * at 4 dp (the q01 rule); counts are exact.
+    *
+    * Scale shape: one exchange on user_id (the q08 window class); frame
+    * evaluation is a per-partition ordered scan. */
+  def q56RangeInterval(t: Tables): DataFrame =
+    t.events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        expr("count(*) OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)")
+          .as("n_last_hour"),
+        round(expr("sum(value) OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"), 4)
+          .as("sum_last_hour"),
+        expr("count(*) OVER (PARTITION BY user_id ORDER BY ts " +
+          "RANGE BETWEEN CURRENT ROW AND INTERVAL 30 MINUTES FOLLOWING)")
+          .as("n_next_half_hour"))
+
+  /** q57: argmax/argmin aggregates — max_by/min_by with a composite
+    * (value, event_id) ordering struct so ties at the extreme value
+    * resolve to the larger/smaller id deterministically in BOTH engines
+    * (the oracle ranks with the same two keys); the per-group extreme
+    * values themselves are order-independent doubles (min/max, not sums)
+    * and stay unrounded. One partial-aggregated exchange on event_type. */
+  def q57ArgExtremes(t: Tables): DataFrame =
+    t.events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      max(col("value")).as("max_value"),
+      min(col("value")).as("min_value"),
+      max_by(col("event_id"), struct(col("value"), col("event_id"))).as("argmax_id"),
+      min_by(col("event_id"), struct(col("value"), col("event_id"))).as("argmin_id"),
+      max_by(col("user_id"), struct(col("value"), col("event_id"))).as("argmax_user"))
 }

@@ -264,4 +264,42 @@ class RelationalSpec extends AnyFunSuite {
       get_json_object(col("props"), "$.k").cast("int").as("k"))
     assert(parsed.exceptAll(src).count() === 0 && src.exceptAll(parsed).count() === 0)
   }
+
+  test("q56: interval RANGE frames match a JVM per-user sliding recount") {
+    import spark.implicits._
+    val byUser = tables.events
+      .select(col("user_id"), col("ts").cast("long"), col("value"))
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    val rows = graft.operators.Relational4.q56RangeInterval(tables).collect()
+    val evts = tables.events.select(col("event_id"), col("user_id"), col("ts").cast("long"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.nonEmpty)
+    rows.take(500).foreach { r =>
+      val (uid, t) = evts(r.getLong(0))
+      val peers = byUser(uid)
+      val lastHour = peers.filter(p => p._2 >= t - 3600 && p._2 <= t)
+      val nextHalf = peers.filter(p => p._2 >= t && p._2 <= t + 1800)
+      assert(r.getLong(2) === lastHour.length.toLong, s"n_last_hour for event ${r.getLong(0)}")
+      assert(math.abs(r.getDouble(3) - lastHour.map(_._3).sum) < 1e-3)
+      assert(r.getLong(4) === nextHalf.length.toLong)
+    }
+  }
+
+  test("q57: argmax/argmin rows match a JVM fold with the same tie order") {
+    import spark.implicits._
+    val evts = tables.events
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .as[(String, Long, Long, Double)].collect().groupBy(_._1)
+    val rows = graft.operators.Relational4.q57ArgExtremes(tables).collect()
+    assert(rows.length === evts.size)
+    rows.foreach { r =>
+      val g = evts(r.getString(0))
+      val amax = g.maxBy(e => (e._4, e._2))
+      val amin = g.minBy(e => (e._4, e._2))
+      assert(r.getLong(1) === g.length.toLong)
+      assert(r.getDouble(2) === g.map(_._4).max && r.getDouble(3) === g.map(_._4).min)
+      assert(r.getLong(4) === amax._2 && r.getLong(5) === amin._2)
+      assert(r.getLong(6) === amax._3)
+    }
+  }
 }
