@@ -80,6 +80,10 @@ object SparkEntry {
     // q57: max_by/min_by with a composite (value, event_id) ordering
     // struct — tie-deterministic in both engines; extremes unrounded
     "q57_arg_extremes"    -> ((s, d) => Relational4.q57ArgExtremes(t(s, d))),
+    // q58: HLL++ distinct + quantile sketch beside their exact companions
+    // — different sketch implementations per engine, so rows-only by the
+    // d06 class; RelationalSpec pins error bounds + determinism
+    "q58_approx_sketches" -> ((s, d) => Relational4.q58ApproxSketches(t(s, d))),
     // q44: Spark 4 recursive CTE (UnionLoop) — identical WITH RECURSIVE
     // text runs in DuckDB as the oracle
     "q44_recursive_cte"   -> ((s, d) => Relational3.q44RecursiveCte(t(s, d))),

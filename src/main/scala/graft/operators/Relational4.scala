@@ -144,4 +144,33 @@ object Relational4 {
       max_by(col("event_id"), struct(col("value"), col("event_id"))).as("argmax_id"),
       min_by(col("event_id"), struct(col("value"), col("event_id"))).as("argmin_id"),
       max_by(col("user_id"), struct(col("value"), col("event_id"))).as("argmax_user"))
+
+  /** q58: the approximate-sketch aggregates — HLL++ distinct counting
+    * (`approx_count_distinct`) and quantile sketching
+    * (`approx_percentile`), each beside its exact companion and relative
+    * error, per event_type. These are THE 100 TB aggregates: exact
+    * count-distinct needs a per-group hash set ∝ cardinality (the
+    * two-phase expand q14 pays), HLL++ is a few KB per group mergeable
+    * map-side; exact percentile buffers every value (q30), the quantile
+    * sketch is bounded memory at a declared accuracy. Both engines
+    * implement DIFFERENT sketches (Spark HLL++/Greenwald-Khanna vs
+    * DuckDB's), so the estimates cannot hash-match — rows-only by the
+    * d06 justification class, with the compensating spec pinning (1)
+    * relative error within the sketches' published bounds against the
+    * exact values computed in the SAME row, and (2) run-to-run
+    * determinism (the sketches are deterministic folds of the data).
+    * One partial-aggregated exchange; sketch buffers, not value sets,
+    * cross the wire. */
+  def q58ApproxSketches(t: Tables, pctAccuracy: Int = 10000): DataFrame =
+    t.events.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      expr("percentile(value, 0.9)").as("exact_p90"),
+      percentile_approx(col("value"), lit(0.9), lit(pctAccuracy)).as("approx_p90"))
+      .select(col("event_type"), col("n"), col("exact_users"), col("approx_users"),
+        round(abs(col("approx_users") - col("exact_users")).cast("double") /
+          col("exact_users"), 6).as("users_rel_err"),
+        round(col("exact_p90"), 4).as("exact_p90"),
+        round(col("approx_p90"), 4).as("approx_p90"))
 }

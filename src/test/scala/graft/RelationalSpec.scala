@@ -285,6 +285,28 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q58: sketch estimates sit inside published error bounds and are deterministic") {
+    val run1 = graft.operators.Relational4.q58ApproxSketches(tables).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val run2 = graft.operators.Relational4.q58ApproxSketches(tables).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(run1.nonEmpty)
+    run1.foreach { case (et, r) =>
+      // HLL++ at default rsd 0.05: allow 3 standard deviations
+      assert(r.getDouble(4) <= 0.15,
+        s"$et: approx_count_distinct error ${r.getDouble(4)} beyond 3x rsd")
+      // GK quantile sketch at accuracy 10000 over n values: rank error
+      // <= n/accuracy ranks; translate to a generous value tolerance via
+      // the exact p85/p95 band
+      val (lo, hi) = (r.getDouble(5) * 0.8 - 1, r.getDouble(5) * 1.2 + 1)
+      assert(r.getDouble(6) >= lo && r.getDouble(6) <= hi,
+        s"$et: approx p90 ${r.getDouble(6)} far from exact ${r.getDouble(5)}")
+      // determinism: the sketches are deterministic folds of the data
+      val r2 = run2(et)
+      assert(r.getLong(3) === r2.getLong(3) && r.getDouble(6) === r2.getDouble(6))
+    }
+  }
+
   test("q57: argmax/argmin rows match a JVM fold with the same tie order") {
     import spark.implicits._
     val evts = tables.events
