@@ -180,6 +180,9 @@ object SparkEntry {
     // integer pair counts, fully hash-checkable
     "p20_syndication"     -> ((s, d) => graft.operators.DataPipeline.syndicationMatrix(t(s, d).documents)),
     "d01_dedup_exact"     -> ((s, d) => Dedup.exact(t(s, d).documents)),
+    // d16: d01 keyed on the NFC-normalized text via the native codegen
+    // NfcNormalize expression; DuckDB's nfc_normalize is the oracle side
+    "d16_unicode_dedup"   -> ((s, d) => Dedup.exactUnicode(t(s, d).documents)),
     // d11: exact dedup with the best-copy keeper (longest text, id
     // tiebreak) — the oracle ranks with a window where the engine uses a
     // skew-safe max(struct) aggregate; same keeper by construction
@@ -895,6 +898,12 @@ object SparkEntry {
     "p11_segment_dedup_hashed" -> segmentDedupSql,
     "d01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    // d16: the same fingerprint over NFC-normalized text — DuckDB's
+    // nfc_normalize mirrors the engine's native NfcNormalize expression
+    "d16_unicode_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     // d08: same normalized-md5 fingerprint as d01; the incoming batch keeps

@@ -35,6 +35,24 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** d16: Unicode-canonical exact dedup — d01's groups keyed on the NFC
+    * normalization of the text, so composed and decomposed encodings of
+    * the same visible content ("é" as U+00E9 vs "e"+U+0301 — endemic in
+    * web scrapes that mix editors, OSes and CMS exports) land in ONE
+    * group where d01's byte-keyed fingerprint sees two. The normalization
+    * runs as the native codegen expression
+    * [[graft.plans.NfcNormalize]] (a UDF here would break whole-stage
+    * codegen on the corpus scan); already-normalized text takes the
+    * allocation-free `isNormalized` fast path, so on clean ASCII corpora
+    * d16 costs d01 plus one char scan per row. Same exchange shape as d01:
+    * fingerprint computed map-side, one (hash, id) exchange. */
+  def exactUnicode(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        TextFns.fingerprint(graft.plans.NfcNormalize.nfcCol(col("text"))).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** d11: canonical selection — exact dedup keeping the BEST copy of each
     * duplicate group rather than d01's smallest-id copy: the curation rule
     * real pipelines use when near-identical scrapes differ in completeness

@@ -35,6 +35,7 @@ object GraftExtensions {
     * AnalysisException instead of a builder IndexOutOfBounds. */
   private[plans] val builders: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
     ("graft_rolling_hash", 1, (args: Seq[Expression]) => RollingHash(args.head)),
+    ("graft_nfc", 1, (args: Seq[Expression]) => NfcNormalize(args.head)),
     ("graft_tokens", 1, (args: Seq[Expression]) => expr(TextFns.tokens(col(args.head)))),
     ("graft_token_count", 1, (args: Seq[Expression]) => expr(TextFns.tokenCount(col(args.head)))),
     ("graft_bpeish_count", 1, (args: Seq[Expression]) => expr(TextFns.bpeishCount(col(args.head)))),
@@ -71,6 +72,7 @@ object GraftExtensions {
   // native expression, this registrar for the composed Column functions
   private def infoClass(name: String): String =
     if (name == "graft_rolling_hash") classOf[RollingHash].getName
+    else if (name == "graft_nfc") classOf[NfcNormalize].getName
     else classOf[GraftExtensions].getName
 
   private[plans] val descriptors

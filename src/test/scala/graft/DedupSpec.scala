@@ -243,6 +243,30 @@ class DedupSpec extends AnyFunSuite {
     assert(n === d)
   }
 
+  test("d16: composed and decomposed encodings unify; d01 is blind to them") {
+    import spark.implicits._
+    // "café" composed (U+00E9) vs decomposed ("e" + U+0301) — same visible
+    // text, different bytes; plus a genuinely different doc
+    val composed = "caf\u00e9 au lait"
+    val decomposed = "cafe\u0301 au lait"
+    val docs = Seq((1L, composed), (2L, decomposed), (3L, "entirely different"))
+      .toDF("doc_id", "text")
+    val d16 = Dedup.exactUnicode(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(d16 === Map(1L -> 2L, 3L -> 1L),
+      "NFC dedup must group the two encodings under the smaller doc_id")
+    assert(Dedup.exact(docs).count() === 3L,
+      "byte-keyed d01 sees three distinct fingerprints — the gap d16 closes")
+  }
+
+  test("d16 codegen: NfcNormalize stays inside whole-stage codegen on the scan") {
+    val df = tables.documents
+      .select(graft.plans.NfcNormalize.nfcCol(col("text")).as("t"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "graft_nfc fell out of whole-stage codegen")
+  }
+
   test("simhash: near-dup pairs (jaccard>=0.8) sit at small hamming distance") {
     val nearDups = Dedup.ngramJaccardPairs(tables.documents, 0.9)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -20,7 +20,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val viaSql = spark.sql(
       """SELECT doc_id, graft_token_count(text) AS tc, graft_bpeish_count(text) AS bc,
         |  graft_lang_guess(text) AS lg, graft_quality(text) AS q,
-        |  graft_fingerprint(text) AS fp, graft_rolling_hash(text) AS rh
+        |  graft_fingerprint(text) AS fp, graft_rolling_hash(text) AS rh,
+        |  graft_nfc(text) AS nt
         |FROM documents""".stripMargin)
     val viaCol = tables.documents.select(col("doc_id"),
       TextFns.tokenCount(col("text")).as("tc"),
@@ -28,7 +29,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       TextFns.langGuess(col("text")).as("lg"),
       TextFns.qualityScore(col("text")).as("q"),
       TextFns.fingerprint(col("text")).as("fp"),
-      GraftExtensions.rolling_hash(col("text")).as("rh"))
+      GraftExtensions.rolling_hash(col("text")).as("rh"),
+      graft.plans.NfcNormalize.nfcCol(col("text")).as("nt"))
     assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
   }
 
