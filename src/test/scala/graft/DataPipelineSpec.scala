@@ -562,6 +562,16 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join on source:\n$p")
   }
 
+  test("p20 plan: the pair frame broadcasts — the corpus map never shuffle-joins") {
+    graft.dedup.Dedup.releaseShingles(spark)
+    val df = DataPipeline.syndicationMatrix(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"pair-side joins against the corpus map must broadcast:\n$p")
+    graft.dedup.Dedup.releaseShingles(spark)
+  }
+
   test("p20: planted cross- and same-source near-dup pairs land in the right cells") {
     import spark.implicits._
     val t1 = "alpha beta gamma delta epsilon zeta"

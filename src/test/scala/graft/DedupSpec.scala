@@ -205,6 +205,21 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseShingles(spark)
   }
 
+  test("d14 plan: CWS signatures hash-aggregate (plain double mins, no struct SortAggregate)") {
+    SessionCaches.release(spark)
+    val df = Dedup.weightedMinHashLshPairs(tables.documents)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the min(a)-IS-the-sketch design exists exactly so the signature agg
+    // runs as HashAggregate partials; a min(struct(...)) would appear as
+    // a SortAggregate over signature-width buffers
+    assert(!p.contains("SortAggregate"),
+      s"CWS signature aggregation must be hash-based:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the (band, bucket) join, never all-pairs:\n$p")
+    SessionCaches.release(spark)
+  }
+
   test("d08 incremental: existing dupes dropped, batch-internal first wins, fresh admitted") {
     import spark.implicits._
     val existing = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")

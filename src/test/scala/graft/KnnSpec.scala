@@ -73,6 +73,16 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"graph recall=$recall below the cell-pruning bound")
   }
 
+  test("s08 plan: top-k clips map-side (partial aggregation) — the exchange is n·k, never n²") {
+    val df = Knn.knnGraph(tables.embeddings, k = 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("partial_topkagg"),
+      s"per-partition heaps must partial-aggregate before the exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"the graph must never window-sort the scored pairs:\n$p")
+  }
+
   test("IVF recall@5 tracks the nProbe/nCells bound on this corpus") {
     // the synthetic embeddings are near-random (no label geometry), so the
     // information-theoretic recall of cell pruning is ≈ nProbe/nCells = 0.3;
