@@ -172,6 +172,9 @@ object SparkEntry {
                                t(s, d).documents, col("doc_id") % 10 === 0)),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
+    // p21: per-shard manifest — p14's salted hash for the shard key, an
+    // order-independent bit_xor content checksum; all integers
+    "p21_shard_manifest"  -> ((s, d) => graft.operators.DataPipeline.shardManifest(t(s, d).documents)),
     // p19: per-source Tukey-fence length outliers — quartiles rounded at
     // 4 dp (the q30 rule), fences derived from the rounded quartiles so
     // the verdict is hash-checkable
@@ -247,6 +250,9 @@ object SparkEntry {
     // fully hash-checkable (round(cos, 8), id tiebreak); the IVF-pruned
     // graph (knnGraphIvf) is the served path, recall-spec'd in KnnSpec
     "s08_knn_graph"       -> ((s, d) => Knn.knnGraph(t(s, d).embeddings)),
+    // s09: MIPS — top-k by raw dot product (norm carries signal); exact,
+    // round(dot, 8) + id tiebreak both engines
+    "s09_mips"            -> ((s, d) => Knn.mips(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
     // serializes it to CSV because the driver's hash compare (like any
@@ -1098,6 +1104,38 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
         |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // s09: s01's oracle with list_inner_product and the same tiebreak
+    "s09_mips" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        | SELECT query_id, e.vec_id AS neighbor_id,
+        |  round(list_inner_product(qv, v), 8) AS dot
+        | FROM q JOIN e ON e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, dot,
+        | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rnk
+        | FROM scored)
+        |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, dot
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // p21: p14's md5 fold for the shard key AND the content hash; bit_xor
+    // is order-independent so both engines agree regardless of row order
+    "p21_shard_manifest" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS h,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(c, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS ch,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+        | FROM (SELECT doc_id, text, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS m,
+        |         md5(text) AS c FROM documents))
+        |SELECT CAST(h % 16 AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        | bit_xor(ch) AS content_checksum
+        |FROM d GROUP BY 1""".stripMargin,
     // p19: quartiles via quantile_cont (the q30 percentile-parity rule)
     // rounded at 4 dp; fences derive from the ROUNDED quartiles by plain
     // IEEE arithmetic so the verdict matches row-for-row

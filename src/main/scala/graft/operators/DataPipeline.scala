@@ -620,6 +620,35 @@ object DataPipeline {
         col("tok_offset"), col("seq_id"))
   }
 
+  /** p21: shard manifest — the reproducibility/integrity artifact a
+    * released dataset ships per shard: document count, token volume, id
+    * range, and an ORDER-INDEPENDENT content checksum (bit_xor of the
+    * portable per-doc content hash — xor commutes, so the checksum is
+    * invariant to partitioning, task order and row order, which a
+    * sum-based checksum under ANSI overflow semantics is not). Consumers
+    * re-derive the manifest after any copy/transform and diff it against
+    * the shipped one; p15 diffs content ACROSS releases, this pins one
+    * release's bytes. Shard assignment is p14's salted portable hash, so
+    * the manifest is reproducible from any engine that can compute md5.
+    *
+    * Scale shape: hash + token count are scan-local projections; ONE
+    * partial-aggregated exchange on the shard key (nShards-bounded). */
+  def shardManifest(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards must be > 0")
+    val h = Dedup.md5Hash60(concat(lit("shuffle:"), col("doc_id").cast("string")))
+    docs.select(
+        pmod(h, lit(nShards.toLong)).cast("int").as("shard"),
+        col("doc_id"),
+        TextFns.tokenCount(col("text")).as("nt"),
+        Dedup.md5Hash60(col("text")).as("ch"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        bit_xor(col("ch")).as("content_checksum"))
+  }
+
   /** p19: per-source robust length-outlier gate — Tukey fences over token
     * counts: a document is flagged when its length falls outside
     * [Q1 − f·IQR, Q3 + f·IQR] of ITS OWN source's distribution. p13's

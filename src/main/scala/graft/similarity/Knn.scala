@@ -130,6 +130,29 @@ object Knn {
     topKPerKey(scored, k)
   }
 
+  /** s09: maximum-inner-product (MIPS) retrieval — top-k by RAW dot
+    * product, the ranking recommendation and retrieval stores use when
+    * embedding NORM carries signal (popularity, confidence): cosine
+    * deliberately discards it, so s01 and s09 return genuinely different
+    * neighbor sets on unnormalized corpora. Exact and fully hash-checked
+    * (round(dot, 8), id tiebreak — the s01 discipline); same broadcast-
+    * queries/unshuffled-corpus shape, same map-side TopKAgg clip.
+    *
+    * Scale note: MIPS reduces to cosine ANN by the norm-augmentation
+    * transform (append sqrt(M² − |x|²) to each corpus vector, 0 to each
+    * query, M = max corpus norm — Bachrach et al. 2014), after which
+    * s02's IVF index serves it; the reduction is a projection, so the
+    * exact path here is the oracle any served variant would be
+    * recall-spec'd against. */
+  def mips(emb: DataFrame, queryPred: String = "vec_id < 10", k: Int = 5): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(expr(queryPred)).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.dot(col("qv"), col("v")), 8).as("cos"))
+    topKPerKey(scored, k).withColumnRenamed("cos", "dot")
+  }
+
   /** Fitted IVF models, memoized per (session, corpus plan, nCells).
     * Training (Lloyd over the corpus) and serving (cell-pruned scan) are
     * separate concerns: the fitted artifact is tiny (nCells × dims doubles)

@@ -562,6 +562,22 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join on source:\n$p")
   }
 
+  test("p21: manifest is invariant to partitioning and row order; edits change the checksum") {
+    val m1 = DataPipeline.shardManifest(docs).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    val m2 = DataPipeline.shardManifest(docs.repartition(7).sortWithinPartitions(col("text")))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(m1 === m2, "xor checksum must not depend on partitioning or row order")
+    assert(m1.keySet.size === 16 && m1.values.map(_._1).sum === docs.count())
+    // a one-character edit must flip the affected shard's checksum only
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 0, concat(col("text"), lit("!"))).otherwise(col("text")))
+    val m3 = DataPipeline.shardManifest(edited).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    val changed = m1.keySet.filter(k => m1(k)._3 != m3(k)._3)
+    assert(changed.size === 1, s"exactly one shard's checksum moves: $changed")
+  }
+
   test("p20 plan: the pair frame broadcasts — the corpus map never shuffle-joins") {
     graft.dedup.Dedup.releaseShingles(spark)
     val df = DataPipeline.syndicationMatrix(docs)

@@ -73,6 +73,32 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.25, s"graph recall=$recall below the cell-pruning bound")
   }
 
+  test("s09: MIPS ranks by raw dot — a planted high-norm vector wins every query") {
+    import SparkTestSession.spark.implicits._
+    // 10 unit-ish vectors + one with 100x norm in a middling direction:
+    // cosine ranks it by angle only; MIPS must rank it first everywhere
+    val base = (0L until 10L).map { i =>
+      (i, Array.tabulate(4)(d => if (d == (i % 4).toInt) 1.0f else 0.1f).toSeq)
+    }
+    val big = Seq((99L, Array(50.0f, 50.0f, 50.0f, 50.0f).toSeq))
+    val emb = (base ++ big).toDF("vec_id", "embedding")
+    val rows = Knn.mips(emb, "vec_id < 10", k = 3).collect()
+    rows.filter(_.getInt(1) == 1).foreach { r =>
+      assert(r.getLong(2) === 99L, s"query ${r.getLong(0)}: rank-1 must be the high-norm vector")
+    }
+    // and the JVM re-derivation agrees on every (query, rank) cell
+    val vecs = (base ++ big).map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val expect = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          val d = v.zip(vecs(qid)).map { case (a, b) => a * b }.sum
+          (math.rint(d * 1e8) / 1e8, id)
+        }.sortBy { case (d, id) => (-d, id) }.take(3)
+      val got = rs.sortBy(_.getInt(1)).map(r => (r.getDouble(3), r.getLong(2))).toSeq
+      assert(got === expect, s"query $qid")
+    }
+  }
+
   test("s08 plan: top-k clips map-side (partial aggregation) — the exchange is n·k, never n²") {
     val df = Knn.knnGraph(tables.embeddings, k = 5)
     df.collect()
