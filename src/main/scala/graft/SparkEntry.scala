@@ -308,6 +308,9 @@ object SparkEntry {
     // identity makes the sum inner-join-shaped; one aggregated double
     // rounded at 6 dp (the q52 rule)
     "t15_js_divergence"   -> ((s, d) => TextQueries.t15JsDivergence(t(s, d))),
+    // t16: code-switch detection — t02's integer stopword argmax per doc
+    // HALF; pure scan projection, fully hash-checkable
+    "t16_code_switch"     -> ((s, d) => TextQueries.t16CodeSwitch(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -1091,6 +1094,35 @@ object SparkEntry {
         |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
         | round(ln(2) + 0.5 * sum(p * ln(p) + q * ln(q) - (p + q) * ln(p + q)), 6) AS jsd
         |FROM j GROUP BY s1, s2""".stripMargin,
+    // t16: same halves, same stopword lists, same fixed-order argmax as
+    // the engine — every signal an integer, the verdict a string compare
+    "t16_code_switch" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |hh AS (SELECT doc_id, w, CAST(len(w) // 2 AS INT) AS h FROM w),
+         |sp AS (SELECT doc_id, w[1:h] AS t1, w[h+1:len(w)] AS t2 FROM hh),
+         |c AS (SELECT doc_id,
+         |  len(list_filter(t1, t -> t IN ($inEn))) AS en1,
+         |  len(list_filter(t1, t -> t IN ($inDe))) AS de1,
+         |  len(list_filter(t1, t -> t IN ($inEs))) AS es1,
+         |  len(list_filter(t1, t -> t IN ($inFr))) AS fr1,
+         |  len(list_filter(t2, t -> t IN ($inEn))) AS en2,
+         |  len(list_filter(t2, t -> t IN ($inDe))) AS de2,
+         |  len(list_filter(t2, t -> t IN ($inEs))) AS es2,
+         |  len(list_filter(t2, t -> t IN ($inFr))) AS fr2
+         | FROM sp),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN greatest(en1, de1, es1, fr1) = 0 THEN 'und'
+         |       WHEN en1 >= de1 AND en1 >= es1 AND en1 >= fr1 THEN 'en'
+         |       WHEN de1 >= es1 AND de1 >= fr1 THEN 'de'
+         |       WHEN es1 >= fr1 THEN 'es' ELSE 'fr' END AS guess_first,
+         |  CASE WHEN greatest(en2, de2, es2, fr2) = 0 THEN 'und'
+         |       WHEN en2 >= de2 AND en2 >= es2 AND en2 >= fr2 THEN 'en'
+         |       WHEN de2 >= es2 AND de2 >= fr2 THEN 'de'
+         |       WHEN es2 >= fr2 THEN 'es' ELSE 'fr' END AS guess_second
+         | FROM c)
+         |SELECT doc_id, guess_first, guess_second,
+         | guess_first <> guess_second AS code_switched
+         |FROM g""".stripMargin,
     // s08: s01's scoring and ranking with every vector as a query — same
     // round(cos, 8) + neighbor_id tiebreak, so order can never disagree
     "s08_knn_graph" ->

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the documents table (LLM-pipeline surface).
@@ -381,6 +381,47 @@ object TextQueries {
         round(lit(math.log(2.0)) + lit(0.5) * sum(
           col("p") * log(col("p")) + col("q") * log(col("q")) -
             (col("p") + col("q")) * log(col("p") + col("q"))), 6).as("jsd"))
+  }
+
+  /** t16: code-switch / mixed-language detection — t02's stopword
+    * language heuristic applied to each HALF of the document: a doc whose
+    * halves vote for different languages is flagged (mixed-language pages
+    * — boilerplate chrome in one language wrapping content in another,
+    * concatenated scrapes, forum code-switching — hurt monolingual
+    * models, and a whole-doc argmax hides exactly this case by averaging
+    * the votes). All signals are integer stopword counts and fixed-order
+    * comparisons (the t02 contract), so the verdict is hash-checkable.
+    *
+    * Scale shape: zero shuffle — one scan projection (tokenize, split at
+    * the midpoint, count, argmax); the t01/p13 class. */
+  def t16CodeSwitch(t: Tables): DataFrame = codeSwitch(t.documents)
+
+  /** See [[t16CodeSwitch]]; library surface over (doc_id, text). */
+  def codeSwitch(docs: DataFrame): DataFrame = {
+    def hits(toks: Column, words: Seq[String]): Column =
+      size(filter(toks, t => t.isInCollection(words)))
+    val halves = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        floor(size(col("toks")) / lit(2)).cast("int").as("h"))
+      .select(col("doc_id"),
+        slice(col("toks"), lit(1), col("h")).as("t1"),
+        slice(col("toks"), col("h") + lit(1), size(col("toks")) - col("h")).as("t2"))
+    // counts bind as attributes before the guess projection (HOFs re-run
+    // captured expressions per reference — the t02LangId rule)
+    val counted = halves.select(
+      col("doc_id"),
+      hits(col("t1"), TextFns.stopEn).as("en1"), hits(col("t1"), TextFns.stopDe).as("de1"),
+      hits(col("t1"), TextFns.stopEs).as("es1"), hits(col("t1"), TextFns.stopFr).as("fr1"),
+      hits(col("t2"), TextFns.stopEn).as("en2"), hits(col("t2"), TextFns.stopDe).as("de2"),
+      hits(col("t2"), TextFns.stopEs).as("es2"), hits(col("t2"), TextFns.stopFr).as("fr2"))
+    counted.select(
+      col("doc_id"),
+      TextFns.langGuessOfCounts(col("en1"), col("de1"), col("es1"), col("fr1"))
+        .as("guess_first"),
+      TextFns.langGuessOfCounts(col("en2"), col("de2"), col("es2"), col("fr2"))
+        .as("guess_second"))
+      .withColumn("code_switched", col("guess_first") =!= col("guess_second"))
   }
 
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated

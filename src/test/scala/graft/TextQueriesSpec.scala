@@ -64,6 +64,21 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(math.abs(got(("A", "B"))._2 - expected) < 1e-6)
   }
 
+  test("t16: half-English half-German doc flags; monolingual and tiny docs do not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is in the hat and it is a cat"),
+      (2L, "the a of and to in is it " + "der die das ist ein nicht der acht"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.codeSwitch(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === (("en", "en", false)))
+    assert(got(2L) === (("en", "de", true)),
+      "halves voting for different languages must flag the doc")
+    assert(got(3L) === (("und", "und", false)), "empty first half degrades to und")
+  }
+
   test("t14: zipf slope/r2 match a JVM least-squares fit and slope is negative") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
