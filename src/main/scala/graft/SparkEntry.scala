@@ -311,6 +311,10 @@ object SparkEntry {
     // t16: code-switch detection — t02's integer stopword argmax per doc
     // HALF; pure scan projection, fully hash-checkable
     "t16_code_switch"     -> ((s, d) => TextQueries.t16CodeSwitch(t(s, d))),
+    // t17: OOV rate vs the corpus top-16 vocabulary (tiny synthetic vocab
+    // of 31 types — 16 keeps the rates non-trivial); deterministic cut by
+    // (freq desc, token), one unrounded division
+    "t17_oov_rate"        -> ((s, d) => TextQueries.t17OovRate(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -1123,6 +1127,18 @@ object SparkEntry {
          |SELECT doc_id, guess_first, guess_second,
          | guess_first <> guess_second AS code_switched
          |FROM g""".stripMargin,
+    // t17: same tokenization, same (freq desc, token) vocab cut; the rate
+    // is one integer-derived division
+    "t17_oov_rate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+        |v AS (SELECT token FROM f ORDER BY freq DESC, token LIMIT 16)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        | CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
+        |   / count(*) AS oov_rate
+        |FROM tok GROUP BY doc_id""".stripMargin,
     // s08: s01's scoring and ranking with every vector as a query — same
     // round(cos, 8) + neighbor_id tiebreak, so order can never disagree
     "s08_knn_graph" ->

@@ -424,6 +424,38 @@ object TextQueries {
       .withColumn("code_switched", col("guess_first") =!= col("guess_second"))
   }
 
+  /** t17: out-of-vocabulary rate — per document, the fraction of tokens
+    * outside the corpus' top-V vocabulary: the vocabulary-coverage quality
+    * signal (CCNet-class pipelines use LM vocab coverage the same way) —
+    * high-OOV docs are noise, OCR garbage, or domain outliers relative to
+    * the corpus, and the rate also prices what a V-entry tokenizer/embedding
+    * table would UNK away. Deterministic: the vocab cut orders by
+    * (freq desc, token), so the V boundary can never disagree between
+    * engines; the rate is one integer-derived division, unrounded.
+    *
+    * Scale shape: token frequencies partial-aggregate off the shared token
+    * frame (vocab-bounded exchange); the top-V cut is per-partition heaps +
+    * a driver merge of V×partitions rows (the q10 TakeOrdered shape, never
+    * a global sort); the V-row vocab broadcasts back onto the token frame
+    * and the per-doc fold is one doc_id-keyed exchange. */
+  def t17OovRate(t: Tables, vocabSize: Int = 16): DataFrame =
+    oovRate(t.documents, vocabSize)
+
+  /** See [[t17OovRate]]; library surface over (doc_id, text). */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, s"vocabSize=$vocabSize must be > 0")
+    val tok = sharedTokens(docs)
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

@@ -329,6 +329,24 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("NFC normalization is idempotent and unifies decomposed text") = {
+    val accented: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.const("\u00e9"),     // e-acute composed
+      1 -> Gen.const("e\u0301"),    // e-acute decomposed
+      1 -> Gen.const("\u00f1"),     // n-tilde composed
+      1 -> Gen.const("n\u0303"),    // n-tilde decomposed
+      1 -> Gen.const(" "))).map(_.mkString)
+    forAll(accented) { s =>
+      val once = graft.plans.NfcNormalize.nfc(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      val twice = graft.plans.NfcNormalize.nfc(
+        org.apache.spark.unsafe.types.UTF8String.fromString(once)).toString
+      val viaJvm = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      once == twice && once == viaJvm
+    }
+  }
+
   property("budgetSelect kept set is monotone in the budget") = {
     val docs = SparkTestSession.tables.documents
     forAll(Gen.chooseNum(0L, 20000L), Gen.chooseNum(0L, 20000L)) { (a, b) =>

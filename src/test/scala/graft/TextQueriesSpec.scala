@@ -64,6 +64,34 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(math.abs(got(("A", "B"))._2 - expected) < 1e-6)
   }
 
+  test("t17: OOV counts match hand-computed values under the deterministic vocab cut") {
+    import spark.implicits._
+    // corpus freq: a=4, b=3, c=2, d=1, e=1 → top-3 vocab = {a, b, c}
+    // (d/e tie at 1 but fall outside V anyway; within-V ties order by token)
+    val docs = Seq(
+      (1L, "a a b c d"),  // 1 OOV of 5
+      (2L, "a b c e"),    // 1 OOV of 4
+      (3L, "a b a")       // 0 OOV
+    ).toDF("doc_id", "text")
+    TextQueries.releaseTokens(spark)
+    val got = TextQueries.oovRate(docs, vocabSize = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    TextQueries.releaseTokens(spark)
+    assert(got(1L) === ((5L, 1L, 0.2)))
+    assert(got(2L) === ((4L, 1L, 0.25)))
+    assert(got(3L) === ((3L, 0L, 0.0)))
+  }
+
+  test("t17 plan: vocab cut is TakeOrdered (per-partition heaps), vocab broadcasts back") {
+    val df = TextQueries.t17OovRate(SparkTestSession.tables)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V must be a bounded heap merge, never a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the V-row vocab must broadcast onto the token frame:\n$p")
+  }
+
   test("t16: half-English half-German doc flags; monolingual and tiny docs do not") {
     import spark.implicits._
     val docs = Seq(
