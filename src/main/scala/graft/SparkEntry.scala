@@ -355,6 +355,17 @@ object SparkEntry {
     // MultimodalSpec (rows-only, the m04/m02 media-decode class)
     "m05_audio_phash" -> ((s, d) =>
       Multimodal.audioHashes(s, Multimodal.syntheticMedia(s, t(s, d).documents)).toDF()),
+    // m06: cross-video dedup on frame-PAYLOAD hash sets (no codec decode
+    // needed — d02's exact shape with shingle := frame hash). The query
+    // plants re-keyed payload copies so the pair set is non-empty at every
+    // SF; DuckDB can't demux media → rows-only (the m02 class);
+    // MultimodalSpec pins the planted exact-copy and trimmed-copy pairs.
+    "m06_video_dups" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, t(s, d).documents)
+      val dupped = media.unionByName(
+        media.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 10000))
+      Multimodal.videoNearDups(s, dupped)
+    }),
     "m02_decoded_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, t(s, d).documents))
         .toDF().select(col("doc_id"), col("format"), col("sniffed"), col("n_bytes"),

@@ -169,6 +169,44 @@ object Multimodal {
       }
   }
 
+  /** m06: cross-video duplicate detection — exact Jaccard over each
+    * video's FRAME-PAYLOAD hash set: two media files sharing enough
+    * identical encoded frames (re-muxed containers, trims, re-uploads —
+    * cases where the file bytes differ but the frame payloads survive) are
+    * near-dups even though d01 sees different files and m04/m05 need a
+    * decodable codec. Frames come from [[frameSample]] (real ISO-BMFF
+    * sample ranges for MP4, PCM/byte framing otherwise), so NO codec
+    * decode is required — the frame bytes ARE the identity.
+    *
+    * This is d02's exact inverted-index shape with shingle := frame hash:
+    * candidates meet on a shared frame, verification counts common frames,
+    * the score is one division. The d03 MinHash sketch is the documented
+    * scale route (signatures over frame hashes — fixed bytes/video), the
+    * same declared trade as d02→d03.
+    *
+    * Scale shape: frame explode is partition-local; the (fh) self-join
+    * touches only frames shared by ≥2 videos; one pair-keyed aggregation.
+    * Output ∝ real near-dup pairs. */
+  def videoNearDups(spark: SparkSession, media: DataFrame,
+                    threshold: Double = 0.5,
+                    frameBytes: Int = 256, everyN: Int = 4): DataFrame = {
+    val frames = frameSample(spark, media, frameBytes, everyN).toDF()
+      .select(col("doc_id"), xxhash64(col("frame")).as("fh")).distinct()
+      .persist()
+    val sizes = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = frames.select(col("doc_id").as("d1"), col("fh"))
+      .join(frames.select(col("doc_id").as("d2"), col("fh")), Seq("fh"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (col("common").cast("double") /
+          (col("n1") + col("n2") - col("common")).cast("double")).as("frame_jaccard"))
+      .where(col("frame_jaccard") >= threshold)
+  }
+
   /** The WAV/raw-byte framing path of [[frameSample]] (non-MP4 payloads). */
   private def frameBytesOf(id: Long, payload: Array[Byte],
                            frameBytes: Int, everyN: Int): Iterator[FrameSample] = {

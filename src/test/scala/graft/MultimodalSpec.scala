@@ -416,4 +416,36 @@ class MultimodalSpec extends AnyFunSuite {
     val expected = (0 until math.max(1, n / 100) by 3).size
     assert(byDoc(doc.getLong(0)).length === expected)
   }
+
+  test("m06: re-keyed payload copy pairs at jaccard 1; unrelated videos never pair") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, tables.documents.where(col("doc_id") < 10))
+    val dupped = media.unionByName(
+      media.where(col("doc_id") === 3).withColumn("doc_id", lit(9003L)))
+    val pairs = Multimodal.videoNearDups(spark, dupped).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((3L, 9003L)) && pairs((3L, 9003L)) === 1.0,
+      s"identical payload must pair at frame-jaccard 1: $pairs")
+    assert(pairs.keySet.forall { case (a, b) => a == 3L && b == 9003L },
+      s"distinct synthetic payloads must not cross-pair: $pairs")
+  }
+
+  test("m06: a trimmed copy (half the frames) pairs at the containment-predicted score") {
+    import spark.implicits._
+    // doc 6 is PNG (id % 4 == 2): both full and trimmed payloads take the
+    // raw-byte framing path, so the copy's frames are a prefix subset and
+    // J ≈ half/full — assert the pair lands with 0 < j < 1
+    val full = Multimodal
+      .syntheticMedia(spark, tables.documents.where(col("doc_id") === 6))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].collect()
+    val trimmed = full.map { case (id, p) => (id + 7000L, p.take(p.length / 2)) }
+    val media = (full ++ trimmed).toSeq.toDF("doc_id", "payload")
+    val pairs = Multimodal.videoNearDups(spark, media,
+      threshold = 0.2, frameBytes = 16, everyN = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length === 1, s"trimmed copy must pair: ${pairs.toSeq}")
+    val j = pairs.head._3
+    assert(j > 0.2 && j < 1.0, s"trim shows as partial frame overlap, got $j")
+  }
 }
