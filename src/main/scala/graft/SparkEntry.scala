@@ -155,6 +155,14 @@ object SparkEntry {
     // global sort; keep rule is pure integer arithmetic over the bucket
     // offsets, boundary order is the portable hash
     "p16_budget_select"   -> ((s, d) => graft.operators.DataPipeline.budgetSelect(t(s, d).documents)),
+    // p22: quality-distribution drift between the p15 release slices —
+    // per-row quality projection bucketed at 1 dp, integer counts, single
+    // IEEE divisions
+    "p22_quality_drift"   -> ((s, d) => {
+      val docs = t(s, d).documents
+      graft.operators.DataPipeline.qualityDrift(
+        docs.where(col("doc_id") % 5 =!= 0), docs.where(col("doc_id") % 5 =!= 1))
+    }),
     // p15: corpus version diff — v1/v2 are overlapping doc_id slices so
     // all three statuses occur; both sides reduce to fingerprint counts
     "p15_corpus_diff"     -> ((s, d) => {
@@ -1053,6 +1061,29 @@ object SparkEntry {
          |SELECT doc_id, quality, n_tokens,
          | cum_before + run_in_bucket <= 10000 AS kept
          |FROM r""".stripMargin,
+    // p22: the p16 quality expression bucketed at 1 dp; counts are
+    // integers, shares single divisions, abs_diff plain IEEE — unrounded
+    "p22_quality_drift" ->
+      s"""WITH m AS (
+         | SELECT doc_id,
+         |  least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |  + (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |     / CAST(length(text) AS DOUBLE)) * 0.3
+         |  + least((CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS DOUBLE)
+         |     / CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) * 5.0, 1.0) * 0.2 AS q
+         | FROM documents),
+         |q1 AS (SELECT round(q, 1) AS bucket, count(*) AS n1 FROM m
+         |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+         |q2 AS (SELECT round(q, 1) AS bucket, count(*) AS n2 FROM m
+         |       WHERE doc_id % 5 <> 1 GROUP BY 1),
+         |t AS (SELECT
+         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 <> 0) AS DOUBLE) AS t1,
+         |  CAST((SELECT count(*) FROM documents WHERE doc_id % 5 <> 1) AS DOUBLE) AS t2)
+         |SELECT bucket, CAST(coalesce(n1, 0) AS BIGINT) AS n1,
+         | CAST(coalesce(n2, 0) AS BIGINT) AS n2,
+         | coalesce(n1, 0) / t1 AS p1, coalesce(n2, 0) / t2 AS p2,
+         | abs(coalesce(n1, 0) / t1 - coalesce(n2, 0) / t2) AS abs_diff
+         |FROM q1 FULL OUTER JOIN q2 USING (bucket), t""".stripMargin,
     // p15: same normalized-md5 fingerprint as d01; counts per version,
     // full outer join, status from the zero sides
     "p15_corpus_diff" ->

@@ -649,6 +649,41 @@ object DataPipeline {
         bit_xor(col("ch")).as("content_checksum"))
   }
 
+  /** p22: quality-distribution drift between two corpus releases — p15
+    * diffs content IDENTITY (which documents changed); this diffs the
+    * DISTRIBUTION of the t03 quality signal (did the new release get
+    * worse even where content legitimately changed — the scraper-
+    * regression/filter-drift monitor an MLOps pipeline alerts on). Per
+    * 0.1-wide quality bucket: both releases' counts and shares plus the
+    * absolute share difference, whose sum over buckets is 2× the total-
+    * variation distance — finite for one-sided buckets (unlike PSI/KL,
+    * which need epsilon hacks there).
+    *
+    * Float discipline: quality is a per-row projection (identical IEEE
+    * doubles both engines — the t03 contract) rounded to the bucket at
+    * 1 dp (the p16 rounded-key precedent); shares are single divisions
+    * of exact integers; abs-difference is plain IEEE — all unrounded.
+    *
+    * Scale shape: each release partial-aggregates to ≤ 11 buckets; the
+    * totals are 1-row broadcast cross joins (the t10 N pattern); ONE
+    * bucket-keyed full outer join of two tiny frames. Corpus never
+    * exchanged. */
+  def qualityDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def buckets(df: DataFrame, cnt: String) = df
+      .select(round(TextFns.qualityScore(col("text")), 1).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
+    val t1 = v1.agg(count(lit(1)).as("t1"))
+    val t2 = v2.agg(count(lit(1)).as("t2"))
+    buckets(v1, "n1").join(buckets(v2, "n2"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n1", "n2"))
+      .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+      .select(col("bucket"), col("n1"), col("n2"),
+        (col("n1").cast("double") / col("t1")).as("p1"),
+        (col("n2").cast("double") / col("t2")).as("p2"),
+        abs(col("n1").cast("double") / col("t1") -
+          col("n2").cast("double") / col("t2")).as("abs_diff"))
+  }
+
   /** p19: per-source robust length-outlier gate — Tukey fences over token
     * counts: a document is flagged when its length falls outside
     * [Q1 − f·IQR, Q3 + f·IQR] of ITS OWN source's distribution. p13's

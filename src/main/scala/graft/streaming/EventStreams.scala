@@ -209,6 +209,38 @@ object EventStreams {
       }
   }
 
+  /** Streaming p21 — shard-manifest maintenance as documents land. The
+    * manifest's aggregates are all MERGEABLE: counts add, id ranges
+    * min/max, and the content checksum is bit_xor — associative and
+    * commutative, so folding batch manifests into the standing one is
+    * EXACTLY the batch manifest of the union (spec-pinned), with per-batch
+    * cost ∝ batch (the standing corpus is never rescanned — the d15
+    * property, here achieved by algebra instead of graph contraction).
+    * State is one nShards-row table, localCheckpoint-materialized per
+    * batch. `onBatch` receives (merged manifest, batchId). */
+  def maintainManifestStream(docStream: DataFrame, initial: DataFrame,
+                             onBatch: (DataFrame, Long) => Unit,
+                             nShards: Int = 16): DataStreamWriter[Row] = {
+    val manifest = new java.util.concurrent.atomic.AtomicReference(initial)
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val mb = graft.operators.DataPipeline.shardManifest(
+          batch.select(col("doc_id"), col("text")), nShards)
+        val merged = manifest.get.unionByName(mb)
+          .groupBy(col("shard"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("min_doc_id")).as("min_doc_id"),
+            max(col("max_doc_id")).as("max_doc_id"),
+            org.apache.spark.sql.functions.bit_xor(col("content_checksum"))
+              .as("content_checksum"))
+          .localCheckpoint(true)
+        manifest.set(merged)
+        onBatch(merged, batchId)
+      }
+  }
+
   final case class SessionFlush(user_id: Long, n_events: Int,
                                 total_value: Double, evicted: Boolean)
 

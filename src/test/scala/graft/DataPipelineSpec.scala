@@ -578,6 +578,24 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(changed.size === 1, s"exactly one shard's checksum moves: $changed")
   }
 
+  test("p22: identical releases show zero drift; a planted degradation shows mass moving") {
+    val zero = DataPipeline.qualityDrift(docs, docs).collect()
+    assert(zero.nonEmpty)
+    zero.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) && r.getDouble(5) === 0.0,
+        "same release on both sides must show abs_diff 0 in every bucket")
+    }
+    // v2 replaces every text with a one-word stub — quality mass must move
+    // down and the total variation must be substantial
+    val degraded = docs.withColumn("text", lit("x"))
+    val drift = DataPipeline.qualityDrift(docs, degraded).collect()
+    val tv = drift.map(_.getDouble(5)).sum / 2
+    assert(tv > 0.5, s"a full-corpus degradation must move most mass, tv=$tv")
+    // shares are distributions: each side sums to 1
+    assert(math.abs(drift.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(drift.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+  }
+
   test("p20 plan: the pair frame broadcasts — the corpus map never shuffle-joins") {
     graft.dedup.Dedup.releaseShingles(spark)
     val df = DataPipeline.syndicationMatrix(docs)

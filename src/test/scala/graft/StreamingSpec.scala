@@ -103,6 +103,31 @@ class StreamingSpec extends AnyFunSuite {
       "maintained labels must equal the full d07 recompute over standing + batches")
   }
 
+  test("streaming manifest maintenance equals the batch manifest of the union") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.DataPipeline
+    val standing = tables.documents.where(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val initial = DataPipeline.shardManifest(standing)
+    val mem = MemoryStream[(Long, String)]
+    var finalManifest = Map.empty[Int, (Long, Long, Long, Long, Long)]
+    val q = EventStreams.maintainManifestStream(
+      mem.toDF().toDF("doc_id", "text"), initial,
+      (df, _) => finalManifest = df.collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap)
+      .start()
+    val b1 = Seq((9001L, "streamed batch one alpha beta"), (9002L, "more streamed text"))
+    val b2 = Seq((9003L, "second batch gamma delta"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val union = standing.unionByName((b1 ++ b2).toDF("doc_id", "text"))
+    val expected = DataPipeline.shardManifest(union).collect().map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(finalManifest === expected,
+      "xor/min/max/sum folding must equal the batch manifest of the union")
+  }
+
   test("streaming dedup drops within-horizon re-deliveries and evicts state after") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
