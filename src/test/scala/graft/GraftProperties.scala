@@ -329,6 +329,44 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("JS divergence is bounded by ln 2, zero iff distributions match") = {
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val doc = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = for {
+      n1 <- Gen.chooseNum(1, 3); n2 <- Gen.chooseNum(1, 3)
+      d1 <- Gen.listOfN(n1, doc); d2 <- Gen.listOfN(n2, doc)
+    } yield (d1, d2)
+    forAll(corpus) { case (d1, d2) =>
+      graft.operators.TextQueries.releaseTokens(spark)
+      val docs = (d1.map(("A", _)) ++ d2.map(("B", _))).zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, s, t) }.toDF("doc_id", "source", "text")
+      val rows = graft.operators.TextQueries.jsDivergence(docs).collect()
+      graft.operators.TextQueries.releaseTokens(spark)
+      rows.forall { r =>
+        val j = r.getDouble(3)
+        j >= -1e-9 && j <= math.log(2.0) + 1e-9
+      } && {
+        // identical multisets on both sides → JSD exactly 0 (after rounding)
+        val same = d1.sorted == d2.sorted
+        !same || rows.forall(_.getDouble(3) == 0.0)
+      }
+    }
+  }
+
+  property("kNN graph: every vector has exactly min(k, n-1) ranked neighbors") = {
+    val k = Gen.chooseNum(1, 4)
+    val n = Gen.chooseNum(2, 12)
+    forAll(k, n) { (k, n) =>
+      val emb = (0L until n.toLong).map(i =>
+        (i, Seq.tabulate(4)(d => ((i + d) % 5).toFloat))).toDF("vec_id", "embedding")
+      val got = graft.similarity.Knn.knnGraph(emb, k).collect()
+        .groupBy(_.getLong(0))
+      got.size == n && got.values.forall { rs =>
+        rs.map(_.getInt(1)).sorted.sameElements(1 to math.min(k, n - 1))
+      }
+    }
+  }
+
   property("NFC normalization is idempotent and unifies decomposed text") = {
     val accented: Gen[String] = Gen.listOf(Gen.frequency(
       6 -> Gen.alphaNumChar.map(_.toString),
