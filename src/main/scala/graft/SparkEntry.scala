@@ -80,6 +80,9 @@ object SparkEntry {
     // q57: max_by/min_by with a composite (value, event_id) ordering
     // struct — tie-deterministic in both engines; extremes unrounded
     "q57_arg_extremes"    -> ((s, d) => Relational4.q57ArgExtremes(t(s, d))),
+    // q59: date arithmetic — clamped month addition, field extraction
+    // (dow shifted +1 in the oracle), ISO weeks, epoch days; all integers
+    "q59_date_arith"      -> ((s, d) => Relational4.q59DateArith(t(s, d))),
     // q58: HLL++ distinct + quantile sketch beside their exact companions
     // — different sketch implementations per engine, so rows-only by the
     // d06 class; RelationalSpec pins error bounds + determinism
@@ -619,6 +622,19 @@ object SparkEntry {
         |        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
         | wf AS (PARTITION BY user_id ORDER BY ts
         |        RANGE BETWEEN CURRENT ROW AND INTERVAL 30 MINUTE FOLLOWING)""".stripMargin,
+    // q59: dates cast to VARCHAR on both sides via the driver's column
+    // compare; dayofweek shifted +1 (DuckDB Sunday=0, Spark Sunday=1)
+    "q59_date_arith" ->
+      """WITH b AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey, strftime(d, '%Y-%m-%d') AS d,
+        | strftime(d + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo,
+        | strftime(d + 45, '%Y-%m-%d') AS plus_45d,
+        | CAST(dayofweek(d) + 1 AS INT) AS dow,
+        | CAST(dayofyear(d) AS INT) AS doy,
+        | CAST(weekofyear(d) AS INT) AS iso_week,
+        | CAST(d - DATE '1970-01-01' AS INT) AS epoch_days,
+        | strftime(make_date(CAST(year(d) AS BIGINT), 12, 31), '%Y-%m-%d') AS year_end
+        |FROM b""".stripMargin,
     // q57: the oracle ranks with the same (value, id) keys max_by's struct
     // orders by, so the argmax rows agree even under value ties
     "q57_arg_extremes" ->

@@ -145,6 +145,29 @@ object Relational4 {
       min_by(col("event_id"), struct(col("value"), col("event_id"))).as("argmin_id"),
       max_by(col("user_id"), struct(col("value"), col("event_id"))).as("argmax_user"))
 
+  /** q59: date-arithmetic battery — month addition with end-of-month
+    * clamping (Spark `add_months` ≡ DuckDB `+ INTERVAL n MONTH`, both
+    * clamp Jan 31 + 1mo → Feb 28), day offsets, calendar field extraction
+    * (dayofweek needs the +1 shift: DuckDB counts Sunday = 0, Spark
+    * Sunday = 1), ISO week numbers, epoch-day round trips and
+    * constructed dates. All integer/date logic — hash-checked exactly.
+    * Zero shuffle (scan projection + one group for stability). */
+  def q59DateArith(t: Tables): DataFrame =
+    t.orders.select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("d"))
+      .select(
+        col("o_orderkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("d"),
+        date_format(add_months(col("d"), 3), "yyyy-MM-dd").as("plus_3mo"),
+        date_format(date_add(col("d"), 45), "yyyy-MM-dd").as("plus_45d"),
+        dayofweek(col("d")).as("dow"),
+        dayofyear(col("d")).as("doy"),
+        weekofyear(col("d")).as("iso_week"),
+        datediff(col("d"), lit("1970-01-01").cast("date")).as("epoch_days"),
+        date_format(make_date(year(col("d")), lit(12), lit(31)), "yyyy-MM-dd")
+          .as("year_end"))
+
   /** q58: the approximate-sketch aggregates — HLL++ distinct counting
     * (`approx_count_distinct`) and quantile sketching
     * (`approx_percentile`), each beside its exact companion and relative

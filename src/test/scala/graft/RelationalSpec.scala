@@ -307,6 +307,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q59: date arithmetic matches java.time on every order, clamping included") {
+    import spark.implicits._
+    val dates = tables.orders.select(col("o_orderkey"), col("o_orderdate").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val rows = graft.operators.Relational4.q59DateArith(tables).collect()
+    assert(rows.length === dates.size)
+    rows.take(1000).foreach { r =>
+      val d = java.time.LocalDate.parse(dates(r.getLong(0)).take(10))
+      assert(r.getString(1) === d.toString)
+      assert(r.getString(2) === d.plusMonths(3).toString, "add_months must clamp like java.time")
+      assert(r.getString(3) === d.plusDays(45).toString)
+      assert(r.getInt(4) === d.getDayOfWeek.getValue % 7 + 1, "Spark dow: Sunday = 1")
+      assert(r.getInt(5) === d.getDayOfYear)
+      assert(r.getInt(6) === d.get(java.time.temporal.IsoFields.WEEK_OF_WEEK_BASED_YEAR))
+      assert(r.getInt(7).toLong === d.toEpochDay)
+      assert(r.getString(8) === java.time.LocalDate.of(d.getYear, 12, 31).toString)
+    }
+  }
+
   test("q57: argmax/argmin rows match a JVM fold with the same tie order") {
     import spark.implicits._
     val evts = tables.events
