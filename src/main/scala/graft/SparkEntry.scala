@@ -264,6 +264,10 @@ object SparkEntry {
     // s09: MIPS — top-k by raw dot product (norm carries signal); exact,
     // round(dot, 8) + id tiebreak both engines
     "s09_mips"            -> ((s, d) => Knn.mips(t(s, d).embeddings)),
+    // s10: metadata-filtered search — PRE-filter semantics (corpus
+    // restricted before ranking, k qualifying neighbors guaranteed);
+    // exact, the s01 discipline; filteredIvf recall-spec'd in KnnSpec
+    "s10_filtered_knn"    -> ((s, d) => Knn.filteredBruteForce(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
     // serializes it to CSV because the driver's hash compare (like any
@@ -1222,6 +1226,20 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rnk
         | FROM scored)
         |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, dot
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // s10: s01's oracle with the label predicate on the corpus side only
+    "s10_filtered_knn" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        | SELECT query_id, e.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(qv, v), 8) AS cos
+        | FROM q JOIN e ON e.vec_id <> q.query_id
+        | WHERE e.label % 2 = 0),
+        |ranked AS (SELECT query_id, neighbor_id, cos,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        | FROM scored)
+        |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
         |FROM ranked WHERE rnk <= 5""".stripMargin,
     // p21: p14's md5 fold for the shard key AND the content hash; bit_xor
     // is order-independent so both engines agree regardless of row order

@@ -153,6 +153,59 @@ object Knn {
     topKPerKey(scored, k).withColumnRenamed("cos", "dot")
   }
 
+  /** s10: metadata-filtered vector search — top-k among corpus vectors
+    * whose METADATA passes a predicate (the "filtered ANN" problem every
+    * vector store has: retrieve similar documents *from source X*, *with
+    * license Y*, *excluding split Z*). Semantics here are PRE-filter:
+    * the predicate restricts the candidate corpus before ranking, so
+    * every query gets k qualifying neighbors (post-filtering a top-k
+    * retrieves fewer than k when matches are sparse — the classic
+    * filtered-ANN failure). Exact and fully hash-checked (the s01
+    * discipline); queries are drawn from the UNFILTERED corpus.
+    *
+    * Scale shape: the filter is a scan-local predicate on the corpus side
+    * (pushed into the scan by Catalyst), then s01's broadcast-queries/
+    * TopKAgg shape over the smaller corpus. The served variant is
+    * [[filteredIvf]]: the same predicate applied INSIDE the cell-pruned
+    * index scan, so selectivity compounds with cell pruning. */
+  def filteredBruteForce(emb: DataFrame, labelPred: String = "label % 2 = 0",
+                         queryPred: String = "vec_id < 10", k: Int = 5): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(expr(queryPred)).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = v.filter(expr(labelPred))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
+    topKPerKey(scored, k)
+  }
+
+  /** [[filteredBruteForce]]'s served variant: the metadata predicate runs
+    * INSIDE the memoized IVF index scan (model trained on the FULL
+    * corpus — the filter must not move the centroids, or every distinct
+    * predicate would retrain), composing filter selectivity with cell
+    * pruning. Approximate like s02 (recall spec'd vs the exact filtered
+    * search in KnnSpec); pre-filter semantics preserved. */
+  def filteredIvf(emb: DataFrame, labelPred: String = "label % 2 = 0",
+                  queryPred: String = "vec_id < 10", k: Int = 5,
+                  nProbe: Int = 3, nCells: Int = 10): DataFrame = {
+    val centers = modelFor(emb, nCells)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val index = ivfIndex(emb, nCells).join(labels, Seq("vec_id"))
+    val cents = centsLit(centers)
+    val q = ivfIndex(emb, nCells).filter(expr(queryPred))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = q.select(col("query_id"), col("qv"),
+        explode(slice(array_sort(dists(col("qv"), cents)), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    val scored = index.filter(expr(labelPred))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
+    topKPerKey(scored, k)
+  }
+
   /** Fitted IVF models, memoized per (session, corpus plan, nCells).
     * Training (Lloyd over the corpus) and serving (cell-pruned scan) are
     * separate concerns: the fitted artifact is tiny (nCells × dims doubles)

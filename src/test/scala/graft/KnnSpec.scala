@@ -99,6 +99,34 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s10: every neighbor passes the filter; excluded labels never leak into results") {
+    val rows = Knn.filteredBruteForce(tables.embeddings, "label % 2 = 0", "vec_id < 5").collect()
+    assert(rows.nonEmpty)
+    val evenLabels = tables.embeddings.filter("label % 2 = 0")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(evenLabels.contains(r.getLong(2)),
+        s"neighbor ${r.getLong(2)} must carry an even label")
+    }
+    // pre-filter semantics: every query still gets its full k (a
+    // post-filtered top-5 over this corpus would come up short whenever
+    // odd labels crowd the unfiltered top-5)
+    rows.groupBy(_.getLong(0)).values.foreach(rs => assert(rs.length === 5))
+  }
+
+  test("s10 served: filteredIvf is filter-pure with recall above the probe floor") {
+    Knn.clearIvfModels(spark)
+    val exact = Knn.filteredBruteForce(tables.embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val served = Knn.filteredIvf(tables.embeddings).collect()
+    val evenLabels = tables.embeddings.filter("label % 2 = 0")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    served.foreach(r => assert(evenLabels.contains(r.getLong(2)), "filter purity"))
+    val recall = (exact intersect served.map(r => (r.getLong(0), r.getLong(2))).toSet)
+      .size.toDouble / exact.size
+    assert(recall >= 0.25, s"filtered recall=$recall below the cell-pruning bound")
+  }
+
   test("s08 plan: top-k clips map-side (partial aggregation) — the exchange is n·k, never n²") {
     val df = Knn.knnGraph(tables.embeddings, k = 5)
     df.collect()
