@@ -83,6 +83,9 @@ object SparkEntry {
     // q59: date arithmetic — clamped month addition, field extraction
     // (dow shifted +1 in the oracle), ISO weeks, epoch days; all integers
     "q59_date_arith"      -> ((s, d) => Relational4.q59DateArith(t(s, d))),
+    // q60: array set ops over the t16 half arrays — canonical sorted-join
+    // serialization (the q50 rule), integer counts/positions
+    "q60_array_setops"    -> ((s, d) => Relational4.q60ArraySetOps(t(s, d))),
     // q58: HLL++ distinct + quantile sketch beside their exact companions
     // — different sketch implementations per engine, so rows-only by the
     // d06 class; RelationalSpec pins error bounds + determinism
@@ -639,6 +642,20 @@ object SparkEntry {
         | CAST(d - DATE '1970-01-01' AS INT) AS epoch_days,
         | strftime(make_date(CAST(year(d) AS BIGINT), 12, 31), '%Y-%m-%d') AS year_end
         |FROM b""".stripMargin,
+    // q60: same halves; set-op results dedup'd + sorted before join on
+    // both sides; list_position NULL→0 matches Spark's 0-on-absent
+    "q60_array_setops" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |hh AS (SELECT doc_id, toks, CAST(len(toks) // 2 AS INT) AS h FROM w),
+        |sp AS (SELECT doc_id, toks, toks[1:h] AS t1, toks[h+1:len(toks)] AS t2 FROM hh)
+        |SELECT doc_id,
+        | coalesce(array_to_string(list_sort(list_distinct(list_intersect(t1, t2))), ','), '') AS inter_csv,
+        | CAST(len(list_distinct(list_concat(t1, t2))) AS INT) AS union_n,
+        | array_to_string(list_sort(list_distinct(
+        |   list_filter(t1, x -> NOT list_contains(t2, x)))), ',') AS except_csv,
+        | list_has_any(t1, t2) AS has_overlap,
+        | CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the
+        |FROM sp""".stripMargin,
     // q57: the oracle ranks with the same (value, id) keys max_by's struct
     // orders by, so the argmax rows agree even under value ties
     "q57_arg_extremes" ->

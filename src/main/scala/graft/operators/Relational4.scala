@@ -168,6 +168,27 @@ object Relational4 {
         date_format(make_date(year(col("d")), lit(12), lit(31)), "yyyy-MM-dd")
           .as("year_end"))
 
+  /** q60: array set-operation battery — intersect/union/except/overlap/
+    * position over each document's half-split token arrays (the t16
+    * halves: a natural pair of related-but-different arrays per row).
+    * Both engines dedup set-op results but disagree on ELEMENT ORDER, so
+    * every array output serializes sorted-joined (the q50 canonical-form
+    * rule); counts and positions are integers. Zero shuffle. */
+  def q60ArraySetOps(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        floor(size(col("toks")) / lit(2)).cast("int").as("h"))
+      .select(col("doc_id"), col("toks"),
+        slice(col("toks"), lit(1), col("h")).as("t1"),
+        slice(col("toks"), col("h") + lit(1), size(col("toks")) - col("h")).as("t2"))
+      .select(col("doc_id"),
+        array_join(array_sort(array_intersect(col("t1"), col("t2"))), ",").as("inter_csv"),
+        size(array_distinct(concat(col("t1"), col("t2")))).as("union_n"),
+        array_join(array_sort(array_except(col("t1"), col("t2"))), ",").as("except_csv"),
+        arrays_overlap(col("t1"), col("t2")).as("has_overlap"),
+        array_position(col("toks"), "the").as("pos_the"))
+
   /** q58: the approximate-sketch aggregates — HLL++ distinct counting
     * (`approx_count_distinct`) and quantile sketching
     * (`approx_percentile`), each beside its exact companion and relative

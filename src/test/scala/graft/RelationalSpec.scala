@@ -326,6 +326,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q60: array set ops match scala collection ops on every document") {
+    import spark.implicits._
+    val texts = tables.documents.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val rows = graft.operators.Relational4.q60ArraySetOps(tables).collect()
+    assert(rows.length === texts.size)
+    rows.take(500).foreach { r =>
+      val toks = texts(r.getLong(0)).toLowerCase.split(" ", -1).toSeq
+      val h = toks.length / 2
+      val (t1, t2) = (toks.take(h), toks.drop(h))
+      assert(r.getString(1) === t1.toSet.intersect(t2.toSet).toSeq.sorted.mkString(","))
+      assert(r.getInt(2) === (t1 ++ t2).distinct.size)
+      assert(r.getString(3) === t1.toSet.diff(t2.toSet).toSeq.sorted.mkString(","))
+      assert(r.getBoolean(4) === t1.exists(t2.contains))
+      assert(r.getLong(5) === (toks.indexOf("the") + 1).toLong)
+    }
+  }
+
   test("q57: argmax/argmin rows match a JVM fold with the same tie order") {
     import spark.implicits._
     val evts = tables.events
