@@ -668,13 +668,25 @@ object DataPipeline {
     * totals are 1-row broadcast cross joins (the t10 N pattern); ONE
     * bucket-keyed full outer join of two tiny frames. Corpus never
     * exchanged. */
-  def qualityDrift(v1: DataFrame, v2: DataFrame): DataFrame = {
-    def buckets(df: DataFrame, cnt: String) = df
-      .select(round(TextFns.qualityScore(col("text")), 1).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
-    val t1 = v1.agg(count(lit(1)).as("t1"))
-    val t2 = v2.agg(count(lit(1)).as("t2"))
-    buckets(v1, "n1").join(buckets(v2, "n2"), Seq("bucket"), "full_outer")
+  def qualityDrift(v1: DataFrame, v2: DataFrame): DataFrame =
+    histogramDrift(qualityHistogram(v1), qualityHistogram(v2))
+
+  /** The 0.1-bucketed t03-quality histogram of a (doc_id, text) frame —
+    * p22's per-release reduction, public because the histogram is the
+    * MERGEABLE piece (counts add), which is what the streaming monitor
+    * folds per micro-batch. */
+  def qualityHistogram(docs: DataFrame): DataFrame = docs
+    .select(round(TextFns.qualityScore(col("text")), 1).as("bucket"))
+    .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** p22's comparison over two ALREADY-REDUCED histograms (bucket, n);
+    * totals derive from the histograms themselves, so the inputs can come
+    * from a live fold as well as a corpus scan. */
+  def histogramDrift(h1: DataFrame, h2: DataFrame): DataFrame = {
+    val t1 = h1.agg(sum(col("n")).as("t1"))
+    val t2 = h2.agg(sum(col("n")).as("t2"))
+    h1.withColumnRenamed("n", "n1")
+      .join(h2.withColumnRenamed("n", "n2"), Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n1", "n2"))
       .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
       .select(col("bucket"), col("n1"), col("n2"),

@@ -241,6 +241,36 @@ object EventStreams {
       }
   }
 
+  /** Streaming p22 — quality-drift monitoring against a live document
+    * stream: each micro-batch's 0.1-bucket quality histogram folds into
+    * the standing observed histogram (counts are mergeable — the
+    * maintainManifestStream algebra), and the batch callback receives the
+    * full p22 drift frame of REFERENCE vs OBSERVED-SO-FAR. This is the
+    * ingestion-time alarm (a scraper regression shows up as total
+    * variation climbing batch over batch) whose final state is spec-pinned
+    * EQUAL to running batch p22 over the union of every batch. State is
+    * the ≤ 11-row histogram, localCheckpoint-materialized per batch. */
+  def monitorDriftStream(docStream: DataFrame, reference: DataFrame,
+                         onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val refHist = graft.operators.DataPipeline.qualityHistogram(reference)
+      .localCheckpoint(true)
+    val observed = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hb = graft.operators.DataPipeline.qualityHistogram(
+          batch.select(col("doc_id"), col("text")))
+        val merged = Option(observed.get) match {
+          case None => hb.localCheckpoint(true)
+          case Some(standing) => standing.unionByName(hb)
+            .groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+            .localCheckpoint(true)
+        }
+        observed.set(merged)
+        onBatch(graft.operators.DataPipeline.histogramDrift(refHist, merged), batchId)
+      }
+  }
+
   final case class SessionFlush(user_id: Long, n_events: Int,
                                 total_value: Double, evicted: Boolean)
 

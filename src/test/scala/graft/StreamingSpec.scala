@@ -128,6 +128,29 @@ class StreamingSpec extends AnyFunSuite {
       "xor/min/max/sum folding must equal the batch manifest of the union")
   }
 
+  test("streaming drift monitor converges to the batch p22 of the streamed union") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.DataPipeline
+    val reference = tables.documents.where(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val mem = MemoryStream[(Long, String)]
+    var finalDrift = Map.empty[Double, (Long, Long)]
+    val q = EventStreams.monitorDriftStream(
+      mem.toDF().toDF("doc_id", "text"), reference,
+      (df, _) => finalDrift = df.collect().map(r =>
+        r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap).start()
+    val b1 = Seq((9001L, "short"), (9002L, "a slightly longer streamed document here"))
+    val b2 = Seq((9003L, (1 to 120).map(i => s"w$i").mkString(" ")))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val expected = DataPipeline.qualityDrift(
+      reference, (b1 ++ b2).toDF("doc_id", "text")).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(finalDrift === expected,
+      "folded histogram drift must equal batch p22 over the streamed union")
+  }
+
   test("streaming dedup drops within-horizon re-deliveries and evicts state after") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
