@@ -229,6 +229,9 @@ object SparkEntry {
       graft.dedup.Clusters.clusterTable(
         graft.dedup.Clusters.mergeClusters(standing, batch))
     }),
+    // d17: dedup evidence — rarest shared shingles per d02 pair, the
+    // review-queue artifact; exact integer rank with a total tiebreak
+    "d17_pair_evidence"   -> ((s, d) => Dedup.pairEvidence(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
@@ -1400,6 +1403,25 @@ object SparkEntry {
     // candidates are all nodes reachable from it; min = the component
     // minimum. The UNION (distinct) bounds the walk; components in a real
     // corpus are tiny, so the CTE closes quickly.
+    // d17: the d02 pair SQL nested as a CTE; evidence = top-3 shared
+    // shingles by (df, shingle), string_agg ordered by the same rank
+    "d17_pair_evidence" ->
+      s"""WITH nd AS ($ngramJaccardSql),
+         |tk2 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |shs AS (SELECT DISTINCT doc_id,
+         |  unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [array_to_string(w, ' ')] END) AS shingle
+         | FROM tk2),
+         |dfs AS (SELECT shingle, count(*) AS df FROM shs GROUP BY 1),
+         |ev AS (SELECT nd.d1, nd.d2, nd.jaccard, s1.shingle, dfs.df,
+         |  row_number() OVER (PARTITION BY nd.d1, nd.d2 ORDER BY dfs.df, s1.shingle) AS rk
+         | FROM nd
+         | JOIN shs s1 ON s1.doc_id = nd.d1
+         | JOIN shs s2 ON s2.doc_id = nd.d2 AND s2.shingle = s1.shingle
+         | JOIN dfs ON dfs.shingle = s1.shingle)
+         |SELECT d1, d2, jaccard, string_agg(shingle, '|' ORDER BY rk) AS evidence
+         |FROM ev WHERE rk <= 3 GROUP BY d1, d2, jaccard""".stripMargin,
     "d07_dup_clusters" -> dupClustersSql,
     // d15: incremental merge == full recompute by construction (contracted
     // closure preserves component minima), so the oracle is d07's verbatim

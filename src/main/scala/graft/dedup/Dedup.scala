@@ -53,6 +53,46 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** d17: near-dup evidence report — for every d02 pair, the RAREST
+    * shingles the two documents share (rank by corpus df, then shingle;
+    * top `k` serialized). p12 is the audit artifact for decontamination
+    * ("what exactly leaked"); this is the one for dedup review queues
+    * ("WHY are these two considered duplicates") — boilerplate-driven
+    * pairs show chrome shingles as their evidence and get threshold/
+    * weighting fixes (d13), content-driven pairs show distinctive text
+    * and get removed with confidence. Fully hash-checkable: the rank
+    * orders on exact integers with a total tiebreak.
+    *
+    * Scale shape: the pair frame (∝ near-dups) broadcasts against the
+    * shared shingle+df frames; the per-pair top-k is one pair-keyed
+    * window over evidence rows only (shared shingles of actual pairs —
+    * never the corpus). */
+  def pairEvidence(docs: DataFrame, threshold: Double = 0.8,
+                   k: Int = 3, shingleK: Int = 3): DataFrame = {
+    // STRING shingles (the evidence is for humans); the pair set itself
+    // still comes from the hashed d02 path
+    val sh = docs
+      .select(col("doc_id"), explode(TextFns.shingles(col("text"), shingleK)).as("shingle"))
+      .distinct()
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val pairs = ngramJaccardPairs(docs, threshold, shingleK)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val shared = sh.select(col("doc_id").as("d1"), col("shingle"))
+      .join(broadcast(pairs), Seq("d1"))
+      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
+      .join(df, Seq("shingle"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2")).orderBy(col("df"), col("shingle"))
+    shared
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .groupBy(col("d1"), col("d2"), col("jaccard"))
+      .agg(concat_ws("|", transform(
+        array_sort(collect_list(struct(col("rk"), col("shingle")))),
+        s => s.getField("shingle"))).as("evidence"))
+      .select(col("d1"), col("d2"), col("jaccard"), col("evidence"))
+  }
+
   /** d11: canonical selection — exact dedup keeping the BEST copy of each
     * duplicate group rather than d01's smallest-id copy: the curation rule
     * real pipelines use when near-identical scrapes differ in completeness

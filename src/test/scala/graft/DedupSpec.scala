@@ -205,6 +205,26 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseShingles(spark)
   }
 
+  test("d17: evidence lists the rarest shared shingles first, corpus-wide chrome last") {
+    import spark.implicits._
+    // docs 1/2 share their whole text (J = 1); the "k l m" chrome shingle
+    // also appears in 4 filler docs (df = 6) while "a b c"/"b c k" are
+    // df = 2 — the evidence must lead with the rare ones
+    val docs = (Seq(
+      (1L, "a b c k l m"),
+      (2L, "a b c k l m")) ++
+      (10L to 13L).map(i => (i, s"k l m x$i y$i z$i"))).toDF("doc_id", "text")
+    Dedup.releaseShingles(spark)
+    val rows = Dedup.pairEvidence(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getString(3)))).toMap
+    Dedup.releaseShingles(spark)
+    assert(rows.keySet === Set((1L, 2L)))
+    val (j, ev) = rows((1L, 2L))
+    assert(j === 1.0)
+    assert(ev === "a b c|b c k|c k l",
+      s"df-2 shingles rank before the df-6 chrome, ties by shingle text: $ev")
+  }
+
   test("d14 plan: CWS signatures hash-aggregate (plain double mins, no struct SortAggregate)") {
     SessionCaches.release(spark)
     val df = Dedup.weightedMinHashLshPairs(tables.documents)

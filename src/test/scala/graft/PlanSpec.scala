@@ -41,6 +41,23 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges === 1, s"per-aggregate FILTERs must not add exchanges:\n$p")
   }
 
+  test("join strategy hints are honored: broadcast, shuffle_hash, merge") {
+    // the per-join knob surface a 100 TB tuner reaches for when AQE's
+    // size estimates misjudge a side — each hint must surface as its
+    // physical operator
+    import org.apache.spark.sql.functions.col
+    val o = tables.orders.select(col("o_orderkey"), col("o_custkey"))
+    val c = tables.customer.select(col("c_custkey"), col("c_name"))
+    def planOf(hint: String): String = {
+      val df = o.join(c.hint(hint), col("o_custkey") === col("c_custkey"))
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+  }
+
   test("q02: filters and column pruning reach the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters"), p)
