@@ -232,6 +232,9 @@ object SparkEntry {
     // d17: dedup evidence — rarest shared shingles per d02 pair, the
     // review-queue artifact; exact integer rank with a total tiebreak
     "d17_pair_evidence"   -> ((s, d) => Dedup.pairEvidence(t(s, d).documents)),
+    // d18: threshold sensitivity curve — one d02 run at the grid minimum,
+    // counts per grid point; exact doubles/integers throughout
+    "d18_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
@@ -1422,6 +1425,14 @@ object SparkEntry {
          | JOIN dfs ON dfs.shingle = s1.shingle)
          |SELECT d1, d2, jaccard, string_agg(shingle, '|' ORDER BY rk) AS evidence
          |FROM ev WHERE rk <= 3 GROUP BY d1, d2, jaccard""".stripMargin,
+    // d18: the d02 SQL at the grid minimum; per grid row one correlated
+    // count over the pair CTE
+    "d18_threshold_curve" ->
+      s"""WITH nd AS (${ngramJaccardSqlAt(0.7)}),
+         |g AS (SELECT unnest([0.7, 0.75, 0.8, 0.85, 0.9, 0.95]) AS threshold)
+         |SELECT threshold,
+         | CAST(coalesce((SELECT count(*) FROM nd WHERE jaccard >= threshold), 0) AS BIGINT) AS n_pairs
+         |FROM g""".stripMargin,
     "d07_dup_clusters" -> dupClustersSql,
     // d15: incremental merge == full recompute by construction (contracted
     // closure preserves component minima), so the oracle is d07's verbatim
@@ -1793,6 +1804,10 @@ object SparkEntry {
        | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        | doc_id = cluster_id AS keep
        |FROM cc""".stripMargin
+
+  /** The d02 pair SQL at an arbitrary threshold (d18's curve base). */
+  private def ngramJaccardSqlAt(threshold: Double): String =
+    ngramJaccardSql.replace(">= 0.8", s">= $threshold")
 
   private val ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

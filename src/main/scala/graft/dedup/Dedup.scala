@@ -93,6 +93,30 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"), col("evidence"))
   }
 
+  /** d18: dedup threshold sensitivity curve — for a grid of thresholds,
+    * how many near-dup pairs each would yield: the tuning artifact a
+    * pipeline consults BEFORE committing to a τ (a cliff between 0.8 and
+    * 0.85 means the corpus has a boilerplate band right there; a flat
+    * curve means τ barely matters). One d02 run at the grid's minimum
+    * feeds every grid point — pairs are computed once, the curve is a
+    * grid-explode + count over the pair frame (∝ pairs at the LOOSEST
+    * threshold, the whole cost). Exact: jaccard is the one-division
+    * double, grid thresholds are literals, counts integers. */
+  def thresholdCurve(docs: DataFrame,
+                     grid: Seq[Double] = Seq(0.7, 0.75, 0.8, 0.85, 0.9, 0.95),
+                     k: Int = 3): DataFrame = {
+    require(grid.nonEmpty, "threshold grid must be non-empty")
+    val base = grid.min
+    val pairs = ngramJaccardPairs(docs, base, k)
+    import docs.sparkSession.implicits._
+    val gf = grid.toDF("threshold")
+    val counts = pairs
+      .select(explode(array(grid.map(lit(_)): _*)).as("threshold"), col("jaccard"))
+      .where(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    gf.join(counts, Seq("threshold"), "left").na.fill(0L, Seq("n_pairs"))
+  }
+
   /** d11: canonical selection — exact dedup keeping the BEST copy of each
     * duplicate group rather than d01's smallest-id copy: the curation rule
     * real pipelines use when near-identical scrapes differ in completeness

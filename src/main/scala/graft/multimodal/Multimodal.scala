@@ -187,12 +187,22 @@ object Multimodal {
     * Scale shape: frame explode is partition-local; the (fh) self-join
     * touches only frames shared by ≥2 videos; one pair-keyed aggregation.
     * Output ∝ real near-dup pairs. */
+  /** Session-scoped frame-hash registry — the sharedShingles pattern for
+    * m06's (doc_id, fh) frame, which the sizes/candidates/verify stages
+    * read three times (each read re-demuxes containers without it).
+    * Memoized per (session, media plan, framing params); lifecycle owned
+    * by [[graft.SessionCaches]]. */
+  private val frameHashMemo =
+    new graft.SessionKeyedCache[(Int, Int, Int), DataFrame](_.unpersist(blocking = false))
+
   def videoNearDups(spark: SparkSession, media: DataFrame,
                     threshold: Double = 0.5,
                     frameBytes: Int = 256, everyN: Int = 4): DataFrame = {
-    val frames = frameSample(spark, media, frameBytes, everyN).toDF()
-      .select(col("doc_id"), xxhash64(col("frame")).as("fh")).distinct()
-      .persist()
+    val frames = frameHashMemo.getOrElseUpdate(
+      spark, (media.queryExecution.analyzed.semanticHash(), frameBytes, everyN))(
+      frameSample(spark, media, frameBytes, everyN).toDF()
+        .select(col("doc_id"), xxhash64(col("frame")).as("fh")).distinct()
+        .persist())
     val sizes = frames.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = frames.select(col("doc_id").as("d1"), col("fh"))
       .join(frames.select(col("doc_id").as("d2"), col("fh")), Seq("fh"))

@@ -225,6 +225,26 @@ class DedupSpec extends AnyFunSuite {
       s"df-2 shingles rank before the df-6 chrome, ties by shingle text: $ev")
   }
 
+  test("d18: curve is non-increasing in the threshold and counts the planted cliff") {
+    import spark.implicits._
+    // two exact dups (J = 1 survives every threshold) and one borderline
+    // pair at J = 0.8 exactly (drops out above 0.8)
+    val docs = Seq(
+      (1L, "p q r s t u"), (2L, "p q r s t u"),
+      (3L, (1 to 12).map(i => s"t$i").mkString(" ")),
+      (4L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    Dedup.releaseShingles(spark)
+    val curve = Dedup.thresholdCurve(docs).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    Dedup.releaseShingles(spark)
+    assert(curve(0.7) === 2L && curve(0.75) === 2L && curve(0.8) === 2L,
+      s"both pairs live at tau <= 0.8: $curve")
+    assert(curve(0.85) === 1L && curve(0.9) === 1L && curve(0.95) === 1L,
+      s"only the exact dup survives past the 0.8 cliff: $curve")
+    val sorted = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b }, "monotone")
+  }
+
   test("d14 plan: CWS signatures hash-aggregate (plain double mins, no struct SortAggregate)") {
     SessionCaches.release(spark)
     val df = Dedup.weightedMinHashLshPairs(tables.documents)
