@@ -186,6 +186,9 @@ object SparkEntry {
                                t(s, d).documents, col("doc_id") % 10 === 0)),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
+    // p23: effective dataset size after cluster-resolved dedup — dropped
+    // set broadcast onto the corpus scan, one source-keyed exchange
+    "p23_effective_size"  -> ((s, d) => graft.operators.DataPipeline.effectiveSize(t(s, d).documents)),
     // p21: per-shard manifest — p14's salted hash for the shard key, an
     // order-independent bit_xor content checksum; all integers
     "p21_shard_manifest"  -> ((s, d) => graft.operators.DataPipeline.shardManifest(t(s, d).documents)),
@@ -1433,6 +1436,23 @@ object SparkEntry {
          |SELECT threshold,
          | CAST(coalesce((SELECT count(*) FROM nd WHERE jaccard >= threshold), 0) AS BIGINT) AS n_pairs
          |FROM g""".stripMargin,
+    // p23: d07's recursive-CTE closure nested; dropped = labeled docs
+    // that are not their cluster's minimum; per-source integer sums + one
+    // final division
+    "p23_effective_size" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |dr AS (SELECT doc_id FROM cl WHERE NOT keep),
+         |m AS (SELECT d.source, d.doc_id,
+         |  CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS nt,
+         |  d.doc_id IN (SELECT doc_id FROM dr) AS dropped
+         | FROM documents d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(nt) AS BIGINT) AS total_tokens,
+         | CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         | CAST(sum(CASE WHEN dropped THEN nt ELSE 0 END) AS BIGINT) AS dropped_tokens,
+         | CAST(sum(nt) - sum(CASE WHEN dropped THEN nt ELSE 0 END) AS DOUBLE)
+         |   / CAST(sum(nt) AS DOUBLE) AS token_retention
+         |FROM m GROUP BY source""".stripMargin,
     "d07_dup_clusters" -> dupClustersSql,
     // d15: incremental merge == full recompute by construction (contracted
     // closure preserves component minima), so the oracle is d07's verbatim

@@ -696,6 +696,36 @@ object DataPipeline {
           col("n2").cast("double") / col("t2")).as("abs_diff"))
   }
 
+  /** p23: effective dataset size — per source, what cluster-resolved
+    * near-dup removal (d03 pairs closed by d07, one keeper per cluster)
+    * actually costs: docs and tokens before, dropped, and the retention
+    * fraction. p10's card says what a corpus HAS; this says what SURVIVES
+    * the clean — the number that goes into p08's mixing weights and every
+    * "how much data do we really have" conversation, per source so a
+    * syndication-heavy source's collapse (p20's diagnosis) is visible as
+    * its low retention.
+    *
+    * Scale shape: the cluster labels are ∝ paired docs (the d07
+    * property) — the dropped set broadcasts onto the unshuffled corpus
+    * scan; one source-keyed partial-agg exchange. Exact end-to-end: the
+    * oracle nests d07's recursive-CTE closure. */
+  def effectiveSize(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val dropped = graft.dedup.Clusters.dupClusters(docs, threshold)
+      .filter(!col("keep")).select(col("doc_id"), lit(true).as("is_dropped"))
+    docs.select(col("doc_id"), col("source"), TextFns.tokenCount(col("text")).as("nt"))
+      .join(broadcast(dropped), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("total_tokens"),
+        sum(when(col("is_dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("is_dropped"), col("nt")).otherwise(0)).cast("long")
+          .as("dropped_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_dropped"), col("dropped_tokens"),
+        ((col("total_tokens") - col("dropped_tokens")).cast("double") /
+          col("total_tokens").cast("double")).as("token_retention"))
+  }
+
   /** p19: per-source robust length-outlier gate — Tukey fences over token
     * counts: a document is flagged when its length falls outside
     * [Q1 − f·IQR, Q3 + f·IQR] of ITS OWN source's distribution. p13's

@@ -596,6 +596,25 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(math.abs(drift.map(_.getDouble(4)).sum - 1.0) < 1e-9)
   }
 
+  test("p23: retention accounts exactly for cluster-resolved drops, keeper survives") {
+    import spark.implicits._
+    val base = (1 to 12).map(i => s"v$i").mkString(" ")
+    val planted = Seq(
+      (1L, "A", base), (2L, "A", base),             // near-dup pair inside A
+      (3L, "B", "unrelated content lives here ok"), // untouched source
+      (4L, "A", "different a-side text entirely here")
+    ).toDF("doc_id", "source", "text")
+    SessionCaches.release(spark)
+    val got = DataPipeline.effectiveSize(planted).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(5)))).toMap
+    SessionCaches.release(spark)
+    // A: 3 docs, exactly one dropped (the non-keeper of {1, 2}); 12 of
+    // 12+12+5 tokens dropped → retention 17/29
+    assert(got("A")._1 === 3L && got("A")._2 === 1L)
+    assert(math.abs(got("A")._3 - 17.0 / 29.0) < 1e-12)
+    assert(got("B") === ((1L, 0L, 1.0)), "untouched source retains everything")
+  }
+
   test("p20 plan: the pair frame broadcasts — the corpus map never shuffle-joins") {
     graft.dedup.Dedup.releaseShingles(spark)
     val df = DataPipeline.syndicationMatrix(docs)
