@@ -83,6 +83,9 @@ object SparkEntry {
     // q59: date arithmetic — clamped month addition, field extraction
     // (dow shifted +1 in the oracle), ISO weeks, epoch days; all integers
     "q59_date_arith"      -> ((s, d) => Relational4.q59DateArith(t(s, d))),
+    // q61: levenshtein battery — exact integer distances, one unrounded
+    // integer-derived similarity division
+    "q61_edit_distance"   -> ((s, d) => Relational4.q61EditDistance(t(s, d))),
     // q60: array set ops over the t16 half arrays — canonical sorted-join
     // serialization (the q50 rule), integer counts/positions
     "q60_array_setops"    -> ((s, d) => Relational4.q60ArraySetOps(t(s, d))),
@@ -651,6 +654,15 @@ object SparkEntry {
         | CAST(d - DATE '1970-01-01' AS INT) AS epoch_days,
         | strftime(make_date(CAST(year(d) AS BIGINT), 12, 31), '%Y-%m-%d') AS year_end
         |FROM b""".stripMargin,
+    // q61: levenshtein → BIGINT in DuckDB, cast to INT (the q15 rule)
+    "q61_edit_distance" ->
+      """SELECT c_custkey,
+        | CAST(levenshtein(c_name, reverse(c_name)) AS INT) AS lev_rev,
+        | CAST(levenshtein(c_name, c_mktsegment) AS INT) AS lev_seg,
+        | 1.0 - CAST(levenshtein(c_name, c_mktsegment) AS DOUBLE)
+        |   / CAST(greatest(length(c_name), length(c_mktsegment)) AS DOUBLE) AS sim_seg,
+        | starts_with(c_name, 'Customer') AS starts_cust
+        |FROM customer""".stripMargin,
     // q60: same halves; set-op results dedup'd + sorted before join on
     // both sides; list_position NULL→0 matches Spark's 0-on-absent
     "q60_array_setops" ->

@@ -189,6 +189,21 @@ object Relational4 {
         arrays_overlap(col("t1"), col("t2")).as("has_overlap"),
         array_position(col("toks"), "the").as("pos_the"))
 
+  /** q61: edit-distance / fuzzy-match battery — levenshtein against two
+    * references plus the normalized similarity ratio 1 − lev/max(len)
+    * (the fuzzy-entity-resolution score), and a prefix test. Distances
+    * are exact integers; the ratio is one integer-derived IEEE division,
+    * unrounded. Zero shuffle. */
+  def q61EditDistance(t: Tables): DataFrame =
+    t.customer.select(
+      col("c_custkey"),
+      levenshtein(col("c_name"), reverse(col("c_name"))).cast("int").as("lev_rev"),
+      levenshtein(col("c_name"), col("c_mktsegment")).cast("int").as("lev_seg"),
+      (lit(1.0) - levenshtein(col("c_name"), col("c_mktsegment")).cast("double") /
+        greatest(length(col("c_name")), length(col("c_mktsegment"))).cast("double"))
+        .as("sim_seg"),
+      col("c_name").startsWith("Customer").as("starts_cust"))
+
   /** q58: the approximate-sketch aggregates — HLL++ distinct counting
     * (`approx_count_distinct`) and quantile sketching
     * (`approx_percentile`), each beside its exact companion and relative

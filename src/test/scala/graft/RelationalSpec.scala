@@ -343,6 +343,28 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q61: levenshtein matches a JVM DP on every customer") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val src = tables.customer.select("c_custkey", "c_name", "c_mktsegment")
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val rows = graft.operators.Relational4.q61EditDistance(tables).collect()
+    assert(rows.length === src.size)
+    rows.take(300).foreach { r =>
+      val (name, seg) = src(r.getLong(0))
+      assert(r.getInt(1) === lev(name, name.reverse))
+      assert(r.getInt(2) === lev(name, seg))
+      assert(r.getDouble(3) === 1.0 - lev(name, seg).toDouble / math.max(name.length, seg.length))
+      assert(r.getBoolean(4) === name.startsWith("Customer"))
+    }
+  }
+
   test("q57: argmax/argmin rows match a JVM fold with the same tie order") {
     import spark.implicits._
     val evts = tables.events
