@@ -53,6 +53,28 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Session-scoped STRING-shingle registry (d17 reads the frame three
+    * times — both pair sides and the df table; the hashed [[sharedShingles]]
+    * can't serve it because the evidence is for humans). */
+  private val stringShingleMemo =
+    new graft.SessionKeyedCache[(Int, Int), DataFrame](_.unpersist(blocking = false))
+
+  /** Session-scoped exact-pair registry — the [[sharedShingles]] pattern
+    * one level up: d02's verified pair frame is consumed by the evidence
+    * report (d17), the syndication matrix (p20) and ad-hoc audits, and
+    * each would otherwise re-pay the prefix-filter ssjoin per call.
+    * Memoized per (session, docs plan, threshold, k), persisted; owned by
+    * [[graft.SessionCaches]]; benched as `_shared_jaccard_pairs`. */
+  private val pairsMemo =
+    new graft.SessionKeyedCache[(Int, Long, Int), DataFrame](_.unpersist(blocking = false))
+
+  /** The memoized, persisted d02 pair frame for (docs, threshold, k). */
+  def sharedJaccardPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame =
+    pairsMemo.getOrElseUpdate(
+      docs.sparkSession,
+      (docs.queryExecution.analyzed.semanticHash(), math.round(threshold * 1e6), k))(
+      ngramJaccardPairs(docs, threshold, k).persist())
+
   /** d17: near-dup evidence report — for every d02 pair, the RAREST
     * shingles the two documents share (rank by corpus df, then shingle;
     * top `k` serialized). p12 is the audit artifact for decontamination
@@ -63,19 +85,22 @@ object Dedup {
     * and get removed with confidence. Fully hash-checkable: the rank
     * orders on exact integers with a total tiebreak.
     *
-    * Scale shape: the pair frame (∝ near-dups) broadcasts against the
-    * shared shingle+df frames; the per-pair top-k is one pair-keyed
-    * window over evidence rows only (shared shingles of actual pairs —
-    * never the corpus). */
+    * Scale shape: the pair frame (∝ near-dups, via [[sharedJaccardPairs]])
+    * broadcasts against the shared shingle+df frames; the per-pair top-k
+    * is one pair-keyed window over evidence rows only (shared shingles of
+    * actual pairs — never the corpus). */
   def pairEvidence(docs: DataFrame, threshold: Double = 0.8,
                    k: Int = 3, shingleK: Int = 3): DataFrame = {
     // STRING shingles (the evidence is for humans); the pair set itself
     // still comes from the hashed d02 path
-    val sh = docs
-      .select(col("doc_id"), explode(TextFns.shingles(col("text"), shingleK)).as("shingle"))
-      .distinct()
+    val sh = stringShingleMemo.getOrElseUpdate(
+      docs.sparkSession, (docs.queryExecution.analyzed.semanticHash(), shingleK))(
+      docs
+        .select(col("doc_id"), explode(TextFns.shingles(col("text"), shingleK)).as("shingle"))
+        .distinct()
+        .persist())
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val pairs = ngramJaccardPairs(docs, threshold, shingleK)
+    val pairs = sharedJaccardPairs(docs, threshold, shingleK)
       .select(col("d1"), col("d2"), col("jaccard"))
     val shared = sh.select(col("doc_id").as("d1"), col("shingle"))
       .join(broadcast(pairs), Seq("d1"))

@@ -783,7 +783,7 @@ object DataPipeline {
     * downstream shape, the declared d02→d03 trade). */
   def syndicationMatrix(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
-    val pairs = Dedup.ngramJaccardPairs(docs, threshold).select(col("d1"), col("d2"))
+    val pairs = Dedup.sharedJaccardPairs(docs, threshold).select(col("d1"), col("d2"))
     val withS1 = src.select(col("doc_id").as("d1"), col("source").as("src1"))
       .join(broadcast(pairs), Seq("d1"))
     val withBoth = src.select(col("doc_id").as("d2"), col("source").as("src2"))
