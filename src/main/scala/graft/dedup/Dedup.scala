@@ -131,6 +131,7 @@ object Dedup {
                      grid: Seq[Double] = Seq(0.7, 0.75, 0.8, 0.85, 0.9, 0.95),
                      k: Int = 3): DataFrame = {
     require(grid.nonEmpty, "threshold grid must be non-empty")
+    require(grid.distinct.size == grid.size, s"threshold grid has duplicates: $grid")
     val base = grid.min
     val pairs = ngramJaccardPairs(docs, base, k)
     import docs.sparkSession.implicits._

@@ -747,6 +747,7 @@ object DataPipeline {
     * unshuffled corpus scan — the corpus is never exchanged, the p02
     * regime. */
   def lengthOutliers(docs: DataFrame, fence: Double = 1.5): DataFrame = {
+    require(fence >= 0, s"fence=$fence must be >= 0")
     val nt = docs.select(col("doc_id"), col("source"),
       TextFns.tokenCount(col("text")).as("n_tokens"))
     val q = nt.groupBy(col("source")).agg(

@@ -186,12 +186,23 @@ object Knn {
     * predicate would retrain), composing filter selectivity with cell
     * pruning. Approximate like s02 (recall spec'd vs the exact filtered
     * search in KnnSpec); pre-filter semantics preserved. */
+  /** Labeled serving indexes — [[ivfIndex]] plus the metadata column,
+    * persisted and memoized per (session, corpus plan, nCells): a served
+    * filter must read metadata from the index itself, not re-join the
+    * corpus-sized label table per call (the same per-serve-rescan class
+    * the round-7 index rule exists for). */
+  private val labeledIndexes =
+    new graft.SessionKeyedCache[(Int, Int), DataFrame](_.unpersist(blocking = false))
+
   def filteredIvf(emb: DataFrame, labelPred: String = "label % 2 = 0",
                   queryPred: String = "vec_id < 10", k: Int = 5,
                   nProbe: Int = 3, nCells: Int = 10): DataFrame = {
     val centers = modelFor(emb, nCells)
-    val labels = emb.select(col("vec_id"), col("label"))
-    val index = ivfIndex(emb, nCells).join(labels, Seq("vec_id"))
+    val index = labeledIndexes.getOrElseUpdate(
+      emb.sparkSession, (emb.queryExecution.analyzed.semanticHash(), nCells))(
+      ivfIndex(emb, nCells)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .persist())
     val cents = centsLit(centers)
     val q = ivfIndex(emb, nCells).filter(expr(queryPred))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -237,6 +248,7 @@ object Knn {
   def clearIvfModels(spark: SparkSession): Unit = {
     models.purgeSession(Some(spark), None)
     indexes.purgeSession(Some(spark), None)
+    labeledIndexes.purgeSession(Some(spark), None)
   }
 
   private def modelFor(emb: DataFrame, nCells: Int): Array[Array[Double]] =

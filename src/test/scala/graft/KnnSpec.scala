@@ -125,6 +125,12 @@ class KnnSpec extends AnyFunSuite {
     val recall = (exact intersect served.map(r => (r.getLong(0), r.getLong(2))).toSet)
       .size.toDouble / exact.size
     assert(recall >= 0.25, s"filtered recall=$recall below the cell-pruning bound")
+    // second serve reads the memoized LABELED index — no corpus-sized
+    // label re-join per call (the round-7 index rule)
+    val again = Knn.filteredIvf(tables.embeddings)
+    again.collect()
+    assert(again.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "repeat serves must read the cached labeled index")
   }
 
   test("s08 plan: top-k clips map-side (partial aggregation) — the exchange is n·k, never n²") {
