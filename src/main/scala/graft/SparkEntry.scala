@@ -83,6 +83,9 @@ object SparkEntry {
     // q59: date arithmetic — clamped month addition, field extraction
     // (dow shifted +1 in the oracle), ISO weeks, epoch days; all integers
     "q59_date_arith"      -> ((s, d) => Relational4.q59DateArith(t(s, d))),
+    // q62: second map-HOF tranche — transform_keys/map_zip_with/
+    // map_from_entries under the q50 canonical serialization
+    "q62_map_ops2"        -> ((s, d) => Relational4.q62MapOps2(t(s, d))),
     // q61: levenshtein battery — exact integer distances, one unrounded
     // integer-derived similarity division
     "q61_edit_distance"   -> ((s, d) => Relational4.q61EditDistance(t(s, d))),
@@ -654,6 +657,16 @@ object SparkEntry {
         | CAST(d - DATE '1970-01-01' AS INT) AS epoch_days,
         | strftime(make_date(CAST(year(d) AS BIGINT), 12, 31), '%Y-%m-%d') AS year_end
         |FROM b""".stripMargin,
+    // q62: literal keys make the canonical serialization a plain string
+    // concatenation — no map support needed oracle-side
+    "q62_map_ops2" ->
+      """SELECT event_id,
+        | 'K:' || json_extract_string(props, '$.k') || ',TYPE:' || event_type AS upper_keys,
+        | 'k:' || json_extract_string(props, '$.k') || '+x,type:' || event_type
+        |   || '+' || upper(event_type) AS zipped,
+        | 'a:' || CAST(user_id AS VARCHAR) || ',b:' || event_type AS from_entries,
+        | 'none' AS miss_probe
+        |FROM events""".stripMargin,
     // q61: levenshtein → BIGINT in DuckDB, cast to INT (the q15 rule)
     "q61_edit_distance" ->
       """SELECT c_custkey,

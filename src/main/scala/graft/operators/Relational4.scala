@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fourth tranche of the relational surface (SURVEY.md §2.3): the regexp
@@ -188,6 +188,32 @@ object Relational4 {
         array_join(array_sort(array_except(col("t1"), col("t2"))), ",").as("except_csv"),
         arrays_overlap(col("t1"), col("t2")).as("has_overlap"),
         array_position(col("toks"), "the").as("pos_the"))
+
+  /** q62: the second map-HOF tranche — transform_keys, map_zip_with (the
+    * per-key join of two maps) and map_from_entries, completing q50's
+    * family. Same canonical serialization (sorted key:value CSV), so the
+    * oracle reduces to plain string concatenation over the known literal
+    * keys; the missing-key probe exercises element_at's NULL contract.
+    * Zero shuffle. */
+  def q62MapOps2(t: Tables): DataFrame = {
+    def ser(m: Column): Column = array_join(
+      transform(array_sort(map_keys(m)), k => concat(k, lit(":"), element_at(m, k))), ",")
+    val m1 = map(
+      lit("k"), get_json_object(col("props"), "$.k"),
+      lit("type"), col("event_type"))
+    val m2 = map(
+      lit("k"), lit("x"),
+      lit("type"), upper(col("event_type")))
+    t.events.select(
+      col("event_id"),
+      ser(transform_keys(m1, (k, _) => upper(k))).as("upper_keys"),
+      ser(map_zip_with(m1, m2, (_, a, b) =>
+        concat(coalesce(a, lit("-")), lit("+"), coalesce(b, lit("-"))))).as("zipped"),
+      ser(map_from_entries(array(
+        struct(lit("a").as("k"), col("user_id").cast("string").as("v")),
+        struct(lit("b").as("k"), col("event_type").as("v"))))).as("from_entries"),
+      coalesce(element_at(m1, "missing"), lit("none")).as("miss_probe"))
+  }
 
   /** q61: edit-distance / fuzzy-match battery — levenshtein against two
     * references plus the normalized similarity ratio 1 − lev/max(len)
