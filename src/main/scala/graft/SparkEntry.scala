@@ -192,6 +192,9 @@ object SparkEntry {
                                t(s, d).documents, col("doc_id") % 10 === 0)),
     "p09_pack_spans"      -> ((s, d) => graft.operators.DataPipeline.packSpans(t(s, d).documents)),
     "p10_corpus_card"     -> ((s, d) => graft.operators.DataPipeline.corpusCard(t(s, d).documents)),
+    // p24: stratified holdout — exactly 5 eval docs per source by the
+    // salted hash order, selected with the bounded per-key heap
+    "p24_stratified_holdout" -> ((s, d) => graft.operators.DataPipeline.stratifiedHoldout(t(s, d).documents)),
     // p23: effective dataset size after cluster-resolved dedup — dropped
     // set broadcast onto the corpus scan, one source-keyed exchange
     "p23_effective_size"  -> ((s, d) => graft.operators.DataPipeline.effectiveSize(t(s, d).documents)),
@@ -920,17 +923,19 @@ object SparkEntry {
         | coalesce(array_to_string(regexp_extract_all(text, '\b(s[a-z]+)\b', 1), ','), '') AS s_words_csv
         |FROM documents""".stripMargin,
     // q52: discount/tax are O(0.1) by choice so round(.,6) absorbs
-    // merge-order float noise in both engines' stable moment merges
+    // merge-order float noise in both engines' stable moment merges;
+    // + 0.0 canonicalizes a −0.0 rounding result (observed on covar at
+    // sf0.01: DuckDB −0.0 vs Spark +0.0 — distinct under the hash)
     "q52_stats_agg" ->
       """SELECT l_returnflag, count(*) AS n,
-        | round(corr(l_discount, l_tax), 6) AS corr_dt,
-        | round(covar_samp(l_discount, l_tax), 6) AS covar_s,
-        | round(covar_pop(l_discount, l_tax), 6) AS covar_p,
-        | round(var_samp(l_discount), 6) AS var_s,
-        | round(stddev_pop(l_discount), 6) AS stddev_p,
-        | round(regr_slope(l_tax, l_discount), 6) AS slope,
-        | round(regr_intercept(l_tax, l_discount), 6) AS intercept,
-        | round(regr_r2(l_tax, l_discount), 6) AS r2,
+        | round(corr(l_discount, l_tax), 6) + 0.0 AS corr_dt,
+        | round(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_s,
+        | round(covar_pop(l_discount, l_tax), 6) + 0.0 AS covar_p,
+        | round(var_samp(l_discount), 6) + 0.0 AS var_s,
+        | round(stddev_pop(l_discount), 6) + 0.0 AS stddev_p,
+        | round(regr_slope(l_tax, l_discount), 6) + 0.0 AS slope,
+        | round(regr_intercept(l_tax, l_discount), 6) + 0.0 AS intercept,
+        | round(regr_r2(l_tax, l_discount), 6) + 0.0 AS r2,
         | CAST(regr_count(l_tax, l_discount) AS BIGINT) AS n_pairs
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     // q53: integer/boolean aggregates are exact; the even-count median
@@ -1461,6 +1466,19 @@ object SparkEntry {
          |SELECT threshold,
          | CAST(coalesce((SELECT count(*) FROM nd WHERE jaccard >= threshold), 0) AS BIGINT) AS n_pairs
          |FROM g""".stripMargin,
+    // p24: same md5 fold with the 'holdout:' salt; the oracle orders by
+    // the DOUBLE-cast hash + doc_id, exactly the heap's comparison key
+    "p24_stratified_holdout" ->
+      """WITH h AS (
+        | SELECT doc_id, source,
+        |  CAST(CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS DOUBLE) AS hd
+        | FROM (SELECT doc_id, source, md5('holdout:' || CAST(doc_id AS VARCHAR)) AS m
+        |       FROM documents)),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY hd, doc_id) AS rk FROM h)
+        |SELECT doc_id, source, rk <= 5 AS is_eval FROM r""".stripMargin,
     // p23: d07's recursive-CTE closure nested; dropped = labeled docs
     // that are not their cluster's minimum; per-source integer sums + one
     // final division

@@ -726,6 +726,65 @@ object DataPipeline {
           col("total_tokens").cast("double")).as("token_retention"))
   }
 
+  /** p24: stratified eval holdout — exactly `perSource` documents per
+    * source, chosen by the salted portable hash order: the eval-set
+    * construction step (a holdout that mirrors the corpus' source mix by
+    * construction, unlike p03's global fraction which drifts per stratum
+    * on skewed corpora). Deterministic and auditable like every p03-family
+    * split: membership is a pure function of (doc_id, salt).
+    *
+    * Scale shape: the per-source selection is a BOUNDED HEAP, not a
+    * window — [[graft.similarity.Knn.topKPerKey]] partial-aggregates each
+    * partition down to `perSource` candidates before the exchange, so a
+    * billion-doc source costs the same exchange as a small one (the
+    * explicit reason this does not reuse p08's rank-window shape, which
+    * serializes on the largest stratum). The tiny eval-id set broadcasts
+    * back for the flag column; ordering ties (two hashes rounding to one
+    * double) resolve by doc_id IDENTICALLY in the oracle, which casts to
+    * double the same way. */
+  def stratifiedHoldout(docs: DataFrame, perSource: Int = 5,
+                        salt: String = "holdout:"): DataFrame = {
+    val eval = holdoutCandidates(docs, perSource, salt)
+      .select(col("doc_id"), lit(true).as("is_eval"))
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(eval), Seq("doc_id"), "left")
+      .na.fill(false, Seq("is_eval"))
+  }
+
+  /** p24's selection as a standalone frame: (source, doc_id, hd) — the
+    * current holdout membership with its hash score retained. Kept because
+    * min-k selection is MERGEABLE (top-k of a union = top-k of the two
+    * sides' top-ks), which makes the holdout maintainable incrementally:
+    * [[mergeHoldoutCandidates]] folds a batch's candidates into standing
+    * state without rescanning history — the d15/p21 property, here by the
+    * heap's own algebra. */
+  def holdoutCandidates(docs: DataFrame, perSource: Int = 5,
+                        salt: String = "holdout:"): DataFrame = {
+    require(perSource >= 1, s"perSource=$perSource must be >= 1")
+    val h = Dedup.md5Hash60(concat(lit(salt), col("doc_id").cast("string")))
+    val scored = docs.select(col("source").as("query_id"),
+      col("doc_id").as("neighbor_id"), (lit(0.0) - h.cast("double")).as("cos"))
+    graft.similarity.Knn.topKPerKey(scored, perSource)
+      .select(col("query_id").as("source"), col("neighbor_id").as("doc_id"),
+        (lit(0.0) - col("cos")).as("hd"))
+  }
+
+  /** Fold one candidate frame into another under the p24 selection rule
+    * (hd asc, doc_id asc, k per source). Both sides are sources×k-bounded,
+    * so the merge cost is independent of how many documents either side
+    * summarizes — the standing holdout never re-reads the corpus. */
+  def mergeHoldoutCandidates(standing: DataFrame, batch: DataFrame,
+                             perSource: Int = 5): DataFrame = {
+    // distinct: a re-delivered doc present on both sides must not occupy
+    // two heap slots — the merge is idempotent under at-least-once delivery
+    val scored = standing.unionByName(batch).distinct()
+      .select(col("source").as("query_id"), col("doc_id").as("neighbor_id"),
+        (lit(0.0) - col("hd")).as("cos"))
+    graft.similarity.Knn.topKPerKey(scored, perSource)
+      .select(col("query_id").as("source"), col("neighbor_id").as("doc_id"),
+        (lit(0.0) - col("cos")).as("hd"))
+  }
+
   /** p19: per-source robust length-outlier gate — Tukey fences over token
     * counts: a document is flagged when its length falls outside
     * [Q1 − f·IQR, Q3 + f·IQR] of ITS OWN source's distribution. p13's

@@ -33,18 +33,24 @@ object Relational4 {
     * results differ only at ~1e-15 relative; every aggregated value here
     * is O(1) or smaller by column choice (discount/tax ∈ [0, 0.1]), so
     * round(·, 6) absorbs merge-order noise without masking real error
-    * (the q01 rounded-aggregate rule). regr_count is exact integers. */
+    * (the q01 rounded-aggregate rule). regr_count is exact integers.
+    * Every rounded double gets `+ 0.0` (here and in the oracle): a
+    * near-zero covariance can round to IEEE −0.0 in one engine and +0.0
+    * in the other (observed: DuckDB −0.0 vs Spark 0.0 on covar at
+    * sf0.01), and the hash compare distinguishes the two; x + 0.0
+    * canonicalizes −0.0 → +0.0 identically in both engines. */
+  private def z(c: Column): Column = c + lit(0.0)
   def q52StatsAgg(t: Tables): DataFrame =
     t.lineitem.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
-      round(corr(col("l_discount"), col("l_tax")), 6).as("corr_dt"),
-      round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_s"),
-      round(covar_pop(col("l_discount"), col("l_tax")), 6).as("covar_p"),
-      round(var_samp(col("l_discount")), 6).as("var_s"),
-      round(stddev_pop(col("l_discount")), 6).as("stddev_p"),
-      round(regr_slope(col("l_tax"), col("l_discount")), 6).as("slope"),
-      round(regr_intercept(col("l_tax"), col("l_discount")), 6).as("intercept"),
-      round(regr_r2(col("l_tax"), col("l_discount")), 6).as("r2"),
+      z(round(corr(col("l_discount"), col("l_tax")), 6)).as("corr_dt"),
+      z(round(covar_samp(col("l_discount"), col("l_tax")), 6)).as("covar_s"),
+      z(round(covar_pop(col("l_discount"), col("l_tax")), 6)).as("covar_p"),
+      z(round(var_samp(col("l_discount")), 6)).as("var_s"),
+      z(round(stddev_pop(col("l_discount")), 6)).as("stddev_p"),
+      z(round(regr_slope(col("l_tax"), col("l_discount")), 6)).as("slope"),
+      z(round(regr_intercept(col("l_tax"), col("l_discount")), 6)).as("intercept"),
+      z(round(regr_r2(col("l_tax"), col("l_discount")), 6)).as("r2"),
       regr_count(col("l_tax"), col("l_discount")).as("n_pairs"))
 
   /** q53: bitwise/boolean aggregate battery — bit_and/or/xor over the

@@ -271,6 +271,36 @@ object EventStreams {
       }
   }
 
+  /** Streaming p24 — stratified-holdout maintenance as documents land.
+    * The per-source min-k selection is MERGEABLE (the top-k of a union is
+    * the top-k of the two sides' top-ks — the heap's own algebra, the
+    * p21/p22 mergeable-state family), so each micro-batch reduces to its
+    * own sources×k candidate frame and folds into the standing one:
+    * per-batch cost ∝ batch, the corpus is never rescanned, and the state
+    * is a sources×k-row table localCheckpoint-materialized per batch.
+    * Membership stays a pure function of (doc_id, salt), so the final
+    * state is spec-pinned EQUAL to batch p24 over the union of every
+    * batch — a late-arriving doc with a smaller hash correctly evicts the
+    * standing k-th member of its source. `onBatch` receives (merged
+    * candidate frame, batchId). */
+  def maintainHoldoutStream(docStream: DataFrame, initial: DataFrame,
+                            onBatch: (DataFrame, Long) => Unit,
+                            perSource: Int = 5,
+                            salt: String = "holdout:"): DataStreamWriter[Row] = {
+    val state = new java.util.concurrent.atomic.AtomicReference(initial)
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bc = graft.operators.DataPipeline.holdoutCandidates(
+          batch.select(col("doc_id"), col("source")), perSource, salt)
+        val merged = graft.operators.DataPipeline
+          .mergeHoldoutCandidates(state.get, bc, perSource)
+          .localCheckpoint(true)
+        state.set(merged)
+        onBatch(merged, batchId)
+      }
+  }
+
   final case class SessionFlush(user_id: Long, n_events: Int,
                                 total_value: Double, evicted: Boolean)
 

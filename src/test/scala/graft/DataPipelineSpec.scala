@@ -640,4 +640,49 @@ class DataPipelineSpec extends AnyFunSuite {
     graft.dedup.Dedup.releaseShingles(spark)
     assert(got === Map(("A", "B") -> ((1L, true)), ("A", "A") -> ((1L, false))))
   }
+
+  test("p24: holdout equals the window-rank recomputation, exactly 5 per source") {
+    val got = DataPipeline.stratifiedHoldout(docs)
+    // independent recomputation via the window-rank formulation the
+    // operator deliberately avoids at scale — semantics must coincide
+    val h = graft.dedup.Dedup.md5Hash60(concat(lit("holdout:"),
+      col("doc_id").cast("string"))).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("hd"), col("doc_id"))
+    val expected = docs.select(col("doc_id"), col("source"), h.as("hd"))
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("source"), (col("rk") <= 5).as("is_eval"))
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty,
+      "heap-selected holdout must equal the window-rank definition")
+    val perSrc = got.where(col("is_eval")).groupBy("source").count()
+      .select("count").as[Long].collect()
+    assert(perSrc.nonEmpty && perSrc.forall(_ === 5L),
+      s"every sf0.001 source holds ≥5 docs, so each must contribute exactly 5")
+    assert(got.count() === docs.count(), "every document keeps a flag row")
+  }
+
+  test("p24 merge: two-batch candidate fold equals the full recompute; idempotent") {
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    val merged = DataPipeline.mergeHoldoutCandidates(
+      DataPipeline.holdoutCandidates(a), DataPipeline.holdoutCandidates(b))
+    val full = DataPipeline.holdoutCandidates(docs)
+    assert(merged.except(full).isEmpty && full.except(merged).isEmpty,
+      "min-k selection must be mergeable: top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B))")
+    // at-least-once delivery: re-folding an already-included batch is a no-op
+    val again = DataPipeline.mergeHoldoutCandidates(
+      merged, DataPipeline.holdoutCandidates(b))
+    assert(again.except(full).isEmpty && full.except(again).isEmpty,
+      "re-delivered batch must not evict or duplicate standing members")
+  }
+
+  test("p24 plan: bounded heap partial-aggregates; no Window over the corpus") {
+    val df = DataPipeline.stratifiedHoldout(docs)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Window"),
+      s"selection must ride the bounded heap, not a rank window:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny eval-id set must broadcast back onto the corpus:\n$p")
+  }
 }

@@ -128,6 +128,36 @@ class StreamingSpec extends AnyFunSuite {
       "xor/min/max/sum folding must equal the batch manifest of the union")
   }
 
+  test("streaming holdout maintenance equals batch p24 over the streamed union") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.DataPipeline
+    val standing = tables.documents.where(col("doc_id") < 100)
+      .select(col("doc_id"), col("source"))
+    val initial = DataPipeline.holdoutCandidates(standing)
+    val mem = MemoryStream[(Long, String)]
+    var finalState = Set.empty[(String, Long)]
+    val q = EventStreams.maintainHoldoutStream(
+      mem.toDF().toDF("doc_id", "source"), initial,
+      (df, _) => finalState = df.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet).start()
+    // salt-hash order is unrelated to doc_id order, so late high-ids can
+    // evict standing members — the convergence check is the real property
+    val srcs = standing.select("source").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val b1 = (9001L to 9020L).map(i => (i, srcs(i.toInt % srcs.length)))
+    val b2 = (9021L to 9040L).map(i => (i, srcs(i.toInt % srcs.length)))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val union = standing.unionByName((b1 ++ b2).toDF("doc_id", "source"))
+    val expected = DataPipeline.holdoutCandidates(union).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(finalState === expected,
+      "folded per-source min-k state must equal batch p24 over the union")
+    assert((b1 ++ b2).map(_._1).toSet.intersect(expected.map(_._2)).nonEmpty ||
+      expected.nonEmpty, "sanity: expected state non-empty")
+  }
+
   test("streaming drift monitor converges to the batch p22 of the streamed union") {
     implicit val sql = spark.sqlContext
     import graft.operators.DataPipeline
