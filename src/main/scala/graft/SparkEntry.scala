@@ -92,6 +92,11 @@ object SparkEntry {
     // q60: array set ops over the t16 half arrays — canonical sorted-join
     // serialization (the q50 rule), integer counts/positions
     "q60_array_setops"    -> ((s, d) => Relational4.q60ArraySetOps(t(s, d))),
+    // q63: LOCF gap-fill — last/first(ignoreNulls) running frames; the
+    // oracle emulates IGNORE NULLS via the non-null-count grouping trick
+    "q63_gap_fill"        -> ((s, d) => Relational4.q63GapFill(t(s, d))),
+    // q64: deterministic LISTAGG — sorted-distinct CSV per group
+    "q64_ordered_agg"     -> ((s, d) => Relational4.q64OrderedAgg(t(s, d))),
     // q58: HLL++ distinct + quantile sketch beside their exact companions
     // — different sketch implementations per engine, so rows-only by the
     // d06 class; RelationalSpec pins error bounds + determinism
@@ -289,6 +294,18 @@ object SparkEntry {
     // restricted before ranking, k qualifying neighbors guaranteed);
     // exact, the s01 discipline; filteredIvf recall-spec'd in KnnSpec
     "s10_filtered_knn"    -> ((s, d) => Knn.filteredBruteForce(t(s, d).embeddings)),
+    // s11: incremental index upsert — frozen centers (trained on the
+    // standing 4/5 of the corpus) assign ONLY the held-out batch, union
+    // is the new index; exact-parity-with-full-rebuild spec'd in KnnSpec.
+    // Rows-only (the s02 class: cells come from trained centroids)
+    "s11_index_upsert"    -> ((s, d) => {
+      val emb = t(s, d).embeddings
+      val standing = emb.where(col("vec_id") % 5 =!= 0)
+      val batch = emb.where(col("vec_id") % 5 === 0)
+      val centers = Knn.trainIvf(standing)
+      Knn.upsertIvfIndex(Knn.assigned(standing, centers), centers, batch)
+        .select(col("vec_id"), col("cell"), (col("vec_id") % 5 === 0).as("is_new"))
+    }),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
     // serializes it to CSV because the driver's hash compare (like any
@@ -681,6 +698,38 @@ object SparkEntry {
         |FROM customer""".stripMargin,
     // q60: same halves; set-op results dedup'd + sorted before join on
     // both sides; list_position NULL→0 matches Spark's 0-on-absent
+    // q63: DuckDB has no IGNORE NULLS — rows at-or-after the same non-null
+    // share the running non-null COUNT, and max(v) within that group is
+    // the fill (one non-null per group by construction); filled values
+    // are copies, never arithmetic, so nothing rounds
+    "q63_gap_fill" ->
+      """WITH v AS (
+        | SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+        | FROM orders),
+        |g AS (
+        | SELECT *,
+        |  count(v) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dgrp,
+        |  count(v) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ugrp
+        | FROM v)
+        |SELECT o_orderkey, o_orderpriority, v,
+        | max(v) OVER (PARTITION BY o_orderpriority, dgrp) AS fill_down,
+        | max(v) OVER (PARTITION BY o_orderpriority, ugrp) AS fill_up,
+        | coalesce(v,
+        |   max(v) OVER (PARTITION BY o_orderpriority, dgrp),
+        |   max(v) OVER (PARTITION BY o_orderpriority, ugrp)) AS filled
+        |FROM g""".stripMargin,
+    // q64: string_agg with ORDER BY pins the same sorted-distinct CSV
+    "q64_ordered_agg" ->
+      """SELECT o_orderpriority,
+        | coalesce(string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus), '') AS statuses_csv,
+        | CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+        | min(o_orderstatus) AS first_status,
+        | max(o_orderstatus) AS last_status,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q60_array_setops" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |hh AS (SELECT doc_id, toks, CAST(len(toks) // 2 AS INT) AS h FROM w),

@@ -236,6 +236,50 @@ object Relational4 {
         .as("sim_seg"),
       col("c_name").startsWith("Customer").as("starts_cust"))
 
+  /** q63: gap-fill battery — fill-down (last non-null at-or-before, the
+    * LOCF sensor/telemetry fill), fill-up (next non-null at-or-after) and
+    * their coalesce, via `last/first(…, ignoreNulls)` over running row
+    * frames. NULLs are planted deterministically (orderkey % 3) so both
+    * engines see identical gaps; filled values are COPIES of existing
+    * doubles (no arithmetic), so nothing rounds. DuckDB has no IGNORE
+    * NULLS clause, so the oracle uses the count-of-non-nulls grouping
+    * identity: rows at-or-after the same non-null share
+    * count(v) OVER (…PRECEDING…), and max(v) within that group IS the
+    * fill — spelled out in the oracle SQL. The demo partitions by order
+    * priority; at scale the partition key is a high-cardinality entity
+    * id (sensor/user), making per-key frames executor-local. */
+  def q63GapFill(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = when(col("o_orderkey") % 3 === 0, lit(null))
+      .otherwise(col("o_totalprice"))
+    val wDown = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wUp = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"), v.as("v"))
+      .withColumn("fill_down", last(col("v"), ignoreNulls = true).over(wDown))
+      .withColumn("fill_up", first(col("v"), ignoreNulls = true).over(wUp))
+      .withColumn("filled",
+        coalesce(col("v"), col("fill_down"), col("fill_up")))
+  }
+
+  /** q64: ordered string aggregation — the deterministic LISTAGG surface:
+    * sorted-distinct CSV and sorted-distinct array per group (plus min/
+    * max/count). Sorting inside the aggregate is what makes a collected
+    * list hash-checkable at all: collect_set order is partitioning-
+    * dependent, array_sort pins it (serialized to CSV — the q60 rule: no
+    * raw array columns in compared results). One partial-aggregated
+    * exchange on a low-cardinality key. */
+  def q64OrderedAgg(t: Tables): DataFrame =
+    t.orders.groupBy(col("o_orderpriority")).agg(
+      concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+        .as("statuses_csv"),
+      size(collect_set(col("o_orderstatus"))).as("n_statuses"),
+      min(col("o_orderstatus")).as("first_status"),
+      max(col("o_orderstatus")).as("last_status"),
+      count(lit(1)).as("n"))
+
   /** q58: the approximate-sketch aggregates — HLL++ distinct counting
     * (`approx_count_distinct`) and quantile sketching
     * (`approx_percentile`), each beside its exact companion and relative

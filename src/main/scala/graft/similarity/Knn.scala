@@ -287,6 +287,25 @@ object Knn {
         array_min(dists(col("v"), cents)).getField("cell").as("cell"))
   }
 
+  /** s11: incremental serving-index maintenance — fold a batch of NEW
+    * vectors into an existing IVF index WITHOUT retraining the model or
+    * re-assigning the standing corpus: the FROZEN centers assign the batch
+    * alone (one batch-sized argmin projection) and the union is the new
+    * index. Parity is exact by construction — assignment is a pure per-row
+    * function of (vector, centers) — so the upserted index equals
+    * `assigned(standing ∪ batch)` row-for-row, and serving from it equals
+    * stateless serving over the union (both spec-pinned in KnnSpec). This
+    * is the d08/d15 ingestion-flow property for the ANN side: per-batch
+    * cost ∝ batch, history never re-scanned or re-encoded. The contract
+    * boundary is DRIFT: enough upserts move the distribution away from the
+    * frozen centers (cells skew, recall decays) — retrain and rebuild via
+    * [[ivfIndex]] when that happens, exactly FAISS's add-vs-train split.
+    * Caller contract: batch vec_ids are new (compose with d08 admission
+    * upstream for at-least-once delivery). */
+  def upsertIvfIndex(index: DataFrame, centers: Array[Array[Double]],
+                     batch: DataFrame): DataFrame =
+    index.unionByName(assigned(batch, centers))
+
   /** The memoized, PERSISTED serving index for (corpus, nCells): trains the
     * model at most once and materializes the assignment at most once per
     * session — [[ivf]] serves from this, so the corpus is scanned+assigned

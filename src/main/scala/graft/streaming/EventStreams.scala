@@ -301,6 +301,31 @@ object EventStreams {
       }
   }
 
+  /** Streaming s11 — ANN serving-index maintenance as vectors land: each
+    * micro-batch runs the frozen model's argmin assignment over ITS OWN
+    * rows only and unions into the standing index (Knn.upsertIvfIndex),
+    * localCheckpoint-materialized so state is a bounded table, not a
+    * growing union plan. Final state is spec-pinned EQUAL to assigning the
+    * whole streamed union in one batch — assignment is a pure per-row
+    * function of (vector, frozen centers). Retraining on drift is the
+    * caller's explicit decision (the FAISS add/train split); batch vec_ids
+    * are new by contract (d08 admission upstream). `onBatch` receives
+    * (merged index, batchId). */
+  def maintainIndexStream(embStream: DataFrame,
+                          centers: Array[Array[Double]], initial: DataFrame,
+                          onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val state = new java.util.concurrent.atomic.AtomicReference(initial)
+    embStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val merged = graft.similarity.Knn.upsertIvfIndex(
+          state.get, centers, batch.select(col("vec_id"), col("embedding")))
+          .localCheckpoint(true)
+        state.set(merged)
+        onBatch(merged, batchId)
+      }
+  }
+
   final case class SessionFlush(user_id: Long, n_events: Int,
                                 total_value: Double, evicted: Boolean)
 

@@ -174,6 +174,28 @@ class KnnSpec extends AnyFunSuite {
     Knn.clearIvfModels(spark)
   }
 
+  test("s11: upserted index equals the full rebuild; serving parity is exact") {
+    import org.apache.spark.sql.functions._
+    val emb = tables.embeddings
+    val standing = emb.where(col("vec_id") % 5 =!= 0)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val centers = Knn.trainIvf(standing, nCells = 10)
+    val upserted = Knn.upsertIvfIndex(Knn.assigned(standing, centers), centers, batch)
+    // assignment is a pure per-row function of (vector, frozen centers):
+    // the incremental index must equal assigning the union in one pass
+    val rebuilt = Knn.assigned(emb, centers)
+    assert(upserted.select("vec_id", "cell").except(rebuilt.select("vec_id", "cell")).isEmpty &&
+      rebuilt.select("vec_id", "cell").except(upserted.select("vec_id", "cell")).isEmpty,
+      "upsert must equal the full rebuild under the frozen model")
+    assert(upserted.count() === emb.count(), "every vector indexed exactly once")
+    // serving from the upserted index == stateless serve over the union
+    val a = Knn.ivfServeIndexed(upserted, centers, "vec_id < 5", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Knn.ivfServe(emb, centers, "vec_id < 5", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b, "served results must be identical — not just recall-equivalent")
+  }
+
   test("ivf serving index is materialized once: second serve reads the in-memory index") {
     Knn.clearIvfModels(spark)
     val first = Knn.ivf(tables.embeddings, "vec_id < 5", k = 5).collect()

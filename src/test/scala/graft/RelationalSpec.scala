@@ -365,6 +365,51 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q63: gap-fill matches a JVM LOCF fold per priority partition") {
+    import spark.implicits._
+    val src = tables.orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .as[(Long, String, Double)].collect().groupBy(_._2)
+    // JVM reference: walk each partition in key order carrying the last /
+    // next non-null — the textbook LOCF definition
+    val expected = src.flatMap { case (prio, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val vs = sorted.map(r => if (r._1 % 3 == 0) None else Some(r._3))
+      val down = vs.scanLeft(Option.empty[Double])((acc, v) => v.orElse(acc)).tail
+      val up = vs.scanRight(Option.empty[Double])((v, acc) => v.orElse(acc)).init
+      sorted.indices.map(i => (sorted(i)._1,
+        (vs(i), down(i), up(i), vs(i).orElse(down(i)).orElse(up(i)))))
+    }.toMap
+    val rows = graft.operators.Relational4.q63GapFill(tables).collect()
+    assert(rows.length === expected.size)
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    rows.foreach { r =>
+      val e = expected(r.getLong(0))
+      assert((opt(r, 2), opt(r, 3), opt(r, 4), opt(r, 5)) === e,
+        s"orderkey=${r.getLong(0)}")
+    }
+  }
+
+  test("q64: ordered agg CSV is sorted, distinct, partitioning-invariant") {
+    val base = graft.operators.Relational4.q64OrderedAgg(tables).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    base.values.foreach { case (csv, n) =>
+      val parts = csv.split(",").toSeq
+      assert(parts === parts.sorted && parts.distinct === parts)
+      assert(parts.length === n)
+    }
+    // the sort inside the aggregate is what makes the CSV deterministic:
+    // a different physical partitioning must yield the identical strings
+    val again = tables.orders.repartition(7)
+      .groupBy(col("o_orderpriority")).agg(
+        concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+          .as("statuses_csv"),
+        size(collect_set(col("o_orderstatus"))).as("n_statuses"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(again === base, "collect_set order must not leak into the CSV")
+  }
+
   test("q57: argmax/argmin rows match a JVM fold with the same tie order") {
     import spark.implicits._
     val evts = tables.events

@@ -158,6 +158,32 @@ class StreamingSpec extends AnyFunSuite {
       expected.nonEmpty, "sanity: expected state non-empty")
   }
 
+  test("streaming index maintenance equals assigning the streamed union in one pass") {
+    implicit val sql = spark.sqlContext
+    import graft.similarity.Knn
+    val standing = tables.embeddings.where(col("vec_id") < 400)
+      .select(col("vec_id"), col("embedding"))
+    val centers = Knn.trainIvf(standing, nCells = 10)
+    val initial = Knn.assigned(standing, centers)
+    val late = tables.embeddings.where(col("vec_id") >= 400)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    var finalIdx = Map.empty[Long, Int]
+    val q = EventStreams.maintainIndexStream(
+      mem.toDF().toDF("vec_id", "embedding"), centers, initial,
+      (df, _) => finalIdx = df.collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap).start()
+    val (b1, b2) = late.splitAt(late.length / 2)
+    mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable(); q.stop()
+    val expected = Knn.assigned(
+      tables.embeddings.select(col("vec_id"), col("embedding")), centers)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(finalIdx === expected,
+      "per-batch frozen-model assignment must equal the one-pass rebuild")
+  }
+
   test("streaming drift monitor converges to the batch p22 of the streamed union") {
     implicit val sql = spark.sqlContext
     import graft.operators.DataPipeline
