@@ -368,6 +368,9 @@ object SparkEntry {
     // of 31 types — 16 keeps the rates non-trivial); deterministic cut by
     // (freq desc, token), one unrounded division
     "t17_oov_rate"        -> ((s, d) => TextQueries.t17OovRate(t(s, d))),
+    // t18: cross-document boilerplate fraction — share of a doc's shingles
+    // with corpus df >= 3; counts exact, one unrounded division
+    "t18_boilerplate"     -> ((s, d) => TextQueries.t18Boilerplate(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -1306,6 +1309,22 @@ object SparkEntry {
         | CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) AS DOUBLE)
         |   / count(*) AS oov_rate
         |FROM tok GROUP BY doc_id""".stripMargin,
+    // t18: d02's DISTINCT string-shingle CTE (hash-vs-string identity is
+    // the accepted p02 convention); df one aggregate, counts exact longs,
+    // the fraction one integer-derived division
+    "t18_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_shingles,
+        | CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        | CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS boiler_frac
+        |FROM sh JOIN df USING (shingle) GROUP BY doc_id""".stripMargin,
     // s08: s01's scoring and ranking with every vector as a query — same
     // round(cos, 8) + neighbor_id tiebreak, so order can never disagree
     "s08_knn_graph" ->

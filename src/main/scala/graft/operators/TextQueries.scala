@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.dedup.Dedup
 import graft.functions.TextFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -454,6 +455,36 @@ object TextQueries {
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+  }
+
+  def t18Boilerplate(t: Tables): DataFrame = boilerplate(t.documents)
+
+  /** t18: per-document boilerplate fraction — the share of a document's
+    * shingles that are CORPUS-COMMON (document frequency ≥ `dfMin`): the
+    * cross-document repetition signal t05 cannot see (t05 scores
+    * repetition WITHIN a doc; a page whose chrome is repeated across ten
+    * thousand pages is internally non-repetitive but mostly boilerplate).
+    * The RefinedWeb/Dolma-class drop rule thresholds this fraction; d13
+    * uses the same df to weight PAIRS, this scores each DOC standalone.
+    *
+    * Shape: df is one partial-aggregated exchange over the shared shingle
+    * frame; the join back on shingle is t10's idf-join precedent (a hot
+    * boilerplate shingle fans out by its df — exactly the skew AQE's
+    * skew-join split handles, and exactly the rows the operator exists to
+    * count); the per-doc rollup is one doc-keyed exchange. Counts are
+    * exact longs; the fraction is one integer-derived division, unrounded
+    * (the t12 rule). */
+  def boilerplate(docs: DataFrame, k: Int = 3, dfMin: Long = 3): DataFrame = {
+    require(dfMin >= 2, s"dfMin=$dfMin must be >= 2 (df >= 1 always)")
+    val sh = Dedup.sharedShingles(docs, k) // (doc_id, shingle) distinct
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= dfMin, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+          .as("boiler_frac"))
   }
 
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated

@@ -183,6 +183,27 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Range-clustered parquet sink — the sorted-by-key data layout for
+    * min/max pruning: `repartitionByRange` gives the written files
+    * DISJOINT key ranges (equal keys can never straddle a boundary) and
+    * `sortWithinPartitions` orders rows inside each, so a point or range
+    * predicate on the cluster key skips whole files and row groups via
+    * parquet column statistics. This is the scan-side lever when the key
+    * is too high-cardinality for a directory layout (writePartitioned's
+    * contract tops out around 10³ distinct values — one directory per
+    * value; clustering handles 10⁹). The range exchange samples the key
+    * distribution, so skewed keys still yield balanced files. Pay the one
+    * sort at write time for every later selective scan — the same
+    * write-once/read-forever trade as writeBucketed, aimed at filters
+    * instead of joins. */
+  def writeClustered(df: DataFrame, path: String, clusterCol: String,
+                     nFiles: Int = 32): Unit = {
+    require(nFiles >= 1, s"nFiles=$nFiles must be >= 1")
+    df.repartitionByRange(nFiles, df(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed, sorted managed table — the co-located join path: two tables
     * bucketed on their join key by the same bucket count join with ZERO
     * shuffle exchanges (PlanSpec proves the exchange-free SortMergeJoin).

@@ -47,6 +47,27 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(new java.io.File(s"$small/_SUCCESS").exists())
   }
 
+  test("clustered sink: per-file key ranges are disjoint — the min/max pruning layout") {
+    import org.apache.spark.sql.functions._
+    val src = tables.lineitem.select("l_orderkey", "l_quantity")
+    val path = s"$tmp/clustered"
+    Sources.writeClustered(src, path, "l_orderkey", nFiles = 8)
+    val back = Sources.parquet(spark, path)
+    assert(back.count() === src.count(), "rows survive the re-layout")
+    // per physical file: (min, max) of the cluster key — ranges must be
+    // pairwise disjoint or no file-level stat could ever prune
+    val ranges = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "enough data for several files")
+    // strict: equal keys never straddle a range boundary, so consecutive
+    // files cannot even share their boundary value
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"file ranges overlap: hi=$hi lo2=$lo2")
+    }
+  }
+
   test("compacting sink: file count clamps in BigInt space (overflow-safe)") {
     // optimizer stats on joins/local relations can exceed Long range; the
     // old BigInt.toLong narrowing WRAPPED to an arbitrary huge/garbage

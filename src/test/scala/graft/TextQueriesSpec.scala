@@ -107,6 +107,40 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got(3L) === (("und", "und", false)), "empty first half degrades to und")
   }
 
+  test("t18: planted cross-doc chrome scores as boilerplate; unique text scores zero") {
+    import spark.implicits._
+    val chrome = "copyright acme corp all rights reserved"
+    val planted = Seq(
+      (1L, s"$chrome unique alpha beta gamma delta content one"),
+      (2L, s"$chrome other epsilon zeta eta theta content two"),
+      (3L, s"$chrome third iota kappa lambda mu content three"),
+      (4L, "entirely original words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val got = TextQueries.boilerplate(planted).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    // the chrome prefix contributes 3-gram shingles with df = 3; each
+    // doc's unique tail has df = 1 — JVM recount per doc
+    def sh(s: String): Set[Seq[String]] =
+      s.split(" ").toSeq.sliding(3).toSet
+    val docs = Map(1L -> s"$chrome unique alpha beta gamma delta content one",
+      2L -> s"$chrome other epsilon zeta eta theta content two",
+      3L -> s"$chrome third iota kappa lambda mu content three",
+      4L -> "entirely original words nothing shared here at all")
+    val all = docs.toSeq.flatMap { case (id, s) => sh(s).map(_ -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    docs.foreach { case (id, s) =>
+      val mine = sh(s)
+      val boiler = mine.count(g => all(g) >= 3)
+      val (n, b, f) = got(id)
+      assert(n === mine.size.toLong && b === boiler.toLong, s"doc $id")
+      assert(f === boiler.toDouble / mine.size, s"doc $id frac")
+    }
+    assert(got(4L)._2 === 0L, "unique doc carries no boilerplate")
+    assert(got(1L)._3 > 0.0, "chrome-bearing doc must score > 0")
+  }
+
   test("t14: zipf slope/r2 match a JVM least-squares fit and slope is negative") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
