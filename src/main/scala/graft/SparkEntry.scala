@@ -97,6 +97,12 @@ object SparkEntry {
     "q63_gap_fill"        -> ((s, d) => Relational4.q63GapFill(t(s, d))),
     // q64: deterministic LISTAGG — sorted-distinct CSV per group
     "q64_ordered_agg"     -> ((s, d) => Relational4.q64OrderedAgg(t(s, d))),
+    // q65: weekly retention cohorts — Monday-truncated weeks so offsets
+    // are exact /7 multiples; retention one IEEE division of exact longs
+    "q65_retention"       -> ((s, d) => Temporal.q65RetentionCohorts(t(s, d))),
+    // q66: ordered signup→click→purchase funnel — one user exchange,
+    // three window passes; stage ints + second-truncated timestamps
+    "q66_funnel"          -> ((s, d) => Temporal.q66Funnel(t(s, d))),
     // q58: HLL++ distinct + quantile sketch beside their exact companions
     // — different sketch implementations per engine, so rows-only by the
     // d06 class; RelationalSpec pins error bounds + determinism
@@ -252,6 +258,9 @@ object SparkEntry {
     // d18: threshold sensitivity curve — one d02 run at the grid minimum,
     // counts per grid point; exact doubles/integers throughout
     "d18_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(t(s, d).documents)),
+    // d19: edit-distance near-dup pairs — length-band blocking is exact
+    // (|Δlen| lower-bounds the distance); thresholded Levenshtein verify
+    "d19_edit_dedup"      -> ((s, d) => Dedup.editDistancePairs(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
@@ -733,6 +742,45 @@ object SparkEntry {
         | max(o_orderstatus) AS last_status,
         | count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q65: both engines truncate weeks to Monday; offsets are exact
+    // multiples of 7 days so the /7 division and INT cast are noise-free
+    "q65_retention" ->
+      """WITH firsts AS (
+        | SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        | FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        |        FROM events),
+        |g AS (SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+        |  count(*) AS n_active
+        | FROM act JOIN firsts USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        | week_offset, n_active,
+        | max(CASE WHEN week_offset = 0 THEN n_active END)
+        |   OVER (PARTITION BY cohort_week) AS cohort_size,
+        | CAST(n_active AS DOUBLE)
+        |   / max(CASE WHEN week_offset = 0 THEN n_active END)
+        |       OVER (PARTITION BY cohort_week) AS retention
+        |FROM g""".stripMargin,
+    // q66: the window-pass funnel as staged CTEs — min click strictly
+    // after the first signup, min purchase strictly after that click
+    "q66_funnel" ->
+      """WITH s AS (
+        | SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        | FROM events GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2
+        |      FROM events e JOIN s USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > s.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT s.user_id,
+        | strftime(s.t1, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        | strftime(c.t2, '%Y-%m-%d %H:%M:%S') AS first_click_ts,
+        | strftime(p.t3, '%Y-%m-%d %H:%M:%S') AS first_purchase_ts,
+        | CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2
+        |      WHEN s.t1 IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+        |FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin,
     "q60_array_setops" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
         |hh AS (SELECT doc_id, toks, CAST(len(toks) // 2 AS INT) AS h FROM w),
@@ -1534,6 +1582,20 @@ object SparkEntry {
          |SELECT threshold,
          | CAST(coalesce((SELECT count(*) FROM nd WHERE jaccard >= threshold), 0) AS BIGINT) AS n_pairs
          |FROM g""".stripMargin,
+    // d19: the blocking-free brute force — the length-band predicate is
+    // the same lower bound the Spark block join exploits; dist INT parity,
+    // sim the identical IEEE 1 − d/maxlen
+    "d19_edit_dedup" ->
+      """SELECT a.doc_id AS d1, b.doc_id AS d2,
+        | CAST(levenshtein(a.text, b.text) AS INT) AS dist,
+        | CASE WHEN greatest(length(a.text), length(b.text)) = 0
+        |      THEN CAST(1 AS DOUBLE)
+        |      ELSE 1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |             / greatest(length(a.text), length(b.text)) END AS sim
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 32
+        | AND levenshtein(a.text, b.text) <= 32""".stripMargin,
     // p24: same md5 fold with the 'holdout:' salt; the oracle orders by
     // the DOUBLE-cast hash + doc_id, exactly the heap's comparison key
     "p24_stratified_holdout" ->

@@ -143,6 +143,44 @@ object Dedup {
     gf.join(counts, Seq("threshold"), "left").na.fill(0L, Seq("n_pairs"))
   }
 
+  /** d19: edit-distance near-dup pairs — fuzzy dedup for SHORT texts
+    * (titles, queries, captions, code lines), where shingle Jaccard (d02)
+    * degenerates: a 6-word title has 4 trigram shingles and one edited
+    * word kills half of them, while its edit distance is one word. Emits
+    * (d1 < d2, dist ≤ maxDist) with a normalized similarity.
+    *
+    * Exact by construction: |len(a) − len(b)| lower-bounds the edit
+    * distance, so blocking on length buckets of width maxDist+1 and
+    * probing each doc's bucket ± 1 can never lose a qualifying pair (the
+    * d02 prefix-filter argument, instantiated on lengths), and each pair
+    * survives the block join exactly once (the probe side fans out ×3,
+    * the home side stays single). Candidates verify with the THRESHOLDED
+    * Levenshtein kernel — O(len·maxDist) per pair, not O(len²), and
+    * far-apart candidates exit early with −1. Same-length skew (a hot
+    * bucket of equal-length boilerplate) is AQE skew-join territory;
+    * the scale route for the verify stage stays d03/d14 when texts are
+    * long enough to shingle. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 32): DataFrame = {
+    require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
+    val width = maxDist + 1
+    val base = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val home = base.select(col("doc_id").as("d2"), col("text").as("t2"),
+      col("len").as("l2"), floor(col("len") / width).as("bucket"))
+    val probe = base.select(col("doc_id").as("d1"), col("text").as("t1"),
+      col("len").as("l1"),
+      explode(array((-1 to 1).map(i => floor(col("len") / width) + i): _*))
+        .as("bucket"))
+    probe.join(home, Seq("bucket"))
+      .where(col("d1") < col("d2") && abs(col("l1") - col("l2")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("d1"), col("d2"), col("dist"),
+        when(greatest(col("l1"), col("l2")) === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("dist").cast("double")
+            / greatest(col("l1"), col("l2")).cast("double")).as("sim"))
+  }
+
   /** d11: canonical selection — exact dedup keeping the BEST copy of each
     * duplicate group rather than d01's smallest-id copy: the curation rule
     * real pipelines use when near-identical scrapes differ in completeness

@@ -73,6 +73,85 @@ object Temporal {
         round(coalesce(sum("p_value"), lit(0.0)), 2).as("purchase_value_1h"))
   }
 
+  /** q65: weekly retention cohorts — the product-analytics staple: users
+    * cohorted by the ISO week of their FIRST event, then per (cohort,
+    * weeks-since) the count of cohort members active that week and the
+    * retention fraction. Both engines truncate weeks to Monday, so the
+    * offset is an exact multiple of 7 days and the integer division is
+    * noise-free; retention is one IEEE division of two exact longs (the
+    * t12 unrounded rule).
+    *
+    * Scale shape: the first-event frame is one user-keyed partial-agg
+    * exchange; (user, week) activity partial-aggregates to distinct pairs
+    * before its exchange; the cohort grid is ≤ weeks² rows, so the
+    * window for cohort_size is over a tiny frame. The corpus of events is
+    * never joined row-to-row — both sides reduce to user-bounded frames
+    * first. */
+  def q65RetentionCohorts(t: Tables): DataFrame = retentionCohorts(t.events)
+
+  /** See [[q65RetentionCohorts]]; core over any (user_id, ts) frame. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firsts = events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val grid = active.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    // every user is active in their own first week, so offset 0 IS the
+    // cohort size — no separate census pass
+    val w = Window.partitionBy(col("cohort_week"))
+    grid
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(w))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
+  /** q66: ordered conversion funnel — per user, the signup → click →
+    * purchase progression: first signup, first click strictly AFTER it,
+    * first purchase strictly after that, and the stage reached (0–3).
+    * The ORDER is the semantics (a click before signup does not count) —
+    * which is what separates a funnel from q32's pivot counts.
+    *
+    * Scale shape: ONE exchange on user_id, then three whole-partition
+    * window passes over that same partitioning (each stage's min is
+    * conditioned on the previous stage's window column — no self-joins,
+    * no re-scans), and the per-user collapse reuses the partitioning so
+    * Catalyst plans no second exchange. Per-user state is three
+    * timestamps regardless of event count. */
+  def q66Funnel(t: Tables): DataFrame = funnel(t.events)
+
+  /** See [[q66Funnel]]; core over any (user_id, ts, event_type) frame. */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("s_ts"), min(col("t2")).as("c_ts"),
+        min(col("t3")).as("p_ts"))
+      .select(col("user_id"),
+        date_format(col("s_ts"), fmt).as("signup_ts"),
+        date_format(col("c_ts"), fmt).as("first_click_ts"),
+        date_format(col("p_ts"), fmt).as("first_purchase_ts"),
+        when(col("p_ts").isNotNull, 3).when(col("c_ts").isNotNull, 2)
+          .when(col("s_ts").isNotNull, 1).otherwise(0).as("funnel_stage"))
+  }
+
   /** q26: as-of join — for each error event, the most recent signup of the
     * same user at-or-before it. Implemented the scale-safe way: union both
     * sides, one window sort per user, `last(signup_ts)` carried forward —

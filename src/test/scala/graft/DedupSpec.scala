@@ -37,6 +37,36 @@ class DedupSpec extends AnyFunSuite {
     assert(admitted === Set(12L, 13L))
   }
 
+  test("d19: edit-distance pairs match a JVM brute force, including across bucket boundaries") {
+    import spark.implicits._
+    val texts = Map(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat", // dist 3
+      3L -> "a completely different sentence with other words entirely",
+      4L -> "ab", 5L -> "",                                 // dist 2, sim 0
+      6L -> "x" * 9, 7L -> "x" * 13)                        // buckets 1 vs 2 at width 5
+    val maxDist = 4
+    val got = Dedup.editDistancePairs(texts.toSeq.toDF("doc_id", "text"), maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getDouble(3)))).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      dist = lev(texts(a), texts(b)) if dist <= maxDist
+    } yield (a, b) -> ((dist,
+      1.0 - dist.toDouble / math.max(texts(a).length, texts(b).length)))).toMap
+    assert(got === want)
+    // the boundary pair (len 9 vs 13 lands in adjacent length buckets at
+    // width maxDist+1) must survive the block join — blocking is exact
+    assert(got.contains((6L, 7L)), "cross-bucket pair lost by blocking")
+    assert(got((4L, 5L)) === ((2, 0.0)), "empty-vs-short normalizes to sim 0")
+  }
+
   test("d10 plan: banded probe join, no cartesian, no all-pairs") {
     val docs = tables.documents
     val df = Dedup.incrementalNearDup(

@@ -410,6 +410,49 @@ class RelationalSpec extends AnyFunSuite {
     assert(again === base, "collect_set order must not leak into the CSV")
   }
 
+  test("q65: planted cohorts produce the hand-computed retention grid") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1/u2 first-active in the week of Mon 2024-01-01; u3 the week after
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-03 09:00:00")),
+      (3L, ts("2024-01-10 08:00:00")), (3L, ts("2024-01-17 08:00:00"))
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Temporal.retentionCohorts(ev).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === Map(
+      ("2024-01-01", 0) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1) -> ((1L, 2L, 0.5)),
+      ("2024-01-08", 0) -> ((1L, 1L, 1.0)),
+      ("2024-01-08", 1) -> ((1L, 1L, 1.0))))
+  }
+
+  test("q66: funnel stages respect event ORDER, not mere presence") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: full ordered funnel → stage 3
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 11:00:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2: click BEFORE the signup only → stage 1 (order is the semantics)
+      (2L, ts("2024-01-01 09:00:00"), "click"),
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      // u3: no signup at all → stage 0
+      (3L, ts("2024-01-01 10:00:00"), "click"),
+      // u4: purchase between signup and click → stage 2 (purchase must
+      // follow the click, not just the signup)
+      (4L, ts("2024-01-01 10:00:00"), "signup"),
+      (4L, ts("2024-01-01 10:30:00"), "purchase"),
+      (4L, ts("2024-01-01 11:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val got = graft.operators.Temporal.funnel(ev).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 2))
+  }
+
   test("q57: argmax/argmin rows match a JVM fold with the same tie order") {
     import spark.implicits._
     val evts = tables.events
