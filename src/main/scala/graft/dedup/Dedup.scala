@@ -53,12 +53,6 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Session-scoped STRING-shingle registry (d17 reads the frame three
-    * times — both pair sides and the df table; the hashed [[sharedShingles]]
-    * can't serve it because the evidence is for humans). */
-  private val stringShingleMemo =
-    new graft.SessionKeyedCache[(Int, Int), DataFrame](_.unpersist(blocking = false))
-
   /** Session-scoped exact-pair registry — the [[sharedShingles]] pattern
     * one level up: d02's verified pair frame is consumed by the evidence
     * report (d17), the syndication matrix (p20) and ad-hoc audits, and
@@ -85,27 +79,40 @@ object Dedup {
     * and get removed with confidence. Fully hash-checkable: the rank
     * orders on exact integers with a total tiebreak.
     *
-    * Scale shape: the pair frame (∝ near-dups, via [[sharedJaccardPairs]])
-    * broadcasts against the shared shingle+df frames; the per-pair top-k
-    * is one pair-keyed window over evidence rows only (shared shingles of
-    * actual pairs — never the corpus). */
+    * Scale shape: corpus-wide rarity comes from the memoized HASHED
+    * [[sharedShingles]] frame (paid once per session, shared with
+    * d02/d03/d07 — the corpus is never string-shingled for this report);
+    * the human-readable STRING shingles are exploded only for
+    * pair-INCIDENT docs (a semi-join against the tiny doc set the pair
+    * frame touches), and each string maps to its hash by re-deriving
+    * [[TextFns.shingleHashesOfTokens]]'s multi-arg xxhash64 from the
+    * split tokens (tokens are space-free, so the split is a clean
+    * inverse; the < shingleK-token fallback hashes the joined string,
+    * same as the hashed path). The per-pair top-k is one pair-keyed
+    * window over evidence rows only (shared shingles of actual pairs —
+    * never the corpus). */
   def pairEvidence(docs: DataFrame, threshold: Double = 0.8,
                    k: Int = 3, shingleK: Int = 3): DataFrame = {
-    // STRING shingles (the evidence is for humans); the pair set itself
-    // still comes from the hashed d02 path
-    val sh = stringShingleMemo.getOrElseUpdate(
-      docs.sparkSession, (docs.queryExecution.analyzed.semanticHash(), shingleK))(
-      docs
-        .select(col("doc_id"), explode(TextFns.shingles(col("text"), shingleK)).as("shingle"))
-        .distinct()
-        .persist())
-    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val pairs = sharedJaccardPairs(docs, threshold, shingleK)
       .select(col("d1"), col("d2"), col("jaccard"))
-    val shared = sh.select(col("doc_id").as("d1"), col("shingle"))
+    val df = sharedShingles(docs, shingleK)
+      .groupBy(col("shingle").as("h")).agg(count(lit(1)).as("df"))
+    val pairDocs = pairs
+      .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct()
+    val sh = docs.join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(TextFns.shingles(col("text"), shingleK)).as("shingle"))
+      .distinct()
+      .withColumn("toks", split(col("shingle"), " "))
+      .withColumn("h",
+        when(size(col("toks")) === shingleK,
+          xxhash64((0 until shingleK).map(j => element_at(col("toks"), j + 1)): _*))
+          .otherwise(xxhash64(col("shingle"))))
+      .select(col("doc_id"), col("shingle"), col("h"))
+    val shared = sh.select(col("doc_id").as("d1"), col("shingle"), col("h"))
       .join(broadcast(pairs), Seq("d1"))
       .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
-      .join(df, Seq("shingle"))
+      .join(df, Seq("h"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("d1"), col("d2")).orderBy(col("df"), col("shingle"))
     shared
