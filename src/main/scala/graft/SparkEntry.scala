@@ -261,6 +261,9 @@ object SparkEntry {
     // d19: edit-distance near-dup pairs — length-band blocking is exact
     // (|Δlen| lower-bounds the distance); thresholded Levenshtein verify
     "d19_edit_dedup"      -> ((s, d) => Dedup.editDistancePairs(t(s, d).documents)),
+    // d20: dedup-method agreement matrix — doc-level flag-set overlap per
+    // method pair; exact counts + one guarded division
+    "d20_method_agreement" -> ((s, d) => Dedup.methodAgreement(t(s, d).documents)),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
@@ -1471,22 +1474,7 @@ object SparkEntry {
     // d12: the d02 shingle construction, directed pairs, containment =
     // common/|A| — the engine's asymmetric prefix filter must reproduce
     // this exact directed set
-    "d12_containment" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(CASE WHEN len(w) >= 3
-        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-        |    ELSE [array_to_string(w, ' ')] END) AS shingle
-        | FROM toks),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
-        | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-        | GROUP BY 1, 2)
-        |SELECT d1, d2,
-        | CAST(common AS DOUBLE) / CAST(s1.n AS DOUBLE) AS containment
-        |FROM pairs JOIN sz s1 ON s1.doc_id = d1
-        |WHERE CAST(common AS DOUBLE) / CAST(s1.n AS DOUBLE) >= 0.9""".stripMargin,
+    "d12_containment" -> containmentSql,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
     // d13: same 3-gram shingles; weight = one integer division, sums are
@@ -1585,17 +1573,49 @@ object SparkEntry {
     // d19: the blocking-free brute force — the length-band predicate is
     // the same lower bound the Spark block join exploits; dist INT parity,
     // sim the identical IEEE 1 − d/maxlen
-    "d19_edit_dedup" ->
-      """SELECT a.doc_id AS d1, b.doc_id AS d2,
-        | CAST(levenshtein(a.text, b.text) AS INT) AS dist,
-        | CASE WHEN greatest(length(a.text), length(b.text)) = 0
-        |      THEN CAST(1 AS DOUBLE)
-        |      ELSE 1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
-        |             / greatest(length(a.text), length(b.text)) END AS sim
-        |FROM documents a JOIN documents b
-        |  ON a.doc_id < b.doc_id
-        | AND abs(length(a.text) - length(b.text)) <= 32
-        | AND levenshtein(a.text, b.text) <= 32""".stripMargin,
+    "d19_edit_dedup" -> editPairsSql,
+    // d20: every member method's oracle composed as CTEs (the d18 nesting
+    // trick); doc sets, sizes and overlaps are exact counts; agreement is
+    // the one guarded division both engines compute over exact longs
+    "d20_method_agreement" ->
+      s"""WITH jp AS (${ngramJaccardSqlAt(0.8)}),
+         |cp AS ($containmentSql),
+         |lp AS ($editPairsSql),
+         |ef AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM documents),
+         |uf AS (SELECT doc_id, md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS f FROM documents),
+         |tagged AS (
+         | SELECT 'exact' AS method, doc_id FROM ef
+         |  WHERE f IN (SELECT f FROM ef GROUP BY 1 HAVING count(*) > 1)
+         | UNION ALL
+         | SELECT 'unicode', doc_id FROM uf
+         |  WHERE f IN (SELECT f FROM uf GROUP BY 1 HAVING count(*) > 1)
+         | UNION ALL
+         | SELECT DISTINCT 'jaccard', doc_id
+         |  FROM (SELECT d1 AS doc_id FROM jp UNION ALL SELECT d2 FROM jp)
+         | UNION ALL
+         | SELECT DISTINCT 'containment', d1 AS doc_id FROM cp
+         | UNION ALL
+         | SELECT DISTINCT 'edit', doc_id
+         |  FROM (SELECT d1 AS doc_id FROM lp UNION ALL SELECT d2 FROM lp)),
+         |sizes AS (SELECT method, count(*) AS n FROM tagged GROUP BY 1),
+         |m AS (SELECT unnest(['exact', 'unicode', 'jaccard', 'containment', 'edit']) AS method),
+         |grid AS (SELECT a.method AS method_a, b.method AS method_b
+         |         FROM m a, m b WHERE a.method <= b.method),
+         |bothc AS (SELECT ta.method AS method_a, tb.method AS method_b, count(*) AS n_both
+         |          FROM tagged ta JOIN tagged tb USING (doc_id)
+         |          WHERE ta.method <= tb.method GROUP BY 1, 2)
+         |SELECT grid.method_a AS method_a, grid.method_b AS method_b,
+         | coalesce(sa.n, 0) AS n_a, coalesce(sb.n, 0) AS n_b,
+         | coalesce(bothc.n_both, 0) AS n_both,
+         | CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(bothc.n_both, 0) = 0
+         |      THEN CAST(0 AS DOUBLE)
+         |      ELSE CAST(coalesce(bothc.n_both, 0) AS DOUBLE)
+         |         / (coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(bothc.n_both, 0))
+         | END AS agreement
+         |FROM grid
+         |LEFT JOIN sizes sa ON sa.method = grid.method_a
+         |LEFT JOIN sizes sb ON sb.method = grid.method_b
+         |LEFT JOIN bothc ON bothc.method_a = grid.method_a AND bothc.method_b = grid.method_b""".stripMargin,
     // p24: same md5 fold with the 'holdout:' salt; the oracle orders by
     // the DOUBLE-cast hash + doc_id, exactly the heap's comparison key
     "p24_stratified_holdout" ->
@@ -2001,6 +2021,38 @@ object SparkEntry {
   /** The d02 pair SQL at an arbitrary threshold (d18's curve base). */
   private def ngramJaccardSqlAt(threshold: Double): String =
     ngramJaccardSql.replace(">= 0.8", s">= $threshold")
+
+  // d12's oracle, reused as a CTE by d20
+  private val containmentSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      | FROM toks),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      | SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      | FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      | GROUP BY 1, 2)
+      |SELECT d1, d2,
+      | CAST(common AS DOUBLE) / CAST(s1.n AS DOUBLE) AS containment
+      |FROM pairs JOIN sz s1 ON s1.doc_id = d1
+      |WHERE CAST(common AS DOUBLE) / CAST(s1.n AS DOUBLE) >= 0.9""".stripMargin
+
+  // d19's oracle (blocking-free brute force over the same length-band lower
+  // bound), reused as a CTE by d20
+  private val editPairsSql: String =
+    """SELECT a.doc_id AS d1, b.doc_id AS d2,
+      | CAST(levenshtein(a.text, b.text) AS INT) AS dist,
+      | CASE WHEN greatest(length(a.text), length(b.text)) = 0
+      |      THEN CAST(1 AS DOUBLE)
+      |      ELSE 1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+      |             / greatest(length(a.text), length(b.text)) END AS sim
+      |FROM documents a JOIN documents b
+      |  ON a.doc_id < b.doc_id
+      | AND abs(length(a.text) - length(b.text)) <= 32
+      | AND levenshtein(a.text, b.text) <= 32""".stripMargin
 
   private val ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

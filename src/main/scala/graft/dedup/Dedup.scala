@@ -188,6 +188,76 @@ object Dedup {
             / greatest(col("l1"), col("l2")).cast("double")).as("sim"))
   }
 
+  /** d20: dedup-method agreement matrix — for every pair of dedup
+    * strategies, the doc-level overlap of what they flag: n docs flagged
+    * by each, flagged by both, and the Jaccard of the two flag sets. The
+    * audit a pipeline consults before CHOOSING its dedup stack — high
+    * agreement means the cheaper method suffices, low agreement means the
+    * methods see different duplication (byte-identical vs near vs
+    * contained vs edit-close) and stack. Doc-level (not pair-level) by
+    * design: pair multiplicity would skew the comparison (an exact-dup
+    * trio is 3 d02 pairs but 2 star pairs), while "is this doc part of
+    * ANY duplication under method m" is the decision-relevant bit.
+    *
+    * Methods: exact (d01 fingerprint groups > 1), unicode (d16 NFC
+    * groups), jaccard (d02 pair endpoints, τ), containment (d12 contained
+    * side d1 — both orientations are emitted, so mutual dups flag both),
+    * edit (d19 pair endpoints). Subset laws by construction: exact ⊆
+    * unicode, ⊆ jaccard, ⊆ containment, ⊆ edit (spec-pinned).
+    *
+    * Scale shape: every method reduces to its flagged-doc set first
+    * (∝ duplicated docs, a small corpus fraction); the overlap join is on
+    * doc_id over the 5-way union of those sets; the 15-row grid and
+    * per-method sizes broadcast. Costs one run of each member operator —
+    * d02 via the session pair memo, the rest at their own declared
+    * shapes. */
+  def methodAgreement(docs: DataFrame, jaccardThreshold: Double = 0.8,
+                      containThreshold: Double = 0.9, maxDist: Int = 32,
+                      k: Int = 3): DataFrame = {
+    def dupDocs(f: DataFrame): DataFrame = {
+      val hot = f.groupBy(col("f")).agg(count(lit(1)).as("n")).where(col("n") > 1)
+      f.join(hot, Seq("f"), "left_semi").select(col("doc_id"))
+    }
+    val sets: Seq[(String, DataFrame)] = Seq(
+      "exact" -> dupDocs(docs.select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("f"))),
+      "unicode" -> dupDocs(docs.select(col("doc_id"),
+        TextFns.fingerprint(graft.plans.NfcNormalize.nfcCol(col("text"))).as("f"))),
+      "jaccard" -> sharedJaccardPairs(docs, jaccardThreshold, k)
+        .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct(),
+      "containment" -> containmentPairs(docs, containThreshold, k)
+        .select(col("d1").as("doc_id")).distinct(),
+      "edit" -> editDistancePairs(docs, maxDist)
+        .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct())
+    val tagged = sets.map { case (m, d) =>
+      d.select(lit(m).as("method"), col("doc_id"))
+    }.reduce(_ unionAll _)
+    val sizes = tagged.groupBy(col("method")).agg(count(lit(1)).as("n"))
+    import docs.sparkSession.implicits._
+    val methods = sets.map(_._1).toDF("method")
+    // the full upper-triangle grid, so method pairs with ZERO overlap (or
+    // zero members) still report their row
+    val grid = methods.select(col("method").as("method_a"))
+      .crossJoin(methods.select(col("method").as("method_b")))
+      .where(col("method_a") <= col("method_b"))
+    val both = tagged.select(col("method").as("method_a"), col("doc_id"))
+      .join(tagged.select(col("method").as("method_b"), col("doc_id")), Seq("doc_id"))
+      .where(col("method_a") <= col("method_b"))
+      .groupBy(col("method_a"), col("method_b")).agg(count(lit(1)).as("n_both"))
+    grid
+      .join(broadcast(sizes.select(col("method").as("method_a"), col("n").as("n_a"))),
+        Seq("method_a"), "left")
+      .join(broadcast(sizes.select(col("method").as("method_b"), col("n").as("n_b"))),
+        Seq("method_b"), "left")
+      .join(both, Seq("method_a", "method_b"), "left")
+      .na.fill(0L, Seq("n_a", "n_b", "n_both"))
+      .select(col("method_a"), col("method_b"), col("n_a"), col("n_b"), col("n_both"),
+        when(col("n_a") + col("n_b") - col("n_both") === 0, lit(0.0))
+          .otherwise(col("n_both").cast("double")
+            / (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("agreement"))
+  }
+
   /** d11: canonical selection — exact dedup keeping the BEST copy of each
     * duplicate group rather than d01's smallest-id copy: the curation rule
     * real pipelines use when near-identical scrapes differ in completeness

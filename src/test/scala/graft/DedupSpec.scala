@@ -67,6 +67,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got((4L, 5L)) === ((2, 0.0)), "empty-vs-short normalizes to sim 0")
   }
 
+  test("d20: agreement matrix honors the subset laws and the diagonal") {
+    val rows = Dedup.methodAgreement(tables.documents).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rows.size === 15, "5 methods => 15 upper-triangle rows")
+    def row(a: String, b: String) = rows(if (a <= b) (a, b) else (b, a))
+    val nExact = row("exact", "exact")._1
+    assert(row("jaccard", "jaccard")._1 > 0,
+      "test corpus should contain near-dups (it has no exact dups — d01 is 1:1 here)")
+    // byte-identical docs are NFC-identical, jaccard-1, mutually contained
+    // and edit-distance-0 — so every method's flag set contains exact's
+    for (m <- Seq("unicode", "jaccard", "containment", "edit")) {
+      val (_, _, nBoth, _) = row("exact", m)
+      assert(nBoth === nExact, s"exact set must be a subset of $m")
+    }
+    // diagonal: a set agrees with itself perfectly
+    rows.foreach { case ((a, b), (na, nb, nBoth, agree)) =>
+      if (a == b) {
+        assert(na === nb && nBoth === na)
+        assert(agree === (if (na == 0) 0.0 else 1.0))
+      } else {
+        assert(nBoth <= math.min(na, nb), s"overlap bounded: $a/$b")
+      }
+    }
+  }
+
+  test("d20: planted identical pair is flagged by all five methods") {
+    import spark.implicits._
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),
+      (3L, "an entirely unrelated document with its own words only here")
+    ).toDF("doc_id", "text")
+    Dedup.releaseShingles(spark)
+    val rows = Dedup.methodAgreement(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    Dedup.releaseShingles(spark)
+    // docs 1/2 are flagged by every method; doc 3 by none → every cell of
+    // the matrix is (2, 2, 2, 1.0)
+    rows.foreach { case ((a, b), v) =>
+      assert(v === ((2L, 2L, 2L, 1.0)), s"$a/$b")
+    }
+  }
+
   test("d10 plan: banded probe join, no cartesian, no all-pairs") {
     val docs = tables.documents
     val df = Dedup.incrementalNearDup(
