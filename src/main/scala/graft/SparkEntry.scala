@@ -264,6 +264,13 @@ object SparkEntry {
     // d20: dedup-method agreement matrix — doc-level flag-set overlap per
     // method pair; exact counts + one guarded division
     "d20_method_agreement" -> ((s, d) => Dedup.methodAgreement(t(s, d).documents)),
+    // d21: edit-distance admission — d10's batch convention; the length-
+    // band blocking is exact, so the decision IS the brute-force one
+    "d21_incremental_editdup" -> ((s, d) => {
+      val docs = t(s, d).documents
+      Dedup.incrementalEditDup(
+        docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+    }),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
     "d04_simhash"         -> ((s, d) => Dedup.simHashPairs(t(s, d).documents)),
@@ -1616,6 +1623,18 @@ object SparkEntry {
          |LEFT JOIN sizes sa ON sa.method = grid.method_a
          |LEFT JOIN sizes sb ON sb.method = grid.method_b
          |LEFT JOIN bothc ON bothc.method_a = grid.method_a AND bothc.method_b = grid.method_b""".stripMargin,
+    // d21: admitted = incoming docs (doc_id%3==0) with no standing doc
+    // within edit distance 32 — the same cross-side brute force the exact
+    // blocking reproduces
+    "d21_incremental_editdup" ->
+      """WITH dup AS (
+        | SELECT DISTINCT a.doc_id
+        | FROM documents a JOIN documents b
+        |   ON a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |  AND abs(length(a.text) - length(b.text)) <= 32
+        |  AND levenshtein(a.text, b.text) <= 32)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
     // p24: same md5 fold with the 'holdout:' salt; the oracle orders by
     // the DOUBLE-cast hash + doc_id, exactly the heap's comparison key
     "p24_stratified_holdout" ->

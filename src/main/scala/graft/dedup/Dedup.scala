@@ -167,25 +167,58 @@ object Dedup {
     * bucket of equal-length boilerplate) is AQE skew-join territory;
     * the scale route for the verify stage stays d03/d14 when texts are
     * long enough to shingle. */
-  def editDistancePairs(docs: DataFrame, maxDist: Int = 32): DataFrame = {
-    require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
-    val width = maxDist + 1
-    val base = docs.select(col("doc_id"), col("text"),
-      length(col("text")).as("len"))
-    val home = base.select(col("doc_id").as("d2"), col("text").as("t2"),
-      col("len").as("l2"), floor(col("len") / width).as("bucket"))
-    val probe = base.select(col("doc_id").as("d1"), col("text").as("t1"),
-      col("len").as("l1"),
-      explode(array((-1 to 1).map(i => floor(col("len") / width) + i): _*))
-        .as("bucket"))
-    probe.join(home, Seq("bucket"))
-      .where(col("d1") < col("d2") && abs(col("l1") - col("l2")) <= maxDist)
-      .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
-      .where(col("dist") >= 0)
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 32): DataFrame =
+    crossEditDupPairs(docs, docs, maxDist)
+      .where(col("d1") < col("d2"))
       .select(col("d1"), col("d2"), col("dist"),
         when(greatest(col("l1"), col("l2")) === 0, lit(1.0))
           .otherwise(lit(1.0) - col("dist").cast("double")
             / greatest(col("l1"), col("l2")).cast("double")).as("sim"))
+
+  /** Cross-side d19 core (and the self-join's engine — d19 filters the
+    * cross of a frame with itself to d1 < d2): edit-distance pairs
+    * between an incoming frame (d1, probes its length bucket ± 1) and a
+    * standing frame (d2, stays in its home bucket), each qualifying pair
+    * emitted exactly once (the home side's single bucket meets the probe
+    * side's three distinct ones at most once). Returns (d1, d2, dist,
+    * l1, l2). */
+  def crossEditDupPairs(existing: DataFrame, incoming: DataFrame,
+                        maxDist: Int = 32): DataFrame = {
+    require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
+    val width = maxDist + 1
+    val home = existing.select(col("doc_id").as("d2"), col("text").as("t2"),
+      length(col("text")).as("l2"))
+      .withColumn("bucket", floor(col("l2") / width))
+    val probe = incoming.select(col("doc_id").as("d1"), col("text").as("t1"),
+      length(col("text")).as("l1"))
+      .select(col("d1"), col("t1"), col("l1"),
+        explode(array((-1 to 1).map(i => floor(col("l1") / width) + i): _*))
+          .as("bucket"))
+    probe.join(home, Seq("bucket"))
+      .where(abs(col("l1") - col("l2")) <= maxDist)
+      .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("d1"), col("d2"), col("dist"), col("l1"), col("l2"))
+  }
+
+  /** d21: incremental EDIT-distance admission — [[incrementalNearDup]]
+    * (d10) for the short-text regime: admit from an incoming batch only
+    * documents with no edit-distance near-dup (dist ≤ maxDist) in the
+    * standing corpus. Unlike d10 (whose LSH banding has a recall spec),
+    * the blocking here is EXACT (|Δlen| lower-bounds the distance), so
+    * the admission decision is exactly the brute-force one — precision
+    * AND recall 1. Batch-internal edit-dups stay the batch's clustering
+    * job (the d10 contract).
+    *
+    * Scale shape: per batch, candidates ∝ batch docs × standing docs in
+    * ADJACENT length bands only; the standing side pays one (len, bucket)
+    * projection — persistable between batches (the [[sharedShingles]]
+    * lifecycle pattern). */
+  def incrementalEditDup(existing: DataFrame, incoming: DataFrame,
+                         maxDist: Int = 32): DataFrame = {
+    val dupped = crossEditDupPairs(existing, incoming, maxDist)
+      .select(col("d1").as("doc_id")).distinct()
+    incoming.select(col("doc_id")).join(dupped, Seq("doc_id"), "left_anti")
   }
 
   /** d20: dedup-method agreement matrix — for every pair of dedup

@@ -169,6 +169,25 @@ object EventStreams {
           batchId)
       }
 
+  /** Streaming d21 — edit-distance admission per micro-batch, the
+    * [[admitNearDupsStream]] sibling for the short-text regime: each
+    * batch runs the full cross-side blocked-Levenshtein operator against
+    * the STANDING corpus (blocking exact, so the per-batch decision is
+    * the brute-force one). Same contract: batch-internal edit-dups
+    * unresolved, standing as of query start unless the caller sinks
+    * admissions back. `onBatch` receives (admitted doc_ids, batchId). */
+  def admitEditDupsStream(docStream: DataFrame, standing: DataFrame,
+                          onBatch: (DataFrame, Long) => Unit,
+                          maxDist: Int = 32): DataStreamWriter[Row] =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.dedup.Dedup.incrementalEditDup(
+            standing, batch.select(col("doc_id"), col("text")), maxDist),
+          batchId)
+      }
+
   /** Streaming d15 — duplicate-cluster maintenance against a live document
     * stream, per micro-batch via `foreachBatch` (the d10 escape-hatch
     * class: pair generation + the merge closure exceed streaming's

@@ -67,6 +67,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got((4L, 5L)) === ((2, 0.0)), "empty-vs-short normalizes to sim 0")
   }
 
+  test("d21: edit admission drops standing edit-dups, keeps fresh and batch-internal-only dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog"
+    val existing = Seq(
+      (1L, base),
+      (2L, "completely different standing text about other things entirely here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base),                       // exact copy of 1 → dropped
+      (11L, base.replace("dog", "cat")), // 3 edits from 1 → dropped at maxDist 4
+      (12L, "a fresh incoming document sharing nothing with the corpus"),
+      (13L, "a fresh incoming document sharing nothing with the corpuX")
+      // 12/13 are 1 edit apart from EACH OTHER only → both admitted
+      // (batch-internal resolution is downstream's job, the d10 contract)
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.incrementalEditDup(existing, incoming, maxDist = 4)
+      .as[Long].collect().toSet
+    assert(admitted === Set(12L, 13L))
+  }
+
   test("d20: agreement matrix honors the subset laws and the diagonal") {
     val rows = Dedup.methodAgreement(tables.documents).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

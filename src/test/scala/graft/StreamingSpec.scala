@@ -77,6 +77,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.toSet === Set(11L, 13L))
   }
 
+  test("streaming edit-distance admission matches the per-document batch d21 decision") {
+    implicit val sql = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog"
+    val standing = Seq((1L, base)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val q = EventStreams.admitEditDupsStream(
+      mem.toDF().toDF("doc_id", "text"), standing,
+      (df, _) => admitted ++= df.collect().map(_.getLong(0)), maxDist = 4).start()
+    // batch 1: a 3-edit copy of standing doc 1 (dropped) + a far doc
+    mem.addData((10L, base.replace("dog", "cat")),
+      (11L, "entirely different words that share nothing with standing"))
+    q.processAllAvailable()
+    // batch 2: exact copy (dropped) + another far doc (admitted)
+    mem.addData((12L, base), (13L, "more fresh unrelated content again"))
+    q.processAllAvailable(); q.stop()
+    assert(admitted.toSet === Set(11L, 13L))
+  }
+
   test("streaming cluster maintenance converges to the full-recompute labels") {
     implicit val sql = spark.sqlContext
     // standing corpus: docs 1 and 2 are near-dups (J = 11/12), doc 3 unrelated
