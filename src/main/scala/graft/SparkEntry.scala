@@ -103,6 +103,9 @@ object SparkEntry {
     // q66: ordered signup→click→purchase funnel — one user exchange,
     // three window passes; stage ints + second-truncated timestamps
     "q66_funnel"          -> ((s, d) => Temporal.q66Funnel(t(s, d))),
+    // q67: lag/lead IGNORE NULLS — nearest non-null neighbor lookups,
+    // values untouched doubles; oracle derives them via ranked non-nulls
+    "q67_nav_ignore_nulls" -> ((s, d) => Relational4.q67NavIgnoreNulls(t(s, d))),
     // q58: HLL++ distinct + quantile sketch beside their exact companions
     // — different sketch implementations per engine, so rows-only by the
     // d06 class; RelationalSpec pins error bounds + determinism
@@ -206,6 +209,11 @@ object SparkEntry {
     // p24: stratified holdout — exactly 5 eval docs per source by the
     // salted hash order, selected with the bounded per-key heap
     "p24_stratified_holdout" -> ((s, d) => graft.operators.DataPipeline.stratifiedHoldout(t(s, d).documents)),
+    // p25: verbatim-substring decontamination — eval texts broadcast, one
+    // corpus scan with per-doc substring searches (BNL anti-join, no
+    // shuffle); the conservative floor bracketing p02's shingle test
+    "p25_decontaminate_verbatim" -> ((s, d) => graft.operators.DataPipeline
+      .decontaminateVerbatim(t(s, d).documents, col("doc_id") % 10 === 0)),
     // p23: effective dataset size after cluster-resolved dedup — dropped
     // set broadcast onto the corpus scan, one source-keyed exchange
     "p23_effective_size"  -> ((s, d) => graft.operators.DataPipeline.effectiveSize(t(s, d).documents)),
@@ -279,6 +287,9 @@ object SparkEntry {
     // rows-only driver check, no SQL oracle
     "d06_embedding_dup_ivf" -> ((s, d) => Dedup.embeddingDupPairsIvf(t(s, d).embeddings)),
     "d07_dup_clusters"    -> ((s, d) => graft.dedup.Clusters.dupClusters(t(s, d).documents)),
+    // d22: edit-distance dup clusters — the d07 closure over d19's exact
+    // pair graph, so the whole chain is brute-force-equal and exact-oracled
+    "d22_edit_clusters"   -> ((s, d) => graft.dedup.Clusters.editClusters(t(s, d).documents)),
     // d08: incremental ingestion — every third doc arrives as the new batch
     // against the rest as the standing corpus
     "d08_incremental_dedup" -> ((s, d) => {
@@ -390,6 +401,9 @@ object SparkEntry {
     // t18: cross-document boilerplate fraction — share of a doc's shingles
     // with corpus df >= 3; counts exact, one unrounded division
     "t18_boilerplate"     -> ((s, d) => TextQueries.t18Boilerplate(t(s, d))),
+    // t19: encoding-noise score — integer regex counts of replacement/
+    // control/mojibake chars, one guarded unrounded division; zero shuffle
+    "t19_encoding_noise"  -> ((s, d) => TextQueries.t19EncodingNoise(t(s, d))),
     // t08: trained-BPE subword stats — deterministic (tie-broken training,
     // greedy encode) but not SQL-reproducible → rows-only driver check;
     // BpeSpec pins hand-derived merges, the concat-identity law and codegen
@@ -774,6 +788,30 @@ object SparkEntry {
         |FROM g""".stripMargin,
     // q66: the window-pass funnel as staged CTEs — min click strictly
     // after the first signup, min purchase strictly after that click
+    // q67: no IGNORE NULLS in DuckDB — number the non-nulls rn = 1…n in
+    // window order, count non-nulls strictly before (nb) / after (na)
+    // with running-count frames (the q63 trick), join back on rn
+    "q67_nav_ignore_nulls" ->
+      """WITH v AS (
+        | SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+        | FROM orders),
+        |g AS (
+        | SELECT *,
+        |  count(v) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nb,
+        |  count(v) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS na,
+        |  count(v) OVER (PARTITION BY o_orderpriority) AS ntot
+        | FROM v),
+        |nn AS (
+        | SELECT o_orderpriority AS p, v AS nv,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
+        | FROM v WHERE v IS NOT NULL)
+        |SELECT g.o_orderkey, g.o_orderpriority, g.v, pb.nv AS prev_nn, pa.nv AS next_nn
+        |FROM g
+        |LEFT JOIN nn pb ON pb.p = g.o_orderpriority AND g.nb > 0 AND pb.rn = g.nb
+        |LEFT JOIN nn pa ON pa.p = g.o_orderpriority AND g.na > 0 AND pa.rn = g.ntot - g.na + 1""".stripMargin,
     "q66_funnel" ->
       """WITH s AS (
         | SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
@@ -1383,6 +1421,20 @@ object SparkEntry {
         | CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
         | CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS boiler_frac
         |FROM sh JOIN df USING (shingle) GROUP BY doc_id""".stripMargin,
+    // t19: same literal/char-class regex counts (DuckDB counts via
+    // len(regexp_extract_all)); the division is the one guarded IEEE op
+    "t19_encoding_noise" ->
+      """WITH c AS (
+        | SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '�')) AS INT) AS n_replacement,
+        |  CAST(len(regexp_extract_all(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS INT) AS n_control,
+        |  CAST(len(regexp_extract_all(text, 'Ã|â€')) AS INT) AS n_mojibake
+        | FROM documents),
+        |f AS (SELECT *,
+        |  CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(n_replacement + n_control + n_mojibake AS DOUBLE) / n_chars
+        |  END AS noise_frac FROM c)
+        |SELECT *, noise_frac <= 0.01 AS clean FROM f""".stripMargin,
     // s08: s01's scoring and ranking with every vector as a query — same
     // round(cos, 8) + neighbor_id tiebreak, so order can never disagree
     "s08_knn_graph" ->
@@ -1666,6 +1718,29 @@ object SparkEntry {
          |   / CAST(sum(nt) AS DOUBLE) AS token_retention
          |FROM m GROUP BY source""".stripMargin,
     "d07_dup_clusters" -> dupClustersSql,
+    // d22: the d07 recursive closure over the blocking-free edit-pair SQL
+    // — d19's blocking is exact, so the whole chain is brute-force-equal
+    "d22_edit_clusters" ->
+      s"""WITH RECURSIVE
+         |nd AS ($editPairsSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM nd UNION SELECT d2, d1 FROM nd),
+         |walk(id, comp) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id),
+         |cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         | count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         | doc_id = cluster_id AS keep
+         |FROM cc""".stripMargin,
+    // p25: the same eval split as p02; contains() is the character
+    // substring test both engines define identically
+    "p25_decontaminate_verbatim" ->
+      """SELECT a.doc_id, a.source, a.n_chars FROM documents a
+        |WHERE a.doc_id % 10 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents b
+        |    WHERE b.doc_id % 10 = 0 AND length(b.text) > 0
+        |      AND contains(a.text, b.text))""".stripMargin,
     // d15: incremental merge == full recompute by construction (contracted
     // closure preserves component minima), so the oracle is d07's verbatim
     "d15_incremental_clusters" -> dupClustersSql,

@@ -220,6 +220,22 @@ object Clusters {
       .withColumn("keep", col("vec_id") === col("cluster_id"))
   }
 
+  /** d22: edit-distance duplicate clusters — the transitive closure over
+    * the d19 pair family: short-text fuzzy-dup groups (titles, queries,
+    * captions — d19's declared domain), one canonical keeper each. The
+    * THIRD pair-family instantiation of the closure (d07 = LSH text
+    * pairs, d09 = IVF embedding pairs), same output contract as
+    * [[dupClusters]]. Because d19's length-band blocking is exact, the
+    * pair graph here IS the brute-force one — the closure inherits
+    * exactness end-to-end, so unlike d07 (whose LSH candidates carry a
+    * recall spec) d22 oracle-checks against the d07 recursive CTE nested
+    * over the blocking-free edit-pair SQL. */
+  def editClusters(docs: DataFrame, maxDist: Int = 32): DataFrame = {
+    val pairs = Dedup.editDistancePairs(docs, maxDist)
+      .select(col("d1"), col("d2"))
+    clusterTable(sharedComponents(pairs))
+  }
+
   /** d15: incremental cluster maintenance — merge a new batch's near-dup
     * pairs into a STANDING label table without re-closing the full pair
     * graph. This completes the incremental-ingestion family: d08 admits

@@ -106,6 +106,32 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("n_chars"))
   }
 
+  /** p25: verbatim-substring decontamination — the STRICTEST membership
+    * test of the decontamination family: drop a training document only if
+    * it contains some eval document VERBATIM as a character substring
+    * (the benchmark-answer-pasted-into-a-page case). p02/p07 drop on ANY
+    * shared k-token shingle (an aggressive over-approximation); p25 is
+    * the conservative floor a pipeline runs when it cannot afford p02's
+    * false drops — the two bracket the contamination decision. Character
+    * semantics on purpose: an eval string embedded mid-token ("Xanswer")
+    * still counts, which token shingles are structurally blind to.
+    *
+    * Scale shape: the eval TEXTS broadcast whole (the p02 regime — eval
+    * suites are thousands of docs, the corpus is the 100 TB side), and
+    * the corpus pays ONE scan with |eval| substring searches per doc
+    * (BroadcastNestedLoopJoin left-anti, no shuffle, no pair explosion) —
+    * linear in the corpus for a bounded eval set. Eval sets beyond
+    * broadcast reach go through p02/p07's shingle machinery instead
+    * (accepting their token-level semantics). */
+  def decontaminateVerbatim(docs: DataFrame, isEval: Column): DataFrame = {
+    val evalTexts = broadcast(docs.where(isEval)
+      .where(length(col("text")) > 0) // "" is a substring of everything
+      .select(col("text").as("eval_text")).distinct())
+    docs.where(not(isEval))
+      .join(evalTexts, col("text").contains(col("eval_text")), "left_anti")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** p12: contamination audit report — for each contaminated TRAINING
     * document, how many distinct eval documents it shares k-token shingles
     * with and how many distinct shingles are shared. p02/p07 silently drop

@@ -280,6 +280,34 @@ object Relational4 {
       max(col("o_orderstatus")).as("last_status"),
       count(lit(1)).as("n"))
 
+  /** q67: lag/lead IGNORE NULLS — the navigation-function members q63's
+    * gap-fill battery left uncovered (q63 exercises `first`/`last`
+    * ignoreNulls running frames; lag/lead skip nulls with an OFFSET,
+    * Spark's `lag(e, n, default, ignoreNulls)` surface). prev_nn = the
+    * nearest non-null strictly before the row, next_nn = the nearest
+    * strictly after — the neighbor lookup interpolation and
+    * sensor-diff pipelines build on.
+    *
+    * Oracle: DuckDB (1.0) has no IGNORE NULLS, so the oracle derives the
+    * same values from first principles — number the non-nulls rn = 1…n in
+    * window order, count non-nulls strictly before/after each row with
+    * the q63 running-count frames, and join back on rn. Values are
+    * untouched doubles — hash-checked unrounded.
+    *
+    * Scale: one hash exchange on the partition key + per-partition sort
+    * (the q08/q63 shape); IGNORE NULLS adds per-row state, not a second
+    * exchange. */
+  def q67NavIgnoreNulls(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    val v = when(col("o_orderkey") % 3 === 0, lit(null))
+      .otherwise(col("o_totalprice"))
+    t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"), v.as("v"))
+      .withColumn("prev_nn", lag(col("v"), 1, null, ignoreNulls = true).over(w))
+      .withColumn("next_nn", lead(col("v"), 1, null, ignoreNulls = true).over(w))
+  }
+
   /** q58: the approximate-sketch aggregates — HLL++ distinct counting
     * (`approx_count_distinct`) and quantile sketching
     * (`approx_percentile`), each beside its exact companion and relative

@@ -232,6 +232,39 @@ object TextQueries {
           - lit(1.015) * (col("n_words") / col("n_sentences"))
           - lit(84.6) * (col("n_syllables") / col("n_words"))).as("flesch"))
 
+  /** t19: encoding-noise scoring — the transport-damage signal the quality
+    * family (t03/p13/t11) does not look for: per document, counts of
+    * U+FFFD replacement characters (decoder already gave up), raw C0
+    * control characters other than tab/newline/carriage-return (binary
+    * junk, broken escapes), and the classic UTF-8-read-as-Latin-1
+    * mojibake markers ('Ã' = 0xC3 lead byte mis-decoded, 'â€' = the
+    * smart-quote/dash family mis-decoded). Web-scrape pipelines threshold
+    * on this before any token-level scoring — mojibake text tokenizes
+    * into garbage that poisons LM statistics while passing length/
+    * stopword gates.
+    *
+    * Exactness: all three counts are integer regex counts over literal
+    * characters / one character class, noise_frac is the single guarded
+    * IEEE division (unrounded, the q28 rule). Zero shuffle — one scan
+    * projection, the t01/t03 class. */
+  def t19EncodingNoise(t: Tables, maxFrac: Double = 0.01): DataFrame =
+    encodingNoise(t.documents, maxFrac)
+
+  /** See [[t19EncodingNoise]]; library surface over any (doc_id, text). */
+  def encodingNoise(docs: DataFrame, maxFrac: Double = 0.01): DataFrame =
+    docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+        regexp_count(col("text"), lit("�")).as("n_replacement"),
+        regexp_count(col("text"),
+          lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).as("n_control"),
+        regexp_count(col("text"), lit("Ã|â€")).as("n_mojibake"))
+      .select(col("doc_id"), col("n_chars"), col("n_replacement"),
+        col("n_control"), col("n_mojibake"),
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise((col("n_replacement") + col("n_control")
+            + col("n_mojibake")).cast("double") / col("n_chars"))
+          .as("noise_frac"))
+      .withColumn("clean", col("noise_frac") <= maxFrac)
+
   /** t12: lexical diversity — type-token ratio, hapax fraction (share of
     * token TYPES occurring exactly once) and distinct-bigram ratio: the
     * vocabulary-richness complement of t05/t07 (repetition sees the top of

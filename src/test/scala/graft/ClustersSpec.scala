@@ -134,4 +134,21 @@ class ClustersSpec extends AnyFunSuite {
     assert(cleaned === (all -- paired) ++ keepers)
     assert(cleaned.size < all.size, "planted near-dups must shrink the corpus")
   }
+
+  test("d22: edit clusters close a planted edit chain transitively, keeper = min id") {
+    import spark.implicits._
+    // kitten–sitten dist 1, sitten–sittin dist 1, kitten–sittin dist 2:
+    // at maxDist = 1 only transitivity can unite all three
+    val docs = Seq(
+      (5L, "kitten"), (6L, "sitten"), (7L, "sittin"),
+      (9L, "a wholly unrelated document string")
+    ).toDF("doc_id", "text")
+    val got = Clusters.editClusters(docs, maxDist = 1).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(5L, 6L, 7L), "unpaired doc must not appear")
+    assert(got(5L) === ((5L, 3L, true)))
+    assert(got(6L) === ((5L, 3L, false)))
+    assert(got(7L) === ((5L, 3L, false)))
+  }
 }

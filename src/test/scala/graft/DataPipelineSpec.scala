@@ -685,4 +685,38 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the tiny eval-id set must broadcast back onto the corpus:\n$p")
   }
+
+  test("p25: verbatim containment drops (mid-token included); shingle-only overlap survives") {
+    val eight = "one two three four five six seven eight"
+    val docs = Seq(
+      (10L, "src", 1L, s"benchmark answer: $eight indeed"), // the eval doc
+      (1L, "src", 1L, s"page quoting benchmark answer: $eight indeed verbatim"),
+      (2L, "src", 1L, s"Xbenchmark answer: $eight indeedY"), // mid-token embed
+      (3L, "src", 1L, s"$eight but not the whole eval text"),
+      (4L, "src", 1L, "completely unrelated content here")
+    ).toDF("doc_id", "source", "n_chars", "text")
+    val isEval = col("doc_id") % 10 === 0
+    val kept = DataPipeline.decontaminateVerbatim(docs, isEval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 4L),
+      "char-substring containment must drop 1 (verbatim) and 2 (mid-token)")
+    // doc 3 shares the 8-gram with the eval doc: p02 drops it, p25 keeps
+    // it — the two bracket the contamination decision
+    graft.dedup.Dedup.releaseShingles(spark)
+    val p02kept = DataPipeline.decontaminate(docs, isEval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.dedup.Dedup.releaseShingles(spark)
+    assert(!p02kept.contains(3L) && p02kept.contains(4L))
+  }
+
+  test("p25 plan: eval texts broadcast — the corpus is never shuffled") {
+    val df = DataPipeline.decontaminateVerbatim(
+      tables.documents, col("doc_id") % 10 === 0)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"containment must run as a broadcast NL anti-join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus side must not shuffle:\n$p")
+  }
 }

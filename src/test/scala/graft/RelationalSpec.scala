@@ -453,6 +453,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3, 2L -> 1, 3L -> 0, 4L -> 2))
   }
 
+  test("q67: lag/lead IGNORE NULLS match a JVM nearest-non-null scan") {
+    import spark.implicits._
+    val src = tables.orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .as[(Long, String, Double)].collect().groupBy(_._2)
+    val expected = src.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      val vs = sorted.map(r => if (r._1 % 3 == 0) None else Some(r._3))
+      // prev_nn = last non-null STRICTLY before; next_nn = first STRICTLY after
+      val prev = vs.scanLeft(Option.empty[Double])((acc, v) => v.orElse(acc)).init
+      val next = vs.scanRight(Option.empty[Double])((v, acc) => v.orElse(acc)).tail
+      sorted.indices.map(i => (sorted(i)._1, (vs(i), prev(i), next(i))))
+    }.toMap
+    val rows = graft.operators.Relational4.q67NavIgnoreNulls(tables).collect()
+    assert(rows.length === expected.size)
+    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    rows.foreach { r =>
+      assert((opt(r, 2), opt(r, 3), opt(r, 4)) === expected(r.getLong(0)),
+        s"orderkey=${r.getLong(0)}")
+    }
+  }
+
   test("q57: argmax/argmin rows match a JVM fold with the same tie order") {
     import spark.implicits._
     val evts = tables.events

@@ -252,4 +252,29 @@ class TextQueriesSpec extends AnyFunSuite {
     // the folded scalars still compute the same surface
     assert(d1.count() > 0 && d2.count() > 0)
   }
+
+  test("t19: encoding-noise counts match hand-planted damage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "clean plain ascii text"),
+      (2L, "quotes gone â€œwrongâ€ and cafÃ©"), // two 'â€' + one 'Ã'
+      (3L, "bad\u0001byte\u0002run\ttab ok"),   // two C0 controls, tab exempt
+      (4L, "lost�char"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.encodingNoise(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getDouble(5), r.getBoolean(6)))).toMap
+    val (_, rep1, ctl1, moj1, frac1, clean1) = got(1L)
+    assert((rep1, ctl1, moj1, frac1, clean1) === ((0, 0, 0, 0.0, true)))
+    val (n2, rep2, ctl2, moj2, frac2, clean2) = got(2L)
+    assert((rep2, ctl2, moj2) === ((0, 0, 3)))
+    assert(frac2 === 3.0 / n2 && !clean2)
+    val (_, rep3, ctl3, moj3, _, clean3) = got(3L)
+    assert((rep3, ctl3, moj3, clean3) === ((0, 2, 0, false)))
+    val (n4, rep4, _, _, frac4, _) = got(4L)
+    assert(rep4 === 1 && frac4 === 1.0 / n4)
+    assert(got(5L) === ((0, 0, 0, 0, 0.0, true)), "empty doc: guarded division")
+  }
 }
