@@ -26,16 +26,29 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   private def load(name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong=true) and floor to micros —
-    // floor, not DIV (truncate-toward-zero), so pre-1970 nanos round the
-    // same way DuckDB's micro-precision TIMESTAMP read does. Integer-exact:
-    // pmod(ts,1000) is the non-negative remainder, so the subtraction lands
-    // on the floor multiple (no double-precision loss at 1e18 nanos).
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) DIV 1000")))
-    else df
+    // events.ts has shipped in two physical forms across testdata
+    // generations; normalize both to session-zoned TIMESTAMP (micros):
+    //   - parquet TIMESTAMP(NANOS): read as long nanos
+    //     (spark.sql.legacy.parquet.nanosAsLong=true) and floor to micros —
+    //     floor, not DIV (truncate-toward-zero), so pre-1970 nanos round the
+    //     same way DuckDB's micro-precision TIMESTAMP read does.
+    //     Integer-exact: pmod(ts,1000) is the non-negative remainder, so the
+    //     subtraction lands on the floor multiple.
+    //   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): inferred as
+    //     TIMESTAMP_NTZ; the session TZ is pinned to UTC (GraftSession), so
+    //     the cast to TimestampType is value-identical and keeps every
+    //     downstream query's type expectations unchanged.
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   def region: DataFrame     = table("region")
