@@ -110,6 +110,15 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"BENCH_LOCAL write failed: $e") }
+    // the driver keeps only the TAIL of stdout and parses JSON from it;
+    // with 150+ per-query entries the full line starts before the tail
+    // window, so rounds 6 and 7 both recorded "parsed": null. Emit a final
+    // compact line (headline metrics + the 10 slowest queries) that always
+    // fits inside the tail — the full map lives in BENCH_LOCAL.json, which
+    // is committed with the round.
+    val slowest = results.filter(r => !r._1.startsWith("_")).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"pre_run_load_1m":$loadAvg,"failed":$failedJs,"queries":$slowest,"queries_full":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -11,10 +11,16 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a query that throws here simply has no parquet dir, so the driver's
+    // correctness JSON silently OMITS it (round 7: 16 broken queries were
+    // invisible in CORRECTNESS_r07.json). Record every failure durably in
+    // verify_errors.json next to the results, and say so loudly at the end.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        errors(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ")}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -33,6 +39,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size}/${SparkEntry.queries.size} queries FAILED: ${errors.keys.mkString(", ")}")
+      // visible on stdout too — the driver's tail capture keeps the end
+      println(s"""{"verify_failed":${errors.size},"names":[${errors.keys.map(q).mkString(",")}]}""")
+    }
     spark.stop()
   }
 }
