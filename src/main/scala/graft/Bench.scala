@@ -44,7 +44,7 @@ object Bench {
     // whichever consumer happens to run first — the serve-side queries then
     // measure what a served index actually costs per query batch
     val names = Seq("_shared_shingles", "_shared_lsh_pairs",
-      "_shared_jaccard_pairs",
+      "_shared_jaccard_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
       "_shared_tokens") ++
       SparkEntry.queries.keys.toSeq.sorted
@@ -63,6 +63,8 @@ object Bench {
             graft.dedup.Dedup.minHashLshPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_jaccard_pairs")
             graft.dedup.Dedup.sharedJaccardPairs(Tables(spark, sfDir).documents).count()
+          else if (name == "_shared_edit_pairs")
+            graft.dedup.Dedup.sharedEditPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_ivf_index")
             graft.similarity.Knn.ivfIndex(Tables(spark, sfDir).embeddings).count()
           else if (name == "_shared_ivfpq_index")

@@ -266,9 +266,10 @@ object SparkEntry {
     // d18: threshold sensitivity curve — one d02 run at the grid minimum,
     // counts per grid point; exact doubles/integers throughout
     "d18_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(t(s, d).documents)),
-    // d19: edit-distance near-dup pairs — length-band blocking is exact
-    // (|Δlen| lower-bounds the distance); thresholded Levenshtein verify
-    "d19_edit_dedup"      -> ((s, d) => Dedup.editDistancePairs(t(s, d).documents)),
+    // d19: edit-distance near-dup pairs — length-band + bigram-histogram
+    // blocking, both exact lower bounds; thresholded Levenshtein verify.
+    // Session-memoized: d20's edit method and d22's closure share the frame
+    "d19_edit_dedup"      -> ((s, d) => Dedup.sharedEditPairs(t(s, d).documents)),
     // d20: dedup-method agreement matrix — doc-level flag-set overlap per
     // method pair; exact counts + one guarded division
     "d20_method_agreement" -> ((s, d) => Dedup.methodAgreement(t(s, d).documents)),

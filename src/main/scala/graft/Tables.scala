@@ -25,7 +25,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     Tables.relCache.getOrElseUpdate(spark, (dir, name))(load(name))
 
   private def load(name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val df = widen(name, spark.read.parquet(s"$dir/$name.parquet"))
     // events.ts has shipped in two physical forms across testdata
     // generations; normalize both to session-zoned TIMESTAMP (micros):
     //   - parquet TIMESTAMP(NANOS): read as long nanos
@@ -51,6 +51,26 @@ final case class Tables(spark: SparkSession, dir: String) {
     } else df
   }
 
+  /** Round-robin the fact tables up to the session's shuffle width when the
+    * scan is narrower. Parquet scans can't split below row-group boundaries,
+    * and the driver's testdata ships ONE row group per file — so without
+    * this, every scan-stage computation (tokenize, minhash signatures,
+    * vector math, per-candidate edit verify under a broadcast join) pins to
+    * a single core regardless of `local[32]`. At real scale the input
+    * carries many files/row groups, the scan is already wider than the
+    * shuffle width, and NO exchange is added — the widening is a local-mode
+    * small-input adaptation, not a design change. Dimension tables stay
+    * as-read: they broadcast, and an exchange below a BroadcastExchange is
+    * pure overhead. Plan-shape specs assert the scale property as "no
+    * hash/range exchange" (no KEYED redistribution of the corpus); a
+    * round-robin exchange is permitted by exactly this rule. */
+  private def widen(name: String, df: DataFrame): DataFrame =
+    if (!Tables.factTables(name)) df
+    else {
+      val parts = spark.sessionState.conf.numShufflePartitions
+      if (df.rdd.getNumPartitions < parts) df.repartition(parts) else df
+    }
+
   def region: DataFrame     = table("region")
   def nation: DataFrame     = table("nation")
   def customer: DataFrame   = table("customer")
@@ -75,6 +95,17 @@ object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Tables whose scan-stage work is worth parallelizing (see [[Tables.widen]]):
+    * documents (tokenize / shingle / minhash / edit verify) and embeddings
+    * (vector kernels) carry real per-row compute in the scan stage. The
+    * relational fact tables (lineitem/orders/events) are deliberately NOT
+    * widened: their queries shuffle on keys almost immediately, so the extra
+    * round-robin pass is pure cost (measured ~2× on q03/q12/q35 at sf0.1),
+    * while their scan-stage work (projection + partial agg) is cheap enough
+    * single-threaded. Dimensions broadcast — widening them is overhead. */
+  private val factTables: Set[String] =
+    Set("documents", "embeddings")
 
   private val relCache = new SessionKeyedCache[(String, String), DataFrame]()
   private val lastViews = new SessionKeyedCache[Unit, String]()

@@ -231,7 +231,7 @@ object Clusters {
     * recall spec) d22 oracle-checks against the d07 recursive CTE nested
     * over the blocking-free edit-pair SQL. */
   def editClusters(docs: DataFrame, maxDist: Int = 32): DataFrame = {
-    val pairs = Dedup.editDistancePairs(docs, maxDist)
+    val pairs = Dedup.sharedEditPairs(docs, maxDist)
       .select(col("d1"), col("d2"))
     clusterTable(sharedComponents(pairs))
   }

@@ -168,12 +168,27 @@ object Dedup {
     * the scale route for the verify stage stays d03/d14 when texts are
     * long enough to shingle. */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 32): DataFrame =
-    crossEditDupPairs(docs, docs, maxDist)
-      .where(col("d1") < col("d2"))
+    // selfOrdered pushes d1 < d2 BELOW the distance computation: the self
+    // cross otherwise verifies every unordered pair twice before the final
+    // filter keeps one orientation
+    editCore(docs, docs, maxDist, selfOrdered = true)
       .select(col("d1"), col("d2"), col("dist"),
         when(greatest(col("l1"), col("l2")) === 0, lit(1.0))
           .otherwise(lit(1.0) - col("dist").cast("double")
             / greatest(col("l1"), col("l2")).cast("double")).as("sim"))
+
+  /** Session-scoped memo for d19's pair frame — the [[sharedShingles]]
+    * lifecycle: d19, d20's `edit` method and d22's closure all consume the
+    * same (docs, maxDist) pair set, so the bucket join + Levenshtein verify
+    * runs once per session, not once per consumer. */
+  private val editPairsMemo =
+    new graft.SessionKeyedCache[(Int, Int), DataFrame](_.unpersist(blocking = false))
+
+  /** The memoized, persisted d19 pair frame for (docs, maxDist). */
+  def sharedEditPairs(docs: DataFrame, maxDist: Int = 32): DataFrame =
+    editPairsMemo.getOrElseUpdate(
+      docs.sparkSession, (docs.queryExecution.analyzed.semanticHash(), maxDist))(
+      editDistancePairs(docs, maxDist).persist())
 
   /** Cross-side d19 core (and the self-join's engine — d19 filters the
     * cross of a frame with itself to d1 < d2): edit-distance pairs
@@ -183,20 +198,60 @@ object Dedup {
     * side's three distinct ones at most once). Returns (d1, d2, dist,
     * l1, l2). */
   def crossEditDupPairs(existing: DataFrame, incoming: DataFrame,
-                        maxDist: Int = 32): DataFrame = {
+                        maxDist: Int = 32): DataFrame =
+    editCore(existing, incoming, maxDist, selfOrdered = false)
+
+  /** Shared engine for the edit family. Candidate pruning is two EXACT
+    * filters before the Levenshtein verify, each a proved lower bound on the
+    * distance, so no qualifying pair is ever lost:
+    *   1. length bands (∣Δlen∣ ≤ maxDist) via the bucket block join;
+    *   2. hashed char-BIGRAM histogram L1 ≤ 6·maxDist
+    *      ([[graft.plans.EditFilter]] — dist ≥ L1/6): on a same-language
+    *      corpus the length bands alone are weakly selective (most docs
+    *      share the few populated bands), and without this the verify paid
+    *      a bounded Levenshtein on essentially every banded pair.
+    * Histograms are computed scan-side (once per doc row, before the probe
+    * fan-out), so the per-candidate cost for the rejected majority is a
+    * 128-byte L1 inside codegen.
+    * `selfOrdered` = the self-join case: keep only d1 < d2 BEFORE the
+    * verify, halving Levenshtein work (each unordered pair survives the
+    * block join in both orientations). */
+  private def editCore(existing: DataFrame, incoming: DataFrame,
+                       maxDist: Int, selfOrdered: Boolean): DataFrame = {
     require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
+    import graft.plans.EditFilter
     val width = maxDist + 1
     val home = existing.select(col("doc_id").as("d2"), col("text").as("t2"),
-      length(col("text")).as("l2"))
+      length(col("text")).as("l2"),
+      EditFilter.bigramHist(col("text")).as("h2"))
       .withColumn("bucket", floor(col("l2") / width))
-    val probe = incoming.select(col("doc_id").as("d1"), col("text").as("t1"),
-      length(col("text")).as("l1"))
-      .select(col("d1"), col("t1"), col("l1"),
+    val probeBase = incoming.select(col("doc_id").as("d1"), col("text").as("t1"),
+      length(col("text")).as("l1"),
+      EditFilter.bigramHist(col("text")).as("h1"))
+    // the verify work (histogram L1 + banded Levenshtein per candidate) runs
+    // INSIDE the broadcast-join probe stage, which otherwise streams straight
+    // from the scan: a small corpus in a single parquet row group would pin
+    // the whole O(candidates) stage to one core (row groups are the scan's
+    // splitting floor, so file-split tuning can't help). Round-robin the
+    // probe side up to the session's shuffle width ONLY when the scan is
+    // narrower — at real scale the input already carries enough partitions
+    // and no shuffle is added.
+    val parts = incoming.sparkSession.sessionState.conf.numShufflePartitions
+    val probeWide =
+      if (probeBase.rdd.getNumPartitions < parts) probeBase.repartition(parts)
+      else probeBase
+    val probe = probeWide
+      .select(col("d1"), col("t1"), col("l1"), col("h1"),
         explode(array((-1 to 1).map(i => floor(col("l1") / width) + i): _*))
           .as("bucket"))
-    probe.join(home, Seq("bucket"))
+    val joined = probe.join(home, Seq("bucket"))
+    val ordered = if (selfOrdered) joined.where(col("d1") < col("d2")) else joined
+    ordered
       .where(abs(col("l1") - col("l2")) <= maxDist)
-      .withColumn("dist", levenshtein(col("t1"), col("t2"), maxDist))
+      .where(EditFilter.histL1(col("h1"), col("h2")) <= EditFilter.L1PerEdit * maxDist)
+      // native banded-DP kernel with early abandon — semantics of
+      // levenshtein(t1, t2, maxDist), verified bit-equal by property spec
+      .withColumn("dist", EditFilter.levBounded(col("t1"), col("t2"), maxDist))
       .where(col("dist") >= 0)
       .select(col("d1"), col("d2"), col("dist"), col("l1"), col("l2"))
   }
@@ -260,7 +315,7 @@ object Dedup {
         .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct(),
       "containment" -> containmentPairs(docs, containThreshold, k)
         .select(col("d1").as("doc_id")).distinct(),
-      "edit" -> editDistancePairs(docs, maxDist)
+      "edit" -> sharedEditPairs(docs, maxDist)
         .select(explode(array(col("d1"), col("d2"))).as("doc_id")).distinct())
     val tagged = sets.map { case (m, d) =>
       d.select(lit(m).as("method"), col("doc_id"))

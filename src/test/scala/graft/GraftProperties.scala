@@ -395,4 +395,46 @@ object GraftProperties extends Properties("graft") {
       kept(lo).subsetOf(kept(hi))
     }
   }
+
+  // pure-JVM: the d19 candidate filter's soundness law. The bigram-histogram
+  // L1 must lower-bound 6× the Levenshtein distance for ARBITRARY strings
+  // (incl. multi-char/non-ASCII edits) or the filter would drop qualifying
+  // pairs. JVM Levenshtein here is the plain O(nm) DP over code points —
+  // independent of both Spark's kernel and the filter under test.
+  property("bigram-histogram L1 lower-bounds 6x the edit distance") = {
+    import graft.plans.EditFilterKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def lev(a: String, b: String): Int = {
+      val x = a.codePoints().toArray; val y = b.codePoints().toArray
+      val dp = Array.tabulate(x.length + 1)(i => i)
+      for (j <- 1 to y.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to x.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(x.length)
+    }
+    forAll(nastyString, nastyString) { (a, b) =>
+      val l1 = EditFilterKernels.histL1(
+        EditFilterKernels.bigramHist(UTF8String.fromString(a)),
+        EditFilterKernels.bigramHist(UTF8String.fromString(b)))
+      l1 <= graft.plans.EditFilter.L1PerEdit * lev(a, b)
+    }
+  }
+
+  // pure-JVM: the banded early-abandon kernel must be BIT-EQUAL to Spark's
+  // thresholded levenshtein builtin (the d19 verify swaps one for the other)
+  // across arbitrary strings and thresholds, including the −1 above-bound
+  // convention and band-edge cases (|Δlen| near the threshold).
+  property("bounded Levenshtein kernel equals the Spark builtin") = {
+    import org.apache.spark.unsafe.types.UTF8String
+    forAll(nastyString, nastyString, Gen.chooseNum(1, 48)) { (a, b, t) =>
+      val ua = UTF8String.fromString(a); val ub = UTF8String.fromString(b)
+      graft.plans.LevKernels.boundedLev(ua, ub, t) == ua.levenshteinDistance(ub, t)
+    }
+  }
 }

@@ -95,12 +95,13 @@ class IvfPqSpec extends AnyFunSuite {
     val (centers, cb) = IvfPq.train(emb)
     val df = IvfPq.search(emb, centers, cb)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"), s"probe set must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"only the shortlist and final top-k aggs may shuffle:\n$p")
     val encPlan = IvfPq.encode(emb, centers, cb).queryExecution.executedPlan.toString
-    assert(!encPlan.contains("Exchange"), s"index build must be map-side:\n$encPlan")
+    assert(!encPlan.contains("Exchange hashpartitioning") && !encPlan.contains("Exchange rangepartitioning"),
+      s"index build must be map-side (no keyed exchange):\n$encPlan")
   }
 }

@@ -136,7 +136,7 @@ class KnnSpec extends AnyFunSuite {
   test("s08 plan: top-k clips map-side (partial aggregation) — the exchange is n·k, never n²") {
     val df = Knn.knnGraph(tables.embeddings, k = 5)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("partial_topkagg"),
       s"per-partition heaps must partial-aggregate before the exchange:\n$p")
     assert(!p.contains("Window"),

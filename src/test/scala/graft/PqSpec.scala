@@ -88,10 +88,11 @@ class PqSpec extends AnyFunSuite {
   test("plan: encoding is scan-local; search shuffles only for the top-k agg") {
     val cb = Pq.trainPq(emb, m = 8, k = 16)
     val encPlan = Pq.pqEncode(emb, cb).queryExecution.executedPlan.toString
-    assert(!encPlan.contains("Exchange"), s"encode must be map-side:\n$encPlan")
+    assert(!encPlan.contains("Exchange hashpartitioning") && !encPlan.contains("Exchange rangepartitioning"),
+      s"encode must be map-side (no keyed exchange):\n$encPlan")
     val df = Pq.pqSearch(emb, cb)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"), s"query tables must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,

@@ -127,7 +127,7 @@ class TextFnsSpec extends AnyFunSuite {
   test("t06 plan: LM broadcast to the corpus side — no sort-merge join on token") {
     val df = graft.operators.TextQueries.t06UnigramPpl(tables)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"), s"LM must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on token:\n$p")
   }

@@ -85,7 +85,7 @@ class TextQueriesSpec extends AnyFunSuite {
   test("t17 plan: vocab cut is TakeOrdered (per-partition heaps), vocab broadcasts back") {
     val df = TextQueries.t17OovRate(SparkTestSession.tables)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("TakeOrderedAndProject"),
       s"top-V must be a bounded heap merge, never a global sort:\n$p")
     assert(p.contains("BroadcastHashJoin"),
@@ -222,7 +222,7 @@ class TextQueriesSpec extends AnyFunSuite {
     TextQueries.releaseTokens(spark)
     val df = TextQueries.t10TfidfKeywords(tables)
     df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"),
       s"the vocab-sized df table (and the 1-row N) must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
