@@ -43,7 +43,8 @@ object Bench {
     // their own entries so their one-time materializations aren't charged to
     // whichever consumer happens to run first — the serve-side queries then
     // measure what a served index actually costs per query batch
-    val names = Seq("_shared_shingles", "_shared_lsh_pairs",
+    val names = Seq("_shared_shingles", "_shared_weighted_shingles",
+      "_shared_lsh_pairs",
       "_shared_jaccard_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
       "_shared_tokens") ++
@@ -59,6 +60,8 @@ object Bench {
         val ok = try {
           if (name == "_shared_shingles")
             graft.dedup.Dedup.sharedShingles(Tables(spark, sfDir).documents).count()
+          else if (name == "_shared_weighted_shingles")
+            graft.dedup.Dedup.sharedWeightedShingles(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_lsh_pairs")
             graft.dedup.Dedup.minHashLshPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_jaccard_pairs")

@@ -697,6 +697,13 @@ object Dedup {
     num
   }
 
+  /** Public accessor for the weighted shingle frame over `docs`' shared
+    * shingles — lets the bench attribute the one-time build to its own
+    * `_shared_weighted_shingles` entry instead of whichever of d13/d14/d17
+    * runs first (the [[sharedShingles]] attribution convention). */
+  def sharedWeightedShingles(docs: DataFrame, k: Int = 3): DataFrame =
+    weightedShingles(sharedShingles(docs, k))
+
   /** The memoized, persisted weighted shingle frame (doc_id, shingle, df,
     * w) for a shingle set — rarity weight by exact integer division,
     * zero-weight chrome dropped (see [[weightedJaccardPairs]]). */

@@ -50,6 +50,36 @@ object PipeOps {
     spark.createDataset(piped)
   }
 
+  /** Containerized process exec — the reference's Docker launch variant
+    * (`core/src/main/java/net/qihoo/hbox/common/DockerLaunch.java:1-171`
+    * wraps the user command in `docker run` with image/mount/env flags;
+    * selected by `hbox.container.type=docker`). Spark-first form: the SAME
+    * pipe operator with the command wrapped in a caller-supplied container
+    * launcher — the engine does not hardcode a runtime, it composes argv
+    * exactly like the reference's `DockerLaunch.appendContainerConfig`.
+    * `runtime` is e.g. `Seq("docker", "run", "--rm", "-i", image)` or
+    * `Seq("podman", "run", "--rm", "-i", image)`; env still reaches the
+    * child through the runtime's own env passthrough flags supplied by the
+    * caller (docker needs explicit `-e K` flags — env vars do NOT cross the
+    * container boundary implicitly, so they are rendered into argv here).
+    *
+    * No container runtime ships in this environment, so the spec exercises
+    * the wrapper with a plain argv-echoing launcher (`/bin/sh -c`); the
+    * composition logic — wrapper argv + env flags + user cmd — is what's
+    * tested, the runtime binary is the deployment's choice. */
+  def pipeLinesInContainer(ds: Dataset[String], runtime: Seq[String],
+                           cmd: Seq[String],
+                           env: Map[String, String] = Map.empty,
+                           taskIndexHeader: Boolean = false): Dataset[String] = {
+    require(runtime.nonEmpty, "container runtime argv must be non-empty")
+    // env rendered as -e K=V pairs immediately after the runtime argv —
+    // the DockerLaunch convention (docker/podman share it); the env map is
+    // ALSO exported to the launcher process itself so non-container
+    // runtimes (or a passthrough launcher) see it natively
+    val envFlags = env.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq("-e", s"$k=$v") }
+    pipeLines(ds, runtime ++ envFlags ++ cmd, env, taskIndexHeader)
+  }
+
   /** One full reference-style job: read text → pipe through worker cmd →
     * gzip text sink with _SUCCESS commit (default output parity: gzip
     * TextOutputFormat, `HboxConfiguration2.java:11-12`). */

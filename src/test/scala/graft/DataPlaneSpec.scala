@@ -125,6 +125,25 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(headers === (0 until 4).map(i => s"GRAFT_TASK_INDEX=$i").toSet)
   }
 
+  test("containerized pipe: runtime wrapper + env flags + user cmd compose into one argv") {
+    // reference parity: DockerLaunch wraps the user command in
+    // `docker run … -e K=V … <cmd>` (core/.../common/DockerLaunch.java:1-171).
+    // No container runtime ships here, so the launcher is a stand-in that
+    // PROVES the composition: it echoes the argv it received (the env flags
+    // and user cmd), then execs the user cmd against stdin.
+    val in = (1 to 20).map(i => s"x$i").toDS().repartition(2)
+    val launcher = Seq("sh", "-c",
+      """echo "ARGV:$0 $1 $2"; shift 2; exec "$@"""", "launcher-arg")
+    val out = PipeOps.pipeLinesInContainer(in, launcher,
+      cmd = Seq("sed", "s/^x/z_/"), env = Map("GRAFT_IMAGE" -> "demo:1"))
+    val got = out.collect().toSet
+    // every partition's child announced the composed argv…
+    assert(got.contains("ARGV:launcher-arg -e GRAFT_IMAGE=demo:1"),
+      s"launcher must receive the rendered env flags before the user cmd: $got")
+    // …and the wrapped user command still processed the stream
+    assert(got.filter(_.startsWith("z_")) === (1 to 20).map(i => s"z_$i").toSet)
+  }
+
   test("reflective SequenceFile Input/OutputFormat round-trip (K2/S3 parity)") {
     val lines = (1 to 64).map(i => s"seqrec-$i").toDS().repartition(3)
     val path = s"$tmp/seqfile"
