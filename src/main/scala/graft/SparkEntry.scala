@@ -214,6 +214,10 @@ object SparkEntry {
     // shuffle); the conservative floor bracketing p02's shingle test
     "p25_decontaminate_verbatim" -> ((s, d) => graft.operators.DataPipeline
       .decontaminateVerbatim(t(s, d).documents, col("doc_id") % 10 === 0)),
+    // p26: DSIR importance selection — target/raw unigram log-likelihood
+    // ratio per token (vocab-bounded llr table broadcast), top-k by the
+    // rounded score with a doc_id tiebreak
+    "p26_dsir_select"     -> ((s, d) => graft.operators.DataPipeline.dsirSelect(t(s, d).documents)),
     // p23: effective dataset size after cluster-resolved dedup — dropped
     // set broadcast onto the corpus scan, one source-keyed exchange
     "p23_effective_size"  -> ((s, d) => graft.operators.DataPipeline.effectiveSize(t(s, d).documents)),
@@ -1742,6 +1746,32 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM documents b
         |    WHERE b.doc_id % 10 = 0 AND length(b.text) > 0
         |      AND contains(a.text, b.text))""".stripMargin,
+    // p26: per-token llr from integer counts (one double division + ln —
+    // bit-identical across engines); only the per-doc sum is rounded;
+    // ordering on (rounded score DESC, doc_id) makes the top-k cut total
+    "p26_dsir_select" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |raw AS (SELECT token, count(*) AS rc FROM tok GROUP BY token),
+        |tgt AS (SELECT token, count(*) AS tc
+        |        FROM tok JOIN documents USING (doc_id)
+        |        WHERE source = 'src0' GROUP BY token),
+        |tot AS (SELECT (SELECT sum(rc) FROM raw) AS nr,
+        |               (SELECT count(*) FROM raw) AS v,
+        |               (SELECT coalesce(sum(tc), 0) FROM tgt) AS nt),
+        |llr AS (SELECT r.token,
+        |          ln((coalesce(t.tc, 0) + 1) / (tot.nt + tot.v)) -
+        |          ln((r.rc + 1) / (tot.nr + tot.v)) AS llr
+        |        FROM raw r LEFT JOIN tgt t USING (token) CROSS JOIN tot)
+        |SELECT d.doc_id, count(*) AS n_tokens,
+        |       round(sum(l.llr), 6) AS dsir_score
+        |FROM documents d,
+        |     unnest(string_split(lower(d.text), ' ')) AS u(token)
+        |     , llr l
+        |WHERE d.source <> 'src0' AND l.token = u.token
+        |GROUP BY d.doc_id
+        |ORDER BY dsir_score DESC, d.doc_id
+        |LIMIT 100""".stripMargin,
     // d15: incremental merge == full recompute by construction (contracted
     // closure preserves component minima), so the oracle is d07's verbatim
     "d15_incremental_clusters" -> dupClustersSql,

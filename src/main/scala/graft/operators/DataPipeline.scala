@@ -850,6 +850,60 @@ object DataPipeline {
           col("n_tokens").cast("double") <= hi).as("keep"))
   }
 
+  /** p26: DSIR-style importance selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — score every
+    * candidate document by the log-likelihood ratio of its tokens under a
+    * TARGET unigram distribution (a small in-domain sample; here the
+    * `targetSource` split) versus the RAW corpus distribution, then keep
+    * the top-k. The hashed-n-gram feature space of the paper degenerates
+    * to exact unigram counts here (the same oracle-reproducibility choice
+    * t06 makes for CCNet's KenLM), so the score is deterministic and the
+    * selection exact:
+    *
+    *   llr(tok) = ln((c_tgt+1)/(N_tgt+V)) − ln((c_raw+1)/(N_raw+V))
+    *   score(doc) = Σ_tokens llr(tok)   (Laplace-smoothed, V = raw vocab)
+    *
+    * Float discipline: each per-token llr derives from integer counts by
+    * one double division + ln — bit-identical across engines; only the
+    * per-doc SUM is order-sensitive, so the score is rounded (6 dp, the
+    * aggregated-double rule) and the top-k cut orders by (rounded score
+    * DESC, doc_id) so the boundary is total and engine-independent.
+    *
+    * Scale shape: the target LM is a partial-aggregated exchange over the
+    * TARGET split only; the raw LM rides the shared token frame
+    * ([[graft.operators.TextQueries.sharedTokens]] — tokenize once per
+    * session); the llr table is vocab-bounded (MBs at 100 TB, the t06/t10
+    * bound) and BROADCAST onto a scan-local re-tokenization of the
+    * candidates — re-tokenizing beats joining tokens to sources because it
+    * costs a scan projection instead of a corpus-sized doc_id exchange.
+    * Then ONE doc_id exchange for the per-doc sum and a
+    * TakeOrderedAndProject for the cut (per-partition heaps, never a
+    * global sort). */
+  def dsirSelect(docs: DataFrame, targetSource: String = "src0",
+                 k: Int = 100): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val toks = graft.operators.TextQueries.sharedTokens(docs)
+    val raw = toks.groupBy(col("token")).agg(count(lit(1)).as("rc"))
+    val tgt = docs.where(col("source") === targetSource)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tc"))
+    val totals = raw.agg(sum(col("rc")).as("nr"), count(lit(1)).as("v"))
+      .crossJoin(tgt.agg(coalesce(sum(col("tc")), lit(0L)).as("nt")))
+    val llr = raw.join(tgt, Seq("token"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"),
+        (log((col("tc") + 1) / (col("nt") + col("v"))) -
+          log((col("rc") + 1) / (col("nr") + col("v")))).as("llr"))
+    docs.where(col("source") =!= targetSource)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("token"))
+      .join(broadcast(llr), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(sum(col("llr")), 6).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** p20: cross-source syndication matrix — for every source pair, how
     * many near-duplicate pairs straddle them (and how many live inside
     * each source: the s1 = s2 diagonal). Built on d02's EXACT Jaccard

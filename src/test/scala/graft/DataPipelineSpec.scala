@@ -645,6 +645,45 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(got === Map(("A", "B") -> ((1L, true)), ("A", "A") -> ((1L, false))))
   }
 
+  test("p26: DSIR selection matches a JVM brute force on a planted corpus") {
+    // target source speaks "alpha beta"; candidate 10 matches the target
+    // distribution, candidate 11 speaks off-target tokens, candidate 12 is
+    // mixed — the score order must be 10 > 12 > 11, and every score must
+    // equal the JVM-computed Laplace-smoothed llr sum
+    val planted = Seq(
+      (1L, "alpha beta alpha beta", "tgt"),
+      (2L, "alpha alpha beta gamma", "tgt"),
+      (10L, "alpha beta alpha", "raw"),
+      (11L, "delta epsilon delta", "raw"),
+      (12L, "alpha delta beta epsilon", "raw")
+    ).toDF("doc_id", "text", "source")
+    val got = DataPipeline.dsirSelect(planted, targetSource = "tgt", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // JVM brute force, same smoothing
+    val all = Seq("alpha beta alpha beta", "alpha alpha beta gamma",
+      "alpha beta alpha", "delta epsilon delta", "alpha delta beta epsilon")
+      .flatMap(_.split(" "))
+    val raw = all.groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    val tgt = Seq("alpha beta alpha beta", "alpha alpha beta gamma")
+      .flatMap(_.split(" ")).groupBy(identity).map { case (k2, v) => k2 -> v.size.toLong }
+    val (nr, v, nt) = (raw.values.sum, raw.size.toLong, tgt.values.sum)
+    def score(text: String): Double = {
+      val s0 = text.split(" ").map { tok =>
+        math.log((tgt.getOrElse(tok, 0L) + 1).toDouble / (nt + v)) -
+          math.log((raw(tok) + 1).toDouble / (nr + v))
+      }.sum
+      BigDecimal(s0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = Seq(
+      (10L, 3L, score("alpha beta alpha")),
+      (12L, 4L, score("alpha delta beta epsilon")),
+      (11L, 3L, score("delta epsilon delta")))
+      .sortBy(r => (-r._3, r._1))
+    assert(got.toSeq === expect)
+    assert(got.head._1 === 10L && got.last._1 === 11L,
+      "target-like must outrank off-target")
+  }
+
   test("p24: holdout equals the window-rank recomputation, exactly 5 per source") {
     val got = DataPipeline.stratifiedHoldout(docs)
     // independent recomputation via the window-rank formulation the
