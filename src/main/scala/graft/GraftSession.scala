@@ -44,6 +44,18 @@ object GraftSession {
     val s = tune(SparkSession.builder().master(s"local[$cores]").appName("graft"), cores)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    ensureOptimizations(s)
     s
+  }
+
+  /** Install the engine's logical optimizer rules on a live session
+    * (idempotent). Conf-based installs (`spark.sql.extensions`) get the same
+    * rules via [[graft.plans.GraftExtensions]]; this hook covers sessions
+    * built without the conf — tests, REPLs, the driver's harness. */
+  def ensureOptimizations(s: SparkSession): Unit = {
+    val rules = s.experimental.extraOptimizations
+    if (!rules.contains(graft.plans.PushCostlyProjectionThroughJoin))
+      s.experimental.extraOptimizations =
+        rules :+ graft.plans.PushCostlyProjectionThroughJoin
   }
 }

@@ -21,8 +21,10 @@ import org.apache.spark.sql.graft.ColumnBridge
   * Column API cannot drift apart because they are the same expression.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(e.injectFunction)
+    e.injectOptimizerRule(_ => PushCostlyProjectionThroughJoin)
+  }
 }
 
 object GraftExtensions {

@@ -28,9 +28,13 @@ class TopKAgg(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], S
   }
 
   override def zero: List[(Double, Long)] = Nil
-  override def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] = insert(b, a)
+  override def reduce(b: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] =
+    // once the buffer is full, most candidates lose to the current k-th
+    // best; rejecting them against the tail allocates nothing, which is
+    // what keeps the per-row cost flat over |Q|·|corpus| scored pairs
+    if (b.sizeIs >= k && !better(a, b.last)) b else insert(b, a)
   override def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] =
-    b2.foldLeft(b1)(insert)
+    b2.foldLeft(b1)(reduce)
   override def finish(r: List[(Double, Long)]): Seq[(Double, Long)] = r
   override def bufferEncoder: Encoder[List[(Double, Long)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
