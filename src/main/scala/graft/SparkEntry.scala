@@ -16,7 +16,10 @@ import graft.multimodal.Multimodal
   */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String): Tables = Tables(spark, dir)
+  private def t(spark: SparkSession, dir: String): Tables = {
+    GraftSession.ensureOptimizations(spark)
+    Tables(spark, dir)
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -218,6 +221,12 @@ object SparkEntry {
     // ratio per token (vocab-bounded llr table broadcast), top-k by the
     // rounded score with a doc_id tiebreak
     "p26_dsir_select"     -> ((s, d) => graft.operators.DataPipeline.dsirSelect(t(s, d).documents)),
+    // p27: within-doc repetition scrub — array_distinct keeps each chunk's
+    // first occurrence; pure scan projection, zero shuffle
+    "p27_scrub_repetition" -> ((s, d) => graft.operators.DataPipeline.scrubRepetition(t(s, d).documents)),
+    // p28: quality propagation over the near-dup graph — per-round
+    // 6-dp-rounded neighbor averages so both engines walk identical doubles
+    "p28_propagate_quality" -> ((s, d) => graft.operators.CorpusPipeline.propagateQuality(t(s, d).documents)),
     // p23: effective dataset size after cluster-resolved dedup — dropped
     // set broadcast onto the corpus scan, one source-keyed exchange
     "p23_effective_size"  -> ((s, d) => graft.operators.DataPipeline.effectiveSize(t(s, d).documents)),
@@ -315,6 +324,10 @@ object SparkEntry {
     "d09_embedding_clusters" -> ((s, d) =>
       graft.dedup.Clusters.embeddingClusters(t(s, d).embeddings)),
     "s01_knn_brute"       -> ((s, d) => Knn.bruteForce(t(s, d).embeddings)),
+    // s12: farthest-point diversity sample — deterministic greedy k-center
+    // on round(√l2Sq, 6) with vec_id tiebreaks; the oracle replays the
+    // identical trajectory as chained CTE steps, fully hash-checked
+    "s12_diverse_sample"  -> ((s, d) => Knn.farthestPointSample(t(s, d).embeddings)),
     // s07: exact radius search — ranking-free threshold variant of s01,
     // fully hash-checkable (round(cos, 8) both sides)
     "s07_radius_search"   -> ((s, d) => Knn.radius(t(s, d).embeddings)),
@@ -1157,6 +1170,26 @@ object SparkEntry {
     // with identical semantics (exact collision fallback)
     "p06_segment_dedup" -> segmentDedupSql,
     "p11_segment_dedup_hashed" -> segmentDedupSql,
+    // p27: p06's chunking PARTITIONED BY doc — the keeper is the first
+    // occurrence within the document, so the oracle ranks per (doc, seg);
+    // the engine's array_distinct computes the same set scan-locally
+    "p27_scrub_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |seglist AS (
+        |  SELECT doc_id, list_transform(range(0, CAST(ceil(len(t)/8.0) AS BIGINT)),
+        |                                i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS segs
+        |  FROM toks),
+        |segs AS (SELECT doc_id, generate_subscripts(segs, 1) - 1 AS seg_idx,
+        |                unnest(segs) AS seg FROM seglist),
+        |ranked AS (SELECT doc_id, seg_idx, seg,
+        |           row_number() OVER (PARTITION BY doc_id, seg ORDER BY seg_idx) AS rn
+        |           FROM segs)
+        |SELECT doc_id,
+        |  coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1), '') AS text_clean,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_seg_kept,
+        |  CAST(count(*) AS BIGINT) AS n_seg_total
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+    "p28_propagate_quality" -> propagateQualitySql,
     "d01_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies
@@ -1453,6 +1486,11 @@ object SparkEntry {
         | FROM scored)
         |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
         |FROM ranked WHERE rnk <= 5""".stripMargin,
+    // s12: the oracle replays the same deterministic greedy trajectory as
+    // chained CTE steps — round(list_distance, 6) = round(√l2Sq, 6) and
+    // the (mind DESC, vec_id) pick order is total, so the k selections
+    // (and their covering radii) match exactly
+    "s12_diverse_sample" -> diverseSampleSql,
     // s09: s01's oracle with list_inner_product and the same tiebreak
     "s09_mips" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2146,6 +2184,55 @@ object SparkEntry {
   /** The d02 pair SQL at an arbitrary threshold (d18's curve base). */
   private def ngramJaccardSqlAt(threshold: Double): String =
     ngramJaccardSql.replace(">= 0.8", s">= $threshold")
+
+  /** s12's oracle: the greedy farthest-point trajectory replayed as k
+    * chained CTE steps — step t carries the running min-distance frame
+    * (excluding already-selected ids) and picks (mind DESC, vec_id). */
+  private lazy val diverseSampleSql: String = {
+    val k = 8
+    val steps = (1 until k).map { t =>
+      val prev = if (t == 1) "e0" else s"d${t - 1}"
+      val mind =
+        if (t == 1) s"round(list_distance(p.v, (SELECT v FROM sel0)), 6)"
+        else s"least(p.mind, round(list_distance(p.v, (SELECT v FROM sel${t - 1})), 6))"
+      s"""d$t AS (SELECT p.vec_id, p.v, $mind AS mind
+         | FROM $prev p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})),
+         |sel$t AS (SELECT $t AS sel_order, vec_id, mind AS dist, v FROM d$t
+         | ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until k)
+      .map(t => s"SELECT sel_order, vec_id, dist FROM sel$t").mkString(" UNION ALL ")
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sel0 AS (SELECT 0 AS sel_order, vec_id, CAST(0.0 AS DOUBLE) AS dist, v
+       |         FROM e0 ORDER BY vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(sel_order AS INT) AS sel_order, vec_id, dist FROM ($union)""".stripMargin
+  }
+
+  /** p28's oracle: t03's quality projection + the d02 pair set, then two
+    * propagation rounds with the engine's exact rounding discipline. */
+  private lazy val propagateQualitySql: String =
+    s"""WITH m AS (
+       | SELECT doc_id,
+       |  least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+       |  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) * 0.3
+       |  + least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS DOUBLE)
+       |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0, 1.0) * 0.2 AS s
+       | FROM documents),
+       |nd AS ($ngramJaccardSql),
+       |edges AS (SELECT d1, d2 FROM nd UNION ALL SELECT d2 AS d1, d1 AS d2 FROM nd),
+       |na1 AS (SELECT e.d1 AS doc_id, round(avg(m.s), 6) AS na
+       |        FROM edges e JOIN m ON m.doc_id = e.d2 GROUP BY 1),
+       |s1 AS (SELECT m.doc_id, round(coalesce(0.5 * m.s + 0.5 * na1.na, m.s), 6) AS s
+       |       FROM m LEFT JOIN na1 USING (doc_id)),
+       |na2 AS (SELECT e.d1 AS doc_id, round(avg(s1.s), 6) AS na
+       |        FROM edges e JOIN s1 ON s1.doc_id = e.d2 GROUP BY 1),
+       |s2 AS (SELECT s1.doc_id, round(coalesce(0.5 * s1.s + 0.5 * na2.na, s1.s), 6) AS s
+       |       FROM s1 LEFT JOIN na2 USING (doc_id))
+       |SELECT m.doc_id, m.s AS quality, s2.s AS propagated,
+       | round(s2.s - round(m.s, 6), 6) AS delta
+       |FROM m JOIN s2 USING (doc_id)""".stripMargin
 
   // d12's oracle, reused as a CTE by d20
   private val containmentSql: String =

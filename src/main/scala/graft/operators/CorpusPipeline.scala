@@ -64,4 +64,57 @@ object CorpusPipeline {
       .join(nearDupNonKeepers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("guess"), col("n_tokens"), col("quality"))
   }
+
+  /** p28: quality propagation over the near-dup graph — blend each
+    * document's t03 quality score with its near-dup neighbors' over
+    * `iters` rounds of s ← α·s + (1−α)·avg(neighbor s). The
+    * guilt-by-association signal: a spam page's mirror copies inherit its
+    * low score even when their own surface metrics pass (template spam
+    * mutates exactly the tokens the gates measure), and conversely a
+    * high-quality page vouches for its syndicated copies. This is the
+    * label/score-smoothing member of the graph family (d07 closes the
+    * graph's components; p28 diffuses a signal over its edges) — the same
+    * fixed-point shape as PageRank/label propagation, truncated at a fixed
+    * iteration count so the result is a deterministic relational function.
+    *
+    * Float discipline: the init scores are bit-exact projections (t03's
+    * rule); each round rounds the neighbor average at 6 dp BEFORE the
+    * blend and the blended score after it, so both engines walk identical
+    * doubles through every round. Isolated documents pass through the
+    * same rounding (score = round(s, 6)) for one uniform output domain.
+    *
+    * Scale shape: the corpus is NEVER shuffled — the pair graph is tiny
+    * (∝ actual duplication, the dedup premise), so each round broadcasts
+    * the edge frame onto the score frame, aggregates the pair-bounded
+    * neighbor table, and broadcasts the (equally pair-bounded) averages
+    * back onto the scan. iters·3 broadcast joins total, zero corpus
+    * exchanges; at 100 TB the score frame is a column you carry, not a
+    * table you move. */
+  def propagateQuality(docs: DataFrame, threshold: Double = 0.8,
+                       iters: Int = 2, alpha: Double = 0.5): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val q0 = docs.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).cast("double").as("nt"),
+      TextFns.alphaRatio(col("text")).as("ar"),
+      TextFns.stopwordRatio(col("text")).as("sr"))
+      .select(col("doc_id"),
+        TextFns.qualityScoreOf(col("nt"), col("ar"), col("sr")).as("s"))
+    val pairs = Dedup.sharedJaccardPairs(docs, threshold).select(col("d1"), col("d2"))
+    val edges = pairs.unionByName(
+      pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    var s = q0
+    for (_ <- 1 to iters) {
+      val nbrAvg = s.join(broadcast(edges.select(col("d1"), col("d2").as("doc_id"))),
+          Seq("doc_id"))
+        .groupBy(col("d1")).agg(round(avg(col("s")), 6).as("na"))
+      s = s.join(broadcast(nbrAvg.select(col("d1").as("doc_id"), col("na"))),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(lit(alpha) * col("s") + lit(1 - alpha) * col("na"),
+            col("s")), 6).as("s"))
+    }
+    q0.select(col("doc_id"), col("s").as("quality"))
+      .join(s.select(col("doc_id"), col("s").as("propagated")), Seq("doc_id"))
+      .withColumn("delta", round(col("propagated") - round(col("quality"), 6), 6))
+  }
 }

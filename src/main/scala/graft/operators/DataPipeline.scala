@@ -904,6 +904,35 @@ object DataPipeline {
       .limit(k)
   }
 
+  /** p27: within-document repetition scrub — drop every repeated k-token
+    * chunk AFTER its first occurrence, per document. The fix for the
+    * repetition t05 measures: nav menus, footer chrome and crawler echo
+    * loops repeat INSIDE one page, and the Gopher/RefinedWeb rules that
+    * flag such pages (p13) can instead be repaired by keeping each chunk's
+    * first occurrence. p06/p11 dedup chunks ACROSS documents (a global
+    * keeper decision); p27's scope is one document, which makes it a pure
+    * projection: `array_distinct` preserves first-occurrence order, so the
+    * whole operator is chunk → distinct → reassemble inside the scan —
+    * ZERO shuffle, no join, no window, embarrassingly parallel at any
+    * scale (the strongest possible 100 TB shape: cost is exactly one pass
+    * over the text).
+    *
+    * Same output contract as [[segmentDedup]] (text_clean, kept/total
+    * counts) so the two compose into the standard pipeline order:
+    * within-doc scrub first, then the global chunk keeper. */
+  def scrubRepetition(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k chunk width must be >= 1")
+    val toks = split(col("text"), " ")
+    val nSeg = floor((size(toks) + lit(k) - 1) / lit(k)).cast("int")
+    val segList = transform(sequence(lit(0), nSeg - 1),
+      i => concat_ws(" ", slice(toks, i * k + 1, lit(k))))
+    val dedup = array_distinct(segList)
+    docs.select(col("doc_id"),
+      concat_ws(" ", dedup).as("text_clean"),
+      size(dedup).cast("long").as("n_seg_kept"),
+      size(segList).cast("long").as("n_seg_total"))
+  }
+
   /** p20: cross-source syndication matrix — for every source pair, how
     * many near-duplicate pairs straddle them (and how many live inside
     * each source: the s1 = s2 diagonal). Built on d02's EXACT Jaccard

@@ -431,4 +431,69 @@ object Knn {
         round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
     topKPerKey(scored, k)
   }
+
+  /** Selected farthest-point sets, memoized per (session, corpus plan, k)
+    * — the selection is a fitted model artifact (k rows), the Lloyd/BPE
+    * boundary: construction runs k bounded driver actions, so callers
+    * composing plans must not re-pay them per invocation. */
+  private val fpsMemo =
+    new graft.SessionKeyedCache[(Int, Int), Array[(Int, Long, Double)]]()
+
+  /** s12: farthest-point (k-center greedy) diversity sampling — pick k
+    * vectors that maximally COVER the embedding space: seed with the
+    * smallest vec_id, then repeatedly take the vector farthest from the
+    * selected set (max over remaining of its min distance to any chosen
+    * center). The classic 2-approximation to the k-center objective
+    * (Gonzalez 1985), and the coreset/diversity-selection primitive of
+    * training-data curation: a k-sample that spans the corpus instead of
+    * oversampling its dense clusters (the failure mode of uniform
+    * sampling), prototype picking for labeling budgets, and seed
+    * selection for kmeans/IVF training itself.
+    *
+    * Deterministic and exact: distances compare on round(√l2Sq, 6) with a
+    * vec_id tiebreak, so the greedy trajectory — and therefore the whole
+    * output — is engine-independent and the driver oracle replays it as k
+    * chained CTE steps (fully hash-checked; no RNG anywhere).
+    *
+    * Scale shape: each of the k rounds is ONE codegen'd scan — the
+    * selected centers ride in as literal array columns (the [[assigned]]
+    * convention), the per-row min-distance is a map-side expression, and
+    * only the single argmax row reaches the driver (TakeOrderedAndProject,
+    * never a sort). Round t recomputes all t center distances (≈ k²/2·dims
+    * flops per row over the whole run — fine at model-fit k; a
+    * persisted running-min frame per round would make it k·dims at the
+    * price of k materializations, the trade to take if k grows), and the
+    * selection is memoized per (session, corpus, k) like every other
+    * fitted artifact.
+    * Output: (sel_order, vec_id, dist) — dist is the covering radius at
+    * selection time (the seed's is 0), monotonically non-increasing. */
+  def farthestPointSample(emb: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val spark = emb.sparkSession
+    val sel = fpsMemo.getOrElseUpdate(
+      spark, (emb.queryExecution.analyzed.semanticHash(), k)) {
+      val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val seedRow = v.orderBy(col("vec_id")).limit(1)
+        .select(col("vec_id"), col("v")).head()
+      var selected = Vector((0, seedRow.getLong(0), 0.0))
+      var centers = Vector(seedRow.getSeq[Double](1).toArray)
+      var mindCol: Column = null
+      for (step <- 1 until k) {
+        val newDist = round(sqrt(VectorFns.l2SqLit(col("v"), centers.last)), 6)
+        mindCol = if (mindCol == null) newDist else least(mindCol, newDist)
+        val picked = v.filter(!col("vec_id").isin(selected.map(s => Long.box(s._2)): _*))
+          .select(col("vec_id"), col("v"), mindCol.as("mind"))
+          .orderBy(col("mind").desc, col("vec_id")).limit(1).head()
+        selected :+= ((step, picked.getLong(0), picked.getDouble(2)))
+        centers :+= picked.getSeq[Double](1).toArray
+      }
+      selected.toArray
+    }
+    import spark.implicits._
+    sel.toSeq.toDF("sel_order", "vec_id", "dist")
+  }
+
+  /** Drop memoized farthest-point selections for `spark` (test hygiene). */
+  def clearFpsModels(spark: SparkSession): Unit =
+    fpsMemo.purgeSession(Some(spark), None)
 }

@@ -762,4 +762,115 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the corpus side must not shuffle:\n$p")
   }
+
+  test("p27: repeated chunks drop after first occurrence; clean docs pass through") {
+    // doc 1: chunk A repeated (positions 0 and 2) around chunk B
+    // doc 2: all-distinct chunks — must survive verbatim
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$a $b $a"),
+      (2L, s"$b $c")).toDF("doc_id", "text")
+    val out = DataPipeline.scrubRepetition(planted)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((s"$a $b", 2L, 3L)),
+      "the second occurrence of chunk A must drop, order preserved")
+    assert(out(2L) === ((s"$b $c", 2L, 2L)), "distinct chunks pass through")
+  }
+
+  test("p27: within-doc scope — a chunk shared ACROSS docs survives in both") {
+    val a = (1 to 8).map(i => s"x$i").mkString(" ")
+    val planted = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val out = DataPipeline.scrubRepetition(planted)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === a && out(2L) === a,
+      "cross-doc dedup is p06's job, not p27's")
+  }
+
+  test("p27 plan: pure scan projection — zero exchanges of any kind") {
+    val df = DataPipeline.scrubRepetition(tables.documents)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"within-doc scrub must never shuffle:\n$p")
+    assert(!p.toLowerCase.contains("sortmergejoin") && !p.contains("BroadcastHashJoin"),
+      s"no join belongs in a per-row projection:\n$p")
+  }
+
+  // a corpus with one guaranteed near-dup pair (9101 ~ 9102: one token
+  // differs out of many, trigram Jaccard > 0.8) and one isolated doc
+  private def plantedP28 = {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (9101L, base + " ending one"),
+      (9102L, base + " ending two"),
+      (9103L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+  }
+
+  test("p28: isolated docs keep round(quality, 6); the planted pair blends") {
+    graft.dedup.Dedup.releaseShingles(spark)
+    val out = graft.operators.CorpusPipeline.propagateQuality(plantedP28)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (q3, prop3, _) = out(9103L)
+    assert(prop3 === r6(q3), "isolated doc must keep its rounded score")
+    // the pair's scores converge toward each other: after blending, the
+    // gap between the two paired docs shrinks (strictly, unless equal)
+    val gap0 = math.abs(out(9101L)._1 - out(9102L)._1)
+    val gap2 = math.abs(out(9101L)._2 - out(9102L)._2)
+    assert(gap2 <= gap0 + 1e-12, "propagation must contract the pair's gap")
+    out.foreach { case (id, (q, prop, delta)) =>
+      assert(math.abs(delta - r6(prop - r6(q))) < 1e-12, s"delta mismatch for $id")
+    }
+  }
+
+  test("p28: two-round blend matches a JVM replay over the same pair graph") {
+    graft.dedup.Dedup.releaseShingles(spark)
+    val docs = plantedP28
+    val q0 = docs.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).cast("double").as("nt"),
+      TextFns.alphaRatio(col("text")).as("ar"),
+      TextFns.stopwordRatio(col("text")).as("sr"))
+      .select(col("doc_id"),
+        TextFns.qualityScoreOf(col("nt"), col("ar"), col("sr")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    val pairs = graft.dedup.Dedup.sharedJaccardPairs(docs, 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((9101L, 9102L)),
+      "exactly the planted pair must qualify")
+    val nbrs = (pairs.map(p => p._1 -> p._2) ++ pairs.map(p => p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def step(s: Map[Long, Double]): Map[Long, Double] =
+      s.map { case (id, v) =>
+        id -> (nbrs.get(id) match {
+          case Some(ns) => r6(0.5 * v + 0.5 * r6(ns.map(s).sum / ns.size))
+          case None     => r6(v)
+        })
+      }
+    val want = step(step(q0))
+    val got = graft.operators.CorpusPipeline.propagateQuality(docs)
+      .select(col("doc_id"), col("propagated")).as[(Long, Double)].collect().toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    got.foreach { case (id, v) =>
+      assert(math.abs(v - want(id)) < 1e-9, s"doc $id: got $v want ${want(id)}")
+    }
+  }
+
+  test("p28 plan: the corpus is never exchanged past the pair build — " +
+    "score joins broadcast") {
+    val df = graft.operators.CorpusPipeline.propagateQuality(tables.documents)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    // the d02 pair build legitimately shuffles; the propagation tail must
+    // not add SMJ/shuffled-hash joins of the corpus-sized score frame
+    assert(p.contains("BroadcastHashJoin"),
+      s"neighbor joins must broadcast the pair-bounded side:\n$p")
+  }
 }

@@ -235,6 +235,44 @@ class KnnSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("s12: farthest-point sample replays the JVM greedy exactly") {
+    Knn.clearFpsModels(spark)
+    val k = 8
+    val got = Knn.farthestPointSample(tables.embeddings, k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    // JVM brute-force replay of the same deterministic greedy
+    import org.apache.spark.sql.functions._
+    val vecs = tables.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      r6(math.sqrt(s))
+    }
+    var sel = Vector((0, vecs.head._1, 0.0))
+    var centers = Vector(vecs.head._2)
+    for (step <- 1 until k) {
+      val cand = vecs.filterNot(v => sel.exists(_._2 == v._1))
+        .map { case (id, v) => (id, centers.map(c => dist(v, c)).min) }
+      val best = cand.minBy { case (id, d) => (-d, id) }
+      sel :+= ((step, best._1, best._2))
+      centers :+= vecs.find(_._1 == best._1).get._2
+    }
+    assert(got.toSeq === sel.toSeq, "trajectory must match the JVM greedy")
+    // covering radius is non-increasing past the seed
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.drop(1)).forall { case (a, b) => b <= a },
+      s"greedy radii must not increase: ${radii.toSeq}")
+    // memoized: second call returns the cached selection without new jobs
+    val again = Knn.farthestPointSample(tables.embeddings, k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("Lloyd centers: k centers inside the data envelope, every point assigned") {
     val k = 7
     val centers = ml.MlOps.kmeansCenters(tables.embeddings, k, maxIter = 2)
