@@ -57,5 +57,8 @@ object GraftSession {
     if (!rules.contains(graft.plans.PushCostlyProjectionThroughJoin))
       s.experimental.extraOptimizations =
         rules :+ graft.plans.PushCostlyProjectionThroughJoin
+    val strategies = s.experimental.extraStrategies
+    if (!strategies.contains(graft.plans.TopKStrategy))
+      s.experimental.extraStrategies = strategies :+ graft.plans.TopKStrategy
   }
 }

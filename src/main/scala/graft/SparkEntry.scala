@@ -419,6 +419,9 @@ object SparkEntry {
     // t18: cross-document boilerplate fraction — share of a doc's shingles
     // with corpus df >= 3; counts exact, one unrounded division
     "t18_boilerplate"     -> ((s, d) => TextQueries.t18Boilerplate(t(s, d))),
+    // t20: corpus-order novelty — first = min(doc_id) per shingle, a
+    // total rule; integer counts + one unrounded division (t18's rule)
+    "t20_novelty"         -> ((s, d) => TextQueries.noveltyScore(t(s, d).documents)),
     // t19: encoding-noise score — integer regex counts of replacement/
     // control/mojibake chars, one guarded unrounded division; zero shuffle
     "t19_encoding_noise"  -> ((s, d) => TextQueries.t19EncodingNoise(t(s, d))),
@@ -1459,6 +1462,21 @@ object SparkEntry {
         | CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
         | CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS boiler_frac
         |FROM sh JOIN df USING (shingle) GROUP BY doc_id""".stripMargin,
+    // t20: t18's shingle frame with min(doc_id) instead of count — the
+    // first-arrival rule is total, so the score is fully hash-checkable
+    "t20_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |fd AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(count(*) AS BIGINT) AS n_shingles,
+        | CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        | CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty_frac
+        |FROM sh JOIN fd USING (shingle) GROUP BY doc_id""".stripMargin,
     // t19: same literal/char-class regex counts (DuckDB counts via
     // len(regexp_extract_all)); the division is the one guarded IEEE op
     "t19_encoding_noise" ->

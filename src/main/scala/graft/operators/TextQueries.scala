@@ -520,6 +520,39 @@ object TextQueries {
           .as("boiler_frac"))
   }
 
+  /** t20: corpus-order novelty scoring — per document, the fraction of its
+    * shingles appearing for the FIRST time in doc_id order (no earlier doc
+    * contains them). The temporal complement of [[boilerplate]]: t18 asks
+    * "how much of this page is corpus-common", t20 asks "how much did this
+    * page ADD when it arrived" — the diminishing-novelty curve is the
+    * standard diagnostic for when a crawl stops contributing (novelty per
+    * source collapsing ⇒ stop crawling it; a syndication feed shows near-
+    * zero novelty from its second member on), and the per-doc score is the
+    * dedup-adjacent keep signal for ingestion-ordered corpora (doc_id =
+    * arrival order here, the d08/d10 admission convention).
+    *
+    * Exact and order-deterministic: "first" is min(doc_id) per shingle —
+    * a total rule both engines compute identically; counts are exact
+    * longs, the fraction one unrounded integer-derived division (t18's
+    * float rule).
+    *
+    * Shape: one partial-aggregated min per shingle over the shared
+    * shingle frame (the t18/d13 exchange), the min-doc table joins back
+    * on shingle (t10's idf precedent; a hot shingle fans out by its df —
+    * AQE skew territory), then one doc-keyed rollup. At 100 TB the
+    * min-doc table is vocabulary-bounded, never corpus-bounded. */
+  def noveltyScore(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = Dedup.sharedShingles(docs, k) // (doc_id, shingle) distinct
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty_frac"))
+  }
+
   /** t05: repetition signals (the Gopher-rule family) — fraction of repeated
     * tokens, most-frequent-token share, most-frequent-bigram share. The
     * canonical filter for template/spam/boilerplate docs in a training-data

@@ -50,7 +50,19 @@ object Knn {
   /** Shared (query_id, neighbor_id, cos) → ranked top-k reshaper. Public:
     * it is the engine's bounded per-key top-k (partial aggregation clips
     * each partition to k before the shuffle), useful beyond knn. */
-  def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
+  def topKPerKey(scored: DataFrame, k: Int): DataFrame =
+    // fast path: the engine's physical operator (primitive heaps, no
+    // per-row encoder round-trip); the Aggregator below is the semantic
+    // reference it is spec-pinned against, and the route for shapes the
+    // exec doesn't cover
+    if (graft.plans.TopKPlans.supports(scored))
+      graft.plans.TopKPlans.topKPerKey(scored, k)
+    else topKPerKeyAgg(scored, k)
+
+  /** The Aggregator (udaf) formulation — [[TopKAgg]] through
+    * ObjectHashAggregate. Reference semantics for [[topKPerKey]]'s
+    * physical operator (TopKSpec pins row-for-row equality). */
+  def topKPerKeyAgg(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAgg(k))
     scored
       .groupBy(col("query_id"))

@@ -133,12 +133,20 @@ class KnnSpec extends AnyFunSuite {
       "repeat serves must read the cached labeled index")
   }
 
-  test("s08 plan: top-k clips map-side (partial aggregation) — the exchange is n·k, never n²") {
+  test("s08 plan: top-k clips map-side (TopKLocal) — the exchange is n·k, never n²") {
     val df = Knn.knnGraph(tables.embeddings, k = 5)
     df.collect()
     val p = SparkTestSession.finalPlan(df)
-    assert(p.contains("partial_topkagg"),
-      s"per-partition heaps must partial-aggregate before the exchange:\n$p")
+    // the physical operator: local per-partition heaps BEFORE the key
+    // exchange, final merge after — the property that bounds the shuffle
+    val lines = p.split("\n")
+    val local = lines.indexWhere(_.contains("TopKLocal"))
+    val exchange = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    val fin = lines.indexWhere(_.contains("TopKFinal"))
+    assert(local >= 0 && exchange >= 0 && fin >= 0,
+      s"expected TopKFinal <- Exchange <- TopKLocal:\n$p")
+    assert(fin < exchange && exchange < local,
+      s"the local clip must sit BELOW the key exchange:\n$p")
     assert(!p.contains("Window"),
       s"the graph must never window-sort the scored pairs:\n$p")
   }

@@ -277,4 +277,22 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(rep4 === 1 && frac4 === 1.0 / n4)
     assert(got(5L) === ((0, 0, 0, 0, 0.0, true)), "empty doc: guarded division")
   }
+
+  test("t20: novelty is 1 for the first doc, 0 for its copy, partial for a remix") {
+    import spark.implicits._
+    graft.dedup.Dedup.releaseShingles(spark)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // 3 trigram shingles, all first
+      (2L, "alpha beta gamma delta epsilon"), // exact copy: nothing novel
+      // shares shingle "alpha beta gamma" with doc 1; adds 2 new ones
+      (3L, "alpha beta gamma zeta eta")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.noveltyScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    assert(got(1L) === ((3L, 3L, 1.0)), "the first arrival is fully novel")
+    assert(got(2L) === ((3L, 0L, 0.0)), "an exact copy adds nothing")
+    assert(got(3L) === ((3L, 2L, 2.0 / 3.0)), "the remix adds only its new shingles")
+  }
 }
