@@ -260,6 +260,10 @@ object SparkEntry {
     // 0.9998 at 0.8) so the driver check is rows-only; DedupSpec pins
     // precision 1, exact scores, and the recall floor vs d13
     "d14_weighted_lsh"    -> ((s, d) => Dedup.weightedMinHashLshPairs(t(s, d).documents)),
+    // d23: the banded-LSH S-curve planner — multiplication-chain
+    // arithmetic (never pow()) and ordered fp/fn folds, so the pure-math
+    // grid hash-checks unrounded across engines
+    "d23_lsh_plan"        -> ((s, d) => Dedup.lshPlanCurve(s)),
     // d15: incremental cluster maintenance — standing labels from the
     // sub-corpus' pairs, merged with the batch's incident pairs; equal to
     // the full d07 recompute by construction, so it shares d07's
@@ -328,6 +332,11 @@ object SparkEntry {
     // on round(√l2Sq, 6) with vec_id tiebreaks; the oracle replays the
     // identical trajectory as chained CTE steps, fully hash-checked
     "s12_diverse_sample"  -> ((s, d) => Knn.farthestPointSample(t(s, d).embeddings)),
+    // s13: sign-random-projection LSH pairs — ±1-pattern planes over the
+    // byte-exact s03 quantized vectors make every signature bit INTEGER
+    // arithmetic (no float-sign hazard), so the whole LSH pipeline is
+    // deterministic and the DuckDB oracle replays it exactly
+    "s13_srp_pairs"       -> ((s, d) => graft.similarity.Srp.srpPairs(t(s, d).embeddings)),
     // s07: exact radius search — ranking-free threshold variant of s01,
     // fully hash-checkable (round(cos, 8) both sides)
     "s07_radius_search"   -> ((s, d) => Knn.radius(t(s, d).embeddings)),
@@ -422,6 +431,9 @@ object SparkEntry {
     // t20: corpus-order novelty — first = min(doc_id) per shingle, a
     // total rule; integer counts + one unrounded division (t18's rule)
     "t20_novelty"         -> ((s, d) => TextQueries.noveltyScore(t(s, d).documents)),
+    // t21: per-source token-mass Gini — exact long numerator/denominator
+    // sums (ascending-(freq, token) rank weights), one final IEEE division
+    "t21_token_gini"      -> ((s, d) => TextQueries.tokenGini(t(s, d).documents)),
     // t19: encoding-noise score — integer regex counts of replacement/
     // control/mojibake chars, one guarded unrounded division; zero shuffle
     "t19_encoding_noise"  -> ((s, d) => TextQueries.t19EncodingNoise(t(s, d))),
@@ -1509,6 +1521,30 @@ object SparkEntry {
     // the (mind DESC, vec_id) pick order is total, so the k selections
     // (and their covering radii) match exactly
     "s12_diverse_sample" -> diverseSampleSql,
+    // s13: the SAME ±1 planes render into this SQL (explicit ±qv[i] sums
+    // over the s03-quantization CTE — integer signs can't flip between
+    // engines), then d03's band-bucket pairs and the s01 cosine verify
+    "s13_srp_pairs" -> graft.similarity.Srp.oracleSql(0.45),
+    // d23: same literal grid, same multiplication chains, ordered
+    // aggregate sums — bit-deterministic without any rounding
+    "d23_lsh_plan" -> graft.dedup.LshPlan.oracleSql(0.8),
+    // t21: exact long Gini sums over the ascending-(freq, token) rank
+    // order; HUGEINT intermediates cast back to BIGINT/DOUBLE
+    "t21_token_gini" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |f AS (SELECT d.source, token, count(*) AS freq
+        |      FROM tok JOIN documents d USING (doc_id) GROUP BY d.source, token),
+        |r AS (SELECT source, freq,
+        |       CAST(row_number() OVER (PARTITION BY source ORDER BY freq, token) AS BIGINT) AS rnk,
+        |       CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS v
+        |      FROM f)
+        |SELECT source,
+        | CAST(max(v) AS BIGINT) AS n_types,
+        | CAST(sum(freq) AS BIGINT) AS n_tokens,
+        | CAST(sum((2 * rnk - v - 1) * freq) AS DOUBLE) /
+        |   CAST(max(v) * sum(freq) AS DOUBLE) AS gini
+        |FROM r GROUP BY source""".stripMargin,
     // s09: s01's oracle with list_inner_product and the same tiebreak
     "s09_mips" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

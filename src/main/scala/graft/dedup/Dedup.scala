@@ -1103,6 +1103,110 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** d23: the banded-LSH parameter planner — the S-curve
+    * P[candidate](s) = 1 − (1 − s^r)^b tabulated over a similarity grid
+    * for each (bands, rowsPerBand) configuration, with each config's
+    * expected false-positive and false-negative mass around the target
+    * threshold (the Riemann sums of the curve below τ and of its
+    * complement above τ). This is the tuning artifact consulted BEFORE
+    * committing a 100 TB corpus to a banding (d03's 16×4 and d14's 16×2
+    * were chosen from exactly this curve): a config whose fp mass is high
+    * floods the verify stage with sub-threshold candidates (wasted exact
+    * Jaccard work — the dominant LSH cost at scale); one whose fn mass is
+    * high silently misses near-dups no verify can recover. Pure
+    * model-scale math (|grid|·|configs| rows from literals — no corpus
+    * scan at all), but a first-class registered operator because the
+    * decision it drives is a corpus-scale commitment.
+    *
+    * Exactness discipline: s^r and (1 − s^r)^b are LEFT-ASSOCIATIVE
+    * MULTIPLICATION CHAINS (r, b are small integers), generated
+    * identically into the Spark plan and the oracle SQL — repeated IEEE
+    * multiplication of identical doubles is bit-deterministic, where
+    * pow() is a libm call two engines may round differently in the last
+    * ulp. Grid points are decimal literals parsed by both engines (never
+    * derived arithmetically — i·0.05 ≠ literal 0.15 in binary). The fp/fn
+    * sums add the same doubles in the same grid order both sides (window
+    * sum over an explicit ORDER). Everything hash-checks unrounded. */
+  def lshPlanCurve(spark: org.apache.spark.sql.SparkSession,
+                   threshold: Double = 0.8,
+                   configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8), (16, 2), (64, 1))): DataFrame = {
+    import spark.implicits._
+    val grid = LshPlan.gridLiterals
+    val rows = for {
+      (b, r) <- configs
+      sLit <- grid
+    } yield (b, r, sLit)
+    val base = rows.toDF("bands", "rows_per_band", "s_lit")
+      .select(col("bands"), col("rows_per_band"),
+        col("s_lit").cast("double").as("s"))
+    // s^r then 1-(1-s^r)^b as explicit multiplication chains per config:
+    // the chain length depends on (b, r), so build one projection per
+    // config and union — each branch's expression is a literal-free fold
+    // over the s column, identical in shape to the oracle's SQL text.
+    val curves = configs.map { case (b, r) =>
+      val sCol = col("s")
+      val sr = (2 to r).foldLeft(sCol)((acc, _) => acc * sCol)
+      val u = lit(1.0) - sr
+      val ub = (2 to b).foldLeft(u)((acc, _) => acc * u)
+      base.where(col("bands") === b && col("rows_per_band") === r)
+        .select(col("bands"), col("rows_per_band"), col("s"),
+          (lit(1.0) - ub).as("p_candidate"))
+    }.reduce(_ unionAll _)
+    // fp mass: sum of p below tau; fn mass: sum of (1-p) at/above tau.
+    // A plain float sum() is summation-order-nondeterministic across
+    // partitions; both engines instead fold in ASCENDING-s order (Spark:
+    // sorted collect + aggregate fold; DuckDB: sum(… ORDER BY s)) so the
+    // doubles add left-to-right identically and hash unrounded.
+    val agg = curves.groupBy(col("bands"), col("rows_per_band"))
+      .agg(collect_list(struct(col("s"), col("p_candidate"))).as("sp"))
+      .select(col("bands"), col("rows_per_band"),
+        expr(s"aggregate(array_sort(sp), CAST(0.0 AS DOUBLE), " +
+          s"(a, x) -> a + (CASE WHEN x.s < $threshold THEN x.p_candidate ELSE 0.0D END))").as("fp_mass"),
+        expr(s"aggregate(array_sort(sp), CAST(0.0 AS DOUBLE), " +
+          s"(a, x) -> a + (CASE WHEN x.s >= $threshold THEN 1.0D - x.p_candidate ELSE 0.0D END))").as("fn_mass"))
+    curves.join(agg, Seq("bands", "rows_per_band"))
+      .select(col("bands"), col("rows_per_band"), col("s"),
+        col("p_candidate"), col("fp_mass"), col("fn_mass"))
+  }
+
   /** Tables adapter used by SparkEntry. */
   def docs(t: Tables): DataFrame = t.documents
+}
+
+/** Shared literal grid + oracle generation for [[Dedup.lshPlanCurve]]. */
+object LshPlan {
+
+  /** Similarity grid as DECIMAL LITERAL STRINGS — both engines parse the
+    * same text to the same nearest double; deriving i·0.05 arithmetically
+    * would yield a different double than the literal on some points. */
+  val gridLiterals: Seq[String] =
+    (1 to 19).map(i => f"0.${i * 5}%02d") // 0.05, 0.10, …, 0.95
+
+  /** The DuckDB oracle for d23 — the same configs, the same literal
+    * grid, the same multiplication chains, the same windowed sums. */
+  def oracleSql(threshold: Double,
+                configs: Seq[(Int, Int)] = Seq((32, 2), (16, 4), (8, 8), (16, 2), (64, 1))): String = {
+    val rows = (for {
+      (b, r) <- configs
+      s <- gridLiterals
+    } yield s"($b, $r, $s)").mkString(",\n  ")
+    val curveCases = configs.map { case (b, r) =>
+      val sr = (1 to r).map(_ => "s").mkString(" * ")
+      val u = s"(1.0 - ($sr))"
+      val ub = (1 to b).map(_ => u).mkString(" * ")
+      s"WHEN bands = $b AND rows_per_band = $r THEN 1.0 - ($ub)"
+    }.mkString("\n   ")
+    s"""WITH g0(bands, rows_per_band, s_lit) AS (VALUES
+       |  $rows),
+       |g AS (SELECT bands, rows_per_band, CAST(s_lit AS DOUBLE) AS s FROM g0),
+       |c AS (SELECT bands, rows_per_band, s,
+       |  CASE $curveCases END AS p_candidate
+       |  FROM g),
+       |a AS (SELECT bands, rows_per_band,
+       |  sum(CASE WHEN s < $threshold THEN p_candidate ELSE 0.0 END ORDER BY s) AS fp_mass,
+       |  sum(CASE WHEN s >= $threshold THEN 1.0 - p_candidate ELSE 0.0 END ORDER BY s) AS fn_mass
+       |  FROM c GROUP BY bands, rows_per_band)
+       |SELECT c.bands, c.rows_per_band, c.s, c.p_candidate, a.fp_mass, a.fn_mass
+       |FROM c JOIN a USING (bands, rows_per_band)""".stripMargin
+  }
 }

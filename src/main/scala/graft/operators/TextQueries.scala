@@ -374,6 +374,49 @@ object TextQueries {
         round(regr_r2(col("lf"), col("lr")), 6).as("zipf_r2"))
   }
 
+  /** t21: per-source token-frequency concentration (Gini coefficient) —
+    * how unequally a source's token mass is distributed over its
+    * vocabulary. Natural prose concentrates moderately (function words
+    * dominate but the tail is fat); template/boilerplate shards
+    * concentrate extremely (a few tokens carry nearly all mass → Gini
+    * near 1), and ID-like or synthetic-unique shards are nearly uniform
+    * (Gini near 0). The single-number inequality summary complements
+    * t14's Zipf fit (shape of the rank curve) and t07's per-doc entropy
+    * (this is the SOURCE-level concentration, where drift signals a
+    * scraper regression before any per-doc gate fires).
+    *
+    * Exactness discipline: with frequencies f₁ ≤ … ≤ f_V ranked
+    * ascending (token tiebreak — one total order both engines agree on),
+    * Gini = Σᵢ (2i − V − 1)·fᵢ / (V·Σfᵢ). Numerator and denominator are
+    * EXACT LONG sums (every term integer), so the only float is the one
+    * final IEEE division — the d02 rule; hash-checks unrounded.
+    *
+    * Scale shape: one (source, token) partial-aggregated exchange off the
+    * shared token frame, then the rank window and the sum run over the
+    * VOCABULARY per source (types, not tokens — the t13/t14 bound). */
+  def t21TokenGini(t: Tables): DataFrame = tokenGini(t.documents)
+
+  /** See [[t21TokenGini]]; library surface over (doc_id, source, text). */
+  def tokenGini(docs: DataFrame): DataFrame = {
+    val freqs = sharedTokens(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("freq"), col("token"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    freqs
+      .select(col("source"), col("freq"),
+        row_number().over(w).cast("long").as("rnk"),
+        count(lit(1)).over(wAll).as("v"))
+      .groupBy(col("source"))
+      .agg(max(col("v")).as("n_types"),
+        sum(col("freq")).as("n_tokens"),
+        sum((lit(2L) * col("rnk") - col("v") - lit(1L)) * col("freq")).as("num"))
+      .select(col("source"), col("n_types"), col("n_tokens"),
+        (col("num").cast("double") /
+          (col("n_types") * col("n_tokens")).cast("double")).as("gini"))
+  }
+
   /** t15: pairwise Jensen–Shannon divergence between per-source unigram
     * distributions — the DISTRIBUTIONAL domain-distance matrix (t13's
     * vocab Jaccard asks "do they share words"; this asks "do they use

@@ -1,0 +1,149 @@
+package graft.similarity
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** s13: sign-random-projection (random hyperplane) LSH for cosine
+  * near-dup pairs — the data-INDEPENDENT member of the cosine ANN
+  * family. s02/s06 prune with trained structures (KMeans cells, PQ
+  * codebooks) and are therefore rows-only approximations whose recall is
+  * spec-verified; SRP needs no training pass at all (Charikar 2002: for
+  * random hyperplane h, P[sign(h·a) = sign(h·b)] = 1 − θ(a,b)/π), which
+  * makes it the bucketing of choice when the corpus distribution shifts
+  * faster than retraining cadence — and, here, the one cosine-LSH whose
+  * full pipeline an independent SQL engine can replay EXACTLY.
+  *
+  * Exactness discipline (what makes this oracle-checkable when d14's CWS
+  * sketch is not): every signature bit is INTEGER arithmetic end to end.
+  * The hyperplanes are fixed ±1 sign patterns (a Rademacher projection —
+  * the standard cheap SRP variant) generated from a seeded SplitMix64
+  * stream and injected as literals into BOTH engines' plans, and the
+  * projected value is Σᵢ sgn[j][i]·qᵢ over s03's int8-quantized vector —
+  * whose bytes are bit-identical across engines (floor(x/scale+0.5), the
+  * s03 IEEE-floor rule). An integer sum has no summation-order hazard, so
+  * the sign test `≥ 0` can never flip between engines — the failure mode
+  * that rules out float dot products for portable sign bits. Candidates
+  * then verify with the exact rounded cosine over the ORIGINAL doubles
+  * (round(cos, 8) ≥ τ — the s01 rule, hash-parity proven since round 6),
+  * so precision is 1 by construction and the emitted pair set is a pure
+  * deterministic function of the data: rows + schema + hash checkable.
+  *
+  * Quantization cost honesty: the sign is taken over the quantized
+  * vector, so a true near-dup pair whose projections sit within the
+  * quantization error of a hyperplane can land in different buckets —
+  * that risk is part of the (deterministic) bucketing, bounded by the
+  * same scale/2 per-element error s03's spec prices, and the planted
+  * KnnSpec recall check vs d05's exact pairs covers it empirically.
+  *
+  * Scale shape: signature computation is a pure scan-local projection
+  * (whole-stage codegen, zero shuffle — 16 integer folds per row); the
+  * only exchange is the (band, bucket) grouping of d03's banded-LSH
+  * shape; verification touches candidate pairs only, joining the vector
+  * frame by id twice (broadcast at dim-table sizes, shuffle-hash at
+  * corpus scale). Banding 4 bands × 4 bits: P[band hit] = (1 − θ/π)⁴,
+  * any-band ≈ 0.95 at cos 0.9, tuned like d03's 16×4 for its τ.
+  *
+  * Reference prior art: the reference has no similarity search; this is
+  * the engine's LLM-pipeline surface (SURVEY §2.3), sibling to
+  * s01–s12 and the d03/d14 LSH family.
+  */
+object Srp {
+
+  val Bits = 16
+  val Bands = 4
+  val RowsPerBand = 4
+  val Dims = 64
+
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The fixed Rademacher planes: signs(j)(i) ∈ {−1, +1} for bit j over
+    * dim i, a pure function of (j, i) — the same array renders into the
+    * Spark plan and the DuckDB oracle text. */
+  lazy val signs: Array[Array[Int]] =
+    Array.tabulate(Bits, Dims)((j, i) =>
+      if ((splitmix64(j.toLong * 1024L + i) & 1L) == 0L) 1 else -1)
+
+  /** One signature bit: sign of the integer projection of qvec on plane j. */
+  private def bitCol(j: Int): Column =
+    (expr(s"aggregate(zip_with(qvec, ${sqlArray(signs(j))}, (q, s) -> CAST(q AS INT) * s), 0, (a, x) -> a + x)") >= 0)
+      .cast("int")
+
+  private def sqlArray(a: Array[Int]): String = a.mkString("array(", ",", ")")
+
+  /** s13: all pairs with round(cos, 8) ≥ `threshold` among SRP bucket
+    * collisions. Output (d1, d2, cos), d1 < d2. */
+  def srpPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val q = Quantize.quantized(emb) // (vec_id, scale, qvec) — scan-local
+    val sig = q.select(col("vec_id") +: (0 until Bits).map(j => bitCol(j).as(s"b$j")): _*)
+    // per band: bucket = the band's 4 bits packed into an int
+    val bands = (0 until Bands).map { b =>
+      val bits = (0 until RowsPerBand).map(r => col(s"b${b * RowsPerBand + r}"))
+      val bucket = bits.zipWithIndex.map { case (c, i) =>
+        c * lit(1 << (RowsPerBand - 1 - i))
+      }.reduce(_ + _)
+      sig.select(col("vec_id"), lit(b).as("band"), bucket.as("bucket"))
+    }.reduce(_ unionAll _)
+    val cand = bands.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS d1, y AS d2))))"
+      )).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    cand
+      .join(v.select(col("vec_id").as("d1"), col("v").as("v1")), "d1")
+      .join(v.select(col("vec_id").as("d2"), col("v").as("v2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(VectorFns.cosine(col("v1"), col("v2")), 8).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** The DuckDB oracle for [[srpPairs]] — the SAME planes rendered as SQL
+    * text, the s03 quantization CTE, explicit per-bit integer sums
+    * (±qv[i] terms generated from [[signs]]), d03's band-bucket pair
+    * generation and the s01 cosine verify. */
+  def oracleSql(threshold: Double): String = {
+    val bitExprs = (0 until Bits).map { j =>
+      val terms = signs(j).zipWithIndex.map { case (s, i) =>
+        val ix = i + 1
+        if (s > 0) s"+qv[$ix]" else s"-qv[$ix]"
+      }.mkString
+      val sumExpr = if (terms.startsWith("+")) terms.drop(1) else terms
+      s"(CASE WHEN $sumExpr >= 0 THEN 1 ELSE 0 END) AS b$j"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until Bands).map { b =>
+      val bucket = (0 until RowsPerBand).map { r =>
+        s"b${b * RowsPerBand + r} * ${1 << (RowsPerBand - 1 - r)}"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale
+       |  FROM e),
+       |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+       |  FROM s),
+       |sig AS (SELECT vec_id,
+       |  $bitExprs
+       |  FROM q),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT d1, d2, round(list_cosine_similarity(e1.v, e2.v), 8) AS cos
+       |FROM cand
+       |JOIN e e1 ON e1.vec_id = d1
+       |JOIN e e2 ON e2.vec_id = d2
+       |WHERE round(list_cosine_similarity(e1.v, e2.v), 8) >= $threshold""".stripMargin
+  }
+}

@@ -481,4 +481,34 @@ class DedupSpec extends AnyFunSuite {
       .select("keep_id").collect().map(_.getLong(0)).toSet
     assert(ids.subsetOf(keepers), "only exact-dup group keepers may survive")
   }
+
+  test("d23: S-curve values match the JVM multiplication chains; curve laws hold") {
+    val rows = Dedup.lshPlanCurve(spark).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getDouble(2)),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.size === 5 * 19)
+    // exact JVM mirror: same left-associative chains over the same
+    // literal-parsed doubles
+    def p(b: Int, r: Int, s: Double): Double = {
+      var sr = s; var i = 1
+      while (i < r) { sr *= s; i += 1 }
+      val u = 1.0 - sr
+      var ub = u; i = 1
+      while (i < b) { ub *= u; i += 1 }
+      1.0 - ub
+    }
+    for (((b, r, s), (pc, _, _)) <- rows)
+      assert(pc === p(b, r, s), s"p mismatch at ($b, $r, $s)")
+    // monotone non-decreasing in s for each config
+    for ((b, r) <- Seq((32, 2), (16, 4), (8, 8), (16, 2), (64, 1))) {
+      val curve = rows.collect { case ((`b`, `r`, s), (pc, _, _)) => (s, pc) }
+        .toSeq.sortBy(_._1).map(_._2)
+      assert(curve === curve.sorted, s"S-curve must be monotone for ($b, $r)")
+    }
+    // d03's 16x4 at tau 0.8 admits fewer sub-threshold candidates than the
+    // aggressive 16x2 — the decision the planner exists to surface
+    val fp16x4 = rows((16, 4, 0.5))._2
+    val fp16x2 = rows((16, 2, 0.5))._2
+    assert(fp16x4 < fp16x2, "more rows per band must cut false-positive mass")
+  }
 }

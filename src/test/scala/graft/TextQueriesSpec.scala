@@ -295,4 +295,28 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got(2L) === ((3L, 0L, 0.0)), "an exact copy adds nothing")
     assert(got(3L) === ((3L, 2L, 2.0 / 3.0)), "the remix adds only its new shingles")
   }
+
+  test("t21: Gini separates uniform, concentrated and hand-computed distributions") {
+    import spark.implicits._
+    val docs = Seq(
+      // uniform: every token once -> every (2i - V - 1) weight sums to 0
+      (1L, "uni", "a b c d"),
+      // concentrated: one token dominates
+      (2L, "conc", "x x x x x x x x x y z"),
+      // hand-computed: freqs {a:1, b:2, c:3} ascending -> V=3, T=6
+      // num = (2*1-4)*1 + (2*2-4)*2 + (2*3-4)*3 = -2 + 0 + 6 = 4
+      // gini = 4 / (3*6) = 2/9
+      (3L, "hand", "c c c b b a")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.TextQueries.tokenGini(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    graft.operators.TextQueries.releaseTokens(spark)
+    assert(got("uni") === ((4L, 4L, 0.0)), "uniform mass has zero concentration")
+    assert(got("hand") === ((3L, 6L, 4.0 / 18.0)), "hand-computed Gini")
+    // conc: ascending (freq, token) order is (y,1),(z,1),(x,9) -> ranks
+    // 1,2,3 (freq tie y/z broken by token); V=3, T=11,
+    // num = (2-4)*1 + (4-4)*1 + (6-4)*9 = -2 + 0 + 18 = 16; gini = 16/33
+    assert(got("conc") === ((3L, 11L, 16.0 / 33.0)), "dominant token concentrates mass")
+    assert(got("conc")._3 > got("uni")._3, "concentration must rank above uniform")
+  }
 }
