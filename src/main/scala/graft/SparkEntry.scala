@@ -434,6 +434,12 @@ object SparkEntry {
     // t21: per-source token-mass Gini — exact long numerator/denominator
     // sums (ascending-(freq, token) rank weights), one final IEEE division
     "t21_token_gini"      -> ((s, d) => TextQueries.tokenGini(t(s, d).documents)),
+    // t22: duplicate-n-gram token coverage — integer position-set sizes
+    // from scan-local HOFs, one final unrounded division
+    "t22_dup_coverage"    -> ((s, d) => TextQueries.dupNgramCoverage(t(s, d).documents)),
+    // t23: language-ID confidence margin — integer hit counts, sorted-4
+    // top-2 selection, one guarded unrounded division
+    "t23_lang_margin"     -> ((s, d) => TextQueries.langMargin(t(s, d).documents)),
     // t19: encoding-noise score — integer regex counts of replacement/
     // control/mojibake chars, one guarded unrounded division; zero shuffle
     "t19_encoding_noise"  -> ((s, d) => TextQueries.t19EncodingNoise(t(s, d))),
@@ -1545,6 +1551,50 @@ object SparkEntry {
         | CAST(sum((2 * rnk - v - 1) * freq) AS DOUBLE) /
         |   CAST(max(v) * sum(freq) AS DOUBLE) AS gini
         |FROM r GROUP BY source""".stripMargin,
+    // t22: same trigram construction and nested-lambda duplicate test;
+    // covered-position sets are 1-based here vs 0-based in Spark but only
+    // their distinct COUNT is emitted, which is identical
+    "t22_dup_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, len(toks) AS m,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams
+        | FROM w),
+        |c AS (SELECT doc_id, m,
+        |  CASE WHEN m >= 3 THEN
+        |    len(list_distinct(flatten(list_transform(
+        |      list_filter(generate_series(1, m - 2), i -> len(list_filter(grams, gg -> gg = grams[i])) >= 2),
+        |      i -> generate_series(i, i + 2)))))
+        |  ELSE 0 END AS n_covered
+        | FROM g)
+        |SELECT doc_id, CAST(m AS INT) AS n_tokens, CAST(n_covered AS INT) AS n_covered,
+        | CASE WHEN m > 0 THEN CAST(n_covered AS DOUBLE) / m ELSE 0.0 END AS coverage
+        |FROM c""".stripMargin,
+    // t23: t02's count CTE with per-doc grain, DESC-sorted count list for
+    // the top-2, the same fixed-tie-order argmax, one guarded division
+    "t23_lang_margin" ->
+      s"""WITH g AS (
+         | SELECT doc_id,
+         |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS INT) AS c_en,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inDe))) AS INT) AS c_de,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEs))) AS INT) AS c_es,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inFr))) AS INT) AS c_fr
+         | FROM documents),
+         |s AS (SELECT doc_id, n_tokens, c_en, c_de, c_es, c_fr,
+         |  list_sort([c_en, c_de, c_es, c_fr], 'DESC') AS srt
+         | FROM g)
+         |SELECT doc_id,
+         | CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+         |      WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |      WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |      WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS guess,
+         | srt[1] AS c_top, srt[2] AS c_second, n_tokens,
+         | CASE WHEN n_tokens > 0
+         |      THEN CAST(srt[1] - srt[2] AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |      ELSE 0.0 END AS margin
+         |FROM s""".stripMargin,
     // s09: s01's oracle with list_inner_product and the same tiebreak
     "s09_mips" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

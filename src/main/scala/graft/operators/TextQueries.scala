@@ -417,6 +417,95 @@ object TextQueries {
           (col("n_types") * col("n_tokens")).cast("double")).as("gini"))
   }
 
+  /** t22: duplicate-n-gram token coverage — the fraction of a document's
+    * TOKEN POSITIONS lying inside some n-gram that occurs at least twice
+    * within the document (Gopher's "fraction of characters in duplicate
+    * n-grams" family, token-granular; RefinedWeb/Dolma threshold it for
+    * n = 5…10). Distinct from t05's signals: dup-token fraction counts
+    * repeated TYPES, top-n-gram fraction measures only the single most
+    * frequent gram — coverage measures how much of the document is woven
+    * from ANY repeated phrase, the signature of looped boilerplate and
+    * stutter-generation that per-type fractions undercount when many
+    * different phrases each repeat a few times.
+    *
+    * Exactness discipline: gram equality, position sets and counts are
+    * exact integers; the coverage is the one final IEEE division (the d02
+    * rule — hash-checks unrounded). Documents shorter than n tokens have
+    * no n-grams and cover 0 by definition.
+    *
+    * Scale shape: a pure scan-local HOF projection — zero shuffle, zero
+    * joins; the per-doc duplicate test as written is O(m²) gram compares
+    * inside the row (fine at document sizes; the O(m log m) alternative —
+    * sort the grams, mark runs, map run membership back by position — is
+    * the same fold t05 uses and the declared route if documents grow into
+    * the million-token regime). */
+  def t22DupNgramCoverage(t: Tables): DataFrame = dupNgramCoverage(t.documents)
+
+  /** See [[t22DupNgramCoverage]]; library surface over (doc_id, text). */
+  def dupNgramCoverage(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val covered =
+      s"""CASE WHEN size(toks) >= $n THEN
+         |  size(array_distinct(flatten(transform(
+         |    filter(sequence(0, size(toks) - $n),
+         |      i -> size(filter(grams, g -> g = element_at(grams, i + 1))) >= 2),
+         |    i -> sequence(i, i + ${n - 1})))))
+         |ELSE 0 END""".stripMargin
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("grams",
+        expr(s"CASE WHEN size(toks) >= $n THEN transform(sequence(0, size(toks) - $n), " +
+          s"i -> array_join(slice(toks, i + 1, $n), ' ')) ELSE array() END"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr(covered).cast("int").as("n_covered"))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        when(col("n_tokens") > 0,
+          col("n_covered").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("coverage"))
+  }
+
+  /** t23: language-ID confidence margin — t02's stopword-vote argmax with
+    * its CONFIDENCE attached: the winning language's hit count, the
+    * runner-up's, and the per-token margin (c₁ − c₂)/n_tokens. Production
+    * language filters gate on confidence, not just the argmax (CCNet
+    * keeps a page only when fastText's top-label score clears ~0.5;
+    * low-margin pages are mixed, too short, or mis-ID'd chrome) — t16
+    * flags WHERE the mix is (halves voting apart); t23 prices HOW SURE
+    * the whole-doc call is, which is what a threshold gate consumes.
+    *
+    * Exactness discipline: hit counts are exact integers, top-2 selection
+    * is a sorted 4-element integer array (identical in both engines), the
+    * margin is the one final IEEE division, guarded for empty docs.
+    *
+    * Scale shape: a scan-local projection (the t02 shape with the counts
+    * bound once in a prior projection) — zero shuffle, codegen-friendly. */
+  def t23LangMargin(t: Tables): DataFrame = langMargin(t.documents)
+
+  /** See [[t23LangMargin]]; library surface over (doc_id, text). */
+  def langMargin(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val counted = docs.select(col("doc_id"),
+      TextFns.tokenCount(text).as("n_tokens"),
+      TextFns.stopwordHits(text, TextFns.stopEn).as("c_en"),
+      TextFns.stopwordHits(text, TextFns.stopDe).as("c_de"),
+      TextFns.stopwordHits(text, TextFns.stopEs).as("c_es"),
+      TextFns.stopwordHits(text, TextFns.stopFr).as("c_fr"))
+    counted.select(col("doc_id"), col("n_tokens"),
+      TextFns.langGuessOfCounts(
+        col("c_en"), col("c_de"), col("c_es"), col("c_fr")).as("guess"),
+      sort_array(array(col("c_en"), col("c_de"), col("c_es"), col("c_fr")),
+        asc = false).as("sorted"))
+      .select(col("doc_id"), col("guess"),
+        col("sorted").getItem(0).as("c_top"),
+        col("sorted").getItem(1).as("c_second"),
+        col("n_tokens"),
+        when(col("n_tokens") > 0,
+          (col("sorted").getItem(0) - col("sorted").getItem(1)).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("margin"))
+  }
+
   /** t15: pairwise Jensen–Shannon divergence between per-source unigram
     * distributions — the DISTRIBUTIONAL domain-distance matrix (t13's
     * vocab Jaccard asks "do they share words"; this asks "do they use

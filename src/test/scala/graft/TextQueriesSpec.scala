@@ -319,4 +319,43 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got("conc") === ((3L, 11L, 16.0 / 33.0)), "dominant token concentrates mass")
     assert(got("conc")._3 > got("uni")._3, "concentration must rank above uniform")
   }
+
+  test("t22: duplicate-trigram coverage matches hand-computed position sets") {
+    import spark.implicits._
+    val docs = Seq(
+      // loop: trigrams abc,bca,cab,abc,bca,cab,abc — every position dup-covered
+      (1L, "a b c a b c a b c"),
+      // all-distinct: no repeated trigram
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),
+      // partial: xyz repeats at gram positions 0 and 3 -> covered {0..5} of 10
+      (3L, "x y z x y z q r s t"),
+      // shorter than n: no trigrams at all
+      (4L, "a b")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextQueries.dupNgramCoverage(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((9, 9, 1.0)), "a pure loop is fully covered")
+    assert(got(2L) === ((9, 0, 0.0)), "distinct text has zero coverage")
+    assert(got(3L) === ((10, 6, 0.6)), "one repeated phrase covers both spans")
+    assert(got(4L) === ((2, 0, 0.0)), "docs shorter than n have no n-grams")
+  }
+
+  test("t23: language margin matches hand-computed hit counts") {
+    import spark.implicits._
+    val docs = Seq(
+      // en hits: the, of, the = 3; de hits: 0 -> margin (3-0)/6
+      (1L, "the house of cards the end"),
+      // en: the(1), and(1) = 2; de: der(1), und(1) = 2 -> tie, guess en, margin 0
+      (2L, "the der und and"),
+      // no stopword hits anywhere -> und, margin 0
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextQueries.langMargin(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    assert(got(1L) === (("en", 3, 0, 6, 0.5)), "clean english has full margin")
+    assert(got(2L) === (("en", 2, 2, 4, 0.0)), "a tie has zero margin (fixed tie order picks en)")
+    assert(got(3L)._1 === "und", "no hits anywhere is unknown")
+    assert(got(3L)._5 === 0.0)
+  }
 }

@@ -35,8 +35,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+    only_present = os.environ.get("CHECK_ONLY_PRESENT") == "1"
     n_pass = n_fail = n_weak = 0
     for name, sql in sorted(oracles.items()):
+        if only_present and not os.path.exists(f"{out_dir}/{name}"):
+            continue  # targeted Verify subset run (local iteration only)
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
