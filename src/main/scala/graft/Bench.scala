@@ -44,6 +44,7 @@ object Bench {
     // whichever consumer happens to run first — the serve-side queries then
     // measure what a served index actually costs per query batch
     val names = Seq("_shared_shingles", "_shared_weighted_shingles",
+      "_shared_shingle_arrays", "_shared_weighted_arrays",
       "_shared_lsh_pairs",
       "_shared_jaccard_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
@@ -62,6 +63,10 @@ object Bench {
             graft.dedup.Dedup.sharedShingles(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_weighted_shingles")
             graft.dedup.Dedup.sharedWeightedShingles(Tables(spark, sfDir).documents).count()
+          else if (name == "_shared_shingle_arrays")
+            graft.dedup.Dedup.sharedShingleArraysFor(Tables(spark, sfDir).documents).count()
+          else if (name == "_shared_weighted_arrays")
+            graft.dedup.Dedup.sharedWeightedArraysFor(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_lsh_pairs")
             graft.dedup.Dedup.minHashLshPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_jaccard_pairs")

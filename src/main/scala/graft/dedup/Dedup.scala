@@ -476,8 +476,39 @@ object Dedup {
       shingleSets(docs, k).persist())
 
   /** Unpersist and drop every shingle set memoized under `spark`. */
-  def releaseShingles(spark: SparkSession): Unit =
+  def releaseShingles(spark: SparkSession): Unit = {
     shingleMemo.purgeSession(Some(spark), None)
+    shingleArrayMemo.purgeSession(Some(spark), None)
+  }
+
+  /** Per-doc SORTED shingle arrays (doc_id, shset, n) — the join-twice
+    * verify payload: candidate-pair verification joins this nDocs-row
+    * frame by doc id (twice) and intersects scan-locally, instead of
+    * exploding candidates against the full (doc_id, shingle) frame and
+    * re-shuffling it by a composite key per query. Same content moves —
+    * one array row per doc instead of |doc| rows — but in ONE exchange at
+    * build time (amortized across d12-family queries via this memo)
+    * rather than two full-frame shuffles per verify. */
+  private val shingleArrayMemo =
+    new graft.SessionKeyedCache[Int, DataFrame](_.unpersist(blocking = false))
+
+  /** Bench attribution accessor: the per-doc array frame over `docs`'
+    * shared shingles (the [[sharedWeightedShingles]] convention). */
+  def sharedShingleArraysFor(docs: DataFrame, k: Int = 3): DataFrame =
+    sharedShingleArrays(sharedShingles(docs, k))
+
+  /** Bench attribution accessor: the per-doc weighted array frame. */
+  def sharedWeightedArraysFor(docs: DataFrame, k: Int = 3): DataFrame =
+    sharedWeightedArrays(weightedShingles(sharedShingles(docs, k)))
+
+  /** The memoized per-doc sorted-array form of a shingle frame. */
+  private[graft] def sharedShingleArrays(sh: DataFrame): DataFrame =
+    shingleArrayMemo.getOrElseUpdate(
+      sh.sparkSession, sh.queryExecution.analyzed.semanticHash())(
+      sh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("shingle"))).as("shset"),
+          count(lit(1)).as("n"))
+        .persist())
 
   /** Exploded distinct shingle sets, keyed by xxhash64 of the shingle:
     * (doc_id, shingle: long). Joining/counting on the 8-byte hash instead of
@@ -619,14 +650,17 @@ object Dedup {
       .join(sh.select(col("doc_id").as("d2"), col("shingle")), "shingle")
       .where(col("d1") =!= col("d2"))
       .select(col("d1"), col("d2")).distinct()
-    val common = cand
-      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    common.join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+    // verify off the per-doc sorted arrays: two id-keyed joins of the
+    // nDocs-row array frame + a scan-local exact intersection, instead of
+    // exploding candidates against the full shingle frame and paying a
+    // composite-key reshuffle of it per query (measured ~2x d12 at sf0.1)
+    val sets = sharedShingleArrays(sh)
+    cand
+      .join(sets.select(col("doc_id").as("d1"), col("shset").as("s1"), col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shset").as("s2")), "d2")
       .select(col("d1"), col("d2"),
-        (col("common").cast("double") / col("n1").cast("double")).as("containment"))
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          col("n1").cast("double")).as("containment"))
       .filter(col("containment") >= threshold)
   }
 
@@ -718,19 +752,38 @@ object Dedup {
         .persist()
     }
 
+  /** Per-doc weighted shingle arrays (doc_id, wset: sorted array of
+    * (shingle, w) structs, tw) for the weighted verify — the
+    * [[sharedShingleArrays]] move for the weighted family: candidate
+    * pairs join this nDocs-row frame by id (twice), intersect the struct
+    * arrays scan-locally (hash-set based — O(|A|+|B|) per pair, never a
+    * per-element map probe, which is a LINEAR scan on Spark's MapData and
+    * turns the verify quadratic), and fold the intersection's weights.
+    * w is a global function of the shingle, so both docs carry the
+    * identical (shingle, w) struct for a common shingle and struct
+    * equality is exactly shingle-set intersection. */
+  private val weightedArrayMemo =
+    new graft.SessionKeyedCache[Int, DataFrame](_.unpersist(blocking = false))
+
+  private def sharedWeightedArrays(wsh: DataFrame): DataFrame =
+    weightedArrayMemo.getOrElseUpdate(
+      wsh.sparkSession, wsh.queryExecution.analyzed.semanticHash())(
+      wsh.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("shingle"), col("w")))).as("wset"),
+          sum(col("w")).as("tw"))
+        .persist())
+
   /** Exact weighted verification tail shared by d13 and d14: candidate
-    * (d1, d2) pairs → common/total weight sums (exact longs) → integer
+    * (d1, d2) pairs → common/total weight sums (exact longs — an integer
+    * fold over the array intersection, order-independent) → integer
     * threshold test → the one final IEEE division. */
   private def weightedVerify(cand: DataFrame, wsh: DataFrame, num: Long): DataFrame = {
-    val common = cand
-      .join(wsh.select(col("doc_id").as("d1"), col("shingle")), "d1")
-      .join(wsh.select(col("doc_id").as("d2"), col("shingle"), col("w")),
-        Seq("d2", "shingle"))
-      .groupBy(col("d1"), col("d2")).agg(sum(col("w")).as("common_w"))
-    val sizes = wsh.groupBy(col("doc_id")).agg(sum(col("w")).as("tw"))
-    common
-      .join(sizes.select(col("doc_id").as("d1"), col("tw").as("w1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("tw").as("w2")), "d2")
+    val wa = sharedWeightedArrays(wsh)
+    cand
+      .join(wa.select(col("doc_id").as("d1"), col("wset").as("a1"), col("tw").as("w1")), "d1")
+      .join(wa.select(col("doc_id").as("d2"), col("wset").as("a2"), col("tw").as("w2")), "d2")
+      .select(col("d1"), col("d2"), col("w1"), col("w2"),
+        expr("aggregate(array_intersect(a1, a2), 0L, (acc, e) -> acc + e.w)").as("common_w"))
       .where(expr(s"common_w * 1000000L >= ${num}L * (w1 + w2 - common_w)"))
       .select(col("d1"), col("d2"),
         (col("common_w").cast("double") /
