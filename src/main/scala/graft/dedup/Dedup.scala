@@ -433,25 +433,38 @@ object Dedup {
   def crossNearDupPairs(existing: DataFrame, incoming: DataFrame,
                         threshold: Double = 0.8, bands: Int = 16,
                         rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
-    val shIn = shingleSets(incoming, k)
-    val shEx = shingleSets(existing, k)
-    val bIn = bandBuckets(minhashAgg(shIn, bands * rowsPerBand), bands, rowsPerBand)
+    // ONE aggregation per side computes the MinHash signature, the sorted
+    // shingle array AND the set size off a single shingle explosion; a
+    // LAZY localCheckpoint (no job at construction — the t06 rule) then
+    // lets the banding and the verify read the materialized nDocs-row
+    // frame instead of re-exploding shingles per consumer (the frames are
+    // per-call, batch-scoped — the session memo would accumulate one
+    // persisted entry per micro-batch under streaming admission, so the
+    // checkpoint's GC-scoped lifetime is the right one here)
+    val numHashes = bands * rowsPerBand
+    def sideAgg(docs: DataFrame): DataFrame =
+      shingleSets(docs, k).groupBy(col("doc_id"))
+        .agg(min(xxhash64(col("shingle"), lit(0))).as("mh0"),
+          ((1 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"mh$i")) ++
+            Seq(sort_array(collect_list(col("shingle"))).as("shset"),
+              count(lit(1)).as("n"))): _*)
+        .localCheckpoint(false)
+    val aIn = sideAgg(incoming)
+    val aEx = sideAgg(existing)
+    val bIn = bandBuckets(aIn, bands, rowsPerBand)
       .select(col("doc_id").as("din"), col("band"), col("bucket"))
-    val bEx = bandBuckets(minhashAgg(shEx, bands * rowsPerBand), bands, rowsPerBand)
+    val bEx = bandBuckets(aEx, bands, rowsPerBand)
       .select(col("doc_id").as("dex"), col("band"), col("bucket"))
     val cand = bIn.join(bEx, Seq("band", "bucket"))
       .select(col("din"), col("dex")).distinct()
-    // exact cross-side verify: common shingles + both set sizes → jaccard
-    val common = cand
-      .join(shIn.select(col("doc_id").as("din"), col("shingle")), "din")
-      .join(shEx.select(col("doc_id").as("dex"), col("shingle")), Seq("dex", "shingle"))
-      .groupBy(col("din"), col("dex")).agg(count(lit(1)).as("common"))
-    val nIn = shIn.groupBy(col("doc_id")).agg(count(lit(1)).as("n1"))
-    val nEx = shEx.groupBy(col("doc_id")).agg(count(lit(1)).as("n2"))
-    common
-      .join(nIn.select(col("doc_id").as("din"), col("n1")), "din")
-      .join(nEx.select(col("doc_id").as("dex"), col("n2")), "dex")
+    // exact cross-side verify off the per-side arrays (the d12 move)
+    cand
+      .join(aIn.select(col("doc_id").as("din"), col("shset").as("s1"), col("n").as("n1")), "din")
+      .join(aEx.select(col("doc_id").as("dex"), col("shset").as("s2"), col("n").as("n2")), "dex")
       .select(col("din").as("d1"), col("dex").as("d2"),
+        size(array_intersect(col("s1"), col("s2"))).cast("long").as("common"),
+        col("n1"), col("n2"))
+      .select(col("d1"), col("d2"),
         (col("common").cast("double") /
           (col("n1") + col("n2") - col("common")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -524,20 +537,16 @@ object Dedup {
         explode(TextFns.shingleHashesOfTokens(col("toks"), k)).as("shingle"))
 
   private def jaccardOf(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val common = pairs
-      .join(sh.select(col("doc_id").as("d1"), col("shingle")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("shingle")), Seq("d2", "shingle"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, sh)
-  }
-
-  /** Shared tail: (d1, d2, common) + per-doc set sizes → jaccard. */
-  private def jaccardFromCommon(common: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    common
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    // verify off the per-doc sorted arrays (the d12 move): two id-keyed
+    // joins of the memoized nDocs-row frame + scan-local hash-based
+    // intersection, never a per-query composite-key reshuffle of sh
+    val sets = sharedShingleArrays(sh)
+    pairs
+      .join(sets.select(col("doc_id").as("d1"), col("shset").as("s1"), col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shset").as("s2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("s1"), col("s2"))).cast("long").as("common"),
+        col("n1"), col("n2"))
       .select(col("d1"), col("d2"),
         (col("common").cast("double") /
           (col("n1") + col("n2") - col("common")).cast("double")).as("jaccard"))
