@@ -337,6 +337,16 @@ object SparkEntry {
     // arithmetic (no float-sign hazard), so the whole LSH pipeline is
     // deterministic and the DuckDB oracle replays it exactly
     "s13_srp_pairs"       -> ((s, d) => graft.similarity.Srp.srpPairs(t(s, d).embeddings)),
+    // s14: multi-probe SRP — deterministic one-bit probe ring, so the
+    // widened candidate set (and its recall gain) is exactly replayable
+    "s14_srp_multiprobe"  -> ((s, d) => graft.similarity.Srp.srpPairsMultiProbe(t(s, d).embeddings)),
+    // d24: embedding admission — the d08/d10/d21 ingestion contract for
+    // vectors; SRP determinism is what keeps the verdict exact-oracled
+    "d24_embedding_admission" -> ((s, d) => {
+      val emb = t(s, d).embeddings
+      graft.similarity.Srp.admitEmbeddings(
+        emb.where(col("vec_id") % 3 =!= 0), emb.where(col("vec_id") % 3 === 0))
+    }),
     // s07: exact radius search — ranking-free threshold variant of s01,
     // fully hash-checkable (round(cos, 8) both sides)
     "s07_radius_search"   -> ((s, d) => Knn.radius(t(s, d).embeddings)),
@@ -1531,6 +1541,12 @@ object SparkEntry {
     // over the s03-quantization CTE — integer signs can't flip between
     // engines), then d03's band-bucket pairs and the s01 cosine verify
     "s13_srp_pairs" -> graft.similarity.Srp.oracleSql(0.45),
+    // s14: the same rendered planes with the one-bit probe ring unioned in
+    "s14_srp_multiprobe" -> graft.similarity.Srp.multiProbeOracleSql(0.45),
+    // d24: both sides' signatures from the rendered planes, cross bucket
+    // join, exact cosine verify, anti-join
+    "d24_embedding_admission" -> graft.similarity.Srp.admitOracleSql(
+      0.45, "vec_id % 3 <> 0", "vec_id % 3 = 0"),
     // d23: same literal grid, same multiplication chains, ordered
     // aggregate sums — bit-deterministic without any rounding
     "d23_lsh_plan" -> graft.dedup.LshPlan.oracleSql(0.8),

@@ -107,12 +107,173 @@ object Srp {
       .where(col("cos") >= threshold)
   }
 
+  /** s14: multi-probe SRP pairs — [[srpPairs]]'s candidate generation
+    * widened by ONE-BIT probes (Lv et al. 2007, "Multi-Probe LSH"): each
+    * vector additionally enters, per band, the `RowsPerBand` buckets at
+    * Hamming distance 1 from its own. A true near-dup pair whose
+    * projections straddle a single hyperplane within one band lands one
+    * bit apart and is invisible to s13's exact-bucket join; the probe
+    * catches every such pair BY CONSTRUCTION (a band differing in
+    * exactly one bit collides when either side flips that bit), trading
+    * (1 + RowsPerBand)× bucket rows for recall instead of more bands —
+    * the standard memory/recall lever when signatures are fixed.
+    *
+    * Still fully deterministic (the probe set is a pure function of the
+    * signature), so the whole widened pipeline exact-oracles like s13 —
+    * this is the multi-probe variant's proof advantage over trained ANN:
+    * widening the probe ring changes RESULTS reproducibly, not just
+    * statistically. Verification is unchanged (exact rounded cosine ≥ τ,
+    * precision 1); the emitted pair set is a superset of s13's
+    * (spec-pinned), and both are subsets of the exact d05-style scan.
+    *
+    * Scale shape: the bucket exchange carries (1 + RowsPerBand)× the
+    * rows of s13 — still fixed per vector, independent of corpus size —
+    * and verification still touches candidate pairs only. */
+  def srpPairsMultiProbe(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val q = Quantize.quantized(emb)
+    val sig = q.select(col("vec_id") +: (0 until Bits).map(j => bitCol(j).as(s"b$j")): _*)
+    // per band: own bucket + the RowsPerBand one-bit-flip probes
+    val bands = (0 until Bands).map { b =>
+      val bits = (0 until RowsPerBand).map(r => col(s"b${b * RowsPerBand + r}"))
+      val bucket = bits.zipWithIndex.map { case (c, i) =>
+        c * lit(1 << (RowsPerBand - 1 - i))
+      }.reduce(_ + _)
+      val probes = bucket +: (0 until RowsPerBand).map(r =>
+        // flipping bit r toggles the 2^(RowsPerBand-1-r) term
+        bucket + (lit(1) - lit(2) * col(s"b${b * RowsPerBand + r}")) * lit(1 << (RowsPerBand - 1 - r)))
+      sig.select(col("vec_id"), lit(b).as("band"),
+        explode(array(probes: _*)).as("bucket"))
+    }.reduce(_ unionAll _)
+    val cand = bands.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS d1, y AS d2))))"
+      )).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    cand
+      .join(v.select(col("vec_id").as("d1"), col("v").as("v1")), "d1")
+      .join(v.select(col("vec_id").as("d2"), col("v").as("v2")), "d2")
+      .select(col("d1"), col("d2"),
+        round(VectorFns.cosine(col("v1"), col("v2")), 8).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** d24: incremental EMBEDDING admission — the d08/d10/d21 batch-
+    * ingestion contract for the vector modality: admit from an incoming
+    * batch only the vectors with NO standing cosine near-dup (round 8 dp
+    * ≥ τ among SRP bucket collisions). Completes the admission family
+    * across content types — d08 exact text, d10 shingle-Jaccard, d21
+    * edit-distance short text, d24 embeddings — so a nightly multimodal
+    * ingest can gate every modality with the same decision shape.
+    *
+    * Because SRP bucketing is data-independent AND deterministic, the
+    * admission verdict is a pure function of the two frames — exactly
+    * oracle-checkable, where an IVF-based admission would inherit s02's
+    * trained-cells rows-only status. Cross-side only, by the d10
+    * contract: batch-INTERNAL near-dups are both admitted (resolving
+    * them is s13+d07's job on the admitted set, spec-planted there).
+    *
+    * Scale shape: signatures are scan-local on both sides; the only
+    * exchange is the (band, bucket) join keyed on fixed-size signature
+    * pieces; verification touches candidates only; the final decision is
+    * one anti-join on the batch. The standing side's signature scan is
+    * the per-batch price — at 100 TB the standing signatures would be
+    * materialized once (the s11 index rule) since they never change. */
+  def admitEmbeddings(existing: DataFrame, incoming: DataFrame,
+                      threshold: Double = 0.45): DataFrame = {
+    def bandsOf(emb: DataFrame, side: String): DataFrame = {
+      val q = Quantize.quantized(emb)
+      val sig = q.select(col("vec_id") +: (0 until Bits).map(j => bitCol(j).as(s"b$j")): _*)
+      (0 until Bands).map { b =>
+        val bits = (0 until RowsPerBand).map(r => col(s"b${b * RowsPerBand + r}"))
+        val bucket = bits.zipWithIndex.map { case (c, i) =>
+          c * lit(1 << (RowsPerBand - 1 - i))
+        }.reduce(_ + _)
+        sig.select(col("vec_id").as(side), lit(b).as("band"), bucket.as("bucket"))
+      }.reduce(_ unionAll _)
+    }
+    val cand = bandsOf(incoming, "din").join(bandsOf(existing, "dex"), Seq("band", "bucket"))
+      .select(col("din"), col("dex")).distinct()
+    val vIn = incoming.select(col("vec_id").as("din"), col("embedding").cast("array<double>").as("v1"))
+    val vEx = existing.select(col("vec_id").as("dex"), col("embedding").cast("array<double>").as("v2"))
+    val dupped = cand.join(vIn, "din").join(vEx, "dex")
+      .where(round(VectorFns.cosine(col("v1"), col("v2")), 8) >= threshold)
+      .select(col("din").as("vec_id")).distinct()
+    incoming.select(col("vec_id")).join(dupped, Seq("vec_id"), "left_anti")
+  }
+
+  /** The DuckDB oracle for [[admitEmbeddings]] — both sides' signatures
+    * from the same rendered planes, the cross bucket join, the exact
+    * cosine verify, the anti-join. */
+  def admitOracleSql(threshold: Double, standingPred: String, incomingPred: String): String = {
+    val bandCols = (0 until Bands).map { b =>
+      val bucket = (0 until RowsPerBand).map { r =>
+        s"b${b * RowsPerBand + r} * ${1 << (RowsPerBand - 1 - r)}"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale
+       |  FROM e),
+       |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+       |  FROM s),
+       |sig AS (SELECT vec_id,
+       |  $bitExprSql
+       |  FROM q),
+       |bands AS (
+       |  $bandCols),
+       |cand AS (SELECT DISTINCT a.vec_id AS din, b.vec_id AS dex
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.vec_id IN (SELECT vec_id FROM e WHERE $incomingPred)
+       |    AND b.vec_id IN (SELECT vec_id FROM e WHERE $standingPred)),
+       |dup AS (SELECT DISTINCT din AS vec_id
+       |  FROM cand
+       |  JOIN e e1 ON e1.vec_id = din
+       |  JOIN e e2 ON e2.vec_id = dex
+       |  WHERE round(list_cosine_similarity(e1.v, e2.v), 8) >= $threshold)
+       |SELECT vec_id FROM e WHERE $incomingPred
+       |  AND vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin
+  }
+
+  /** The DuckDB oracle for [[srpPairsMultiProbe]] — s13's oracle with the
+    * per-band bucket list widened by the same one-bit flips. */
+  def multiProbeOracleSql(threshold: Double): String = {
+    val bitExprs = bitExprSql
+    val bandSelects = (0 until Bands).flatMap { b =>
+      val bucket = (0 until RowsPerBand).map { r =>
+        s"b${b * RowsPerBand + r} * ${1 << (RowsPerBand - 1 - r)}"
+      }.mkString(" + ")
+      val own = s"SELECT vec_id, $b AS band, $bucket AS bucket FROM sig"
+      val flips = (0 until RowsPerBand).map { r =>
+        s"SELECT vec_id, $b AS band, ($bucket) + (1 - 2 * b${b * RowsPerBand + r}) * ${1 << (RowsPerBand - 1 - r)} AS bucket FROM sig"
+      }
+      own +: flips
+    }.mkString("\n  UNION ALL ")
+    oracleBody(bitExprs, bandSelects, threshold)
+  }
+
   /** The DuckDB oracle for [[srpPairs]] — the SAME planes rendered as SQL
     * text, the s03 quantization CTE, explicit per-bit integer sums
     * (±qv[i] terms generated from [[signs]]), d03's band-bucket pair
     * generation and the s01 cosine verify. */
   def oracleSql(threshold: Double): String = {
-    val bitExprs = (0 until Bits).map { j =>
+    val bandSelects = (0 until Bands).map { b =>
+      val bucket = (0 until RowsPerBand).map { r =>
+        s"b${b * RowsPerBand + r} * ${1 << (RowsPerBand - 1 - r)}"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    oracleBody(bitExprSql, bandSelects, threshold)
+  }
+
+  /** The 16 signature-bit CASE expressions over qv, from [[signs]]. */
+  private def bitExprSql: String =
+    (0 until Bits).map { j =>
       val terms = signs(j).zipWithIndex.map { case (s, i) =>
         val ix = i + 1
         if (s > 0) s"+qv[$ix]" else s"-qv[$ix]"
@@ -120,12 +281,10 @@ object Srp {
       val sumExpr = if (terms.startsWith("+")) terms.drop(1) else terms
       s"(CASE WHEN $sumExpr >= 0 THEN 1 ELSE 0 END) AS b$j"
     }.mkString(",\n  ")
-    val bandSelects = (0 until Bands).map { b =>
-      val bucket = (0 until RowsPerBand).map { r =>
-        s"b${b * RowsPerBand + r} * ${1 << (RowsPerBand - 1 - r)}"
-      }.mkString(" + ")
-      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM sig"
-    }.mkString("\n  UNION ALL ")
+
+  /** Shared oracle scaffold: quantize → signature bits → the caller's
+    * band/bucket rows → distinct ordered pairs → exact cosine verify. */
+  private def oracleBody(bitExprs: String, bandSelects: String, threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |s AS (SELECT vec_id, v,
        |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale
@@ -145,5 +304,4 @@ object Srp {
        |JOIN e e1 ON e1.vec_id = d1
        |JOIN e e2 ON e2.vec_id = d2
        |WHERE round(list_cosine_similarity(e1.v, e2.v), 8) >= $threshold""".stripMargin
-  }
 }

@@ -81,4 +81,68 @@ class SrpSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"SRP plan must join on (band, bucket), got:\n$plan")
   }
+
+  test("s14: multi-probe pairs are a superset of s13's with recall at least as high vs d05") {
+    val single = Srp.srpPairs(tables.embeddings)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Srp.srpPairsMultiProbe(tables.embeddings)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi),
+      "the probe ring only ADDS buckets — multi-probe can never lose a pair")
+    val exact = graft.dedup.Dedup.embeddingDupPairs(tables.embeddings)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rS = if (exact.isEmpty) 1.0 else exact.count(single.contains).toDouble / exact.size
+    val rM = if (exact.isEmpty) 1.0 else exact.count(multi.contains).toDouble / exact.size
+    assert(rM >= rS, s"multi-probe recall $rM must not trail single-probe $rS")
+  }
+
+  test("s14: catches a pair one signature bit apart that s13 misses by construction") {
+    import spark.implicits._
+    // find two corpus vectors whose signatures differ in EXACTLY one bit
+    // (so they share no exact bucket in that band but probe into it)
+    val emb = tables.embeddings
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect()
+    val sigs = vecs.map { case (id, v) => id -> jvmSignature(v) }.toMap
+    def bandDiffs(a: Array[Int], b: Array[Int]): Seq[Int] =
+      (0 until Srp.Bands).map(bd => (0 until Srp.RowsPerBand)
+        .count(r => a(bd * Srp.RowsPerBand + r) != b(bd * Srp.RowsPerBand + r)))
+    val oneBit = (for {
+      i <- vecs.indices.iterator; j <- (i + 1) until vecs.length
+      da = bandDiffs(sigs(vecs(i)._1), sigs(vecs(j)._1))
+      // no identical band (s13-invisible) but some band exactly one bit off
+      if !da.contains(0) && da.contains(1)
+    } yield (vecs(i)._1, vecs(j)._1)).take(1).toList
+    // the synthetic corpus is dense enough that such a pair exists; if the
+    // generator ever changes this becomes vacuous rather than wrong
+    oneBit.foreach { case (a, b) =>
+      val multi = Srp.srpPairsMultiProbe(emb, threshold = -1.0)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val single = Srp.srpPairs(emb, threshold = -1.0)
+        .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val p = (math.min(a, b), math.max(a, b))
+      assert(!single.contains(p), "sanity: the pair shares no exact bucket")
+      assert(multi.contains(p), "one-bit-apart bands must collide under the probe ring")
+    }
+    assert(oneBit.nonEmpty, "corpus should contain a one-bit-apart pair")
+  }
+
+  test("d24: admission drops standing near-dups, keeps fresh and batch-internal-only dups") {
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] = Array.tabulate(Srp.Dims)(i => f(i).toFloat)
+    val standing = Seq(
+      (1L, vec(i => math.sin(i + 1))),
+      (2L, vec(i => math.cos(2 * i + 1)))
+    ).toDF("vec_id", "embedding")
+    val incoming = Seq(
+      (10L, vec(i => math.sin(i + 1))),        // exact copy of 1 -> dropped
+      (11L, vec(i => math.sin(i + 1) + 0.001)), // near-dup of 1 -> dropped
+      (12L, vec(i => math.cos(7 * i + 3))),     // fresh -> admitted
+      (13L, vec(i => math.cos(11 * i + 5))),    // fresh -> admitted
+      (14L, vec(i => math.cos(11 * i + 5) * 1.5)) // near-dup of 13 ONLY -> admitted (d10 contract)
+    ).toDF("vec_id", "embedding")
+    val admitted = Srp.admitEmbeddings(standing, incoming, threshold = 0.9)
+      .as[Long].collect().toSet
+    assert(admitted === Set(12L, 13L, 14L))
+  }
 }
