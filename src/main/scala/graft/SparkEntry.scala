@@ -450,6 +450,9 @@ object SparkEntry {
     // t23: language-ID confidence margin — integer hit counts, sorted-4
     // top-2 selection, one guarded unrounded division
     "t23_lang_margin"     -> ((s, d) => TextQueries.langMargin(t(s, d).documents)),
+    // p29: the pipeline keep/drop ledger — first-failing-stage verdicts
+    // from the already-proven p01/p02/p03 predicates under CASE precedence
+    "p29_curation_ledger" -> ((s, d) => graft.operators.CorpusPipeline.curationLedger(t(s, d))),
     // t19: encoding-noise score — integer regex counts of replacement/
     // control/mojibake chars, one guarded unrounded division; zero shuffle
     "t19_encoding_noise"  -> ((s, d) => TextQueries.t19EncodingNoise(t(s, d))),
@@ -1587,6 +1590,69 @@ object SparkEntry {
         |SELECT doc_id, CAST(m AS INT) AS n_tokens, CAST(n_covered AS INT) AS n_covered,
         | CASE WHEN m > 0 THEN CAST(n_covered AS DOUBLE) / m ELSE 0.0 END AS coverage
         |FROM c""".stripMargin,
+    // p29: the pipeline ledger — p01's quality/lang/exact/near-dup CTEs,
+    // p02's contamination CTE and p03's split hash composed under one
+    // CASE precedence (first failing stage wins, the pipeline order)
+    "p29_curation_ledger" ->
+      s"""WITH RECURSIVE m AS (
+         | SELECT doc_id, source,
+         |  CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS nt,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) AS ar,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS DOUBLE) AS c_en,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inDe))) AS DOUBLE) AS c_de,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEs))) AS DOUBLE) AS c_es,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inFr))) AS DOUBLE) AS c_fr
+         | FROM documents),
+         |g AS (
+         | SELECT doc_id, source,
+         |  least(nt / 100.0, 1.0) * 0.5 + ar * 0.3 + least((c_en / nt) * 5.0, 1.0) * 0.2 AS quality,
+         |  CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'und'
+         |       WHEN c_en >= c_de AND c_en >= c_es AND c_en >= c_fr THEN 'en'
+         |       WHEN c_de >= c_es AND c_de >= c_fr THEN 'de'
+         |       WHEN c_es >= c_fr THEN 'es' ELSE 'fr' END AS guess
+         | FROM m),
+         |fp AS (SELECT min(doc_id) AS keep_id FROM documents
+         |       GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         |nd AS ($ngramJaccardSql),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM nd UNION SELECT d2, d1 FROM nd),
+         |walk(id, comp) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, w.comp FROM edges e JOIN walk w ON e.b = w.id),
+         |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+         |toks8 AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |sh8 AS (SELECT DISTINCT doc_id,
+         |  unnest(CASE WHEN len(w) >= 8
+         |    THEN list_transform(generate_series(1, len(w)-7), i ->
+         |      concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6], w[i+7]))
+         |    ELSE [array_to_string(w, ' ')] END) AS shingle
+         | FROM toks8),
+         |ev AS (SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 10 = 0),
+         |cont AS (SELECT DISTINCT doc_id FROM sh8
+         |         WHERE doc_id % 10 <> 0 AND shingle IN (SELECT shingle FROM ev)),
+         |h AS (
+         | SELECT doc_id,
+         |  CAST(CAST(list_sum(list_transform(generate_series(1, 15), i ->
+         |    (CAST(strpos('0123456789abcdef', substring(mm, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+         |  )) AS BIGINT) % 100 AS INT) AS bucket
+         | FROM (SELECT doc_id, md5('split:' || CAST(doc_id AS VARCHAR)) AS mm
+         |       FROM documents)),
+         |ledger AS (
+         | SELECT g.doc_id, g.source,
+         |  CASE WHEN g.doc_id % 10 = 0 THEN 'eval_holdout'
+         |       WHEN quality < 0.5 THEN 'quality'
+         |       WHEN guess <> 'en' THEN 'lang'
+         |       WHEN g.doc_id NOT IN (SELECT keep_id FROM fp) THEN 'exact_dup'
+         |       WHEN g.doc_id IN (SELECT id FROM cc WHERE id <> comp) THEN 'near_dup'
+         |       WHEN g.doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+         |       ELSE 'kept' END AS stage
+         | FROM g)
+         |SELECT l.doc_id, l.source, l.stage,
+         | CASE WHEN l.stage = 'kept' THEN
+         |   CASE WHEN h.bucket < 80 THEN 'train' WHEN h.bucket < 90 THEN 'val' ELSE 'test' END
+         | END AS split
+         |FROM ledger l JOIN h USING (doc_id)""".stripMargin,
     // t23: t02's count CTE with per-doc grain, DESC-sorted count list for
     // the top-2, the same fixed-tie-order argmax, one guarded division
     "t23_lang_margin" ->

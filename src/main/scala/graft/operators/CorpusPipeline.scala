@@ -90,6 +90,78 @@ object CorpusPipeline {
     * back onto the scan. iters·3 broadcast joins total, zero corpus
     * exchanges; at 100 TB the score frame is a column you carry, not a
     * table you move. */
+  /** p29: the curation LEDGER — every document's pipeline verdict in one
+    * frame: the FIRST stage that drops it (in pipeline order:
+    * eval-holdout carve-out → quality floor → language filter → exact
+    * dedup → cluster-resolved near-dup removal → decontamination) or
+    * 'kept' with its deterministic p03 split. p01 emits the survivors; a
+    * production pipeline also has to ANSWER for the drops — per-stage
+    * counts for the data card, per-doc reasons for review queues and
+    * re-admission after a threshold change — and "first failing stage"
+    * is the semantics of a sequential pipeline (a non-English doc never
+    * reaches the dedup stage, so charging it to dedup would misstate
+    * every downstream stage's real reject rate).
+    *
+    * Every stage predicate is the already-oracle-proven operator (p01's
+    * quality/lang/exact/near-dup sets, p02's contamination set, p03's
+    * split hash); the ledger is their composition under CASE precedence,
+    * exact-oracled end-to-end as nested CTEs.
+    *
+    * Scale shape: metrics are scan-local; the drop sets are each ∝ their
+    * phenomenon (dup groups, pair clusters, contaminated docs), never
+    * corpus-sized, and join back as broadcast/semi joins; the split hash
+    * is projection work. One corpus scan, no corpus-wide shuffle. */
+  def curationLedger(t: Tables, qualityMin: Double = 0.5): DataFrame = {
+    val docs = t.documents
+    val isEval = col("doc_id") % 10 === 0
+    val m = docs
+      .select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).as("nt"),
+        TextFns.alphaRatio(col("text")).as("ar"),
+        TextFns.stopwordHits(col("text"), TextFns.stopEn).as("c_en"),
+        TextFns.stopwordHits(col("text"), TextFns.stopDe).as("c_de"),
+        TextFns.stopwordHits(col("text"), TextFns.stopEs).as("c_es"),
+        TextFns.stopwordHits(col("text"), TextFns.stopFr).as("c_fr"))
+      .select(col("doc_id"), col("source"),
+        TextFns.qualityScoreOf(
+          col("nt").cast("double"), col("ar"),
+          col("c_en").cast("double") / col("nt").cast("double")).as("quality"),
+        TextFns.langGuessOfCounts(
+          col("c_en"), col("c_de"), col("c_es"), col("c_fr")).as("guess"))
+    val exactKeepers = Dedup.exact(docs)
+      .select(col("keep_id").as("doc_id"), lit(true).as("is_keeper"))
+    val ndNonKeepers = graft.dedup.Clusters
+      .sharedComponents(Dedup.minHashLshPairs(docs).select(col("d1"), col("d2")))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"), lit(true).as("is_nd_drop"))
+    // p02's contamination set: training docs sharing any 8-gram with the
+    // eval slice (eval shingles broadcast — the p02 regime)
+    val sh = Dedup.sharedShingles(docs, 8)
+    val evalIds = docs.where(isEval).select("doc_id")
+    val evalShingles = sh.join(evalIds, Seq("doc_id"), "left_semi")
+      .select("shingle").distinct()
+    val contaminated = sh.join(evalIds, Seq("doc_id"), "left_anti")
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct().withColumn("is_contam", lit(true))
+    val bucket = pmod(Dedup.md5Hash60(
+      concat(lit("split:"), col("doc_id").cast("string"))), lit(100L)).cast("int")
+    m.join(exactKeepers, Seq("doc_id"), "left")
+      .join(ndNonKeepers, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(isEval, "eval_holdout")
+          .when(col("quality") < qualityMin, "quality")
+          .when(col("guess") =!= "en", "lang")
+          .when(not(coalesce(col("is_keeper"), lit(false))), "exact_dup")
+          .when(coalesce(col("is_nd_drop"), lit(false)), "near_dup")
+          .when(coalesce(col("is_contam"), lit(false)), "contaminated")
+          .otherwise("kept").as("stage"))
+      .select(col("doc_id"), col("source"), col("stage"),
+        when(col("stage") === "kept",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+          .as("split"))
+  }
+
   def propagateQuality(docs: DataFrame, threshold: Double = 0.8,
                        iters: Int = 2, alpha: Double = 0.5): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")

@@ -873,4 +873,30 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"neighbor joins must broadcast the pair-bounded side:\n$p")
   }
+
+  test("p29: ledger stages partition the corpus and agree with p01/p02/p03") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents
+    val ledger = graft.operators.CorpusPipeline.curationLedger(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), Option(r.getString(3))))).toMap
+    // total partition: every doc gets exactly one verdict
+    assert(ledger.size === docs.count())
+    // split present iff kept
+    assert(ledger.values.forall { case (st, sp) => (st == "kept") == sp.isDefined })
+    // the kept set is exactly p01's survivors minus the eval slice and
+    // p02's contamination drops (the pipeline-order composition law)
+    val p01 = graft.operators.CorpusPipeline.cleanCorpus(tables)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val p02Survivors = graft.operators.DataPipeline
+      .decontaminate(docs, col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = ledger.collect { case (id, ("kept", _)) => id }.toSet
+    assert(kept === p01.filter(id => id % 10 != 0 && p02Survivors.contains(id)),
+      "kept = p01 survivors ∩ p02 survivors ∩ non-eval")
+    // every doc p01 keeps but the ledger drops is charged to a
+    // POST-p01 stage (eval carve-out or contamination), never re-judged
+    val lateDrops = p01.filter(id => !kept.contains(id)).map(id => ledger(id)._1)
+    assert(lateDrops.forall(Set("eval_holdout", "contaminated").contains),
+      s"p01 survivors may only fall to post-p01 stages, got $lateDrops")
+  }
 }
