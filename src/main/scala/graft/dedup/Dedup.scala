@@ -761,16 +761,16 @@ object Dedup {
         .persist()
     }
 
-  /** Per-doc weighted shingle arrays (doc_id, wset: sorted array of
-    * (shingle, w) structs, tw) for the weighted verify — the
-    * [[sharedShingleArrays]] move for the weighted family: candidate
-    * pairs join this nDocs-row frame by id (twice), intersect the struct
-    * arrays scan-locally (hash-set based — O(|A|+|B|) per pair, never a
-    * per-element map probe, which is a LINEAR scan on Spark's MapData and
-    * turns the verify quadratic), and fold the intersection's weights.
-    * w is a global function of the shingle, so both docs carry the
-    * identical (shingle, w) struct for a common shingle and struct
-    * equality is exactly shingle-set intersection. */
+  /** Per-doc weighted shingle arrays (doc_id, shset: sorted LONG array
+    * of the doc's w>0 shingles, tw = Σw) for the weighted verify — the
+    * [[sharedShingleArrays]] move for the weighted family. The array
+    * holds PLAIN longs, deliberately: Spark's array_intersect has a
+    * primitive-long fast path (hash set, O(|A|+|B|) per pair), while
+    * struct-element arrays fall to the interpreted ordering-based path —
+    * measured ~4× the whole query at sf0.1. The intersection's weights
+    * are then summed by EXPLODING only the common shingles (rows ∝ the
+    * pair's true overlap, a fraction of either doc) into one join
+    * against the per-shingle weight table. */
   private val weightedArrayMemo =
     new graft.SessionKeyedCache[Int, DataFrame](_.unpersist(blocking = false))
 
@@ -778,21 +778,30 @@ object Dedup {
     weightedArrayMemo.getOrElseUpdate(
       wsh.sparkSession, wsh.queryExecution.analyzed.semanticHash())(
       wsh.groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(struct(col("shingle"), col("w")))).as("wset"),
+        .agg(sort_array(collect_list(col("shingle"))).as("shset"),
           sum(col("w")).as("tw"))
         .persist())
 
   /** Exact weighted verification tail shared by d13 and d14: candidate
-    * (d1, d2) pairs → common/total weight sums (exact longs — an integer
-    * fold over the array intersection, order-independent) → integer
-    * threshold test → the one final IEEE division. */
+    * (d1, d2) pairs → fast long-array intersection → common shingles
+    * exploded (∝ actual overlap) and weighted via the shingle table →
+    * exact long sums → integer threshold test → the one final IEEE
+    * division. */
   private def weightedVerify(cand: DataFrame, wsh: DataFrame, num: Long): DataFrame = {
     val wa = sharedWeightedArrays(wsh)
-    cand
-      .join(wa.select(col("doc_id").as("d1"), col("wset").as("a1"), col("tw").as("w1")), "d1")
-      .join(wa.select(col("doc_id").as("d2"), col("wset").as("a2"), col("tw").as("w2")), "d2")
+    val commonSh = cand
+      .join(wa.select(col("doc_id").as("d1"), col("shset").as("a1"), col("tw").as("w1")), "d1")
+      .join(wa.select(col("doc_id").as("d2"), col("shset").as("a2"), col("tw").as("w2")), "d2")
       .select(col("d1"), col("d2"), col("w1"), col("w2"),
-        expr("aggregate(array_intersect(a1, a2), 0L, (acc, e) -> acc + e.w)").as("common_w"))
+        explode(array_intersect(col("a1"), col("a2"))).as("shingle"))
+    // per-shingle weight table: one row per distinct shingle (vocabulary-
+    // bounded, the t13 bound); a pair with an empty intersection vanishes
+    // at the explode, exactly as it failed the inner verify join before —
+    // it cannot reach any positive threshold
+    val wTab = wsh.select(col("shingle"), col("w")).distinct()
+    commonSh.join(wTab, "shingle")
+      .groupBy(col("d1"), col("d2"), col("w1"), col("w2"))
+      .agg(sum(col("w")).as("common_w"))
       .where(expr(s"common_w * 1000000L >= ${num}L * (w1 + w2 - common_w)"))
       .select(col("d1"), col("d2"),
         (col("common_w").cast("double") /

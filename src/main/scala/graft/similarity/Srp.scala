@@ -50,9 +50,19 @@ import org.apache.spark.sql.functions._
   */
 object Srp {
 
-  val Bits = 16
+  /** Default banding: 4 bands × 4 bits = 16 buckets per band — sized for
+    * the oracle-checked test corpora (hundreds to thousands of vectors).
+    * SIZE THE BUCKET SPACE TO THE CORPUS: per-band occupancy is
+    * n / 2^rowsPerBand, and candidate volume grows with occupancy², so a
+    * 100 TB corpus wants rowsPerBand 16–24 (64 K – 16 M buckets/band)
+    * with more bands and/or the s14 probe ring buying the recall back —
+    * the (bands, rows) trade [[graft.dedup.Dedup.lshPlanCurve]] (d23)
+    * tabulates. Every entry point takes (bands, rowsPerBand); the plane
+    * family is a pure function of the bit index, so any prefix of it is
+    * the same planes. */
   val Bands = 4
   val RowsPerBand = 4
+  val Bits = Bands * RowsPerBand
   val Dims = 64
 
   private def splitmix64(seed: Long): Long = {
@@ -62,30 +72,37 @@ object Srp {
     z ^ (z >>> 31)
   }
 
-  /** The fixed Rademacher planes: signs(j)(i) ∈ {−1, +1} for bit j over
-    * dim i, a pure function of (j, i) — the same array renders into the
-    * Spark plan and the DuckDB oracle text. */
-  lazy val signs: Array[Array[Int]] =
-    Array.tabulate(Bits, Dims)((j, i) =>
+  /** The fixed Rademacher planes: signsFor(n)(j)(i) ∈ {−1, +1} for bit j
+    * over dim i, a pure function of (j, i) — the same array renders into
+    * the Spark plan and the DuckDB oracle text, and a wider banding's
+    * planes extend a narrower one's (prefix property). */
+  def signsFor(nBits: Int): Array[Array[Int]] =
+    Array.tabulate(nBits, Dims)((j, i) =>
       if ((splitmix64(j.toLong * 1024L + i) & 1L) == 0L) 1 else -1)
 
+  /** The default 16-plane family (the registered queries' banding). */
+  lazy val signs: Array[Array[Int]] = signsFor(Bits)
+
   /** One signature bit: sign of the integer projection of qvec on plane j. */
-  private def bitCol(j: Int): Column =
-    (expr(s"aggregate(zip_with(qvec, ${sqlArray(signs(j))}, (q, s) -> CAST(q AS INT) * s), 0, (a, x) -> a + x)") >= 0)
+  private def bitCol(j: Int, sg: Array[Array[Int]]): Column =
+    (expr(s"aggregate(zip_with(qvec, ${sqlArray(sg(j))}, (q, s) -> CAST(q AS INT) * s), 0, (a, x) -> a + x)") >= 0)
       .cast("int")
 
   private def sqlArray(a: Array[Int]): String = a.mkString("array(", ",", ")")
 
   /** s13: all pairs with round(cos, 8) ≥ `threshold` among SRP bucket
     * collisions. Output (d1, d2, cos), d1 < d2. */
-  def srpPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+  def srpPairs(emb: DataFrame, threshold: Double = 0.45,
+               nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val sg = signsFor(nBands * rowsPerBand)
     val q = Quantize.quantized(emb) // (vec_id, scale, qvec) — scan-local
-    val sig = q.select(col("vec_id") +: (0 until Bits).map(j => bitCol(j).as(s"b$j")): _*)
-    // per band: bucket = the band's 4 bits packed into an int
-    val bands = (0 until Bands).map { b =>
-      val bits = (0 until RowsPerBand).map(r => col(s"b${b * RowsPerBand + r}"))
+    val sig = q.select(col("vec_id") +:
+      (0 until nBands * rowsPerBand).map(j => bitCol(j, sg).as(s"b$j")): _*)
+    // per band: bucket = the band's bits packed into an int
+    val bands = (0 until nBands).map { b =>
+      val bits = (0 until rowsPerBand).map(r => col(s"b${b * rowsPerBand + r}"))
       val bucket = bits.zipWithIndex.map { case (c, i) =>
-        c * lit(1 << (RowsPerBand - 1 - i))
+        c * lit(1 << (rowsPerBand - 1 - i))
       }.reduce(_ + _)
       sig.select(col("vec_id"), lit(b).as("band"), bucket.as("bucket"))
     }.reduce(_ unionAll _)
@@ -129,18 +146,21 @@ object Srp {
     * Scale shape: the bucket exchange carries (1 + RowsPerBand)× the
     * rows of s13 — still fixed per vector, independent of corpus size —
     * and verification still touches candidate pairs only. */
-  def srpPairsMultiProbe(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+  def srpPairsMultiProbe(emb: DataFrame, threshold: Double = 0.45,
+                         nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val sg = signsFor(nBands * rowsPerBand)
     val q = Quantize.quantized(emb)
-    val sig = q.select(col("vec_id") +: (0 until Bits).map(j => bitCol(j).as(s"b$j")): _*)
-    // per band: own bucket + the RowsPerBand one-bit-flip probes
-    val bands = (0 until Bands).map { b =>
-      val bits = (0 until RowsPerBand).map(r => col(s"b${b * RowsPerBand + r}"))
+    val sig = q.select(col("vec_id") +:
+      (0 until nBands * rowsPerBand).map(j => bitCol(j, sg).as(s"b$j")): _*)
+    // per band: own bucket + the rowsPerBand one-bit-flip probes
+    val bands = (0 until nBands).map { b =>
+      val bits = (0 until rowsPerBand).map(r => col(s"b${b * rowsPerBand + r}"))
       val bucket = bits.zipWithIndex.map { case (c, i) =>
-        c * lit(1 << (RowsPerBand - 1 - i))
+        c * lit(1 << (rowsPerBand - 1 - i))
       }.reduce(_ + _)
-      val probes = bucket +: (0 until RowsPerBand).map(r =>
-        // flipping bit r toggles the 2^(RowsPerBand-1-r) term
-        bucket + (lit(1) - lit(2) * col(s"b${b * RowsPerBand + r}")) * lit(1 << (RowsPerBand - 1 - r)))
+      val probes = bucket +: (0 until rowsPerBand).map(r =>
+        // flipping bit r toggles the 2^(rowsPerBand-1-r) term
+        bucket + (lit(1) - lit(2) * col(s"b${b * rowsPerBand + r}")) * lit(1 << (rowsPerBand - 1 - r)))
       sig.select(col("vec_id"), lit(b).as("band"),
         explode(array(probes: _*)).as("bucket"))
     }.reduce(_ unionAll _)
@@ -184,14 +204,17 @@ object Srp {
     * the per-batch price — at 100 TB the standing signatures would be
     * materialized once (the s11 index rule) since they never change. */
   def admitEmbeddings(existing: DataFrame, incoming: DataFrame,
-                      threshold: Double = 0.45): DataFrame = {
+                      threshold: Double = 0.45,
+                      nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    val sg = signsFor(nBands * rowsPerBand)
     def bandsOf(emb: DataFrame, side: String): DataFrame = {
       val q = Quantize.quantized(emb)
-      val sig = q.select(col("vec_id") +: (0 until Bits).map(j => bitCol(j).as(s"b$j")): _*)
-      (0 until Bands).map { b =>
-        val bits = (0 until RowsPerBand).map(r => col(s"b${b * RowsPerBand + r}"))
+      val sig = q.select(col("vec_id") +:
+        (0 until nBands * rowsPerBand).map(j => bitCol(j, sg).as(s"b$j")): _*)
+      (0 until nBands).map { b =>
+        val bits = (0 until rowsPerBand).map(r => col(s"b${b * rowsPerBand + r}"))
         val bucket = bits.zipWithIndex.map { case (c, i) =>
-          c * lit(1 << (RowsPerBand - 1 - i))
+          c * lit(1 << (rowsPerBand - 1 - i))
         }.reduce(_ + _)
         sig.select(col("vec_id").as(side), lit(b).as("band"), bucket.as("bucket"))
       }.reduce(_ unionAll _)

@@ -188,6 +188,26 @@ object EventStreams {
           batchId)
       }
 
+  /** Streaming d24 — embedding admission per micro-batch, the
+    * [[admitNearDupsStream]] sibling for the VECTOR modality: each batch
+    * runs the full cross-side SRP-candidate + exact-cosine operator
+    * against the STANDING embedding corpus. Same contract as the other
+    * admission streams: batch-internal near-dups unresolved (s13+d07's
+    * job on the admitted set), standing as of query start unless the
+    * caller sinks admissions back. `onBatch` receives (admitted vec_ids,
+    * batchId). */
+  def admitEmbeddingsStream(vecStream: DataFrame, standing: DataFrame,
+                            onBatch: (DataFrame, Long) => Unit,
+                            threshold: Double = 0.45): DataStreamWriter[Row] =
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onBatch(
+          graft.similarity.Srp.admitEmbeddings(
+            standing, batch.select(col("vec_id"), col("embedding")), threshold),
+          batchId)
+      }
+
   /** Streaming d15 — duplicate-cluster maintenance against a live document
     * stream, per micro-batch via `foreachBatch` (the d10 escape-hatch
     * class: pair generation + the merge closure exceed streaming's

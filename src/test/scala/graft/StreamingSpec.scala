@@ -96,6 +96,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(admitted.toSet === Set(11L, 13L))
   }
 
+  test("streaming embedding admission matches the per-vector batch d24 decision") {
+    implicit val sql = spark.sqlContext
+    def vec(f: Int => Double): Array[Float] =
+      Array.tabulate(graft.similarity.Srp.Dims)(i => f(i).toFloat)
+    val standing = Seq((1L, vec(i => math.sin(i + 1)))).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    val q = EventStreams.admitEmbeddingsStream(
+      mem.toDF().toDF("vec_id", "embedding"), standing,
+      (df, _) => admitted ++= df.collect().map(_.getLong(0)), threshold = 0.9).start()
+    // batch 1: an exact copy of standing vec 1 (dropped) + a fresh vector
+    mem.addData((10L, vec(i => math.sin(i + 1))), (11L, vec(i => math.cos(7 * i + 3))))
+    q.processAllAvailable()
+    // batch 2: a near-copy of standing vec 1 (dropped) + another fresh one
+    mem.addData((12L, vec(i => math.sin(i + 1) + 0.001)), (13L, vec(i => math.cos(11 * i + 5))))
+    q.processAllAvailable(); q.stop()
+    assert(admitted.toSet === Set(11L, 13L))
+  }
+
   test("streaming cluster maintenance converges to the full-recompute labels") {
     implicit val sql = spark.sqlContext
     // standing corpus: docs 1 and 2 are near-dups (J = 11/12), doc 3 unrelated
