@@ -338,14 +338,23 @@ object SparkEntry {
     // deterministic and the DuckDB oracle replays it exactly
     "s13_srp_pairs"       -> ((s, d) => graft.similarity.Srp.srpPairs(t(s, d).embeddings)),
     // s14: multi-probe SRP — deterministic one-bit probe ring, so the
-    // widened candidate set (and its recall gain) is exactly replayable
-    "s14_srp_multiprobe"  -> ((s, d) => graft.similarity.Srp.srpPairsMultiProbe(t(s, d).embeddings)),
+    // widened candidate set (and its recall gain) is exactly replayable.
+    // Registered at a corpus-sized bucket space (8 bands × 8 bits = 256
+    // buckets/band): s13's 16-bucket bands saturate above ~1k vectors
+    // (candidates ≈ all pairs — measured ≈ the d05 brute-force cost at
+    // sf0.1), and sizing the space while the probe ring buys recall back
+    // is exactly the d23-planned trade the operator exists to make
+    "s14_srp_multiprobe"  -> ((s, d) => graft.similarity.Srp.srpPairsMultiProbe(
+      t(s, d).embeddings, nBands = 8, rowsPerBand = 8)),
     // d24: embedding admission — the d08/d10/d21 ingestion contract for
-    // vectors; SRP determinism is what keeps the verdict exact-oracled
+    // vectors; SRP determinism is what keeps the verdict exact-oracled.
+    // Same corpus-sized banding as s14 (saturated bands make the
+    // admission probe ≈ a cross product)
     "d24_embedding_admission" -> ((s, d) => {
       val emb = t(s, d).embeddings
       graft.similarity.Srp.admitEmbeddings(
-        emb.where(col("vec_id") % 3 =!= 0), emb.where(col("vec_id") % 3 === 0))
+        emb.where(col("vec_id") % 3 =!= 0), emb.where(col("vec_id") % 3 === 0),
+        nBands = 8, rowsPerBand = 8)
     }),
     // s07: exact radius search — ranking-free threshold variant of s01,
     // fully hash-checkable (round(cos, 8) both sides)
@@ -1544,12 +1553,14 @@ object SparkEntry {
     // over the s03-quantization CTE — integer signs can't flip between
     // engines), then d03's band-bucket pairs and the s01 cosine verify
     "s13_srp_pairs" -> graft.similarity.Srp.oracleSql(0.45),
-    // s14: the same rendered planes with the one-bit probe ring unioned in
-    "s14_srp_multiprobe" -> graft.similarity.Srp.multiProbeOracleSql(0.45),
+    // s14: the same rendered planes (the first 64 of the same seeded
+    // family) with the home-index × probe-ring join, at the registered
+    // 8×8 banding
+    "s14_srp_multiprobe" -> graft.similarity.Srp.multiProbeOracleSql(0.45, 8, 8),
     // d24: both sides' signatures from the rendered planes, cross bucket
-    // join, exact cosine verify, anti-join
+    // join, exact cosine verify, anti-join — same 8×8 banding
     "d24_embedding_admission" -> graft.similarity.Srp.admitOracleSql(
-      0.45, "vec_id % 3 <> 0", "vec_id % 3 = 0"),
+      0.45, "vec_id % 3 <> 0", "vec_id % 3 = 0", 8, 8),
     // d23: same literal grid, same multiplication chains, ordered
     // aggregate sums — bit-deterministic without any rounding
     "d23_lsh_plan" -> graft.dedup.LshPlan.oracleSql(0.8),

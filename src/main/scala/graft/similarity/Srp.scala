@@ -83,29 +83,49 @@ object Srp {
   /** The default 16-plane family (the registered queries' banding). */
   lazy val signs: Array[Array[Int]] = signsFor(Bits)
 
-  /** One signature bit: sign of the integer projection of qvec on plane j. */
+  /** One signature bit: sign of the projection of qvec on plane j,
+    * computed by the NATIVE codegen dot kernel over integer-VALUED
+    * doubles — every term is an integer of magnitude ≤ 127 and the sum
+    * ≤ 127·Dims ≪ 2⁵³, where IEEE doubles are exact, so the `≥ 0` test
+    * is bit-identical to pure integer arithmetic (the determinism the
+    * oracle relies on) while staying inside whole-stage codegen. (The
+    * HOF form `aggregate(zip_with(...))` computes the same sum
+    * interpreted — measured ~10× the whole query at 64 bits.) */
   private def bitCol(j: Int, sg: Array[Array[Int]]): Column =
-    (expr(s"aggregate(zip_with(qvec, ${sqlArray(sg(j))}, (q, s) -> CAST(q AS INT) * s), 0, (a, x) -> a + x)") >= 0)
-      .cast("int")
+    (VectorFns.dot(col("qd"), lit(sg(j).map(_.toDouble))) >= 0).cast("int")
 
-  private def sqlArray(a: Array[Int]): String = a.mkString("array(", ",", ")")
+  /** The signature frame: (vec_id, b0…b{n−1}) — quantize, cast ONCE to
+    * array<double>, then one native dot per bit. */
+  private def sigFrame(emb: DataFrame, sg: Array[Array[Int]], nBits: Int): DataFrame =
+    Quantize.quantized(emb)
+      .select(col("vec_id"), col("qvec").cast("array<double>").as("qd"))
+      .select(col("vec_id") +: (0 until nBits).map(j => bitCol(j, sg).as(s"b$j")): _*)
+
+  /** Per-band bucket expression over a [[sigFrame]]'s bit columns. */
+  private def bucketCol(b: Int, rowsPerBand: Int): Column =
+    (0 until rowsPerBand).map { r =>
+      col(s"b${b * rowsPerBand + r}") * lit(1 << (rowsPerBand - 1 - r))
+    }.reduce(_ + _)
+
+  /** (vec_id → `idCol`, band, bucket) rows: ALL bands emitted from one
+    * explode over one evaluation of the signature projection — a
+    * per-band unionAll re-evaluates the whole signature subtree once
+    * per branch (measured: the dominant cost at 8 bands). */
+  private def bandRows(sig: DataFrame, idCol: String,
+                       nBands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("vec_id").as(idCol),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), bucketCol(b, rowsPerBand).as("bucket"))): _*)).as("e"))
+      .select(col(idCol), col("e.band").as("band"), col("e.bucket").as("bucket"))
 
   /** s13: all pairs with round(cos, 8) ≥ `threshold` among SRP bucket
     * collisions. Output (d1, d2, cos), d1 < d2. */
   def srpPairs(emb: DataFrame, threshold: Double = 0.45,
                nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val sg = signsFor(nBands * rowsPerBand)
-    val q = Quantize.quantized(emb) // (vec_id, scale, qvec) — scan-local
-    val sig = q.select(col("vec_id") +:
-      (0 until nBands * rowsPerBand).map(j => bitCol(j, sg).as(s"b$j")): _*)
+    val sig = sigFrame(emb, sg, nBands * rowsPerBand)
     // per band: bucket = the band's bits packed into an int
-    val bands = (0 until nBands).map { b =>
-      val bits = (0 until rowsPerBand).map(r => col(s"b${b * rowsPerBand + r}"))
-      val bucket = bits.zipWithIndex.map { case (c, i) =>
-        c * lit(1 << (rowsPerBand - 1 - i))
-      }.reduce(_ + _)
-      sig.select(col("vec_id"), lit(b).as("band"), bucket.as("bucket"))
-    }.reduce(_ unionAll _)
+    val bands = bandRows(sig, "vec_id", nBands, rowsPerBand)
     val cand = bands.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .where(size(col("ids")) > 1)
@@ -125,15 +145,22 @@ object Srp {
   }
 
   /** s14: multi-probe SRP pairs — [[srpPairs]]'s candidate generation
-    * widened by ONE-BIT probes (Lv et al. 2007, "Multi-Probe LSH"): each
-    * vector additionally enters, per band, the `RowsPerBand` buckets at
-    * Hamming distance 1 from its own. A true near-dup pair whose
-    * projections straddle a single hyperplane within one band lands one
-    * bit apart and is invisible to s13's exact-bucket join; the probe
-    * catches every such pair BY CONSTRUCTION (a band differing in
-    * exactly one bit collides when either side flips that bit), trading
-    * (1 + RowsPerBand)× bucket rows for recall instead of more bands —
-    * the standard memory/recall lever when signatures are fixed.
+    * widened by ONE-BIT probes (Lv et al. 2007, "Multi-Probe LSH"),
+    * QUERY-SIDE as in the paper: the index stores each vector once per
+    * band (its own bucket, s13's frame exactly), and each vector PROBES
+    * its own bucket plus the `rowsPerBand` buckets at Hamming distance 1.
+    * A true near-dup pair whose projections straddle a single hyperplane
+    * within one band lands one bit apart and is invisible to s13's
+    * exact-bucket join; the probe catches every such pair BY CONSTRUCTION
+    * (if a band's signatures differ in exactly one bit, each side's probe
+    * ring contains the other's home bucket), so the candidate set is
+    * precisely the pairs at per-band Hamming ≤ 1 — trading
+    * (1 + rowsPerBand)× probe rows for recall instead of more bands, the
+    * standard memory/recall lever when signatures are fixed. (Indexing
+    * every vector into its whole ring — the symmetric variant — buys only
+    * incidental Hamming-2 collisions for (1 + r)²× the per-bucket
+    * candidate volume; measured 2.4× the whole query at sf0.1, so the
+    * asymmetric form is both the published design and the scale shape.)
     *
     * Still fully deterministic (the probe set is a pure function of the
     * signature), so the whole widened pipeline exact-oracles like s13 —
@@ -143,35 +170,32 @@ object Srp {
     * precision 1); the emitted pair set is a superset of s13's
     * (spec-pinned), and both are subsets of the exact d05-style scan.
     *
-    * Scale shape: the bucket exchange carries (1 + RowsPerBand)× the
-    * rows of s13 — still fixed per vector, independent of corpus size —
-    * and verification still touches candidate pairs only. */
+    * Scale shape: the home index carries s13's rows exactly; the probe
+    * side carries (1 + rowsPerBand)× — still fixed per vector,
+    * independent of corpus size — and verification still touches
+    * candidate pairs only. */
   def srpPairsMultiProbe(emb: DataFrame, threshold: Double = 0.45,
                          nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val sg = signsFor(nBands * rowsPerBand)
-    val q = Quantize.quantized(emb)
-    val sig = q.select(col("vec_id") +:
-      (0 until nBands * rowsPerBand).map(j => bitCol(j, sg).as(s"b$j")): _*)
-    // per band: own bucket + the rowsPerBand one-bit-flip probes
-    val bands = (0 until nBands).map { b =>
-      val bits = (0 until rowsPerBand).map(r => col(s"b${b * rowsPerBand + r}"))
-      val bucket = bits.zipWithIndex.map { case (c, i) =>
-        c * lit(1 << (rowsPerBand - 1 - i))
-      }.reduce(_ + _)
-      val probes = bucket +: (0 until rowsPerBand).map(r =>
+    val sig = sigFrame(emb, sg, nBands * rowsPerBand)
+    // home index: one row per (vec, band) — s13's frame
+    val home = bandRows(sig, "hid", nBands, rowsPerBand)
+    // probe side: own bucket + the rowsPerBand one-bit-flip probes, all
+    // bands in ONE explode over one signature evaluation
+    val probeEntries = (0 until nBands).flatMap { b =>
+      val bucket = bucketCol(b, rowsPerBand)
+      val ring = bucket +: (0 until rowsPerBand).map(r =>
         // flipping bit r toggles the 2^(rowsPerBand-1-r) term
         bucket + (lit(1) - lit(2) * col(s"b${b * rowsPerBand + r}")) * lit(1 << (rowsPerBand - 1 - r)))
-      sig.select(col("vec_id"), lit(b).as("band"),
-        explode(array(probes: _*)).as("bucket"))
-    }.reduce(_ unionAll _)
-    val cand = bands.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS d1, y AS d2))))"
-      )).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      ring.map(bk => struct(lit(b).as("band"), bk.as("bucket")))
+    }
+    val probe = sig.select(col("vec_id").as("pid"),
+      explode(array(probeEntries: _*)).as("e"))
+      .select(col("pid"), col("e.band").as("band"), col("e.bucket").as("bucket"))
+    val cand = home.join(probe, Seq("band", "bucket"))
+      .where(col("hid") =!= col("pid"))
+      .select(least(col("hid"), col("pid")).as("d1"),
+        greatest(col("hid"), col("pid")).as("d2"))
       .distinct()
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     cand
@@ -207,18 +231,8 @@ object Srp {
                       threshold: Double = 0.45,
                       nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     val sg = signsFor(nBands * rowsPerBand)
-    def bandsOf(emb: DataFrame, side: String): DataFrame = {
-      val q = Quantize.quantized(emb)
-      val sig = q.select(col("vec_id") +:
-        (0 until nBands * rowsPerBand).map(j => bitCol(j, sg).as(s"b$j")): _*)
-      (0 until nBands).map { b =>
-        val bits = (0 until rowsPerBand).map(r => col(s"b${b * rowsPerBand + r}"))
-        val bucket = bits.zipWithIndex.map { case (c, i) =>
-          c * lit(1 << (rowsPerBand - 1 - i))
-        }.reduce(_ + _)
-        sig.select(col("vec_id").as(side), lit(b).as("band"), bucket.as("bucket"))
-      }.reduce(_ unionAll _)
-    }
+    def bandsOf(emb: DataFrame, side: String): DataFrame =
+      bandRows(sigFrame(emb, sg, nBands * rowsPerBand), side, nBands, rowsPerBand)
     val cand = bandsOf(incoming, "din").join(bandsOf(existing, "dex"), Seq("band", "bucket"))
       .select(col("din"), col("dex")).distinct()
     val vIn = incoming.select(col("vec_id").as("din"), col("embedding").cast("array<double>").as("v1"))
@@ -232,10 +246,11 @@ object Srp {
   /** The DuckDB oracle for [[admitEmbeddings]] — both sides' signatures
     * from the same rendered planes, the cross bucket join, the exact
     * cosine verify, the anti-join. */
-  def admitOracleSql(threshold: Double, standingPred: String, incomingPred: String): String = {
-    val bandCols = (0 until Bands).map { b =>
-      val bucket = (0 until RowsPerBand).map { r =>
-        s"b${b * RowsPerBand + r} * ${1 << (RowsPerBand - 1 - r)}"
+  def admitOracleSql(threshold: Double, standingPred: String, incomingPred: String,
+                     nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): String = {
+    val bandCols = (0 until nBands).map { b =>
+      val bucket = (0 until rowsPerBand).map { r =>
+        s"b${b * rowsPerBand + r} * ${1 << (rowsPerBand - 1 - r)}"
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band, $bucket AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
@@ -246,7 +261,7 @@ object Srp {
        |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
        |  FROM s),
        |sig AS (SELECT vec_id,
-       |  $bitExprSql
+       |  ${bitExprSql(nBands * rowsPerBand)}
        |  FROM q),
        |bands AS (
        |  $bandCols),
@@ -263,21 +278,49 @@ object Srp {
        |  AND vec_id NOT IN (SELECT vec_id FROM dup)""".stripMargin
   }
 
-  /** The DuckDB oracle for [[srpPairsMultiProbe]] — s13's oracle with the
-    * per-band bucket list widened by the same one-bit flips. */
-  def multiProbeOracleSql(threshold: Double): String = {
-    val bitExprs = bitExprSql
-    val bandSelects = (0 until Bands).flatMap { b =>
-      val bucket = (0 until RowsPerBand).map { r =>
-        s"b${b * RowsPerBand + r} * ${1 << (RowsPerBand - 1 - r)}"
+  /** The DuckDB oracle for [[srpPairsMultiProbe]] — s13's home-bucket
+    * index joined against the probe ring (own bucket + the one-bit
+    * flips), the asymmetric Lv et al. shape the engine runs. */
+  def multiProbeOracleSql(threshold: Double,
+                          nBands: Int = Bands, rowsPerBand: Int = RowsPerBand): String = {
+    val homeSelects = (0 until nBands).map { b =>
+      val bucket = (0 until rowsPerBand).map { r =>
+        s"b${b * rowsPerBand + r} * ${1 << (rowsPerBand - 1 - r)}"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bucket AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val probeSelects = (0 until nBands).flatMap { b =>
+      val bucket = (0 until rowsPerBand).map { r =>
+        s"b${b * rowsPerBand + r} * ${1 << (rowsPerBand - 1 - r)}"
       }.mkString(" + ")
       val own = s"SELECT vec_id, $b AS band, $bucket AS bucket FROM sig"
-      val flips = (0 until RowsPerBand).map { r =>
-        s"SELECT vec_id, $b AS band, ($bucket) + (1 - 2 * b${b * RowsPerBand + r}) * ${1 << (RowsPerBand - 1 - r)} AS bucket FROM sig"
+      val flips = (0 until rowsPerBand).map { r =>
+        s"SELECT vec_id, $b AS band, ($bucket) + (1 - 2 * b${b * rowsPerBand + r}) * ${1 << (rowsPerBand - 1 - r)} AS bucket FROM sig"
       }
       own +: flips
     }.mkString("\n  UNION ALL ")
-    oracleBody(bitExprs, bandSelects, threshold)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |s AS (SELECT vec_id, v,
+       |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale
+       |  FROM e),
+       |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+       |  FROM s),
+       |sig AS (SELECT vec_id,
+       |  ${bitExprSql(nBands * rowsPerBand)}
+       |  FROM q),
+       |home AS (
+       |  $homeSelects),
+       |probe AS (
+       |  $probeSelects),
+       |cand AS (SELECT DISTINCT least(h.vec_id, p.vec_id) AS d1,
+       |    greatest(h.vec_id, p.vec_id) AS d2
+       |  FROM home h JOIN probe p
+       |    ON h.band = p.band AND h.bucket = p.bucket AND h.vec_id <> p.vec_id)
+       |SELECT d1, d2, round(list_cosine_similarity(e1.v, e2.v), 8) AS cos
+       |FROM cand
+       |JOIN e e1 ON e1.vec_id = d1
+       |JOIN e e2 ON e2.vec_id = d2
+       |WHERE round(list_cosine_similarity(e1.v, e2.v), 8) >= $threshold""".stripMargin
   }
 
   /** The DuckDB oracle for [[srpPairs]] — the SAME planes rendered as SQL
@@ -291,19 +334,21 @@ object Srp {
       }.mkString(" + ")
       s"SELECT vec_id, $b AS band, $bucket AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
-    oracleBody(bitExprSql, bandSelects, threshold)
+    oracleBody(bitExprSql(), bandSelects, threshold)
   }
 
-  /** The 16 signature-bit CASE expressions over qv, from [[signs]]. */
-  private def bitExprSql: String =
-    (0 until Bits).map { j =>
-      val terms = signs(j).zipWithIndex.map { case (s, i) =>
+  /** The signature-bit CASE expressions over qv, from [[signsFor]]. */
+  private def bitExprSql(nBits: Int = Bits): String = {
+    val sg = signsFor(nBits)
+    (0 until nBits).map { j =>
+      val terms = sg(j).zipWithIndex.map { case (s, i) =>
         val ix = i + 1
         if (s > 0) s"+qv[$ix]" else s"-qv[$ix]"
       }.mkString
       val sumExpr = if (terms.startsWith("+")) terms.drop(1) else terms
       s"(CASE WHEN $sumExpr >= 0 THEN 1 ELSE 0 END) AS b$j"
     }.mkString(",\n  ")
+  }
 
   /** Shared oracle scaffold: quantize → signature bits → the caller's
     * band/bucket rows → distinct ordered pairs → exact cosine verify. */
