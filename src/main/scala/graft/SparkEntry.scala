@@ -109,6 +109,13 @@ object SparkEntry {
     // q67: lag/lead IGNORE NULLS — nearest non-null neighbor lookups,
     // values untouched doubles; oracle derives them via ranked non-nulls
     "q67_nav_ignore_nulls" -> ((s, d) => Relational4.q67NavIgnoreNulls(t(s, d))),
+    // q68: the generator battery — posexplode / inline / stack as one
+    // tagged long frame; oracle via LATERAL generate_series + UNION ALL
+    "q68_generators"      -> ((s, d) => Relational4.q68Generators(t(s, d))),
+    // q69: distinct counts over window frames — first-occurrence-flag
+    // running sum (the O(n) derivation) + bounded-frame collect_set;
+    // oracle is DuckDB's native count(DISTINCT) OVER
+    "q69_window_distinct" -> ((s, d) => Relational4.q69WindowDistinct(t(s, d))),
     // q58: HLL++ distinct + quantile sketch beside their exact companions
     // — different sketch implementations per engine, so rows-only by the
     // d06 class; RelationalSpec pins error bounds + determinism
@@ -244,6 +251,10 @@ object SparkEntry {
     // d16: d01 keyed on the NFC-normalized text via the native codegen
     // NfcNormalize expression; DuckDB's nfc_normalize is the oracle side
     "d16_unicode_dedup"   -> ((s, d) => Dedup.exactUnicode(t(s, d).documents)),
+    // d25: canonical-form exact dedup — lowercase + digit-collapse +
+    // punctuation/whitespace-run collapse, then d01's group shape; the
+    // "fuzzy exact" rule between byte equality and shingle Jaccard
+    "d25_canonical_dedup" -> ((s, d) => Dedup.exactCanonical(t(s, d).documents)),
     // d11: exact dedup with the best-copy keeper (longest text, id
     // tiebreak) — the oracle ranks with a window where the engine uses a
     // skew-safe max(struct) aggregate; same keeper by construction
@@ -332,6 +343,11 @@ object SparkEntry {
     // on round(√l2Sq, 6) with vec_id tiebreaks; the oracle replays the
     // identical trajectory as chained CTE steps, fully hash-checked
     "s12_diverse_sample"  -> ((s, d) => Knn.farthestPointSample(t(s, d).embeddings)),
+    // s15: MMR diversity re-rank — greedy λ·rel − (1−λ)·maxsim over the
+    // exact top-n shortlist; scores are single IEEE expressions over
+    // engine-rounded cosines, so the trajectory is engine-independent and
+    // the oracle replays it as chained CTE steps (the s12 pattern)
+    "s15_mmr_rerank"      -> ((s, d) => Knn.mmrRerank(t(s, d).embeddings)),
     // s13: sign-random-projection LSH pairs — ±1-pattern planes over the
     // byte-exact s03 quantized vectors make every signature bit INTEGER
     // arithmetic (no float-sign hazard), so the whole LSH pipeline is
@@ -847,6 +863,37 @@ object SparkEntry {
         |   / max(CASE WHEN week_offset = 0 THEN n_active END)
         |       OVER (PARTITION BY cohort_week) AS retention
         |FROM g""".stripMargin,
+    // q68: posexplode/inline replayed as PARALLEL unnests (value zipped
+    // with generate_series — DuckDB 1.0's positional explode; its table
+    // functions reject lateral column args, so no generate_series FROM);
+    // k = i−1, 0-based like Spark; stack as a UNION ALL
+    "q68_generators" ->
+      """WITH toks AS (SELECT p_partkey, string_split(lower(p_name), ' ') AS w FROM part),
+        |pe AS (SELECT p_partkey, unnest(w) AS sval,
+        |       unnest(generate_series(1, len(w))) AS i FROM toks)
+        |SELECT 'posexplode' AS gen, p_partkey, CAST(i - 1 AS INT) AS k,
+        |       sval, CAST(NULL AS DOUBLE) AS dval
+        |FROM pe
+        |UNION ALL
+        |SELECT 'inline' AS gen, p_partkey, CAST(i - 1 AS INT) AS k,
+        |       sval || '#' || CAST(length(sval) AS VARCHAR) AS sval,
+        |       CAST(NULL AS DOUBLE) AS dval
+        |FROM pe
+        |UNION ALL
+        |SELECT 'stack' AS gen, p_partkey, -1 AS k, 'retailprice' AS sval,
+        |       p_retailprice AS dval FROM part
+        |UNION ALL
+        |SELECT 'stack' AS gen, p_partkey, -1 AS k, 'size' AS sval,
+        |       CAST(p_size AS DOUBLE) AS dval FROM part""".stripMargin,
+    // q69: DuckDB's native count(DISTINCT) OVER checks both engine-side
+    // derivations (first-occurrence running sum; bounded-frame set)
+    "q69_window_distinct" ->
+      """SELECT o_orderkey, o_orderpriority, o_custkey,
+        | count(DISTINCT o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_distinct_cust,
+        | count(DISTINCT o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+        |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS win10_distinct_cust
+        |FROM orders""".stripMargin,
     // q66: the window-pass funnel as staged CTEs — min click strictly
     // after the first signup, min purchase strictly after that click
     // q67: no IGNORE NULLS in DuckDB — number the non-nulls rn = 1…n in
@@ -1243,6 +1290,13 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))) AS fingerprint,
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // d25: the same canonicalization chain rendered in DuckDB — RE2-safe
+    // char classes, global replace, identical md5 grouping
+    "d25_canonical_dedup" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |  '[0-9]+', '0', 'g'), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     // d08: same normalized-md5 fingerprint as d01; the incoming batch keeps
     // its smallest doc_id per fingerprint, then anti-joins the standing set
     "d08_incremental_dedup" ->
@@ -1549,6 +1603,9 @@ object SparkEntry {
     // the (mind DESC, vec_id) pick order is total, so the k selections
     // (and their covering radii) match exactly
     "s12_diverse_sample" -> diverseSampleSql,
+    // s15: the same greedy trajectory as chained CTE steps over the
+    // engine's exact shortlist and rounded pairwise cosines
+    "s15_mmr_rerank" -> mmrRerankSql,
     // s13: the SAME ±1 planes render into this SQL (explicit ±qv[i] sums
     // over the s03-quantization CTE — integer signs can't flip between
     // engines), then d03's band-bucket pairs and the s01 cosine verify
@@ -2404,6 +2461,46 @@ object SparkEntry {
        |         FROM e0 ORDER BY vec_id LIMIT 1),
        |$steps
        |SELECT CAST(sel_order AS INT) AS sel_order, vec_id, dist FROM ($union)""".stripMargin
+  }
+
+  /** s15's oracle: the exact top-n shortlist for the smallest-id query,
+    * n² rounded pairwise cosines, then the MMR greedy replayed as k
+    * chained CTE steps — each step scores the remaining shortlist with
+    * the single IEEE expression λ·rel − (1−λ)·maxsim over the same
+    * rounded inputs the engine uses, ordered (score DESC, vec_id). */
+  private lazy val mmrRerankSql: String = {
+    val n = 50; val k = 10; val lam = "0.5"; val oneMinus = "0.5"
+    // linear chain (the s12 shape) with every CTE MATERIALIZED: each step
+    // carries the RUNNING maxsim forward, and without materialization
+    // DuckDB 1.0 inlines each reference — the chain's ~3^k expanded
+    // parquet opens exhaust the process fd limit before planning finishes
+    val steps = (1 until k).map { t =>
+      val prev = if (t == 1) "short" else s"d${t - 1}"
+      val ms =
+        if (t == 1) s"(SELECT sim FROM sims WHERE i = p.vec_id AND j = (SELECT vec_id FROM sel0))"
+        else s"greatest(p.ms, (SELECT sim FROM sims WHERE i = p.vec_id AND j = (SELECT vec_id FROM sel${t - 1})))"
+      s"""d$t AS MATERIALIZED (SELECT p.vec_id, p.rel, $ms AS ms
+         |  FROM $prev p WHERE p.vec_id <> (SELECT vec_id FROM sel${t - 1})),
+         |sel$t AS MATERIALIZED (SELECT $t AS sel_order, vec_id, rel,
+         |    $lam * rel - $oneMinus * ms AS score
+         |  FROM d$t ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until k)
+      .map(t => s"SELECT sel_order, vec_id, rel, score FROM sel$t").mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |short AS MATERIALIZED (SELECT e.vec_id, e.v,
+       |    round(list_cosine_similarity(e.v, (SELECT v FROM q)), 8) AS rel
+       |  FROM e WHERE e.vec_id <> (SELECT vec_id FROM q)
+       |  ORDER BY rel DESC, vec_id LIMIT $n),
+       |sims AS MATERIALIZED (SELECT a.vec_id AS i, b.vec_id AS j,
+       |    round(list_cosine_similarity(a.v, b.v), 8) AS sim
+       |  FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+       |sel0 AS MATERIALIZED (SELECT 0 AS sel_order, vec_id, rel,
+       |    $lam * rel - $oneMinus * 0.0 AS score
+       |  FROM short ORDER BY score DESC, vec_id LIMIT 1),
+       |$steps
+       |SELECT CAST(sel_order AS INT) AS sel_order, vec_id, rel, score FROM ($union)""".stripMargin
   }
 
   /** p28's oracle: t03's quality projection + the d02 pair set, then two

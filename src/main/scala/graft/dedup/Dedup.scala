@@ -53,6 +53,31 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** d25: aggressively-canonicalized exact dedup — d01's groups keyed on
+    * a CANONICAL text form: lowercase, every digit run collapsed to '0',
+    * every non-alphanumeric run (punctuation AND whitespace) collapsed to
+    * one space, trimmed. Catches the trivial-variant duplicates byte
+    * fingerprints are structurally blind to — re-punctuated syndications,
+    * "v1.2" vs "v1.3" build-number spins, date-stamped boilerplate,
+    * smart-quote vs ASCII-quote exports — the standard "fuzzy exact"
+    * dedup rule between d01's byte equality and d02's shingle Jaccard
+    * (far cheaper than shingling: still one map-side fingerprint and one
+    * (hash, id) exchange, d01's exact shape). d16 unifies ENCODINGS of
+    * identical visible text; d25 unifies EDITS that preserve the word
+    * stream. Every d01 duplicate pair is a d25 duplicate pair by
+    * construction (canon is a pure function of the byte stream) — the
+    * subset law DedupSpec pins, the d20 discipline. RE2-safe regexes
+    * (char classes only), so Java and DuckDB agree char-for-char. */
+  def exactCanonical(docs: DataFrame): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[0-9]+", "0"),
+      "[^a-z0-9]+", " "))
+    docs
+      .select(col("doc_id"), md5(canon).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Session-scoped exact-pair registry — the [[sharedShingles]] pattern
     * one level up: d02's verified pair frame is consumed by the evidence
     * report (d17), the syndication matrix (p20) and ad-hoc audits, and

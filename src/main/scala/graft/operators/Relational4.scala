@@ -324,6 +324,74 @@ object Relational4 {
     * determinism (the sketches are deterministic folds of the data).
     * One partial-aggregated exchange; sketch buffers, not value sets,
     * cross the wire. */
+  /** q68: the generator battery beyond plain explode (q18) — the three
+    * remaining row-generating table functions of the §2.3 scalar/array
+    * surface, unioned into one tagged long frame:
+    *   - `posexplode`: position-aware explode — (pos, word) per token, the
+    *     ordinal explode every sequence-aware pipeline step needs (p05/p09
+    *     build offsets from exactly this);
+    *   - `inline`: explode of an array<struct> with field unpacking — the
+    *     nested-record flattener (here the structs are built in-plan by a
+    *     two-arg transform, index included, so the oracle can rebuild them
+    *     from scratch);
+    *   - `stack`: the wide→long unpivot generator (n fixed measure
+    *     columns → n rows) — q41's unpivot as a generator expression.
+    * All three are codegen'd `Generate` nodes on one scan — zero shuffle
+    * until the union's consumers; DuckDB replays posexplode/inline as
+    * LATERAL generate_series subscripting and stack as a 2-way UNION ALL.
+    * Schema normalized to (gen, p_partkey, k, sval, dval). */
+  def q68Generators(t: Tables): DataFrame = {
+    val toks = t.part.select(col("p_partkey"), split(lower(col("p_name")), " ").as("w"))
+    val pe = toks
+      .select(col("p_partkey"), posexplode(col("w")).as(Seq("pos", "word")))
+      .select(lit("posexplode").as("gen"), col("p_partkey"), col("pos").cast("int").as("k"),
+        col("word").as("sval"), lit(null).cast("double").as("dval"))
+    val inl = toks
+      .select(col("p_partkey"),
+        inline(expr("transform(w, (x, i) -> struct(i AS idx, concat(x, '#', length(x)) AS tagged))")))
+      .select(lit("inline").as("gen"), col("p_partkey"), col("idx").cast("int").as("k"),
+        col("tagged").as("sval"), lit(null).cast("double").as("dval"))
+    val st = t.part
+      .select(col("p_partkey"),
+        expr("stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE))").as(Seq("m", "v")))
+      .select(lit("stack").as("gen"), col("p_partkey"), lit(-1).as("k"),
+        col("m").as("sval"), col("v").as("dval"))
+    pe.unionAll(inl).unionAll(st)
+  }
+
+  /** q69: distinct counts over window frames — the window form of q14's
+    * COUNT(DISTINCT), which Spark's window functions do not accept
+    * directly (`count(distinct …) OVER` is unsupported SQL). Two frames,
+    * two scale-appropriate derivations:
+    *   - cumulative distinct customers per priority: the FIRST-OCCURRENCE
+    *     trick — row_number over (priority, customer) marks each
+    *     customer's first order, and a running SUM of that 0/1 flag IS
+    *     the running distinct count. O(n) state, plan = two window passes
+    *     over one exchange — the 100 TB shape (a per-row set
+    *     materialization is quadratic in the partition);
+    *   - sliding 10-row distinct customers: size(collect_set) over the
+    *     BOUNDED frame — per-row cost ∝ frame width, fine at any corpus
+    *     size because the frame is fixed.
+    * DuckDB replays both with native `count(DISTINCT …) OVER`, so the
+    * equivalence of the derivations to the textbook semantics is exactly
+    * what the oracle checks. Integer counts, unroundable. */
+  def q69WindowDistinct(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy(col("o_orderpriority"), col("o_custkey"))
+      .orderBy(col("o_orderkey"))
+    val run = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slide = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
+      .rowsBetween(-9, Window.currentRow)
+    t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
+      .withColumn("first_seen", (row_number().over(byCust) === 1).cast("int"))
+      .withColumn("cum_distinct_cust", sum(col("first_seen")).over(run))
+      .withColumn("win10_distinct_cust",
+        size(collect_set(col("o_custkey")).over(slide)).cast("long"))
+      .drop("first_seen")
+  }
+
   def q58ApproxSketches(t: Tables, pctAccuracy: Int = 10000): DataFrame =
     t.events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),

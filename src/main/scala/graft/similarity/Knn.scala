@@ -508,4 +508,91 @@ object Knn {
   /** Drop memoized farthest-point selections for `spark` (test hygiene). */
   def clearFpsModels(spark: SparkSession): Unit =
     fpsMemo.purgeSession(Some(spark), None)
+
+  /** MMR selections memoized per (session, corpus plan, n, k, λ-bits) —
+    * like [[fpsMemo]], the selection is a bounded fitted artifact whose
+    * construction runs driver actions. */
+  private val mmrMemo =
+    new graft.SessionKeyedCache[(Int, Int, Int, Long), Array[(Int, Long, Double, Double)]]()
+
+  /** s15: MMR (maximal-marginal-relevance) diversity re-rank — Carbonell
+    * & Goldstein 1998: from the exact top-`n` shortlist for a query,
+    * greedily select `k` results maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) — relevance traded against
+    * redundancy with what is already selected. THE retrieve-then-diversify
+    * step of RAG/context assembly: a plain top-k returns near-duplicate
+    * passages (the d05 failure mode applied to retrieval); MMR keeps the
+    * relevant-but-distinct ones. s12 diversifies the CORPUS (no query);
+    * s15 diversifies a RESULT SET around its query.
+    *
+    * Deterministic and exact: rel and sim are engine-computed
+    * round(cos, 8) values (the s01 rule); every score is the single IEEE
+    * expression λ·rel − (1−λ)·maxsim over those rounded inputs with
+    * maxsim over the empty set = 0.0, so both engines build bit-identical
+    * scores; picks order by (score DESC, vec_id) — a total order. The
+    * driver oracle replays the greedy trajectory as k chained CTE steps
+    * (the s12 pattern), fully hash-checked.
+    *
+    * Scale shape: one corpus scan computes rel map-side against the
+    * query literal and TakeOrderedAndProject clips to the n-row
+    * shortlist (never a global sort); the n² pairwise sims and the k
+    * greedy rounds run over BOUNDED frames (n ≤ shortlist budget — the
+    * model-scale boundary, Lloyd/BPE class). At serving scale the
+    * shortlist would come from the s02/s06 index instead of the exact
+    * scan; the re-rank is shortlist-bounded either way.
+    * Output: (sel_order 0-based, vec_id, rel, score). */
+  def mmrRerank(emb: DataFrame, n: Int = 50, k: Int = 10,
+                lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && k <= n, s"need 1 <= k=$k <= n=$n")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda=$lambda outside [0, 1]")
+    val spark = emb.sparkSession
+    val sel = mmrMemo.getOrElseUpdate(
+      spark, (emb.queryExecution.analyzed.semanticHash(), n, k,
+        java.lang.Double.doubleToLongBits(lambda))) {
+      val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qRow = v.orderBy(col("vec_id")).limit(1).head()
+      val qid = qRow.getLong(0)
+      val qLit = array(qRow.getSeq[Double](1).map(lit(_)): _*)
+      val short = v.filter(col("vec_id") =!= qid)
+        .select(col("vec_id"), col("v"),
+          round(VectorFns.cosine(col("v"), qLit), 8).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(n)
+        .localCheckpoint() // bounded n-row frame, read by rel collect + both sim sides
+      val rels: Map[Long, Double] = short.select(col("vec_id"), col("rel"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // pairwise sims come from the ENGINE's kernels (n² bounded rows), so
+      // oracle parity is by construction, not by a JVM mirror
+      val simRows = short.select(col("vec_id").as("i"), col("v").as("vi"))
+        .join(short.select(col("vec_id").as("j"), col("v").as("vj")),
+          col("i") =!= col("j"))
+        .select(col("i"), col("j"), round(VectorFns.cosine(col("vi"), col("vj")), 8).as("sim"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      var remaining = rels.keys.toVector.sorted
+      // maxsim over the EMPTY selected set is 0.0 (first pick = pure
+      // relevance); once anything is selected the running max is over raw
+      // sims ONLY — cosines can be negative, so folding the initial 0.0
+      // into the max would silently clamp ms at 0 and diverge from the
+      // oracle's greatest() chain
+      var maxsim = Map.empty[Long, Double]
+      val out = Array.newBuilder[(Int, Long, Double, Double)]
+      for (t <- 0 until k) {
+        val (bestScore, bestId) = remaining.map { d =>
+          (lambda * rels(d) - (1 - lambda) * maxsim.getOrElse(d, 0.0), d)
+        }.maxBy { case (s, d) => (s, -d) }
+        out += ((t, bestId, rels(bestId), bestScore))
+        remaining = remaining.filterNot(_ == bestId)
+        maxsim = remaining.map { d =>
+          val s = simRows((d, bestId))
+          d -> maxsim.get(d).fold(s)(p => math.max(p, s))
+        }.toMap
+      }
+      out.result()
+    }
+    import spark.implicits._
+    sel.toSeq.toDF("sel_order", "vec_id", "rel", "score")
+  }
+
+  /** Drop memoized MMR selections for `spark` (test hygiene). */
+  def clearMmrModels(spark: SparkSession): Unit =
+    mmrMemo.purgeSession(Some(spark), None)
 }

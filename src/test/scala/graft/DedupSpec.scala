@@ -409,6 +409,35 @@ class DedupSpec extends AnyFunSuite {
       "byte-keyed d01 sees three distinct fingerprints — the gap d16 closes")
   }
 
+  test("d25: re-punctuated / re-numbered / re-spaced variants unify; d01 and d16 are blind") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Release v1.2: Hello, World!"),
+      (2L, "release   v9.74 — hello\tworld"), // digits, punct, whitespace all differ
+      (3L, "release v hello world"),          // missing the digit slot -> distinct
+      (4L, "entirely different text")
+    ).toDF("doc_id", "text")
+    val d25 = Dedup.exactCanonical(docs).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(d25 === Map(1L -> 2L, 3L -> 1L, 4L -> 1L),
+      "canonical dedup must group 1 and 2 under doc 1")
+    assert(Dedup.exact(docs).count() === 4L, "d01 sees four distinct docs")
+    assert(Dedup.exactUnicode(docs).count() === 4L, "d16 (pure NFC) is also blind here")
+  }
+
+  test("d25 law: every d01 duplicate group is contained in a d25 group (corpus-wide)") {
+    // canon is a pure function of the bytes, so byte-equal docs are
+    // canon-equal — d25's duplicate count per group dominates d01's
+    val d01 = Dedup.exact(tables.documents)
+      .where(col("n_copies") > 1)
+      .agg(coalesce(sum(col("n_copies")), lit(0L))).collect()(0).getLong(0)
+    val d25 = Dedup.exactCanonical(tables.documents)
+      .where(col("n_copies") > 1)
+      .agg(coalesce(sum(col("n_copies")), lit(0L))).collect()(0).getLong(0)
+    assert(d25 >= d01,
+      s"canonical dedup must flag at least the exact-dup mass ($d25 < $d01)")
+  }
+
   test("d16 codegen: NfcNormalize stays inside whole-stage codegen on the scan") {
     val df = tables.documents
       .select(graft.plans.NfcNormalize.nfcCol(col("text")).as("t"))

@@ -281,6 +281,42 @@ class KnnSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("s15: MMR skips the redundant near-copy a pure top-k would keep") {
+    import spark.implicits._
+    def vec(f: Int => Double): Array[Float] = Array.tabulate(64)(i => f(i).toFloat)
+    val q = (i: Int) => math.sin(i + 1)
+    val other = (i: Int) => math.cos(3 * i + 2)
+    val emb = Seq(
+      (1L, vec(q)),                                    // the query (smallest id)
+      (2L, vec(i => q(i) + 0.001)),                    // A: most relevant
+      (3L, vec(i => q(i) + 0.002)),                    // B: near-copy of A
+      (4L, vec(i => 0.6 * q(i) + 0.8 * other(i)))      // C: relevant but distinct
+    ).toDF("vec_id", "embedding")
+    val got = Knn.mmrRerank(emb, n = 3, k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // pure relevance top-2 is {A, B}; MMR must trade B's redundancy for C
+    assert(got.toSeq === Seq((0, 2L), (1, 4L)))
+  }
+
+  test("s15: selection laws — orders 0..k-1, distinct ids, first pick is argmax relevance") {
+    val k = 6
+    Knn.clearMmrModels(spark)
+    val got = Knn.mmrRerank(tables.embeddings, n = 20, k = k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0 until k))
+    assert(got.map(_._2).distinct.length === k)
+    // first pick maximizes relevance (score = λ·rel with empty selection);
+    // later scores follow no monotone law — a strongly NEGATIVE maxsim can
+    // raise a later score above earlier ones, so none is asserted
+    assert(got(0)._3 === got.map(_._3).max)
+    // memoized: second call returns the identical selection
+    val again = Knn.mmrRerank(tables.embeddings, n = 20, k = k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("Lloyd centers: k centers inside the data envelope, every point assigned") {
     val k = 7
     val centers = ml.MlOps.kmeansCenters(tables.embeddings, k, maxIter = 2)
