@@ -43,13 +43,21 @@ object Bench {
     // their own entries so their one-time materializations aren't charged to
     // whichever consumer happens to run first — the serve-side queries then
     // measure what a served index actually costs per query batch
-    val names = Seq("_shared_shingles", "_shared_weighted_shingles",
+    val allNames = Seq("_shared_shingles", "_shared_weighted_shingles",
       "_shared_shingle_arrays", "_shared_weighted_arrays",
       "_shared_lsh_pairs",
       "_shared_jaccard_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
       "_shared_tokens") ++
       SparkEntry.queries.keys.toSeq.sorted
+    // local-iteration subset (SPARK_GRAFT_ONLY=d13_weighted_jaccard,...);
+    // the driver never sets it, so round artifacts always cover everything
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(subset) =>
+        val keep = subset.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        allNames.filter(keep)
+      case None => allNames
+    }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     for (_ <- 1 to reps) {
       // reps are independent: drop every session memo (shingles, IVF

@@ -37,6 +37,15 @@ object GraftSession {
       // the synthetic events table carries TIMESTAMP(NANOS) which Spark's
       // parquet reader rejects by default; read as long and convert in Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // generated-class cache (static conf, default 100 entries): a surface
+      // of 160+ registered queries × several codegen stages each evicts the
+      // whole cache between bench reps, so every rep re-pays Janino compile
+      // for the wide signature aggregations (d13/d14/s13/s14 measured 2-4×
+      // slower in the full run than in a 13-query subset on identical data).
+      // A long-lived production session serving a large query surface wants
+      // the same headroom; ~1 KB-10 KB per cached class keeps this far below
+      // any meaningful heap fraction
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / benchmarks. */

@@ -116,6 +116,12 @@ object SparkEntry {
     // running sum (the O(n) derivation) + bounded-frame collect_set;
     // oracle is DuckDB's native count(DISTINCT) OVER
     "q69_window_distinct" -> ((s, d) => Relational4.q69WindowDistinct(t(s, d))),
+    // q70: interval union (gaps-and-islands merge) — integer-microsecond
+    // running-max island detection; one user_id exchange end to end
+    "q70_interval_union"  -> ((s, d) => Relational4.q70IntervalUnion(t(s, d))),
+    // q71: order statistics with pinned tie/interpolation rules —
+    // explicit-rule mode + exact interpolated median + discrete quartile
+    "q71_mode_median"     -> ((s, d) => Relational4.q71ModeMedian(t(s, d))),
     // q58: HLL++ distinct + quantile sketch beside their exact companions
     // — different sketch implementations per engine, so rows-only by the
     // d06 class; RelationalSpec pins error bounds + determinism
@@ -255,6 +261,10 @@ object SparkEntry {
     // punctuation/whitespace-run collapse, then d01's group shape; the
     // "fuzzy exact" rule between byte equality and shingle Jaccard
     "d25_canonical_dedup" -> ((s, d) => Dedup.exactCanonical(t(s, d).documents)),
+    // d26: cluster-aware representative sampling — keep ⌈√size⌉ per d07
+    // cluster (singletons pass whole), deterministic md5-ordered choice;
+    // oracle nests the d07 recursive CTE
+    "d26_cluster_sample"  -> ((s, d) => graft.dedup.Clusters.clusterSample(t(s, d).documents)),
     // d11: exact dedup with the best-copy keeper (longest text, id
     // tiebreak) — the oracle ranks with a window where the engine uses a
     // skew-safe max(struct) aggregate; same keeper by construction
@@ -348,6 +358,11 @@ object SparkEntry {
     // engine-rounded cosines, so the trajectory is engine-independent and
     // the oracle replays it as chained CTE steps (the s12 pattern)
     "s15_mmr_rerank"      -> ((s, d) => Knn.mmrRerank(t(s, d).embeddings)),
+    // s16: deterministic vector routing — nearest-of-K fixed integer
+    // centroids over the s03 quantized bytes: the data-independent shard
+    // router (no model exchange, exactly replayable), argmin + dist² in
+    // IEEE-exact integer arithmetic
+    "s16_route"           -> ((s, d) => graft.similarity.Router.route(t(s, d).embeddings)),
     // s13: sign-random-projection LSH pairs — ±1-pattern planes over the
     // byte-exact s03 quantized vectors make every signature bit INTEGER
     // arithmetic (no float-sign hazard), so the whole LSH pipeline is
@@ -475,6 +490,13 @@ object SparkEntry {
     // t23: language-ID confidence margin — integer hit counts, sorted-4
     // top-2 selection, one guarded unrounded division
     "t23_lang_margin"     -> ((s, d) => TextQueries.langMargin(t(s, d).documents)),
+    // t24: hapax-legomenon profile — exact type-frequency counts off the
+    // shared token frame, one final unrounded division
+    "t24_hapax"           -> ((s, d) => TextQueries.t24Hapax(t(s, d))),
+    // p30: per-language length-gate ablation grid — bucket-aggregated
+    // retention sweep (one scan + a broadcast-sized range join, never a
+    // grid × corpus cross join)
+    "p30_gate_ablation"   -> ((s, d) => graft.operators.DataPipeline.gateAblation(t(s, d).documents)),
     // p29: the pipeline keep/drop ledger — first-failing-stage verdicts
     // from the already-proven p01/p02/p03 predicates under CASE precedence
     "p29_curation_ledger" -> ((s, d) => graft.operators.CorpusPipeline.curationLedger(t(s, d))),
@@ -894,6 +916,63 @@ object SparkEntry {
         | count(DISTINCT o_custkey) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
         |   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS win10_distinct_cust
         |FROM orders""".stripMargin,
+    // q70: the same running-max island detection in integer microseconds
+    // (epoch_us ≡ unix_micros on the micros-normalized ts)
+    "q70_interval_union" ->
+      """WITH iv AS (
+        | SELECT user_id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + (60 + event_id % 240) * 1000000 AS e
+        | FROM events),
+        |f AS (
+        | SELECT user_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+        | FROM iv),
+        |g AS (
+        | SELECT user_id, s, e,
+        |  CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS opens
+        | FROM f),
+        |h AS (
+        | SELECT user_id, s, e,
+        |  sum(opens) OVER (PARTITION BY user_id ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        | FROM g),
+        |isl AS (
+        | SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+        |  count(*) AS i_events
+        | FROM h GROUP BY user_id, island)
+        |SELECT user_id,
+        | CAST(count(*) AS BIGINT) AS n_islands,
+        | CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+        | CAST(sum(i_events) AS BIGINT) AS n_events,
+        | CAST(max(i_end - i_start) AS BIGINT) AS longest_island_us
+        |FROM isl GROUP BY user_id""".stripMargin,
+    // q71: explicit-rule order statistics — groupBy-count mode with the
+    // (count DESC, value ASC) tie-break, quantile_cont ≡ Spark's exact
+    // interpolated percentile, and the row-number discrete quartile
+    "q71_mode_median" ->
+      """WITH m0 AS (
+        | SELECT l_returnflag, l_quantity, count(*) AS cnt
+        | FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |m1 AS (
+        | SELECT l_returnflag, l_quantity, cnt,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cnt DESC, l_quantity ASC) AS rn
+        | FROM m0),
+        |md AS (SELECT l_returnflag, l_quantity AS mode_qty,
+        |  CAST(cnt AS BIGINT) AS mode_n FROM m1 WHERE rn = 1),
+        |me AS (SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) + 0.0 AS median_price
+        | FROM lineitem GROUP BY l_returnflag),
+        |r0 AS (
+        | SELECT l_returnflag, l_quantity,
+        |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem),
+        |q25 AS (SELECT l_returnflag, l_quantity AS q25_qty
+        | FROM r0 WHERE rn = (n + 3) // 4)
+        |SELECT md.l_returnflag, md.mode_qty, md.mode_n, me.median_price, q25.q25_qty
+        |FROM md JOIN me USING (l_returnflag) JOIN q25 USING (l_returnflag)""".stripMargin,
     // q66: the window-pass funnel as staged CTEs — min click strictly
     // after the first signup, min purchase strictly after that click
     // q67: no IGNORE NULLS in DuckDB — number the non-nulls rn = 1…n in
@@ -1606,6 +1685,9 @@ object SparkEntry {
     // s15: the same greedy trajectory as chained CTE steps over the
     // engine's exact shortlist and rounded pairwise cosines
     "s15_mmr_rerank" -> mmrRerankSql,
+    // s16: the same rendered integer centroids over the s03 quantization;
+    // first-min tie-break via list_indexof ≡ array_position
+    "s16_route" -> graft.similarity.Router.oracleSql(),
     // s13: the SAME ±1 planes render into this SQL (explicit ±qv[i] sums
     // over the s03-quantization CTE — integer signs can't flip between
     // engines), then d03's band-bucket pairs and the s01 cosine verify
@@ -1745,6 +1827,42 @@ object SparkEntry {
          |      THEN CAST(srt[1] - srt[2] AS DOUBLE) / CAST(n_tokens AS DOUBLE)
          |      ELSE 0.0 END AS margin
          |FROM s""".stripMargin,
+    // t24: the same (doc, token) frequency rollup off the t01 tokenizer;
+    // counts cast to BIGINT (DuckDB sums integers into HUGEINT), ratio is
+    // the single division
+    "t24_hapax" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token)
+        |SELECT doc_id,
+        | CAST(sum(tf) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        | CAST(sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+        | CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / CAST(count(*) AS DOUBLE) AS hapax_ratio
+        |FROM tf GROUP BY doc_id""".stripMargin,
+    // p30: the oracle brute-forces the grid × corpus join the engine
+    // deliberately avoids (bucket-aggregate + range join) — same cells,
+    // same inner-join vanishing, same single divisions
+    "p30_gate_ablation" ->
+      """WITH grid AS (
+        | SELECT unnest(generate_series(100, 1000, 100)) AS min_chars),
+        |kept AS (
+        | SELECT d.lang, g.min_chars,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+        | FROM documents d JOIN grid g ON d.n_chars >= g.min_chars
+        | GROUP BY d.lang, g.min_chars),
+        |tot AS (
+        | SELECT lang, CAST(count(*) AS BIGINT) AS t_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS t_chars
+        | FROM documents GROUP BY lang)
+        |SELECT k.lang, CAST(k.min_chars AS BIGINT) AS min_chars, k.n_docs, k.kept_chars,
+        | CAST(k.n_docs AS DOUBLE) / CAST(t.t_docs AS DOUBLE) AS doc_share,
+        | CAST(k.kept_chars AS DOUBLE) / CAST(t.t_chars AS DOUBLE) AS char_share
+        |FROM kept k JOIN tot t USING (lang)""".stripMargin,
     // s09: s01's oracle with list_inner_product and the same tiebreak
     "s09_mips" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2015,6 +2133,26 @@ object SparkEntry {
          |   / CAST(sum(nt) AS DOUBLE) AS token_retention
          |FROM m GROUP BY source""".stripMargin,
     "d07_dup_clusters" -> dupClustersSql,
+    // d26: d07's clusters ∪ singleton rows, md5-ordered row_number, and
+    // the identical integer ⌈√n⌉ (floor(sqrt)+correction) quota rule
+    "d26_cluster_sample" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |alldocs AS (
+         | SELECT doc_id, cluster_id, cluster_size FROM cl
+         | UNION ALL
+         | SELECT d.doc_id, d.doc_id, 1 FROM documents d
+         | WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)),
+         |ranked AS (
+         | SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+         | FROM alldocs),
+         |quota AS (
+         | SELECT *, CAST(floor(sqrt(CAST(cluster_size AS DOUBLE))) AS BIGINT) AS c
+         | FROM ranked)
+         |SELECT doc_id, cluster_id, cluster_size, sample_rank
+         |FROM quota
+         |WHERE sample_rank <= c + CASE WHEN c * c < cluster_size THEN 1 ELSE 0 END""".stripMargin,
     // d22: the d07 recursive closure over the blocking-free edit-pair SQL
     // — d19's blocking is exact, so the whole chain is brute-force-equal
     "d22_edit_clusters" ->

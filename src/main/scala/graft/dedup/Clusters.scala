@@ -302,4 +302,46 @@ object Clusters {
     docs.join(
       clusters.filter(!col("keep")).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
+
+  /** d26: cluster-aware representative sampling — keep ⌈√size⌉ documents
+    * per near-dup cluster instead of exactly one. The middle ground
+    * between no dedup (duplicated content over-weights its sources) and
+    * keep-one (d07/d11 — which flattens a 10 000-copy boilerplate family
+    * and a 2-copy genuine repost to the same single exemplar): sublinear
+    * retention preserves a frequency signal a language model can still
+    * learn from while removing the quadratic bulk, the dedup-strength
+    * compromise discussed in the dedup literature (e.g. Lee et al. 2022's
+    * observation that SOME natural repetition is in-distribution).
+    * Singletons pass through whole (cluster of 1, quota 1).
+    *
+    * Representative choice is deterministic and content-blind: order
+    * cluster members by (md5(doc_id), doc_id) — a seeded shuffle both
+    * engines reproduce — and keep the first ⌈√size⌉. ⌈√·⌉ in exact
+    * integer arithmetic: c = ⌊√n⌋ via correctly-rounded IEEE sqrt
+    * (exact for n ≤ 2⁵² with the +1 correction when c² < n; the same
+    * formula renders into the oracle, so no engine can round
+    * differently).
+    *
+    * Scale shape: d07's pair closure (LSH-bounded) + one corpus anti-join
+    * for singletons + one window pass partitioned by cluster_id — skew-
+    * safe because cluster sizes are duplication-bounded, and the window
+    * ranks only CLUSTERED docs (the anti-join side never sorts). */
+  def clusterSample(docs: DataFrame, threshold: Double = 0.8,
+                    bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val cl = dupClusters(docs, threshold, bands, rowsPerBand, k)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val singles = docs.select(col("doc_id"))
+      .join(cl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val c = floor(sqrt(col("cluster_size").cast("double"))).cast("long")
+    cl.unionByName(singles)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .withColumn("quota", c + when(c * c < col("cluster_size"), 1L).otherwise(0L))
+      .where(col("sample_rank") <= col("quota"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("sample_rank"))
+  }
 }

@@ -964,4 +964,49 @@ object DataPipeline {
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("cross_source", col("s1") =!= col("s2"))
   }
+
+  /** p30: gate-ablation grid — for every (lang, min-length threshold)
+    * cell of a sweep, what a `n_chars >= T` quality gate would retain:
+    * document count, character mass, and both as shares of the
+    * language's totals. The tuning table a curation run consults BEFORE
+    * committing to a gate (p13 applies one point of this grid; d18 is
+    * the same move for the dedup threshold) — per-language, because one
+    * global length cutoff systematically over-filters languages with
+    * shorter scripts.
+    *
+    * Exactness: counts and char sums are exact longs; the two shares are
+    * single IEEE divisions (the d02 float rule). Cells whose gate keeps
+    * zero documents vanish (inner join semantics) in both engines.
+    *
+    * Scale shape — the reason this isn't a grid × corpus cross join: docs
+    * collapse FIRST to per-(lang, step-bucket) partials (one map-side-
+    * combined exchange; bucket = floor(n_chars/step)·step capped at the
+    * grid top, and for grid points that are multiples of step,
+    * n_chars ≥ T ⟺ bucket ≥ T — exact, no boundary leak). The grid then
+    * joins the BUCKET AGGREGATE (|langs| × |grid| rows, broadcast-sized
+    * regardless of corpus size), so a 100 TB corpus pays one scan and
+    * one tiny range join, not |grid| scans. */
+  def gateAblation(docs: DataFrame, minT: Int = 100, maxT: Int = 1000,
+                   step: Int = 100): DataFrame = {
+    require(minT % step == 0 && maxT % step == 0,
+      s"grid points must be multiples of step=$step (bucket ≥ T ⟺ n_chars ≥ T " +
+        "holds only on step multiples)")
+    val bucketAgg = docs
+      .select(col("lang"),
+        least(expr(s"(n_chars div $step) * ${step}L"), lit(maxT.toLong)).as("bucket"),
+        col("n_chars"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("b_docs"), sum(col("n_chars")).as("b_chars"))
+    val totals = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("t_docs"), sum(col("n_chars")).as("t_chars"))
+    val grid = docs.sparkSession.range(minT.toLong, maxT.toLong + 1, step.toLong)
+      .select(col("id").as("min_chars"))
+    grid.join(bucketAgg, bucketAgg("bucket") >= grid("min_chars"))
+      .groupBy(col("lang"), col("min_chars"))
+      .agg(sum(col("b_docs")).as("n_docs"), sum(col("b_chars")).as("kept_chars"))
+      .join(totals, "lang")
+      .select(col("lang"), col("min_chars"), col("n_docs"), col("kept_chars"),
+        (col("n_docs").cast("double") / col("t_docs").cast("double")).as("doc_share"),
+        (col("kept_chars").cast("double") / col("t_chars").cast("double")).as("char_share"))
+  }
 }

@@ -392,6 +392,101 @@ object Relational4 {
       .drop("first_seen")
   }
 
+  /** q70: interval union (gaps-and-islands merge) — per user, the total
+    * wall-clock covered by the union of that user's event intervals and
+    * the number of disjoint activity islands. The classic coverage query
+    * (billed machine-hours, session coverage, CDC overlap) that a plain
+    * sum-of-durations double-counts whenever intervals overlap.
+    *
+    * Each event's interval is [ts, ts + 60 + event_id % 240 seconds] — a
+    * deterministic synthetic duration so the operator exercises genuine
+    * overlaps at every SF. Island detection is the standard running-max
+    * trick: sort a user's intervals by start, a row opens a new island iff
+    * its start exceeds the max end seen so far (ROWS UNBOUNDED PRECEDING
+    * TO 1 PRECEDING), and the island id is the running sum of open flags.
+    * An island's coverage is max(end) − min(start) — within an island
+    * every row's start is ≤ the running max end by construction, so the
+    * island is one contiguous covered span.
+    *
+    * Exactness: all arithmetic is integer microseconds (unix_micros /
+    * epoch_us) — no float touches a boundary. Determinism under ties: the
+    * sort key is (start, end), and end is a function of (start, event_id
+    * mod 240), so equal-key rows are interchangeable in both the running
+    * max and the flag sum.
+    *
+    * Scale shape: ONE exchange on user_id feeds both window passes and
+    * the island aggregation (same partitioning); per-user state is O(1)
+    * per row (running max + running sum — never a per-row interval set).
+    * At 100 TB this is the shape that survives: billions of events, any
+    * per-user history length, no driver-side anything. */
+  def q70IntervalUnion(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t.events.select(col("user_id"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        (lit(60L) + pmod(col("event_id"), lit(240L))) * lit(1000000L)).as("e"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val islands = ev
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("opens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("i_start"), max(col("e")).as("i_end"),
+        count(lit(1)).as("i_events"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered_us"),
+        sum(col("i_events")).as("n_events"),
+        max(col("i_end") - col("i_start")).as("longest_island_us"))
+  }
+
+  /** q71: deterministic mode / median / discrete-quartile battery per
+    * return flag — the order-statistics aggregates with every tie and
+    * interpolation rule pinned so two engines cannot disagree:
+    *   - mode_qty: NOT the engines' mode() (tie-break unspecified in
+    *     both Spark and DuckDB) but the explicit groupBy-count +
+    *     row_number over (count DESC, value ASC) — highest frequency,
+    *     smallest value on ties;
+    *   - median_price: exact interpolated percentile(0.5). Both engines
+    *     sort and average the two middle values — (a+b)/2 is one IEEE
+    *     add + one multiply on identical operands; round(·,4)+0.0
+    *     absorbs nothing real but pins −0.0;
+    *   - q25_qty: DISCRETE lower quartile — the value at ordered
+    *     position ceil(n/4), computed by the explicit row_number rule
+    *     (position (n+3) div 4 in exact integer arithmetic), not
+    *     percentile_disc, whose boundary rule differs across engines.
+    * Scale shape: mode is a two-level aggregation (map-side partials on
+    * (flag, qty), then a tiny per-flag top-1); the discrete quartile is
+    * one window pass over the flag partitioning; median is Spark's
+    * exact-percentile aggregate (sort-based within partial buffers —
+    * the declared cost of an EXACT median; the approx route is q58). */
+  def q71ModeMedian(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cnt").desc, col("l_quantity").asc)
+    val mode = t.lineitem.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byFreq))
+      .where(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+        col("cnt").as("mode_n"))
+    val med = t.lineitem.groupBy(col("l_returnflag"))
+      .agg((round(expr("percentile(l_extendedprice, 0.5)"), 4) + lit(0.0))
+        .as("median_price"))
+    val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val nAll = Window.partitionBy(col("l_returnflag"))
+    val q25 = t.lineitem.select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(byQty))
+      .withColumn("n", count(lit(1)).over(nAll))
+      .where(expr("rn = (n + 3) div 4"))
+      .select(col("l_returnflag"), col("l_quantity").as("q25_qty"))
+    mode.join(med, "l_returnflag").join(q25, "l_returnflag")
+  }
+
   def q58ApproxSketches(t: Tables, pctAccuracy: Int = 10000): DataFrame =
     t.events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),

@@ -705,4 +705,38 @@ object TextQueries {
           size(col("toks")).cast("double")).as("top_token_frac"),
         (TextFns.topElementCount(col("bg")).cast("double") /
           size(col("bg")).cast("double")).as("top_bigram_frac"))
+
+  def t24Hapax(t: Tables): DataFrame = hapaxProfile(t.documents)
+
+  /** t24: hapax-legomenon profile per document — how much of a doc's
+    * vocabulary occurs exactly once (hapax) or exactly twice (dis
+    * legomena). The standard lexical-richness signal complementing t12's
+    * TTR: natural prose keeps a high hapax share at any length
+    * (Zipf's tail), while template/generated text — high repetition,
+    * shallow vocabulary — collapses it; conversely a hapax share of ~1.0
+    * on a LONG doc flags token soup (random IDs, minified code, OCR
+    * noise) that t03's character-level ratios miss. Useful as a quality
+    * gate axis (p13-style) and as a feature for the t02/t23 family.
+    *
+    * Exactness: counts are exact longs off one (doc, token) frequency
+    * aggregation; hapax_ratio is the single IEEE division of the d02
+    * float rule. Scale shape: the memoized [[sharedTokens]] frame →
+    * per-(doc, token) partial-aggregated counts → per-doc rollup: two
+    * map-side-combining exchanges on corpus-sized but narrow frames,
+    * no window, no explode beyond the shared tokenizer — scan-bound at
+    * 100 TB exactly like t06/t07. */
+  def hapaxProfile(docs: DataFrame): DataFrame =
+    sharedTokens(docs)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("tf") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_ratio"))
 }

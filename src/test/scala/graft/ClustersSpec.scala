@@ -151,4 +151,44 @@ class ClustersSpec extends AnyFunSuite {
     assert(got(6L) === ((5L, 3L, false)))
     assert(got(7L) === ((5L, 3L, false)))
   }
+
+  test("d26: cluster sample keeps exactly ceil(sqrt(size)) per cluster, singletons whole") {
+    def ceilSqrt(n: Long): Long = {
+      val c = math.sqrt(n.toDouble).toLong
+      if (c * c < n) c + 1 else c
+    }
+    val docs = SparkTestSession.tables.documents
+    val clusters = Clusters.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nDocs = docs.count()
+    val got = Clusters.clusterSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // membership and size agree with d07 for clustered docs; singletons
+    // self-cluster at size 1
+    got.foreach { case (id, cid, size, rank) =>
+      clusters.get(id) match {
+        case Some((c, s)) => assert(cid === c && size === s)
+        case None => assert(cid === id && size === 1L && rank === 1L)
+      }
+    }
+    // per-cluster quota: exactly min(size, ceil(sqrt(size))) rows, ranks 1..q
+    val perCluster = got.groupBy(_._2)
+    perCluster.foreach { case (cid, rows) =>
+      val size = rows.head._3
+      val q = math.min(size, ceilSqrt(size))
+      assert(rows.length.toLong === q, s"cluster $cid quota")
+      assert(rows.map(_._4).sorted.toSeq === (1L to q), s"cluster $cid ranks")
+    }
+    // total = sum of quotas over clusters + all singletons
+    val clusteredIds = clusters.keySet
+    val clusterSizes = clusters.values.groupBy(_._1).view.mapValues(_.head._2).toMap
+    val expected = clusterSizes.values.map(ceilSqrt).sum + (nDocs - clusteredIds.size)
+    assert(got.length.toLong === expected)
+    // sublinear but non-trivial: strictly fewer than the corpus (there ARE
+    // clusters), strictly more than keep-one when some cluster has size >= 4
+    assert(got.length < nDocs)
+    val keepOne = (nDocs - clusteredIds.size) + clusterSizes.size
+    if (clusterSizes.values.exists(_ >= 4))
+      assert(got.length.toLong > keepOne, "sqrt retention must exceed keep-one")
+  }
 }

@@ -899,4 +899,32 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(lateDrops.forall(Set("eval_holdout", "contaminated").contains),
       s"p01 survivors may only fall to post-p01 stages, got $lateDrops")
   }
+
+  test("p30: ablation grid equals a direct filter at every (lang, threshold) cell") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents.select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val grid = graft.operators.DataPipeline.gateAblation(tables.documents).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(grid.nonEmpty)
+    val langs = docs.map(_._1).distinct
+    for (lang <- langs; t <- 100L to 1000L by 100L) {
+      val all = docs.filter(_._1 == lang)
+      val kept = all.filter(_._2 >= t)
+      grid.get((lang, t)) match {
+        case None => assert(kept.isEmpty, s"missing cell ($lang, $t) must mean zero kept")
+        case Some((n, chars, dShare, cShare)) =>
+          assert(n === kept.length.toLong, s"n_docs at ($lang, $t)")
+          assert(chars === kept.map(_._2).sum, s"kept_chars at ($lang, $t)")
+          assert(dShare === kept.length.toDouble / all.length)
+          assert(cShare === kept.map(_._2).sum.toDouble / all.map(_._2).sum)
+      }
+    }
+    // retention must be monotonically non-increasing along each lang row
+    for (lang <- langs) {
+      val row = (100L to 1000L by 100L).map(t => grid.get((lang, t)).map(_._1).getOrElse(0L))
+      assert(row === row.sorted.reverse, s"non-monotone retention for $lang: $row")
+    }
+  }
 }

@@ -493,4 +493,58 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getLong(6) === amax._3)
     }
   }
+
+  test("q70: interval union matches a JVM sweep-line merge per user") {
+    import spark.implicits._
+    val ivs = tables.events
+      .select(col("user_id"), unix_micros(col("ts")),
+        unix_micros(col("ts")) + (lit(60L) + pmod(col("event_id"), lit(240L))) * lit(1000000L))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val rows = graft.operators.Relational4.q70IntervalUnion(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val uid = r.getLong(0)
+      // classic sweep: sort by start, merge overlapping/adjacent-at-overlap
+      val sorted = ivs(uid).map(p => (p._2, p._3)).sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (Nil, iv) => List(iv)
+        case ((s0, e0) :: rest, (s, e)) =>
+          if (s > e0) (s, e) :: (s0, e0) :: rest
+          else (s0, math.max(e0, e)) :: rest
+      }.reverse
+      assert(r.getLong(1) === merged.length.toLong, s"n_islands for user $uid")
+      assert(r.getLong(2) === merged.map(p => p._2 - p._1).sum, s"covered_us for user $uid")
+      assert(r.getLong(3) === ivs(uid).length.toLong, s"n_events for user $uid")
+      assert(r.getLong(4) === merged.map(p => p._2 - p._1).max, s"longest for user $uid")
+    }
+    // the synthetic durations must actually produce overlap somewhere,
+    // or the operator degenerates to sum-of-durations and tests nothing
+    assert(rows.exists(r => r.getLong(1) < r.getLong(3)),
+      "no user has overlapping intervals — the fixture lost its point")
+  }
+
+  test("q71: mode/median/quartile match a JVM fold with the pinned tie rules") {
+    import spark.implicits._
+    val li = tables.lineitem
+      .select(col("l_returnflag"), col("l_quantity").cast("double"), col("l_extendedprice"))
+      .as[(String, Double, Double)].collect().groupBy(_._1)
+    val rows = graft.operators.Relational4.q71ModeMedian(tables).collect()
+    assert(rows.map(_.getString(0)).toSet === li.keySet)
+    rows.foreach { r =>
+      val xs = li(r.getString(0))
+      // mode: max count, min value on ties
+      val freq = xs.groupBy(_._2).view.mapValues(_.size).toMap
+      val (modeV, modeN) = freq.toSeq.minBy { case (v, n) => (-n, v) }
+      assert(r.getDouble(1) === modeV && r.getLong(2) === modeN.toLong)
+      // median: interpolated percentile 0.5 over sorted values
+      val sp = xs.map(_._3).sorted
+      val mid =
+        if (sp.length % 2 == 1) sp(sp.length / 2)
+        else (sp(sp.length / 2 - 1) + sp(sp.length / 2)) / 2.0
+      assert(math.abs(r.getDouble(3) - mid) < 1e-4, "median_price")
+      // discrete lower quartile: value at ordered position ceil(n/4)
+      val sq = xs.map(_._2).sorted
+      assert(r.getDouble(4) === sq((sq.length + 3) / 4 - 1), "q25_qty")
+    }
+  }
 }

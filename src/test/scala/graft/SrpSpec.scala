@@ -145,4 +145,25 @@ class SrpSpec extends AnyFunSuite {
       .as[Long].collect().toSet
     assert(admitted === Set(12L, 13L, 14L))
   }
+
+  test("s16: routing matches a JVM argmin over the quantized vectors, first-min ties") {
+    import graft.similarity.{Quantize, Router}
+    val cents = Router.centroidsFor(Router.Cells)
+    val qvecs = Quantize.quantized(tables.embeddings)
+      .select(col("vec_id"), col("qvec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+    val got = Router.route(tables.embeddings).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got.keySet === qvecs.keySet)
+    got.foreach { case (id, (cell, dist2)) =>
+      val q = qvecs(id)
+      val ds = cents.map(c =>
+        q.zip(c).map { case (qi, ci) => val d = qi.toLong - ci; d * d }.sum)
+      val best = ds.min
+      assert(dist2 === best, s"dist2 for vec $id")
+      assert(cell === ds.indexOf(best), s"first-min cell for vec $id")
+    }
+    // the router must actually spread vectors (no degenerate single cell)
+    assert(got.values.map(_._1).toSet.size > 1, "all vectors in one cell")
+  }
 }

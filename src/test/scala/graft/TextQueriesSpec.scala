@@ -358,4 +358,25 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got(3L)._1 === "und", "no hits anywhere is unknown")
     assert(got(3L)._5 === 0.0)
   }
+
+  test("t24: hapax profile matches hand-computed type-frequency counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a c c c"), // tokens=6 types=3 hapax=1(b) dis=1(a); c has tf 3
+      (2L, "x y"),         // all hapax
+      (3L, "z z")          // one dis legomenon, zero hapax
+    ).toDF("doc_id", "text")
+    val got = TextQueries.hapaxProfile(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(1L) === ((6L, 3L, 1L, 1L, 1.0 / 3)))
+    assert(got(2L) === ((2L, 2L, 2L, 0L, 1.0)))
+    assert(got(3L) === ((2L, 1L, 0L, 1L, 0.0)))
+    // corpus law on the real fixture: identities hold on every doc
+    TextQueries.t24Hapax(tables).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "types <= tokens")
+      assert(r.getLong(3) + r.getLong(4) <= r.getLong(2), "hapax + dis <= types")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }
