@@ -116,6 +116,10 @@ object SparkEntry {
     // running sum (the O(n) derivation) + bounded-frame collect_set;
     // oracle is DuckDB's native count(DISTINCT) OVER
     "q69_window_distinct" -> ((s, d) => Relational4.q69WindowDistinct(t(s, d))),
+    // q72: deterministic stratified hash sampling — md5-keyed membership
+    // (reproducible where TABLESAMPLE/.sample() are not), per-stratum
+    // moduli, Horvitz–Thompson estimate beside the true count
+    "q72_hash_sample"     -> ((s, d) => Relational4.q72HashSample(t(s, d))),
     // q70: interval union (gaps-and-islands merge) — integer-microsecond
     // running-max island detection; one user_id exchange end to end
     "q70_interval_union"  -> ((s, d) => Relational4.q70IntervalUnion(t(s, d))),
@@ -363,6 +367,9 @@ object SparkEntry {
     // router (no model exchange, exactly replayable), argmin + dist² in
     // IEEE-exact integer arithmetic
     "s16_route"           -> ((s, d) => graft.similarity.Router.route(t(s, d).embeddings)),
+    // s17: exact k-NN label propagation — s01's top-k + a (votes DESC,
+    // label ASC) majority vote; the auto-labeling baseline, hash-checked
+    "s17_knn_classify"    -> ((s, d) => Knn.knnClassify(t(s, d).embeddings)),
     // s13: sign-random-projection LSH pairs — ±1-pattern planes over the
     // byte-exact s03 quantized vectors make every signature bit INTEGER
     // arithmetic (no float-sign hazard), so the whole LSH pipeline is
@@ -493,6 +500,18 @@ object SparkEntry {
     // t24: hapax-legomenon profile — exact type-frequency counts off the
     // shared token frame, one final unrounded division
     "t24_hapax"           -> ((s, d) => TextQueries.t24Hapax(t(s, d))),
+    // t25: code-likeness router — symbol density + keyword hits +
+    // camel/snake identifiers, integer counts, one IEEE score expression
+    "t25_code_score"      -> ((s, d) => TextQueries.t25CodeScore(t(s, d))),
+    // t26: PII density — p04's exact rule patterns as per-class counts +
+    // matches per 1000 chars; the audit/gate side of the p04 redactor
+    "t26_pii_density"     -> ((s, d) => TextQueries.t26PiiDensity(t(s, d))),
+    // p31: provenance-priority duplicate resolution — d07 clusters
+    // resolved by source trust rank (argmin struct, skew-safe), not min-id
+    "p31_priority_dedup"  -> ((s, d) => graft.operators.DataPipeline.sourcePriorityDedup(t(s, d).documents)),
+    // p32: curriculum ordering — Flesch deciles over a total order +
+    // md5-shuffled within-phase positions
+    "p32_curriculum"      -> ((s, d) => graft.operators.DataPipeline.curriculumOrder(t(s, d).documents)),
     // p30: per-language length-gate ablation grid — bucket-aggregated
     // retention sweep (one scan + a broadcast-sized range join, never a
     // grid × corpus cross join)
@@ -973,6 +992,25 @@ object SparkEntry {
         | FROM r0 WHERE rn = (n + 3) // 4)
         |SELECT md.l_returnflag, md.mode_qty, md.mode_n, me.median_price, q25.q25_qty
         |FROM md JOIN me USING (l_returnflag) JOIN q25 USING (l_returnflag)""".stripMargin,
+    // q72: the same md5-hex-prefix uniform ('0x'||hex cast ≡ conv(…,16,10)),
+    // same per-stratum moduli, HT estimate as exact integer product
+    "q72_hash_sample" ->
+      """WITH s AS (
+        | SELECT o_orderpriority, o_totalprice,
+        |  CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) AS u,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN 2
+        |       WHEN o_orderpriority = '2-HIGH' THEN 5 ELSE 10 END AS m
+        | FROM orders),
+        |samp AS (
+        | SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(max(m) AS BIGINT) AS rate_mod,
+        |  round(sum(o_totalprice), 2) + 0.0 AS sampled_value
+        | FROM s WHERE u % m = 0 GROUP BY o_orderpriority),
+        |act AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_actual
+        | FROM orders GROUP BY o_orderpriority)
+        |SELECT samp.o_orderpriority, rate_mod, n_sampled,
+        | n_sampled * rate_mod AS est_total, n_actual, sampled_value
+        |FROM samp JOIN act USING (o_orderpriority)""".stripMargin,
     // q66: the window-pass funnel as staged CTEs — min click strictly
     // after the first signup, min purchase strictly after that click
     // q67: no IGNORE NULLS in DuckDB — number the non-nulls rn = 1…n in
@@ -1688,6 +1726,26 @@ object SparkEntry {
     // s16: the same rendered integer centroids over the s03 quantization;
     // first-min tie-break via list_indexof ≡ array_position
     "s16_route" -> graft.similarity.Router.oracleSql(),
+    // s17: s01's ranked top-k restricted to labeled (non-query) corpus,
+    // then the (votes DESC, label ASC) majority vote
+    "s17_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        | SELECT query_id, e.vec_id AS neighbor_id, e.label,
+        |  round(list_cosine_similarity(qv, v), 8) AS cos
+        | FROM q JOIN e ON e.vec_id <> q.query_id AND NOT (e.vec_id < 10)),
+        |ranked AS (SELECT query_id, neighbor_id, label,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        | FROM scored),
+        |votes AS (SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        | FROM ranked WHERE rnk <= 5 GROUP BY query_id, label),
+        |w AS (SELECT query_id, label, votes,
+        | row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rn
+        | FROM votes)
+        |SELECT query_id, label AS pred_label, votes,
+        | CAST(votes AS DOUBLE) / 5.0 AS vote_share
+        |FROM w WHERE rn = 1""".stripMargin,
     // s13: the SAME ±1 planes render into this SQL (explicit ±qv[i] sums
     // over the s03-quantization CTE — integer signs can't flip between
     // engines), then d03's band-bucket pairs and the s01 cosine verify
@@ -1843,6 +1901,66 @@ object SparkEntry {
         | CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |   / CAST(count(*) AS DOUBLE) AS hapax_ratio
         |FROM tf GROUP BY doc_id""".stripMargin,
+    // t25: identical patterns/keyword list rendered into RE2 (no
+    // backrefs/lookaround — the p04 rule); score is the same three-term
+    // IEEE sum over exact integer counts
+    "t25_code_score" -> {
+      val inKw = graft.operators.TextQueries.codeWords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id, n_symbols, n_keywords, n_idents, code_score,
+         | code_score >= 0.09 AS is_code
+         |FROM (
+         | SELECT doc_id, n_symbols, n_keywords, n_idents,
+         |  CAST(n_symbols AS DOUBLE) / CAST(n_chars_g AS DOUBLE)
+         |   + CAST(n_keywords AS DOUBLE) / CAST(n_tokens_g AS DOUBLE)
+         |   + CAST(n_idents AS DOUBLE) / CAST(n_tokens_g AS DOUBLE) AS code_score
+         | FROM (
+         |  SELECT doc_id,
+         |   CAST(len(regexp_extract_all(text, '[{}\\[\\]();=<>]')) AS BIGINT) AS n_symbols,
+         |   CAST(len(list_filter(string_split(lower(text), ' '),
+         |     t -> t IN ($inKw))) AS BIGINT) AS n_keywords,
+         |   CAST(len(regexp_extract_all(text,
+         |     '\\b[a-z]+(?:[A-Z][a-z]*|_[a-z]+)[A-Za-z0-9_]*\\b')) AS BIGINT) AS n_idents,
+         |   CAST(greatest(length(text), 1) AS BIGINT) AS n_chars_g,
+         |   CAST(greatest(len(string_split(lower(text), ' ')), 1) AS BIGINT) AS n_tokens_g
+         |  FROM documents))""".stripMargin
+    },
+    // t26: p04's rule patterns interpolated verbatim — detector and
+    // redactor can never disagree; density = integer·1000 / chars
+    "t26_pii_density" -> {
+      val rs = graft.operators.DataPipeline.piiRules.map(_.pattern)
+      s"""SELECT doc_id, n_email, n_phone, n_ip,
+         | CAST((n_email + n_phone + n_ip) * 1000 AS DOUBLE)
+         |   / CAST(n_chars_g AS DOUBLE) AS pii_per_kchar,
+         | CAST((n_email + n_phone + n_ip) * 1000 AS DOUBLE)
+         |   / CAST(n_chars_g AS DOUBLE) > 1.0 AS flagged
+         |FROM (
+         | SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${rs(0)}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${rs(1)}')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '${rs(2)}')) AS BIGINT) AS n_ip,
+         |  CAST(greatest(length(text), 1) AS BIGINT) AS n_chars_g
+         | FROM documents)""".stripMargin
+    },
+    // p32: t11's flesch fragment + ntile over the total (flesch DESC, id)
+    // order + the d26 md5 within-phase shuffle
+    "p32_curriculum" ->
+      """WITH f AS (
+        | SELECT doc_id,
+        |  206.835 - 1.015 * (n_words / n_sentences)
+        |          - 84.6 * (n_syllables / n_words) AS flesch
+        | FROM (
+        |  SELECT doc_id,
+        |   CAST(len(string_split(lower(text), ' ')) AS INT) AS n_words,
+        |   CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,
+        |   CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INT) AS n_syllables
+        |  FROM documents)),
+        |p AS (SELECT doc_id, flesch,
+        |  CAST(ntile(10) OVER (ORDER BY flesch DESC, doc_id) AS INT) AS phase
+        | FROM f)
+        |SELECT doc_id, flesch, phase,
+        | CAST(row_number() OVER (PARTITION BY phase
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS phase_order
+        |FROM p""".stripMargin,
     // p30: the oracle brute-forces the grid × corpus join the engine
     // deliberately avoids (bucket-aggregate + range join) — same cells,
     // same inner-join vanishing, same single divisions
@@ -2153,6 +2271,24 @@ object SparkEntry {
          |SELECT doc_id, cluster_id, cluster_size, sample_rank
          |FROM quota
          |WHERE sample_rank <= c + CASE WHEN c * c < cluster_size THEN 1 ELSE 0 END""".stripMargin,
+    // p31: d07's clusters joined to sources, keeper = argmin over the
+    // rendered (priority, doc_id) total order — the same CASE both sides
+    "p31_priority_dedup" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |j AS (
+         | SELECT cl.cluster_id, cl.doc_id, d.source, cl.cluster_size,
+         |  CASE WHEN d.source = 'src0' THEN 0 WHEN d.source = 'src1' THEN 1
+         |       WHEN d.source = 'src2' THEN 2 WHEN d.source = 'src3' THEN 3
+         |       ELSE 4 END AS prio
+         | FROM cl JOIN documents d ON d.doc_id = cl.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |   ORDER BY prio, doc_id) AS rn FROM j),
+         |ns AS (SELECT cluster_id, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         | FROM j GROUP BY cluster_id)
+         |SELECT r.cluster_id, r.doc_id AS keeper_id, r.source AS keeper_source,
+         | CAST(r.cluster_size AS BIGINT) AS cluster_size, ns.n_sources,
+         | CAST(r.cluster_size - 1 AS BIGINT) AS n_displaced
+         |FROM r JOIN ns USING (cluster_id) WHERE rn = 1""".stripMargin,
     // d22: the d07 recursive closure over the blocking-free edit-pair SQL
     // — d19's blocking is exact, so the whole chain is brute-force-equal
     "d22_edit_clusters" ->

@@ -965,6 +965,74 @@ object DataPipeline {
       .withColumn("cross_source", col("s1") =!= col("s2"))
   }
 
+  /** Source-priority ranks for [[sourcePriorityDedup]]: lower = more
+    * trusted. Sources outside the map rank after every listed one. */
+  val sourcePriority: Map[String, Int] =
+    Map("src0" -> 0, "src1" -> 1, "src2" -> 2, "src3" -> 3)
+
+  /** p31: license/provenance-aware duplicate resolution — d07's cluster
+    * closure resolved by SOURCE PRIORITY instead of d07's min-id or d11's
+    * longest-copy rule: when the same document circulates through several
+    * sources (the syndication p20 measures), keep the copy from the most
+    * trusted/cleanest-licensed source, ids breaking ties. This is how
+    * production corpora actually resolve duplicates — a Wikipedia copy
+    * beats a scraped mirror regardless of which id is smaller or which
+    * copy gained a footer. One row per cluster: keeper, its source, the
+    * cluster's size and distinct-source count (the syndication signal),
+    * plus how many docs the keeper displaced.
+    *
+    * Exactness: priority is a rendered literal CASE (same text both
+    * engines); the keeper is argmin over the total order (priority,
+    * doc_id) via min(struct) — skew-safe partial aggregation, no window
+    * over the corpus. Scale shape: d07's LSH-bounded closure, one join
+    * of the CLUSTERED ids (duplication-bounded, not corpus-bounded)
+    * against the doc→source projection, one aggregation per cluster. */
+  def sourcePriorityDedup(docs: DataFrame): DataFrame = {
+    val prio = sourcePriority.foldLeft(lit(sourcePriority.size)) {
+      case (acc, (s, r)) => when(col("source") === s, r).otherwise(acc)
+    }
+    val cl = graft.dedup.Clusters.dupClusters(docs)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    cl.join(docs.select(col("doc_id"), col("source"), prio.as("prio")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(struct(col("prio"), col("doc_id"), col("source"))).as("best"),
+        max(col("cluster_size")).as("cluster_size"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(col("cluster_id"),
+        col("best.doc_id").as("keeper_id"),
+        col("best.source").as("keeper_source"),
+        col("cluster_size"), col("n_sources"),
+        (col("cluster_size") - 1L).as("n_displaced"))
+  }
+
+  /** p32: curriculum ordering — assign every document a difficulty decile
+    * (t11's Flesch reading-ease, HARDER = lower score) and a deterministic
+    * within-decile shuffle position: the (phase, order) a curriculum
+    * schedule consumes easy-first (anneal decile by decile), which is the
+    * standard curriculum-learning data layout (Bengio et al. 2009) for
+    * LM pretraining warmup.
+    *
+    * Determinism: the decile is ntile(10) over the TOTAL order
+    * (flesch DESC, doc_id) — flesch is the same IEEE expression both
+    * engines compute from integer counts, and doc_id breaks every tie, so
+    * the tiling cannot diverge; the within-decile order is the md5 shuffle
+    * (the d26 rule). Scale note: ntile is one global sort — acceptable
+    * because the output IS a global ordering (any curriculum is); at
+    * 100 TB the same layout computes as range-partitioned sort
+    * (df.orderBy writes range-partitioned anyway) — no driver state. */
+  def curriculumOrder(docs: DataFrame): DataFrame = {
+    val scored = graft.operators.TextQueries.readability(docs)
+      .select(col("doc_id"), col("flesch"))
+    val byEase = Window.orderBy(col("flesch").desc, col("doc_id"))
+    val inPhase = Window.partitionBy(col("phase"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    scored
+      .withColumn("phase", ntile(10).over(byEase))
+      .withColumn("phase_order", row_number().over(inPhase).cast("long"))
+      .select(col("doc_id"), col("flesch"), col("phase"), col("phase_order"))
+  }
+
   /** p30: gate-ablation grid — for every (lang, min-length threshold)
     * cell of a sweep, what a `n_chars >= T` quality gate would retain:
     * document count, character mass, and both as shares of the

@@ -487,6 +487,44 @@ object Relational4 {
     mode.join(med, "l_returnflag").join(q25, "l_returnflag")
   }
 
+  /** q72: deterministic stratified hash sampling — the TABLESAMPLE a
+    * 100 TB profile pass actually wants: membership is a pure function of
+    * the key (md5 → 32-bit uniform, keep iff u mod m = 0), so the sample
+    * is reproducible across engines, runs, and cluster layouts — unlike
+    * TABLESAMPLE BERNOULLI (engine RNG) or .sample() (partition-layout
+    * dependent), neither of which an independent engine can replay.
+    * Stratified: the modulus (= inverse sampling rate) varies by order
+    * priority — urgent orders kept at 1/2, high at 1/5, rest at 1/10 —
+    * the standard move when rare strata would otherwise vanish from a
+    * uniform sample. Emits per-stratum sample count, the Horvitz–Thompson
+    * size estimate n_sampled·m (exact integers), the true count beside it
+    * (so the sampling error is visible), and the sampled value mass
+    * (rounded — an aggregated double).
+    *
+    * Scale shape: the filter is scan-local (one md5 per row, pushed to
+    * the scan stage); everything after operates on the SAMPLE — which is
+    * the entire point: the full table is touched once, cheaply, and the
+    * aggregation exchange carries ~n/m rows. */
+  def q72HashSample(t: Tables): DataFrame = {
+    val u = conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val m = when(col("o_orderpriority") === "1-URGENT", 2L)
+      .when(col("o_orderpriority") === "2-HIGH", 5L)
+      .otherwise(10L)
+    val sampled = t.orders
+      .select(col("o_orderpriority"), col("o_totalprice"), u.as("u"), m.as("m"))
+      .where(pmod(col("u"), col("m")) === 0)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"), max(col("m")).as("rate_mod"),
+        (round(sum(col("o_totalprice")), 2) + lit(0.0)).as("sampled_value"))
+    val actual = t.orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_actual"))
+    sampled.join(actual, "o_orderpriority")
+      .select(col("o_orderpriority"), col("rate_mod"), col("n_sampled"),
+        (col("n_sampled") * col("rate_mod")).as("est_total"),
+        col("n_actual"), col("sampled_value"))
+  }
+
   def q58ApproxSketches(t: Tables, pctAccuracy: Int = 10000): DataFrame =
     t.events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),

@@ -708,6 +708,73 @@ object TextQueries {
 
   def t24Hapax(t: Tables): DataFrame = hapaxProfile(t.documents)
 
+  def t25CodeScore(t: Tables): DataFrame = codeScore(t.documents)
+
+  /** Code-keyword vocabulary for [[codeScore]] — common across the
+    * mainstream languages a web corpus actually contains. */
+  val codeWords: Seq[String] = Seq("def", "class", "import", "return", "if",
+    "else", "for", "while", "function", "var", "const", "let", "void",
+    "int", "public", "static", "null", "true", "false", "new")
+
+  /** t25: code-likeness scoring — the prose/code router a training-data
+    * pipeline needs before mixing (code belongs in a code stream with its
+    * own dedup/quality rules; code INSIDE a prose corpus poisons n-gram
+    * statistics the way mojibake does). Three integer signals, each too
+    * weak alone, voting jointly:
+    *   - symbol density: {}[]();=<> punctuation per character — prose
+    *     stays near zero, code is structurally dense in exactly these;
+    *   - keyword hits: whitespace tokens in a fixed cross-language
+    *     vocabulary (def/class/return/const/…) — the t16 membership
+    *     trick, so tokenization equals the oracle's;
+    *   - camelCase/snake_case identifiers: word-internal case flips or
+    *     underscores — the naming shapes natural language never produces.
+    * code_score = symbol_frac + keyword and identifier rates (single
+    * IEEE expression over exact integers); is_code thresholds it.
+    *
+    * Exactness: integer regexp counts, divisions on exact operands, one
+    * boolean compare on the resulting double — deterministic both
+    * engines. Zero shuffle: one scan projection (the t01/t19 class). */
+  def codeScore(docs: DataFrame, threshold: Double = 0.09): DataFrame = {
+    val nChars = greatest(length(col("text")), lit(1)).cast("long")
+    val nToks = greatest(size(TextFns.tokens(col("text"))), lit(1)).cast("long")
+    docs.select(col("doc_id"),
+        regexp_count(col("text"), lit("[{}\\[\\]();=<>]")).cast("long").as("n_symbols"),
+        size(filter(TextFns.tokens(col("text")),
+          tk => tk.isInCollection(codeWords))).cast("long").as("n_keywords"),
+        regexp_count(col("text"), lit("\\b[a-z]+(?:[A-Z][a-z]*|_[a-z]+)[A-Za-z0-9_]*\\b"))
+          .cast("long").as("n_idents"),
+        nChars.as("n_chars_g"), nToks.as("n_tokens_g"))
+      .select(col("doc_id"), col("n_symbols"), col("n_keywords"), col("n_idents"),
+        ((col("n_symbols").cast("double") / col("n_chars_g").cast("double"))
+          + (col("n_keywords").cast("double") / col("n_tokens_g").cast("double"))
+          + (col("n_idents").cast("double") / col("n_tokens_g").cast("double")))
+          .as("code_score"))
+      .withColumn("is_code", col("code_score") >= threshold)
+  }
+
+  def t26PiiDensity(t: Tables): DataFrame = piiDensity(t.documents)
+
+  /** t26: PII density — p04's scrub rules turned into a per-document
+    * measurement: counts per PII class (email / NANP phone / dotted IPv4,
+    * p04's exact patterns so the redactor and the detector can never
+    * disagree) and matches per 1 000 characters. p04 REDACTS; this scores
+    * — the gate/audit side: a doc whose density clears the threshold gets
+    * routed to scrubbing or dropped, and the corpus-level sum is the
+    * compliance number a curation report ships. Integer counts, density =
+    * (n·1000)/chars exactly (integer numerator, one IEEE division), the
+    * flag one compare. Zero shuffle. */
+  def piiDensity(docs: DataFrame, maxPerKiloChar: Double = 1.0): DataFrame = {
+    val rules = graft.operators.DataPipeline.piiRules
+    val counts = rules.map(r => regexp_count(col("text"), lit(r.pattern)).cast("long"))
+    docs.select(col("doc_id"),
+        counts(0).as("n_email"), counts(1).as("n_phone"), counts(2).as("n_ip"),
+        greatest(length(col("text")), lit(1)).cast("long").as("n_chars_g"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        (((col("n_email") + col("n_phone") + col("n_ip")) * lit(1000L)).cast("double")
+          / col("n_chars_g").cast("double")).as("pii_per_kchar"))
+      .withColumn("flagged", col("pii_per_kchar") > maxPerKiloChar)
+  }
+
   /** t24: hapax-legomenon profile per document — how much of a doc's
     * vocabulary occurs exactly once (hapax) or exactly twice (dis
     * legomena). The standard lexical-richness signal complementing t12's

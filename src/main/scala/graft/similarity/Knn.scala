@@ -165,6 +165,50 @@ object Knn {
     topKPerKey(scored, k).withColumnRenamed("cos", "dot")
   }
 
+  /** s17: exact k-NN label propagation — classify each query vector by
+    * the majority label of its k nearest labeled neighbors: the
+    * embedding-space auto-labeling step a curation pipeline runs to
+    * extend a small hand-labeled seed set over a large corpus (domain
+    * tags, quality tiers, topic buckets) before training a proper
+    * classifier — and the 1-line baseline that classifier must beat.
+    *
+    * Deterministic end to end, so fully hash-checked (where a trained
+    * classifier would be rows-only): neighbors are s01's exact top-k
+    * (round(cos,8), vec_id tie-break); the vote resolves by (votes DESC,
+    * label ASC) — fixed tie order; vote_share is votes/k, one exact
+    * division. Queries are the unlabeled pretenders (vec_id < 10),
+    * neighbors the remaining labeled corpus — cross-side by construction
+    * (the d10 convention).
+    *
+    * Scale shape: s01's broadcast-queries + bounded-heap TopKAgg (the
+    * exchange is O(|Q|·k), corpus never shuffles), then the vote is an
+    * aggregation over |Q|·k rows — negligible. The labels join rides the
+    * SAME broadcast frame: at 100 TB labels live beside the vectors, so
+    * no extra corpus-sized join materializes. */
+  def knnClassify(emb: DataFrame, queryPred: String = "vec_id < 10",
+                  k: Int = 5): DataFrame = {
+    val v = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = v.filter(expr(queryPred)).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = v.where(!expr(queryPred))
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("label"),
+        round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
+    // labels re-attach to the |Q|·k result by id — joining the tiny top-k
+    // against the narrow (id, label) projection, not re-running `scored`
+    val top = topKPerKey(scored.drop("label"), k)
+      .join(v.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    top.groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(byVotes))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"),
+        (col("votes").cast("double") / lit(k.toDouble)).as("vote_share"))
+  }
+
   /** s10: metadata-filtered vector search — top-k among corpus vectors
     * whose METADATA passes a predicate (the "filtered ANN" problem every
     * vector store has: retrieve similar documents *from source X*, *with

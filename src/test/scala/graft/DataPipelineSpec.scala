@@ -927,4 +927,51 @@ class DataPipelineSpec extends AnyFunSuite {
       assert(row === row.sorted.reverse, s"non-monotone retention for $lang: $row")
     }
   }
+
+  test("p31: keeper is the min-(priority, id) member of every d07 cluster") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents
+    val sources = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val prio = graft.operators.DataPipeline.sourcePriority
+    val clusters = graft.dedup.Clusters.dupClusters(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val members = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val rows = graft.operators.DataPipeline.sourcePriorityDedup(docs).collect()
+    assert(rows.map(_.getLong(0)).toSet === members.keySet, "one row per cluster")
+    rows.foreach { r =>
+      val ms = members(r.getLong(0))
+      val expect = ms.minBy(id => (prio.getOrElse(sources(id), prio.size), id))
+      assert(r.getLong(1) === expect, s"keeper of cluster ${r.getLong(0)}")
+      assert(r.getString(2) === sources(expect))
+      assert(r.getLong(3) === ms.length.toLong)
+      assert(r.getLong(4) === ms.map(sources).distinct.length.toLong)
+      assert(r.getLong(5) === ms.length.toLong - 1)
+    }
+    // the rule must actually differ from d07's min-id keeper somewhere,
+    // or the operator adds nothing over dedupByClusters
+    assert(rows.exists(r => r.getLong(1) !== members(r.getLong(0)).min),
+      "no cluster where priority overrides min-id — fixture too weak")
+  }
+
+  test("p32: phases are balanced deciles ordered easiest-first, shuffle is a permutation") {
+    val rows = graft.operators.DataPipeline.curriculumOrder(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    val n = tables.documents.count()
+    assert(rows.length.toLong === n)
+    val byPhase = rows.groupBy(_._3)
+    assert(byPhase.keySet === (1 to 10).toSet)
+    // ntile balance: sizes differ by at most one
+    val sizes = byPhase.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: $sizes")
+    // easiest-first: no doc in a later phase reads easier than any doc in
+    // an earlier one (ties at the boundary may equalize, never invert)
+    for (p <- 1 to 9)
+      assert(byPhase(p).map(_._2).min >= byPhase(p + 1).map(_._2).max - 1e-12,
+        s"phase $p is not uniformly easier than phase ${p + 1}")
+    // within-phase order is a clean permutation 1..size
+    byPhase.foreach { case (p, ms) =>
+      assert(ms.map(_._4).sorted.toSeq === (1L to ms.length.toLong), s"phase $p order")
+    }
+  }
 }

@@ -333,4 +333,31 @@ class KnnSpec extends AnyFunSuite {
     // centers are distinct (no collapsed/empty-cell degeneracy on this corpus)
     assert(centers.map(_.toSeq).distinct.length === k)
   }
+
+  test("s17: knn classification equals a JVM vote over exact labeled neighbors") {
+    import org.apache.spark.sql.functions._
+    val data = tables.embeddings
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val labeled = data.filter(_._1 >= 10)
+    val rows = Knn.knnClassify(tables.embeddings).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getDouble(3)))).toMap
+    data.filter(_._1 < 10).foreach { case (qid, _, qv) =>
+      val top = labeled.map { case (id, lbl, v) => (cos(qv, v), id, lbl) }
+        .sortBy { case (c, id, _) => (-c, id) }.take(5)
+      val (lbl, votes) = top.groupBy(_._3).view.mapValues(_.size).toSeq
+        .minBy { case (l, n) => (-n, l) }
+      val (gotLbl, gotVotes, share) = rows(qid)
+      assert(gotLbl === lbl, s"pred label for query $qid")
+      assert(gotVotes === votes.toLong, s"votes for query $qid")
+      assert(share === votes.toDouble / 5.0)
+    }
+  }
 }

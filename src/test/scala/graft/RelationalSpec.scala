@@ -547,4 +547,33 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getDouble(4) === sq((sq.length + 3) / 4 - 1), "q25_qty")
     }
   }
+
+  test("q72: hash sample matches a JVM md5 replay; HT estimate lands near truth") {
+    import java.security.MessageDigest
+    def u32(key: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(key.toString.getBytes)
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    import spark.implicits._
+    val orders = tables.orders.select(col("o_orderkey"), col("o_orderpriority"))
+      .as[(Long, String)].collect()
+    def modOf(p: String): Long =
+      if (p == "1-URGENT") 2L else if (p == "2-HIGH") 5L else 10L
+    val expected = orders.filter { case (k, p) => u32(k) % modOf(p) == 0 }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rows = graft.operators.Relational4.q72HashSample(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getString(0)
+      assert(r.getLong(1) === modOf(p), "stratum modulus")
+      assert(r.getLong(2) === expected(p), s"JVM md5 replay for $p")
+      assert(r.getLong(3) === r.getLong(2) * r.getLong(1), "HT estimate identity")
+      // a 32-bit-uniform mod-m sample of n rows has sd ~ sqrt(n/m); allow 5 sd
+      val n = r.getLong(4).toDouble
+      val sd = math.sqrt(n / r.getLong(1))
+      assert(math.abs(r.getLong(3) - n) <= 5 * sd * r.getLong(1) + r.getLong(1),
+        s"HT estimate ${r.getLong(3)} implausibly far from $n for $p")
+    }
+  }
 }

@@ -379,4 +379,47 @@ class TextQueriesSpec extends AnyFunSuite {
       assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("t25: code doc routes to code, prose to prose, with hand-checked counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "def main(args): return foo(x); class Bar { int myVar = snake_case(camelCase); }"),
+      (2L, "the quiet river wound through the valley and the morning light settled on it")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.codeScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // doc 1: chars in [{}()[];=<>] — main(args) 2, foo(x); 3, { 1, = 1,
+    // snake_case(camelCase); 3, } 1 → 11 (':' is NOT in the class);
+    // keywords: def, return, class, int = 4 (main(args): etc. are not
+    // bare tokens); idents: myVar, snake_case, camelCase → 3
+    assert(got(1L)._1 === 11L, "symbol count")
+    assert(got(1L)._2 === 4L, "keyword count")
+    assert(got(1L)._3 === 3L, "identifier count")
+    assert(got(1L)._5, "code doc must flag")
+    assert(got(2L)._1 === 0L && got(2L)._2 === 0L && got(2L)._3 === 0L)
+    assert(!got(2L)._5, "prose must not flag")
+  }
+
+  test("t26: planted PII is counted per class and density-flagged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob@example.com or alice@test.org at 555-123-4567 from 10.0.0.1"),
+      (2L, "no personal information lives in this perfectly ordinary sentence at all")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.piiDensity(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got(1L)._1 === 2L && got(1L)._2 === 1L && got(1L)._3 === 1L)
+    assert(got(1L)._5, "4 hits in ~70 chars is way past 1/kchar")
+    assert(got(2L) === ((0L, 0L, 0L, 0.0, false)))
+    // consistency with the p04 redactor on the real corpus: per-doc class
+    // sums equal p04's n_redacted (same patterns by construction)
+    val dens = TextQueries.t26PiiDensity(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1) + r.getLong(2) + r.getLong(3))).toMap
+    graft.operators.DataPipeline.scrub(tables.documents).collect().foreach { r =>
+      assert(dens(r.getLong(0)) === r.getInt(2).toLong,
+        s"detector and redactor disagree on doc ${r.getLong(0)}")
+    }
+  }
 }
