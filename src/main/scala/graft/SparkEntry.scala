@@ -120,6 +120,10 @@ object SparkEntry {
     // (reproducible where TABLESAMPLE/.sample() are not), per-stratum
     // moduli, Horvitz–Thompson estimate beside the true count
     "q72_hash_sample"     -> ((s, d) => Relational4.q72HashSample(t(s, d))),
+    // q73: 30-row sliding OLS slope — five windowed sums over one frame/
+    // exchange; integer x keeps the denominator IEEE-exact, slope rounds
+    // 6 dp, degenerate windows NULL via guarded division
+    "q73_rolling_regression" -> ((s, d) => Relational4.q73RollingRegression(t(s, d))),
     // q70: interval union (gaps-and-islands merge) — integer-microsecond
     // running-max island detection; one user_id exchange end to end
     "q70_interval_union"  -> ((s, d) => Relational4.q70IntervalUnion(t(s, d))),
@@ -370,6 +374,10 @@ object SparkEntry {
     // s17: exact k-NN label propagation — s01's top-k + a (votes DESC,
     // label ASC) majority vote; the auto-labeling baseline, hash-checked
     "s17_knn_classify"    -> ((s, d) => Knn.knnClassify(t(s, d).embeddings)),
+    // s18: ANN-method recall report — s13/s14 scored against the exact
+    // all-pairs baseline inside one self-contained query; every
+    // constituent deterministic, so the whole report hash-checks
+    "s18_method_recall"   -> ((s, d) => graft.similarity.Report.methodRecall(t(s, d).embeddings)),
     // s13: sign-random-projection LSH pairs — ±1-pattern planes over the
     // byte-exact s03 quantized vectors make every signature bit INTEGER
     // arithmetic (no float-sign hazard), so the whole LSH pipeline is
@@ -506,6 +514,9 @@ object SparkEntry {
     // t26: PII density — p04's exact rule patterns as per-class counts +
     // matches per 1000 chars; the audit/gate side of the p04 redactor
     "t26_pii_density"     -> ((s, d) => TextQueries.t26PiiDensity(t(s, d))),
+    // t27: χ² keyness — which tokens characterize each source vs the
+    // rest; exact contingency longs, fixed-shape IEEE χ², top-k window
+    "t27_chi2_keyness"    -> ((s, d) => TextQueries.t27Chi2Keyness(t(s, d))),
     // p31: provenance-priority duplicate resolution — d07 clusters
     // resolved by source trust rank (argmin struct, skew-safe), not min-id
     "p31_priority_dedup"  -> ((s, d) => graft.operators.DataPipeline.sourcePriorityDedup(t(s, d).documents)),
@@ -1011,6 +1022,25 @@ object SparkEntry {
         |SELECT samp.o_orderpriority, rate_mod, n_sampled,
         | n_sampled * rate_mod AS est_total, n_actual, sampled_value
         |FROM samp JOIN act USING (o_orderpriority)""".stripMargin,
+    // q73: the identical five windowed sums (y integerized to percent so
+    // every sum is order-exact); NULLIF guards the degenerate window
+    "q73_rolling_regression" ->
+      """WITH b AS (
+        | SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  count(*) OVER w AS n,
+        |  sum(l_quantity) OVER w AS sx,
+        |  sum(round(l_discount * 100, 0)) OVER w AS sy,
+        |  sum(l_quantity * round(l_discount * 100, 0)) OVER w AS sxy,
+        |  sum(l_quantity * l_quantity) OVER w AS sxx
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_returnflag
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |     l_quantity, round(l_discount * 100, 0)
+        |   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT l_returnflag, l_orderkey, l_linenumber,
+        | round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |   / NULLIF(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0), 6) + 0.0 AS slope30
+        |FROM b""".stripMargin,
     // q66: the window-pass funnel as staged CTEs — min click strictly
     // after the first signup, min purchase strictly after that click
     // q67: no IGNORE NULLS in DuckDB — number the non-nulls rn = 1…n in
@@ -1726,6 +1756,9 @@ object SparkEntry {
     // s16: the same rendered integer centroids over the s03 quantization;
     // first-min tie-break via list_indexof ≡ array_position
     "s16_route" -> graft.similarity.Router.oracleSql(),
+    // s18: the s13/s14 pipelines and the brute-force baseline nested as
+    // CTEs, re-deriving the same six columns per method
+    "s18_method_recall" -> graft.similarity.Report.oracleSql(0.45),
     // s17: s01's ranked top-k restricted to labeled (non-query) corpus,
     // then the (votes DESC, label ASC) majority vote
     "s17_knn_classify" ->
@@ -1941,6 +1974,40 @@ object SparkEntry {
          |  CAST(greatest(length(text), 1) AS BIGINT) AS n_chars_g
          | FROM documents)""".stripMargin
     },
+    // t27: the same contingency longs off the t01 tokenizer, the same
+    // written-order χ² casts, the same (chi2 DESC, token) top-k
+    "t27_chi2_keyness" ->
+      """WITH tok AS (
+        | SELECT d.source, unnest(string_split(lower(d.text), ' ')) AS token
+        | FROM documents d),
+        |st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS a
+        | FROM tok GROUP BY source, token),
+        |tt AS (SELECT token, CAST(sum(a) AS BIGINT) AS tok_total FROM st GROUP BY token),
+        |sr AS (SELECT source, CAST(sum(a) AS BIGINT) AS src_total FROM st GROUP BY source),
+        |g AS (SELECT CAST(sum(a) AS BIGINT) AS n_total FROM st),
+        |cells AS (
+        | SELECT st.source, st.token, st.a,
+        |  tt.tok_total - st.a AS b,
+        |  sr.src_total - st.a AS c,
+        |  g.n_total - tt.tok_total - sr.src_total + st.a AS d,
+        |  g.n_total
+        | FROM st JOIN tt USING (token) JOIN sr USING (source) CROSS JOIN g
+        | WHERE tt.tok_total >= 5
+        |   AND CAST(st.a AS DOUBLE) * CAST(g.n_total - tt.tok_total - sr.src_total + st.a AS DOUBLE)
+        |     > CAST(tt.tok_total - st.a AS DOUBLE) * CAST(sr.src_total - st.a AS DOUBLE)),
+        |chi AS (
+        | SELECT source, token, a,
+        |  CAST(n_total AS DOUBLE)
+        |   * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |   * (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE))
+        |   / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) AS chi2
+        | FROM cells),
+        |r AS (SELECT source, token, a, chi2,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY chi2 DESC, token) AS INT) AS rnk
+        | FROM chi)
+        |SELECT source, rnk, token, a AS n_in_source, round(chi2, 6) + 0.0 AS chi2
+        |FROM r WHERE rnk <= 5""".stripMargin,
     // p32: t11's flesch fragment + ntile over the total (flesch DESC, id)
     // order + the d26 md5 within-phase shuffle
     "p32_curriculum" ->

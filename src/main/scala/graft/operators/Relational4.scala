@@ -525,6 +525,56 @@ object Relational4 {
         col("n_actual"), col("sampled_value"))
   }
 
+  /** q73: rolling regression — the 30-row sliding OLS slope of
+    * l_discount against l_quantity per return flag, ordered by ship
+    * date: the moving-trend window the time-series family (q09 running,
+    * q56 interval frames, q63 gap-fill) lacked. slope =
+    * (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) from five windowed sums sharing ONE
+    * frame over ONE exchange.
+    *
+    * Float discipline — the lesson this operator carries: rounding does
+    * NOT absorb sliding-sum association noise reliably (a first cut with
+    * y = raw double discount diverged from the oracle on 0.008 % of rows
+    * at round-6 boundaries — segment-tree vs running accumulation, the
+    * q56 finding, amplified by the slope ratio). So BOTH regression
+    * inputs are integerized: x = l_quantity (integer-valued), y =
+    * l_discount in integer percent (round(d·100) — TPC-H discounts are
+    * exact hundredths, so this is lossless). Every windowed sum is then
+    * IEEE-exact in any accumulation order, the slope is one division on
+    * identical operands, and round(6) merely formats. Degenerate windows
+    * (all x equal → denominator 0) emit NULL via a guarded division in
+    * both engines. */
+  def q73RollingRegression(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col("l_quantity")
+    // round(·, 0) yields an integer-VALUED double in both engines — sums
+    // over it are exact without any cast gymnastics
+    val y = round(col("l_discount") * lit(100), 0)
+    // the synthetic lineitem carries DUPLICATE (orderkey, linenumber)
+    // rows, so that triple is not a total order and tied rows would get
+    // engine-dependent ROWS frames. Extending the order with (x, y)
+    // makes any remaining tie a row identical in every column that
+    // influences the output — swapping such rows permutes identical
+    // output rows, so the result multiset is deterministic anyway.
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("x"), col("y"))
+      .rowsBetween(-29, Window.currentRow)
+    t.lineitem
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), x.as("x"), y.as("y"))
+      .withColumn("n", count(lit(1)).over(w).cast("double"))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxy", sum(col("x") * col("y")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        (round(
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            / nullif(col("n") * col("sxx") - col("sx") * col("sx"), lit(0.0)), 6)
+          + lit(0.0)).as("slope30"))
+  }
+
   def q58ApproxSketches(t: Tables, pctAccuracy: Int = 10000): DataFrame =
     t.events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),

@@ -752,6 +752,66 @@ object TextQueries {
       .withColumn("is_code", col("code_score") >= threshold)
   }
 
+  def t27Chi2Keyness(t: Tables): DataFrame = chi2Keyness(t.documents)
+
+  /** t27: χ² keyness — the tokens that CHARACTERIZE each source versus
+    * the rest of the corpus (Dunning/Rayson-style keyword extraction at
+    * the collection level): per (source, token) the 2×2 contingency
+    * χ² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) over occurrence counts
+    * in-source vs elsewhere, keeping the top `k` OVER-represented tokens
+    * (ad > bc) per source. t10 answers "what is this DOCUMENT about"
+    * (tf-idf); this answers "what makes this SOURCE different" — the
+    * signal that drives domain-mix decisions (p08/p26) and drift
+    * explanations (p22 says distributions moved; t27 says which words).
+    *
+    * Exactness: a/b/c/d are exact longs from one token aggregation; χ²
+    * is one fixed-shape IEEE expression with every factor pre-cast to
+    * double (longs < 2⁵³ convert exactly; both engines multiply in the
+    * same written order, so the doubles — and therefore the (χ² DESC,
+    * token) ranking — are bit-identical); df ≥ 5 floor keeps
+    * one-off tokens from dominating with huge sparse-cell χ².
+    *
+    * Scale shape: one (source, token) aggregation (map-side combined,
+    * vocabulary-bounded output), per-token corpus totals derived FROM
+    * that table (never a second corpus scan), per-source totals
+    * broadcast back, one window pass over the vocabulary-sized keyness
+    * table for the top-k. The corpus is scanned once. */
+  def chi2Keyness(docs: DataFrame, k: Int = 5, minDf: Long = 5): DataFrame = {
+    val st = sharedTokens(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("a"))
+    val tokTot = st.groupBy(col("token")).agg(sum(col("a")).as("tok_total"))
+    val srcTot = st.groupBy(col("source")).agg(sum(col("a")).as("src_total"))
+    val grand = st.agg(sum(col("a")).as("n_total"))
+    val cells = st
+      .join(tokTot, "token").join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(grand))
+      .where(col("tok_total") >= minDf)
+      .select(col("source"), col("token"), col("a"),
+        (col("tok_total") - col("a")).as("b"),
+        (col("src_total") - col("a")).as("c"),
+        (col("n_total") - col("tok_total") - col("src_total") + col("a")).as("d"),
+        col("n_total"))
+      .where(col("a").cast("double") * col("d").cast("double") >
+        col("b").cast("double") * col("c").cast("double"))
+    val chi2 = cells.select(col("source"), col("token"), col("a"),
+      (col("n_total").cast("double")
+        * (col("a").cast("double") * col("d").cast("double")
+          - col("b").cast("double") * col("c").cast("double"))
+        * (col("a").cast("double") * col("d").cast("double")
+          - col("b").cast("double") * col("c").cast("double"))
+        / ((col("a") + col("b")).cast("double") * (col("c") + col("d")).cast("double")
+          * (col("a") + col("c")).cast("double") * (col("b") + col("d")).cast("double")))
+        .as("chi2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("chi2").desc, col("token"))
+    chi2.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("token"), col("a").as("n_in_source"),
+        (round(col("chi2"), 6) + lit(0.0)).as("chi2"))
+  }
+
   def t26PiiDensity(t: Tables): DataFrame = piiDensity(t.documents)
 
   /** t26: PII density — p04's scrub rules turned into a per-document

@@ -1,0 +1,104 @@
+package graft.similarity
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** s18: ANN-method recall report — the evaluation harness a pipeline runs
+  * before trusting a sketch family on a new corpus: for each
+  * deterministic candidate method (s13 SRP at the default banding, s14
+  * multi-probe SRP at the corpus-sized banding), its pair count, the
+  * exact pair count, their overlap, and recall/precision against the
+  * exact all-pairs baseline — d20's method-agreement move lifted to the
+  * vector modality, with the baseline INSIDE the query so the report is
+  * self-contained.
+  *
+  * Every constituent is deterministic (SRP's integer signatures, the
+  * round(cos,8) verify rule), so unlike a trained-ANN recall spec this
+  * whole report is exactly replayable: the oracle nests the s13/s14
+  * pipelines and the brute-force baseline as CTEs and re-derives the same
+  * six columns. Precision is 1 by construction (both methods verify
+  * candidates with the baseline's own rule — asserted by the oracle, not
+  * assumed).
+  *
+  * Cost honesty: the baseline is O(n²/2) cosines — an EVALUATION operator
+  * (the d02/d05 class), run on samples or small corpora to pick (bands,
+  * rows), never on the full 100 TB corpus; the methods it scores are the
+  * scale paths. */
+object Report {
+
+  /** The memoized, persisted exact-pair baseline — the report references
+    * it from four plan branches (two methods × semi-join + count), and at
+    * O(n²/2) cosines it is exactly what must never recompute per branch.
+    * Drained by [[graft.SessionCaches]] like every session memo. */
+  private val exactMemo =
+    new graft.SessionKeyedCache[(Int, Long), DataFrame](_.unpersist(blocking = false))
+
+  /** Exact all-pairs baseline under the s13 rule: round(cos, 8) ≥ τ. */
+  private def exactPairs(emb: DataFrame, threshold: Double): DataFrame =
+    exactMemo.getOrElseUpdate(
+      emb.sparkSession,
+      (emb.queryExecution.analyzed.semanticHash(),
+        java.lang.Double.doubleToLongBits(threshold))) {
+      val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      v.select(col("vec_id").as("d1"), col("v").as("v1"))
+        .join(v.select(col("vec_id").as("d2"), col("v").as("v2")), col("d1") < col("d2"))
+        .select(col("d1"), col("d2"),
+          round(VectorFns.cosine(col("v1"), col("v2")), 8).as("cos"))
+        .where(col("cos") >= threshold)
+        .select(col("d1"), col("d2"))
+        .persist()
+    }
+
+  /** s18: (method, n_pairs, n_exact, n_common, recall, precision).
+    * Construction launches no jobs (every scalar is an in-plan 1-row
+    * aggregate, the q33 shape). */
+  def methodRecall(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val exact = exactPairs(emb, threshold)
+    val exactAgg = exact.agg(count(lit(1)).as("n_exact"))
+    val methods = Seq(
+      "srp" -> Srp.srpPairs(emb, threshold),
+      "srp_multiprobe" -> Srp.srpPairsMultiProbe(emb, threshold, nBands = 8, rowsPerBand = 8))
+    methods.map { case (name, pairs) =>
+      val p = pairs.select(col("d1"), col("d2"))
+      val common = p.join(exact, Seq("d1", "d2"), "left_semi")
+      p.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(common.agg(count(lit(1)).as("n_common")))
+        .crossJoin(exactAgg)
+        .select(lit(name).as("method"), col("n_pairs"), col("n_exact"),
+          col("n_common"),
+          (col("n_common").cast("double") / col("n_exact").cast("double"))
+            .as("recall"),
+          (col("n_common").cast("double") / col("n_pairs").cast("double"))
+            .as("precision"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The DuckDB replay: baseline + both SRP pipelines as CTE-nested
+    * subqueries, the same six columns per method. */
+  def oracleSql(threshold: Double = 0.45): String = {
+    val srp = Srp.oracleSql(threshold)
+    val mp = Srp.multiProbeOracleSql(threshold, 8, 8)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |exact AS (
+       | SELECT a.vec_id AS d1, b.vec_id AS d2
+       | FROM e a JOIN e b ON a.vec_id < b.vec_id
+       | WHERE round(list_cosine_similarity(a.v, b.v), 8) >= $threshold),
+       |m1 AS (SELECT d1, d2 FROM ($srp)),
+       |m2 AS (SELECT d1, d2 FROM ($mp)),
+       |stats AS (
+       | SELECT 'srp' AS method,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM m1) AS n_pairs,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM m1 JOIN exact USING (d1, d2)) AS n_common
+       | UNION ALL
+       | SELECT 'srp_multiprobe',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM m2),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM exact),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM m2 JOIN exact USING (d1, d2)))
+       |SELECT method, n_pairs, n_exact, n_common,
+       | CAST(n_common AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall,
+       | CAST(n_common AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS precision
+       |FROM stats""".stripMargin
+  }
+}

@@ -402,6 +402,71 @@ object EventStreams {
       }
   }
 
+  final case class IslandFlush(user_id: Long, island_start_us: Long,
+                               island_end_us: Long, n_events: Int)
+
+  /** Streaming interval union — q70's gaps-and-islands merge as an
+    * incremental stateful operator: per user, maintain the MERGED open
+    * islands of [ts, ts + 60 + event_id % 240 s) event intervals, and
+    * emit each island exactly once, as soon as it is PROVABLY closed.
+    *
+    * The finalization rule is what makes state bounded and emission
+    * exactly-once: an island whose end is below the watermark can never
+    * grow again — any admissible future event has ts ≥ watermark > end,
+    * so its interval starts strictly after the island closes and cannot
+    * merge into it. Closed islands flush (Append mode) and leave the
+    * state; what remains is only islands still reachable from the event-
+    * time horizon — state ∝ a user's ACTIVE overlap window, independent
+    * of history length (the statefulPerUserBounded discipline). An
+    * event-time timeout at the furthest open end flushes the tail when a
+    * user goes idle.
+    *
+    * Batch equivalence (spec-pinned): grouping the emitted islands per
+    * user reproduces q70's (n_islands, covered_us, n_events) exactly on
+    * any watermark-respecting arrival order — out-of-order WITHIN the
+    * watermark is handled by the sort-merge, which is order-insensitive.
+    *
+    * Scale shape: the only exchange is the groupByKey on user_id; per-key
+    * work is a merge of O(open islands + batch rows); the state store
+    * holds a few (start, end, count) triples per active user. */
+  def coverageStream(spark: SparkSession, events: Dataset[Event],
+                     watermark: String = "10 minutes"): Dataset[IslandFlush] = {
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[(Long, Long, Int)], IslandFlush](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid: Long, rows: Iterator[Event], state: GroupState[List[(Long, Long, Int)]]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = rows.map { e =>
+            val s = micros(e.ts)
+            (s, s + (60L + e.event_id % 240L) * 1000000L, 1)
+          }.toList
+          val all = (state.getOption.getOrElse(Nil) ++ incoming).sortBy(iv => (iv._1, iv._2))
+          val merged = all.foldLeft(List.empty[(Long, Long, Int)]) {
+            case (Nil, iv) => List(iv)
+            case ((s0, e0, n0) :: rest, (s, e, n)) =>
+              if (s > e0) (s, e, n) :: (s0, e0, n0) :: rest
+              else (s0, math.max(e0, e), n0 + n) :: rest
+          }.reverse
+          val (closed, open) = merged.partition(_._2 < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            // flush deadline: once the watermark passes the furthest open
+            // end, every remaining island is closed by the rule above
+            // (clamped a tick past the watermark — Spark rejects deadlines
+            // at or before it, and end/1000 == wm is possible at the edge)
+            state.setTimeoutTimestamp(
+              math.max(open.map(_._2).max / 1000L, state.getCurrentWatermarkMs() + 1L))
+          }
+          closed.iterator.map { case (s, e, n) => IslandFlush(uid, s, e, n) }
+      }
+  }
+
   /** Custom keyed state: per-user running totals, re-emitted each batch the
     * key appears in — the `flatMapGroupsWithState` shape used for bespoke
     * sessionization. UNBOUNDED by design (the name says so): state never

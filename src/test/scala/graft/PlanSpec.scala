@@ -208,4 +208,49 @@ class PlanSpec extends AnyFunSuite {
       assert(s.contains("*("), s"$q fell out of codegen:\n$s")
     }
   }
+
+  test("s16: routing is scan-local — zero exchanges, inside codegen") {
+    val df = SparkEntry.queries("s16_route")(spark, sf)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
+      s"the data-independent router must never shuffle:\n$p")
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "the K dot products must stay in whole-stage codegen")
+  }
+
+  test("q70: interval union reuses ONE user_id exchange across both window passes and the rollup") {
+    val df = SparkEntry.queries("q70_interval_union")(spark, sf)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    val exchanges = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"expected exactly the user_id exchange:\n$p")
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
+  test("p30: the grid joins a bucket AGGREGATE, never the corpus") {
+    val df = SparkEntry.queries("p30_gate_ablation")(spark, sf)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    // the docs scan must flow into an aggregate BEFORE any join with the
+    // grid: a grid × corpus join would show the range condition applied
+    // to a scan-fed BNLJ over document rows. The bucket pre-aggregation
+    // bounds the join input at |langs| × |buckets| regardless of corpus.
+    val lines = p.split("\n")
+    val joinLine = lines.indexWhere(l => l.contains("Join") && l.contains("bucket"))
+    assert(joinLine >= 0, s"bucket range join missing:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q72: sampling predicate evaluates before the aggregate (sample-sized exchange)") {
+    val df = SparkEntry.queries("q72_hash_sample")(spark, sf)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    // the md5 membership filter must sit below the partial aggregate, so
+    // the exchange carries ~n/m rows; a post-aggregate filter would ship
+    // every row
+    val filterIdx = p.split("\n").indexWhere(l => l.contains("Filter") && l.contains("pmod"))
+    assert(filterIdx >= 0, s"membership filter missing from the plan:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }

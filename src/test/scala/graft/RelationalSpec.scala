@@ -576,4 +576,37 @@ class RelationalSpec extends AnyFunSuite {
         s"HT estimate ${r.getLong(3)} implausibly far from $n for $p")
     }
   }
+
+  test("q73: rolling slope matches a JVM OLS recount over the same frames") {
+    import spark.implicits._
+    val rows = tables.lineitem
+      .select(col("l_returnflag"), col("l_shipdate").cast("string"), col("l_orderkey"),
+        col("l_linenumber").cast("long"), col("l_quantity"),
+        round(col("l_discount") * 100, 0))
+      .as[(String, String, Long, Long, Double, Double)].collect()
+    val got = graft.operators.Relational4.q73RollingRegression(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong,
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.length === rows.length)
+    val byFlag = rows.groupBy(_._1)
+    val expected = byFlag.flatMap { case (flag, rs) =>
+      val sorted = rs.sortBy(t => (t._2, t._3, t._4, t._5, t._6))
+      sorted.indices.map { i =>
+        val fr = sorted.slice(math.max(0, i - 29), i + 1)
+        val n = fr.length.toDouble
+        val sx = fr.map(_._5).sum; val sy = fr.map(_._6).sum
+        val sxy = fr.map(t => t._5 * t._6).sum; val sxx = fr.map(t => t._5 * t._5).sum
+        val den = n * sxx - sx * sx
+        val slope = if (den == 0.0) None
+          else Some(BigDecimal((n * sxy - sx * sy) / den)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+        (flag, sorted(i)._3, sorted(i)._4, slope)
+      }
+    }
+    // multiset equality: duplicate id rows make row-level pairing
+    // ambiguous by design, the permutation-invariance the operator pins
+    def ms(xs: Iterable[(String, Long, Long, Option[Double])]) =
+      xs.groupBy(identity).view.mapValues(_.size).toMap
+    assert(ms(got.toSeq) === ms(expected), "rolling slopes diverge from the JVM recount")
+  }
 }

@@ -166,4 +166,25 @@ class SrpSpec extends AnyFunSuite {
     // the router must actually spread vectors (no degenerate single cell)
     assert(got.values.map(_._1).toSet.size > 1, "all vectors in one cell")
   }
+
+  test("s18: report laws — precision 1 by construction, multiprobe recall >= srp's") {
+    val rows = graft.similarity.Report.methodRecall(tables.embeddings).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(rows.keySet === Set("srp", "srp_multiprobe"))
+    rows.foreach { case (m, (nPairs, nExact, nCommon, recall, precision)) =>
+      assert(nCommon <= nExact && nCommon <= nPairs, m)
+      assert(nExact > 0, "fixture must contain near-dup pairs")
+      // both methods verify candidates with the baseline's own rule, so
+      // every emitted pair IS an exact pair
+      assert(nCommon === nPairs, s"$m emitted a non-exact pair")
+      assert(precision === 1.0, m)
+      assert(recall === nCommon.toDouble / nExact, m)
+    }
+    // NOTE: no cross-method recall ordering here — the two methods run at
+    // DIFFERENT bandings (s13's default 4×4 vs s14's corpus-sized 8×8),
+    // so neither candidate set contains the other by construction; the
+    // probe-ring superset law at EQUAL banding is pinned in the s14 tests
+    assert(rows.values.forall(_._4 > 0.0), "both methods must find something")
+  }
 }

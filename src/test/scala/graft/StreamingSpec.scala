@@ -587,4 +587,58 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq.sorted
     assert(got === Seq(2L, 4L), s"admitted: $got")
   }
+
+  test("streaming interval coverage: islands flush once, closed-by-watermark, batch-equal") {
+    implicit val sql = spark.sqlContext
+    // durations: 60 + event_id % 240 seconds. User 1: events at 00:00 and
+    // 00:01 overlap (dur 61/62 s) → one island; 00:30 opens a second.
+    // User 2: one event. Batch 2 is OUT OF ORDER (00:31 lands after 04:00
+    // was seen by the op but inside the 10 min watermark lag).
+    val b1 = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 1.0),
+      Event(3, ts(30), 1, "click", 1.0), Event(4, ts(2), 2, "view", 1.0))
+    val b2 = Seq(
+      Event(5, ts(240), 3, "view", 1.0),   // advances watermark to 230 min
+      Event(6, ts(31), 1, "click", 1.0))   // late-but-valid: extends island 2
+    val mem = MemoryStream[Event]
+    val q = EventStreams.coverageStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("coverage").outputMode("append").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    // after batch 1 the watermark sits at 00:30 − 10 min = 00:20: only
+    // islands ending before then may have flushed (user 2's, via its
+    // timeout) — user 1's open 00:30 island must still be held
+    val early = spark.table("coverage").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(early.forall { case (_, endUs) => endUs < ts(20).getTime * 1000L },
+      s"flushed an island the watermark had not closed: ${early.toSeq}")
+    assert(!early.exists(_._1 == 1L && early.length > 1),
+      s"user 1 may close at most island 1 here: ${early.toSeq}")
+    mem.addData(b2: _*); q.processAllAvailable()
+    // watermark now 04:00 - 10 min = 03:50 → users 1 and 2 fully closed
+    mem.addData(Event(7, ts(600), 3, "view", 1.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("coverage")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // exactly-once: no island emitted twice
+    assert(got.length === got.distinct.length, s"duplicate flushes: ${got.toSeq}")
+    // JVM batch reference: q70's sweep over ALL events per user
+    val all = b1 ++ b2 ++ Seq(Event(7, ts(600), 3, "view", 1.0))
+    def us(t: java.sql.Timestamp) = t.getTime * 1000L
+    val expected = all.groupBy(_.user_id).flatMap { case (uid, evs) =>
+      val ivs = evs.map(e => (us(e.ts), us(e.ts) + (60L + e.event_id % 240L) * 1000000L, 1))
+        .sortBy(iv => (iv._1, iv._2))
+      ivs.foldLeft(List.empty[(Long, Long, Int)]) {
+        case (Nil, iv) => List(iv)
+        case ((s0, e0, n0) :: rest, (s, e, n)) =>
+          if (s > e0) (s, e, n) :: (s0, e0, n0) :: rest
+          else (s0, math.max(e0, e), n0 + n) :: rest
+      }.map { case (s, e, n) => (uid, s, e, n) }
+    }.toSet
+    // users 1 and 2 are fully flushed; user 3's tail islands may still sit
+    // in state (stream stopped before its timeout) — compare the closed set
+    val gotClosed = got.filter(r => r._1 != 3L).toSet
+    assert(gotClosed === expected.filter(_._1 != 3L),
+      s"streamed islands diverge from the batch sweep:\n got $gotClosed\n exp $expected")
+    assert(gotClosed.count(_._1 == 1L) === 2, "user 1 must close exactly two islands")
+  }
 }

@@ -422,4 +422,36 @@ class TextQueriesSpec extends AnyFunSuite {
         s"detector and redactor disagree on doc ${r.getLong(0)}")
     }
   }
+
+  test("t27: keyness matches a JVM contingency recount; planted keyword surfaces") {
+    import spark.implicits._
+    // srcA is saturated with 'zebra'; srcB with ordinary shared words.
+    // 6+ occurrences clear the df >= 5 floor.
+    val docs = Seq(
+      (1L, "A", "zebra zebra zebra common words here"),
+      (2L, "A", "zebra zebra zebra more common words"),
+      (3L, "B", "common words here again and again"),
+      (4L, "B", "more common words here too again")
+    ).toDF("doc_id", "source", "text")
+    TextQueries.releaseTokens(spark)
+    val got = TextQueries.chi2Keyness(docs, k = 3, minDf = 5).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    TextQueries.releaseTokens(spark)
+    val topA = got.filter(_._1 == "A").minBy(_._2)
+    assert(topA._3 === "zebra", s"zebra must be source A's top keyword: ${got.toSeq}")
+    assert(topA._4 === 6L)
+    // JVM recount of zebra's cell: a=6, b=0, c=A-total-6, d=B-total
+    val all = Seq("A" -> "zebra zebra zebra common words here",
+      "A" -> "zebra zebra zebra more common words",
+      "B" -> "common words here again and again",
+      "B" -> "more common words here too again")
+      .flatMap { case (s, t) => t.split(" ").map(s -> _) }
+    val aTotal = all.count(_._1 == "A").toLong
+    val bTotal = all.count(_._1 == "B").toLong
+    val nTot = aTotal + bTotal
+    val (a, b) = (6L, 0L); val c = aTotal - a; val d = bTotal
+    val chi2 = nTot.toDouble * (a.toDouble * d - b.toDouble * c) * (a.toDouble * d - b.toDouble * c) /
+      ((a + b).toDouble * (c + d).toDouble * (a + c).toDouble * (b + d).toDouble)
+    assert(math.abs(topA._5 - chi2) < 1e-6, s"chi2 ${topA._5} vs JVM $chi2")
+  }
 }
