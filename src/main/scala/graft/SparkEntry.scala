@@ -523,6 +523,18 @@ object SparkEntry {
     // p32: curriculum ordering — Flesch deciles over a total order +
     // md5-shuffled within-phase positions
     "p32_curriculum"      -> ((s, d) => graft.operators.DataPipeline.curriculumOrder(t(s, d).documents)),
+    // p33: packing-efficiency report — sequences/padding/split-docs per
+    // (budget, source) off p05's exact offsets; 4-row grid broadcast
+    "p33_packing_report"  -> ((s, d) => graft.operators.DataPipeline.packingEfficiency(t(s, d).documents)),
+    // m07: modality-alignment audit — documents ⟗ embeddings coverage per
+    // source; the m-family's first exact-oracled member
+    "m07_modality_align"  -> ((s, d) => {
+      val tt = t(s, d)
+      Multimodal.modalityAlign(tt.documents, tt.embeddings)
+    }),
+    // s19: vector-hygiene audit — dim/norm/zero/non-finite gates at
+    // ingest; zero shuffle
+    "s19_vector_quality"  -> ((s, d) => graft.similarity.Quantize.vectorQuality(t(s, d).embeddings)),
     // p30: per-language length-gate ablation grid — bucket-aggregated
     // retention sweep (one scan + a broadcast-sized range join, never a
     // grid × corpus cross join)
@@ -2008,6 +2020,60 @@ object SparkEntry {
         | FROM chi)
         |SELECT source, rnk, token, a AS n_in_source, round(chi2, 6) + 0.0 AS chi2
         |FROM r WHERE rnk <= 5""".stripMargin,
+    // p33: p05's offset CTE crossed with the same 4-budget grid; integer
+    // ceilings and boundary tests, one final division
+    "p33_packing_report" ->
+      """WITH d AS (SELECT doc_id, source, doc_id // 1000 AS shard,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, source, shard, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM d),
+        |grid AS (SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT) AS budget),
+        |split AS (
+        | SELECT g.budget, o.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(o.n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN o.tok_offset // g.budget
+        |    <> (o.tok_offset + o.n_tokens - 1) // g.budget THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_split
+        | FROM o CROSS JOIN grid g GROUP BY g.budget, o.source),
+        |sh AS (SELECT source, shard, CAST(sum(n_tokens) AS BIGINT) AS sh_tokens
+        | FROM o GROUP BY source, shard),
+        |seqs AS (
+        | SELECT g.budget, sh.source,
+        |  CAST(sum((sh.sh_tokens + g.budget - 1) // g.budget) AS BIGINT) AS n_seqs
+        | FROM sh CROSS JOIN grid g GROUP BY g.budget, sh.source)
+        |SELECT s.budget, s.source, s.n_docs, s.total_tokens, q.n_seqs, s.n_docs_split,
+        | CAST(q.n_seqs * s.budget - s.total_tokens AS DOUBLE)
+        |   / CAST(q.n_seqs * s.budget AS DOUBLE) AS padding_frac
+        |FROM split s JOIN seqs q USING (budget, source)""".stripMargin,
+    // m07: the same full outer join + per-source rollup
+    "m07_modality_align" ->
+      """WITH j AS (
+        | SELECT d.doc_id, d.source, e.vec_id
+        | FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT coalesce(source, '(none)') AS source,
+        | CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_vec,
+        | CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only,
+        | CASE WHEN sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) > 0
+        |  THEN CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |  ELSE 0.0 END AS align_rate
+        |FROM j GROUP BY coalesce(source, '(none)')""".stripMargin,
+    // s19: the same scan-local hygiene checks; norm2 via the list fold,
+    // rounded 6 dp (association noise 1e-13 vs 1e-6 boundary)
+    "s19_vector_quality" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id,
+        |  CAST(len(v) AS INT) AS dim,
+        |  list_aggregate(list_transform(v, x -> x * x), 'sum') AS norm2_raw,
+        |  CAST(len(list_filter(v, x -> x = 0.0)) AS BIGINT) AS n_zero,
+        |  CAST(len(list_filter(v, x -> isnan(x) OR isinf(x))) AS BIGINT) AS n_nonfinite
+        | FROM e)
+        |SELECT vec_id, dim, round(norm2_raw, 6) + 0.0 AS norm2, n_zero, n_nonfinite,
+        | (norm2_raw = 0.0 OR n_nonfinite > 0 OR dim <> 64) AS degenerate
+        |FROM m""".stripMargin,
     // p32: t11's flesch fragment + ntile over the total (flesch DESC, id)
     // order + the d26 md5 within-phase shuffle
     "p32_curriculum" ->

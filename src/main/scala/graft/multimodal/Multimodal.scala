@@ -385,4 +385,41 @@ object Multimodal {
         }
       }
   }
+
+  /** m07: modality-alignment audit — the join nothing else in the engine
+    * exercises: documents ⟗ embeddings on doc_id = vec_id, rolled up per
+    * source: how much of each source's text actually HAS a vector (and
+    * how many vectors float free of any document). The coverage number a
+    * multimodal training run checks before assuming it can retrieve-
+    * augment or semantically dedup a source — a source with align_rate
+    * 0.2 cannot be SemDeDup'd (d09) without first backfilling embeddings.
+    * Unmatched vectors group under source '(none)'.
+    *
+    * Exactness: counts off one full outer join, align_rate the single
+    * guarded division — fully oracle-checked (the m-family's first exact
+    * member; m02+ are rows-only because DuckDB cannot decode media, but
+    * alignment is pure relational bookkeeping). Scale shape: one
+    * equi-join exchange on the id (embeddings are the small side at text
+    * corpus scale — broadcast below threshold), one partial-agg exchange
+    * on source. */
+  def modalityAlign(docs: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val d = docs.select(col("doc_id"), col("source"))
+    val v = emb.select(col("vec_id"))
+    d.join(v, d("doc_id") === v("vec_id"), "full_outer")
+      .select(
+        coalesce(col("source"), lit("(none)")).as("source"),
+        when(col("doc_id").isNotNull, 1L).otherwise(0L).as("is_doc"),
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+          .otherwise(0L).as("is_aligned"),
+        when(col("doc_id").isNull, 1L).otherwise(0L).as("is_vec_only"))
+      .groupBy(col("source"))
+      .agg(sum(col("is_doc")).as("n_docs"),
+        sum(col("is_aligned")).as("n_with_vec"),
+        sum(col("is_vec_only")).as("n_vec_only"))
+      .select(col("source"), col("n_docs"), col("n_with_vec"), col("n_vec_only"),
+        when(col("n_docs") > 0,
+          col("n_with_vec").cast("double") / col("n_docs").cast("double"))
+          .otherwise(lit(0.0)).as("align_rate"))
+  }
 }

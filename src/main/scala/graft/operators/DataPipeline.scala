@@ -1033,6 +1033,49 @@ object DataPipeline {
       .select(col("doc_id"), col("flesch"), col("phase"), col("phase_order"))
   }
 
+  /** p33: packing-efficiency report — for each (sequence budget, source),
+    * what p05's offset packing actually costs: sequences used, padding
+    * fraction (the tokens a trainer pays for but never sees), and how
+    * many documents get split across a sequence boundary (the
+    * attention-contamination count p09's spans materialize). The
+    * budget-picking table a pretraining run consults BEFORE tokenizing
+    * 100 TB — d18/p30's ablation move applied to the packer.
+    *
+    * Exactness: offsets/totals are p05's exact integers; sequences per
+    * shard = ⌈total/b⌉ in integer arithmetic; a doc splits iff its first
+    * and last token land in different sequences (two integer divisions);
+    * padding_frac is the single IEEE division. Scale shape: the budget
+    * grid is a 4-row broadcast against the per-doc offset frame (one
+    * map-side flag per (doc, budget)) and the per-(source, shard) total
+    * frame (shard-bounded); both aggregate map-side into
+    * (budget, source) cells. The corpus is scanned once — by p05's own
+    * window pass. */
+  def packingEfficiency(docs: DataFrame,
+                        budgets: Seq[Int] = Seq(128, 256, 512, 1024),
+                        shardDocs: Int = 1000): DataFrame = {
+    val base = packSequences(docs, budgets.head, shardDocs)
+      .select(col("doc_id"), col("source"), col("shard"),
+        col("n_tokens"), col("tok_offset"))
+    val grid = docs.sparkSession.createDataFrame(budgets.map(Tuple1(_)))
+      .toDF("budget").select(col("budget").cast("long"))
+    val split = base.crossJoin(broadcast(grid))
+      .groupBy(col("budget"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        sum(when(expr("tok_offset div budget") =!=
+          expr("(tok_offset + n_tokens - 1) div budget"), 1L).otherwise(0L))
+          .as("n_docs_split"))
+    val seqs = base.groupBy(col("source"), col("shard"))
+      .agg(sum(col("n_tokens")).as("sh_tokens"))
+      .crossJoin(broadcast(grid))
+      .groupBy(col("budget"), col("source"))
+      .agg(sum(expr("(sh_tokens + budget - 1) div budget")).as("n_seqs"))
+    split.join(seqs, Seq("budget", "source"))
+      .select(col("budget"), col("source"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("n_docs_split"),
+        ((col("n_seqs") * col("budget") - col("total_tokens")).cast("double")
+          / (col("n_seqs") * col("budget")).cast("double")).as("padding_frac"))
+  }
+
   /** p30: gate-ablation grid — for every (lang, min-length threshold)
     * cell of a sweep, what a `n_chars >= T` quality gate would retain:
     * document count, character mass, and both as shares of the

@@ -43,4 +43,36 @@ object Quantize {
   def dequantized(emb: DataFrame): DataFrame =
     quantized(emb).select(col("vec_id"),
       transform(col("qvec"), q => q.cast("double") * col("scale")).as("embedding"))
+
+  /** s19: vector-hygiene audit — t03's quality gate for the embedding
+    * modality: per vector its dimensionality, squared norm, zero-element
+    * count, non-finite count, and a degenerate flag (zero vector,
+    * NaN/Inf anywhere, or off-spec dimensionality). Embedding corpora
+    * accumulate exactly these defects (failed encoder batches emit
+    * zeros; overflowed fp16 exports emit Inf; concatenation bugs change
+    * dims) and every downstream consumer — cosine dedup, IVF training,
+    * SRP routing — silently misbehaves on them (a zero vector has
+    * cosine NaN against everything), so the gate runs at ingest.
+    *
+    * Exactness: counts are exact integers off scan-local HOFs; norm2 is
+    * the sequential fold both engines compute, rounded at 6 dp — its
+    * O(1e-13) association noise against a ~1e-6 rounding boundary makes
+    * a flip ~1e-7-improbable (the q52 magnitude discipline; round-8's
+    * q73 showed round-6 does NOT cover noise at ~1e-9, hence this
+    * explicit ratio argument). The flag reads the UNROUNDED fold only
+    * through `= 0`, which noise cannot cross for a genuinely zero
+    * vector (every term is exactly 0). Zero shuffle — the t01 class. */
+  def vectorQuality(emb: DataFrame, dims: Int = 64): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val norm2 = aggregate(v, lit(0.0), (acc, x) => acc + x * x)
+    val nonfinite = size(filter(v, x =>
+      isnan(x) || abs(x) === lit(Double.PositiveInfinity)))
+    emb.select(col("vec_id"),
+      size(v).as("dim"),
+      (round(norm2, 6) + lit(0.0)).as("norm2"),
+      size(filter(v, x => x === lit(0.0))).cast("long").as("n_zero"),
+      nonfinite.cast("long").as("n_nonfinite"),
+      (norm2 === lit(0.0) || nonfinite > 0 || size(v) =!= dims)
+        .as("degenerate"))
+  }
 }

@@ -954,6 +954,53 @@ class DataPipelineSpec extends AnyFunSuite {
       "no cluster where priority overrides min-id — fixture too weak")
   }
 
+  test("p33: packing report matches a JVM recount of p05's offsets at every budget") {
+    import org.apache.spark.sql.functions.col
+    val base = graft.operators.DataPipeline.packSequences(tables.documents).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3).toLong, r.getLong(4)))
+    val got = graft.operators.DataPipeline.packingEfficiency(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val budgets = Seq(128L, 256L, 512L, 1024L)
+    assert(got.keySet === budgets.flatMap(b => base.map(_._1).distinct.map(b -> _)).toSet)
+    for (b <- budgets; src <- base.map(_._1).distinct) {
+      val rows = base.filter(_._1 == src)
+      val nSplit = rows.count(r => r._4 / b != (r._4 + r._3 - 1) / b).toLong
+      val nSeqs = rows.groupBy(_._2).values
+        .map(sh => (sh.map(_._3).sum + b - 1) / b).sum
+      val total = rows.map(_._3).sum
+      val (gd, gt, gs, gsp, gp) = got((b, src))
+      assert(gd === rows.length.toLong && gt === total, s"($b, $src) totals")
+      assert(gs === nSeqs, s"($b, $src) seqs")
+      assert(gsp === nSplit, s"($b, $src) splits")
+      assert(gp === (nSeqs * b - total).toDouble / (nSeqs * b), s"($b, $src) padding")
+      assert(gp >= 0.0 && gp < 1.0)
+    }
+  }
+
+  test("m07: alignment audit agrees with direct per-source counts") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val vecs = tables.embeddings.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val rows = graft.multimodal.Multimodal
+      .modalityAlign(tables.documents, tables.embeddings).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val bySrc = docs.groupBy(_._2)
+    bySrc.foreach { case (src, ds) =>
+      val (n, withV, vOnly, rate) = rows(src)
+      assert(n === ds.length.toLong)
+      assert(withV === ds.count(d => vecs(d._1)).toLong, s"aligned count for $src")
+      assert(vOnly === 0L, "doc-sourced rows carry no vec-only count")
+      assert(rate === withV.toDouble / n)
+    }
+    val docIds = docs.map(_._1).toSet
+    val orphans = vecs.count(v => !docIds(v)).toLong
+    if (orphans > 0) assert(rows("(none)")._3 === orphans)
+    else assert(!rows.contains("(none)"))
+  }
+
   test("p32: phases are balanced deciles ordered easiest-first, shuffle is a permutation") {
     val rows = graft.operators.DataPipeline.curriculumOrder(tables.documents).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))

@@ -65,4 +65,33 @@ class QuantizeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning") && !p.contains("Exchange rangepartitioning"),
       s"quantize must not shuffle on a key:\n$p")
   }
+
+  test("s19: hygiene audit matches a JVM recount; planted degenerates flag") {
+    import org.apache.spark.sql.functions._
+    import SparkTestSession.spark.implicits._
+    val planted = Seq(
+      (9001L, Array.fill(64)(0.0)),                    // zero vector
+      (9002L, Array.tabulate(64)(i => if (i == 0) Double.NaN else 1.0)), // NaN
+      (9003L, Array.fill(32)(1.0)),                    // wrong dim
+      (9004L, Array.tabulate(64)(_.toDouble + 1))      // healthy
+    ).toDF("vec_id", "embedding")
+    val got = graft.similarity.Quantize.vectorQuality(planted).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(got(9001L)._5 && got(9001L)._3 === 64L && got(9001L)._2 === 0.0)
+    assert(got(9002L)._5 && got(9002L)._4 === 1L)
+    assert(got(9003L)._5 && got(9003L)._1 === 32)
+    assert(!got(9004L)._5)
+    // real corpus: norm2 matches a JVM sequential fold at 6 dp
+    val data = SparkTestSession.tables.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    graft.similarity.Quantize.vectorQuality(SparkTestSession.tables.embeddings)
+      .collect().foreach { r =>
+        val v = data(r.getLong(0))
+        val n2 = v.foldLeft(0.0)((acc, x) => acc + x * x)
+        assert(math.abs(r.getDouble(2) - n2) < 1e-5, s"norm2 for vec ${r.getLong(0)}")
+        assert(!r.getBoolean(5), "driver embeddings are healthy")
+      }
+  }
 }
