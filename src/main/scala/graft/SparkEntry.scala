@@ -124,6 +124,10 @@ object SparkEntry {
     // exchange; integer x keeps the denominator IEEE-exact, slope rounds
     // 6 dp, degenerate windows NULL via guarded division
     "q73_rolling_regression" -> ((s, d) => Relational4.q73RollingRegression(t(s, d))),
+    // q74: windowed order statistics — explicit discrete-median rule over
+    // the bounded 30-row frame (Spark has no percentile window; DuckDB's
+    // median interpolates — the list rule is rendered into both)
+    "q74_window_median"   -> ((s, d) => Relational4.q74WindowMedian(t(s, d))),
     // q70: interval union (gaps-and-islands merge) — integer-microsecond
     // running-max island detection; one user_id exchange end to end
     "q70_interval_union"  -> ((s, d) => Relational4.q70IntervalUnion(t(s, d))),
@@ -2020,6 +2024,21 @@ object SparkEntry {
         | FROM chi)
         |SELECT source, rnk, token, a AS n_in_source, round(chi2, 6) + 0.0 AS chi2
         |FROM r WHERE rnk <= 5""".stripMargin,
+    // q74: the same list rule — DuckDB's windowed list + list_sort +
+    // the ⌈n/2⌉ element; nothing interpolates, nothing rounds
+    "q74_window_median" ->
+      """WITH b AS (
+        | SELECT l_returnflag, l_orderkey, l_linenumber,
+        |  list_sort(list(l_quantity) OVER w) AS frame
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_returnflag
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |   ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+        |SELECT l_returnflag, l_orderkey, l_linenumber,
+        | frame[CAST((len(frame) + 1) // 2 AS INT)] AS med30,
+        | frame[1] AS min30,
+        | frame[len(frame)] AS max30
+        |FROM b""".stripMargin,
     // p33: p05's offset CTE crossed with the same 4-budget grid; integer
     // ceilings and boundary tests, one final division
     "p33_packing_report" ->

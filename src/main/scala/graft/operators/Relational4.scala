@@ -575,6 +575,38 @@ object Relational4 {
           + lit(0.0)).as("slope30"))
   }
 
+  /** q74: windowed order statistics — discrete median (and min/max) of
+    * l_quantity over the trailing 30-row frame: the robust-trend
+    * companion to q73's OLS slope (a median is outlier-immune where a
+    * rolling mean is not). Spark's window functions accept no percentile
+    * aggregate, so the median derives EXPLICITLY: collect the bounded
+    * frame, sort it, take element ⌈n/2⌉ — the discrete lower median,
+    * the same integer rule rendered into both engines (DuckDB's native
+    * `median` interpolates, so the oracle replays the list rule
+    * instead, making the boundary convention ours, not an engine's).
+    *
+    * Scale shape: per-row cost ∝ the FIXED frame width (collect_list
+    * over 30 rows — bounded state, the q69 sliding-frame discipline;
+    * a growing frame would be quadratic and is deliberately absent);
+    * one exchange on the flag partition. Values are integers end to
+    * end — nothing rounds. */
+  def q74WindowMedian(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+      .rowsBetween(-29, Window.currentRow)
+    t.lineitem
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), col("l_quantity"))
+      .withColumn("frame", sort_array(collect_list(col("l_quantity")).over(w)))
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        element_at(col("frame"), ((size(col("frame")) + 1) / 2).cast("int"))
+          .as("med30"),
+        element_at(col("frame"), 1).as("min30"),
+        element_at(col("frame"), size(col("frame"))).as("max30"))
+  }
+
   def q58ApproxSketches(t: Tables, pctAccuracy: Int = 10000): DataFrame =
     t.events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),

@@ -609,4 +609,25 @@ class RelationalSpec extends AnyFunSuite {
       xs.groupBy(identity).view.mapValues(_.size).toMap
     assert(ms(got.toSeq) === ms(expected), "rolling slopes diverge from the JVM recount")
   }
+
+  test("q74: windowed discrete median/min/max match a JVM frame recount") {
+    import spark.implicits._
+    val rows = tables.lineitem
+      .select(col("l_returnflag"), col("l_shipdate").cast("string"), col("l_orderkey"),
+        col("l_linenumber").cast("long"), col("l_quantity"))
+      .as[(String, String, Long, Long, Double)].collect()
+    val got = graft.operators.Relational4.q74WindowMedian(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong,
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val expected = rows.groupBy(_._1).flatMap { case (flag, rs) =>
+      val sorted = rs.sortBy(t => (t._2, t._3, t._4, t._5))
+      sorted.indices.map { i =>
+        val fr = sorted.slice(math.max(0, i - 29), i + 1).map(_._5).sorted
+        (flag, sorted(i)._3, sorted(i)._4,
+          fr((fr.length + 1) / 2 - 1), fr.head, fr.last)
+      }
+    }
+    def ms[A](xs: Iterable[A]) = xs.groupBy(identity).view.mapValues(_.size).toMap
+    assert(ms(got.toSeq) === ms(expected), "windowed medians diverge from the JVM recount")
+  }
 }
