@@ -530,6 +530,10 @@ object SparkEntry {
     // p33: packing-efficiency report — sequences/padding/split-docs per
     // (budget, source) off p05's exact offsets; 4-row grid broadcast
     "p33_packing_report"  -> ((s, d) => graft.operators.DataPipeline.packingEfficiency(t(s, d).documents)),
+    // p34: near-dup decontamination report — worst eval offender + exact
+    // jaccard per contaminated train doc via the cross-side MinHash probe
+    "p34_neardup_contamination" -> ((s, d) =>
+      graft.operators.DataPipeline.nearDupContaminationReport(t(s, d).documents)),
     // m07: modality-alignment audit — documents ⟗ embeddings coverage per
     // source; the m-family's first exact-oracled member
     "m07_modality_align"  -> ((s, d) => {
@@ -2039,6 +2043,29 @@ object SparkEntry {
         | frame[1] AS min30,
         | frame[len(frame)] AS max30
         |FROM b""".stripMargin,
+    // p34: d10's exact cross-side jaccard CTE with the eval/train split,
+    // the (jaccard DESC, eval id) offender pick replayed as row_number
+    "p34_neardup_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(CASE WHEN len(w) >= 3
+        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [array_to_string(w, ' ')] END) AS shingle
+        | FROM toks),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        | SELECT a.doc_id AS dtr, b.doc_id AS dev, count(*) AS common
+        | FROM sh a JOIN sh b ON a.shingle = b.shingle
+        | WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        | GROUP BY 1, 2),
+        |scored AS (
+        | SELECT dtr, dev,
+        |  CAST(common AS DOUBLE) / CAST(s1.n + s2.n - common AS DOUBLE) AS jaccard
+        | FROM pairs JOIN sz s1 ON s1.doc_id = dtr JOIN sz s2 ON s2.doc_id = dev),
+        |hit AS (SELECT dtr, dev, jaccard,
+        |  row_number() OVER (PARTITION BY dtr ORDER BY jaccard DESC, dev ASC) AS rn
+        | FROM scored WHERE jaccard >= 0.8)
+        |SELECT dtr AS doc_id, dev AS eval_id, jaccard FROM hit WHERE rn = 1""".stripMargin,
     // p33: p05's offset CTE crossed with the same 4-budget grid; integer
     // ceilings and boundary tests, one final division
     "p33_packing_report" ->

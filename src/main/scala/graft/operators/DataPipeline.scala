@@ -1033,6 +1033,38 @@ object DataPipeline {
       .select(col("doc_id"), col("flesch"), col("phase"), col("phase_order"))
   }
 
+  /** p34: NEAR-dup decontamination report — the member the
+    * decontamination family was missing: p02 catches exact 8-gram
+    * overlap, p25 verbatim substrings, p07 is p02's Bloom-prefiltered
+    * form — none catches an eval document lightly paraphrased or
+    * re-punctuated into the training set. This one scores train docs by
+    * n-gram JACCARD against the eval side: one row per contaminated
+    * train doc with its WORST eval offender and the exact score — the
+    * evidence row p12's audit aggregates, and the drop-list a clean
+    * build anti-joins.
+    *
+    * Candidates come from the d03/d10 banded-MinHash probe cross-side
+    * (train buckets join eval buckets — traffic ∝ candidates, never
+    * |train|×|eval|), every candidate exactly verified (precision 1);
+    * the offender pick is deterministic: (jaccard DESC, eval id ASC)
+    * over exact single-division scores, so the whole report
+    * hash-matches the exact-jaccard oracle at the d03 banding recall
+    * (the d10 precedent). Scale shape: fixed-size signatures per side,
+    * (band, bucket) exchange, per-candidate verify, one |contaminated|-
+    * sized window. */
+  def nearDupContaminationReport(docs: DataFrame,
+                                 evalPred: Column = col("doc_id") % 10 === 0,
+                                 threshold: Double = 0.8): DataFrame = {
+    val pairs = Dedup.crossNearDupPairs(
+      existing = docs.where(evalPred), incoming = docs.where(!evalPred),
+      threshold = threshold)
+    val w = Window.partitionBy(col("d1"))
+      .orderBy(col("jaccard").desc, col("d2").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("d1").as("doc_id"), col("d2").as("eval_id"), col("jaccard"))
+  }
+
   /** p33: packing-efficiency report — for each (sequence budget, source),
     * what p05's offset packing actually costs: sequences used, padding
     * fraction (the tokens a trainer pays for but never sees), and how

@@ -1001,6 +1001,31 @@ class DataPipelineSpec extends AnyFunSuite {
     else assert(!rows.contains("(none)"))
   }
 
+  test("p34: planted eval near-dup is reported with its worst offender; clean docs absent") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // eval docs are % 10 == 0. Doc 11 is a light edit of eval doc 10
+    // (jaccard above 0.8); doc 12 shares nothing; doc 13 near-dups BOTH
+    // 10 and 20 — must report the higher-jaccard offender (20, identical).
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    val docs = Seq(
+      (10L, base + "one two three"),
+      (20L, base + "one two three four"),
+      (11L, base + "one two three five"),
+      (12L, "entirely different content with no shared trigrams at all here"),
+      (13L, base + "one two three four")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.DataPipeline.nearDupContaminationReport(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.contains(11L), "paraphrased doc must be reported")
+    assert(!got.contains(12L), "clean doc must be absent")
+    assert(got(13L)._1 === 20L, "worst offender wins (13 ≡ 20 exactly)")
+    assert(got(13L)._2 === 1.0)
+    got.values.foreach { case (_, j) => assert(j >= 0.8) }
+    // report doc ids are train-side only
+    assert(got.keySet.forall(_ % 10 != 0))
+  }
+
   test("p32: phases are balanced deciles ordered easiest-first, shuffle is a permutation") {
     val rows = graft.operators.DataPipeline.curriculumOrder(tables.documents).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
