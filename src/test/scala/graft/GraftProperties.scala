@@ -437,4 +437,48 @@ object GraftProperties extends Properties("graft") {
       graft.plans.LevKernels.boundedLev(ua, ub, t) == ua.levenshteinDistance(ub, t)
     }
   }
+
+  // s16 on arbitrary vectors (zeros, negatives, ties): assignment equals a
+  // JVM argmin over the same quantization, and is partitioning-invariant —
+  // the no-coordination routing claim on adversarial inputs, not just the
+  // well-behaved driver corpus.
+  property("router assignment equals JVM argmin and survives repartitioning") = {
+    val vecGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(64, Gen.chooseNum(-3.0, 3.0))))
+    forAll(vecGen) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val cents = graft.similarity.Router.centroidsFor(graft.similarity.Router.Cells)
+      val q = graft.similarity.Quantize.quantized(df)
+        .select(col("vec_id"), col("qvec")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Byte](1).toArray).toMap
+      val got = graft.similarity.Router.route(df).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      val again = graft.similarity.Router.route(df.repartition(7)).collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+      got == again && got.forall { case (id, (cell, d2)) =>
+        val ds = cents.map(c => q(id).zip(c)
+          .map { case (qi, ci) => val d = qi.toLong - ci; d * d }.sum)
+        cell == ds.indexOf(ds.min) && d2 == ds.min
+      }
+    }
+  }
+
+  // t24 on arbitrary text: the hapax/dis/type/token identities against a
+  // JVM frequency recount — including empty-ish strings, whose whitespace
+  // tokenizer artifacts ("" tokens) must count identically on both paths.
+  property("hapax profile equals a JVM frequency recount on arbitrary text") =
+    forAll(Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, nastyString))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      graft.operators.TextQueries.hapaxProfile(df).collect().forall { r =>
+        val tf = texts(r.getLong(0).toInt).toLowerCase.split(" ", -1)
+          .groupBy(identity).map { case (_, xs) => xs.length }
+        r.getLong(1) == tf.sum.toLong &&
+          r.getLong(2) == tf.size.toLong &&
+          r.getLong(3) == tf.count(_ == 1).toLong &&
+          r.getLong(4) == tf.count(_ == 2).toLong &&
+          r.getDouble(5) == tf.count(_ == 1).toDouble / tf.size
+      }
+    }
 }
