@@ -543,6 +543,12 @@ object SparkEntry {
     // s19: vector-hygiene audit — dim/norm/zero/non-finite gates at
     // ingest; zero shuffle
     "s19_vector_quality"  -> ((s, d) => graft.similarity.Quantize.vectorQuality(t(s, d).embeddings)),
+    // s20: shard-balance audit over the s16 router — per-cell share and
+    // load factor, empty cells included; the pre-commit layout check
+    "s20_route_balance"   -> ((s, d) => graft.similarity.Router.routeBalance(t(s, d).embeddings)),
+    // t28: lexicon content gate — token + distinct-breadth + phrase hits,
+    // the C4-style blocklist filter; zero shuffle
+    "t28_blocklist"       -> ((s, d) => TextQueries.t28Blocklist(t(s, d))),
     // p30: per-language length-gate ablation grid — bucket-aggregated
     // retention sweep (one scan + a broadcast-sized range join, never a
     // grid × corpus cross join)
@@ -1779,6 +1785,27 @@ object SparkEntry {
     // s18: the s13/s14 pipelines and the brute-force baseline nested as
     // CTEs, re-deriving the same six columns per method
     "s18_method_recall" -> graft.similarity.Report.oracleSql(0.45),
+    // s20: the s16 pipeline nested + generate_series grid left join
+    "s20_route_balance" -> graft.similarity.Router.balanceOracleSql(),
+    // t28: the same membership/phrase counts in RE2/list form
+    "t28_blocklist" -> {
+      val inW = graft.operators.TextQueries.blockWords.map(w => s"'$w'").mkString(", ")
+      val lw = graft.operators.TextQueries.blockWords
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val phraseSum = graft.operators.TextQueries.blockPhrases
+        .map(ph => s"len(regexp_extract_all(lower(text), '$ph'))").mkString(" + ")
+      s"""SELECT doc_id, n_hits, n_distinct, n_phrase,
+         | CAST(n_hits AS DOUBLE) / CAST(n_tokens_g AS DOUBLE) AS hit_rate,
+         | (CAST(n_hits AS DOUBLE) / CAST(n_tokens_g AS DOUBLE) > 0.05
+         |  OR n_distinct >= 3 OR n_phrase > 0) AS blocked
+         |FROM (
+         | SELECT doc_id,
+         |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inW))) AS BIGINT) AS n_hits,
+         |  CAST(len(list_intersect(list_distinct(string_split(lower(text), ' ')), $lw)) AS BIGINT) AS n_distinct,
+         |  CAST($phraseSum AS BIGINT) AS n_phrase,
+         |  CAST(greatest(len(string_split(lower(text), ' ')), 1) AS BIGINT) AS n_tokens_g
+         | FROM documents)""".stripMargin
+    },
     // s17: s01's ranked top-k restricted to labeled (non-query) corpus,
     // then the (votes DESC, label ASC) majority vote
     "s17_knn_classify" ->

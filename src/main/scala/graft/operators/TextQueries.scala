@@ -812,6 +812,45 @@ object TextQueries {
         (round(col("chi2"), 6) + lit(0.0)).as("chi2"))
   }
 
+  def t28Blocklist(t: Tables): DataFrame = blocklistGate(t.documents)
+
+  /** Default lexicon for [[blocklistGate]] — chosen to intersect the
+    * synthetic corpus vocabulary so the operator exercises; production
+    * swaps in a real brand-safety/toxicity list (the C4-style move). */
+  val blockWords: Seq[String] = Seq("slow", "null", "error", "crash")
+  val blockPhrases: Seq[String] = Seq("slow scan")
+
+  /** t28: lexicon content gate — the C4-style blocklist filter every
+    * production corpus build runs (brand-safety / toxicity / policy
+    * lexicons): per document, token hits against a word list, DISTINCT
+    * words hit, multi-word phrase hits (a phrase ban a token gate cannot
+    * express), the hit rate, and the blocked verdict (rate over
+    * threshold OR lexicon breadth ≥ 3 distinct words — breadth
+    * distinguishes a document ABOUT a taboo topic from one that grazes
+    * it). Token matching rides the exact t16 membership trick (so
+    * tokenization ≡ the oracle's); phrases are literal regexp counts.
+    *
+    * Exactness: integer counts, one guarded division, one boolean
+    * expression. Zero shuffle — the t01 scan-local class. */
+  def blocklistGate(docs: DataFrame, words: Seq[String] = blockWords,
+                    phrases: Seq[String] = blockPhrases,
+                    maxRate: Double = 0.05): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val nHits = size(filter(toks, tk => tk.isInCollection(words))).cast("long")
+    val nDistinct = size(array_intersect(array_distinct(toks),
+      array(words.map(lit): _*))).cast("long")
+    val nPhrase = phrases.map(p => regexp_count(lower(col("text")), lit(p)))
+      .reduce(_ + _).cast("long")
+    val nToks = greatest(size(toks), lit(1)).cast("long")
+    docs.select(col("doc_id"), nHits.as("n_hits"), nDistinct.as("n_distinct"),
+        nPhrase.as("n_phrase"), nToks.as("n_tokens_g"))
+      .select(col("doc_id"), col("n_hits"), col("n_distinct"), col("n_phrase"),
+        (col("n_hits").cast("double") / col("n_tokens_g").cast("double"))
+          .as("hit_rate"))
+      .withColumn("blocked",
+        col("hit_rate") > maxRate || col("n_distinct") >= 3 || col("n_phrase") > 0)
+  }
+
   def t26PiiDensity(t: Tables): DataFrame = piiDensity(t.documents)
 
   /** t26: PII density — p04's scrub rules turned into a per-document

@@ -75,6 +75,41 @@ object Router {
         array_min(col("ds")).cast("long").as("dist2"))
   }
 
+  /** s20: shard-balance audit over [[route]] — per cell its vector count,
+    * corpus share, and load factor (n·K/total; 1.0 = perfectly even),
+    * INCLUDING empty cells (a left join against the full cell range —
+    * an empty shard is exactly what the audit must surface). The check a
+    * layout run performs before committing to K: fixed centroids trade
+    * balance for coordination-freedom, and this is where that trade is
+    * measured (against p14/p21's hash-layout counterparts for rows).
+    * Exact: counts, two single divisions. One (cell)-keyed partial-agg
+    * exchange over the router's scan-local assignment. */
+  def routeBalance(emb: DataFrame, nCells: Int = Cells): DataFrame = {
+    val counts = route(emb, nCells).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val total = counts.agg(sum(col("n_vecs")).as("total"))
+    val cells = emb.sparkSession.range(nCells.toLong)
+      .select(col("id").cast("int").as("cell"))
+    cells.join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        (col("n_vecs").cast("double") / col("total").cast("double")).as("share"),
+        (col("n_vecs").cast("double") * lit(nCells.toDouble)
+          / col("total").cast("double")).as("load_factor"))
+  }
+
+  /** The s20 replay: the s16 pipeline nested, grid via generate_series. */
+  def balanceOracleSql(nCells: Int = Cells): String =
+    s"""WITH r AS (${oracleSql(nCells)}),
+       |counts AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM r GROUP BY cell),
+       |grid AS (SELECT CAST(unnest(generate_series(0, ${nCells - 1})) AS INT) AS cell),
+       |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM counts)
+       |SELECT g.cell, coalesce(c.n_vecs, 0) AS n_vecs,
+       | CAST(coalesce(c.n_vecs, 0) AS DOUBLE) / CAST(t.total AS DOUBLE) AS share,
+       | CAST(coalesce(c.n_vecs, 0) AS DOUBLE) * ${nCells}.0 / CAST(t.total AS DOUBLE) AS load_factor
+       |FROM grid g LEFT JOIN counts c USING (cell) CROSS JOIN t""".stripMargin
+
   /** The DuckDB replay of [[route]]: same quantization (s03's rendered
     * rule), same centroid literals, same first-min tie-break. */
   def oracleSql(nCells: Int = Cells): String = {

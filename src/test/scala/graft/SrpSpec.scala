@@ -187,4 +187,19 @@ class SrpSpec extends AnyFunSuite {
     // probe-ring superset law at EQUAL banding is pinned in the s14 tests
     assert(rows.values.forall(_._4 > 0.0), "both methods must find something")
   }
+
+  test("s20: balance audit conserves the corpus, covers every cell, means to load 1") {
+    import graft.similarity.Router
+    val rows = Router.routeBalance(tables.embeddings).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).sorted.toSeq === (0 until Router.Cells), "one row per cell, empties included")
+    val total = tables.embeddings.count()
+    assert(rows.map(_._2).sum === total, "counts conserve the corpus")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "shares sum to 1")
+    assert(math.abs(rows.map(_._4).sum / Router.Cells - 1.0) < 1e-9, "load factors mean 1")
+    // agreement with the routing itself
+    val byCell = Router.route(tables.embeddings).collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (c, n, _, _) => assert(n === byCell.getOrElse(c, 0L), s"cell $c") }
+  }
 }

@@ -423,6 +423,23 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t28: blocklist gate — rate, breadth and phrase routes each block independently") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "slow slow slow words here and more ordinary filler text"), // rate route
+      (2L, "slow null error appear once each in this long enough padded document body"), // breadth (3 distinct)
+      (3L, "a perfectly clean sentence with a slow scan phrase inside"), // phrase route
+      (4L, "one slow word in a long document " + ("filler " * 30).trim) // grazes: no block
+    ).toDF("doc_id", "text")
+    val got = TextQueries.blocklistGate(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5)))).toMap
+    assert(got(1L)._4 && got(1L)._1 === 3L, "high rate must block")
+    assert(got(2L)._4 && got(2L)._2 === 3L, "lexicon breadth must block")
+    assert(got(3L)._4 && got(3L)._3 === 1L, "phrase must block even at low token rate")
+    assert(!got(4L)._4, "a single graze in a long doc passes")
+  }
+
   test("t27: keyness matches a JVM contingency recount; planted keyword surfaces") {
     import spark.implicits._
     // srcA is saturated with 'zebra'; srcB with ordinary shared words.
