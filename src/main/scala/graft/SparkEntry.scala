@@ -128,6 +128,13 @@ object SparkEntry {
     // the bounded 30-row frame (Spark has no percentile window; DuckDB's
     // median interpolates — the list rule is rendered into both)
     "q74_window_median"   -> ((s, d) => Relational4.q74WindowMedian(t(s, d))),
+    // q75: Z-order layout keys + per-block audit — bit-interleaved bucket
+    // key whose aligned blocks bound BOTH dims (the pruning law)
+    "q75_zorder_layout"   -> ((s, d) => Relational4.q75ZorderLayout(t(s, d))),
+    // s21: cosine-distribution histogram over a deterministic md5 vector
+    // sample — the d18-style threshold-picking diagnostic for the cosine
+    // family; quadratic only on the sample
+    "s21_sim_histogram"   -> ((s, d) => graft.similarity.Report.simHistogram(t(s, d).embeddings)),
     // q70: interval union (gaps-and-islands merge) — integer-microsecond
     // running-max island detection; one user_id exchange end to end
     "q70_interval_union"  -> ((s, d) => Relational4.q70IntervalUnion(t(s, d))),
@@ -1787,6 +1794,23 @@ object SparkEntry {
     "s18_method_recall" -> graft.similarity.Report.oracleSql(0.45),
     // s20: the s16 pipeline nested + generate_series grid left join
     "s20_route_balance" -> graft.similarity.Router.balanceOracleSql(),
+    // s21: same md5 sample, same rounded cosine, same floor bucketing
+    "s21_sim_histogram" -> graft.similarity.Report.simHistogramOracleSql(),
+    // q75: identical shift/mask interleave arithmetic and block rollup
+    "q75_zorder_layout" -> {
+      val terms = (0 until 10).map { i =>
+        s"((bx >> $i) & 1) * ${1L << (2 * i)} + ((by >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH b AS (
+         | SELECT o_custkey % 1024 AS bx,
+         |  least(CAST(floor(o_totalprice / 1000.0) AS BIGINT), 1023) AS by
+         | FROM orders),
+         |z AS (SELECT bx, by, $terms AS zkey FROM b)
+         |SELECT zkey // 1024 AS zblock, CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(min(bx) AS BIGINT) AS min_cust_b, CAST(max(bx) AS BIGINT) AS max_cust_b,
+         | CAST(min(by) AS BIGINT) AS min_price_b, CAST(max(by) AS BIGINT) AS max_price_b
+         |FROM z GROUP BY zkey // 1024""".stripMargin
+    },
     // t28: the same membership/phrase counts in RE2/list form
     "t28_blocklist" -> {
       val inW = graft.operators.TextQueries.blockWords.map(w => s"'$w'").mkString(", ")

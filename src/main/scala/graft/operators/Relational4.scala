@@ -607,6 +607,43 @@ object Relational4 {
         element_at(col("frame"), size(col("frame"))).as("max30"))
   }
 
+  /** q75: Z-order layout keys — the multi-dimension data-layout operator
+    * Spark has no native verb for (Delta/Iceberg OPTIMIZE ZORDER's core):
+    * interleave the bits of two bucketed dimensions into one sort key so
+    * that ANY contiguous key range bounds BOTH dimensions — the property
+    * that makes min/max file statistics prune two-predicate scans where
+    * a single-column sort prunes only one. Derivation is pure integer
+    * arithmetic (10 bits per dim → 20-bit key, shift/mask/scale sums —
+    * IEEE-irrelevant, engine-exact).
+    *
+    * Output is the layout AUDIT, not the rows: per 1024-key Z-block
+    * (= an aligned 32×32 tile of the bucket grid, by construction) the
+    * row count and each dimension's min/max bucket — the table whose
+    * spec-pinned law is the pruning claim itself: every block spans ≤ 32
+    * buckets in BOTH dims (a key-sorted single-column layout spans the
+    * full 1024 in the other dim). Writing the layout is then
+    * `repartitionByRange(zkey)` + sortWithinPartitions — the p14 move
+    * with this key.
+    *
+    * Scale shape: key derivation is scan-local; the audit is one
+    * partial-agg exchange on zblock (≤ 1024 groups). */
+  def q75ZorderLayout(t: Tables): DataFrame = {
+    val bx = pmod(col("o_custkey"), lit(1024L))
+    val by = least(floor(col("o_totalprice") / lit(1000.0)).cast("long"), lit(1023L))
+    def interleave(x: Column, y: Column): Column =
+      (0 until 10).map { i =>
+        shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+          shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+      }.reduce(_ + _)
+    t.orders
+      .select(bx.as("bx"), by.as("by"))
+      .select(col("bx"), col("by"), interleave(col("bx"), col("by")).as("zkey"))
+      .groupBy(expr("zkey div 1024").as("zblock"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("bx")).as("min_cust_b"), max(col("bx")).as("max_cust_b"),
+        min(col("by")).as("min_price_b"), max(col("by")).as("max_price_b"))
+  }
+
   def q58ApproxSketches(t: Tables, pctAccuracy: Int = 10000): DataFrame =
     t.events.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),

@@ -74,6 +74,51 @@ object Report {
     }.reduce(_ unionByName _)
   }
 
+  /** s21: similarity-distribution histogram — the threshold-picking
+    * diagnostic for the cosine family (d18's move for jaccard): the
+    * distribution of pairwise cosines over a DETERMINISTIC vector sample
+    * (q72's md5 rule — keep iff u mod `mod` = 0), bucketed at 0.05. Where
+    * to put τ for d05/d09/s13 is an empirical question about THIS
+    * corpus's similarity landscape; eyeballing this histogram (mass near
+    * 1.0 = true dup clusters; the bulk = background similarity) answers
+    * it before any expensive pair run.
+    *
+    * Exactness: sample membership is a pure key function; cosines are
+    * the proven round(cos, 8) rule; the bucket is one integer floor of
+    * (rounded cos)·20 — all replayed by the oracle. Scale shape: the
+    * quadratic lives on the SAMPLE (n/mod vectors → (n/mod)²/2 pairs,
+    * mod² smaller than the corpus quadratic); the histogram is one tiny
+    * aggregation. mod is the knob: pick it so the sample is
+    * broadcast-sized at any corpus scale. */
+  def simHistogram(emb: DataFrame, mod: Int = 4): DataFrame = {
+    val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val s = emb.where(pmod(u, lit(mod.toLong)) === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = s.select(col("vec_id").as("d1"), col("v").as("v1"))
+      .join(s.select(col("vec_id").as("d2"), col("v").as("v2")), col("d1") < col("d2"))
+      .select(round(VectorFns.cosine(col("v1"), col("v2")), 8).as("cos"))
+    pairs
+      .select(floor(col("cos") * 20).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select((col("bucket").cast("double") / 20.0).as("cos_lo"), col("n_pairs"))
+  }
+
+  /** The s21 replay: same md5 sample rule, same rounded cosine, same
+    * ×20 floor bucketing. */
+  def simHistogramOracleSql(mod: Int = 4): String =
+    s"""WITH s AS (
+       | SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       | WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % $mod = 0),
+       |p AS (
+       | SELECT round(list_cosine_similarity(a.v, b.v), 8) AS cos
+       | FROM s a JOIN s b ON a.vec_id < b.vec_id),
+       |h AS (SELECT CAST(floor(cos * 20) AS BIGINT) AS bucket FROM p)
+       |SELECT CAST(bucket AS DOUBLE) / 20.0 AS cos_lo,
+       | CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM h GROUP BY bucket""".stripMargin
+
   /** The DuckDB replay: baseline + both SRP pipelines as CTE-nested
     * subqueries, the same six columns per method. */
   def oracleSql(threshold: Double = 0.45): String = {

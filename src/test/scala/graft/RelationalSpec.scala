@@ -630,4 +630,31 @@ class RelationalSpec extends AnyFunSuite {
     def ms[A](xs: Iterable[A]) = xs.groupBy(identity).view.mapValues(_.size).toMap
     assert(ms(got.toSeq) === ms(expected), "windowed medians diverge from the JVM recount")
   }
+
+  test("q75: every 1024-key Z-block bounds BOTH dims within its 32-wide tile") {
+    def interleave(x: Long, y: Long): Long =
+      (0 until 10).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    // JVM law behind the audit: an aligned 1024-key block IS a 32x32 tile
+    val rows = graft.operators.Relational4.q75ZorderLayout(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minX, maxX) = (r.getLong(2), r.getLong(3))
+      val (minY, maxY) = (r.getLong(4), r.getLong(5))
+      assert(maxX - minX < 32, s"block ${r.getLong(0)} spans ${maxX - minX + 1} cust buckets")
+      assert(maxY - minY < 32, s"block ${r.getLong(0)} spans ${maxY - minY + 1} price buckets")
+      // the tile is ALIGNED: both dims stay inside one 32-wide aligned window
+      assert(minX / 32 === maxX / 32 && minY / 32 === maxY / 32, s"block ${r.getLong(0)} unaligned")
+    }
+    // spot-check the interleave arithmetic against the JVM bit form
+    import spark.implicits._
+    val keys = tables.orders
+      .select(pmod(col("o_custkey"), lit(1024L)),
+        least(floor(col("o_totalprice") / lit(1000.0)).cast("long"), lit(1023L)))
+      .as[(Long, Long)].collect().take(200)
+    val blocks = rows.map(r => r.getLong(0)).toSet
+    keys.foreach { case (x, y) =>
+      assert(blocks.contains(interleave(x, y) / 1024), s"($x, $y) block missing")
+    }
+  }
 }

@@ -202,4 +202,32 @@ class SrpSpec extends AnyFunSuite {
       .groupBy(_.getInt(1)).view.mapValues(_.length.toLong).toMap
     rows.foreach { case (c, n, _, _) => assert(n === byCell.getOrElse(c, 0L), s"cell $c") }
   }
+
+  test("s21: histogram equals a JVM recount over the md5 sample; mass conserves") {
+    import java.security.MessageDigest
+    def u32(key: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(key.toString.getBytes)
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val data = tables.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .filter { case (id, _) => u32(id) % 4 == 0 }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      i <- data.indices; j <- (i + 1) until data.length
+    } yield math.floor(cos(data(i)._2, data(j)._2) * 20).toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.similarity.Report.simHistogram(tables.embeddings).collect()
+      .map(r => math.round(r.getDouble(0) * 20) -> r.getLong(1)).toMap
+    assert(got === expected, "histogram diverges from the JVM recount")
+    assert(got.values.sum === data.length.toLong * (data.length - 1) / 2,
+      "bucket mass must conserve the sample-pair count")
+  }
 }
