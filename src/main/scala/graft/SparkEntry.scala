@@ -560,6 +560,22 @@ object SparkEntry {
     // retention sweep (one scan + a broadcast-sized range join, never a
     // grid × corpus cross join)
     "p30_gate_ablation"   -> ((s, d) => graft.operators.DataPipeline.gateAblation(t(s, d).documents)),
+    // q76: parse_url battery — the URL is BUILT from table columns, so
+    // the oracle emits each part by construction and the engine side must
+    // actually parse (parse ∘ build = identity); exact strings, no floats
+    "q76_url_parse"       -> ((s, d) => Relational4.q76UrlParse(t(s, d))),
+    // q77: MERGE/upsert — full-outer join on the key with update/insert/
+    // keep actions; prices as exact integer cents
+    "q77_merge_upsert"    -> ((s, d) => Relational4.q77MergeUpsert(t(s, d))),
+    // p35: quality-proportional soft sampling — md5-uniform Bernoulli
+    // decided by an exact integer cross-multiplication, HT weights as
+    // integer ppm; membership replayable in SQL (the q72 rule)
+    "p35_soft_sample"     -> ((s, d) => graft.operators.DataPipeline.softSample(t(s, d).documents)),
+    // s22: graph-based ANN (greedy beam search over the s08 kNN graph) —
+    // approximate by construction (a neighbor unreachable in `iters` hops
+    // is missed) → rows-only, the s02 class; GraphSearchSpec pins recall
+    // vs s01, the seed-improvement law and partitioning invariance
+    "s22_graph_search"    -> ((s, d) => graft.similarity.GraphSearch.search(t(s, d).embeddings)),
     // p29: the pipeline keep/drop ledger — first-failing-stage verdicts
     // from the already-proven p01/p02/p03 predicates under CASE precedence
     "p29_curation_ledger" -> ((s, d) => graft.operators.CorpusPipeline.curationLedger(t(s, d))),
@@ -1055,6 +1071,44 @@ object SparkEntry {
         |SELECT samp.o_orderpriority, rate_mod, n_sampled,
         | n_sampled * rate_mod AS est_total, n_actual, sampled_value
         |FROM samp JOIN act USING (o_orderpriority)""".stripMargin,
+    // q76: the URL was built by concatenation from table columns, so the
+    // oracle emits each part by construction (ground truth) — the engine
+    // side must parse its way back to exactly these strings
+    "q76_url_parse" ->
+      """SELECT doc_id,
+        | 'https' AS proto,
+        | source || '.example.com' AS host,
+        | '/' || lang || '/doc-' || CAST(doc_id AS VARCHAR) AS path,
+        | 'lang=' || lang || '&id=' || CAST(doc_id AS VARCHAR) AS query,
+        | CAST(doc_id AS VARCHAR) AS q_id,
+        | 'sec-1' AS frag
+        |FROM documents""".stripMargin,
+    // q77: the same full-outer MERGE — update/insert/keep decided by NULL
+    // structure; cents are exact integers (both engines round the same
+    // IEEE product, positive values so HALF_UP ≡ half-away)
+    "q77_merge_upsert" ->
+      """WITH tgt AS (
+        | SELECT o_orderkey AS key,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS t_cents
+        | FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (
+        | SELECT o_orderkey AS key,
+        |  CAST(round(o_totalprice * 110, 0) AS BIGINT) AS s_cents
+        | FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(tgt.key, src.key) AS key,
+        | CASE WHEN t_cents IS NOT NULL AND s_cents IS NOT NULL THEN 'update'
+        |      WHEN t_cents IS NULL THEN 'insert' ELSE 'keep' END AS action,
+        | COALESCE(s_cents, t_cents) AS cents
+        |FROM tgt FULL OUTER JOIN src ON tgt.key = src.key""".stripMargin,
+    // p35: the same md5-uniform membership (exact integer cross-multiply
+    // — no float ever decides) and the same ⌊10⁹/m⌋ ppm weight
+    "p35_soft_sample" ->
+      """SELECT doc_id, source, n_chars,
+        | CAST(1000000000 AS BIGINT) // LEAST(n_chars, 1000) AS w_ppm
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5('p35:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) * 1000
+        |      < LEAST(n_chars, 1000) * 4294967296""".stripMargin,
     // q73: the identical five windowed sums (y integerized to percent so
     // every sum is order-exact); NULLIF guards the degenerate window
     "q73_rolling_regression" ->

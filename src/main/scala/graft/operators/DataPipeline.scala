@@ -1152,4 +1152,40 @@ object DataPipeline {
         (col("n_docs").cast("double") / col("t_docs").cast("double")).as("doc_share"),
         (col("kept_chars").cast("double") / col("t_chars").cast("double")).as("char_share"))
   }
+
+  /** p35: quality-proportional soft sampling — keep each document with
+    * probability p ∝ a quality proxy (here min(n_chars, cap)/cap), and
+    * attach the Horvitz–Thompson weight 1/p so any downstream aggregate
+    * over the sample unbiasedly estimates the full corpus. The soft
+    * companion to the family's hard selectors: p13 thresholds, p16 takes
+    * the best N, q72 samples at fixed per-stratum rates — p35 keeps a
+    * sliding-scale chance for every document (the RefinedWeb-style
+    * stochastic quality filter), which preserves distribution tails a
+    * hard cut destroys.
+    *
+    * Determinism discipline: membership must be a pure function of the
+    * KEY (engine RNG and partition-layout sampling are irreproducible by
+    * construction — the q72 rule), so u = first 8 md5 hex digits of the
+    * salted doc_id as a 32-bit uniform, and the Bernoulli test
+    * `u/2^32 < m/cap` is cross-multiplied to the exact integer
+    * comparison u·cap < m·2^32 (no float ever decides membership). The
+    * weight ships as integer PARTS-PER-MILLION (⌊10⁶·cap/m⌋ — one
+    * integer division both engines agree on bit-for-bit, the d13
+    * precedent) so downstream HT sums aggregate exact longs, never
+    * merge-order-noisy doubles.
+    *
+    * Scale shape: the decision is scan-local (zero shuffle, one md5 per
+    * row); output ∝ the sample. */
+  def softSample(docs: DataFrame, cap: Int = 1000,
+                 salt: String = "p35:"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    val m = least(col("n_chars"), lit(cap.toLong))
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        u.as("u"), m.as("m"))
+      .where(col("u") * lit(cap.toLong) < col("m") * lit(4294967296L))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        expr(s"${1000000L * cap}L div m").as("w_ppm"))
+  }
 }

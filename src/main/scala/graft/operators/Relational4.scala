@@ -656,4 +656,60 @@ object Relational4 {
           col("exact_users"), 6).as("users_rel_err"),
         round(col("exact_p90"), 4).as("exact_p90"),
         round(col("approx_p90"), 4).as("approx_p90"))
+
+  /** q76: URL parsing battery — `parse_url` over a deterministically
+    * synthesized URL column (protocol, host, path, whole query string,
+    * one extracted query parameter, fragment). Web-scrape curation keys
+    * almost everything on these parts (per-domain dedup/mixing/robots
+    * audits), and Spark's operator for them is `parse_url`
+    * (java.net.URI-based, codegen'd scan-local projection — zero
+    * shuffle).
+    *
+    * Oracle discipline: the URL is BUILT from table columns by plain
+    * concatenation, so the oracle emits each part by construction
+    * (ground truth) while the engine side must actually parse — the
+    * test is that parse ∘ build = identity on every row. All outputs
+    * are exact strings; nothing rounds. */
+  def q76UrlParse(t: Tables): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+      col("lang"), lit("/doc-"), col("doc_id"),
+      lit("?lang="), col("lang"), lit("&id="), col("doc_id"), lit("#sec-1"))
+    t.documents
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        expr("parse_url(url, 'PROTOCOL')").as("proto"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY')").as("query"),
+        expr("parse_url(url, 'QUERY', 'id')").as("q_id"),
+        expr("parse_url(url, 'REF')").as("frag"))
+  }
+
+  /** q77: MERGE/upsert semantics — the snapshot-maintenance operator
+    * (Delta/Iceberg `MERGE INTO`'s relational core) Spark has no native
+    * verb for over plain parquet: target ⟗ source on the key, matched
+    * rows take the source's values (`update`), source-only rows enter
+    * (`insert`), target-only rows persist (`keep`). One full-outer hash
+    * join on the key — the exact shape a table-format MERGE executes
+    * after file pruning — with the action column making the decision
+    * auditable (and hash-checkable) row by row.
+    *
+    * Prices are carried as exact integer cents (round(·×100) of doubles
+    * that ARE exact hundredths) so no float formatting can diverge.
+    * Scale shape: both sides shuffle on the key once; AQE broadcasts the
+    * source when it is dim-sized — the common CDC-batch case. */
+  def q77MergeUpsert(t: Tables): DataFrame = {
+    val target = t.orders.where(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey").as("key"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("t_cents"))
+    val source = t.orders.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").as("key"),
+        round(col("o_totalprice") * 110, 0).cast("long").as("s_cents"))
+    target.join(source, Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("t_cents").isNotNull && col("s_cents").isNotNull, lit("update"))
+          .when(col("t_cents").isNull, lit("insert"))
+          .otherwise(lit("keep")).as("action"),
+        coalesce(col("s_cents"), col("t_cents")).as("cents"))
+  }
 }

@@ -1,0 +1,109 @@
+package graft.similarity
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** s22: graph-based ANN search — greedy beam search over a k-nearest-
+  * neighbor graph, the query-time idea behind HNSW / NSG / NN-descent
+  * serving (Malkov & Yashunin 2018's layer-0 walk): start from a fixed
+  * seed set, repeatedly expand the current best `beam` candidates through
+  * their graph edges, keep the best `beam` of everything seen, and after
+  * `iters` rounds answer with the top k. The graph family member the
+  * s-series lacked: IVF (s02/s06) prunes by PARTITION (query-independent
+  * cells), a graph search prunes by NAVIGATION (each query walks toward
+  * its own neighborhood), which is why graph indexes dominate the
+  * high-recall regime in practice.
+  *
+  * Determinism: seeds are a pure function of vec_id (`vec_id % seedMod =
+  * 0` — the q72 membership rule), every candidate score is the exactly
+  * computed cosine rounded at 8 dp with vec_id tiebreaks (the s01 rule),
+  * and expansion/dedup are set operations — so the walk is reproducible
+  * across runs, partitionings and engines. Approximate by construction
+  * (a true neighbor unreachable in `iters` hops from any seed is missed):
+  * the driver check is rows-only (the s02 class) and GraphSearchSpec pins
+  * recall vs s01's exact top-k, the seed-improvement law, and
+  * partitioning invariance.
+  *
+  * Scale shape: the edge list (n·graphK rows) and the (vec_id → v)
+  * lookup are built/persisted ONCE per (session, corpus) — the round-7
+  * index rule; each serve iteration then joins a broadcast frontier
+  * (|Q|·beam rows) against them, so per-query-batch work is
+  * ∝ |Q|·beam·graphK·iters, independent of corpus size once the index
+  * stands. On disk the edge table buckets by `src` and the vector table
+  * by `vec_id` (Sources.writeBucketed), making both probes co-located
+  * point lookups. The exact all-pairs graph build here is the
+  * correctness baseline (d05's declared-quadratic class); at 100 TB the
+  * build route is [[Knn.knnGraphIvf]] (cell-pruned, recall-spec'd) or
+  * NN-descent-style refinement of it — the SEARCH below is identical
+  * over either edge set.
+  */
+object GraphSearch {
+
+  private val graphs =
+    new graft.SessionKeyedCache[(Int, Int), DataFrame](_.unpersist(blocking = false))
+  private val vecs =
+    new graft.SessionKeyedCache[Int, DataFrame](_.unpersist(blocking = false))
+
+  /** Drop the memoized graph/vector frames for `spark` (tests, corpus swap). */
+  def clearGraphs(spark: SparkSession): Unit = {
+    graphs.purgeSession(Some(spark), None)
+    vecs.purgeSession(Some(spark), None)
+  }
+
+  /** The persisted (src, dst, cos) edge frame — built at most once per
+    * (session, corpus, graphK) from s08's exact kNN graph. */
+  def sharedEdges(emb: DataFrame, graphK: Int = 8): DataFrame =
+    graphs.getOrElseUpdate(
+      emb.sparkSession, (emb.queryExecution.analyzed.semanticHash(), graphK))(
+      Knn.knnGraph(emb, graphK)
+        .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        .persist())
+
+  /** The persisted (vec_id, v) lookup the score step probes. */
+  private def sharedVecs(emb: DataFrame): DataFrame =
+    vecs.getOrElseUpdate(
+      emb.sparkSession, emb.queryExecution.analyzed.semanticHash())(
+      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .persist())
+
+  /** Greedy beam search: top-k neighbors for each query via `iters`
+    * rounds of graph expansion from the deterministic seed set. */
+  def search(emb: DataFrame, queryPred: String = "vec_id < 10",
+             k: Int = 5, beam: Int = 8, iters: Int = 3,
+             graphK: Int = 8, seedMod: Int = 97): DataFrame = {
+    require(beam >= k, s"beam=$beam must be >= k=$k (the answer is a prefix of the beam)")
+    val v = sharedVecs(emb)
+    val q = v.filter(expr(queryPred))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val edges = sharedEdges(emb, graphK)
+
+    // score a (query_id, node) candidate set: fetch vectors by id, then
+    // the exact cosine against the broadcast query batch — candidates are
+    // broadcast-small, so the vector fetch is a map-side probe of the
+    // persisted lookup (bucketed point lookups on disk at scale)
+    def score(cands: DataFrame): DataFrame =
+      v.join(broadcast(cands), col("vec_id") === col("node"))
+        .join(broadcast(q), Seq("query_id"))
+        .filter(col("node") =!= col("query_id"))
+        .select(col("query_id"), col("node").as("neighbor_id"),
+          round(VectorFns.cosine(col("qv"), col("v")), 8).as("cos"))
+
+    val seeds = v.filter(pmod(col("vec_id"), lit(seedMod.toLong)) === 0)
+      .select(col("vec_id").as("node"))
+    var cands = score(broadcast(q.select(col("query_id"))).crossJoin(seeds))
+
+    for (_ <- 1 to iters) {
+      val frontier = Knn.topKPerKey(cands, beam)
+        .select(col("query_id"), col("neighbor_id").as("src"))
+      val expansion = edges.join(broadcast(frontier), Seq("src"))
+        .select(col("query_id"), col("dst").as("node")).distinct()
+      // union + dedup keeps the best-seen set; scores are pure functions
+      // of (query, node) so max() is just dedup, never a choice
+      cands = cands.unionByName(score(expansion))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("cos")).as("cos"))
+    }
+    Knn.topKPerKey(cands, k)
+  }
+}

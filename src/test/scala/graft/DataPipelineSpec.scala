@@ -1046,4 +1046,32 @@ class DataPipelineSpec extends AnyFunSuite {
       assert(ms.map(_._4).sorted.toSeq === (1L to ms.length.toLong), s"phase $p order")
     }
   }
+
+  test("p35: membership replays from md5, weights are exact ppm, HT estimate is plausible") {
+    val rows = graft.operators.DataPipeline.softSample(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val all = tables.documents.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // JVM replay of the membership rule and the ppm weight, doc by doc
+    def u32(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"p35:$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    val expected = all.collect {
+      case (id, nc) if u32(id) * 1000L < math.min(nc, 1000L) * 4294967296L =>
+        id -> (1000000000L / math.min(nc, 1000L))
+    }
+    assert(rows.map(r => r._1 -> r._3).toMap === expected)
+    // Horvitz–Thompson: Σ 1/p over the sample estimates |corpus|; bound
+    // by 5σ of the exact per-doc Bernoulli variances (q72's rule)
+    val est = rows.map(_._3).sum / 1e6
+    val varSum = all.values.map { nc =>
+      val p = math.min(nc, 1000L).toDouble / 1000.0
+      (1 - p) / p
+    }.sum
+    assert(math.abs(est - all.size) <= 5 * math.sqrt(varSum) + 1e-9,
+      s"HT estimate $est vs ${all.size} outside 5 sigma")
+  }
 }
