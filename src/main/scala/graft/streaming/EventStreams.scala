@@ -467,6 +467,94 @@ object EventStreams {
       }
   }
 
+  final case class FunnelUpdate(user_id: Long, funnel_stage: Int,
+                                signup_us: Option[Long], click_us: Option[Long],
+                                purchase_us: Option[Long], evicted: Boolean)
+
+  /** t1/t2/t3 hold Long.MaxValue when unset; pending lists hold only
+    * events at/above the watermark (see [[funnelStream]]). */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long,
+                               pendClicks: List[Long], pendPurchases: List[Long],
+                               maxTsMs: Long)
+
+  /** Streaming ordered funnel — q66's signup → click-after-signup →
+    * purchase-after-click semantics as an incremental stateful operator:
+    * per user, the current funnel stage and stage timestamps, updated
+    * each micro-batch and spec-pinned equal to the batch q66 over the
+    * union of all batches, on any watermark-respecting arrival order.
+    *
+    * Why out-of-order is the hard part: t1 (min signup) is
+    * order-insensitive, but a click qualifies only if it is AFTER t1 —
+    * and a late-but-admissible signup can LOWER t1 and retroactively
+    * qualify a click seen earlier. The state rule that keeps this exact
+    * AND bounded: qualifying events fold into their stage min
+    * immediately (mins only decrease, and a qualification can never be
+    * revoked — t1/t2 only move down); NON-qualifying events wait in a
+    * pending list only while ts ≥ watermark, because a future upstream
+    * event must carry ts ≥ watermark and so can never move a stage min
+    * below the watermark — a below-watermark event that does not qualify
+    * NOW never will, and drops. Pending lists are therefore bounded by
+    * the lateness window, while the decided state is three longs. Every
+    * re-qualification opportunity coincides with a group firing (only a
+    * new signup can qualify a pending click, and its arrival fires the
+    * group), so pending events are re-partitioned exactly when their
+    * verdict can change.
+    *
+    * Emission: a stage snapshot per firing (Update-mode consumers keep
+    * the latest row per user); an event-time idle timeout emits the
+    * final snapshot flagged `evicted` and clears the user — the
+    * statefulPerUserBounded eviction discipline. One user_id exchange;
+    * per-key work ∝ batch rows + pending. */
+  def funnelStream(spark: SparkSession, events: Dataset[Event],
+                   watermark: String = "10 minutes",
+                   idleGapMs: Long = 60 * 60 * 1000L): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    val NONE = Long.MaxValue
+    def snapshot(uid: Long, s: FunnelState, evicted: Boolean): FunnelUpdate =
+      FunnelUpdate(uid,
+        if (s.t3 != NONE) 3 else if (s.t2 != NONE) 2 else if (s.t1 != NONE) 1 else 0,
+        Some(s.t1).filter(_ != NONE), Some(s.t2).filter(_ != NONE),
+        Some(s.t3).filter(_ != NONE), evicted)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        case (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val s0 = state.getOption.getOrElse(
+            FunnelState(NONE, NONE, NONE, Nil, Nil, Long.MinValue))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator(snapshot(uid, s0, evicted = true))
+          } else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val evs = rows.toList
+            var (t1, t2, t3) = (s0.t1, s0.t2, s0.t3)
+            var (pc, pp, maxTs) = (s0.pendClicks, s0.pendPurchases, s0.maxTsMs)
+            evs.foreach(e => maxTs = math.max(maxTs, e.ts.getTime))
+            val signups = evs.collect { case e if e.event_type == "signup" => micros(e.ts) }
+            if (signups.nonEmpty) t1 = math.min(t1, signups.min)
+            // stage 2: pending + new clicks against the (possibly lowered) t1
+            val clicks = pc ++ evs.collect { case e if e.event_type == "click" => micros(e.ts) }
+            val (qc, restC) = clicks.partition(c => t1 != NONE && c > t1)
+            if (qc.nonEmpty) t2 = math.min(t2, qc.min)
+            pc = restC.filter(_ >= wmUs) // below-watermark non-qualifiers are final
+            // stage 3: same rule one stage down (t2 may have just dropped)
+            val purchases = pp ++ evs.collect { case e if e.event_type == "purchase" => micros(e.ts) }
+            val (qp, restP) = purchases.partition(p => t2 != NONE && p > t2)
+            if (qp.nonEmpty) t3 = math.min(t3, qp.min)
+            pp = restP.filter(_ >= wmUs)
+            val s1 = FunnelState(t1, t2, t3, pc, pp, maxTs)
+            state.update(s1)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + idleGapMs, state.getCurrentWatermarkMs() + 1L))
+            Iterator(snapshot(uid, s1, evicted = false))
+          }
+      }
+  }
+
   /** Custom keyed state: per-user running totals, re-emitted each batch the
     * key appears in — the `flatMapGroupsWithState` shape used for bespoke
     * sessionization. UNBOUNDED by design (the name says so): state never

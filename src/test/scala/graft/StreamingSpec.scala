@@ -641,4 +641,59 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed islands diverge from the batch sweep:\n got $gotClosed\n exp $expected")
     assert(gotClosed.count(_._1 == 1L) === 2, "user 1 must close exactly two islands")
   }
+
+  test("streaming funnel: late signup requalifies a seen click; final state batch-equal") {
+    implicit val sql = spark.sqlContext
+    // user 1 is the hard path: its click arrives BEFORE its signup in
+    // processing order, but the signup's event time is earlier and inside
+    // the watermark — the pending click must retroactively qualify.
+    // user 2: click strictly before signup (never counts) → stage 1.
+    // user 3: in-order full funnel → stage 3.
+    // user 4: purchase before the qualifying click → stage 2.
+    val b1 = Seq(
+      Event(1, ts(95), 1, "click", 1.0),
+      Event(2, ts(94), 2, "click", 1.0), Event(3, ts(100), 2, "signup", 1.0),
+      Event(4, ts(10), 3, "signup", 1.0), Event(5, ts(20), 3, "click", 1.0),
+      Event(6, ts(30), 3, "purchase", 1.0),
+      Event(7, ts(40), 4, "signup", 1.0), Event(8, ts(45), 4, "purchase", 1.0),
+      Event(9, ts(50), 4, "click", 1.0))
+    // watermark after b1 = 100 - 10 = 90 min: the signup at 92 is LATE in
+    // arrival order (after user 1's click at 95) but inside the watermark
+    val b2 = Seq(Event(10, ts(92), 1, "signup", 1.0))
+    val b3 = Seq(Event(11, ts(96), 1, "purchase", 1.0))
+    val idleFlush = Seq(Event(12, ts(600), 99, "view", 1.0),
+      Event(13, ts(601), 99, "view", 1.0))
+    val mem = MemoryStream[Event]
+    val q = EventStreams.funnelStream(spark, mem.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode("update").start()
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b3: _*); q.processAllAvailable()
+    // two watermark advances so the 1 h idle timeout passes users 1-4 and
+    // the eviction snapshot (the FINAL per-user state) flushes
+    idleFlush.foreach { e => mem.addData(e); q.processAllAvailable() }
+    q.stop()
+    val evicted = spark.table("funnel").where(col("evicted"))
+      .collect().map { r =>
+        def opt(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+        (r.getLong(0), (r.getInt(1), opt(2), opt(3), opt(4)))
+      }.toMap
+    assert(evicted.keySet === Set(1L, 2L, 3L, 4L), s"evicted set: ${evicted.keySet}")
+    def usOf(m: Int): Option[Long] = Some(ts(m).getTime * 1000L)
+    assert(evicted(1L) === ((3, usOf(92), usOf(95), usOf(96))),
+      "late signup must retroactively qualify the earlier-arrived click")
+    assert(evicted(2L) === ((1, usOf(100), None, None)))
+    assert(evicted(3L) === ((3, usOf(10), usOf(20), usOf(30))))
+    assert(evicted(4L) === ((2, usOf(40), usOf(50), None)))
+    // batch equivalence: q66 over the union of every batch agrees user-for-user
+    val all = (b1 ++ b2 ++ b3 ++ idleFlush).toDF()
+    val batch = graft.operators.Temporal.funnel(all).collect().map { r =>
+      def us(i: Int): Option[Long] =
+        Option(r.getString(i)).map(s => java.sql.Timestamp.valueOf(s).getTime * 1000L)
+      (r.getLong(0), (r.getInt(4), us(1), us(2), us(3)))
+    }.toMap
+    evicted.foreach { case (uid, snap) =>
+      assert(batch(uid) === snap, s"user $uid diverges from batch q66")
+    }
+  }
 }
