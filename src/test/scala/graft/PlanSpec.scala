@@ -253,4 +253,31 @@ class PlanSpec extends AnyFunSuite {
     assert(filterIdx >= 0, s"membership filter missing from the plan:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("q76/p35: URL parsing and soft sampling are scan-local — zero hash exchanges") {
+    for (name <- Seq("q76_url_parse", "p35_soft_sample")) {
+      val p = plan(name)
+      // the only exchange allowed is Tables' round-robin scan-parallelism
+      // fan-out (single-row-group testdata files); the operators themselves
+      // must never key-shuffle
+      assert(!p.contains("Exchange hashpartitioning"), s"$name must not shuffle:\n$p")
+      assert(p.contains("[codegen id :"), s"$name fell out of codegen:\n$p")
+    }
+  }
+
+  test("s22: graph expansion joins broadcast the frontier, never shuffle the edge list") {
+    graft.similarity.GraphSearch.clearGraphs(spark)
+    val df = SparkEntry.queries("s22_graph_search")(spark, sf)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"frontier/candidate joins must broadcast:\n$p")
+    // the only hash exchanges allowed are the per-query top-k aggregations
+    // (query_id-keyed, |Q|·beam-sized); the n·graphK edge list and the
+    // corpus lookup must never be the shuffled side of an expansion join
+    val badExchange = p.split("\n").exists(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("(src") || l.contains("(dst") || l.contains("(vec_id")))
+    assert(!badExchange, s"an expansion join shuffled the edge/vector side:\n$p")
+    graft.similarity.GraphSearch.clearGraphs(spark)
+  }
 }
