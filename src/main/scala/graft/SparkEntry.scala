@@ -528,6 +528,10 @@ object SparkEntry {
     // t27: χ² keyness — which tokens characterize each source vs the
     // rest; exact contingency longs, fixed-shape IEEE χ², top-k window
     "t27_chi2_keyness"    -> ((s, d) => TextQueries.t27Chi2Keyness(t(s, d))),
+    // t29: token burstiness — per-token VMR of doc counts (zeros in the
+    // algebra, never materialized); exact longs into one unrounded
+    // division, vocabulary-bounded output
+    "t29_burstiness"      -> ((s, d) => TextQueries.t29Burstiness(t(s, d))),
     // p31: provenance-priority duplicate resolution — d07 clusters
     // resolved by source trust rank (argmin struct, skew-safe), not min-id
     "p31_priority_dedup"  -> ((s, d) => graft.operators.DataPipeline.sourcePriorityDedup(t(s, d).documents)),
@@ -2046,6 +2050,21 @@ object SparkEntry {
     // t24: the same (doc, token) frequency rollup off the t01 tokenizer;
     // counts cast to BIGINT (DuckDB sums integers into HUGEINT), ratio is
     // the single division
+    // t29: same (token, doc) counts → per-token moments; VMR is the one
+    // division of exact longs (N·S2 − S1²)/(N·S1), bit-identical
+    "t29_burstiness" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        | FROM documents),
+        |tf AS (SELECT token, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+        |st AS (
+        | SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2
+        | FROM tf GROUP BY token HAVING count(*) >= 10),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT token, df, s1 AS n_occurrences,
+        | CAST(n_docs * s2 - s1 * s1 AS DOUBLE) / CAST(n_docs * s1 AS DOUBLE) AS vmr
+        |FROM st, n""".stripMargin,
     "t24_hapax" ->
       """WITH tok AS (
         | SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

@@ -905,4 +905,47 @@ object TextQueries {
         col("n_hapax"), col("n_dis"),
         (col("n_hapax").cast("double") / col("n_types").cast("double"))
           .as("hapax_ratio"))
+
+  /** t29: token burstiness — the variance-to-mean ratio (VMR) of each
+    * token's per-document count across the WHOLE corpus, zeros included
+    * (Church & Gale 1995's burstiness; Katz's document clumping).
+    * Function words spread ≈ Poisson (VMR ≈ 1); topical content words
+    * clump (VMR ≫ 1); and a pathological VMR near its maximum S1 − …/N
+    * means the token's entire mass sits in a handful of docs — the
+    * template/spam marker. The per-TOKEN dispersion axis the corpus-
+    * health family lacked: t14 checks the frequency-rank LAW, t24 counts
+    * within-doc singletons, t27 contrasts sources; burstiness measures
+    * how un-Poisson each token's spread is, which is what distinguishes
+    * real topical text from template chrome at equal frequency.
+    *
+    * Exactness: with S1 = Σ counts, S2 = Σ counts², N = |docs| (zeros
+    * contribute nothing to either sum), population VMR = var/mean
+    * algebraically reduces to (N·S2 − S1²) / (N·S1) — exact longs into
+    * ONE unrounded IEEE division (the t13 rule), so the result is
+    * bit-identical in both engines; df ≥ minDf bounds the output to the
+    * supported vocabulary. Never a per-doc vector or a N-way explode:
+    * zeros exist only in the algebra.
+    *
+    * Scale shape: the memoized [[sharedTokens]] frame → (token, doc)
+    * partial-aggregated counts → vocabulary-bounded per-token moments;
+    * N folds in as a 1-row broadcast crossJoin (the q33 scalar shape —
+    * constructing the frame launches zero jobs). Two map-side-combining
+    * exchanges, scan-bound at 100 TB like t06/t07/t24. */
+  def t29Burstiness(t: Tables): DataFrame = burstiness(t.documents)
+
+  /** See [[t29Burstiness]]; core over any (doc_id, text) frame. */
+  def burstiness(docs: DataFrame, minDf: Long = 10): DataFrame = {
+    val tf = sharedTokens(docs)
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val stats = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .where(col("df") >= minDf)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(n))
+      .select(col("token"), col("df"), col("s1").as("n_occurrences"),
+        ((col("n_docs") * col("s2") - col("s1") * col("s1")).cast("double") /
+          (col("n_docs") * col("s1")).cast("double")).as("vmr"))
+  }
 }

