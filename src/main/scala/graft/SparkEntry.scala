@@ -532,6 +532,9 @@ object SparkEntry {
     // algebra, never materialized); exact longs into one unrounded
     // division, vocabulary-bounded output
     "t29_burstiness"      -> ((s, d) => TextQueries.t29Burstiness(t(s, d))),
+    // t30: Heaps'-law vocabulary growth per source — regr over ln of
+    // exact longs, rounded 6 dp (the t14 regression discipline)
+    "t30_heaps_fit"       -> ((s, d) => TextQueries.t30HeapsFit(t(s, d))),
     // p31: provenance-priority duplicate resolution — d07 clusters
     // resolved by source trust rank (argmin struct, skew-safe), not min-id
     "p31_priority_dedup"  -> ((s, d) => graft.operators.DataPipeline.sourcePriorityDedup(t(s, d).documents)),
@@ -1708,6 +1711,23 @@ object SparkEntry {
         |FROM cm JOIN sz z1 ON z1.source = s1 JOIN sz z2 ON z2.source = s2""".stripMargin,
     // t14: same tokenization as t12/t13; rank window per source, the q52
     // regression aggregates over exact-integer-derived ln values
+    // t30: per-doc (tokens, types) exact longs → ln → the same rounded
+    // regression aggregates as t14
+    "t30_heaps_fit" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_types
+        |       FROM tf GROUP BY doc_id),
+        |l AS (SELECT d.source,
+        |       ln(CAST(pd.n_tokens AS DOUBLE)) AS ln_n,
+        |       ln(CAST(pd.n_types AS DOUBLE)) AS ln_v
+        |      FROM pd JOIN documents d USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(regr_slope(ln_v, ln_n), 6) AS heaps_beta,
+        | round(regr_r2(ln_v, ln_n), 6) AS heaps_r2
+        |FROM l GROUP BY source""".stripMargin,
     "t14_zipf_fit" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
         |             FROM documents),

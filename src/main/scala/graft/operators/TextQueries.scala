@@ -948,4 +948,42 @@ object TextQueries {
         ((col("n_docs") * col("s2") - col("s1") * col("s1")).cast("double") /
           (col("n_docs") * col("s1")).cast("double")).as("vmr"))
   }
+
+  /** t30: Heaps'-law vocabulary growth — per source, regress
+    * ln(types) on ln(tokens) across documents: Heaps' law V = K·nᵝ says
+    * natural text grows vocabulary sub-linearly with β ≈ 0.4–0.6. The
+    * growth-rate axis completing the corpus-health triptych: t14 fits
+    * the frequency-rank LAW (Zipf), t21 measures mass concentration,
+    * t30 fits how fast NEW types keep appearing — ID-spam and synthetic-
+    * unique shards read β ≈ 1 (every token fresh), template chrome
+    * β ≈ 0 (vocabulary saturates instantly); both pass length gates.
+    *
+    * Float discipline: the t14 rule verbatim — per-doc (tokens, types)
+    * are exact longs, ln() of an exactly-converted long is one libm call
+    * per engine, and the regression aggregates round at 6 dp where
+    * merge-order noise lives (≈1e-13 relative against a 1e-6 boundary).
+    *
+    * Scale shape: per-doc type counts partial-aggregate off the
+    * memoized [[sharedTokens]] frame ((doc, token) exchange, the t24
+    * shape), then one source-bounded regression aggregation — the
+    * corpus is scanned once, output ∝ |sources|. */
+  def t30HeapsFit(t: Tables): DataFrame = heapsFit(t.documents)
+
+  /** See [[t30HeapsFit]]; core over any (doc_id, source, text) frame. */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val perDoc = sharedTokens(docs)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"))
+    perDoc
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"),
+        log(col("n_tokens").cast("double")).as("ln_n"),
+        log(col("n_types").cast("double")).as("ln_v"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(regr_slope(col("ln_v"), col("ln_n")), 6).as("heaps_beta"),
+        round(regr_r2(col("ln_v"), col("ln_n")), 6).as("heaps_r2"))
+  }
 }

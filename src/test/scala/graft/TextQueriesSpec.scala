@@ -505,4 +505,42 @@ class TextQueriesSpec extends AnyFunSuite {
       assert(s1 >= df && df <= all.toLong)
     }
   }
+
+  test("t30: heaps fit matches a JVM least-squares; all-unique vs saturated poles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // src "uniq": every token fresh → types = tokens → β = 1 exactly.
+    // src "temp": constant 2-type vocabulary at any length → β = 0.
+    val docs = Seq(
+      (1L, "uniq", "a1 a2 a3"), (2L, "uniq", "b1 b2 b3 b4 b5 b6"),
+      (3L, "uniq", "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+      (4L, "temp", "x y"), (5L, "temp", "x y x y"),
+      (6L, "temp", "x y x y x y x y")
+    ).toDF("doc_id", "source", "text")
+    TextQueries.releaseTokens(spark)
+    val got = TextQueries.heapsFit(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got("uniq") === ((3L, 1.0, 1.0)), "all-unique shard must fit beta = 1 exactly")
+    assert(got("temp")._2 === 0.0, "saturated-vocabulary shard must fit beta = 0")
+    TextQueries.releaseTokens(spark)
+    // real fixture: JVM OLS re-derivation per source (the t14 pattern)
+    val perDoc = tables.documents
+      .select(col("source"), col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .as[(String, Long, Seq[String])].collect()
+      .map { case (s, _, toks) => (s, math.log(toks.length.toDouble),
+        math.log(toks.distinct.length.toDouble)) }
+      .groupBy(_._1)
+    TextQueries.t30HeapsFit(tables).collect().foreach { r =>
+      val pts = perDoc(r.getString(0)).map(p => (p._2, p._3))
+      val n = pts.length.toDouble
+      val (mx, my) = (pts.map(_._1).sum / n, pts.map(_._2).sum / n)
+      val sxx = pts.map(p => (p._1 - mx) * (p._1 - mx)).sum
+      val sxy = pts.map(p => (p._1 - mx) * (p._2 - my)).sum
+      assert(r.getLong(1) === pts.length.toLong)
+      assert(math.abs(r.getDouble(2) - sxy / sxx) < 1e-5,
+        s"${r.getString(0)}: beta ${r.getDouble(2)} vs JVM ${sxy / sxx}")
+      assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0 + 1e-9,
+        "vocabulary grows, sub-linearly or linearly at most")
+    }
+  }
 }
