@@ -578,6 +578,13 @@ object SparkEntry {
     // decided by an exact integer cross-multiplication, HT weights as
     // integer ppm; membership replayable in SQL (the q72 rule)
     "p35_soft_sample"     -> ((s, d) => graft.operators.DataPipeline.softSample(t(s, d).documents)),
+    // d27: duplication census — cluster-size distribution of the d07
+    // closure incl. singletons; exact longs + one unrounded share
+    // division; oracle nests the d07 recursive CTE
+    "d27_dup_census"      -> ((s, d) => graft.dedup.Clusters.duplicationCensus(t(s, d).documents)),
+    // p36: uniform mixture rebalance — thin every source to ≈ min source
+    // size by the p35 md5 membership rule; HT weights as integer ppm
+    "p36_uniform_rebalance" -> ((s, d) => graft.operators.DataPipeline.uniformRebalance(t(s, d).documents)),
     // s22: graph-based ANN (greedy beam search over the s08 kNN graph) —
     // approximate by construction (a neighbor unreachable in `iters` hops
     // is missed) → rows-only, the s02 class; GraphSearchSpec pins recall
@@ -2574,6 +2581,42 @@ object SparkEntry {
          |   / CAST(sum(nt) AS DOUBLE) AS token_retention
          |FROM m GROUP BY source""".stripMargin,
     "d07_dup_clusters" -> dupClustersSql,
+    // d27: the d07 closure ∪ singletons grouped by cluster size; share is
+    // the one unrounded division, excess = docs keep-one would drop
+    "d27_dup_census" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |alldocs AS (
+         | SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size
+         | FROM cl
+         | UNION ALL
+         | SELECT d.doc_id, d.doc_id, 1 FROM documents d
+         | WHERE d.doc_id NOT IN (SELECT doc_id FROM cl)),
+         |g AS (
+         | SELECT cluster_size,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         | FROM alldocs GROUP BY cluster_size),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+         |SELECT cluster_size, n_clusters, n_docs,
+         | CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_share,
+         | n_docs - n_clusters AS n_excess
+         |FROM g, n""".stripMargin,
+    // p36: the same per-source rate table (min_n via scalar subquery) and
+    // the same md5 membership cross-multiplication as the engine
+    "p36_uniform_rebalance" ->
+      """WITH c AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS src_n
+        | FROM documents GROUP BY source),
+        |r AS (
+        | SELECT source, src_n,
+        |  ((SELECT min(src_n) FROM c) * 1000000) // src_n AS rate_ppm
+        | FROM c)
+        |SELECT d.doc_id, d.source, r.src_n, r.rate_ppm,
+        | CAST(1000000000000 AS BIGINT) // r.rate_ppm AS w_ppm
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(('0x' || substr(md5('p36:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |        AS BIGINT) * 1000000
+        |      < r.rate_ppm * 4294967296""".stripMargin,
     // d26: d07's clusters ∪ singleton rows, md5-ordered row_number, and
     // the identical integer ⌈√n⌉ (floor(sqrt)+correction) quota rule
     "d26_cluster_sample" ->

@@ -344,4 +344,45 @@ object Clusters {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("sample_rank"))
   }
+
+  /** d27: duplication census — the cluster-SIZE distribution of the d07
+    * near-dup closure, singletons included: per size, how many clusters,
+    * how many documents, their corpus share, and the excess (docs a
+    * keep-one dedup would drop). The headline table a dedup decision is
+    * actually made from — "31 % of the corpus sits in clusters, the top
+    * size is 40 000" — before anyone runs d07/d26/p31: total duplication
+    * load prices the whole effort, and the size SHAPE picks the policy
+    * (a fat tail of 2-copy clusters wants d26's √-retention; a few
+    * monster clusters want p31's provenance keeper; d18 tunes τ, d27
+    * weighs what τ's clusters amount to).
+    *
+    * Exactness: sizes/counts are exact longs off the cluster table ∪
+    * singleton anti-join; doc_share is one unrounded IEEE division (the
+    * t13 rule); the oracle nests the d07 recursive CTE (the d26/p31
+    * precedent), so the census is exact end to end.
+    *
+    * Scale shape: d07's LSH-bounded closure (labels session-memoized,
+    * shared with every other consumer) + one corpus anti-join for
+    * singletons + a ≤|distinct sizes| aggregation — output is a handful
+    * of rows at any corpus scale. */
+  def duplicationCensus(docs: DataFrame, threshold: Double = 0.8,
+                        bands: Int = 16, rowsPerBand: Int = 4,
+                        k: Int = 3): DataFrame = {
+    val cl = dupClusters(docs, threshold, bands, rowsPerBand, k)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val singles = docs.select(col("doc_id"))
+      .join(cl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    cl.unionByName(singles)
+      .groupBy(col("cluster_size"))
+      .agg(countDistinct(col("cluster_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("doc_share"),
+        (col("n_docs") - col("n_clusters")).as("n_excess"))
+  }
 }

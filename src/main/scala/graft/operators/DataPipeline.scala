@@ -1188,4 +1188,39 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("n_chars"),
         expr(s"${1000000L * cap}L div m").as("w_ppm"))
   }
+
+  /** p36: uniform mixture rebalance — deterministically thin every source
+    * to ≈ the SMALLEST source's size, the α → 0 pole of p08's temperature
+    * family (p08 caps quotas by n^α rank order; p36 flattens outright —
+    * the "no domain dominates" mixture ablations train against). Each
+    * source keeps with probability p = min_n / src_n, so expected kept
+    * sizes are equal across sources, and the Horvitz–Thompson weight
+    * 1/p ships with every kept row so downstream aggregates still
+    * estimate the FULL corpus (the p35 contract).
+    *
+    * Determinism discipline: p35's exactly — membership is the salted
+    * md5 32-bit uniform under an integer cross-multiplication
+    * (u · 10⁶ < rate_ppm · 2³², no float decides), rate_ppm =
+    * ⌊10⁶ · min_n / src_n⌋ an integer division of exact longs, and the
+    * weight ⌊10¹² / rate_ppm⌋ integer ppm. Unlike p08's rank-window
+    * selection this needs NO per-source ordering — membership is a pure
+    * per-row function of (doc_id, rate table).
+    *
+    * Scale shape: one source-bounded count aggregation (|sources| rows,
+    * broadcast back), then a scan-local membership filter — the corpus
+    * is never key-shuffled. */
+  def uniformRebalance(docs: DataFrame, salt: String = "p36:"): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("src_n"))
+    val minN = counts.agg(min(col("src_n")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"), col("src_n"),
+        expr("(min_n * 1000000L) div src_n").as("rate_ppm"))
+    val u = conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    docs.select(col("doc_id"), col("source"), u.as("u"))
+      .join(broadcast(rates), Seq("source"))
+      .where(col("u") * lit(1000000L) < col("rate_ppm") * lit(4294967296L))
+      .select(col("doc_id"), col("source"), col("src_n"), col("rate_ppm"),
+        expr("1000000000000L div rate_ppm").as("w_ppm"))
+  }
 }

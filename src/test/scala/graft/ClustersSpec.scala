@@ -191,4 +191,31 @@ class ClustersSpec extends AnyFunSuite {
     if (clusterSizes.values.exists(_ >= 4))
       assert(got.length.toLong > keepOne, "sqrt retention must exceed keep-one")
   }
+
+  test("d27: census equals a JVM recount of the d07 closure; conservation laws hold") {
+    val docs = SparkTestSession.tables.documents
+    val nDocs = docs.count()
+    val clusters = Clusters.dupClusters(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rows = Clusters.duplicationCensus(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    // JVM recount: cluster sizes from labels, singletons at size 1
+    val bySize = clusters.groupBy(_._2).map(_._2.length.toLong)
+      .groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val nSingles = nDocs - clusters.length
+    val expected = (bySize + (1L -> (bySize.getOrElse(1L, 0L) + nSingles)))
+      .filter(_._2 > 0)
+    assert(rows.keySet === expected.keySet)
+    expected.foreach { case (size, nc) =>
+      val (gotNc, gotDocs, share, excess) = rows(size)
+      assert(gotNc === nc, s"size $size cluster count")
+      assert(gotDocs === nc * size)
+      assert(share === gotDocs.toDouble / nDocs)
+      assert(excess === gotDocs - gotNc)
+    }
+    // conservation: every document counted exactly once
+    assert(rows.values.map(_._2).sum === nDocs)
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-12)
+  }
 }

@@ -1074,4 +1074,35 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(math.abs(est - all.size) <= 5 * math.sqrt(varSum) + 1e-9,
       s"HT estimate $est vs ${all.size} outside 5 sigma")
   }
+
+  test("p36: skewed sources flatten to ~min size; membership replays from md5") {
+    import spark.implicits._
+    // big: 200 docs, small: 20 → big keeps at rate 0.1, small keeps all
+    val docs = ((1L to 200L).map(i => (i, "big")) ++ (201L to 220L).map(i => (i, "small")))
+      .map { case (id, s) => (id, s, 100L) }.toDF("doc_id", "source", "n_chars")
+    val rows = graft.operators.DataPipeline.uniformRebalance(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def u32(salt: String, id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$salt$id".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+    // JVM replay: rate = ⌊1e6·20/200⌋ = 100000 for big, 1e6 for small
+    val expected = (1L to 220L).flatMap { id =>
+      val (src, srcN) = if (id <= 200) ("big", 200L) else ("small", 20L)
+      val rate = 20L * 1000000L / srcN
+      if (u32("p36:", id) * 1000000L < rate * 4294967296L)
+        Some((id, src, srcN, rate, 1000000000000L / rate))
+      else None
+    }.toSet
+    assert(rows.toSet === expected)
+    // the small source keeps everything (rate 1e6 ⇒ u < 2^32 always)
+    assert(rows.count(_._2 == "small") === 20)
+    // the big source thins to ≈ 20 (Binomial(200, 0.1): 5σ ≈ 21)
+    val bigKept = rows.count(_._2 == "big")
+    assert(bigKept > 0 && bigKept < 42, s"big kept $bigKept of 200 at rate 0.1")
+    // HT: kept big docs weigh 10× so the weighted size estimates 200
+    val est = rows.filter(_._2 == "big").map(_._5).sum / 1e6
+    assert(math.abs(est - 200.0) <= 5 * math.sqrt(200 * 0.1 * 0.9) * 10 + 1e-9)
+  }
 }
