@@ -585,6 +585,9 @@ object SparkEntry {
     // p36: uniform mixture rebalance — thin every source to ≈ min source
     // size by the p35 md5 membership rule; HT weights as integer ppm
     "p36_uniform_rebalance" -> ((s, d) => graft.operators.DataPipeline.uniformRebalance(t(s, d).documents)),
+    // p37: gate attribution — per p13 rule, violations and UNIQUE
+    // violations (what relaxing the rule recovers); one scan, 5-row table
+    "p37_gate_attribution" -> ((s, d) => graft.operators.DataPipeline.gateAttribution(t(s, d).documents)),
     // s22: graph-based ANN (greedy beam search over the s08 kNN graph) —
     // approximate by construction (a neighbor unreachable in `iters` hops
     // is missed) → rows-only, the s02 class; GraphSearchSpec pins recall
@@ -2829,6 +2832,49 @@ object SparkEntry {
     // All three ratios are integer/integer divisions — bit-exact both sides.
     // p13: the t01 alpha-ratio and t05 repetition expressions feeding a
     // fixed-order CASE — identical rule order in both engines
+    // p37: the same p13 fraction formulas as independent FLAGS (no CASE
+    // precedence), conditional counts, 5 rows via UNION ALL; the share is
+    // one guarded division
+    "p37_gate_attribution" ->
+      """WITH tk AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  len(w) AS n,
+        |  len(list_distinct(w)) AS nd,
+        |  list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) AS topc,
+        |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS ar
+        | FROM tk),
+        |f AS (SELECT doc_id,
+        |  CASE WHEN n < 20 THEN 1 ELSE 0 END AS f_short,
+        |  CASE WHEN n > 100000 THEN 1 ELSE 0 END AS f_long,
+        |  CASE WHEN ar < 0.6 THEN 1 ELSE 0 END AS f_alpha,
+        |  CASE WHEN CAST(n - nd AS DOUBLE) / CAST(n AS DOUBLE) > 0.3 THEN 1 ELSE 0 END AS f_dups,
+        |  CASE WHEN CAST(topc AS DOUBLE) / CAST(n AS DOUBLE) > 0.2 THEN 1 ELSE 0 END AS f_top
+        | FROM m),
+        |g AS (SELECT *, f_short + f_long + f_alpha + f_dups + f_top AS n_fails FROM f),
+        |a AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(f_short) AS BIGINT) AS s_short,
+        |  CAST(sum(CASE WHEN f_short = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_short,
+        |  CAST(sum(f_long) AS BIGINT) AS s_long,
+        |  CAST(sum(CASE WHEN f_long = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_long,
+        |  CAST(sum(f_alpha) AS BIGINT) AS s_alpha,
+        |  CAST(sum(CASE WHEN f_alpha = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_alpha,
+        |  CAST(sum(f_dups) AS BIGINT) AS s_dups,
+        |  CAST(sum(CASE WHEN f_dups = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_dups,
+        |  CAST(sum(f_top) AS BIGINT) AS s_top,
+        |  CAST(sum(CASE WHEN f_top = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_top
+        | FROM g),
+        |rows_out AS (
+        | SELECT 'too_short' AS rule, s_short AS n_fail, u_short AS n_unique, n_total, n_dropped FROM a
+        | UNION ALL SELECT 'too_long', s_long, u_long, n_total, n_dropped FROM a
+        | UNION ALL SELECT 'low_alpha', s_alpha, u_alpha, n_total, n_dropped FROM a
+        | UNION ALL SELECT 'repetitive_dups', s_dups, u_dups, n_total, n_dropped FROM a
+        | UNION ALL SELECT 'dominant_token', s_top, u_top, n_total, n_dropped FROM a)
+        |SELECT rule, n_fail, n_unique, n_total, n_dropped,
+        | CAST(n_unique AS DOUBLE) / NULLIF(CAST(n_dropped AS DOUBLE), 0.0) AS unique_share
+        |FROM rows_out""".stripMargin,
     "p13_quality_gate" ->
       """WITH tk AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
         |m AS (SELECT doc_id,

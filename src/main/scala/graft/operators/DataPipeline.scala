@@ -455,6 +455,68 @@ object DataPipeline {
       (reason === "ok").as("keep"))
   }
 
+  /** p37: gate attribution — the leave-one-out audit of p13's quality
+    * gate: per rule, how many documents violate it (n_fail) and how many
+    * violate ONLY it (n_unique — the docs that rule alone removes, i.e.
+    * what relaxing it would recover). p13's CASE precedence reports one
+    * reason per doc and HIDES overlap (a doc failing length AND alpha is
+    * blamed on length alone); p30 sweeps one rule's threshold; p37
+    * exposes each rule's marginal contribution at the chosen thresholds
+    * — the table that says which rule is load-bearing and which is
+    * redundant before anyone re-tunes a gate on 100 TB.
+    *
+    * Exactness: rule flags are the same integer-derived fractions as
+    * p13 (oracle-parity by construction); counts are exact longs;
+    * unique_share is one guarded unrounded division. Scale shape: ONE
+    * scan computes all five flags, one global aggregation, and the
+    * 5-row rule table unpivots from that single row — output is 5 rows
+    * at any corpus size. */
+  def gateAttribution(docs: DataFrame, minTokens: Int = 20,
+                      maxTokens: Int = 100000, minAlpha: Double = 0.6,
+                      maxDupFrac: Double = 0.3, maxTopFrac: Double = 0.2): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), col("text"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        TextFns.alphaRatio(col("text")).as("alpha_ratio"),
+        TextFns.dupTokenFrac(col("toks")).as("dup_token_frac"),
+        (TextFns.topElementCount(col("toks")).cast("double") /
+          size(col("toks")).cast("double")).as("top_token_frac"))
+    val flagged = sig.select(
+      (col("n_tokens") < minTokens).cast("long").as("f_short"),
+      (col("n_tokens") > maxTokens).cast("long").as("f_long"),
+      (col("alpha_ratio") < minAlpha).cast("long").as("f_alpha"),
+      (col("dup_token_frac") > maxDupFrac).cast("long").as("f_dups"),
+      (col("top_token_frac") > maxTopFrac).cast("long").as("f_top"))
+      .withColumn("n_fails",
+        col("f_short") + col("f_long") + col("f_alpha") + col("f_dups") + col("f_top"))
+    val agg = flagged.agg(
+      count(lit(1)).as("n_total"),
+      sum((col("n_fails") > 0).cast("long")).as("n_dropped"),
+      sum(col("f_short")).as("s_short"),
+      sum(when(col("f_short") === 1 && col("n_fails") === 1, 1L).otherwise(0L)).as("u_short"),
+      sum(col("f_long")).as("s_long"),
+      sum(when(col("f_long") === 1 && col("n_fails") === 1, 1L).otherwise(0L)).as("u_long"),
+      sum(col("f_alpha")).as("s_alpha"),
+      sum(when(col("f_alpha") === 1 && col("n_fails") === 1, 1L).otherwise(0L)).as("u_alpha"),
+      sum(col("f_dups")).as("s_dups"),
+      sum(when(col("f_dups") === 1 && col("n_fails") === 1, 1L).otherwise(0L)).as("u_dups"),
+      sum(col("f_top")).as("s_top"),
+      sum(when(col("f_top") === 1 && col("n_fails") === 1, 1L).otherwise(0L)).as("u_top"))
+    agg.select(expr(
+      """stack(5,
+        | 'too_short', s_short, u_short,
+        | 'too_long', s_long, u_long,
+        | 'low_alpha', s_alpha, u_alpha,
+        | 'repetitive_dups', s_dups, u_dups,
+        | 'dominant_token', s_top, u_top) AS (rule, n_fail, n_unique)""".stripMargin),
+      col("n_total"), col("n_dropped"))
+      .select(col("rule"), col("n_fail"), col("n_unique"),
+        col("n_total"), col("n_dropped"),
+        (col("n_unique").cast("double") /
+          nullif(col("n_dropped").cast("double"), lit(0.0))).as("unique_share"))
+  }
+
   /** One scrub rule: a Java/RE2-compatible pattern and its replacement
     * token. Patterns must avoid constructs RE2 lacks (backrefs, lookaround)
     * so the same rule runs verbatim in engines like DuckDB for auditing. */

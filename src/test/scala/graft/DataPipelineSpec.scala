@@ -1105,4 +1105,34 @@ class DataPipelineSpec extends AnyFunSuite {
     val est = rows.filter(_._2 == "big").map(_._5).sum / 1e6
     assert(math.abs(est - 200.0) <= 5 * math.sqrt(200 * 0.1 * 0.9) * 10 + 1e-9)
   }
+
+  test("p37: overlap is attributed to BOTH rules' n_fail but NEITHER's n_unique") {
+    import spark.implicits._
+    // 30 distinct pure-alpha tokens: alpha ratio 60/89 ≈ 0.67, no dups
+    val long = (for (a <- 'a' to 'e'; b <- 'a' to 'f') yield s"$a$b").mkString(" ")
+    val docs = Seq(
+      (1L, long),             // passes everything
+      (2L, "only short"),     // too_short + dominant_token (1/2 > 0.2)
+      (3L, "1 2 3 4 5"),      // too_short + low_alpha (top = 0.2, not >)
+      (4L, long + " " + long) // repetitive_dups ALONE (dup 0.5, top 2/60)
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.DataPipeline.gateAttribution(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set("too_short", "too_long", "low_alpha",
+      "repetitive_dups", "dominant_token"))
+    // every failure here overlaps except doc 4's: n_fail counts all, the
+    // double failures land in NO rule's n_unique
+    assert(rows("too_short") === ((2L, 0L, 4L, 3L)), s"got ${rows("too_short")}")
+    assert(rows("low_alpha") === ((1L, 0L, 4L, 3L)))
+    assert(rows("dominant_token") === ((1L, 0L, 4L, 3L)))
+    assert(rows("too_long") === ((0L, 0L, 4L, 3L)))
+    assert(rows("repetitive_dups")._1 === 1L)
+    assert(rows("repetitive_dups")._2 === 1L, "doc 4 fails dups alone")
+    // conservation: Σ n_unique ≤ n_dropped ≤ Σ n_fail
+    val uniq = rows.values.map(_._2).sum
+    val fails = rows.values.map(_._1).sum
+    val dropped = rows.values.head._4
+    assert(uniq <= dropped && dropped <= fails)
+  }
 }
