@@ -60,11 +60,18 @@ object GraphSearch {
         .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
         .persist())
 
-  /** The persisted (vec_id, v) lookup the score step probes. */
+  /** The persisted (v, vec_id) lookup the score step probes. Column order
+    * is deliberately (v, vec_id) — the REVERSE of the (vec_id, v)
+    * projection every Knn/Pq plan opens with: Spark's CacheManager
+    * substitutes a cached plan into ANY query containing it as a subtree,
+    * so a same-shaped cache here would silently rewrite the other
+    * operators' plans (observed: s02's index build re-rooted onto this
+    * cache, changing its asserted plan shape). A different output schema
+    * can never match their subtrees. */
   private def sharedVecs(emb: DataFrame): DataFrame =
     vecs.getOrElseUpdate(
       emb.sparkSession, emb.queryExecution.analyzed.semanticHash())(
-      emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      emb.select(col("embedding").cast("array<double>").as("v"), col("vec_id"))
         .persist())
 
   /** Greedy beam search: top-k neighbors for each query via `iters`
