@@ -48,6 +48,7 @@ object Bench {
       "_shared_lsh_pairs",
       "_shared_jaccard_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
+      "_shared_knn_graph",
       "_shared_tokens") ++
       SparkEntry.queries.keys.toSeq.sorted
     // local-iteration subset (SPARK_GRAFT_ONLY=d13_weighted_jaccard,...);
@@ -87,6 +88,8 @@ object Bench {
             graft.similarity.IvfPq.encodedIndex(Tables(spark, sfDir).embeddings).count()
           else if (name == "_shared_pq_index")
             graft.similarity.Pq.encodedIndex(Tables(spark, sfDir).embeddings).count()
+          else if (name == "_shared_knn_graph")
+            graft.similarity.GraphSearch.sharedEdges(Tables(spark, sfDir).embeddings).count()
           else if (name == "_shared_tokens")
             graft.operators.TextQueries.sharedTokens(Tables(spark, sfDir).documents).count()
           else SparkEntry.queries(name)(spark, sfDir).count()

