@@ -330,6 +330,9 @@ object SparkEntry {
     // d20: dedup-method agreement matrix — doc-level flag-set overlap per
     // method pair; exact counts + one guarded division
     "d20_method_agreement" -> ((s, d) => Dedup.methodAgreement(t(s, d).documents)),
+    // d28: edit-budget sensitivity curve — pairs/docs per max-dist cut off
+    // ONE shared d19 run at the grid max (the d18 rule); exact counts
+    "d28_edit_curve"      -> ((s, d) => Dedup.editThresholdCurve(t(s, d).documents)),
     // d21: edit-distance admission — d10's batch convention; the length-
     // band blocking is exact, so the decision IS the brute-force one
     "d21_incremental_editdup" -> ((s, d) => {
@@ -2499,6 +2502,22 @@ object SparkEntry {
     // the same lower bound the Spark block join exploits; dist INT parity,
     // sim the identical IEEE 1 − d/maxlen
     "d19_edit_dedup" -> editPairsSql,
+    // d28: the same brute-force pair set, grid LEFT-joined so zero-pair
+    // cuts still emit rows; counts exact
+    "d28_edit_curve" ->
+      s"""WITH ep AS ($editPairsSql),
+         |grid AS (SELECT unnest([4, 8, 16, 24, 32]) AS max_dist),
+         |np AS (
+         | SELECT g.max_dist, CAST(count(ep.dist) AS BIGINT) AS n_pairs
+         | FROM grid g LEFT JOIN ep ON ep.dist <= g.max_dist GROUP BY g.max_dist),
+         |sides AS (
+         | SELECT dist, d1 AS doc FROM ep
+         | UNION ALL SELECT dist, d2 FROM ep),
+         |ndc AS (
+         | SELECT g.max_dist, CAST(count(DISTINCT s.doc) AS BIGINT) AS n_docs
+         | FROM grid g LEFT JOIN sides s ON s.dist <= g.max_dist GROUP BY g.max_dist)
+         |SELECT np.max_dist, np.n_pairs, ndc.n_docs
+         |FROM np JOIN ndc USING (max_dist)""".stripMargin,
     // d20: every member method's oracle composed as CTEs (the d18 nesting
     // trick); doc sets, sizes and overlaps are exact counts; agreement is
     // the one guarded division both engines compute over exact longs

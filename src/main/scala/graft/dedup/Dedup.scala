@@ -215,6 +215,37 @@ object Dedup {
       docs.sparkSession, (docs.queryExecution.analyzed.semanticHash(), maxDist))(
       editDistancePairs(docs, maxDist).persist())
 
+  /** d28: edit-distance threshold sensitivity curve — pairs and involved
+    * documents per max-distance cut, d18's tuning artifact for the
+    * SHORT-TEXT family (d18 sweeps Jaccard τ for shingle dedup; d28
+    * sweeps the edit budget for d19/d21/d22): a cliff between two cuts
+    * is a systematic edit-family at that distance (template fills,
+    * version strings), and the doc count prices what each budget would
+    * pull into clustering. ONE d19 run at the grid MAXIMUM feeds every
+    * point (the d18 rule — each pair carries its exact distance, so
+    * smaller cuts are filters, never re-verifies).
+    *
+    * Exactness: the pair frame is d19's (exact by the length-band
+    * pigeonhole), counts are exact longs; the oracle nests the
+    * blocking-free brute-force SQL. Scale shape: the |grid| × pairs
+    * range join is broadcast-small on the grid side; output ∝ |grid|. */
+  def editThresholdCurve(docs: DataFrame,
+                         grid: Seq[Int] = Seq(4, 8, 16, 24, 32)): DataFrame = {
+    require(grid.nonEmpty, "empty threshold grid")
+    import docs.sparkSession.implicits._
+    val pairs = sharedEditPairs(docs, grid.max)
+    val g = broadcast(grid.toDF("max_dist"))
+    val nPairs = g.join(pairs, col("dist") <= col("max_dist"), "left")
+      .groupBy(col("max_dist"))
+      .agg(count(col("dist")).as("n_pairs"))
+    val sides = pairs.select(col("dist"), col("d1").as("doc"))
+      .unionByName(pairs.select(col("dist"), col("d2").as("doc")))
+    val nDocs = g.join(sides, col("dist") <= col("max_dist"), "left")
+      .groupBy(col("max_dist"))
+      .agg(countDistinct(col("doc")).as("n_docs"))
+    nPairs.join(nDocs, Seq("max_dist"))
+  }
+
   /** Cross-side d19 core (and the self-join's engine — d19 filters the
     * cross of a frame with itself to d1 < d2): edit-distance pairs
     * between an incoming frame (d1, probes its length bucket ± 1) and a

@@ -540,4 +540,25 @@ class DedupSpec extends AnyFunSuite {
     val fp16x2 = rows((16, 2, 0.5))._2
     assert(fp16x4 < fp16x2, "more rows per band must cut false-positive mass")
   }
+
+  test("d28: edit curve is monotone, tops out at the full pair set, matches a JVM recount") {
+    import org.apache.spark.sql.functions.col
+    val docs = SparkTestSession.tables.documents
+    val got = Dedup.editThresholdCurve(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(4, 8, 16, 24, 32))
+    // monotone in both series
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq)
+    // JVM recount off the shared pair frame (one d19 run feeds all cuts)
+    val pairs = Dedup.sharedEditPairs(docs, 32).select(col("d1"), col("d2"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    got.foreach { case (cut, nPairs, nDocs) =>
+      val in = pairs.filter(_._3 <= cut)
+      assert(nPairs === in.length.toLong, s"pairs at cut $cut")
+      assert(nDocs === in.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"docs at cut $cut")
+    }
+    assert(got.last._2 === pairs.length.toLong, "the top cut is the whole pair set")
+  }
 }
