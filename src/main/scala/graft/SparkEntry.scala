@@ -658,6 +658,16 @@ object SparkEntry {
         .toDF().select(col("doc_id"), col("format"), col("sniffed"), col("n_bytes"),
           col("width"), col("height"), col("sample_rate"), col("duration_ms"),
           col("n_tracks"), col("n_frames"))),
+    // m08: video dup clusters — the d07 closure over m06's frame-payload
+    // pairs (same planted re-keyed copies so clusters are non-empty at
+    // every SF); rows-only, the m02 media class; MultimodalSpec pins the
+    // copy + trim chain collapsing into one cluster
+    "m08_video_clusters" -> ((s, d) => {
+      val media = Multimodal.syntheticMedia(s, t(s, d).documents)
+      val dupped = media.unionByName(
+        media.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 10000))
+      Multimodal.videoDupClusters(s, dupped)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

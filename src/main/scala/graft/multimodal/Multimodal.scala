@@ -217,6 +217,24 @@ object Multimodal {
       .where(col("frame_jaccard") >= threshold)
   }
 
+  /** m08: video duplicate clusters — the d07/d22 transitive closure
+    * instantiated over m06's frame-payload pair family (the FOURTH pair
+    * family after shingle-LSH/embedding/edit): a re-upload chain
+    * original → re-mux → trim pairs pairwise at different scores, and
+    * only the closure collapses the whole chain to one canonical keeper
+    * (min doc_id — `keep` in the output, the clusterTable contract).
+    * Rows-only by the m02 media class (DuckDB cannot demux payloads);
+    * MultimodalSpec pins the planted copy + trim chain collapsing into
+    * ONE cluster. Scale shape: m06's banded pair cost + CC over the pair
+    * graph only (the d07 budget — rounds ≤ ⌈log₂ diameter⌉+1). */
+  def videoDupClusters(spark: SparkSession, media: DataFrame,
+                       threshold: Double = 0.5,
+                       frameBytes: Int = 256, everyN: Int = 4): DataFrame =
+    graft.dedup.Clusters.clusterTable(
+      graft.dedup.Clusters.connectedComponents(
+        videoNearDups(spark, media, threshold, frameBytes, everyN)
+          .select(col("d1"), col("d2"))))
+
   /** The WAV/raw-byte framing path of [[frameSample]] (non-MP4 payloads). */
   private def frameBytesOf(id: Long, payload: Array[Byte],
                            frameBytes: Int, everyN: Int): Iterator[FrameSample] = {

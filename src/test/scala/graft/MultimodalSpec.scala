@@ -448,4 +448,25 @@ class MultimodalSpec extends AnyFunSuite {
     val j = pairs.head._3
     assert(j > 0.2 && j < 1.0, s"trim shows as partial frame overlap, got $j")
   }
+
+  test("m08: a copy + trim re-upload chain collapses into ONE cluster with a min-id keeper") {
+    import spark.implicits._
+    // original (6), exact copy (7006), half trim (7106): copy-trim and
+    // original-trim pair at partial scores, original-copy at 1.0 — only
+    // the closure sees them as one family
+    val full = Multimodal
+      .syntheticMedia(spark, tables.documents.where(col("doc_id") === 6))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])].collect()
+    val copies = full.map { case (id, p) => (id + 7000L, p) } ++
+      full.map { case (id, p) => (id + 7100L, p.take(p.length / 2)) }
+    val media = (full ++ copies).toSeq.toDF("doc_id", "payload")
+    val got = Multimodal.videoDupClusters(spark, media,
+      threshold = 0.2, frameBytes = 16, everyN = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSet === Set(6L, 7006L, 7106L), s"chain members: ${got.toSeq}")
+    assert(got.forall(_._2 === 6L), "one cluster rooted at the min id")
+    assert(got.forall(_._3 === 3L), "cluster size covers the whole chain")
+    assert(got.filter(_._4).map(_._1).toSeq === Seq(6L), "keeper is the min id")
+  }
 }
