@@ -577,6 +577,12 @@ object SparkEntry {
     // q77: MERGE/upsert — full-outer join on the key with update/insert/
     // keep actions; prices as exact integer cents
     "q77_merge_upsert"    -> ((s, d) => Relational4.q77MergeUpsert(t(s, d))),
+    // q79: pagination — explicit NULLS FIRST (the engines' defaults
+    // disagree) over a total order + LIMIT/OFFSET; identical SQL text
+    "q79_pagination"      -> ((s, d) => Relational4.q79Pagination(t(s, d))),
+    // q80: NOT IN vs NOT EXISTS against a null-bearing subquery — the
+    // three-valued-logic contract, all four counts; identical SQL text
+    "q80_null_membership" -> ((s, d) => Relational4.q80NullMembership(t(s, d))),
     // p35: quality-proportional soft sampling — md5-uniform Bernoulli
     // decided by an exact integer cross-multiplication, HT weights as
     // integer ppm; membership replayable in SQL (the q72 rule)
@@ -1101,6 +1107,9 @@ object SparkEntry {
         |SELECT samp.o_orderpriority, rate_mod, n_sampled,
         | n_sampled * rate_mod AS est_total, n_actual, sampled_value
         |FROM samp JOIN act USING (o_orderpriority)""".stripMargin,
+    // q79/q80: the identical SQL text (the q44 convention)
+    "q79_pagination" -> graft.operators.Relational4.q79Sql,
+    "q80_null_membership" -> graft.operators.Relational4.q80Sql,
     // q76: the URL was built by concatenation from table columns, so the
     // oracle emits each part by construction (ground truth) — the engine
     // side must parse its way back to exactly these strings

@@ -698,6 +698,61 @@ object Relational4 {
     * that ARE exact hundredths) so no float formatting can diverge.
     * Scale shape: both sides shuffle on the key once; AQE broadcasts the
     * source when it is dim-sized — the common CDC-batch case. */
+  /** q79: deterministic pagination — ORDER BY with EXPLICIT null placement
+    * + LIMIT/OFFSET (the result-page surface; Spark and DuckDB DISAGREE on
+    * default null ordering — NULLS FIRST vs LAST on ASC — so the explicit
+    * clause is what makes a paged API portable at all). The order is made
+    * total by the unique id, so page 3 is THE SAME 50 rows in any engine,
+    * run or partitioning; identical SQL text runs as the oracle (the q44
+    * convention).
+    *
+    * Scale note, spec-pinned: OFFSET is a global-order prefix — the
+    * engine must produce the first offset+limit rows of the total order
+    * (TakeOrdered-class work ∝ offset+limit, fine for result pages, wrong
+    * for deep scans); the deep-pagination path is KEYSET pagination
+    * (WHERE (v, id) > last-seen, the same total order as a filter), which
+    * RelationalSpec proves returns the identical page. */
+  def q79Pagination(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(q79Sql)
+  }
+
+  private[graft] val q79Sql: String =
+    """SELECT event_id,
+      | CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |FROM events
+      |ORDER BY v ASC NULLS FIRST, event_id
+      |LIMIT 50 OFFSET 100""".stripMargin
+
+  /** q80: three-valued-logic membership battery — NOT IN vs NOT EXISTS
+    * against a subquery that CONTAINS a NULL: `x NOT IN (…, NULL)` is
+    * UNKNOWN for every x (x ≠ NULL can never be TRUE), so the NOT IN
+    * count is 0 while the NOT EXISTS rewrite returns the real complement
+    * — the classic silent-wrong-answer trap in any SQL engine, pinned
+    * here as an engine-semantics contract (both engines must agree on
+    * all four counts, and the spec asserts the trap actually fires).
+    * Identical SQL text as the oracle. At scale: NOT EXISTS plans as a
+    * null-aware-free left-anti hash join; NOT IN with a nullable probe
+    * forces a null-aware anti join — semantics, not a plan accident. */
+  def q80NullMembership(t: Tables): DataFrame = {
+    t.registerViews()
+    t.spark.sql(q80Sql)
+  }
+
+  private[graft] val q80Sql: String =
+    """WITH probe AS (
+      | SELECT CASE WHEN o_orderkey % 50 = 0 THEN NULL ELSE o_custkey END AS k
+      | FROM orders WHERE o_orderkey % 10 = 0)
+      |SELECT
+      | (SELECT count(*) FROM customer
+      |   WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+      | (SELECT count(*) FROM customer c
+      |   WHERE NOT EXISTS (SELECT 1 FROM probe WHERE k = c.c_custkey)) AS n_not_exists,
+      | (SELECT count(*) FROM customer
+      |   WHERE c_custkey IN (SELECT k FROM probe)) AS n_in,
+      | (SELECT count(*) FROM customer c
+      |   WHERE EXISTS (SELECT 1 FROM probe WHERE k = c.c_custkey)) AS n_exists""".stripMargin
+
   def q77MergeUpsert(t: Tables): DataFrame = {
     val target = t.orders.where(col("o_orderkey") % 3 =!= 0)
       .select(col("o_orderkey").as("key"),

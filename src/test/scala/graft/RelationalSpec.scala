@@ -657,4 +657,29 @@ class RelationalSpec extends AnyFunSuite {
       assert(blocks.contains(interleave(x, y) / 1024), s"($x, $y) block missing")
     }
   }
+
+  test("q79: the OFFSET page equals the JVM total-order slice (keyset-pagination parity)") {
+    import spark.implicits._
+    val page = graft.operators.Relational4.q79Pagination(tables).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(page.length === 50)
+    // JVM replay: the same total order (v NULLS FIRST, id), rows 101-150 —
+    // a keyset filter (v, id) > last-of-page-2 would select exactly these
+    val all = tables.events
+      .select(col("event_id"), col("value")).as[(Long, Double)].collect()
+      .map { case (id, v) => (id, if (id % 7 == 0) None else Some(v)) }
+    val ordered = all.sortBy { case (id, v) => (v.isDefined, v.getOrElse(0.0), id) }
+    assert(page.toSeq === ordered.slice(100, 150).toSeq)
+  }
+
+  test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
+    val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
+    val (notIn, notExists, isIn, exists) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(notIn === 0L, "x NOT IN (…, NULL) is UNKNOWN for every x")
+    assert(notExists > 0L, "NOT EXISTS returns the real complement")
+    assert(isIn === exists, "positive membership is null-immune")
+    assert(isIn + notExists === tables.customer.count(),
+      "IN + NOT EXISTS partition the probe side")
+  }
 }
