@@ -583,6 +583,9 @@ object SparkEntry {
     // q80: NOT IN vs NOT EXISTS against a null-bearing subquery — the
     // three-valued-logic contract, all four counts; identical SQL text
     "q80_null_membership" -> ((s, d) => Relational4.q80NullMembership(t(s, d))),
+    // q81: time-weighted average — hold durations via lead(ts), exact
+    // cents×μs products summed as DECIMAL(38,0), one rounded division
+    "q81_time_weighted_avg" -> ((s, d) => Relational4.q81TimeWeightedAvg(t(s, d))),
     // p35: quality-proportional soft sampling — md5-uniform Bernoulli
     // decided by an exact integer cross-multiplication, HT weights as
     // integer ppm; membership replayable in SQL (the q72 rule)
@@ -1107,6 +1110,24 @@ object SparkEntry {
         |SELECT samp.o_orderpriority, rate_mod, n_sampled,
         | n_sampled * rate_mod AS est_total, n_actual, sampled_value
         |FROM samp JOIN act USING (o_orderpriority)""".stripMargin,
+    // q81: identical hold derivation; the exact product sum is HUGEINT on
+    // the DuckDB side (decimal(38,0) on Spark's) — both 128-bit-exact, and
+    // the final correctly-rounded cast + one division match bit-for-bit
+    "q81_time_weighted_avg" ->
+      """WITH h AS (
+        | SELECT user_id, event_id, ts,
+        |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        | FROM events),
+        |d AS (
+        | SELECT user_id, cents,
+        |  CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT) AS dur_us
+        | FROM h WHERE next_ts IS NOT NULL)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_holds,
+        | CAST(sum(dur_us) AS BIGINT) AS total_us,
+        | round(CAST(sum(CAST(cents AS HUGEINT) * CAST(dur_us AS HUGEINT)) AS DOUBLE)
+        |   / CAST(sum(dur_us) AS DOUBLE) / 100.0, 6) + 0.0 AS twa
+        |FROM d GROUP BY user_id""".stripMargin,
     // q79/q80: the identical SQL text (the q44 convention)
     "q79_pagination" -> graft.operators.Relational4.q79Sql,
     "q80_null_membership" -> graft.operators.Relational4.q80Sql,

@@ -753,6 +753,46 @@ object Relational4 {
       | (SELECT count(*) FROM customer c
       |   WHERE EXISTS (SELECT 1 FROM probe WHERE k = c.c_custkey)) AS n_exists""".stripMargin
 
+  /** q81: time-weighted average — the telemetry/finance TWAP: each
+    * event's value HOLDS until the user's next event, so the average
+    * weights every value by how long it was current (a plain avg() calls
+    * a sensor that reports once an hour and once a millisecond the same
+    * — the sampling-rate bias TWAP exists to remove). Per user: one
+    * lead(ts) window pass for the hold durations, then ONE exchange-
+    * sharing rollup.
+    *
+    * Float discipline: value×duration sums are the q73 lesson amplified
+    * (μs durations ~10⁹ × 10⁵ rows overflow a long and noise a double),
+    * so both factors integerize — cents = round(value·100) (exact
+    * hundredths), duration in exact microseconds — and the products
+    * accumulate as DECIMAL(38,0), which both engines sum EXACTLY in any
+    * order. The only doubles are the final correctly-rounded
+    * decimal→double casts and ONE division, rounded 6 dp. */
+  def q81TimeWeightedAvg(t: Tables): DataFrame = timeWeightedAvg(t.events)
+
+  /** See [[q81TimeWeightedAvg]]; core over any (user_id, event_id, ts,
+    * value) frame. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .where(col("next_ts").isNotNull) // the last observation has no hold
+      .select(col("user_id"), col("cents"),
+        (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("dur_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_holds"),
+        sum(col("dur_us")).as("total_us"),
+        sum(col("cents").cast("decimal(38,0)") * col("dur_us").cast("decimal(38,0)"))
+          .as("wsum"))
+      .select(col("user_id"), col("n_holds"), col("total_us"),
+        (round(col("wsum").cast("double") /
+          col("total_us").cast("double") / 100.0, 6) + lit(0.0)).as("twa"))
+  }
+
   def q77MergeUpsert(t: Tables): DataFrame = {
     val target = t.orders.where(col("o_orderkey") % 3 =!= 0)
       .select(col("o_orderkey").as("key"),

@@ -672,6 +672,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(page.toSeq === ordered.slice(100, 150).toSeq)
   }
 
+  test("q81: TWAP weights by hold duration, not sample count (planted fixture + JVM replay)") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.Event
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${s}%02d")
+    // value 1.00 held 3 s, value 2.00 held 1 s → TWA 1.25; the PLAIN avg
+    // of observed values would be 1.50 — the sampling-rate bias TWAP removes
+    val fixture = Seq(
+      Event(1, ts(0), 7, "v", 1.00), Event(2, ts(3), 7, "v", 2.00),
+      Event(3, ts(4), 7, "v", 9.99) // last observation: no hold, excluded
+    ).toDF()
+    val r = graft.operators.Relational4.timeWeightedAvg(fixture).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 2L, "two holds")
+    assert(r.head.getLong(2) === 4000000L, "4 s of coverage in microseconds")
+    assert(r.head.getDouble(3) === 1.25)
+    // corpus law: every user's TWA lies within its observed value range
+    val rows = graft.operators.Relational4.q81TimeWeightedAvg(tables).collect()
+    val ranges = tables.events.groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(x => x.getLong(0) -> ((x.getDouble(1), x.getDouble(2)))).toMap
+    rows.foreach { x =>
+      val (lo, hi) = ranges(x.getLong(0))
+      assert(x.getDouble(3) >= lo - 0.01 && x.getDouble(3) <= hi + 0.01,
+        s"user ${x.getLong(0)}: twa ${x.getDouble(3)} outside [$lo, $hi]")
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
