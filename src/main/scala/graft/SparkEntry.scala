@@ -333,6 +333,13 @@ object SparkEntry {
     // d28: edit-budget sensitivity curve — pairs/docs per max-dist cut off
     // ONE shared d19 run at the grid max (the d18 rule); exact counts
     "d28_edit_curve"      -> ((s, d) => Dedup.editThresholdCurve(t(s, d).documents)),
+    // p38: license-taint propagation — any restricted member taints its
+    // whole d07 cluster (the inverse of p31's keeper pick); exact via the
+    // nested recursive-CTE oracle
+    "p38_license_taint"   -> ((s, d) => graft.operators.DataPipeline.licenseTaint(t(s, d).documents)),
+    // s23: sample coverage gap — nearest modulus-sampled representative
+    // per corpus vector, exact cosines (the rare fully-exact s-member)
+    "s23_coverage_gap"    -> ((s, d) => Knn.coverageGap(t(s, d).embeddings)),
     // d21: edit-distance admission — d10's batch convention; the length-
     // band blocking is exact, so the decision IS the brute-force one
     "d21_incremental_editdup" -> ((s, d) => {
@@ -2663,6 +2670,18 @@ object SparkEntry {
          | CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS doc_share,
          | n_docs - n_clusters AS n_excess
          |FROM g, n""".stripMargin,
+    // p38: taint = own flag OR cluster membership in the distinct
+    // restricted-cluster set; singletons self-cluster via COALESCE
+    "p38_license_taint" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |lab AS (
+         | SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+         |  d.source IN ('src17', 'src18', 'src19') AS own_restricted
+         | FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |tc AS (SELECT DISTINCT cluster_id FROM lab WHERE own_restricted)
+         |SELECT doc_id, cluster_id, own_restricted,
+         | (own_restricted OR cluster_id IN (SELECT cluster_id FROM tc)) AS tainted
+         |FROM lab""".stripMargin,
     // p36: the same per-source rate table (min_n via scalar subquery) and
     // the same md5 membership cross-multiplication as the engine
     "p36_uniform_rebalance" ->
@@ -2805,6 +2824,19 @@ object SparkEntry {
         | round(list_cosine_similarity(a.v, b.v), 4) AS cos
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45""".stripMargin,
+    // s23: the same modulus sample cross-joined in DuckDB; (cos DESC,
+    // rep ASC) rank 1 ≡ the engine's max(struct(cos, -rep)) argmax
+    "s23_coverage_gap" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |r AS (SELECT vec_id AS rep_id, v AS rv FROM e WHERE vec_id % 19 = 0),
+        |scored AS (
+        | SELECT e.vec_id, r.rep_id,
+        |  round(list_cosine_similarity(e.v, r.rv), 8) AS cos
+        | FROM e CROSS JOIN r),
+        |rk AS (SELECT vec_id, rep_id, cos,
+        | row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, rep_id ASC) AS rn
+        | FROM scored)
+        |SELECT vec_id, rep_id AS nearest_rep, cos FROM rk WHERE rn = 1""".stripMargin,
     "s01_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

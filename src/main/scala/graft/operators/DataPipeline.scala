@@ -517,6 +517,38 @@ object DataPipeline {
           nullif(col("n_dropped").cast("double"), lit(0.0))).as("unique_share"))
   }
 
+  /** p38: license-taint propagation over the near-dup graph — if ANY
+    * member of a d07 cluster comes from a restricted source, EVERY member
+    * is flagged: near-duplicates of restricted text carry its terms
+    * regardless of which copy you keep, so the taint is a property of the
+    * CLUSTER, not the document (the inverse of p31, which picks the
+    * best-provenance keeper; p38 says when no keeper is safe). The
+    * license/compliance gate a production corpus runs between dedup and
+    * mixing.
+    *
+    * Exactness: flags are set operations over d07's closure (exact
+    * oracle via the nested recursive CTE, the d27/p17 precedent).
+    * Scale shape: cluster labels ∝ paired docs broadcast-join onto the
+    * unshuffled corpus (the p17/p23 regime); the tainted-cluster id set
+    * is duplication-bounded and broadcasts back — the corpus pays one
+    * scan and no key shuffle. */
+  def licenseTaint(docs: DataFrame,
+                   restricted: Seq[String] = Seq("src17", "src18", "src19")): DataFrame = {
+    require(restricted.nonEmpty, "empty restricted-source set")
+    val cl = graft.dedup.Clusters.dupClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    val lab = docs.select(col("doc_id"), col("source"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("source").isin(restricted: _*).as("own_restricted"))
+    val tainted = lab.where(col("own_restricted"))
+      .select(col("cluster_id")).distinct().withColumn("t", lit(true))
+    lab.join(broadcast(tainted), Seq("cluster_id"), "left")
+      .select(col("doc_id"), col("cluster_id"), col("own_restricted"),
+        coalesce(col("t"), lit(false)).as("tainted"))
+  }
+
   /** One scrub rule: a Java/RE2-compatible pattern and its replacement
     * token. Patterns must avoid constructs RE2 lacks (backrefs, lookaround)
     * so the same rule runs verbatim in engines like DuckDB for auditing. */

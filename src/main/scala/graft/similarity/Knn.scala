@@ -94,6 +94,37 @@ object Knn {
       .where(col("cos") >= tau)
   }
 
+  /** s23: sample coverage gap — for EVERY corpus vector, its nearest
+    * representative in a deterministic md5-free modulus sample and the
+    * cosine to it: the evaluation table for any representative-selection
+    * scheme (s12 farthest-point, d26 √-retention, p36's thinning) —
+    * low nearest-rep cosine = a region of embedding space the sample
+    * does not cover, exactly what a coreset audit looks for before
+    * training on the sample. The rare fully-EXACT s-member: membership
+    * is `vec_id % sampleMod = 0` (the q72 rule), scores are exact
+    * cosines rounded at 8 dp with a rep-id tiebreak, so the whole table
+    * hash-checks against a DuckDB cross join.
+    *
+    * Scale shape: the rep set is corpus/sampleMod rows, broadcast; the
+    * corpus streams once through the broadcast NL join and the argmax
+    * is a skew-safe max(struct) partial aggregation — no key shuffle
+    * beyond the per-vector combine. Reps cover themselves at cos 1. */
+  def coverageGap(emb: DataFrame, sampleMod: Int = 19): DataFrame = {
+    require(sampleMod >= 2, s"sampleMod=$sampleMod leaves no gap to measure")
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val reps = broadcast(
+      v.filter(pmod(col("vec_id"), lit(sampleMod.toLong)) === 0)
+        .select(col("vec_id").as("rep_id"), col("v").as("rv")))
+    v.crossJoin(reps)
+      .select(col("vec_id"),
+        struct(round(VectorFns.cosine(col("v"), col("rv")), 8).as("c"),
+          (-col("rep_id")).as("nr")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("s")).as("best"))
+      .select(col("vec_id"),
+        (-col("best.nr")).as("nearest_rep"), col("best.c").as("cos"))
+  }
+
   /** s08: exact k-nearest-neighbor GRAPH over the corpus — every vector's
     * top-k neighbors by cosine, the self-join member of the similarity
     * family ([[bruteForce]] answers "k nearest to these queries"; the

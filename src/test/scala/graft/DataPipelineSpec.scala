@@ -1106,6 +1106,22 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(math.abs(est - 200.0) <= 5 * math.sqrt(200 * 0.1 * 0.9) * 10 + 1e-9)
   }
 
+  test("p38: one restricted member taints the whole cluster; clean singletons stay clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" "), "srcA"),   // near-dup of 2
+      (2L, (1 to 11).map(i => s"w$i").mkString(" "), "srcBAD"), // restricted copy
+      (3L, "completely different clean content here", "srcA"),  // clean singleton
+      (4L, "another unrelated restricted document", "srcBAD")   // restricted singleton
+    ).toDF("doc_id", "text", "source")
+    val got = graft.operators.DataPipeline.licenseTaint(docs, Seq("srcBAD")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((1L, false, true)), "clean copy of restricted text is tainted")
+    assert(got(2L) === ((1L, true, true)))
+    assert(got(3L) === ((3L, false, false)), "clean singleton untouched")
+    assert(got(4L) === ((4L, true, true)), "restricted singleton taints itself only")
+  }
+
   test("p37: overlap is attributed to BOTH rules' n_fail but NEITHER's n_unique") {
     import spark.implicits._
     // 30 distinct pure-alpha tokens: alpha ratio 60/89 ≈ 0.67, no dups

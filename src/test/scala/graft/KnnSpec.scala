@@ -17,6 +17,28 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("s23: nearest representative matches a JVM brute force; reps cover themselves") {
+    val vecs = tables.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val reps = vecs.keys.filter(_ % 19 == 0).toSeq.sorted
+    val got = Knn.coverageGap(tables.embeddings).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.size === vecs.size, "one row per corpus vector")
+    got.foreach { case (id, (rep, c)) =>
+      val best = reps.map(r => (cos(vecs(id), vecs(r)), r))
+        .maxBy { case (s, r) => (s, -r) }
+      assert((best._2, best._1) === ((rep, c)), s"vector $id nearest rep")
+    }
+    reps.foreach(r => assert(got(r)._1 === r && got(r)._2 === 1.0,
+      s"rep $r must cover itself at cos 1"))
+  }
+
   test("s07: radius result is exactly the thresholded exact-cosine pair set") {
     val tau = 0.1
     val got = Knn.radius(tables.embeddings, "vec_id < 5", tau).collect()
