@@ -593,6 +593,12 @@ object SparkEntry {
     // q81: time-weighted average — hold durations via lead(ts), exact
     // cents×μs products summed as DECIMAL(38,0), one rounded division
     "q81_time_weighted_avg" -> ((s, d) => Relational4.q81TimeWeightedAvg(t(s, d))),
+    // q82: week-over-week trend — lag over the AGGREGATED weekly series
+    // (|types|×|weeks| rows), Monday weeks as ISO strings, exact deltas
+    "q82_period_over_period" -> ((s, d) => Relational4.q82PeriodOverPeriod(t(s, d))),
+    // q83: first-order Markov transition matrix — lead over each user's
+    // total-ordered timeline, |types|²-bounded output, row-normalized p
+    "q83_transition_matrix" -> ((s, d) => Relational4.q83TransitionMatrix(t(s, d))),
     // p35: quality-proportional soft sampling — md5-uniform Bernoulli
     // decided by an exact integer cross-multiplication, HT weights as
     // integer ppm; membership replayable in SQL (the q72 rule)
@@ -1135,6 +1141,34 @@ object SparkEntry {
         | round(CAST(sum(CAST(cents AS HUGEINT) * CAST(dur_us AS HUGEINT)) AS DOUBLE)
         |   / CAST(sum(dur_us) AS DOUBLE) / 100.0, 6) + 0.0 AS twa
         |FROM d GROUP BY user_id""".stripMargin,
+    // q82: same Monday truncation (the q65 rule), lag over the weekly
+    // aggregate, one rounded division; first week NULLs via the lag
+    "q82_period_over_period" ->
+      """WITH wkc AS (
+        | SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, wk, n,
+        | lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+        | FROM wkc)
+        |SELECT event_type, strftime(wk, '%Y-%m-%d') AS week, n, prev_n,
+        | n - prev_n AS delta,
+        | round(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 6) + 0.0 AS pct_change
+        |FROM l""".stripMargin,
+    // q83: identical lead() derivation; row totals derive from the
+    // transition table, p is the one rounded division
+    "q83_transition_matrix" ->
+      """WITH s AS (
+        | SELECT event_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        | FROM events),
+        |tr AS (
+        | SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        | FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_n FROM tr GROUP BY 1)
+        |SELECT tr.event_type, tr.next_type, tr.n,
+        | round(CAST(tr.n AS DOUBLE) / CAST(tot.row_n AS DOUBLE), 6) + 0.0 AS p
+        |FROM tr JOIN tot USING (event_type)""".stripMargin,
     // q79/q80: the identical SQL text (the q44 convention)
     "q79_pagination" -> graft.operators.Relational4.q79Sql,
     "q80_null_membership" -> graft.operators.Relational4.q80Sql,

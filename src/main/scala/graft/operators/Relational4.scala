@@ -793,6 +793,60 @@ object Relational4 {
           col("total_us").cast("double") / 100.0, 6) + lit(0.0)).as("twa"))
   }
 
+  /** q82: period-over-period comparison — weekly event counts per type
+    * with the previous period's count, absolute delta and percent change:
+    * the WoW/MoM reporting shape every analytics deployment runs (q65
+    * cohorts users; q82 trends the activity series itself). One
+    * aggregation exchange; the lag window rides the tiny aggregated
+    * series (|types| × |weeks| rows), never the events.
+    *
+    * Exactness: weeks truncate to Monday (the q65 rule) and serialize as
+    * ISO date strings (the q23/q59 rule); counts and deltas are exact
+    * longs; pct_change is one division of exact longs rounded 6 dp with
+    * the first period NULL via the lag — both engines agree row for
+    * row. */
+  def q82PeriodOverPeriod(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("wk"))
+    t.events
+      .select(col("event_type"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .groupBy(col("event_type"), col("wk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .select(col("event_type"), date_format(col("wk"), "yyyy-MM-dd").as("week"),
+        col("n"), col("prev_n"),
+        (col("n") - col("prev_n")).as("delta"),
+        (round((col("n") - col("prev_n")).cast("double") /
+          col("prev_n").cast("double"), 6) + lit(0.0)).as("pct_change"))
+  }
+
+  /** q83: event-transition matrix — per (event_type → next event_type)
+    * within a user's timeline, the observed count and the row-normalized
+    * transition probability: the first-order Markov view of behavior
+    * (q66 asks "did the ordered funnel complete"; q83 asks "what follows
+    * what, how often" — the input to path analysis and next-action
+    * models). ONE user_id exchange feeds the lead() pass; the transition
+    * aggregation output is |types|² — bounded at any event volume.
+    *
+    * Exactness: the timeline order is total ((ts, event_id)), counts
+    * exact longs, the probability one division of exact longs rounded
+    * 6 dp (row sums derive FROM the transition table, no rescan). */
+  def q83TransitionMatrix(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("event_type")).agg(sum(col("n")).as("row_n"))
+    trans.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        (round(col("n").cast("double") / col("row_n").cast("double"), 6)
+          + lit(0.0)).as("p"))
+  }
+
   def q77MergeUpsert(t: Tables): DataFrame = {
     val target = t.orders.where(col("o_orderkey") % 3 =!= 0)
       .select(col("o_orderkey").as("key"),

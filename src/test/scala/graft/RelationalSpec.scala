@@ -699,6 +699,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q82/q83: trend deltas replay from the weekly series; transition rows sum to 1") {
+    val wk = graft.operators.Relational4.q82PeriodOverPeriod(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    // per type: exactly one first week (NULL prev), and every prev_n is
+    // the previous week's n in ISO-string order
+    wk.groupBy(_._1).foreach { case (tpe, rows) =>
+      val ordered = rows.sortBy(_._2)
+      assert(ordered.head._4.isEmpty, s"$tpe first week must have no prev")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4.contains(a._3), s"$tpe ${b._2} prev")
+        case _ =>
+      }
+    }
+    val tr = graft.operators.Relational4.q83TransitionMatrix(tables).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    tr.groupBy(_._1).foreach { case (tpe, rows) =>
+      val pSum = rows.map(_._3).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$tpe transition row sums to $pSum")
+      assert(rows.forall(_._2 > 0))
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
