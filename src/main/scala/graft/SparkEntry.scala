@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, count, round, sum}
-import graft.operators.{Relational, Relational2, Relational3, Relational4, Temporal, TextQueries}
+import graft.operators.{Relational, Relational2, Relational3, Relational4, Relational5, Temporal, TextQueries}
 import graft.dedup.Dedup
 import graft.similarity.Knn
 import graft.multimodal.Multimodal
@@ -690,6 +690,36 @@ object SparkEntry {
         media.where(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 10000))
       Multimodal.videoDupClusters(s, dupped)
     }),
+    // q84: gaps-and-islands activity streaks — day − row_number() run
+    // grouping on the distinct-day frame, user-keyed windows, exact longs
+    "q84_streaks"         -> ((s, d) => Relational5.q84Streaks(t(s, d))),
+    // q85: price deciles per priority — keyed ntile over the total
+    // (cents, orderkey) order, exact cents min/max/sum per bucket
+    "q85_deciles"         -> ((s, d) => Relational5.q85Deciles(t(s, d))),
+    // q86: quantity-weighted median price per return flag — running-
+    // weight window + min-over-qualifying, all-integer arithmetic
+    "q86_weighted_median" -> ((s, d) => Relational5.q86WeightedMedian(t(s, d))),
+    // q87: 2-D Pareto skyline per priority — (day DESC, cents ASC) sort,
+    // strict running-min test; O(n log n), no quadratic NOT EXISTS
+    "q87_skyline"         -> ((s, d) => Relational5.q87Skyline(t(s, d))),
+    // q88: conversion-path regexp count over the ordered initials string
+    // — unambiguous pattern, Java regex ≡ RE2 count for count
+    "q88_path_pattern"    -> ((s, d) => Relational5.q88PathPattern(t(s, d))),
+    // q89: last-touch attribution — lag() before each purchase, exact μs
+    // gaps, one rounded mean division
+    "q89_attribution"     -> ((s, d) => Relational5.q89Attribution(t(s, d))),
+    // q90: 20-bin equi-width histogram — bounds as a 1-row-agg crossJoin
+    // (zero jobs at construction), integer-div binning, empty bins kept
+    "q90_histogram"       -> ((s, d) => Relational5.q90Histogram(t(s, d))),
+    // d29: nearest duplicate per doc — one window pick over the memoized
+    // d02 pair frame; jaccard is d02's exact one-division double
+    "d29_nearest_dup"     -> ((s, d) => Dedup.nearestDup(t(s, d).documents)),
+    // s24: top-2 neighbor margin — s08's exact graph at k=2 pivoted;
+    // rounded-cosine difference, fully hash-checkable
+    "s24_knn_margin"      -> ((s, d) => graft.similarity.Report.knnMargin(t(s, d).embeddings)),
+    // p39: per-sequence provenance manifest — p09's spans regrouped by
+    // sequence identity with ordered composition strings; pure integers
+    "p39_sequence_manifest" -> ((s, d) => graft.operators.DataPipeline.sequenceManifest(t(s, d).documents)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3183,6 +3213,132 @@ object SparkEntry {
         |      list_transform(split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
         |    (h, b) -> (h * 1000003 + b) % 18446744073709551616) AS r
         | FROM documents)""".stripMargin,
+    // q84: identical day − row_number() island trick on the distinct-day
+    // frame; all counts exact longs
+    "q84_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM days),
+        |runs AS (SELECT user_id, day - CAST(rn AS INT) AS grp, count(*) AS len
+        | FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS active_days,
+        | CAST(count(*) AS BIGINT) AS n_streaks,
+        | CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM runs GROUP BY user_id""".stripMargin,
+    // q85: ntile over the same total (cents, orderkey) order — remainder
+    // placement is deterministic, so buckets agree engine for engine
+    "q85_deciles" ->
+      """WITH c AS (SELECT o_orderpriority,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, o_orderkey
+        | FROM orders),
+        |d AS (SELECT o_orderpriority, cents,
+        |  ntile(10) OVER (PARTITION BY o_orderpriority ORDER BY cents, o_orderkey) AS decile
+        | FROM c)
+        |SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(min(cents) AS BIGINT) AS min_cents,
+        | CAST(max(cents) AS BIGINT) AS max_cents,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    // q86: same running-weight window over the same total order; the
+    // lower weighted median is min(cents | 2·cum ≥ tot) — all integers
+    "q86_weighted_median" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |  CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+        |  l_orderkey, l_linenumber FROM lineitem),
+        |w AS (SELECT l_returnflag, cents, qty,
+        |  sum(qty) OVER (PARTITION BY l_returnflag
+        |    ORDER BY cents, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  sum(qty) OVER (PARTITION BY l_returnflag) AS tot
+        | FROM b)
+        |SELECT l_returnflag, CAST(max(tot) AS BIGINT) AS total_qty,
+        | CAST(min(cents) AS BIGINT) AS wmedian_cents
+        |FROM w WHERE cum * 2 >= tot GROUP BY l_returnflag""".stripMargin,
+    // q87: same (day DESC, cents ASC) strict running-min skyline over
+    // distinct points; frontier membership is exact integer comparison
+    "q87_skyline" ->
+      """WITH pts AS (SELECT DISTINCT o_orderpriority,
+        |  CAST(o_orderdate AS DATE) AS day,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |m AS (SELECT o_orderpriority, day, cents,
+        |  min(cents) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY day DESC, cents ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmin
+        | FROM pts)
+        |SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day, cents
+        |FROM m WHERE runmin IS NULL OR cents < runmin""".stripMargin,
+    // q88: string_agg in the same (ts, event_id) total order; the regexp
+    // is unambiguous so RE2's count equals Java's
+    "q88_path_pattern" ->
+      """WITH s AS (SELECT user_id,
+        |  string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        | FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS INT) AS seq_len,
+        | CAST(len(regexp_extract_all(seq, 'v[c]*p')) AS INT) AS n_paths
+        |FROM s""".stripMargin,
+    // q89: same lag() derivation; mean gap is the one rounded division of
+    // exact μs sums (sum/count over non-null gaps)
+    "q89_attribution" ->
+      """WITH p AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |g AS (SELECT coalesce(prev_type, '(none)') AS touch,
+        |  CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+        | FROM p WHERE event_type = 'purchase')
+        |SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+        | round(CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE), 6) + 0.0
+        |   AS mean_gap_us
+        |FROM g GROUP BY touch""".stripMargin,
+    // q90: same integer-div binning against the same 1-row bounds; empty
+    // bins from generate_series(0,19) left join
+    "q90_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders),
+        |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+        |cnt AS (SELECT (c.c - b.lo) * 20 // (b.hi - b.lo + 1) AS bin,
+        |  count(*) AS cnt FROM c c, bounds b GROUP BY 1),
+        |bins AS (SELECT unnest(generate_series(0, 19)) AS bin)
+        |SELECT CAST(bins.bin AS BIGINT) AS bin,
+        | CAST(coalesce(cnt.cnt, 0) AS BIGINT) AS n
+        |FROM bins LEFT JOIN cnt ON cnt.bin = bins.bin""".stripMargin,
+    // d29: the d02 oracle nested, symmetric expansion, one row_number pick
+    "d29_nearest_dup" ->
+      s"""WITH nd AS ($ngramJaccardSql),
+         |b AS (
+         | SELECT d1 AS doc_id, d2 AS nearest, jaccard FROM nd
+         | UNION ALL
+         | SELECT d2 AS doc_id, d1 AS nearest, jaccard FROM nd),
+         |r AS (SELECT doc_id, nearest, jaccard,
+         |  row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY jaccard DESC, nearest ASC) AS rn FROM b)
+         |SELECT doc_id, nearest, jaccard FROM r WHERE rn = 1""".stripMargin,
+    // s24: the s08 oracle at k = 2 pivoted the same way
+    "s24_knn_margin" -> graft.similarity.Report.knnMarginOracleSql(),
+    // p39: the p09 oracle regrouped by sequence identity; composition via
+    // ordered string_agg (packing order within (source, shard) IS doc_id
+    // order)
+    "p39_sequence_manifest" ->
+      """WITH d AS (SELECT doc_id, source, doc_id // 1000 AS shard,
+        |  CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens FROM documents),
+        |o AS (SELECT doc_id, source, shard, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM d),
+        |e AS (SELECT doc_id, source, shard, n_tokens, tok_offset,
+        |      unnest(generate_series(tok_offset // 512, (tok_offset + n_tokens - 1) // 512)) AS seq_id
+        |      FROM o),
+        |sp AS (SELECT doc_id, source, shard, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(least((seq_id + 1) * 512, tok_offset + n_tokens)
+        |     - greatest(seq_id * 512, tok_offset) AS BIGINT) AS span_len
+        | FROM e)
+        |SELECT source, shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(span_len) AS BIGINT) AS seq_tokens,
+        | string_agg(CAST(doc_id AS VARCHAR) || 'x' || CAST(span_len AS VARCHAR),
+        |   ',' ORDER BY doc_id) AS composition,
+        | CAST(512 - sum(span_len) AS BIGINT) AS n_pad
+        |FROM sp GROUP BY 1, 2, 3""".stripMargin,
   )
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")

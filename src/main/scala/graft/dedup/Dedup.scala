@@ -150,6 +150,28 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jaccard"), col("evidence"))
   }
 
+  /** d29: nearest duplicate — for every document that has at least one
+    * d02 near-dup, its single most-similar counterpart (max jaccard,
+    * neighbor-id tiebreak): the "show me THE closest copy" lookup a
+    * review queue renders next to each flagged doc (d17 explains WHY a
+    * pair matched; d29 picks WHICH neighbor matters when a doc sits in
+    * several pairs). Rides the memoized [[sharedJaccardPairs]] frame —
+    * zero new corpus work; the symmetric expansion doubles only the tiny
+    * pair frame and the pick is one pair-keyed window row_number. Exact:
+    * jaccard is d02's one-division double, the (jaccard DESC, neighbor)
+    * order total. */
+  def nearestDup(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
+    val pairs = sharedJaccardPairs(docs, threshold, k)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val sym = pairs.select(col("d1").as("doc_id"), col("d2").as("nearest"), col("jaccard"))
+      .unionAll(pairs.select(col("d2").as("doc_id"), col("d1").as("nearest"), col("jaccard")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("nearest").asc)
+    sym.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("nearest"), col("jaccard"))
+  }
+
   /** d18: dedup threshold sensitivity curve — for a grid of thresholds,
     * how many near-dup pairs each would yield: the tuning artifact a
     * pipeline consults BEFORE committing to a τ (a cliff between 0.8 and

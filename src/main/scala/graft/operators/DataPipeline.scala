@@ -1202,6 +1202,35 @@ object DataPipeline {
           / (col("n_seqs") * col("budget")).cast("double")).as("padding_frac"))
   }
 
+  /** p39: sequence manifest — the per-training-sequence provenance table:
+    * for every (source, shard, seq_id) that p05/p09 packing produces,
+    * which documents contribute, how many tokens each span carries, and
+    * the ordered composition string ("docIdxspanLen,…"). This is the
+    * inverse lookup of p09 (p09 answers "where did doc D land"; p39
+    * answers "what is INSIDE sequence N" — the record a training run
+    * consults when a loss spike at step N needs its exact input data, and
+    * the audit trail data-deletion requests trace through). Tail
+    * sequences expose their padding as `budget − seq_tokens`; full
+    * sequences show 0 by construction.
+    *
+    * Exactness: pure integer regrouping of p09's oracle-checked spans;
+    * the composition string orders by doc_id (packing order within a
+    * (source, shard) is doc_id order, so this IS physical order — the
+    * q64 array_sort-over-struct discipline). One exchange, keyed by the
+    * sequence identity; output ∝ number of sequences. */
+  def sequenceManifest(docs: DataFrame, budget: Int = 512,
+                       shardDocs: Int = 1000): DataFrame =
+    packSpans(docs, budget, shardDocs)
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("span_len")).as("seq_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("span_len")))),
+            x => concat(x.getField("doc_id").cast("string"), lit("x"),
+              x.getField("span_len").cast("string"))), ",").as("composition"))
+      .withColumn("n_pad", lit(budget.toLong) - col("seq_tokens"))
+
   /** p30: gate-ablation grid — for every (lang, min-length threshold)
     * cell of a sweep, what a `n_chars >= T` quality gate would retain:
     * document count, character mass, and both as shares of the

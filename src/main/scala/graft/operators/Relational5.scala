@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Fifth relational batch: activity streaks (gaps-and-islands), decile
+  * reports, weighted medians, Pareto frontiers, ordered-path pattern
+  * counts, last-touch attribution and equi-width histograms — the
+  * sessionized-analytics shapes the reference's users run downstream of
+  * its training jobs (ref `common/src/main/java/net/qihoo/hbox/conf/
+  * HboxConfiguration.java` exposes only storage knobs; every analytical
+  * semantic here is new engine surface, expressed Spark-first).
+  *
+  * All queries follow the exactness discipline: money integerizes to
+  * cents BEFORE arithmetic, timeline order is total ((ts, event_id)),
+  * every emitted double is one rounded division (`round(_, 6) + 0.0`),
+  * and window partitions ride natural keys (user, flag, priority) so no
+  * single-partition global sort appears in any plan.
+  */
+object Relational5 {
+
+  /** q84: activity streaks — per user the gaps-and-islands rollup of the
+    * days they were active: total active days, number of distinct
+    * consecutive-day runs, and the longest run. THE classic retention
+    * shape ("longest streak") and the canonical island trick: on the
+    * distinct day list, `day - row_number()` is constant within a
+    * consecutive run, so one per-user window pass + two aggregations
+    * resolve every streak with no self-join. Exact longs only.
+    *
+    * Scale: the distinct-day frame is |users| × |active days| — already
+    * tiny relative to events — and every exchange is keyed by user_id;
+    * the window partitions by user, so parallelism is user-bounded, never
+    * global. */
+  def q84Streaks(t: Tables): DataFrame = {
+    val days = t.events
+      .select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("longest_streak"))
+  }
+
+  /** q85: decile report — orders bucketed into price deciles WITHIN each
+    * order priority (ntile over a keyed partition, never a global sort),
+    * with per-decile count and exact cents min/max/sum. The standard
+    * distribution-table shape for dashboards; the (cents, o_orderkey)
+    * order is total, so ntile's remainder placement is deterministic and
+    * both engines agree bucket for bucket. */
+  def q85Deciles(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    t.orders
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  /** q86: weighted median — per return flag, the quantity-weighted median
+    * of lineitem extended price: the smallest price whose cumulative
+    * weight reaches half the total (the lower weighted median, the data-
+    * mixing statistic p08/p36-style samplers balance against). One keyed
+    * window pass for the running weight (total order (cents, orderkey,
+    * linenumber)), the flag totals ride the same frame via a full-
+    * partition window — zero extra exchanges — and the median is a
+    * min-over-qualifying-rows aggregation. All integer arithmetic
+    * (cents × whole-unit quantities); no doubles anywhere. */
+  def q86WeightedMedian(t: Tables): DataFrame = {
+    val base = t.lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+      round(col("l_quantity"), 0).cast("long").as("qty"),
+      col("l_orderkey"), col("l_linenumber"))
+    val wRun = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    base
+      .withColumn("cum", sum(col("qty")).over(wRun))
+      .withColumn("tot", sum(col("qty")).over(wAll))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("tot")).as("total_qty"),
+        min(col("cents")).as("wmedian_cents"))
+  }
+
+  /** q87: Pareto frontier — per order priority, the orders no other order
+    * dominates on (newer order date, lower price): the skyline operator
+    * (Börzsönyi et al. 2001) in its 2-D O(n log n) window form. Sorted by
+    * (day DESC, cents ASC), a point survives iff its price is strictly
+    * below the running minimum over all EARLIER rows — every earlier row
+    * is newer (or same-day-cheaper), so `cents < runmin` is exactly
+    * non-domination; no quadratic NOT EXISTS self-join anywhere. Distinct
+    * (priority, day, cents) points make the frontier well-defined under
+    * the strict-in-one domination rule. */
+  def q87Skyline(t: Tables): DataFrame = {
+    val pts = t.orders
+      .select(col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .distinct()
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("day").desc, col("cents").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("runmin", min(col("cents")).over(w))
+      .where(col("runmin").isNull || col("cents") < col("runmin"))
+      .select(col("o_orderpriority"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("cents"))
+  }
+
+  /** q88: conversion-path pattern count — each user's timeline rendered as
+    * a string of event-type initials in total ((ts, event_id)) order, then
+    * the number of view→clicks*→purchase paths counted by one regexp scan:
+    * the poor man's MATCH_RECOGNIZE, and the shape sequence-pattern
+    * mining reduces to once the alphabet is small. The pattern
+    * `v[c]*p` is unambiguous (match end = first 'p' after the click run),
+    * so Java regex and RE2 agree on every count. Ordered aggregation per
+    * user (the q64 array_sort-over-struct discipline) — one exchange. */
+  def q88PathPattern(t: Tables): DataFrame = {
+    val seq = t.events
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("c")))),
+          x => x.getField("c")), "").as("seq"))
+    seq.select(col("user_id"),
+      length(col("seq")).as("seq_len"),
+      regexp_count(col("seq"), lit("v[c]*p")).as("n_paths"))
+  }
+
+  /** q89: last-touch attribution — for every purchase, the event type
+    * immediately preceding it in the user's timeline, rolled up to
+    * (previous type → purchases, mean gap): the marketing-attribution
+    * staple and the inverse of q83's transition matrix (q83 asks "what
+    * follows X"; q89 asks "what precedes a conversion"). One lag() pass
+    * over the user-keyed window, gaps in exact microseconds, the mean is
+    * the one rounded division. First-event purchases attribute to
+    * '(none)'. */
+  def q89Attribution(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t.events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .where(col("event_type") === "purchase")
+      .select(coalesce(col("prev_type"), lit("(none)")).as("touch"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"))
+      .groupBy(col("touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        (round(sum(col("gap_us")).cast("double") /
+          count(col("gap_us")).cast("double"), 6) + lit(0.0)).as("mean_gap_us"))
+  }
+
+  /** q90: equi-width histogram — order prices in 20 equal-width bins over
+    * the observed [min, max] cents range, empty bins kept (a histogram
+    * with silent holes misleads): bounds ride the plan as a 1-row
+    * aggregate crossJoin (the q33 scalar-subquery shape — constructing
+    * this DataFrame launches ZERO jobs), the bin index is pure integer
+    * arithmetic ((c-lo)·20 div (hi-lo+1), exact in both engines, top
+    * value lands in bin 19 by construction), and the empty-bin fill is a
+    * generated 20-row sequence left-joined against the counts. */
+  def q90Histogram(t: Tables): DataFrame = {
+    val cents = t.orders
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    val bounds = cents.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    val counts = cents.crossJoin(bounds)
+      .select(expr("(c - lo) * 20 div (hi - lo + 1)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    bounds
+      .select(explode(sequence(lit(0L), lit(19L))).as("bin"))
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("n"))
+  }
+}

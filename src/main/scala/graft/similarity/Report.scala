@@ -105,6 +105,45 @@ object Report {
       .select((col("bucket").cast("double") / 20.0).as("cos_lo"), col("n_pairs"))
   }
 
+  /** s24: nearest-neighbor margin — per vector, its top-2 exact
+    * neighbors' cosines and their gap (cos₁ − cos₂): the hubness/
+    * ambiguity diagnostic retrieval QA runs before trusting an ANN
+    * index (a corpus whose margins concentrate near 0 has ambiguous
+    * neighborhoods — IVF/PQ recall targets must tighten; wide margins
+    * mean cheap indexes suffice). One s08 graph at k=2 (broadcast
+    * queries, map-side TopK clip), pivoted by one query-keyed
+    * aggregation. Exact: cosines are round(·,8) doubles, the margin a
+    * difference of those exact doubles re-rounded, tiebreaks total —
+    * fully hash-checkable. */
+  def knnMargin(emb: DataFrame): DataFrame =
+    Knn.knnGraph(emb, 2)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("rank") === 1, col("neighbor_id"))).as("nn1"),
+        max(when(col("rank") === 1, col("cos"))).as("cos1"),
+        max(when(col("rank") === 2, col("cos"))).as("cos2"))
+      .select(col("query_id"), col("nn1"), col("cos1"), col("cos2"),
+        (round(col("cos1") - col("cos2"), 8) + lit(0.0)).as("margin"))
+
+  /** The s24 replay: the s08 oracle at k = 2 pivoted the same way. */
+  def knnMarginOracleSql(): String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(q.v, n.v), 8) AS cos
+      | FROM e q JOIN e n ON n.vec_id <> q.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos,
+      | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      | FROM scored),
+      |p AS (
+      | SELECT query_id,
+      |  max(CASE WHEN rnk = 1 THEN neighbor_id END) AS nn1,
+      |  max(CASE WHEN rnk = 1 THEN cos END) AS cos1,
+      |  max(CASE WHEN rnk = 2 THEN cos END) AS cos2
+      | FROM ranked WHERE rnk <= 2 GROUP BY query_id)
+      |SELECT query_id, nn1, cos1, cos2, round(cos1 - cos2, 8) + 0.0 AS margin
+      |FROM p""".stripMargin
+
   /** The s21 replay: same md5 sample rule, same rounded cosine, same
     * ×20 floor bucketing. */
   def simHistogramOracleSql(mod: Int = 4): String =

@@ -978,6 +978,33 @@ class DataPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p39: manifest conserves tokens, pads only sequence tails, matches p09 regroup") {
+    import org.apache.spark.sql.functions.col
+    val spans = graft.operators.DataPipeline.packSpans(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(5)))
+    val got = graft.operators.DataPipeline.sequenceManifest(tables.documents).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getString(5), r.getLong(6)))).toMap
+    val regroup = spans.groupBy(s => (s._2, s._3, s._4))
+    assert(got.keySet === regroup.keySet)
+    regroup.foreach { case (key, ss) =>
+      val (nDocs, seqTok, comp, pad) = got(key)
+      assert(nDocs === ss.length.toLong, s"$key n_docs")
+      assert(seqTok === ss.map(_._5).sum, s"$key token mass")
+      assert(pad === 512L - seqTok, s"$key padding")
+      assert(comp === ss.sortBy(_._1).map(s => s"${s._1}x${s._5}").mkString(","),
+        s"$key composition")
+    }
+    // only the LAST sequence of each (source, shard) may carry padding
+    got.groupBy(k => (k._1._1, k._1._2)).foreach { case (g, seqs) =>
+      val lastSeq = seqs.keys.map(_._3).max
+      seqs.foreach { case ((_, _, sq), (_, _, _, pad)) =>
+        if (sq != lastSeq) assert(pad === 0L, s"$g seq $sq must be full")
+        else assert(pad >= 0L)
+      }
+    }
+  }
+
   test("m07: alignment audit agrees with direct per-source counts") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents.select(col("doc_id"), col("source")).collect()

@@ -320,6 +320,32 @@ class DedupSpec extends AnyFunSuite {
       s"df-2 shingles rank before the df-6 chrome, ties by shingle text: $ev")
   }
 
+  test("d29: nearest dup picks each doc's max-jaccard neighbor with the id tiebreak") {
+    import spark.implicits._
+    // 1 and 2 are identical (J = 1); 3 overlaps both at a lower J; ties
+    // between equal-J neighbors resolve to the smaller id
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c d e f g h i k"),
+      (9L, "entirely different content here now")).toDF("doc_id", "text")
+    Dedup.releaseShingles(spark)
+    val got = Dedup.nearestDup(docs, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    Dedup.releaseShingles(spark)
+    // brute-force from the full pair frame
+    val pairs = Dedup.ngramJaccardPairs(docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val best = (pairs.map(p => (p._1, p._2, p._3)) ++ pairs.map(p => (p._2, p._1, p._3)))
+      .groupBy(_._1).view.mapValues(_.minBy(x => (-x._3, x._2))).toMap
+    assert(got.keySet === best.keySet)
+    got.foreach { case (d, (n, j)) =>
+      assert((n, j) === ((best(d)._2, best(d)._3)), s"doc $d")
+    }
+    assert(got(1L)._1 === 2L && got(2L)._1 === 1L, "identical pair points at each other")
+    assert(!got.contains(9L), "isolated docs have no nearest dup")
+  }
+
   test("d18: curve is non-increasing in the threshold and counts the planted cliff") {
     import spark.implicits._
     // two exact dups (J = 1 survives every threshold) and one borderline

@@ -722,6 +722,109 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q84: streaks conserve active days and replay brute-force per user") {
+    val got = graft.operators.Relational5.q84Streaks(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val days = tables.events
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_.toEpochDay)).toMap
+    assert(got.keySet === days.keySet)
+    days.foreach { case (u, ds) =>
+      // brute-force island split on the sorted day list
+      val streaks = ds.tail.foldLeft(List(List(ds.head))) { (acc, d) =>
+        if (d.toEpochDay == acc.head.head.toEpochDay + 1) (d :: acc.head) :: acc.tail
+        else List(d) :: acc
+      }
+      val (active, n, longest) = got(u)
+      assert(active === ds.size.toLong, s"user $u active days")
+      assert(n === streaks.size.toLong, s"user $u streak count")
+      assert(longest === streaks.map(_.size).max.toLong, s"user $u longest")
+    }
+  }
+
+  test("q85: deciles partition each priority; sizes differ by ≤1; ranges are ordered") {
+    val rows = graft.operators.Relational5.q85Deciles(tables).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byPrio = rows.groupBy(_._1)
+    val counts = tables.orders.groupBy(col("o_orderpriority")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byPrio.foreach { case (prio, ds) =>
+      assert(ds.map(_._3).sum === counts(prio), s"$prio: deciles conserve rows")
+      assert(ds.map(_._3).max - ds.map(_._3).min <= 1, s"$prio: ntile balance")
+      val ordered = ds.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 >= a._5, s"$prio: decile ${b._2} min ≥ prior max")
+        case _ =>
+      }
+    }
+  }
+
+  test("q86: weighted median replays brute force per flag") {
+    val got = graft.operators.Relational5.q86WeightedMedian(tables).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val li = tables.lineitem.select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        round(col("l_quantity"), 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    li.groupBy(_._1).foreach { case (flag, xs) =>
+      val sorted = xs.map(x => (x._2, x._3)).sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      val med = sorted.find { case (_, q) => cum += q; cum * 2 >= tot }.get._1
+      assert(got(flag) === ((tot, med)), s"flag $flag")
+    }
+  }
+
+  test("q87: skyline is exactly the non-dominated distinct point set") {
+    val pts = tables.orders.select(col("o_orderpriority"),
+        col("o_orderdate").cast("date"),
+        round(col("o_totalprice") * 100, 0).cast("long")).distinct()
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay, r.getLong(2)))
+    val got = graft.operators.Relational5.q87Skyline(tables).collect()
+      .map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1)).toEpochDay, r.getLong(2)))
+      .toSet
+    def dominated(p: (String, Long, Long), q: (String, Long, Long)): Boolean =
+      q._1 == p._1 && q._2 >= p._2 && q._3 <= p._3 && (q._2 > p._2 || q._3 < p._3)
+    pts.foreach { p =>
+      val isDom = pts.exists(q => dominated(p, q))
+      assert(got.contains(p) === !isDom,
+        s"$p: dominated=$isDom but frontier=${got.contains(p)}")
+    }
+  }
+
+  test("q88: path counts replay a JVM regex over the ordered timeline") {
+    val got = graft.operators.Relational5.q88PathPattern(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val ev = tables.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val seq = xs.sortBy(x => (x._2.getTime, x._2.getNanos, x._3))
+        .map(_._4.substring(0, 1)).mkString
+      val n = "v[c]*p".r.findAllIn(seq).length
+      assert(got(u) === ((seq.length, n)), s"user $u")
+    }
+  }
+
+  test("q89: attribution conserves purchases and draws touches from real types") {
+    val rows = graft.operators.Relational5.q89Attribution(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val purchases = tables.events.where(col("event_type") === "purchase").count()
+    assert(rows.map(_._2).sum === purchases, "every purchase attributed exactly once")
+    val types = tables.events.select(col("event_type")).distinct()
+      .collect().map(_.getString(0)).toSet + "(none)"
+    assert(rows.map(_._1).forall(types.contains))
+  }
+
+  test("q90: histogram has 20 gapless bins conserving row count; extremes populated") {
+    val rows = graft.operators.Relational5.q90Histogram(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet === (0L to 19L).toSet, "gapless bins")
+    assert(rows.values.sum === tables.orders.count(), "conserves rows")
+    assert(rows(0L) > 0 && rows(19L) > 0, "min and max land in the edge bins")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =

@@ -203,6 +203,25 @@ class SrpSpec extends AnyFunSuite {
     rows.foreach { case (c, n, _, _) => assert(n === byCell.getOrElse(c, 0L), s"cell $c") }
   }
 
+  test("s24: margin pivots the exact k=2 graph; cos1 ≥ cos2 and margin ≥ 0") {
+    val graph = graft.similarity.Knn.knnGraph(tables.embeddings, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val got = graft.similarity.Report.knnMargin(tables.embeddings).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === graph.keySet.map(_._1))
+    got.foreach { case (q, (nn1, cos1, cos2, margin)) =>
+      val (en1, ec1) = graph((q, 1))
+      val ec2 = graph((q, 2))._2
+      assert(nn1 === en1 && cos1 === ec1 && cos2 === ec2, s"query $q pivot")
+      assert(cos1 >= cos2, s"query $q rank order")
+      assert(margin >= 0.0 &&
+        math.abs(margin - BigDecimal(cos1 - cos2)
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble) === 0.0,
+        s"query $q margin")
+    }
+  }
+
   test("s21: histogram equals a JVM recount over the md5 sample; mass conserves") {
     import java.security.MessageDigest
     def u32(key: Long): Long = {
