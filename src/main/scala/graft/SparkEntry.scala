@@ -720,6 +720,15 @@ object SparkEntry {
     // p39: per-sequence provenance manifest — p09's spans regrouped by
     // sequence identity with ordered composition strings; pure integers
     "p39_sequence_manifest" -> ((s, d) => graft.operators.DataPipeline.sequenceManifest(t(s, d).documents)),
+    // q91: linear multi-touch attribution — credit integerized to
+    // 1e6 div n micro-units so every aggregate is an exact long
+    "q91_linear_attribution" -> ((s, d) => Relational5.q91LinearAttribution(t(s, d))),
+    // q92: RFM quintile segmentation — ntiles ride the per-customer
+    // AGGREGATE over total orders; anchor date is plan-borne
+    "q92_rfm"             -> ((s, d) => Relational5.q92Rfm(t(s, d))),
+    // q93: market-basket pair affinity — per-order self-join (basket-
+    // bounded), broadcast supports, plan-borne N, exact-long lift inputs
+    "q93_basket_affinity" -> ((s, d) => Relational5.q93BasketAffinity(t(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3339,6 +3348,60 @@ object SparkEntry {
         |   ',' ORDER BY doc_id) AS composition,
         | CAST(512 - sum(span_len) AS BIGINT) AS n_pad
         |FROM sp GROUP BY 1, 2, 3""".stripMargin,
+    // q91: same running-purchase-count grouping; credit in exact integer
+    // micro-units (1e6 // n per touch), so sums cannot drift
+    "q91_linear_attribution" ->
+      """WITH g AS (SELECT user_id, event_id, event_type,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS conv_id
+        | FROM events),
+        |conv AS (SELECT DISTINCT user_id, conv_id FROM g WHERE event_type = 'purchase'),
+        |tch AS (SELECT g.user_id, g.conv_id, g.event_type
+        | FROM g JOIN conv USING (user_id, conv_id) WHERE g.event_type <> 'purchase'),
+        |sz AS (SELECT user_id, conv_id, event_type, count(*) AS cnt
+        | FROM tch GROUP BY 1, 2, 3),
+        |sz2 AS (SELECT event_type, cnt,
+        |  sum(cnt) OVER (PARTITION BY user_id, conv_id) AS n_group FROM sz)
+        |SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_touches,
+        | CAST(sum(cnt * (1000000 // n_group)) AS BIGINT) AS credit_micro
+        |FROM sz2 GROUP BY event_type""".stripMargin,
+    // q92: same per-customer aggregate, same total (metric, custkey)
+    // ntile orders, segment from the three scores
+    "q92_rfm" ->
+      """WITH pc AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_day,
+        |  count(*) AS frequency,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS monetary_cents
+        | FROM orders GROUP BY 1),
+        |a AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+        |s AS (SELECT o_custkey, CAST(a.max_day - pc.last_day AS BIGINT) AS recency_days,
+        |  CAST(frequency AS BIGINT) AS frequency, monetary_cents FROM pc, a),
+        |sc AS (SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  CAST(ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS INT) AS r_score,
+        |  CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+        |  CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS INT) AS m_score
+        | FROM s)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        | r_score, f_score, m_score,
+        | CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |   || CAST(m_score AS VARCHAR) AS segment
+        |FROM sc""".stripMargin,
+    // q93: same basket self-join, supports and plan-borne N; the top-50
+    // page cut is total-ordered (co DESC, p1, p2)
+    "q93_basket_affinity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS co
+        | FROM items a JOIN items b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2),
+        |sup AS (SELECT l_partkey, count(*) AS s FROM items GROUP BY 1),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items)
+        |SELECT p1, p2, CAST(co AS BIGINT) AS co,
+        | CAST(sa.s AS BIGINT) AS s1, CAST(sb.s AS BIGINT) AS s2,
+        | round(CAST(co * n.n_orders AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE), 6) + 0.0 AS lift
+        |FROM pairs JOIN sup sa ON sa.l_partkey = p1
+        | JOIN sup sb ON sb.l_partkey = p2, n
+        |ORDER BY co DESC, p1, p2 LIMIT 50""".stripMargin,
   )
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")

@@ -184,4 +184,109 @@ object Relational5 {
       .join(counts, Seq("bin"), "left")
       .select(col("bin"), coalesce(col("cnt"), lit(0L)).as("n"))
   }
+
+  /** q91: linear (multi-touch) attribution — every non-purchase event
+    * between two purchases shares one conversion's credit equally, and
+    * the per-type totals say which behaviors actually precede buying
+    * (q89 credits only the LAST touch; linear is the other standard
+    * model). Group identity is the running purchase count over the
+    * user's total-ordered timeline — one window pass, one keyed
+    * aggregation chain.
+    *
+    * Exactness is the load-bearing choice: fractional credits (1/n per
+    * touch) would sum in engine-specific order and drift in the last
+    * ulp, so credit is integerized to MICRO-CREDITS — each touch in an
+    * n-touch group carries exactly `1e6 div n` (the documented floor;
+    * a group's credit is ≤ 1e6 by up to n−1 micro-units) — and every
+    * aggregate is an exact long. */
+  def q91LinearAttribution(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grouped = t.events
+      .withColumn("conv_id",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w), lit(0L)))
+    val touches = grouped.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("conv_id"), col("event_type"))
+    // groups that actually END in a purchase (credit flows only to those)
+    val converted = grouped.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("conv_id")).distinct()
+    val sized = touches.join(converted, Seq("user_id", "conv_id"))
+      .groupBy(col("user_id"), col("conv_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n_group",
+        sum(col("cnt")).over(Window.partitionBy(col("user_id"), col("conv_id"))))
+    sized
+      .groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("n_touches"),
+        sum(col("cnt") * expr("1000000 div n_group")).as("credit_micro"))
+  }
+
+  /** q92: RFM segmentation — per customer the classic recency/frequency/
+    * monetary quintile scores and the concatenated "RFM" segment label,
+    * the workhorse customer-base cut. Recency anchors on the corpus max
+    * order date, carried as a 1-row aggregate crossJoin (plan-borne, the
+    * q90/q33 rule — zero jobs at construction). The three ntiles ride
+    * the per-customer AGGREGATE (|customers| rows, orders-of-magnitude
+    * below the fact table; at true 100 TB scale the quintile boundaries
+    * would come from approx_percentile over the aggregate — documented,
+    * not silently assumed), each over a total (metric, custkey) order so
+    * bucket placement is deterministic. All inputs exact integers. */
+  def q92Rfm(t: Tables): DataFrame = {
+    val perCust = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("monetary_cents"))
+    val anchor = t.orders.agg(max(col("o_orderdate").cast("date")).as("max_day"))
+    val scored = perCust.crossJoin(anchor)
+      .select(col("o_custkey"),
+        datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val rw = Window.orderBy(col("recency_days").asc, col("o_custkey"))
+    val fw = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val mw = Window.orderBy(col("monetary_cents").desc, col("o_custkey"))
+    scored
+      .withColumn("r_score", ntile(5).over(rw))
+      .withColumn("f_score", ntile(5).over(fw))
+      .withColumn("m_score", ntile(5).over(mw))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+        concat(col("r_score").cast("string"), col("f_score").cast("string"),
+          col("m_score").cast("string")).as("segment"))
+  }
+
+  /** q93: market-basket affinity — the top part pairs co-purchased within
+    * an order, with support counts and lift: the association-rule
+    * building block (pairs with lift ≫ 1 co-occur far above chance).
+    * The quadratic lives INSIDE each order — the self-join key is
+    * l_orderkey and baskets are items-per-order-bounded (TPC-H ~4, any
+    * retail basket ≤ dozens), so pair volume is Σ|basket|²/2, linear in
+    * orders — never a corpus cross join. Supports ride a broadcast-sized
+    * per-part aggregate; N is the plan-borne 1-row order count.
+    *
+    * Exactness: lift = co·N / (s1·s2) computed from exact longs, one
+    * rounded division; the top-50 cut orders by (co DESC, p1, p2) —
+    * total, so the page is deterministic (the q79 rule). */
+  def q93BasketAffinity(t: Tables, topK: Int = 50): DataFrame = {
+    val items = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("co"))
+    val support = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+    val n = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(support.select(col("l_partkey").as("p1"), col("s").as("s1")), Seq("p1"))
+      .join(support.select(col("l_partkey").as("p2"), col("s").as("s2")), Seq("p2"))
+      .crossJoin(n)
+      .select(col("p1"), col("p2"), col("co"), col("s1"), col("s2"),
+        (round((col("co") * col("n_orders")).cast("double") /
+          (col("s1") * col("s2")).cast("double"), 6) + lit(0.0)).as("lift"))
+      .orderBy(col("co").desc, col("p1"), col("p2"))
+      .limit(topK)
+  }
 }

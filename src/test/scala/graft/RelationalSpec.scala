@@ -825,6 +825,82 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows(0L) > 0 && rows(19L) > 0, "min and max land in the edge bins")
   }
 
+  test("q91: attribution replays brute force; per-group credit is 1e6 minus floor loss") {
+    val got = graft.operators.Relational5.q91LinearAttribution(tables).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = tables.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(1).getNanos, r.getLong(2), r.getString(3)))
+    // JVM replay: running purchase count groups each user's timeline
+    val credit = collection.mutable.Map[String, (Long, Long)]().withDefaultValue((0L, 0L))
+    var groups = 0L
+    ev.groupBy(_._1).foreach { case (_, xs) =>
+      val ordered = xs.sortBy(x => (x._2, x._3, x._4))
+      var conv = 0L
+      val byGroup = ordered.map { x => val g = conv; if (x._5 == "purchase") conv += 1; (g, x._5) }
+      byGroup.groupBy(_._1).foreach { case (g, es) =>
+        if (es.exists(_._2 == "purchase")) {
+          val touches = es.filter(_._2 != "purchase")
+          if (touches.nonEmpty) {
+            groups += 1
+            val per = 1000000L / touches.length
+            touches.groupBy(_._2).foreach { case (tpe, ts) =>
+              val (n, c) = credit(tpe)
+              credit(tpe) = (n + ts.length, c + ts.length * per)
+            }
+          }
+        }
+      }
+    }
+    assert(got === credit.toMap, "per-type totals replay")
+    assert(got.values.map(_._2).sum <= groups * 1000000L,
+      "no converted group can pay more than its 1e6 micro-units")
+  }
+
+  test("q92: RFM scores are balanced quintiles monotone in their metrics") {
+    val rows = graft.operators.Relational5.q92Rfm(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+    assert(rows.length.toLong ===
+      tables.orders.select(col("o_custkey")).distinct().count())
+    rows.foreach { case (_, _, _, _, rs, fs, ms, seg) =>
+      assert(rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5)
+      assert(seg === s"$rs$fs$ms")
+    }
+    for ((score, key) <- Seq[(((Long, Long, Long, Long, Int, Int, Int, String)) => Int,
+                              ((Long, Long, Long, Long, Int, Int, Int, String)) => (Long, Long))](
+        (_._5, x => (x._2, x._1)),          // recency asc
+        (_._6, x => (-x._3, x._1)),         // frequency desc
+        (_._7, x => (-x._4, x._1)))) {      // monetary desc
+      val ordered = rows.sortBy(key)
+      assert(ordered.map(score).sliding(2).forall {
+        case Array(a, b) => a <= b; case _ => true }, "scores monotone in metric order")
+      val sizes = rows.groupBy(score).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, "quintile balance")
+    }
+  }
+
+  test("q93: affinity pairs replay brute force incl. the lift arithmetic") {
+    val got = graft.operators.Relational5.q93BasketAffinity(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val items = tables.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = items.map(_._1).distinct.length.toLong
+    val sup = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exp = co.toSeq.map { case ((p1, p2), c) =>
+      val lift = BigDecimal(c * n / (sup(p1) * sup(p2)).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (p1, p2, c, sup(p1), sup(p2), lift)
+    }.sortBy(x => (-x._3, x._1, x._2)).take(50)
+    assert(got.sortBy(x => (-x._3, x._1, x._2)) === exp)
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
