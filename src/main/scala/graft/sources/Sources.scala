@@ -228,4 +228,88 @@ object Sources {
       .saveAsHadoopFile(path, classOf[NullWritable], classOf[Text],
         loadClass(outputFormatClass)
           .asInstanceOf[Class[OutputFormat[NullWritable, Text]]])
+
+  // ---- Avro container files ----------------------------------------------
+
+  /** The Avro schema for a flat Spark schema of primitive columns — the
+    * subset `avro-mapred` (the jar Spark itself ships; no spark-avro
+    * datasource exists in this environment) can carry losslessly through
+    * the GenericRecord JSON rendering. Nested/binary/decimal columns are
+    * rejected loudly rather than silently mangled. */
+  private def avroSchemaJson(schema: StructType, name: String): String = {
+    import org.apache.spark.sql.types._
+    val fields = schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType    => "\"long\""
+        case IntegerType => "\"int\""
+        case DoubleType  => "\"double\""
+        case FloatType   => "\"float\""
+        case StringType  => "\"string\""
+        case BooleanType => "\"boolean\""
+        case other => throw new IllegalArgumentException(
+          s"avro sink supports flat primitive columns; ${f.name} is $other " +
+            "(use the parquet/orc sinks for nested or logical types)")
+      }
+      val tpe = if (f.nullable) s"""["null", $t]""" else t
+      s"""{"name": "${f.name}", "type": $tpe}"""
+    }
+    s"""{"type": "record", "name": "$name", "fields": [${fields.mkString(", ")}]}"""
+  }
+
+  /** Avro container-file sink over `avro-mapred`'s `AvroOutputFormat` —
+    * the K2 "arbitrary OutputFormat" route instantiated for the one
+    * row-major format large ingest pipelines actually exchange. Schema is
+    * derived from the DataFrame (flat primitives; loud reject otherwise),
+    * records build straight from the rows, and the write commits through
+    * the same FileOutputCommitter rename+`_SUCCESS` protocol as every
+    * other sink (K1). Parity: the reference accepts any OutputFormat via
+    * `hbox.outputformat.class` (`HboxConfiguration2.java:11-12`) — Avro
+    * is exactly such a class there too. */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    import org.apache.avro.mapred.{AvroJob, AvroOutputFormat, AvroWrapper}
+    val schemaJson = avroSchemaJson(df.schema, "row")
+    val names = df.schema.fieldNames
+    val records = df.rdd.mapPartitions { it =>
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      it.map { row =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        var i = 0
+        while (i < names.length) {
+          rec.put(names(i), if (row.isNullAt(i)) null else row.get(i))
+          i += 1
+        }
+        (new AvroWrapper[org.apache.avro.generic.GenericRecord](rec),
+          NullWritable.get())
+      }
+    }
+    val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputSchema(conf,
+      new org.apache.avro.Schema.Parser().parse(schemaJson))
+    records.saveAsHadoopFile(path,
+      classOf[AvroWrapper[org.apache.avro.generic.GenericRecord]],
+      classOf[NullWritable],
+      classOf[AvroOutputFormat[org.apache.avro.generic.GenericRecord]], conf)
+  }
+
+  /** Avro container-file source — `AvroInputFormat` splits (S3's
+    * InputFormat contract, same machinery as [[hadoopRecords]]) with each
+    * `GenericRecord` rendered to its canonical JSON and handed to Spark's
+    * JSON reader under the caller's schema. Splittable like any
+    * InputFormat scan, so a multi-TB Avro drop parallelizes by block;
+    * the JSON hop costs one string per record — the honest tax for
+    * supporting the format without a dedicated datasource jar, and only
+    * on this ingest edge (everything downstream is columnar). */
+  def readAvro(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.avro.mapred.{AvroInputFormat, AvroWrapper}
+    import spark.implicits._
+    val conf = new JobConf(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.mapred.FileInputFormat.setInputPaths(conf, path)
+    val json = spark.createDataset(
+      spark.sparkContext.hadoopRDD(conf,
+        classOf[AvroInputFormat[org.apache.avro.generic.GenericRecord]],
+        classOf[AvroWrapper[org.apache.avro.generic.GenericRecord]],
+        classOf[NullWritable])
+        .map(_._1.datum().toString))
+    spark.read.schema(schema).json(json)
+  }
 }

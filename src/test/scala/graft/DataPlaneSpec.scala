@@ -157,6 +157,26 @@ class DataPlaneSpec extends AnyFunSuite {
     assert(back.collect().toSet === lines.collect().toSet)
   }
 
+  test("avro container round-trip via avro-mapred: rows, nulls, schema, _SUCCESS") {
+    val df = tables.documents
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        when(col("doc_id") % 7 === 0, col("lang")).as("maybe_lang"))
+      .limit(200)
+    val path = s"$tmp/avro_docs"
+    Sources.writeAvro(df, path)
+    assert(new java.io.File(s"$path/_SUCCESS").exists(), "_SUCCESS commit marker")
+    assert(new java.io.File(path).listFiles().exists(_.getName.endsWith(".avro")),
+      "container files carry the .avro extension")
+    val back = Sources.readAvro(spark, path, df.schema)
+    assert(back.schema === df.schema)
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet,
+      "row set survives the write→read cycle incl. nulls")
+    // loud reject on non-flat schemas instead of silent mangling
+    val nested = tables.documents.select(struct(col("doc_id")).as("s"))
+    val e = intercept[IllegalArgumentException](Sources.writeAvro(nested, s"$tmp/avro_bad"))
+    assert(e.getMessage.contains("flat primitive"))
+  }
+
   test("full reference-style text job: read → pipe → gzip sink with _SUCCESS") {
     val inPath = s"$tmp/job_in"
     (1 to 40).map(_.toString).toDS().write.text(inPath)
