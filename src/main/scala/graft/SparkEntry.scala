@@ -729,6 +729,16 @@ object SparkEntry {
     // q93: market-basket pair affinity — per-order self-join (basket-
     // bounded), broadcast supports, plan-borne N, exact-long lift inputs
     "q93_basket_affinity" -> ((s, d) => Relational5.q93BasketAffinity(t(s, d))),
+    // q94: rapid-repeat detection — banded temporal self-join (2-bucket
+    // explode ⇒ each pair matches exactly once), exact μs gaps
+    "q94_rapid_repeats"   -> ((s, d) => Relational5.q94RapidRepeats(t(s, d))),
+    // q95: median/MAD robust outlier profile — exact sort-based
+    // percentiles over cents, three keyed passes (threshold is data-
+    // dependent), broadcast medians
+    "q95_robust_outliers" -> ((s, d) => Relational5.q95RobustOutliers(t(s, d))),
+    // q96: Benford first-digit profile — string-exact digit extraction,
+    // integer-ppm shares; expectation constants live in the spec
+    "q96_benford"         -> ((s, d) => Relational5.q96Benford(t(s, d))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3402,6 +3412,48 @@ object SparkEntry {
         |FROM pairs JOIN sup sa ON sa.l_partkey = p1
         | JOIN sup sb ON sb.l_partkey = p2, n
         |ORDER BY co DESC, p1, p2 LIMIT 50""".stripMargin,
+    // q94: the oracle states the SEMANTICS as the naive in-band self-join
+    // (the engine's banded 2-bucket plan is provably pair-for-pair equal:
+    // Δ ≤ window ⟹ the earlier bucket is own-or-previous)
+    "q94_rapid_repeats" ->
+      """WITH b AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(count(DISTINCT l.event_id) AS BIGINT) AS n_echoed,
+        | CAST(min(l.us - a.us) AS BIGINT) AS min_gap_us,
+        | round(CAST(sum(l.us - a.us) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) + 0.0
+        |   AS mean_gap_us
+        |FROM b a JOIN b l
+        |  ON a.user_id = l.user_id AND a.event_type = l.event_type
+        | AND (l.us - a.us > 0 AND l.us - a.us <= 3600000000
+        |      OR (l.us = a.us AND a.event_id < l.event_id))
+        |GROUP BY a.event_type""".stripMargin,
+    // q95: same three-pass median/MAD derivation; raw MAD thresholds the
+    // count, the 4-dp rounding touches only the emitted column
+    "q95_robust_outliers" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents FROM lineitem),
+        |med AS (SELECT l_returnflag, quantile_cont(cents, 0.5) AS median_cents
+        | FROM b GROUP BY 1),
+        |dev AS (SELECT b.l_returnflag, med.median_cents,
+        |  abs(b.cents - med.median_cents) AS adev
+        | FROM b JOIN med USING (l_returnflag)),
+        |mad AS (SELECT l_returnflag, max(median_cents) AS median_cents,
+        |  quantile_cont(adev, 0.5) AS mad_raw FROM dev GROUP BY 1)
+        |SELECT dev.l_returnflag, max(mad.median_cents) AS median_cents,
+        | round(max(mad.mad_raw), 4) AS mad_cents,
+        | CAST(sum(CASE WHEN dev.adev > mad.mad_raw * 3 * 1.4826 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (l_returnflag)
+        |GROUP BY dev.l_returnflag""".stripMargin,
+    // q96: same string-exact digit and integer-ppm share arithmetic
+    "q96_benford" ->
+      """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |    AS VARCHAR), 1, 1)::INT AS digit FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        | CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+        |FROM c, t""".stripMargin,
   )
 
   private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")

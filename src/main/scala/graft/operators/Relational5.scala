@@ -289,4 +289,89 @@ object Relational5 {
       .orderBy(col("co").desc, col("p1"), col("p2"))
       .limit(topK)
   }
+
+  /** q94: rapid-repeat (echo) detection — all pairs of same-(user, type)
+    * events within `windowSec` of each other, rolled up per type: the
+    * double-click / double-charge / retry-storm screen, the events-table
+    * analog of dedup. The all-pairs-in-band self-join is BANDED, never
+    * quadratic: the later event explodes into its own and the previous
+    * time bucket (Δ ≤ window ⟹ the earlier event's bucket is exactly one
+    * of those two), so the join keys on (user, type, bucket) and each
+    * qualifying pair matches EXACTLY once — no distinct, no dedupe
+    * exchange, pair volume ∝ actual echoes. A per-(user, type, bucket)
+    * hot key is bounded by event rate within one window span.
+    *
+    * Exactness: gaps in exact μs; the mean is the one rounded division. */
+  def q94RapidRepeats(t: Tables, windowSec: Int = 3600): DataFrame = {
+    val winUs = windowSec * 1000000L
+    val base = t.events.select(col("user_id"), col("event_type"),
+      col("event_id"), unix_micros(col("ts")).as("us"))
+    val earlier = base.select(col("user_id"), col("event_type"),
+      col("event_id").as("e1"), col("us").as("us1"),
+      expr(s"us div ${winUs}L").as("bucket"))
+    val later = base.select(col("user_id"), col("event_type"),
+      col("event_id").as("e2"), col("us").as("us2"),
+      explode(array(expr(s"us div ${winUs}L"),
+        expr(s"us div ${winUs}L") - 1)).as("bucket"))
+    earlier.join(later, Seq("user_id", "event_type", "bucket"))
+      .where(col("us2") - col("us1") > 0 && col("us2") - col("us1") <= winUs ||
+        (col("us2") === col("us1") && col("e1") < col("e2")))
+      .select(col("event_type"), col("e2"), (col("us2") - col("us1")).as("gap_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("e2")).as("n_echoed"),
+        min(col("gap_us")).as("min_gap_us"),
+        (round(sum(col("gap_us")).cast("double") / count(lit(1)).cast("double"), 6)
+          + lit(0.0)).as("mean_gap_us"))
+  }
+
+  /** q95: robust outlier profile — per return flag the median, the MAD
+    * (median absolute deviation) and the count beyond the classic
+    * 3·1.4826·MAD robust z cut: the outlier screen that, unlike
+    * mean±3σ, is not itself dragged by the outliers it hunts. Medians
+    * are exact sort-based percentiles over integer cents (interpolation
+    * yields exact .0/.5 doubles — the q30 discipline); the flag-keyed
+    * medians broadcast back onto the scan, so the corpus shuffles only
+    * for its two keyed aggregations. */
+  def q95RobustOutliers(t: Tables): DataFrame = {
+    val base = t.lineitem.select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val med = base.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(cents, 0.5)").as("median_cents"))
+    val dev = base.join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("median_cents"),
+        abs(col("cents") - col("median_cents")).as("adev"))
+    // the robust threshold is itself data-dependent, so an exact MAD
+    // outlier count is inherently a third pass — each pass is one keyed
+    // aggregation over the scan, nothing quadratic
+    val mad = dev.groupBy(col("l_returnflag"))
+      .agg(max(col("median_cents")).as("median_cents"),
+        expr("percentile(adev, 0.5)").as("mad_raw"))
+    dev.select(col("l_returnflag"), col("adev"))
+      .join(broadcast(mad), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("median_cents")).as("median_cents"),
+        round(max(col("mad_raw")), 4).as("mad_cents"),
+        sum(when(col("adev") > col("mad_raw") * 3 * 1.4826, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  /** q96: Benford first-digit profile — the fraud/fabrication screen:
+    * leading digits of order prices counted against Benford's law.
+    * Digit extraction is string-exact (first char of the cents string —
+    * no float log anywhere), shares are exact integer ppm (n·10⁶ div
+    * total, the q91 rule), and the expected-share constants live in the
+    * SPEC (JVM log10), not the query — so the query output carries zero
+    * engine-dependent transcendentals and hash-checks exactly. One
+    * aggregation exchange over 9 keys. */
+  def q96Benford(t: Tables): DataFrame = {
+    val digits = t.orders
+      .select(substring(round(col("o_totalprice") * 100, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(total)
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("share_ppm"))
+  }
 }

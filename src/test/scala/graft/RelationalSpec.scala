@@ -901,6 +901,69 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.sortBy(x => (-x._3, x._1, x._2)) === exp)
   }
 
+  test("q94: banded self-join equals the naive all-pairs-in-window replay") {
+    val got = graft.operators.Relational5.q94RapidRepeats(tables).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = tables.events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val win = 3600000000L
+    val pairs = ev.groupBy(x => (x._1, x._2)).values.flatMap { arr =>
+      val es = arr.toSeq
+      for {
+        a <- es; b <- es
+        if (b._4 - a._4 > 0 && b._4 - a._4 <= win) ||
+          (b._4 == a._4 && a._3 < b._3)
+      } yield (a._2, b._3, b._4 - a._4)
+    }.toSeq
+    val exp = pairs.groupBy(_._1).view.mapValues(ps =>
+      (ps.size.toLong, ps.map(_._2).distinct.size.toLong, ps.map(_._3).min)).toMap
+    assert(got === exp)
+  }
+
+  test("q95: median/MAD/outlier counts replay a JVM sort per flag") {
+    val got = graft.operators.Relational5.q95RobustOutliers(tables).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val li = tables.lineitem.select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def q50(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val idx = (s.length - 1) * 0.5
+      val lo = s(idx.toInt)
+      if (idx == idx.toInt) lo else lo + (idx - idx.toInt) * (s(idx.toInt + 1) - lo)
+    }
+    li.groupBy(_._1).foreach { case (flag, xs) =>
+      val med = q50(xs.map(_._2.toDouble))
+      val adev = xs.map(x => math.abs(x._2 - med))
+      val mad = q50(adev)
+      val outliers = adev.count(_ > mad * 3 * 1.4826).toLong
+      val (gm, gmad, gn) = got(flag)
+      assert(gm === med, s"$flag median")
+      assert(gmad === BigDecimal(mad).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"$flag mad")
+      assert(gn === outliers, s"$flag outliers")
+    }
+  }
+
+  test("q96: digit counts replay; ppm shares conserve up to flooring") {
+    val got = graft.operators.Relational5.q96Benford(tables).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val digits = tables.orders
+      .select(round(col("o_totalprice") * 100, 0).cast("long")).collect()
+      .map(_.getLong(0).toString.charAt(0).asDigit)
+    val exp = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = digits.length.toLong
+    assert(got.view.mapValues(_._1).toMap === exp)
+    got.foreach { case (d, (n, ppm)) =>
+      assert(d >= 1 && d <= 9)
+      assert(ppm === n * 1000000L / total, s"digit $d ppm")
+    }
+    val ppmSum = got.values.map(_._2).sum
+    assert(ppmSum <= 1000000L && ppmSum > 1000000L - got.size.toLong,
+      "shares conserve up to one floor unit per digit")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
