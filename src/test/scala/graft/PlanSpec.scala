@@ -265,6 +265,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q94: the banded echo self-join never plans a cartesian/nested loop") {
+    val df = SparkEntry.queries("q94_rapid_repeats")(spark, sf)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    assert(!p.contains("CartesianProduct"), s"q94 plans a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q94 plans a nested-loop join:\n$p")
+  }
+
+  test("q90/q92: plan-borne scalar bounds — construction launches zero jobs") {
+    val t = Tables(spark, sf)
+    t.orders.schema // relation creation (schema read) outside the probe
+    val sc = spark.sparkContext
+    sc.setJobGroup("r5-construct", "construction probe")
+    val d1 = graft.operators.Relational5.q90Histogram(t)
+    val d2 = graft.operators.Relational5.q92Rfm(t)
+    sc.setJobGroup("r5-marker", "construction probe marker")
+    spark.range(1).count()
+    sc.clearJobGroup()
+    val deadline = System.currentTimeMillis() + 30000
+    while (sc.statusTracker.getJobIdsForGroup("r5-marker").isEmpty &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(sc.statusTracker.getJobIdsForGroup("r5-marker").nonEmpty,
+      "marker job never observed")
+    assert(sc.statusTracker.getJobIdsForGroup("r5-construct").isEmpty,
+      "constructing q90/q92 must launch zero jobs")
+    assert(d1.count() === 20L && d2.count() > 0L)
+  }
+
   test("s22: graph expansion joins broadcast the frontier, never shuffle the edge list") {
     graft.similarity.GraphSearch.clearGraphs(spark)
     // production `search` localCheckpoints per hop (lineage truncation),
