@@ -122,6 +122,31 @@ object MlOps {
     } finally { data.unpersist(blocking = false); () }
   }
 
+  /** PCA over the embedding column — the dimensionality-reduction member
+    * of the ML row, and the standard pre-ANN compaction (project to k ≪
+    * dim, THEN index: the IVF/PQ build cost and memory drop by dim/k with
+    * small recall loss when the spectrum decays). Covariance
+    * eigendecomposition is seedless; treeAggregate merge order can wiggle
+    * the last float ulps, so the spec pins LAWS (orthonormal components,
+    * non-increasing explained variance, projection norms ≤ input norms)
+    * rather than bit values — the kmeansClusters discipline. */
+  def pcaModel(emb: DataFrame, k: Int = 8): org.apache.spark.ml.feature.PCAModel =
+    new org.apache.spark.ml.feature.PCA()
+      .setInputCol("features").setOutputCol("pca").setK(k)
+      .fit(toFeatures(emb))
+
+  /** The corpus projected to `k` principal components —
+    * (vec_id, Array[Double] of length k). */
+  def pcaProject(emb: DataFrame, k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val model = pcaModel(emb, k)
+    model.transform(toFeatures(emb))
+      .select("vec_id", "pca").as[(Long, org.apache.spark.ml.linalg.Vector)]
+      .map { case (id, v) => (id, v.toArray) }
+      .toDF("vec_id", "projected")
+  }
+
   /** Word2Vec token embeddings over the corpus — the skip-gram text-analysis
     * member of the §2.3 ML row (alongside Tokenizer/HashingTF/IDF and the
     * LSH families). Seed-pinned and single-partition so the fit is
