@@ -739,6 +739,10 @@ object SparkEntry {
     // q96: Benford first-digit profile — string-exact digit extraction,
     // integer-ppm shares; expectation constants live in the spec
     "q96_benford"         -> ((s, d) => Relational5.q96Benford(t(s, d))),
+    // t31: DEFLATE compression-ratio gate — deterministic (fixed zlib
+    // level) but not SQL-expressible (DuckDB cannot deflate) → rows-only,
+    // the t08 class; TextQueriesSpec pins ordering/exactness laws
+    "t31_compress_ratio"  -> ((s, d) => TextQueries.compressRatio(t(s, d).documents)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -986,4 +986,44 @@ object TextQueries {
         round(regr_slope(col("ln_v"), col("ln_n")), 6).as("heaps_beta"),
         round(regr_r2(col("ln_v"), col("ln_n")), 6).as("heaps_r2"))
   }
+
+  /** t31: compression-ratio quality signal — per document, UTF-8 bytes,
+    * DEFLATE-compressed bytes (zlib level 6, raw) and their ratio: the
+    * information-density gate production corpora actually run (RefinedWeb
+    * /Dolma-class pipelines drop both extremes — near-0 ratios are
+    * repeated boilerplate/template spam, ratios near 1 are already-
+    * compressed or encrypted junk that tokenizes to noise). Complements
+    * t05 (which counts SPECIFIC repeated units; DEFLATE prices ALL
+    * redundancy at once, including structures n-gram counters miss).
+    *
+    * Deterministic (fixed level ⇒ fixed output length for fixed input on
+    * a given zlib) but NOT SQL-expressible — DuckDB cannot deflate — so
+    * rows-only by the t08 class; TextQueriesSpec pins the planted
+    * repeated≪varied ordering, byte exactness, and dup-doc equality.
+    * Scan-local mapPartitions (one reused Deflater per partition — the
+    * genuinely-imperative case the mapPartitions rule reserves); zero
+    * shuffle, output ∝ corpus rows. */
+  def compressRatio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, bytes.length.toLong, out)
+        }
+      }.toDF("doc_id", "n_bytes", "n_deflate")
+      .select(col("doc_id"), col("n_bytes"), col("n_deflate"),
+        when(col("n_bytes") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_deflate").cast("double") /
+            col("n_bytes").cast("double"), 6) + lit(0.0)).as("ratio"))
+  }
 }

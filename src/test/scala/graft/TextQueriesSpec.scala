@@ -543,4 +543,38 @@ class TextQueriesSpec extends AnyFunSuite {
         "vocabulary grows, sub-linearly or linearly at most")
     }
   }
+
+  test("t31: deflate ratio separates boilerplate from varied text; dups ratio-equal") {
+    import SparkTestSession.spark.implicits._
+    val spam = ("lorem ipsum " * 200).trim
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 9973}x${i * 104729 % 999}").mkString(" ")
+    val docs = Seq((1L, spam), (2L, varied), (3L, spam), (4L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TextQueries.compressRatio(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // byte exactness + JVM replay of the deflate length
+    def deflateLen(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    Seq(1L -> spam, 2L -> varied, 3L -> spam).foreach { case (id, s) =>
+      val (nb, nd, _) = got(id)
+      assert(nb === s.getBytes("UTF-8").length.toLong, s"doc $id bytes")
+      assert(nd === deflateLen(s), s"doc $id deflate length")
+    }
+    assert(got(1L) === got(3L), "identical docs get identical signals")
+    assert(got(1L)._3.get < got(2L)._3.get / 2,
+      "repeated boilerplate compresses far below varied text")
+    assert(got(4L)._3.isEmpty, "empty doc has a null ratio, not a division blow-up")
+    // corpus sanity: every ratio positive and bounded
+    val corpus = graft.operators.TextQueries.compressRatio(tables.documents).collect()
+    assert(corpus.length.toLong === tables.documents.count())
+    corpus.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.5, s"doc ${r.getLong(0)} ratio")
+    }
+  }
 }
