@@ -743,6 +743,10 @@ object SparkEntry {
     // level) but not SQL-expressible (DuckDB cannot deflate) → rows-only,
     // the t08 class; TextQueriesSpec pins ordering/exactness laws
     "t31_compress_ratio"  -> ((s, d) => TextQueries.compressRatio(t(s, d).documents)),
+    // s25: kNN-graph topology profile — degree/clustering/2-hop reach in
+    // exact integers off the undirected s08 closure; vertex-keyed joins,
+    // per-vertex work graphK²-bounded
+    "s25_graph_profile"   -> ((s, d) => graft.similarity.GraphSearch.graphProfile(t(s, d).embeddings)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3449,6 +3453,40 @@ object SparkEntry {
         |   AS BIGINT) AS n_outliers
         |FROM dev JOIN mad USING (l_returnflag)
         |GROUP BY dev.l_returnflag""".stripMargin,
+    // s25: the s08 oracle nested to the same undirected closure, then the
+    // same integer counting (closed pairs via the canonical-pair join —
+    // both sides are sets, so multiplicity is exactly membership)
+    "s25_graph_profile" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(q.v, n.v), 8) AS cos
+        | FROM e0 q JOIN e0 n ON n.vec_id <> q.vec_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+        | FROM scored),
+        |e AS (SELECT query_id AS src, neighbor_id AS dst FROM ranked WHERE rnk <= 5),
+        |und AS (SELECT DISTINCT src, dst FROM
+        |  (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)),
+        |deg AS (SELECT src, count(*) AS degree FROM und GROUP BY 1),
+        |np AS (SELECT a.src AS v, a.dst AS n1, b.dst AS n2
+        | FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst),
+        |canon AS (SELECT src AS n1, dst AS n2 FROM und WHERE src < dst),
+        |closed AS (SELECT v, count(*) AS n_closed
+        | FROM np JOIN canon USING (n1, n2) GROUP BY v),
+        |th AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT a.src, b.dst FROM und a JOIN und b ON a.dst = b.src WHERE a.src <> b.dst
+        |  UNION ALL SELECT src, dst FROM und)),
+        |twoh AS (SELECT src, count(*) AS two_hop FROM th GROUP BY 1)
+        |SELECT deg.src AS vec_id, CAST(degree AS BIGINT) AS degree,
+        | CAST(coalesce(n_closed, 0) AS BIGINT) AS n_closed,
+        | CAST(degree * (degree - 1) // 2 AS BIGINT) AS n_pairs,
+        | CASE WHEN degree < 2 THEN NULL
+        |      ELSE CAST(coalesce(n_closed, 0) * 1000000 // (degree * (degree - 1) // 2)
+        |        AS BIGINT) END AS cc_ppm,
+        | CAST(two_hop AS BIGINT) AS two_hop
+        |FROM deg LEFT JOIN closed ON closed.v = deg.src
+        | JOIN twoh ON twoh.src = deg.src""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

@@ -140,4 +140,51 @@ object GraphSearch {
     }
     Knn.topKPerKey(cands, k)
   }
+
+  /** s25: kNN-graph structure profile — per vector, over the UNDIRECTED
+    * closure of the s08 exact graph: degree, the closed/possible
+    * neighbor-pair counts with the local clustering coefficient in exact
+    * integer ppm, and the ≤2-hop reach. The manifold diagnostic read
+    * before trusting graph-ANN parameters: high clustering means a walk
+    * that enters the right neighborhood stays (small beam suffices);
+    * a thin 2-hop reach around the seeds means `iters` must grow.
+    * Natural-language corpora cluster heavily; near-uniform embeddings
+    * don't — s21 sees that in distances, s25 in topology.
+    *
+    * Exactness: every column is integer counting off a deterministic edge
+    * set (cc_ppm is `closed·10⁶ div pairs`, the q91 rule; null when the
+    * degree is 1). Scale shape: all joins key on a vertex; per-vertex
+    * work is degree²-bounded (graphK-bounded by construction) — never
+    * corpus-quadratic. */
+  def graphProfile(emb: DataFrame, graphK: Int = 5): DataFrame = {
+    val e = Knn.knnGraph(emb, graphK)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val nbrPairs = und.as("a")
+      .join(und.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("v"), col("a.dst").as("n1"), col("b.dst").as("n2"))
+    val canon = und.where(col("src") < col("dst"))
+      .select(col("src").as("n1"), col("dst").as("n2"))
+    val closed = nbrPairs.join(canon, Seq("n1", "n2"), "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("n_closed"))
+    val twoHop = und.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src"), col("b.dst"))
+      .where(col("src") =!= col("dst"))
+      .unionAll(und.select(col("src"), col("dst")))
+      .distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("two_hop"))
+    deg
+      .join(closed.select(col("v").as("src"), col("n_closed")), Seq("src"), "left")
+      .join(twoHop, Seq("src"))
+      .select(col("src").as("vec_id"), col("degree"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"),
+        (col("degree") * (col("degree") - 1) / 2).cast("long").as("n_pairs"),
+        when(col("degree") < 2, lit(null).cast("long"))
+          .otherwise(expr("coalesce(n_closed, 0) * 1000000 div (degree * (degree - 1) div 2)"))
+          .as("cc_ppm"),
+        col("two_hop"))
+  }
 }

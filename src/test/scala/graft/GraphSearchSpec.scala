@@ -65,6 +65,31 @@ class GraphSearchSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("s25: topology profile replays a JVM graph walk over the s08 edges") {
+    val edges = graft.similarity.Knn.knnGraph(tables.embeddings, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val und = (edges ++ edges.map(e => (e._2, e._1))).toSet
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = GraphSearch.graphProfile(tables.embeddings).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))).toMap
+    assert(got.keySet === adj.keySet)
+    adj.foreach { case (v, ns) =>
+      val deg = ns.size.toLong
+      val nbrSeq = ns.toSeq.sorted
+      val closed = (for {
+        i <- nbrSeq.indices; j <- (i + 1) until nbrSeq.length
+        if und((nbrSeq(i), nbrSeq(j)))
+      } yield 1).size.toLong
+      val pairs = deg * (deg - 1) / 2
+      val twoHop = (ns ++ ns.flatMap(adj(_)) - v).size.toLong
+      val cc = if (deg < 2) None else Some(closed * 1000000L / pairs)
+      assert(got(v) === ((deg, closed, pairs, cc, twoHop)), s"vertex $v")
+    }
+    // corpus-level sanity: embeddings of natural structure show SOME closure
+    assert(got.values.exists(_._2 > 0), "at least one closed triangle exists")
+  }
+
   test("s22: result is invariant to input partitioning") {
     GraphSearch.clearGraphs(spark)
     val a = GraphSearch.search(tables.embeddings, queryPred, k = 5).collect()
