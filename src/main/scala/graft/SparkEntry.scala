@@ -747,6 +747,17 @@ object SparkEntry {
     // exact integers off the undirected s08 closure; vertex-keyed joins,
     // per-vertex work graphK²-bounded
     "s25_graph_profile"   -> ((s, d) => graft.similarity.GraphSearch.graphProfile(t(s, d).embeddings)),
+    // q97: crosstab with χ² decomposition — margins ride the tiny cell
+    // table via windows; expected is one unrounded IEEE division
+    "q97_crosstab_chi2"   -> ((s, d) => Relational5.q97CrosstabChi2(t(s, d))),
+    // p41: incremental card maintenance — batch-only aggregation + stored
+    // standing key sets (the d08 pattern for statistics); ≡ p10 on the
+    // union, so the oracle is p10's SQL over the full table
+    "p41_incremental_card" -> ((s, d) => {
+      val docs = t(s, d).documents
+      graft.operators.DataPipeline.incrementalCard(
+        docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3487,6 +3498,32 @@ object SparkEntry {
         | CAST(two_hop AS BIGINT) AS two_hop
         |FROM deg LEFT JOIN closed ON closed.v = deg.src
         | JOIN twoh ON twoh.src = deg.src""".stripMargin,
+    // q97: same margins-from-cells derivation; expected unrounded (one
+    // IEEE division of exact longs), χ² term rounded once
+    "q97_crosstab_chi2" ->
+      """WITH cells AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        | FROM orders GROUP BY 1, 2),
+        |m AS (SELECT o_orderpriority, o_orderstatus, CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS row_n,
+        |  CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS col_n,
+        |  CAST(sum(n) OVER () AS BIGINT) AS total FROM cells)
+        |SELECT o_orderpriority, o_orderstatus, n, row_n, col_n,
+        | CAST(row_n * col_n AS DOUBLE) / CAST(total AS DOUBLE) AS expected,
+        | round((n - CAST(row_n * col_n AS DOUBLE) / CAST(total AS DOUBLE))
+        |   * (n - CAST(row_n * col_n AS DOUBLE) / CAST(total AS DOUBLE))
+        |   / (CAST(row_n * col_n AS DOUBLE) / CAST(total AS DOUBLE)), 6) + 0.0
+        |   AS chi2_term
+        |FROM m""".stripMargin,
+    // p41: the oracle IS p10's full-table card — the incremental plan must
+    // reproduce it hash-for-hash from batch work + standing artifacts
+    "p41_incremental_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+        |  count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS distinct_fps,
+        |  count(DISTINCT lang) AS n_langs,
+        |  round(avg(n_chars), 2) AS mean_chars,
+        |  count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS dup_docs
+        |FROM documents GROUP BY source""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

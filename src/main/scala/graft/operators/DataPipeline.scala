@@ -421,6 +421,67 @@ object DataPipeline {
         round(avg(col("n_chars")), 2).as("mean_chars"))
       .withColumn("dup_docs", col("n_docs") - col("distinct_fps"))
 
+  /** p41: incremental corpus-card maintenance — p10's per-source card
+    * updated with a new batch while aggregating ONLY the batch plus the
+    * stored standing artifacts, never rescanning the standing corpus:
+    * the d08 admission pattern applied to statistics upkeep, and the only
+    * way a 100 TB corpus keeps a live card (a full recompute per batch is
+    * a full corpus scan per batch). Additive columns (docs, tokens, char
+    * sums) merge as exact longs from the stored per-source aggregate;
+    * the NON-additive distinct counts (fingerprints, languages) are
+    * exactly maintained through the stored distinct-key sets — the batch
+    * side collapses to its own distinct keys map-side, anti-joins the
+    * standing set (exchange ∝ batch-distinct keys, the d08 bound), and
+    * the count of survivors is the exact increment. Output ≡ p10 on the
+    * union, hash-for-hash (the oracle IS p10's SQL over the full table).
+    *
+    * In production `standing` is the persisted card + key sets from the
+    * previous run (the d08 persistence note); here both derive in-plan so
+    * the oracle can replay the union. */
+  def incrementalCard(standing: DataFrame, batch: DataFrame): DataFrame = {
+    import graft.functions.TextFns
+    def keyed(df: DataFrame): DataFrame = df.select(col("source"), col("lang"),
+      col("n_chars"), TextFns.fingerprint(col("text")).as("fp"),
+      TextFns.tokenCount(col("text")).as("nt"))
+    def additive(df: DataFrame): DataFrame = keyed(df).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).cast("long").as("total_tokens"),
+        sum(col("n_chars")).as("sum_chars"))
+    // stored standing artifacts: per-source aggregate + distinct key sets
+    val sAgg = additive(standing)
+    val sFps = keyed(standing).select(col("source"), col("fp")).distinct()
+    val sLangs = standing.select(col("source"), col("lang")).distinct()
+    val sDistinct = sFps.groupBy(col("source")).agg(count(lit(1)).as("s_fps"))
+      .join(sLangs.groupBy(col("source")).agg(count(lit(1)).as("s_langs")),
+        Seq("source"), "full_outer")
+    // batch partials: distinct-first, then anti-join the standing sets
+    val bAgg = additive(batch)
+    val bNewFps = keyed(batch).select(col("source"), col("fp")).distinct()
+      .join(sFps, Seq("source", "fp"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("b_new_fps"))
+    val bNewLangs = batch.select(col("source"), col("lang")).distinct()
+      .join(sLangs, Seq("source", "lang"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("b_new_langs"))
+    sAgg.select(col("source"), col("n_docs").as("s_docs"),
+        col("total_tokens").as("s_tokens"), col("sum_chars").as("s_chars"))
+      .join(bAgg.select(col("source"), col("n_docs").as("b_docs"),
+        col("total_tokens").as("b_tokens"), col("sum_chars").as("b_chars")),
+        Seq("source"), "full_outer")
+      .join(sDistinct, Seq("source"), "full_outer")
+      .join(bNewFps, Seq("source"), "full_outer")
+      .join(bNewLangs, Seq("source"), "full_outer")
+      .select(col("source"),
+        (coalesce(col("s_docs"), lit(0L)) + coalesce(col("b_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("s_tokens"), lit(0L)) + coalesce(col("b_tokens"), lit(0L))).as("total_tokens"),
+        (coalesce(col("s_fps"), lit(0L)) + coalesce(col("b_new_fps"), lit(0L))).as("distinct_fps"),
+        (coalesce(col("s_langs"), lit(0L)) + coalesce(col("b_new_langs"), lit(0L))).as("n_langs"),
+        (coalesce(col("s_chars"), lit(0L)) + coalesce(col("b_chars"), lit(0L))).as("sum_chars"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("distinct_fps"), col("n_langs"),
+        round(col("sum_chars").cast("double") / col("n_docs").cast("double"), 2)
+          .as("mean_chars"),
+        (col("n_docs") - col("distinct_fps")).as("dup_docs"))
+  }
+
   /** p13: Gopher-rule quality gate (the Rae et al. 2021 repetition/length
     * filter family, as one deterministic decision): each document gets a
     * keep/drop verdict plus the FIRST failing rule in a fixed order —

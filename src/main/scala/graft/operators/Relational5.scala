@@ -356,6 +356,36 @@ object Relational5 {
           .otherwise(0L)).as("n_outliers"))
   }
 
+  /** q97: contingency crosstab with χ² decomposition — the (priority ×
+    * status) observed/expected table and each cell's χ² contribution: the
+    * independence test behind "does order priority relate to status",
+    * and the relational member of the dependence family (t27 runs the
+    * same statistic over text). One aggregation exchange builds the cell
+    * counts; row/column margins ride the CELL table (|rows|·|cols| ≤
+    * dozens) via windows, never a rescan.
+    *
+    * Exactness: counts are exact longs; expected = rowN·colN/N is ONE
+    * IEEE division of exact longs (deterministic, unrounded — the q28
+    * rule); the χ² contribution rounds once at 6 dp. */
+  def q97CrosstabChi2(t: Tables): DataFrame = {
+    val cells = t.orders
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+    val wr = Window.partitionBy(col("o_orderpriority"))
+    val wc = Window.partitionBy(col("o_orderstatus"))
+    val wa = Window.partitionBy()
+    cells
+      .withColumn("row_n", sum(col("n")).over(wr))
+      .withColumn("col_n", sum(col("n")).over(wc))
+      .withColumn("total", sum(col("n")).over(wa))
+      .withColumn("expected",
+        (col("row_n") * col("col_n")).cast("double") / col("total").cast("double"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+        col("row_n"), col("col_n"), col("expected"),
+        (round((col("n") - col("expected")) * (col("n") - col("expected"))
+          / col("expected"), 6) + lit(0.0)).as("chi2_term"))
+  }
+
   /** q96: Benford first-digit profile — the fraud/fabrication screen:
     * leading digits of order prices counted against Benford's law.
     * Digit extraction is string-exact (first char of the cents string —

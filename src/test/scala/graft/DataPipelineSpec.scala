@@ -1005,6 +1005,33 @@ class DataPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p41: incremental card equals the full p10 recompute on the union") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents
+    val standing = docs.where(col("doc_id") % 3 =!= 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    val inc = graft.operators.DataPipeline.incrementalCard(standing, batch)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val full = graft.operators.DataPipeline.corpusCard(docs)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(inc === full, "incremental maintenance must equal the full recompute")
+    // an empty batch is the identity
+    val idle = graft.operators.DataPipeline
+      .incrementalCard(docs, docs.where(col("doc_id") < 0))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val base = graft.operators.DataPipeline.corpusCard(docs)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(idle === base, "empty batch must change nothing")
+    // a batch introducing a brand-new source appears with standing zeros
+    import SparkTestSession.spark.implicits._
+    val newSrc = Seq((900001L, "fresh text one", "en", "brand_new", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val withNew = graft.operators.DataPipeline.incrementalCard(docs, newSrc)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(withNew.contains("brand_new"))
+    assert(withNew("brand_new").head === 1L, "new source counts only its batch docs")
+  }
+
   test("m07: alignment audit agrees with direct per-source counts") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents.select(col("doc_id"), col("source")).collect()

@@ -964,6 +964,27 @@ class RelationalSpec extends AnyFunSuite {
       "shares conserve up to one floor unit per digit")
   }
 
+  test("q97: crosstab margins and chi-square terms replay from raw counts") {
+    val rows = graft.operators.Relational5.q97CrosstabChi2(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    val raw = tables.orders.select(col("o_orderpriority"), col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cells = raw.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowN = raw.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val colN = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val total = raw.length.toLong
+    assert(rows.keySet === cells.keySet)
+    cells.foreach { case (k @ (p, s), n) =>
+      val (gn, grn, gcn, ge, gchi) = rows(k)
+      assert((gn, grn, gcn) === ((n, rowN(p), colN(s))), s"$k margins")
+      val e = rowN(p) * colN(s) / total.toDouble
+      assert(ge === e, s"$k expected")
+      assert(gchi === BigDecimal((n - e) * (n - e) / e)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$k chi2")
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
