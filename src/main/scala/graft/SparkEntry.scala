@@ -758,6 +758,12 @@ object SparkEntry {
       graft.operators.DataPipeline.incrementalCard(
         docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
     }),
+    // d30: transitivity-gap audit — chain-merge share of the closure in
+    // exact ppm off the memoized d02 pair frame; one summary row
+    "d30_transitivity_gap" -> ((s, d) => Dedup.transitivityGap(t(s, d).documents)),
+    // p42: Efraimidis–Spirakis weighted k-sample — exact-size companion
+    // to p35; ln(u)/w keys over the salted md5 uniform, total-ordered cut
+    "p42_weighted_sample" -> ((s, d) => graft.operators.DataPipeline.weightedSample(t(s, d).documents)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3524,6 +3530,40 @@ object SparkEntry {
         |  round(avg(n_chars), 2) AS mean_chars,
         |  count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS dup_docs
         |FROM documents GROUP BY source""".stripMargin,
+    // d30: the d02 oracle nested; same symmetric two-path derivation and
+    // integer-ppm gap
+    "d30_transitivity_gap" ->
+      s"""WITH nd AS ($ngramJaccardSql),
+         |p AS (SELECT d1, d2 FROM nd),
+         |sym AS (SELECT d1, d2 FROM p UNION ALL SELECT d2 AS d1, d1 AS d2 FROM p),
+         |tp AS (SELECT DISTINCT x.d1 AS d1, y.d2 AS d2
+         | FROM sym x JOIN sym y ON x.d2 = y.d1 WHERE x.d1 < y.d2),
+         |cl AS (SELECT tp.d1, tp.d2 FROM tp JOIN p USING (d1, d2)),
+         |c AS (SELECT
+         |  (SELECT count(*) FROM p) AS n_pairs,
+         |  (SELECT count(*) FROM tp) AS n_two_path,
+         |  (SELECT count(*) FROM cl) AS n_closed)
+         |SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+         | CAST(n_two_path AS BIGINT) AS n_two_path,
+         | CAST(n_closed AS BIGINT) AS n_closed,
+         | CAST(n_two_path - n_closed AS BIGINT) AS n_chain_only,
+         | CASE WHEN n_two_path = 0 THEN NULL
+         |      ELSE CAST((n_two_path - n_closed) * 1000000 // n_two_path AS BIGINT)
+         | END AS gap_ppm
+         |FROM c""".stripMargin,
+    // p42: same md5 fold, same ln(u)/w key; ordered cut on the raw key,
+    // emitted key rounded 6 dp
+    "p42_weighted_sample" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |  CAST(('0x' || substr(md5('p42:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |    AS u
+        | FROM documents),
+        |k AS (SELECT doc_id, source, n_chars,
+        |  ln(CAST(u + 1 AS DOUBLE) / 4294967296.0)
+        |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS raw_key
+        | FROM h)
+        |SELECT doc_id, source, n_chars, round(raw_key, 6) + 0.0 AS es_key
+        |FROM k ORDER BY raw_key DESC, doc_id LIMIT 100""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

@@ -172,6 +172,32 @@ object Dedup {
       .select(col("doc_id"), col("nearest"), col("jaccard"))
   }
 
+  /** d30: transitivity-gap audit — how much the d07 closure ADDS beyond
+    * pairwise similarity: among all two-path doc pairs (a–m–c with both
+    * legs ≥ τ), how many are themselves a direct pair and how many merge
+    * ONLY through the chain. A high gap share means clusters grow by
+    * chaining (the classic near-dup drift risk: a→b→c with a,c genuinely
+    * different), which argues for a higher τ or cluster-diameter review
+    * (d26 samples exactly those clusters). Rides the memoized d02 pair
+    * frame — pair-keyed joins only, work ∝ Σdeg², never corpus-shaped.
+    * One exact-integer summary row; share in ppm (the q91 rule). */
+  def transitivityGap(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
+    val pairs = sharedJaccardPairs(docs, threshold, k).select(col("d1"), col("d2"))
+    val sym = pairs.unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+    val twoPath = sym.as("x").join(sym.as("y"), col("x.d2") === col("y.d1"))
+      .where(col("x.d1") < col("y.d2"))
+      .select(col("x.d1").as("d1"), col("y.d2").as("d2")).distinct()
+    val closed = twoPath.join(pairs, Seq("d1", "d2"), "left_semi")
+    twoPath.agg(count(lit(1)).as("n_two_path"))
+      .crossJoin(closed.agg(count(lit(1)).as("n_closed")))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+      .select(col("n_pairs"), col("n_two_path"), col("n_closed"),
+        (col("n_two_path") - col("n_closed")).as("n_chain_only"),
+        when(col("n_two_path") === 0, lit(null).cast("long"))
+          .otherwise(expr("(n_two_path - n_closed) * 1000000 div n_two_path"))
+          .as("gap_ppm"))
+  }
+
   /** d18: dedup threshold sensitivity curve — for a grid of thresholds,
     * how many near-dup pairs each would yield: the tuning artifact a
     * pipeline consults BEFORE committing to a τ (a cliff between 0.8 and

@@ -1373,6 +1373,40 @@ object DataPipeline {
         expr(s"${1000000L * cap}L div m").as("w_ppm"))
   }
 
+  /** p42: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, 2006) — exactly `k` documents drawn with inclusion odds
+    * proportional to weight, the fixed-budget companion to p35's
+    * Bernoulli sampler (p35's output SIZE is random; a curation budget
+    * of "exactly k docs, quality-weighted" needs A-ES): each doc gets
+    * the key ln(u)/w (u the salted-md5 uniform, w = n_chars clamped ≥ 1),
+    * and the k LARGEST keys are the sample — one scan projection + one
+    * TakeOrderedAndProject, no per-source ordering, no shuffle beyond
+    * the top-k clip.
+    *
+    * Determinism: u is the p03/p35 integer md5 fold (u+1 so ln never
+    * sees 0), the key is ln of an exact /2³² rational divided by an
+    * exact long — both engines evaluate the same IEEE expression on the
+    * same inputs (the t14/t15 log-parity precedent) and the
+    * (key DESC, doc_id) order is total. */
+  def weightedSample(docs: DataFrame, k: Int = 100,
+                     salt: String = "p42:"): DataFrame = {
+    val u = conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((u + 1).cast("double") / lit(4294967296.0)).as("uniform"),
+        greatest(col("n_chars"), lit(1L)).as("w"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log(col("uniform")) / col("w").cast("double")).as("raw_key"))
+      .orderBy(col("raw_key").desc, col("doc_id"))
+      .limit(k)
+      // the emitted key rounds at 6 dp (the t14 log-parity discipline);
+      // selection order used the raw key, where a cross-engine ulp flip
+      // would need two md5 uniforms within one ulp — not a real event
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (round(col("raw_key"), 6) + lit(0.0)).as("es_key"))
+  }
+
   /** p36: uniform mixture rebalance — deterministically thin every source
     * to ≈ the SMALLEST source's size, the α → 0 pole of p08's temperature
     * family (p08 caps quotas by n^α rank order; p36 flattens outright —

@@ -1032,6 +1032,36 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(withNew("brand_new").head === 1L, "new source counts only its batch docs")
   }
 
+  test("p42: A-ES sample replays the JVM key computation; weights shift odds") {
+    import org.apache.spark.sql.functions.col
+    import java.security.MessageDigest
+    def u32(salt: String, key: Long): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(s"$salt$key".getBytes)
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val src = tables.documents.select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val keys = src.map { case (id, nc) =>
+      (id, math.log((u32("p42:", id) + 1).toDouble / 4294967296.0) / math.max(nc, 1L))
+    }
+    val expIds = keys.sortBy { case (id, k) => (-k, id) }.take(100).map(_._1).toSet
+    val got = graft.operators.DataPipeline.weightedSample(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.length === 100)
+    assert(got.map(_._1).toSet === expIds, "top-100 selection replays")
+    val keyMap = keys.toMap
+    got.foreach { case (id, k) =>
+      assert(k === BigDecimal(keyMap(id)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0, s"doc $id key")
+    }
+    // the weighted-odds law: long docs are overrepresented vs uniform odds
+    val medianChars = src.map(_._2).sorted.apply(src.length / 2)
+    val longShare = got.count { case (id, _) =>
+      src.toMap.apply(id) > medianChars }.toDouble / got.length
+    assert(longShare > 0.5, s"above-median-length share $longShare must exceed 1/2")
+  }
+
   test("m07: alignment audit agrees with direct per-source counts") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents.select(col("doc_id"), col("source")).collect()

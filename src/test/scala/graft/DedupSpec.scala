@@ -346,6 +346,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!got.contains(9L), "isolated docs have no nearest dup")
   }
 
+  test("d30: gap audit counts the planted open chain and replays the corpus") {
+    import spark.implicits._
+    // a~b and b~c clear τ; a vs c falls below it ⇒ one two-path pair that
+    // is NOT closed — chain-only merge, gap 1/1. With 20-token docs and
+    // 3-shingles: J(1,2) = 17/19 ≈ .895, J(2,3) = 16/20 = .8 (inclusive),
+    // J(1,3) = 15/21 ≈ .714
+    val base = (1 to 20).map(i => s"w$i")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, (base.take(19) :+ "xx").mkString(" ")),
+      (3L, (Seq("z1", "z2") ++ base.slice(2, 19) :+ "xx").mkString(" "))
+    ).toDF("doc_id", "text")
+    Dedup.releaseShingles(spark)
+    val r = Dedup.transitivityGap(docs).collect().head
+    Dedup.releaseShingles(spark)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 1L, 0L, 1L)), "2 pairs, 1 two-path, 0 closed, 1 chain-only")
+    assert(r.getLong(4) === 1000000L, "fully open gap")
+    // corpus replay off the same pair frame
+    val pairs = Dedup.sharedJaccardPairs(tables.documents).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val twoPath = (for {
+      (a, ms) <- adj.toSeq; m <- ms; c <- adj(m) if a < c
+    } yield (a, c)).toSet
+    val closed = twoPath.count(pairs.contains).toLong
+    val g = Dedup.transitivityGap(tables.documents).collect().head
+    assert((g.getLong(1), g.getLong(2)) === ((twoPath.size.toLong, closed)))
+  }
+
   test("d18: curve is non-increasing in the threshold and counts the planted cliff") {
     import spark.implicits._
     // two exact dups (J = 1 survives every threshold) and one borderline
