@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat_ws, count, round, sum}
+import org.apache.spark.sql.functions.{col, concat_ws, count, lit, round, sum}
 import graft.operators.{Relational, Relational2, Relational3, Relational4, Relational5, Temporal, TextQueries}
 import graft.dedup.Dedup
 import graft.similarity.Knn
@@ -764,6 +764,23 @@ object SparkEntry {
     // p42: Efraimidis–Spirakis weighted k-sample — exact-size companion
     // to p35; ln(u)/w keys over the salted md5 uniform, total-ordered cut
     "p42_weighted_sample" -> ((s, d) => graft.operators.DataPipeline.weightedSample(t(s, d).documents)),
+    // q98: CDC changelog compaction — latest-version-wins snapshot with
+    // delete tombstones; one key-partitioned window, no join
+    "q98_cdc_compact"     -> ((s, d) => Relational5.q98CdcCompact(t(s, d))),
+    // q99: SCD2 validity intervals — island-collapse then lead(); open
+    // current interval carries NULL end
+    "q99_scd2"            -> ((s, d) => Relational5.q99Scd2(t(s, d))),
+    // t32: language-label conflict audit — the synthetic corpus has no
+    // natural conflicts, so the registration plants re-labeled copies
+    // (the m08 convention; the oracle replays the same relational plant)
+    "t32_lang_conflicts" -> ((s, d) => {
+      val docs = t(s, d).documents
+      val planted = docs.unionByName(
+        docs.where(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("lang", lit("xx")))
+      TextQueries.langConflicts(planted)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3564,6 +3581,60 @@ object SparkEntry {
         | FROM h)
         |SELECT doc_id, source, n_chars, round(raw_key, 6) + 0.0 AS es_key
         |FROM k ORDER BY raw_key DESC, doc_id LIMIT 100""".stripMargin,
+    // t32: the same relational plant (re-labeled copies of every 50th
+    // doc), the same d01 fingerprint, the same sorted-distinct lang list
+    "t32_lang_conflicts" ->
+      """WITH d AS (
+        | SELECT doc_id, text, lang FROM documents
+        | UNION ALL
+        | SELECT doc_id + 1000000, text, 'xx' AS lang FROM documents
+        | WHERE doc_id % 50 = 0),
+        |f AS (SELECT doc_id, lang,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM d),
+        |g AS (SELECT fp, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs,
+        |  min(doc_id) AS first_doc
+        | FROM f GROUP BY fp)
+        |SELECT fp, CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(n_langs AS BIGINT) AS n_langs, langs,
+        | CAST(first_doc AS BIGINT) AS first_doc
+        |FROM g WHERE n_langs > 1""".stripMargin,
+    // q98: the same derived changelog, the same latest-wins window
+    "q98_cdc_compact" ->
+      """WITH log AS (SELECT l_orderkey AS key,
+        |  CAST(l_linenumber AS BIGINT) AS version,
+        |  CASE WHEN l_partkey % 11 = 0 THEN 'D'
+        |       WHEN l_linenumber = 1 THEN 'I' ELSE 'U' END AS op,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        | FROM lineitem),
+        |r AS (SELECT key, version, op, cents,
+        |  row_number() OVER (PARTITION BY key
+        |    ORDER BY version DESC, cents DESC, op ASC) AS rn FROM log)
+        |SELECT key, version AS last_version, op AS last_op, cents
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    // q99: same change markers, same run collapse, same lead() end dates
+    "q99_scd2" ->
+      """WITH h AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |  o_orderkey, o_orderpriority AS value FROM orders),
+        |m AS (SELECT o_custkey, day, o_orderkey, value,
+        |  CASE WHEN lag(value) OVER w IS NULL
+        |         OR lag(value) OVER w <> value THEN 1 ELSE 0 END AS changed
+        | FROM h WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)),
+        |rn AS (SELECT o_custkey, day, value,
+        |  sum(changed) OVER (PARTITION BY o_custkey ORDER BY day, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        | FROM m),
+        |runs AS (SELECT o_custkey, run, min(value) AS value,
+        |  min(day) AS valid_from, CAST(count(*) AS BIGINT) AS n_orders
+        | FROM rn GROUP BY 1, 2),
+        |fin AS (SELECT o_custkey, value, n_orders, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run) AS valid_to
+        | FROM runs)
+        |SELECT o_custkey, value, n_orders,
+        | strftime(valid_from, '%Y-%m-%d') AS valid_from,
+        | strftime(valid_to, '%Y-%m-%d') AS valid_to,
+        | valid_to IS NULL AS is_current
+        |FROM fin""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

@@ -386,6 +386,72 @@ object Relational5 {
           / col("expected"), 6) + lit(0.0)).as("chi2_term"))
   }
 
+  /** q98: CDC changelog compaction — apply an insert/update/delete event
+    * stream to produce the current snapshot: per key, the LATEST change
+    * wins and a terminal delete tombstones the row — the Debezium-apply every lakehouse table
+    * maintenance job runs (q77 merges one batch into a target; q98
+    * collapses an arbitrarily long changelog with no target at all).
+    * One key-partitioned window pass over the changelog, no join.
+    *
+    * The changelog derives deterministically from lineitem (orderkey =
+    * key, linenumber = version, op by modulus) so the oracle replays it
+    * relationally; values are exact cents. The synthetic log CAN collide
+    * on version (linenumber repeats within an order here), so the
+    * latest-wins order totalizes over (version, cents, op) — any
+    * remaining tie is a full duplicate and either pick is the same
+    * row. */
+  def q98CdcCompact(t: Tables): DataFrame = {
+    val log = t.lineitem.select(
+      col("l_orderkey").as("key"),
+      col("l_linenumber").cast("long").as("version"),
+      when(col("l_partkey") % 11 === 0, lit("D"))
+        .when(col("l_linenumber") === 1, lit("I")).otherwise(lit("U")).as("op"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("version").desc, col("cents").desc, col("op").asc)
+    log
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("version").as("last_version"),
+        col("op").as("last_op"), col("cents"))
+  }
+
+  /** q99: SCD2 interval build — collapse each customer's order-priority
+    * history into validity intervals [valid_from, valid_to) with a
+    * current-row flag: the slowly-changing-dimension type-2 construction
+    * every warehouse dimension load performs. Consecutive same-value runs
+    * collapse FIRST (the q84 island trick keyed by value-change markers),
+    * then one lead() supplies each interval's end — two passes over the
+    * customer-keyed window, no self-join.
+    *
+    * Exactness: the change history is total-ordered ((date, orderkey) —
+    * a customer can order twice a day), dates serialize as ISO strings
+    * (the q82 rule), the open current interval carries a NULL end. */
+  def q99Scd2(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val hist = t.orders.select(col("o_custkey"),
+      col("o_orderdate").cast("date").as("day"),
+      col("o_orderkey"), col("o_orderpriority").as("value"))
+    val marked = hist
+      .withColumn("changed",
+        when(lag(col("value"), 1).over(w).isNull ||
+          lag(col("value"), 1).over(w) =!= col("value"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("changed")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = marked.groupBy(col("o_custkey"), col("run"))
+      .agg(min(col("value")).as("value"),
+        min(col("day")).as("valid_from"),
+        count(lit(1)).as("n_orders"))
+    val w2 = Window.partitionBy(col("o_custkey")).orderBy(col("run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .select(col("o_custkey"), col("value"), col("n_orders"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** q96: Benford first-digit profile — the fraud/fabrication screen:
     * leading digits of order prices counted against Benford's law.
     * Digit extraction is string-exact (first char of the cents string —

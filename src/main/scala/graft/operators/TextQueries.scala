@@ -987,6 +987,27 @@ object TextQueries {
         round(regr_r2(col("ln_v"), col("ln_n")), 6).as("heaps_r2"))
   }
 
+  /** t32: language-label conflict audit — fingerprint groups whose copies
+    * carry MORE THAN ONE declared language: the mislabeled-duplicate
+    * signal (the same text tagged en in one crawl and de in another
+    * poisons per-language statistics, mixture quotas and langid training
+    * labels alike). d01 collapses exact dups; t32 asks what the copies
+    * DISAGREE about before a keeper is picked (d11's keep-best can then
+    * prefer the majority label). One fingerprint-keyed aggregation; the
+    * conflicted-group output is duplicate-bounded, never corpus-sized.
+    * Exact: counts are longs, the language list is a sorted-distinct
+    * join (total order ⇒ hash-checkable, the q47 rule). */
+  def langConflicts(docs: DataFrame): DataFrame =
+    docs
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"),
+        col("lang"), col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("lang")).as("n_langs"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"),
+        min(col("doc_id")).as("first_doc"))
+      .where(col("n_langs") > 1)
+
   /** t31: compression-ratio quality signal — per document, UTF-8 bytes,
     * DEFLATE-compressed bytes (zlib level 6, raw) and their ratio: the
     * information-density gate production corpora actually run (RefinedWeb

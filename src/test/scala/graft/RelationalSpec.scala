@@ -985,6 +985,56 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q98: compaction replays latest-wins with tombstones in the JVM") {
+    val got = graft.operators.Relational5.q98CdcCompact(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    val log = tables.lineitem.select(col("l_orderkey"),
+        col("l_linenumber").cast("long"), col("l_partkey"),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map { r =>
+        val op = if (r.getLong(2) % 11 == 0) "D"
+          else if (r.getLong(1) == 1L) "I" else "U"
+        (r.getLong(0), r.getLong(1), op, r.getLong(3))
+      }
+    val latest = log.groupBy(_._1).view.mapValues(
+      _.maxBy(x => (x._2, x._4, -x._3.charAt(0).toInt))).toMap
+    val exp = latest.filter(_._2._3 != "D")
+      .map { case (k, (_, v, op, c)) => k -> ((v, op, c)) }.toMap
+    assert(got === exp)
+    assert(latest.exists(_._2._3 == "D"), "tombstones actually occur in the log")
+  }
+
+  test("q99: SCD2 intervals tile each customer's history with one open row") {
+    val rows = graft.operators.Relational5.q99Scd2(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3),
+        Option(r.getString(4)), r.getBoolean(5)))
+    val orders = tables.orders.select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date"), col("o_orderpriority"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDate(2).toLocalDate, r.getString(3)))
+    rows.groupBy(_._1).foreach { case (cust, ivs) =>
+      val hist = orders.filter(_._1 == cust).sortBy(x => (x._3.toEpochDay, x._2))
+      assert(ivs.map(_._3).sum === hist.length.toLong, s"$cust orders conserved")
+      assert(ivs.count(_._6) === 1, s"$cust exactly one current interval")
+      val ordered = ivs.sortBy(_._4)
+      assert(ordered.head._4 === hist.head._3.toString, s"$cust first interval start")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"$cust intervals must tile (no gap/overlap)")
+          assert(a._2 !== b._2, s"$cust adjacent intervals must change value")
+        case _ =>
+      }
+      assert(ordered.last._5.isEmpty && ordered.last._6, s"$cust open current row")
+      // each interval's value is the history's value at its start
+      val byDay = hist.map(h => (h._3.toString, h._4))
+      ordered.foreach { iv =>
+        assert(byDay.find(_._1 == iv._4).exists(_._2 == iv._2) ||
+          hist.exists(h => h._3.toString == iv._4 && h._4 == iv._2),
+          s"$cust interval at ${iv._4} value ${iv._2}")
+      }
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =

@@ -544,6 +544,23 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t32: planted cross-language copies surface; clean corpora stay silent") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "the same exact text", "en"),
+      (2L, "the same exact text", "de"),   // conflict with 1
+      (3L, "the same exact text", "en"),   // copy, same lang — no new label
+      (4L, "unrelated text entirely", "en") // clean
+    ).toDF("doc_id", "text", "lang")
+    val got = graft.operators.TextQueries.langConflicts(docs).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)) ===
+      ((3L, 2L, "de,en", 1L)))
+    // the raw synthetic corpus has no conflicts — the audit stays empty
+    assert(graft.operators.TextQueries.langConflicts(tables.documents).count() === 0L)
+  }
+
   test("t31: deflate ratio separates boilerplate from varied text; dups ratio-equal") {
     import SparkTestSession.spark.implicits._
     val spam = ("lorem ipsum " * 200).trim
