@@ -770,6 +770,12 @@ object SparkEntry {
     // q99: SCD2 validity intervals — island-collapse then lead(); open
     // current interval carries NULL end
     "q99_scd2"            -> ((s, d) => Relational5.q99Scd2(t(s, d))),
+    // q100: trailing 7-day RANGE window on the exact μs axis — the
+    // time-bounded member of the window family
+    "q100_trailing_window" -> ((s, d) => Relational5.q100TrailingWindow(t(s, d))),
+    // p43: Marion-et-al perplexity-band pruning — t06 scores + plan-borne
+    // percentile bounds; raw-bound comparison, rounded emission
+    "p43_ppl_band_prune"  -> ((s, d) => graft.operators.DataPipeline.pplBandPrune(t(s, d).documents)),
     // t32: language-label conflict audit — the synthetic corpus has no
     // natural conflicts, so the registration plants re-labeled copies
     // (the m08 convention; the oracle replays the same relational plant)
@@ -3635,6 +3641,31 @@ object SparkEntry {
         | strftime(valid_to, '%Y-%m-%d') AS valid_to,
         | valid_to IS NULL AS is_current
         |FROM fin""".stripMargin,
+    // q100: same μs RANGE frame; DuckDB's RANGE over a numeric ORDER BY
+    // uses the same peers-included semantics
+    "q100_trailing_window" ->
+      """SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        | CAST(count(*) OVER w AS BIGINT) AS n_7d,
+        | CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS BIGINT) AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        | RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // p43: the t06 oracle nested; same quantile_cont bounds, raw-bound
+    // comparison, rounded emission
+    "p43_ppl_band_prune" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |tot AS (SELECT sum(c)::DOUBLE AS n FROM lm),
+        |logp AS (SELECT token, ln(c / (SELECT n FROM tot)) AS logp FROM lm),
+        |s AS (SELECT t.doc_id, count(*) AS n_tokens, sum(l.logp) AS sll
+        |      FROM tok t JOIN logp l USING (token) GROUP BY t.doc_id),
+        |scored AS (SELECT doc_id, round(-sll / n_tokens, 6) AS avg_nll FROM s),
+        |b AS (SELECT quantile_cont(avg_nll, 0.25) AS raw_lo,
+        |  quantile_cont(avg_nll, 0.75) AS raw_hi FROM scored)
+        |SELECT doc_id, avg_nll,
+        | round(raw_lo, 6) + 0.0 AS nll_lo, round(raw_hi, 6) + 0.0 AS nll_hi
+        |FROM scored, b WHERE avg_nll >= raw_lo AND avg_nll <= raw_hi""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

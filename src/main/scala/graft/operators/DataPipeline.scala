@@ -1407,6 +1407,29 @@ object DataPipeline {
         (round(col("raw_key"), 6) + lit(0.0)).as("es_key"))
   }
 
+  /** p43: perplexity-band pruning — keep only documents whose t06 unigram
+    * NLL falls inside the corpus's [p25, p75] band: the "prune both
+    * tails" selection rule (Marion et al. 2023, "When Less is More")
+    * where LOW perplexity is boilerplate/template text the model already
+    * knows and HIGH perplexity is noise/mojibake it should never learn —
+    * the middle band carries the signal. Composes the oracle-checked t06
+    * scores with plan-borne percentile bounds (the q90 crossJoin shape —
+    * construction launches zero jobs); band COMPARISON uses the raw
+    * percentile doubles (deterministic interpolation over rounded-6dp
+    * NLLs), the emitted bounds round at 6 dp (the p42 discipline). */
+  def pplBandPrune(docs: DataFrame, lo: Double = 0.25, hi: Double = 0.75): DataFrame = {
+    val scored = graft.operators.TextQueries.unigramPpl(docs)
+      .select(col("doc_id"), col("avg_nll"))
+    val bounds = scored.agg(
+      expr(s"percentile(avg_nll, $lo)").as("raw_lo"),
+      expr(s"percentile(avg_nll, $hi)").as("raw_hi"))
+    scored.crossJoin(bounds)
+      .where(col("avg_nll") >= col("raw_lo") && col("avg_nll") <= col("raw_hi"))
+      .select(col("doc_id"), col("avg_nll"),
+        (round(col("raw_lo"), 6) + lit(0.0)).as("nll_lo"),
+        (round(col("raw_hi"), 6) + lit(0.0)).as("nll_hi"))
+  }
+
   /** p36: uniform mixture rebalance — deterministically thin every source
     * to ≈ the SMALLEST source's size, the α → 0 pole of p08's temperature
     * family (p08 caps quotas by n^α rank order; p36 flattens outright —

@@ -452,6 +452,28 @@ object Relational5 {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** q100: trailing time-interval window — per event, the count and exact
+    * cents sum of the user's activity over the trailing 7 DAYS (a RANGE
+    * frame over event time, not a row count): the moving-window feature
+    * every fraud/engagement model consumes, and the member q09/q39/q74
+    * lack (q09 runs unbounded, q39 ranges over a numeric key, q74 bounds
+    * by ROWS — none bounds by TIME). The frame rides exact epoch
+    * microseconds (Spark's rangeBetween takes longs, so the μs integer
+    * axis is the portable form; same-timestamp peers are all included in
+    * both engines by RANGE semantics). One user-keyed window pass. */
+  def q100TrailingWindow(t: Tables): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-weekUs, 0L)
+    t.events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("sum_7d", sum(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("n_7d"), col("sum_7d"))
+  }
+
   /** q96: Benford first-digit profile — the fraud/fabrication screen:
     * leading digits of order prices counted against Benford's law.
     * Digit extraction is string-exact (first char of the cents string —

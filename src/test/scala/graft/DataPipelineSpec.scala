@@ -1062,6 +1062,34 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(longShare > 0.5, s"above-median-length share $longShare must exceed 1/2")
   }
 
+  test("p43: the kept band is exactly the docs between the JVM p25/p75 NLLs") {
+    import org.apache.spark.sql.functions.col
+    val scores = graft.operators.TextQueries.unigramPpl(tables.documents)
+      .select(col("doc_id"), col("avg_nll")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    def q(xs: Seq[Double], p: Double): Double = {
+      val s = xs.sorted; val idx = (s.length - 1) * p
+      val lo = s(idx.toInt)
+      if (idx == idx.toInt) lo else lo + (idx - idx.toInt) * (s(idx.toInt + 1) - lo)
+    }
+    val (lo, hi) = (q(scores.map(_._2), 0.25), q(scores.map(_._2), 0.75))
+    val expKept = scores.filter { case (_, s) => s >= lo && s <= hi }.map(_._1).toSet
+    val got = graft.operators.DataPipeline.pplBandPrune(tables.documents).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet === expKept, "band membership replays")
+    // roughly the middle half survives; both tails are really gone
+    assert(got.length >= scores.length / 2 - 2 && got.length <= scores.length * 3 / 4)
+    val droppedLow = scores.filter(_._2 < lo)
+    val droppedHigh = scores.filter(_._2 > hi)
+    assert(droppedLow.nonEmpty && droppedHigh.nonEmpty, "both tails pruned")
+    got.foreach { case (id, s, glo, ghi) =>
+      assert(s >= lo && s <= hi, s"doc $id inside the band")
+      assert(glo === BigDecimal(lo).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        + 0.0 && ghi === BigDecimal(hi).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble + 0.0, "emitted bounds round the raw percentiles")
+    }
+  }
+
   test("m07: alignment audit agrees with direct per-source counts") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents.select(col("doc_id"), col("source")).collect()

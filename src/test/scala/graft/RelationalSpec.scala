@@ -1035,6 +1035,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q100: trailing 7-day window replays a JVM two-pointer scan per user") {
+    val got = graft.operators.Relational5.q100TrailingWindow(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val ev = tables.events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")), round(col("value") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val week = 7L * 86400L * 1000000L
+    ev.groupBy(_._1).foreach { case (_, xs) =>
+      xs.foreach { e =>
+        val inWin = xs.filter(o => o._3 >= e._3 - week && o._3 <= e._3)
+        val (gts, gn, gsum) = got((e._1, e._2))
+        assert(gts === e._3)
+        assert(gn === inWin.length.toLong, s"event ${e._2} count")
+        assert(gsum === inWin.map(_._4).sum, s"event ${e._2} sum")
+      }
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
