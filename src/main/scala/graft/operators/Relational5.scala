@@ -259,26 +259,36 @@ object Relational5 {
   /** q93: market-basket affinity — the top part pairs co-purchased within
     * an order, with support counts and lift: the association-rule
     * building block (pairs with lift ≫ 1 co-occur far above chance).
-    * The quadratic lives INSIDE each order — the self-join key is
-    * l_orderkey and baskets are items-per-order-bounded (TPC-H ~4, any
-    * retail basket ≤ dozens), so pair volume is Σ|basket|²/2, linear in
-    * orders — never a corpus cross join. Supports ride a broadcast-sized
-    * per-part aggregate; N is the plan-borne 1-row order count.
+    * The quadratic lives INSIDE each order: baskets collapse to sorted
+    * part arrays in ONE orderkey aggregation, and pairs generate
+    * MAP-SIDE from each array (index-windowed slice — no self-join, no
+    * second orderkey exchange), so pair volume is Σ|basket|²/2, linear
+    * in orders with basket-bounded rows (TPC-H ~4, any retail basket ≤
+    * dozens) — never a corpus cross join. Supports ride a per-part
+    * aggregate; N is the plan-borne 1-row order count.
     *
     * Exactness: lift = co·N / (s1·s2) computed from exact longs, one
     * rounded division; the top-50 cut orders by (co DESC, p1, p2) —
     * total, so the page is deterministic (the q79 rule). */
   def q93BasketAffinity(t: Tables, topK: Int = 50): DataFrame = {
     val items = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+    // one basket aggregation, then pairs generated MAP-SIDE from the
+    // sorted basket array (no self-join, no second orderkey exchange):
+    // each ordered pair emits exactly once via the index-windowed slice
+    val baskets = items.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"))
+        .as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("co"))
-    val support = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
-    val n = items.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
+    // supports and N also derive from the basket frame (ps is already
+    // per-order-distinct), so the corpus pays ONE distinct pass, not three
+    val support = baskets.select(explode(col("ps")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(support.select(col("l_partkey").as("p1"), col("s").as("s1")), Seq("p1"))
       .join(support.select(col("l_partkey").as("p2"), col("s").as("s2")), Seq("p2"))
