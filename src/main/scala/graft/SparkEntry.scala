@@ -776,6 +776,9 @@ object SparkEntry {
     // p43: Marion-et-al perplexity-band pruning — t06 scores + plan-borne
     // percentile bounds; raw-bound comparison, rounded emission
     "p43_ppl_band_prune"  -> ((s, d) => graft.operators.DataPipeline.pplBandPrune(t(s, d).documents)),
+    // q101: bounce rate over q24's 30-min session rule via the island
+    // trick; exact-ppm share
+    "q101_bounce_rate"    -> ((s, d) => Relational5.q101BounceRate(t(s, d))),
     // t32: language-label conflict audit — the synthetic corpus has no
     // natural conflicts, so the registration plants re-labeled copies
     // (the m08 convention; the oracle replays the same relational plant)
@@ -3666,6 +3669,25 @@ object SparkEntry {
         |SELECT doc_id, avg_nll,
         | round(raw_lo, 6) + 0.0 AS nll_lo, round(raw_hi, 6) + 0.0 AS nll_hi
         |FROM scored, b WHERE avg_nll >= raw_lo AND avg_nll <= raw_hi""".stripMargin,
+    // q101: same gap markers, same cumsum session ids, same ppm share
+    "q101_bounce_rate" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sid AS (SELECT user_id, event_id,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM m),
+        |s AS (SELECT user_id, session_id, count(*) AS n_events
+        | FROM sid GROUP BY 1, 2),
+        |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+        | FROM s GROUP BY 1)
+        |SELECT user_id, n_sessions, n_bounces,
+        | CAST(n_bounces * 1000000 // n_sessions AS BIGINT) AS bounce_ppm
+        |FROM agg""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

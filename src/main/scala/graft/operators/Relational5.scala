@@ -484,6 +484,33 @@ object Relational5 {
         col("n_7d"), col("sum_7d"))
   }
 
+  /** q101: bounce-rate report — per user, their 30-minute-gap session
+    * count, single-event ("bounce") session count and the bounce share:
+    * the standard engagement KPI over q24's sessionization rule, via the
+    * q84 island trick (a session starts where the gap from the previous
+    * event exceeds the timeout) instead of session_window, so the session
+    * identity is a plain window cumsum the rollup can reuse. One
+    * user-keyed window pass + two aggregations; share in exact ppm
+    * (the q91 rule). */
+  def q101BounceRate(t: Tables, timeoutMin: Int = 30): DataFrame = {
+    val gapUs = timeoutMin * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val marked = t.events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("user_id"), col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 1000000 div n_sessions").as("bounce_ppm"))
+  }
+
   /** q96: Benford first-digit profile — the fraud/fabrication screen:
     * leading digits of order prices counted against Benford's law.
     * Digit extraction is string-exact (first char of the cents string —

@@ -1054,6 +1054,30 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q101: bounce rate replays a JVM session split; q24 session counts agree") {
+    val got = graft.operators.Relational5.q101BounceRate(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = tables.events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gap = 1800000000L
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val ts = xs.sortBy(x => (x._3, x._2))
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, e) =>
+        if (e._3 - acc.head.head._3 > gap) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }
+      val n = sessions.size.toLong
+      val b = sessions.count(_.size == 1).toLong
+      assert(got(u) === ((n, b, b * 1000000L / n)), s"user $u")
+    }
+    // session COUNTS agree with q24's session_window at the same timeout
+    val q24 = graft.operators.Temporal.q24Sessionize(tables).collect()
+      .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.view.mapValues(_._1).toMap === q24,
+      "island sessions ≡ session_window sessions")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
