@@ -45,7 +45,7 @@ object Bench {
     // measure what a served index actually costs per query batch
     val allNames = Seq("_shared_shingles", "_shared_weighted_shingles",
       "_shared_shingle_arrays", "_shared_weighted_arrays",
-      "_shared_lsh_pairs",
+      "_shared_lsh_pairs", "_shared_cws_sig",
       "_shared_jaccard_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
       "_shared_knn_graph",
@@ -78,6 +78,8 @@ object Bench {
             graft.dedup.Dedup.sharedWeightedArraysFor(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_lsh_pairs")
             graft.dedup.Dedup.minHashLshPairs(Tables(spark, sfDir).documents).count()
+          else if (name == "_shared_cws_sig")
+            graft.dedup.Dedup.sharedCwsSignatures(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_jaccard_pairs")
             graft.dedup.Dedup.sharedJaccardPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_edit_pairs")

@@ -836,6 +836,12 @@ object Dedup {
   private val weightedShingleMemo =
     new graft.SessionKeyedCache[Int, DataFrame](_.unpersist(blocking = false))
 
+  /** The persisted CWS signature frame per (session, weighted-shingle
+    * plan, draw count) — see the memo note inside
+    * [[weightedMinHashLshPairsOf]]. */
+  private val cwsSigMemo =
+    new graft.SessionKeyedCache[(Int, Int), DataFrame](_.unpersist(blocking = false))
+
   /** τ as an exact /1e6 rational (the d02 rule), rejected otherwise. */
   private def tauNum(threshold: Double): Long = {
     val num = math.round(threshold * 1e6)
@@ -987,6 +993,33 @@ object Dedup {
     val num = tauNum(threshold)
     val wsh = weightedShingles(sh)
     val nDraws = bands * rowsPerBand
+    val sig = cwsSignaturesOf(wsh, nDraws)
+    val bandCols: Column = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"cw$i")): _*).as("bucket"))
+    }: _*)
+    val buckets = sig.select(col("doc_id"), explode(bandCols).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("d2"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+    weightedVerify(cand, wsh, num)
+  }
+
+  /** Public accessor for the memoized CWS signature frame over `docs`'
+    * weighted shingles — the bench attributes the one-time index build to
+    * its own `_shared_cws_sig` entry (the [[sharedShingles]] convention),
+    * so d14's per-serve medians measure serving, not building. */
+  def sharedCwsSignatures(docs: DataFrame, bands: Int = 16,
+                          rowsPerBand: Int = 2, k: Int = 3): DataFrame =
+    cwsSignaturesOf(weightedShingles(sharedShingles(docs, k)), bands * rowsPerBand)
+
+  /** The memoized, persisted CWS signature frame (doc_id, cw0..cwN) —
+    * the weighted LSH family's index. */
+  private def cwsSignaturesOf(wsh: DataFrame, nDraws: Int): DataFrame = {
     // two independent uniform (0,1) draws per seeded xxhash64: the high
     // and low 32-bit halves, each scaled into the unit interval (the +0.5
     // offset keeps them off 0; 2^-32 granularity is far below any effect
@@ -1025,22 +1058,21 @@ object Dedup {
           val t = floor(col("lnw") / col(s"r$i") + col(s"b$i"))
           (col(s"lnc$i") - col(s"r$i") * (t - col(s"b$i")) - col(s"r$i")).as(s"c$i")
         }: _*)
-    val sig = step2.groupBy(col("doc_id"))
-      .agg(min(col("c0")).as("cw0"),
-        (1 until nDraws).map(i => min(col(s"c$i")).as(s"cw$i")): _*)
-    val bandCols: Column = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-          .map(i => col(s"cw$i")): _*).as("bucket"))
-    }: _*)
-    val buckets = sig.select(col("doc_id"), explode(bandCols).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val cand = buckets.select(col("doc_id").as("d1"), col("band"), col("bucket"))
-      .join(buckets.select(col("doc_id").as("d2"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .filter(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
-    weightedVerify(cand, wsh, num)
+    // The CWS signature is the expensive stage (nDraws × ~5 transcendentals
+    // per shingle row) and BOTH sides of the band-bucket self-join consume
+    // it — unpersisted, Spark recomputes the whole projection per side
+    // (measured ≈ 3× the stage's cost inside one d14 run at sf0.1). The
+    // signature frame is the weighted family's INDEX (the round-7 rule:
+    // build once, serve many), so it memoizes per (session, shingle plan,
+    // draws) like [[weightedShingles]] and persists doc-count-sized rows
+    // (|docs| × nDraws doubles — index-scale, not corpus-scale).
+    cwsSigMemo.getOrElseUpdate(
+      wsh.sparkSession,
+      (wsh.queryExecution.analyzed.semanticHash(), nDraws))(
+      step2.groupBy(col("doc_id"))
+        .agg(min(col("c0")).as("cw0"),
+          (1 until nDraws).map(i => min(col(s"c$i")).as(s"cw$i")): _*)
+        .persist())
   }
 
   /** MinHash signature columns: min over the shingle set of k seeded
