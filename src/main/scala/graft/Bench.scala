@@ -48,7 +48,7 @@ object Bench {
       "_shared_lsh_pairs", "_shared_cws_sig",
       "_shared_jaccard_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
-      "_shared_knn_graph",
+      "_shared_knn_graph", "_shared_srp_pairs", "_shared_srp_probe",
       "_shared_tokens") ++
       SparkEntry.queries.keys.toSeq.sorted
     // local-iteration subset (SPARK_GRAFT_ONLY=d13_weighted_jaccard,...);
@@ -80,6 +80,11 @@ object Bench {
             graft.dedup.Dedup.minHashLshPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_cws_sig")
             graft.dedup.Dedup.sharedCwsSignatures(Tables(spark, sfDir).documents).count()
+          else if (name == "_shared_srp_pairs")
+            graft.similarity.Srp.srpPairs(Tables(spark, sfDir).embeddings).count()
+          else if (name == "_shared_srp_probe")
+            graft.similarity.Srp.srpPairsMultiProbe(
+              Tables(spark, sfDir).embeddings, nBands = 8, rowsPerBand = 8).count()
           else if (name == "_shared_jaccard_pairs")
             graft.dedup.Dedup.sharedJaccardPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_edit_pairs")

@@ -27,6 +27,8 @@ object BenchOne {
       case "_shared_weighted_arrays" => graft.dedup.Dedup.sharedWeightedArraysFor(graft.Tables(s, sfDir).documents).count()
       case "_shared_lsh_pairs" => graft.dedup.Dedup.minHashLshPairs(graft.Tables(s, sfDir).documents).count()
       case "_shared_cws_sig" => graft.dedup.Dedup.sharedCwsSignatures(graft.Tables(s, sfDir).documents).count()
+      case "_shared_srp_pairs" => graft.similarity.Srp.srpPairs(graft.Tables(s, sfDir).embeddings).count()
+      case "_shared_srp_probe" => graft.similarity.Srp.srpPairsMultiProbe(graft.Tables(s, sfDir).embeddings, nBands = 8, rowsPerBand = 8).count()
       case "_shared_jaccard_pairs" => graft.dedup.Dedup.sharedJaccardPairs(graft.Tables(s, sfDir).documents).count()
       case "_shared_edit_pairs" => graft.dedup.Dedup.sharedEditPairs(graft.Tables(s, sfDir).documents).count()
       case "_shared_tokens" => graft.operators.TextQueries.sharedTokens(graft.Tables(s, sfDir).documents).count()
