@@ -779,6 +779,9 @@ object SparkEntry {
     // q101: bounce rate over q24's 30-min session rule via the island
     // trick; exact-ppm share
     "q101_bounce_rate"    -> ((s, d) => Relational5.q101BounceRate(t(s, d))),
+    // q102: gapless calendar spine with zero-filled days; plan-borne
+    // bounds, |days|-sized join
+    "q102_date_spine"     -> ((s, d) => Relational5.q102DateSpine(t(s, d))),
     // t32: language-label conflict audit — the synthetic corpus has no
     // natural conflicts, so the registration plants re-labeled copies
     // (the m08 convention; the oracle replays the same relational plant)
@@ -3688,6 +3691,18 @@ object SparkEntry {
         |SELECT user_id, n_sessions, n_bounces,
         | CAST(n_bounces * 1000000 // n_sessions AS BIGINT) AS bounce_ppm
         |FROM agg""".stripMargin,
+    // q102: same generated spine against the same daily aggregate
+    "q102_date_spine" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+        | FROM orders GROUP BY 1),
+        |b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+        |  max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |  AS day FROM b)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        | CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders,
+        | daily.n IS NULL AS is_gap
+        |FROM spine LEFT JOIN daily ON daily.day = spine.day""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

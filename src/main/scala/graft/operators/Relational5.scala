@@ -484,6 +484,29 @@ object Relational5 {
         col("n_7d"), col("sum_7d"))
   }
 
+  /** q102: calendar date spine — the gapless daily order series over the
+    * observed [min, max] date range with zero-filled missing days and an
+    * explicit gap flag: the time-series completeness contract (a daily
+    * chart or forecasting model fed only observed days silently
+    * interpolates over outages — q63 fills VALUE gaps forward, q102
+    * manufactures the missing ROWS). Bounds ride the plan as a 1-row
+    * aggregate (the q90 rule — zero jobs at construction); the spine is
+    * one generated sequence exploded against the daily aggregate, so the
+    * left join is |days|-sized regardless of order volume. */
+  def q102DateSpine(t: Tables): DataFrame = {
+    val daily = t.orders.select(col("o_orderdate").cast("date").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val bounds = t.orders.agg(
+      min(col("o_orderdate").cast("date")).as("lo"),
+      max(col("o_orderdate").cast("date")).as("hi"))
+    bounds
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        col("n").isNull.as("is_gap"))
+  }
+
   /** q101: bounce-rate report — per user, their 30-minute-gap session
     * count, single-event ("bounce") session count and the bounce share:
     * the standard engagement KPI over q24's sessionization rule, via the

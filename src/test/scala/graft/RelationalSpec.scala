@@ -1078,6 +1078,24 @@ class RelationalSpec extends AnyFunSuite {
       "island sessions ≡ session_window sessions")
   }
 
+  test("q102: spine is gapless, conserves orders, and flags exactly the zero days") {
+    val rows = graft.operators.Relational5.q102DateSpine(tables).collect()
+      .map(r => (java.time.LocalDate.parse(r.getString(0)), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1.toEpochDay)
+    val days = rows.map(_._1)
+    assert(days.head.toEpochDay.to(days.last.toEpochDay).size === rows.length,
+      "one row per calendar day, no holes")
+    days.sliding(2).foreach {
+      case Array(a, b) => assert(b.toEpochDay === a.toEpochDay + 1)
+      case _ =>
+    }
+    assert(rows.map(_._2).sum === tables.orders.count(), "order mass conserved")
+    rows.foreach { case (d, n, gap) =>
+      assert(gap === (n == 0L), s"$d gap flag")
+    }
+    assert(!rows.head._3 && !rows.last._3, "range endpoints are observed days")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
