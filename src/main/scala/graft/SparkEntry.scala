@@ -782,6 +782,9 @@ object SparkEntry {
     // q102: gapless calendar spine with zero-filled days; plan-borne
     // bounds, |days|-sized join
     "q102_date_spine"     -> ((s, d) => Relational5.q102DateSpine(t(s, d))),
+    // d31: per-cluster structure audit — density/clique/edge-weight range
+    // off the memoized pair frame + d07 labels; exact integers + ppm
+    "d31_cluster_audit"   -> ((s, d) => graft.dedup.Clusters.clusterAudit(t(s, d).documents)),
     // t32: language-label conflict audit — the synthetic corpus has no
     // natural conflicts, so the registration plants re-labeled copies
     // (the m08 convention; the oracle replays the same relational plant)
@@ -3703,6 +3706,25 @@ object SparkEntry {
         | CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders,
         | daily.n IS NULL AS is_gap
         |FROM spine LEFT JOIN daily ON daily.day = spine.day""".stripMargin,
+    // d31: the d07 closure + the d02 pair set nested; same cluster-keyed
+    // counting, same integer-ppm density
+    "d31_cluster_audit" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |nd AS ($ngramJaccardSql),
+         |e AS (SELECT cl.cluster_id, nd.jaccard
+         |      FROM nd JOIN cl ON cl.doc_id = nd.d1),
+         |ea AS (SELECT cluster_id, count(*) AS n_edges,
+         |  min(jaccard) AS min_jaccard, max(jaccard) AS max_jaccard
+         | FROM e GROUP BY 1),
+         |cs AS (SELECT DISTINCT cluster_id, cluster_size FROM cl)
+         |SELECT cs.cluster_id, CAST(cs.cluster_size AS BIGINT) AS n_docs,
+         | CAST(ea.n_edges AS BIGINT) AS n_edges,
+         | CAST(cs.cluster_size * (cs.cluster_size - 1) // 2 AS BIGINT) AS n_possible,
+         | CAST(ea.n_edges * 1000000 // (cs.cluster_size * (cs.cluster_size - 1) // 2)
+         |   AS BIGINT) AS density_ppm,
+         | ea.n_edges = cs.cluster_size * (cs.cluster_size - 1) // 2 AS is_clique,
+         | ea.min_jaccard, ea.max_jaccard
+         |FROM cs JOIN ea USING (cluster_id)""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

@@ -365,6 +365,39 @@ object Clusters {
     * shared with every other consumer) + one corpus anti-join for
     * singletons + a ≤|distinct sizes| aggregation — output is a handful
     * of rows at any corpus scale. */
+  /** d31: per-cluster structure audit — for every d07 cluster: doc count,
+    * observed near-dup edges, possible edges, edge density in exact ppm,
+    * the is-clique flag and the min/max edge jaccard. The per-cluster
+    * companion to d30's global transitivity gap: a large low-density
+    * cluster merged by CHAINING (weak min edge, far-from-clique) is
+    * exactly the review case d26 samples and a higher τ would split;
+    * cliques of high-jaccard edges are safe bulk deletions. Rides the
+    * memoized LSH pair frame and the memoized d07 labels — one
+    * cluster-keyed aggregation beyond them; output ∝ clusters.
+    * Exact integers + d02's one-division jaccard throughout. */
+  def clusterAudit(docs: DataFrame, threshold: Double = 0.8,
+                   bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(docs, threshold, bands, rowsPerBand, k)
+    val labels = dupClusters(docs, threshold, bands, rowsPerBand, k)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val edges = pairs
+      .join(labels.select(col("doc_id").as("d1"), col("cluster_id")), Seq("d1"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        min(col("jaccard")).as("min_jaccard"),
+        max(col("jaccard")).as("max_jaccard"))
+    labels.select(col("cluster_id"), col("cluster_size")).distinct()
+      .join(edges, Seq("cluster_id"))
+      .select(col("cluster_id"), col("cluster_size").as("n_docs"),
+        col("n_edges"),
+        expr("cluster_size * (cluster_size - 1) div 2").as("n_possible"),
+        expr("n_edges * 1000000 div (cluster_size * (cluster_size - 1) div 2)")
+          .as("density_ppm"),
+        (col("n_edges") === expr("cluster_size * (cluster_size - 1) div 2"))
+          .as("is_clique"),
+        col("min_jaccard"), col("max_jaccard"))
+  }
+
   def duplicationCensus(docs: DataFrame, threshold: Double = 0.8,
                         bands: Int = 16, rowsPerBand: Int = 4,
                         k: Int = 3): DataFrame = {

@@ -218,4 +218,33 @@ class ClustersSpec extends AnyFunSuite {
     assert(rows.values.map(_._2).sum === nDocs)
     assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-12)
   }
+
+  test("d31: audit separates the planted clique from the planted chain") {
+    import SparkTestSession.spark.implicits._
+    val base = (1 to 20).map(i => s"w$i")
+    // clique: three identical docs (all 3 edges, density 1e6, J = 1)
+    // chain: 1–2 and 2–3 similar, 1–3 below τ (the d30 fixture) → one
+    // 3-doc cluster with 2 of 3 possible edges
+    val clique = (1 to 20).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (101L, clique),
+      (102L, clique),
+      (103L, clique),
+      (201L, base.mkString(" ")),
+      (202L, (base.take(19) :+ "xx").mkString(" ")),
+      (203L, (Seq("z1", "z2") ++ base.slice(2, 19) :+ "xx").mkString(" "))
+    ).toDF("doc_id", "text")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val got = graft.dedup.Clusters.clusterAudit(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getDouble(6), r.getDouble(7)))).toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    val (cn, ce, cp, cd, cq, cmin, _) = got(101L)
+    assert((cn, ce, cp, cd, cq) === ((3L, 3L, 3L, 1000000L, true)), "clique cluster")
+    assert(cmin === 1.0, "identical docs edge at J = 1")
+    val (hn, he, hp, hd, hq, hmin, hmax) = got(201L)
+    assert((hn, he, hp, hq) === ((3L, 2L, 3L, false)), "chain cluster misses an edge")
+    assert(hd === 2000000L / 3L, "density 2/3 in ppm")
+    assert(hmin <= hmax && hmin >= 0.8, "edges carry their exact jaccards")
+  }
 }
