@@ -785,6 +785,9 @@ object SparkEntry {
     // d31: per-cluster structure audit — density/clique/edge-weight range
     // off the memoized pair frame + d07 labels; exact integers + ppm
     "d31_cluster_audit"   -> ((s, d) => graft.dedup.Clusters.clusterAudit(t(s, d).documents)),
+    // s26: per-dim embedding drift between deterministic corpus halves;
+    // |dims|-row output, rounded means with exact rounded-diffs
+    "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
     // t32: language-label conflict audit — the synthetic corpus has no
     // natural conflicts, so the registration plants re-labeled copies
     // (the m08 convention; the oracle replays the same relational plant)
@@ -3725,6 +3728,19 @@ object SparkEntry {
          | ea.n_edges = cs.cluster_size * (cs.cluster_size - 1) // 2 AS is_clique,
          | ea.min_jaccard, ea.max_jaccard
          |FROM cs JOIN ea USING (cluster_id)""".stripMargin,
+    // s26: same parity halves, same per-dim conditional means (0-based
+    // dim to match posexplode), same rounded-mean subtraction
+    "s26_embedding_drift" ->
+      """WITH d AS (
+        | SELECT CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+        |  CAST(i - 1 AS INT) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        | FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)),
+        |m AS (SELECT dim,
+        |  round(avg(CASE WHEN half = 'a' THEN x END), 6) + 0.0 AS mean_a,
+        |  round(avg(CASE WHEN half = 'b' THEN x END), 6) + 0.0 AS mean_b
+        | FROM d GROUP BY dim)
+        |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
+        |FROM m""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

@@ -144,6 +144,30 @@ object Report {
       |SELECT query_id, nn1, cos1, cos2, round(cos1 - cos2, 8) + 0.0 AS margin
       |FROM p""".stripMargin
 
+  /** s26: embedding drift monitor — per dimension, the mean activation of
+    * two deterministic corpus halves (vec_id parity — in production: last
+    * week's batch vs this week's) and their difference: the
+    * representation-drift check run before mixing corpora embedded by
+    * possibly-different model versions (p22 watches QUALITY drift; s26
+    * watches the embedding SPACE itself — a re-embedded source shifts
+    * per-dim means long before retrieval metrics notice). One posexplode
+    * + one dim-keyed aggregation; output = |dims| rows at any corpus
+    * scale. Means round at 6 dp (aggregation-order noise ~1e-12 on O(1)
+    * activations — the q52 argument); the diff subtracts the ROUNDED
+    * means, so it is exact given them. */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val half = when(col("vec_id") % 2 === 0, "a").otherwise("b")
+    emb
+      .select(half.as("half"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(
+        (round(avg(when(col("half") === "a", col("x"))), 6) + lit(0.0)).as("mean_a"),
+        (round(avg(when(col("half") === "b", col("x"))), 6) + lit(0.0)).as("mean_b"))
+      .select(col("dim"), col("mean_a"), col("mean_b"),
+        (round(col("mean_b") - col("mean_a"), 6) + lit(0.0)).as("drift"))
+  }
+
   /** The s21 replay: same md5 sample rule, same rounded cosine, same
     * ×20 floor bucketing. */
   def simHistogramOracleSql(mod: Int = 4): String =

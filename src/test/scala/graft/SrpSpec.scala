@@ -222,6 +222,34 @@ class SrpSpec extends AnyFunSuite {
     }
   }
 
+  test("s26: drift replays JVM per-dim means; identical halves drift zero") {
+    val src = tables.embeddings.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dims = src.head._2.length
+    val got = graft.similarity.Report.embeddingDrift(tables.embeddings).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet === (0 until dims).toSet)
+    def mean(half: Long => Boolean, d: Int): Double = {
+      val xs = src.filter(v => half(v._1)).map(_._2(d).toDouble)
+      BigDecimal(xs.sum / xs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0 until dims).foreach { d =>
+      val (a, b, drift) = got(d)
+      assert(math.abs(a - mean(_ % 2 == 0, d)) <= 1e-6, s"dim $d mean_a")
+      assert(math.abs(b - mean(_ % 2 != 0, d)) <= 1e-6, s"dim $d mean_b")
+      assert(drift === BigDecimal(b - a)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0, s"dim $d drift")
+    }
+    // a corpus compared against itself drifts exactly zero everywhere
+    import SparkTestSession.spark.implicits._
+    val same = src.toSeq.flatMap { case (id, v) => Seq((id * 2, v), (id * 2 + 1, v)) }
+      .toDF("vec_id", "embedding")
+    graft.similarity.Report.embeddingDrift(same).collect().foreach { r =>
+      assert(r.getDouble(3) === 0.0, s"dim ${r.getInt(0)} must not drift")
+    }
+  }
+
   test("s21: histogram equals a JVM recount over the md5 sample; mass conserves") {
     import java.security.MessageDigest
     def u32(key: Long): Long = {
