@@ -788,6 +788,16 @@ object SparkEntry {
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
+    // p45: xor-algebraic incremental shard manifest — batch-only
+    // aggregation + |shards|-row merge; ≡ p21 on the union
+    "p45_incremental_manifest" -> ((s, d) => {
+      val docs = t(s, d).documents
+      graft.operators.DataPipeline.incrementalShardManifest(
+        docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+    }),
+    // q104: rolling DAU/WAU — windowed DISTINCT via contribute-forward
+    // explode over the tiny (day, user) frame; exact-ppm stickiness
+    "q104_rolling_actives" -> ((s, d) => Relational5.q104RollingActives(t(s, d))),
     // t32: language-label conflict audit — the synthetic corpus has no
     // natural conflicts, so the registration plants re-labeled copies
     // (the m08 convention; the oracle replays the same relational plant)
@@ -3741,6 +3751,37 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // p45: the oracle IS p21's full-table manifest — the xor/min/max/sum
+    // merge must reproduce it hash-for-hash from batch work alone
+    "p45_incremental_manifest" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS h,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(c, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS ch,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+        | FROM (SELECT doc_id, text, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS m,
+        |         md5(text) AS c FROM documents))
+        |SELECT CAST(h % 16 AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens,
+        | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        | bit_xor(ch) AS content_checksum
+        |FROM d GROUP BY 1""".stripMargin,
+    // q104: same contribute-forward explode over the distinct (day, user)
+    // frame, same inner join restricting to observed days
+    "q104_rolling_actives" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |contrib AS (SELECT DISTINCT CAST(t.d AS DATE) AS day, user_id
+        | FROM du, unnest(generate_series(du.day, du.day + 6, INTERVAL 1 DAY)) AS t(d)),
+        |wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY 1)
+        |SELECT strftime(dau.day, '%Y-%m-%d') AS day,
+        | CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
+        | CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

@@ -830,6 +830,35 @@ object DataPipeline {
         bit_xor(col("ch")).as("content_checksum"))
   }
 
+  /** p45: incremental shard-manifest maintenance — p21's per-shard
+    * manifest updated from a batch WITHOUT rescanning the standing
+    * corpus: counts and token sums merge additively, id ranges by
+    * min/max, and the content checksum by XOR — which is why p21 chose
+    * XOR in the first place: it is the self-inverse, order-free fold
+    * that makes a manifest ALGEBRAICALLY maintainable (append = one
+    * xor; a later deletion = xor-ing the removed docs' hashes back
+    * out). The p41/d08 pattern for the integrity artifact: per batch,
+    * the engine aggregates the batch only and merges |shards| rows.
+    * Output ≡ p21 on the union, hash-for-hash. */
+  def incrementalShardManifest(standing: DataFrame, batch: DataFrame,
+                               nShards: Int = 16): DataFrame = {
+    val s = shardManifest(standing, nShards)
+    val b = shardManifest(batch, nShards)
+    s.select(col("shard"), col("n_docs").as("s_docs"), col("n_tokens").as("s_tokens"),
+        col("min_doc_id").as("s_min"), col("max_doc_id").as("s_max"),
+        col("content_checksum").as("s_ch"))
+      .join(b.select(col("shard"), col("n_docs").as("b_docs"),
+        col("n_tokens").as("b_tokens"), col("min_doc_id").as("b_min"),
+        col("max_doc_id").as("b_max"), col("content_checksum").as("b_ch")),
+        Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("s_docs"), lit(0L)) + coalesce(col("b_docs"), lit(0L))).as("n_docs"),
+        (coalesce(col("s_tokens"), lit(0L)) + coalesce(col("b_tokens"), lit(0L))).as("n_tokens"),
+        least(col("s_min"), col("b_min")).as("min_doc_id"),
+        greatest(col("s_max"), col("b_max")).as("max_doc_id"),
+        expr("coalesce(s_ch, 0L) ^ coalesce(b_ch, 0L)").as("content_checksum"))
+  }
+
   /** p22: quality-distribution drift between two corpus releases — p15
     * diffs content IDENTITY (which documents changed); this diffs the
     * DISTRIBUTION of the t03 quality signal (did the new release get

@@ -507,6 +507,31 @@ object Relational5 {
         col("n").isNull.as("is_gap"))
   }
 
+  /** q104: rolling active-user series — per observed day, the distinct
+    * daily actives (DAU), the distinct actives over the trailing 7 days
+    * (WAU) and the DAU/WAU stickiness ratio in exact ppm: THE engagement
+    * series, and a genuinely windowed DISTINCT — which no window frame
+    * computes (count_distinct over a frame isn't supported anywhere).
+    * The exact shape that scales: (day, user) first collapses to the
+    * tiny distinct frame, each row then CONTRIBUTES itself to the 7
+    * target days it covers (one explode of a generated 7-day sequence),
+    * and one distinct+count per target day finishes — work ∝ active
+    * (day, user) pairs × 7, never events × 7. */
+  def q104RollingActives(t: Tables): DataFrame = {
+    val du = t.events
+      .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+  }
+
   /** q101: bounce-rate report — per user, their 30-minute-gap session
     * count, single-event ("bounce") session count and the bounce share:
     * the standard engagement KPI over q24's sessionization rule, via the

@@ -1090,6 +1090,28 @@ class DataPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("p45: incremental manifest equals the full p21 recompute; deletion xors out") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents
+    val standing = docs.where(col("doc_id") % 3 =!= 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> r.toSeq.tail).toMap
+    val inc = m(graft.operators.DataPipeline.incrementalShardManifest(standing, batch))
+    val full = m(graft.operators.DataPipeline.shardManifest(docs))
+    assert(inc === full, "xor/min/max/sum merge equals the full recompute")
+    // the xor algebra: removing the batch again restores the checksums
+    val sm = graft.operators.DataPipeline.shardManifest(standing).collect()
+      .map(r => r.getInt(0) -> r.getLong(5)).toMap
+    val bm = graft.operators.DataPipeline.shardManifest(batch).collect()
+      .map(r => r.getInt(0) -> r.getLong(5)).toMap
+    full.foreach { case (shard, cols) =>
+      val merged = cols.last.asInstanceOf[Long]
+      assert((merged ^ bm.getOrElse(shard, 0L)) === sm.getOrElse(shard, 0L),
+        s"shard $shard: xor-ing the batch back out restores the standing checksum")
+    }
+  }
+
   test("m07: alignment audit agrees with direct per-source counts") {
     import org.apache.spark.sql.functions.col
     val docs = tables.documents.select(col("doc_id"), col("source")).collect()

@@ -1096,6 +1096,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(!rows.head._3 && !rows.last._3, "range endpoints are observed days")
   }
 
+  test("q104: DAU/WAU replay a JVM trailing-set scan; laws hold") {
+    val got = graft.operators.Relational5.q104RollingActives(tables).collect()
+      .map(r => java.time.LocalDate.parse(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val du = tables.events.select(col("ts").cast("date"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byDay = du.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === byDay.keySet, "one row per observed day")
+    byDay.foreach { case (d, users) =>
+      val wauSet = (0 to 6).flatMap(i => byDay.getOrElse(d.minusDays(i), Set.empty)).toSet
+      val (dau, wau, ppm) = got(d)
+      assert(dau === users.size.toLong, s"$d dau")
+      assert(wau === wauSet.size.toLong, s"$d wau")
+      assert(ppm === dau * 1000000L / wau, s"$d stickiness")
+      assert(dau <= wau, s"$d dau ≤ wau")
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
