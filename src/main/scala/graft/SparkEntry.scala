@@ -798,6 +798,9 @@ object SparkEntry {
     // q104: rolling DAU/WAU — windowed DISTINCT via contribute-forward
     // explode over the tiny (day, user) frame; exact-ppm stickiness
     "q104_rolling_actives" -> ((s, d) => Relational5.q104RollingActives(t(s, d))),
+    // t33: MSTTR — length-controlled lexical diversity over 50-token
+    // segments; one rounded division of exact integer sums
+    "t33_msttr"           -> ((s, d) => TextQueries.msttr(t(s, d).documents)),
     // t32: language-label conflict audit — the synthetic corpus has no
     // natural conflicts, so the registration plants re-labeled copies
     // (the m08 convention; the oracle replays the same relational plant)
@@ -3782,6 +3785,20 @@ object SparkEntry {
         | CAST(dau.dau AS BIGINT) AS dau, CAST(wau.wau AS BIGINT) AS wau,
         | CAST(dau.dau * 1000000 // wau.wau AS BIGINT) AS stickiness_ppm
         |FROM dau JOIN wau ON dau.day = wau.day""".stripMargin,
+    // t33: same 0-based segment bucketing over the same token split; the
+    // one division runs over exact integer sums
+    "t33_msttr" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |e AS (SELECT doc_id, (i - 1) // 50 AS seg, w[i] AS tok
+        | FROM tk, unnest(generate_series(1, len(w))) AS t(i)
+        | WHERE (i - 1) // 50 < len(w) // 50),
+        |c AS (SELECT doc_id, seg, count(DISTINCT tok) AS types FROM e GROUP BY 1, 2),
+        |a AS (SELECT doc_id, count(*) AS n_segments, sum(types) AS sum_types
+        | FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n_segments AS BIGINT) AS n_segments,
+        | round(CAST(sum_types AS DOUBLE) / CAST(n_segments * 50 AS DOUBLE), 6) + 0.0
+        |   AS msttr
+        |FROM a""".stripMargin,
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

@@ -1008,6 +1008,30 @@ object TextQueries {
         min(col("doc_id")).as("first_doc"))
       .where(col("n_langs") > 1)
 
+  /** t33: mean segmental type-token ratio (MSTTR) — lexical diversity
+    * over fixed 50-token segments, averaged per document: the standard
+    * fix for raw TTR's length bias (t12's global ratio falls with doc
+    * length by Heaps' law alone, so it can't compare docs of different
+    * sizes; per-segment TTR is length-controlled by construction).
+    * Docs shorter than one full segment carry no score and drop.
+    *
+    * Exactness: per-segment type counts are exact ints, and the mean of
+    * /chunk rationals folds into ONE division — Σtypes / (segments ×
+    * chunk) — rounded once. Work ∝ corpus tokens with a (doc, segment)-
+    * keyed aggregation; no windows, no joins. */
+  def msttr(docs: DataFrame, chunk: Int = 50): DataFrame =
+    docs
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .where(expr(s"pos div $chunk") < expr(s"n div $chunk"))
+      .groupBy(col("doc_id"), expr(s"pos div $chunk").as("seg"))
+      .agg(count_distinct(col("tok")).as("types"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("types")).as("sum_types"))
+      .select(col("doc_id"), col("n_segments"),
+        (round(col("sum_types").cast("double") /
+          (col("n_segments") * chunk).cast("double"), 6) + lit(0.0)).as("msttr"))
+
   /** t31: compression-ratio quality signal — per document, UTF-8 bytes,
     * DEFLATE-compressed bytes (zlib level 6, raw) and their ratio: the
     * information-density gate production corpora actually run (RefinedWeb

@@ -561,6 +561,35 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(graft.operators.TextQueries.langConflicts(tables.documents).count() === 0L)
   }
 
+  test("t33: MSTTR replays a JVM segment scan; repeats score below varied text") {
+    import SparkTestSession.spark.implicits._
+    val varied = (1 to 100).map(i => s"u$i").mkString(" ")       // TTR 1 per segment
+    val loop = (1 to 100).map(i => s"r${i % 10}").mkString(" ") // 10 types per segment
+    val short = "too few tokens here"                            // no full segment
+    val docs = Seq((1L, varied), (2L, loop), (3L, short)).toDF("doc_id", "text")
+    val got = graft.operators.TextQueries.msttr(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((2L, 1.0)), "all-distinct text scores 1")
+    assert(got(2L) === ((2L, 0.2)), "10-type loop scores 10/50")
+    assert(!got.contains(3L), "sub-segment docs drop")
+    // corpus replay
+    val corpus = graft.operators.TextQueries.msttr(tables.documents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val texts = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split(" ", -1)
+      val segs = toks.grouped(50).filter(_.length == 50).toSeq
+      if (segs.isEmpty) assert(!corpus.contains(id), s"doc $id")
+      else {
+        val sumTypes = segs.map(_.distinct.length).sum
+        val exp = BigDecimal(sumTypes.toDouble / (segs.length * 50))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(corpus(id) === ((segs.length.toLong, exp)), s"doc $id")
+      }
+    }
+  }
+
   test("t31: deflate ratio separates boilerplate from varied text; dups ratio-equal") {
     import SparkTestSession.spark.implicits._
     val spam = ("lorem ipsum " * 200).trim
