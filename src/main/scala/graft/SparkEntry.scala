@@ -801,6 +801,9 @@ object SparkEntry {
     // t33: MSTTR — length-controlled lexical diversity over 50-token
     // segments; one rounded division of exact integer sums
     "t33_msttr"           -> ((s, d) => TextQueries.msttr(t(s, d).documents)),
+    // s27: sample-diversity audit — k-center vs md5-uniform pairwise
+    // distance stats; both selections deterministic, k²-bounded work
+    "s27_sample_diversity" -> ((s, d) => graft.similarity.Report.sampleDiversity(t(s, d).embeddings)),
     // t32: language-label conflict audit — the synthetic corpus has no
     // natural conflicts, so the registration plants re-labeled copies
     // (the m08 convention; the oracle replays the same relational plant)
@@ -3799,6 +3802,29 @@ object SparkEntry {
         | round(CAST(sum_types AS DOUBLE) / CAST(n_segments * 50 AS DOUBLE), 6) + 0.0
         |   AS msttr
         |FROM a""".stripMargin,
+    // s27: the s12 trajectory nested for the k-center pick, the same md5
+    // order for the uniform pick, the same rounded pairwise distances
+    "s27_sample_diversity" -> {
+      s"""WITH fps AS MATERIALIZED ($diverseSampleSql),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |fsel AS (SELECT e.vec_id, e.v FROM e JOIN fps ON fps.vec_id = e.vec_id),
+         |usel AS (SELECT e.vec_id, e.v FROM e JOIN (
+         |  SELECT vec_id FROM (
+         |   SELECT vec_id,
+         |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+         |   FROM embeddings) ORDER BY u, vec_id LIMIT 8) s ON s.vec_id = e.vec_id),
+         |fp AS (SELECT round(list_distance(a.v, b.v), 6) AS d
+         | FROM fsel a JOIN fsel b ON a.vec_id < b.vec_id),
+         |up AS (SELECT round(list_distance(a.v, b.v), 6) AS d
+         | FROM usel a JOIN usel b ON a.vec_id < b.vec_id)
+         |SELECT 'farthest_point' AS method, CAST(count(*) AS BIGINT) AS n_pairs,
+         | round(avg(d), 6) + 0.0 AS mean_dist, min(d) AS min_dist, max(d) AS max_dist
+         |FROM fp
+         |UNION ALL
+         |SELECT 'md5_uniform' AS method, CAST(count(*) AS BIGINT) AS n_pairs,
+         | round(avg(d), 6) + 0.0 AS mean_dist, min(d) AS min_dist, max(d) AS max_dist
+         |FROM up""".stripMargin
+    },
     // q96: same string-exact digit and integer-ppm share arithmetic
     "q96_benford" ->
       """WITH d AS (SELECT substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)

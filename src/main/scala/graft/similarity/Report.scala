@@ -168,6 +168,35 @@ object Report {
         (round(col("mean_b") - col("mean_a"), 6) + lit(0.0)).as("drift"))
   }
 
+  /** s27: sample-diversity audit — pairwise-distance statistics of s12's
+    * farthest-point selection against a same-size md5-uniform pick: the
+    * check that a "diverse" coreset actually spreads (k-center should
+    * dominate uniform on MIN pairwise distance — its objective — and the
+    * audit prices by how much, before the sample anchors s16 routing or
+    * d26 review queues). Both selections are deterministic, both
+    * pairwise sets are k(k−1)/2-sized regardless of corpus scale, and
+    * distances follow s12's round(√l2,6) discipline, so the whole audit
+    * is exact; the mean re-rounds at 6 dp (the q52 sum-order argument). */
+  def sampleDiversity(emb: DataFrame, k: Int = 8): DataFrame = {
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val fps = Knn.farthestPointSample(emb, k).select(col("vec_id"))
+    val uni = emb.select(col("vec_id"),
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("u"))
+      .orderBy(col("u"), col("vec_id")).limit(k).select(col("vec_id"))
+    def stats(ids: DataFrame, name: String): DataFrame = {
+      val s = ids.join(v, "vec_id")
+      s.as("a").join(s.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(round(sqrt(VectorFns.l2Sq(col("a.v"), col("b.v"))), 6).as("d"))
+        .agg(count(lit(1)).as("n_pairs"),
+          (round(avg(col("d")), 6) + lit(0.0)).as("mean_dist"),
+          min(col("d")).as("min_dist"), max(col("d")).as("max_dist"))
+        .select(lit(name).as("method"), col("n_pairs"), col("mean_dist"),
+          col("min_dist"), col("max_dist"))
+    }
+    stats(fps, "farthest_point").unionByName(stats(uni, "md5_uniform"))
+  }
+
   /** The s21 replay: same md5 sample rule, same rounded cosine, same
     * ×20 floor bucketing. */
   def simHistogramOracleSql(mod: Int = 4): String =
