@@ -785,6 +785,9 @@ object SparkEntry {
     // d31: per-cluster structure audit — density/clique/edge-weight range
     // off the memoized pair frame + d07 labels; exact integers + ppm
     "d31_cluster_audit"   -> ((s, d) => graft.dedup.Clusters.clusterAudit(t(s, d).documents)),
+    // d32: centrality-ranked canonical — 3-round integer-ppb PageRank on
+    // the pair graph, max-rank doc per cluster; exact long arithmetic
+    "d32_rank_canonical"  -> ((s, d) => graft.dedup.Clusters.rankCanonical(t(s, d).documents)),
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
@@ -3744,6 +3747,36 @@ object SparkEntry {
          | ea.n_edges = cs.cluster_size * (cs.cluster_size - 1) // 2 AS is_clique,
          | ea.min_jaccard, ea.max_jaccard
          |FROM cs JOIN ea USING (cluster_id)""".stripMargin,
+    // d32: the same 3-round integer-ppb power iteration — every rank is
+    // exact BIGINT arithmetic (div-truncated shares, ×85 //100 damping),
+    // so the chain replays bit-for-bit; canonical = (rank DESC, doc_id)
+    "d32_rank_canonical" ->
+      s"""WITH ndp AS ($ngramJaccardSql),
+         |edges AS (SELECT d1 AS src, d2 AS dst FROM ndp
+         |          UNION ALL SELECT d2, d1 FROM ndp),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS id, deg, 1000000000 // n.n AS r FROM deg, n),
+         |c1 AS (SELECT e.dst, sum(r.r // r.deg) AS s
+         |       FROM edges e JOIN r0 r ON r.id = e.src GROUP BY 1),
+         |r1 AS (SELECT r0.id, r0.deg,
+         |        150000000 // n.n + (85 * c1.s) // 100 AS r
+         |       FROM r0 JOIN c1 ON c1.dst = r0.id, n),
+         |c2 AS (SELECT e.dst, sum(r.r // r.deg) AS s
+         |       FROM edges e JOIN r1 r ON r.id = e.src GROUP BY 1),
+         |r2 AS (SELECT r1.id, r1.deg,
+         |        150000000 // n.n + (85 * c2.s) // 100 AS r
+         |       FROM r1 JOIN c2 ON c2.dst = r1.id, n),
+         |c3 AS (SELECT e.dst, sum(r.r // r.deg) AS s
+         |       FROM edges e JOIN r2 r ON r.id = e.src GROUP BY 1),
+         |r3 AS (SELECT r2.id, r2.deg,
+         |        150000000 // n.n + (85 * c3.s) // 100 AS r
+         |       FROM r2 JOIN c3 ON c3.dst = r2.id, n),
+         |cl AS ($dupClustersSql)
+         |SELECT cl.doc_id, cl.cluster_id, CAST(r3.r AS BIGINT) AS rank_ppb,
+         | row_number() OVER (PARTITION BY cl.cluster_id
+         |                    ORDER BY r3.r DESC, cl.doc_id) = 1 AS is_canonical
+         |FROM cl JOIN r3 ON r3.id = cl.doc_id""".stripMargin,
     // s26: same parity halves, same per-dim conditional means (0-based
     // dim to match posexplode), same rounded-mean subtraction
     "s26_embedding_drift" ->

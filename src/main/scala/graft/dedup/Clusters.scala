@@ -418,4 +418,54 @@ object Clusters {
           .as("doc_share"),
         (col("n_docs") - col("n_clusters")).as("n_excess"))
   }
+
+  /** d32: centrality-ranked canonical pick — a damped power iteration
+    * (PageRank over the undirected dup-pair graph, Brin & Page 1998)
+    * that ranks every near-dup document by how CENTRAL it is in its
+    * cluster, then marks the max-rank doc per d07 cluster as the
+    * canonical. d25 picks keepers by an intrinsic score (quality/length);
+    * this picks by GRAPH position — in a chain-merged cluster the middle
+    * document (the one actually similar to everything) wins over the
+    * endpoints, which is the right representative to keep when the
+    * cluster is collapsed to one doc or sampled for review (d26).
+    *
+    * Float discipline: ranks live in integer parts-per-billion — r0 =
+    * 1e9 div n, each round r' = (0.15·1e9) div n + (85 · Σ_nbr r/deg)
+    * div 100, all BIGINT — so per-round sums are order-independent and
+    * the oracle (same chain in SQL) matches exactly, no rounding ever.
+    *
+    * Scale shape: the graph is the pair set only (corpus never touched);
+    * each of the fixed `iters` rounds is one edge-keyed hash join + one
+    * dst-keyed partial-agg sum — exchanges bounded by edge count, rank
+    * state bounded by node count. The canonical pick reuses the
+    * cluster-keyed partitioning of the d07 labels it joins. */
+  def rankCanonical(docs: DataFrame, threshold: Double = 0.8,
+                    bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3,
+                    iters: Int = 3): DataFrame = {
+    val pairs = Dedup.minHashLshPairs(docs, threshold, bands, rowsPerBand, k)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("src").as("id"), col("deg"), col("n"),
+        expr("1000000000L div n").as("rank_ppb"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select(col("id").as("src"),
+          expr("rank_ppb div deg").as("c")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = ranks.join(contrib.select(col("dst").as("id"), col("in_sum")), Seq("id"))
+        .select(col("id"), col("deg"), col("n"),
+          expr("150000000L div n + (85L * in_sum) div 100L").as("rank_ppb"))
+    }
+    val labels = dupClusters(docs, threshold, bands, rowsPerBand, k)
+      .select(col("doc_id"), col("cluster_id"))
+    labels.join(ranks.select(col("id").as("doc_id"), col("rank_ppb")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("rank_ppb"),
+        (row_number().over(Window.partitionBy(col("cluster_id"))
+          .orderBy(col("rank_ppb").desc, col("doc_id"))) === 1)
+          .as("is_canonical"))
+  }
 }

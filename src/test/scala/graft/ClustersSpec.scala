@@ -247,4 +247,36 @@ class ClustersSpec extends AnyFunSuite {
     assert(hd === 2000000L / 3L, "density 2/3 in ppm")
     assert(hmin <= hmax && hmin >= 0.8, "edges carry their exact jaccards")
   }
+
+  test("d32: centrality canonical picks the chain middle, ties to min id") {
+    import SparkTestSession.spark.implicits._
+    val base = (1 to 20).map(i => s"w$i")
+    val clique = (1 to 20).map(i => s"v$i").mkString(" ")
+    // the d31 fixture: a 3-clique (all ranks equal by symmetry) and a
+    // 3-chain whose middle doc 202 is the only one similar to both ends
+    val docs = Seq(
+      (101L, clique), (102L, clique), (103L, clique),
+      (201L, base.mkString(" ")),
+      (202L, (base.take(19) :+ "xx").mkString(" ")),
+      (203L, (Seq("z1", "z2") ++ base.slice(2, 19) :+ "xx").mkString(" "))
+    ).toDF("doc_id", "text")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val got = graft.dedup.Clusters.rankCanonical(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    assert(got.keySet === Set(101L, 102L, 103L, 201L, 202L, 203L))
+    // clique: perfect symmetry → identical ranks, canonical = min doc_id
+    val cliqueRanks = Seq(101L, 102L, 103L).map(got(_)._2).distinct
+    assert(cliqueRanks.size === 1, "clique ranks identical by symmetry")
+    assert(got(101L)._3 && !got(102L)._3 && !got(103L)._3)
+    // chain: the middle doc receives both endpoints' full shares and must
+    // out-rank them — canonical by centrality, NOT by min doc_id
+    assert(got(202L)._2 > got(201L)._2 && got(202L)._2 > got(203L)._2)
+    assert(got(202L)._3 && !got(201L)._3 && !got(203L)._3)
+    // hand-computed round-1..3 invariant: endpoints stay symmetric
+    assert(got(201L)._2 === got(203L)._2, "endpoint symmetry")
+    // every doc carries its d07 cluster id
+    assert(got(201L)._1 === got(202L)._1 && got(202L)._1 === got(203L)._1)
+  }
 }
