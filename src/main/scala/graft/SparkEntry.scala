@@ -801,6 +801,10 @@ object SparkEntry {
     // q104: rolling DAU/WAU — windowed DISTINCT via contribute-forward
     // explode over the tiny (day, user) frame; exact-ppm stickiness
     "q104_rolling_actives" -> ((s, d) => Relational5.q104RollingActives(t(s, d))),
+    // p46: right-to-be-forgotten — planted requests swept through the
+    // d07 cluster closure; per-source audit + retained xor checksum
+    "p46_forget_propagation" -> ((s, d) =>
+      graft.operators.DataPipeline.forgetPropagate(t(s, d).documents)),
     // t33: MSTTR — length-controlled lexical diversity over 50-token
     // segments; one rounded division of exact integer sums
     "t33_msttr"           -> ((s, d) => TextQueries.msttr(t(s, d).documents)),
@@ -3790,6 +3794,32 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // p46: same md5-prefix request plant, same cluster closure (the d07
+    // recursive CTE), same xor checksum over the retained rows
+    "p46_forget_propagation" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |base AS (
+         | SELECT doc_id, source,
+         |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+         |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+         |  )) AS BIGINT) % 50 = 0 AS requested,
+         |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+         |    (CAST(strpos('0123456789abcdef', substring(c, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+         |  )) AS BIGINT) AS ch
+         | FROM (SELECT doc_id, source, md5('forget:' || CAST(doc_id AS VARCHAR)) AS m,
+         |         md5(text) AS c FROM documents)),
+         |hit AS (SELECT DISTINCT cl.cluster_id
+         |        FROM cl JOIN base b ON b.doc_id = cl.doc_id WHERE b.requested),
+         |sweep AS (SELECT cl.doc_id FROM cl JOIN hit USING (cluster_id)),
+         |d AS (SELECT b.source, b.requested, b.ch,
+         |       (b.requested OR s.doc_id IS NOT NULL) AS deleted
+         |      FROM base b LEFT JOIN sweep s ON s.doc_id = b.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_before,
+         | CAST(sum(CASE WHEN requested THEN 1 ELSE 0 END) AS BIGINT) AS n_requested,
+         | CAST(sum(CASE WHEN deleted AND NOT requested THEN 1 ELSE 0 END) AS BIGINT) AS n_swept,
+         | CAST(sum(CASE WHEN NOT deleted THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+         | bit_xor(CASE WHEN NOT deleted THEN ch END) AS retained_checksum
+         |FROM d GROUP BY 1""".stripMargin,
     // p45: the oracle IS p21's full-table manifest — the xor/min/max/sum
     // merge must reproduce it hash-for-hash from batch work alone
     "p45_incremental_manifest" ->

@@ -859,6 +859,53 @@ object DataPipeline {
         expr("coalesce(s_ch, 0L) ^ coalesce(b_ch, 0L)").as("content_checksum"))
   }
 
+  /** p46: right-to-be-forgotten deletion propagation — the GDPR/takedown
+    * verb a released corpus must support: given a delete-request set, the
+    * requested documents AND their near-duplicate copies (the d07 cluster
+    * closure — a retained verbatim copy defeats the deletion) are swept,
+    * and the audit a compliance reviewer signs ships per source: docs
+    * before, direct requests, near-dup copies swept beyond the requests,
+    * docs after, and the retained corpus's order-independent content
+    * checksum (p21's xor fold) so the post-deletion release is verifiable
+    * byte-for-byte without re-reading it here.
+    *
+    * The request set is planted deterministically (md5 of a tagged
+    * doc_id, ≈1/mod of the corpus — the p03 portable-hash convention) so
+    * the oracle replays it; a production caller passes real request ids
+    * by substituting the predicate.
+    *
+    * Scale shape: request flags and content hashes are scan-local
+    * projections; the cluster labels are pair-graph-bounded (a small
+    * fraction of the corpus) and the hit-cluster list is request-bounded,
+    * so the sweep join broadcasts; ONE source-keyed partial-aggregated
+    * exchange produces the audit. The corpus is never shuffled. */
+  def forgetPropagate(docs: DataFrame, mod: Int = 50, threshold: Double = 0.8,
+                      bands: Int = 16, rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    require(mod > 0, s"mod=$mod must be > 0")
+    val base = docs.select(col("doc_id"), col("source"),
+      (pmod(Dedup.md5Hash60(concat(lit("forget:"), col("doc_id").cast("string"))),
+        lit(mod.toLong)) === 0L).as("requested"),
+      Dedup.md5Hash60(col("text")).as("ch"))
+    val labels = graft.dedup.Clusters
+      .dupClusters(docs, threshold, bands, rowsPerBand, k)
+      .select(col("doc_id"), col("cluster_id"))
+    val hit = labels.join(base.filter(col("requested")).select(col("doc_id")),
+        Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val sweep = labels.join(broadcast(hit), Seq("cluster_id"))
+      .select(col("doc_id"), lit(true).as("cluster_hit"))
+    base.join(sweep, Seq("doc_id"), "left")
+      .select(col("source"), col("requested"), col("ch"),
+        (col("requested") || coalesce(col("cluster_hit"), lit(false))).as("deleted"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("requested"), 1L).otherwise(0L)).cast("long").as("n_requested"),
+        sum(when(col("deleted") && !col("requested"), 1L).otherwise(0L))
+          .cast("long").as("n_swept"),
+        sum(when(!col("deleted"), 1L).otherwise(0L)).cast("long").as("n_after"),
+        bit_xor(when(!col("deleted"), col("ch"))).as("retained_checksum"))
+  }
+
   /** p22: quality-distribution drift between two corpus releases — p15
     * diffs content IDENTITY (which documents changed); this diffs the
     * DISTRIBUTION of the t03 quality signal (did the new release get

@@ -1285,4 +1285,35 @@ class DataPipelineSpec extends AnyFunSuite {
     val dropped = rows.values.head._4
     assert(uniq <= dropped && dropped <= fails)
   }
+
+  test("p46: a delete request sweeps the requested doc's near-dup copy") {
+    import spark.implicits._
+    def md5Hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    // find planted ids: one requested (md5 % 50 == 0), several not
+    val reqId = (1L to 10000L).find(i => md5Hash60(s"forget:$i") % 50 == 0L).get
+    val clean = (1L to 10000L).filter(i => md5Hash60(s"forget:$i") % 50 != 0L)
+    val (copyId, aloneId, soloReqId) = (clean.head, clean(1),
+      (reqId + 1 to 20000L).find(i => md5Hash60(s"forget:$i") % 50 == 0L).get)
+    val dupText = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (reqId, dupText, "a"),          // requested, near-dup of copyId
+      (copyId, dupText, "a"),         // NOT requested — must be swept
+      (aloneId, (1 to 25).map(i => s"z$i").mkString(" "), "a"), // retained
+      (soloReqId, (1 to 25).map(i => s"y$i").mkString(" "), "b") // requested singleton
+    ).toDF("doc_id", "text", "source")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val got = DataPipeline.forgetPropagate(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    // source a: 3 docs, 1 requested, its verbatim copy swept, 1 retained
+    assert(got("a") === ((3L, 1L, 1L, 1L,
+      Some(md5Hash60((1 to 25).map(i => s"z$i").mkString(" "))))))
+    // source b: the requested singleton deletes alone; nothing retained
+    assert(got("b") === ((1L, 1L, 0L, 0L, None)))
+  }
 }
