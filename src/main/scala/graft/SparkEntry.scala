@@ -805,6 +805,9 @@ object SparkEntry {
     // d07 cluster closure; per-source audit + retained xor checksum
     "p46_forget_propagation" -> ((s, d) =>
       graft.operators.DataPipeline.forgetPropagate(t(s, d).documents)),
+    // q103: bidirectional nearest-event join — two RANGE-frame passes
+    // over one user sort, no join; exact epoch-us long diffs
+    "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
     // t33: MSTTR — length-controlled lexical diversity over 50-token
     // segments; one rounded division of exact integer sums
     "t33_msttr"           -> ((s, d) => TextQueries.msttr(t(s, d).documents)),
@@ -3794,6 +3797,30 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // q103: the same two RANGE-frame window passes on epoch micros, the
+    // same nearer-pick projection — diffs are exact longs end-to-end
+    "q103_nearest_event" ->
+      """WITH e AS (SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us,
+        |  CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+        | FROM events WHERE event_type IN ('error', 'click')),
+        |w AS (SELECT *,
+        |  max(click_us) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+        |  min(click_us) OVER (PARTITION BY user_id ORDER BY us
+        |    RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        | FROM e),
+        |p AS (SELECT *,
+        |  (b IS NOT NULL AND us - b <= 600000000) AS b_ok,
+        |  (f IS NOT NULL AND f - us <= 600000000) AS f_ok
+        | FROM w WHERE event_type = 'error'),
+        |n AS (SELECT *,
+        |  CASE WHEN b_ok AND (NOT f_ok OR us - b <= f - us) THEN b
+        |       WHEN f_ok THEN f END AS nearest_us FROM p)
+        |SELECT event_id, user_id,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+        | strftime(make_timestamp(nearest_us), '%Y-%m-%d %H:%M:%S') AS nearest_click_ts,
+        | CASE WHEN nearest_us IS NOT NULL THEN abs(us - nearest_us) END AS diff_us
+        |FROM n""".stripMargin,
     // p46: same md5-prefix request plant, same cluster closure (the d07
     // recursive CTE), same xor checksum over the retained rows
     "p46_forget_propagation" ->

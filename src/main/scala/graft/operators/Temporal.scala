@@ -175,4 +175,52 @@ object Temporal {
         date_format(col("ts"), fmt).as("error_ts"),
         date_format(col("prior_signup"), fmt).as("prior_signup_ts"))
   }
+
+  /** q103: nearest-event join — for each error, the temporally CLOSEST
+    * click by the same user within a ±10-minute tolerance, whichever
+    * direction is nearer (tie → the earlier click). The bidirectional
+    * generalization of q26's backward-only as-of: log/sensor alignment
+    * wants "what was the user doing around this failure", not only
+    * before it. Spark has no nearest join; the naive form is a range
+    * join + per-key sort.
+    *
+    * Implemented the q26 scale-safe way, doubled: union-tag both event
+    * types, ONE user-keyed exchange, then two RANGE-frame passes over
+    * the same sort — max(click) over (-∞, 0] and min(click) over
+    * [0, +∞) on epoch-microsecond ordering (RANGE, not ROWS, so a click
+    * at the exact error instant is visible to both sides) — and a pure
+    * projection picks the nearer candidate. No join at all; cost is one
+    * shuffle + one sort regardless of tolerance. Diffs are exact longs. */
+  def q103NearestEvent(t: Tables, tolSec: Long = 600L): DataFrame =
+    nearestEvent(t.events, tolSec)
+
+  /** q103 core over any (event_id, user_id, ts, event_type) frame. */
+  def nearestEvent(events: DataFrame, tolSec: Long = 600L): DataFrame = {
+    val base = events
+      .filter(col("event_type").isin("error", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "click", unix_micros(col("ts"))).as("click_us"))
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(0, Window.unboundedFollowing)
+    val tolUs = tolSec * 1000000L
+    base
+      .withColumn("b", max(col("click_us")).over(wb))
+      .withColumn("f", min(col("click_us")).over(wf))
+      .filter(col("event_type") === "error")
+      .withColumn("b_ok", col("b").isNotNull && col("us") - col("b") <= tolUs)
+      .withColumn("f_ok", col("f").isNotNull && col("f") - col("us") <= tolUs)
+      .withColumn("nearest_us",
+        when(col("b_ok") && (!col("f_ok") ||
+          col("us") - col("b") <= col("f") - col("us")), col("b"))
+          .when(col("f_ok"), col("f")))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("error_ts"),
+        date_format(timestamp_micros(col("nearest_us")), fmt).as("nearest_click_ts"),
+        when(col("nearest_us").isNotNull,
+          abs(col("us") - col("nearest_us"))).as("diff_us"))
+  }
 }

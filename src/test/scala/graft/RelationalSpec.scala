@@ -410,6 +410,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(again === base, "collect_set order must not leak into the CSV")
   }
 
+  test("q103: nearest-event picks the closer side, ties earlier, respects tolerance") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: clicks 5s before and 3s after the error → forward wins
+      (10L, 1L, ts("2024-01-01 10:00:00"), "error"),
+      (11L, 1L, ts("2024-01-01 09:59:55"), "click"),
+      (12L, 1L, ts("2024-01-01 10:00:03"), "click"),
+      // u2: exact ±4s tie → the EARLIER click wins
+      (20L, 2L, ts("2024-01-01 10:00:00"), "error"),
+      (21L, 2L, ts("2024-01-01 09:59:56"), "click"),
+      (22L, 2L, ts("2024-01-01 10:00:04"), "click"),
+      // u3: only click is 11 min away → outside ±10-min tolerance → null
+      (30L, 3L, ts("2024-01-01 10:00:00"), "error"),
+      (31L, 3L, ts("2024-01-01 10:11:00"), "click"),
+      // u4: click at the exact error instant → diff 0
+      (40L, 4L, ts("2024-01-01 10:00:00"), "error"),
+      (41L, 4L, ts("2024-01-01 10:00:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.operators.Temporal.nearestEvent(ev).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got(10L) === ((Some("2024-01-01 10:00:03"), Some(3000000L))))
+    assert(got(20L) === ((Some("2024-01-01 09:59:56"), Some(4000000L))))
+    assert(got(30L) === ((None, None)))
+    assert(got(40L) === ((Some("2024-01-01 10:00:00"), Some(0L))))
+  }
+
   test("q65: planted cohorts produce the hand-computed retention grid") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
