@@ -808,6 +808,9 @@ object SparkEntry {
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
+    // q105: per-day peak-concurrency sweep — bounded-duration clipping
+    // makes the day-partitioned sweep exact; integer-us throughout
+    "q105_concurrency"    -> ((s, d) => Relational5.q105Concurrency(t(s, d))),
     // t33: MSTTR — length-controlled lexical diversity over 50-token
     // segments; one rounded division of exact integer sums
     "t33_msttr"           -> ((s, d) => TextQueries.msttr(t(s, d).documents)),
@@ -3797,6 +3800,38 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // q105: the same clip-to-day sweep — ≤2-day spans emitted by UNION
+    // (durations ≤ 300 s), same net-delta merge, same ROWS running sum
+    "q105_concurrency" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS s,
+        |  epoch_us(ts) + (60 + event_id % 240) * 1000000 AS e FROM events),
+        |days AS (
+        | SELECT s, e, CAST(make_timestamp(s) AS DATE) AS day FROM iv
+        | UNION ALL
+        | SELECT s, e, CAST(make_timestamp(e - 1) AS DATE) AS day FROM iv
+        | WHERE CAST(make_timestamp(e - 1) AS DATE) <> CAST(make_timestamp(s) AS DATE)),
+        |parts AS (
+        | SELECT day,
+        |  greatest(s, epoch_us(CAST(day AS TIMESTAMP))) AS cs,
+        |  least(e, epoch_us(CAST(day + 1 AS TIMESTAMP))) AS ce,
+        |  s >= epoch_us(CAST(day AS TIMESTAMP)) AS starts_here
+        | FROM days),
+        |net AS (SELECT day, t, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |  SELECT day, cs AS t, 1 AS delta FROM parts
+        |  UNION ALL SELECT day, ce, -1 FROM parts) GROUP BY 1, 2),
+        |run AS (SELECT day, t, sum(net) OVER (PARTITION BY day ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running FROM net),
+        |pk AS (SELECT day, max(running) AS peak FROM run GROUP BY 1),
+        |pa AS (SELECT r.day, min(r.t) AS pt
+        |       FROM run r JOIN pk ON pk.day = r.day AND r.running = pk.peak
+        |       GROUP BY 1),
+        |st AS (SELECT day, CAST(count(*) AS BIGINT) AS n_starts
+        |       FROM parts WHERE starts_here GROUP BY 1)
+        |SELECT strftime(pk.day, '%Y-%m-%d') AS day,
+        | coalesce(st.n_starts, 0) AS n_starts,
+        | CAST(pk.peak AS BIGINT) AS peak_concurrency,
+        | strftime(make_timestamp(pa.pt), '%Y-%m-%d %H:%M:%S') AS peak_at
+        |FROM pk JOIN pa USING (day) LEFT JOIN st USING (day)""".stripMargin,
     // q103: the same two RANGE-frame window passes on epoch micros, the
     // same nearer-pick projection — diffs are exact longs end-to-end
     "q103_nearest_event" ->

@@ -577,4 +577,67 @@ object Relational5 {
       .select(col("digit"), col("n"),
         expr("n * 1000000 div total").as("share_ppm"))
   }
+
+  /** q105: peak-concurrency sweep — per day, the maximum number of
+    * simultaneously-open intervals (q70's synthetic [ts, ts+60+id%240 s]
+    * sessions) and the first instant that peak is reached: the capacity
+    * question (peak concurrent sessions/connections/builds) a coverage
+    * query like q70 cannot answer, because coverage collapses overlap
+    * while concurrency IS the overlap count.
+    *
+    * The classic sweep-line, made partitionable: a global running sum
+    * over +1/−1 boundary events does not scale (one total order), but
+    * the durations are BOUNDED (≤ 300 s), so an interval touches at most
+    * two calendar days; clipping each interval to the days it touches
+    * makes per-day sweeps EXACT — concurrency at any instant only sees
+    * intervals clipped into that day. Boundary deltas at the same
+    * microsecond partial-aggregate to a net delta first (ends cancel
+    * starts, which also pins the end-before-start tie rule: an interval
+    * ending at t never overlaps one starting at t), so the per-day
+    * sorted sweep runs over DISTINCT boundary instants, not raw events.
+    * All arithmetic is integer microseconds.
+    *
+    * Scale shape: one day-keyed exchange after a map-side partial agg;
+    * window/sort state per partition is O(distinct boundary instants of
+    * one day). For finer partitioning swap day for hour — the clipping
+    * argument only needs max-duration ≤ the bucket width. */
+  def q105Concurrency(t: Tables): DataFrame = concurrencySweep(t.events)
+
+  /** q105 core over any (event_id, ts) frame. */
+  def concurrencySweep(events: DataFrame): DataFrame = {
+    val iv = events.select(
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        (lit(60L) + pmod(col("event_id"), lit(240L))) * lit(1000000L)).as("e"))
+    val parts = iv
+      .select(col("s"), col("e"),
+        explode(sequence(timestamp_micros(col("s")).cast("date"),
+          timestamp_micros(col("e") - 1).cast("date"))).as("day"))
+      .select(col("day"),
+        greatest(col("s"), unix_micros(col("day").cast("timestamp"))).as("cs"),
+        least(col("e"),
+          unix_micros(date_add(col("day"), 1).cast("timestamp"))).as("ce"),
+        (col("s") >= unix_micros(col("day").cast("timestamp"))).as("starts_here"))
+    val net = parts.select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
+      .unionByName(parts.select(col("day"), col("ce").as("t"),
+        lit(-1L).as("delta")))
+      .groupBy(col("day"), col("t")).agg(sum(col("delta")).as("net"))
+    val w = Window.partitionBy(col("day")).orderBy(col("t"))
+    val run = net
+      .withColumn("running",
+        sum(col("net")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("peak", max(col("running")).over(Window.partitionBy(col("day"))))
+    val peaks = run.filter(col("running") === col("peak"))
+      .groupBy(col("day"))
+      .agg(max(col("peak")).as("peak"), min(col("t")).as("pt"))
+    val starts = parts.filter(col("starts_here"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_starts"))
+    // left from peaks: a day holding only carried-over tails still reports
+    peaks.join(starts, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        col("peak").as("peak_concurrency"),
+        date_format(timestamp_micros(col("pt")), "yyyy-MM-dd HH:mm:ss")
+          .as("peak_at"))
+  }
 }

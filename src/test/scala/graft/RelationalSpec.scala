@@ -438,6 +438,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(got(40L) === ((Some("2024-01-01 10:00:00"), Some(0L))))
   }
 
+  test("q105: sweep counts overlap, end-at-start does not overlap, midnight clips") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // duration = 60 + event_id % 240 seconds; ids chosen so all are 60 s
+    val ev = Seq(
+      (0L, ts("2024-01-01 10:00:00")),   // A [10:00:00, 10:01:00]
+      (960L, ts("2024-01-01 10:00:30")), // B [10:00:30, 10:01:30] overlaps A
+      (480L, ts("2024-01-01 10:01:00")), // C starts exactly as A ends — no overlap with A
+      (240L, ts("2024-01-01 23:59:30"))  // D crosses midnight → tail on Jan 2
+    ).toDF("event_id", "ts")
+    val got = graft.operators.Relational5.concurrencySweep(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // Jan 1: peak 2 (A+B), first reached when B starts; 4 intervals start
+    assert(got("2024-01-01") === ((4L, 2L, "2024-01-01 10:00:30")))
+    // Jan 2: only D's carried tail — peak 1 at midnight, zero starts
+    assert(got("2024-01-02") === ((0L, 1L, "2024-01-02 00:00:00")))
+  }
+
   test("q65: planted cohorts produce the hand-computed retention grid") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
