@@ -811,6 +811,9 @@ object SparkEntry {
     // q105: per-day peak-concurrency sweep — bounded-duration clipping
     // makes the day-partitioned sweep exact; integer-us throughout
     "q105_concurrency"    -> ((s, d) => Relational5.q105Concurrency(t(s, d))),
+    // q106: Mann–Whitney AUC of the t03 scorer per source — tie-averaged
+    // doubled ranks keep everything integral; exact-ppm division
+    "q106_quality_auc"    -> ((s, d) => TextQueries.aucBySource(t(s, d).documents)),
     // t33: MSTTR — length-controlled lexical diversity over 50-token
     // segments; one rounded division of exact integer sums
     "t33_msttr"           -> ((s, d) => TextQueries.msttr(t(s, d).documents)),
@@ -3800,6 +3803,28 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // q106: the t03 score projection (bit-identical IEEE), the same
+    // doubled tie-averaged ranks, the same integer-ppm U division
+    "q106_quality_auc" ->
+      s"""WITH m AS (SELECT source, lang = 'en' AS pos,
+         |  least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) * 0.3
+         |  + least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS DOUBLE)
+         |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0, 1.0) * 0.2 AS s
+         | FROM documents),
+         |r AS (SELECT source, pos,
+         |  2 * rank() OVER (PARTITION BY source ORDER BY s) +
+         |  count(*) OVER (PARTITION BY source, s) - 1 AS rank2 FROM m),
+         |a AS (SELECT source,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |  CAST(sum(CASE WHEN pos THEN rank2 ELSE 0 END) AS BIGINT) AS r2
+         | FROM r GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         | CAST((r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
+         |   AS auc_ppm
+         |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
     // q105: the same clip-to-day sweep — ≤2-day spans emitted by UNION
     // (durations ≤ 300 s), same net-delta merge, same ROWS running sum
     "q105_concurrency" ->

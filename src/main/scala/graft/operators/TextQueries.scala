@@ -1071,4 +1071,43 @@ object TextQueries {
           .otherwise(round(col("n_deflate").cast("double") /
             col("n_bytes").cast("double"), 6) + lit(0.0)).as("ratio"))
   }
+
+  /** q106: ranking AUC (Mann–Whitney U) of the t03 quality score as a
+    * classifier for the `lang = 'en'` label, per source — the eval a
+    * filtering pipeline runs before trusting a scorer as a gate (p13):
+    * AUC is exactly the probability a random English doc outscores a
+    * random non-English one, the threshold-free version of p30's
+    * per-threshold ablation.
+    *
+    * Exactness: the score is a per-row IEEE projection (bit-identical in
+    * both engines — the t03 contract), so rank PARTITIONS match even
+    * though the double itself is never compared for equality; ties take
+    * the textbook average rank, doubled to stay integral (avg_rank×2 =
+    * 2·rank + tie_count − 1), and AUC = (ΣR⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻)
+    * becomes one exact integer-ppm division of long sums.
+    *
+    * Scale shape: one source-keyed exchange; the rank pass and the
+    * aggregation reuse the same partitioning; output ∝ sources. */
+  def aucBySource(docs: DataFrame): DataFrame =
+    aucOf(docs.select(col("source"), (col("lang") === "en").as("pos"),
+      TextFns.qualityScore(col("text")).as("s")))
+
+  /** q106 core over any (source, pos, s) frame. */
+  def aucOf(labeled: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("s"))
+    val scored = labeled
+      .withColumn("rank2",
+        lit(2L) * rank().over(w) +
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"), col("s"))) - lit(1L))
+    scored.groupBy(col("source"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).cast("long").as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).cast("long").as("n_neg"),
+        sum(when(col("pos"), col("rank2")).otherwise(0L)).cast("long").as("r2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        expr("(r2 - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg)")
+          .as("auc_ppm"))
+  }
 }

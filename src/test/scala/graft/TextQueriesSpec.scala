@@ -623,4 +623,25 @@ class TextQueriesSpec extends AnyFunSuite {
       assert(r.getDouble(3) > 0.0 && r.getDouble(3) < 1.5, s"doc ${r.getLong(0)} ratio")
     }
   }
+
+  test("q106: AUC matches hand-computed pair probability, ties half-credit") {
+    import SparkTestSession.spark.implicits._
+    val labeled = Seq(
+      // source a: pos {0.9, 0.7} vs neg {0.8, 0.5} → U = 3 of 4 pairs
+      ("a", true, 0.9), ("a", true, 0.7), ("a", false, 0.8), ("a", false, 0.5),
+      // source b: one tied pair at 0.6 → exactly half credit
+      ("b", true, 0.6), ("b", false, 0.6),
+      // source c: perfect separation → AUC 1
+      ("c", true, 0.9), ("c", true, 0.8), ("c", false, 0.1),
+      // source d: all one class → filtered out
+      ("d", true, 0.4)
+    ).toDF("source", "pos", "s")
+    val got = graft.operators.TextQueries.aucOf(labeled).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      "a" -> ((2L, 2L, 750000L)),
+      "b" -> ((1L, 1L, 500000L)),
+      "c" -> ((2L, 1L, 1000000L))))
+  }
 }
