@@ -814,6 +814,9 @@ object SparkEntry {
     // q106: Mann–Whitney AUC of the t03 scorer per source — tie-averaged
     // doubled ranks keep everything integral; exact-ppm division
     "q106_quality_auc"    -> ((s, d) => TextQueries.aucBySource(t(s, d).documents)),
+    // q107: calibration table for the same scorer — floored IEEE bucket
+    // key, exact-ppm rates and midpoint gaps; 10-key aggregation
+    "q107_calibration"    -> ((s, d) => TextQueries.calibration(t(s, d).documents)),
     // t33: MSTTR — length-controlled lexical diversity over 50-token
     // segments; one rounded division of exact integer sums
     "t33_msttr"           -> ((s, d) => TextQueries.msttr(t(s, d).documents)),
@@ -3825,6 +3828,25 @@ object SparkEntry {
          | CAST((r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT)
          |   AS auc_ppm
          |FROM a WHERE n_pos > 0 AND n_neg > 0""".stripMargin,
+    // q107: same floored-projection bucket, same exact-ppm arithmetic
+    "q107_calibration" ->
+      s"""WITH m AS (SELECT lang = 'en' AS pos,
+         |  least(CAST(floor((
+         |  least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) * 0.3
+         |  + least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS DOUBLE)
+         |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0, 1.0) * 0.2
+         |  ) * 10) AS BIGINT), 9) AS bucket
+         | FROM documents),
+         |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         | FROM m GROUP BY 1)
+         |SELECT bucket, n, n_pos,
+         | CAST(n_pos * 1000000 // n AS BIGINT) AS pos_rate_ppm,
+         | CAST(abs(n_pos * 1000000 // n - (bucket * 100000 + 50000)) AS BIGINT)
+         |   AS mid_gap_ppm
+         |FROM a""".stripMargin,
     // q105: the same clip-to-day sweep — ≤2-day spans emitted by UNION
     // (durations ≤ 300 s), same net-delta merge, same ROWS running sum
     "q105_concurrency" ->

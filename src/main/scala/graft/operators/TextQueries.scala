@@ -1110,4 +1110,27 @@ object TextQueries {
         expr("(r2 - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg)")
           .as("auc_ppm"))
   }
+
+  /** q107: calibration (reliability) table for the same scorer/label as
+    * q106 — per 0.1-wide score decile: count, positives, the observed
+    * positive rate, and the gap to the bucket midpoint. AUC says the
+    * scorer RANKS well; calibration says whether its VALUE means what a
+    * gate threshold (p13) assumes it means — the standard companion
+    * diagnostic, whose count-weighted gap sum is the ECE.
+    *
+    * Exactness: the bucket key floors a per-row IEEE projection (never
+    * an aggregated float); rates are exact integer ppm; the midpoint gap
+    * is integer ppm arithmetic end-to-end. One 10-key partial-aggregated
+    * exchange; corpus never shuffled. */
+  def calibration(docs: DataFrame): DataFrame =
+    docs.select((col("lang") === "en").as("pos"),
+        least(floor(TextFns.qualityScore(col("text")) * 10).cast("long"), lit(9L))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pos"), 1L).otherwise(0L)).cast("long").as("n_pos"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        expr("n_pos * 1000000 div n").as("pos_rate_ppm"),
+        expr("abs(n_pos * 1000000 div n - (bucket * 100000 + 50000))")
+          .as("mid_gap_ppm"))
 }

@@ -644,4 +644,17 @@ class TextQueriesSpec extends AnyFunSuite {
       "b" -> ((1L, 1L, 500000L)),
       "c" -> ((2L, 1L, 1000000L))))
   }
+
+  test("q107: calibration buckets conserve counts and keep exact ppm identities") {
+    val docs = SparkTestSession.tables.documents
+    val rows = graft.operators.TextQueries.calibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).sum === docs.count(), "every doc in exactly one bucket")
+    rows.foreach { case (b, n, np, rate, gap) =>
+      assert(b >= 0 && b <= 9)
+      assert(np >= 0 && np <= n)
+      assert(rate === np * 1000000L / n, "ppm identity")
+      assert(gap === math.abs(rate - (b * 100000L + 50000L)), "midpoint gap identity")
+    }
+  }
 }
