@@ -788,6 +788,10 @@ object SparkEntry {
     // d32: centrality-ranked canonical — 3-round integer-ppb PageRank on
     // the pair graph, max-rank doc per cluster; exact long arithmetic
     "d32_rank_canonical"  -> ((s, d) => graft.dedup.Clusters.rankCanonical(t(s, d).documents)),
+    // d33: MinHash estimator calibration — md5-portable 16-component
+    // estimates vs exact jaccard on the verified pair set
+    "d33_minhash_calibration" -> ((s, d) =>
+      graft.dedup.Dedup.minhashCalibration(t(s, d).documents)),
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
@@ -3806,6 +3810,31 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // d33: same string shingles, same per-component tagged-md5 min fold,
+    // same single-division estimate and IEEE error
+    "d33_minhash_calibration" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |  unnest(CASE WHEN len(w) >= 3
+         |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |    ELSE [array_to_string(w, ' ')] END) AS shingle
+         | FROM toks),
+         |comp AS (SELECT doc_id, t.i,
+         |  min(CAST(list_sum(list_transform(generate_series(1, 15), j ->
+         |    (CAST(strpos('0123456789abcdef', substring(
+         |       md5('mh' || CAST(t.i AS VARCHAR) || ':' || shingle), j, 1)) AS BIGINT) - 1)
+         |      << ((15 - j) * 4))) AS BIGINT)) AS m
+         | FROM sh, unnest(generate_series(0, 15)) AS t(i) GROUP BY 1, 2),
+         |nd AS ($ngramJaccardSql),
+         |est AS (SELECT nd.d1, nd.d2, nd.jaccard,
+         |  CAST(sum(CASE WHEN ca.m = cb.m THEN 1 ELSE 0 END) AS BIGINT) AS est_matches
+         | FROM nd JOIN comp ca ON ca.doc_id = nd.d1
+         |          JOIN comp cb ON cb.doc_id = nd.d2 AND cb.i = ca.i
+         | GROUP BY 1, 2, 3)
+         |SELECT d1, d2, jaccard, est_matches,
+         | CAST(est_matches AS DOUBLE) / 16.0 AS est_jaccard,
+         | abs(CAST(est_matches AS DOUBLE) / 16.0 - jaccard) AS err
+         |FROM est""".stripMargin,
     // q106: the t03 score projection (bit-identical IEEE), the same
     // doubled tie-averaged ranks, the same integer-ppm U division
     "q106_quality_auc" ->

@@ -1376,6 +1376,50 @@ object Dedup {
         col("p_candidate"), col("fp_mass"), col("fn_mass"))
   }
 
+  /** d33: MinHash estimator calibration — for every verified near-dup
+    * pair, the nComp-component MinHash ESTIMATE of its jaccard next to
+    * the exact value and the absolute error: the empirical check of the
+    * Broder bound (Var = J(1−J)/nComp) that justifies d03/d23's choice
+    * of signature size. d18/d23 predict candidate-recall from the banding
+    * FORMULA; this measures the estimator itself on the corpus's own
+    * pairs — the number a pipeline owner reads before shrinking
+    * signatures to save shuffle bytes.
+    *
+    * Portability: components are min(md5("mh<i>:" ++ shingle)) over the
+    * d02 STRING shingles — the md5Hash60 fold DuckDB replays exactly
+    * (the d04 convention; production signatures stay on xxhash64, this
+    * probe pays the md5 tax for an exact oracle). est = matches/nComp
+    * and err = |est − jaccard| are single IEEE ops on exact ints and the
+    * pair's own jaccard — bit-stable, nothing rounded.
+    *
+    * Scale shape: one doc-keyed partial-agg exchange builds the
+    * nComp-column signature frame (nComp·|shingles| scan-local hashes);
+    * the pair probe is two id-keyed joins of that nDocs-row frame — the
+    * d12 verify shape; output ∝ verified pairs. */
+  def minhashCalibration(docs: DataFrame, nComp: Int = 16,
+                         threshold: Double = 0.8, bands: Int = 16,
+                         rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    require(nComp > 0, s"nComp=$nComp must be > 0")
+    val sh = docs.select(col("doc_id"),
+      explode(TextFns.shingles(col("text"), k)).as("shingle"))
+    val comps = (0 until nComp).map(i =>
+      min(md5Hash60(concat(lit(s"mh$i:"), col("shingle")))).as(s"m$i"))
+    val mins = sh.groupBy(col("doc_id")).agg(comps.head, comps.tail: _*)
+    def side(p: String) = mins.select(
+      col("doc_id").as(p + "id") +:
+        (0 until nComp).map(i => col(s"m$i").as(s"$p$i")): _*)
+    val matches = (0 until nComp).map(i =>
+      when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    minHashLshPairs(docs, threshold, bands, rowsPerBand, k)
+      .join(side("a"), col("d1") === col("aid"))
+      .join(side("b"), col("d2") === col("bid"))
+      .withColumn("est_matches", matches)
+      .select(col("d1"), col("d2"), col("jaccard"), col("est_matches"),
+        (col("est_matches").cast("double") / lit(nComp.toDouble)).as("est_jaccard"),
+        abs(col("est_matches").cast("double") / lit(nComp.toDouble) -
+          col("jaccard")).as("err"))
+  }
+
   /** Tables adapter used by SparkEntry. */
   def docs(t: Tables): DataFrame = t.documents
 }
@@ -1416,4 +1460,5 @@ object LshPlan {
        |SELECT c.bands, c.rows_per_band, c.s, c.p_candidate, a.fp_mass, a.fn_mass
        |FROM c JOIN a USING (bands, rows_per_band)""".stripMargin
   }
+
 }

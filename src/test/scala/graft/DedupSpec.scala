@@ -618,4 +618,37 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(got.last._2 === pairs.length.toLong, "the top cut is the whole pair set")
   }
+
+  test("d33: calibration matches a JVM replay; identical docs estimate 1.0") {
+    import SparkTestSession.spark.implicits._
+    def md5Hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def shingles(text: String): Set[String] =
+      text.toLowerCase.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def sig(text: String): IndexedSeq[Long] = (0 until 16).map(i =>
+      shingles(text).map(sh => md5Hash60(s"mh$i:$sh")).min)
+    val base = (1 to 24).map(i => s"w$i")
+    val tIdent = base.mkString(" ")
+    val tNear = (base.take(23) :+ "xx").mkString(" ")
+    val docs = Seq((1L, tIdent), (2L, tIdent), (3L, tNear))
+      .toDF("doc_id", "text")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val got = graft.dedup.Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    // identical docs: every component ties → est 1.0, err = 1 - 1 = 0
+    val (j12, m12, e12, err12) = got((1L, 2L))
+    assert((j12, m12, e12, err12) === ((1.0, 16L, 1.0, 0.0)))
+    // near pair: the engine's matches equal the JVM signature replay
+    val expected = (sig(tIdent) zip sig(tNear)).count { case (a, b) => a == b }.toLong
+    for (p <- Seq((1L, 3L), (2L, 3L))) {
+      val (j, m, e, err) = got(p)
+      assert(m === expected, s"pair $p matches")
+      assert(e === m.toDouble / 16.0 && err === math.abs(e - j))
+    }
+  }
 }
