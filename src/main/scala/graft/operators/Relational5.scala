@@ -604,7 +604,15 @@ object Relational5 {
   def q105Concurrency(t: Tables): DataFrame = concurrencySweep(t.events)
 
   /** q105 core over any (event_id, ts) frame. */
-  def concurrencySweep(events: DataFrame): DataFrame = {
+  def concurrencySweep(events: DataFrame): DataFrame =
+    concurrencyReport(concurrencyDeltas(events))
+
+  /** q105's MERGEABLE state: per (day, boundary instant), the net open/
+    * close delta and the count of intervals starting there — both plain
+    * sums, so two delta frames fold by (day, t) summation (the streaming
+    * monitor's algebra; a day with only carried-over tails keeps
+    * starts = 0 rows naturally). */
+  def concurrencyDeltas(events: DataFrame): DataFrame = {
     val iv = events.select(
       unix_micros(col("ts")).as("s"),
       (unix_micros(col("ts")) +
@@ -618,24 +626,29 @@ object Relational5 {
         least(col("e"),
           unix_micros(date_add(col("day"), 1).cast("timestamp"))).as("ce"),
         (col("s") >= unix_micros(col("day").cast("timestamp"))).as("starts_here"))
-    val net = parts.select(col("day"), col("cs").as("t"), lit(1L).as("delta"))
+    parts.select(col("day"), col("cs").as("t"), lit(1L).as("delta"),
+        when(col("starts_here"), 1L).otherwise(0L).as("st"))
       .unionByName(parts.select(col("day"), col("ce").as("t"),
-        lit(-1L).as("delta")))
-      .groupBy(col("day"), col("t")).agg(sum(col("delta")).as("net"))
+        lit(-1L).as("delta"), lit(0L).as("st")))
+      .groupBy(col("day"), col("t"))
+      .agg(sum(col("delta")).as("net"), sum(col("st")).as("starts"))
+  }
+
+  /** The per-day sweep over a (day, t, net, starts) delta frame. */
+  def concurrencyReport(deltas: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("day")).orderBy(col("t"))
-    val run = net
+    val run = deltas
       .withColumn("running",
         sum(col("net")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("peak", max(col("running")).over(Window.partitionBy(col("day"))))
     val peaks = run.filter(col("running") === col("peak"))
       .groupBy(col("day"))
       .agg(max(col("peak")).as("peak"), min(col("t")).as("pt"))
-    val starts = parts.filter(col("starts_here"))
-      .groupBy(col("day")).agg(count(lit(1)).as("n_starts"))
-    // left from peaks: a day holding only carried-over tails still reports
-    peaks.join(starts, Seq("day"), "left")
+    val starts = deltas.groupBy(col("day"))
+      .agg(sum(col("starts")).as("n_starts"))
+    peaks.join(starts, Seq("day"))
       .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
-        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        col("n_starts"),
         col("peak").as("peak_concurrency"),
         date_format(timestamp_micros(col("pt")), "yyyy-MM-dd HH:mm:ss")
           .as("peak_at"))

@@ -310,6 +310,44 @@ object EventStreams {
       }
   }
 
+  /** Streaming q105 — live peak-concurrency monitoring: each micro-batch
+    * reduces to its (day, instant) net-delta/starts frame (scan-local +
+    * one batch-sized aggregation), folds into the standing delta state by
+    * plain summation (the q105 mergeable algebra — boundary deltas at the
+    * same instant add), and the batch callback receives the full per-day
+    * concurrency report re-swept from the folded state. Days older than
+    * `retainDays` behind the newest day seen are dropped from state, so
+    * state is bounded by retainDays × distinct boundary instants per day
+    * — the capacity dashboard's live window, while closed days' reports
+    * ship before they age out. Final retained-window state is spec-pinned
+    * EQUAL to batch q105 over the union of every batch. */
+  def monitorConcurrencyStream(eventStream: DataFrame,
+                               onBatch: (DataFrame, Long) => Unit,
+                               retainDays: Int = 7): DataStreamWriter[Row] = {
+    require(retainDays > 0, s"retainDays=$retainDays must be > 0")
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    eventStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val db = graft.operators.Relational5.concurrencyDeltas(
+          batch.select(col("event_id"), col("ts")))
+        val folded = Option(state.get) match {
+          case None => db
+          case Some(standing) => standing.unionByName(db)
+            .groupBy(col("day"), col("t"))
+            .agg(sum(col("net")).as("net"), sum(col("starts")).as("starts"))
+        }
+        val horizon = folded.agg(max(col("day")).as("maxd"))
+        val merged = folded
+          .crossJoin(broadcast(horizon))
+          .filter(datediff(col("maxd"), col("day")) < retainDays)
+          .drop("maxd")
+          .localCheckpoint(true)
+        state.set(merged)
+        onBatch(graft.operators.Relational5.concurrencyReport(merged), batchId)
+      }
+  }
+
   /** Streaming p24 — stratified-holdout maintenance as documents land.
     * The per-source min-k selection is MERGEABLE (the top-k of a union is
     * the top-k of the two sides' top-ks — the heap's own algebra, the

@@ -245,6 +245,33 @@ class StreamingSpec extends AnyFunSuite {
       "folded histogram drift must equal batch p22 over the streamed union")
   }
 
+  test("streaming concurrency monitor converges to batch q105 of the streamed union") {
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    var finalRep = Map.empty[String, (Long, Long, String)]
+    val q = EventStreams.monitorConcurrencyStream(
+      mem.toDF().toDF("event_id", "ts"),
+      (df, _) => finalRep = df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap)
+      .start()
+    // batch 1: two overlapping intervals on Jan 1 + one crossing midnight
+    val b1 = Seq((0L, ts("2024-01-01 10:00:00")), (960L, ts("2024-01-01 10:00:30")),
+      (240L, ts("2024-01-01 23:59:30")))
+    // batch 2: a third interval joins the Jan-1 cluster → peak rises to 3
+    val b2 = Seq((480L, ts("2024-01-01 10:00:40")))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val expected = graft.operators.Relational5.concurrencySweep(
+      (b1 ++ b2).toDF("event_id", "ts")).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(finalRep === expected,
+      "folded deltas must re-sweep to batch q105 over the streamed union")
+    assert(finalRep("2024-01-01")._2 === 3L, "cross-batch overlap raises the peak")
+    assert(finalRep.contains("2024-01-02"), "midnight tail day reported")
+  }
+
   test("streaming dedup drops within-horizon re-deliveries and evicts state after") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
