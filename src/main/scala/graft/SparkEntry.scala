@@ -792,6 +792,10 @@ object SparkEntry {
     // estimates vs exact jaccard on the verified pair set
     "d33_minhash_calibration" -> ((s, d) =>
       graft.dedup.Dedup.minhashCalibration(t(s, d).documents)),
+    // d34: threshold-stability audit — contingency-table Rand between
+    // the 0.8 and 0.9 closures off ONE shared pair frame; exact ppm
+    "d34_threshold_stability" -> ((s, d) =>
+      graft.dedup.Clusters.thresholdStability(t(s, d).documents)),
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
@@ -3810,6 +3814,40 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // d34: both closures replayed as recursive min-label walks over the
+    // same pair SQL (strict = filter of loose), same n·(n−1)/2 counting
+    "d34_threshold_stability" ->
+      s"""WITH RECURSIVE
+         |nd AS ($ngramJaccardSql),
+         |nd9 AS (SELECT d1, d2 FROM nd WHERE jaccard >= 0.9),
+         |e1 AS (SELECT d1 AS a, d2 AS b FROM nd UNION SELECT d2, d1 FROM nd),
+         |e2 AS (SELECT d1 AS a, d2 AS b FROM nd9 UNION SELECT d2, d1 FROM nd9),
+         |w1(id, comp) AS (
+         |  SELECT a, a FROM e1
+         |  UNION SELECT e.a, w.comp FROM e1 e JOIN w1 w ON e.b = w.id),
+         |c1t AS (SELECT id, min(comp) AS c FROM w1 GROUP BY 1),
+         |w2(id, comp) AS (
+         |  SELECT a, a FROM e2
+         |  UNION SELECT e.a, w.comp FROM e2 e JOIN w2 w ON e.b = w.id),
+         |c2t AS (SELECT id, min(comp) AS c FROM w2 GROUP BY 1),
+         |labs AS (SELECT d.id AS doc_id, coalesce(a.c, d.id) AS c1,
+         |                coalesce(b.c, d.id) AS c2
+         |         FROM (SELECT id FROM c1t UNION SELECT id FROM c2t) d
+         |         LEFT JOIN c1t a ON a.id = d.id LEFT JOIN c2t b ON b.id = d.id),
+         |g12 AS (SELECT c1, c2, count(*) AS n FROM labs GROUP BY 1, 2),
+         |g1 AS (SELECT c1, count(*) AS n FROM labs GROUP BY 1),
+         |agg AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM labs) AS n_docs,
+         |  (SELECT CAST(count(DISTINCT c1) AS BIGINT) FROM labs) AS n_clusters_loose,
+         |  (SELECT CAST(count(DISTINCT c2) AS BIGINT) FROM labs) AS n_clusters_strict,
+         |  (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) FROM g12) AS both_pairs,
+         |  (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) FROM g1) AS loose_pairs)
+         |SELECT n_docs, n_clusters_loose, n_clusters_strict, both_pairs,
+         | loose_pairs - both_pairs AS split_pairs,
+         | CASE WHEN loose_pairs > 0
+         |      THEN CAST(both_pairs * 1000000 // loose_pairs AS BIGINT) END
+         |   AS stability_ppm
+         |FROM agg""".stripMargin,
     // d33: same string shingles, same per-component tagged-md5 min fold,
     // same single-division estimate and IEEE error
     "d33_minhash_calibration" ->

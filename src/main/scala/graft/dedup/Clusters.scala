@@ -468,4 +468,53 @@ object Clusters {
           .orderBy(col("rank_ppb").desc, col("doc_id"))) === 1)
           .as("is_canonical"))
   }
+
+  /** d34: threshold-stability audit — how much of the τ = 0.8 clustering
+    * SURVIVES at τ = 0.9: doc-pairs co-clustered at both thresholds vs
+    * pairs the stricter threshold splits, as one exact-ppm stability
+    * share. The cluster-level answer to d18's pair-level curve (and the
+    * robustness number behind d30/d31's chaining warnings): a low share
+    * means the dedup's groupings are an artifact of the τ choice, not of
+    * the data. Because the τ = 0.9 pair set is a FILTER of the shared
+    * τ = 0.8 pair frame (no second LSH pass), the strict clustering
+    * refines the loose one — pairs co-clustered strictly but not loosely
+    * are impossible, which the spec pins as a law.
+    *
+    * Counting is contingency-table Rand (never materializing doc-pairs):
+    * Σ n·(n−1)/2 over the (loose, strict) label-combination sizes vs
+    * over the loose cluster sizes — exact longs, one ppm division.
+    *
+    * Scale shape: both closures run over the pair graph only; the label
+    * join and the three size aggregations are bounded by paired docs;
+    * output is ONE row. */
+  def thresholdStability(docs: DataFrame, tHi: Double = 0.9,
+                         threshold: Double = 0.8, bands: Int = 16,
+                         rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    require(tHi >= threshold, s"tHi=$tHi must be >= base threshold $threshold")
+    val pairsLo = Dedup.minHashLshPairs(docs, threshold, bands, rowsPerBand, k)
+    val lo = sharedComponents(pairsLo.select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("comp").as("c1"))
+    val hi = sharedComponents(
+        pairsLo.filter(col("jaccard") >= tHi).select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("comp").as("c2"))
+    // full outer: a doc paired loosely but unpaired strictly is a strict
+    // singleton (its own label) — and vice versa cannot happen
+    val labs = lo.join(hi, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("c1"), col("doc_id")).as("c1"),
+        coalesce(col("c2"), col("doc_id")).as("c2"))
+    def pairSum(df: DataFrame, keys: Seq[String], out: String): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as(out))
+    val both = pairSum(labs, Seq("c1", "c2"), "both_pairs")
+    val loose = pairSum(labs, Seq("c1"), "loose_pairs")
+    val nDocs = labs.agg(count(lit(1)).as("n_docs"))
+    val nLo = labs.select(col("c1")).distinct().agg(count(lit(1)).as("n_clusters_loose"))
+    val nHi = labs.select(col("c2")).distinct().agg(count(lit(1)).as("n_clusters_strict"))
+    nDocs.crossJoin(nLo).crossJoin(nHi).crossJoin(both).crossJoin(loose)
+      .select(col("n_docs"), col("n_clusters_loose"), col("n_clusters_strict"),
+        col("both_pairs"), (col("loose_pairs") - col("both_pairs")).as("split_pairs"),
+        when(col("loose_pairs") > 0,
+          expr("both_pairs * 1000000 div loose_pairs")).as("stability_ppm"))
+  }
 }

@@ -279,4 +279,24 @@ class ClustersSpec extends AnyFunSuite {
     // every doc carries its d07 cluster id
     assert(got(201L)._1 === got(202L)._1 && got(202L)._1 === got(203L)._1)
   }
+
+  test("d34: strict threshold splits the weak member, stability counts it") {
+    import SparkTestSession.spark.implicits._
+    val base = (1 to 24).map(i => s"w$i")
+    // A ≡ B (J = 1, survives τ = 0.9); C differs in the last two tokens
+    // (J = 20/24 ≈ 0.833 — loose member, strict split)
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, base.mkString(" ")),
+      (3L, (base.take(22) ++ Seq("xx", "yy")).mkString(" "))
+    ).toDF("doc_id", "text")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val r = graft.dedup.Clusters.thresholdStability(docs).collect().head
+    graft.dedup.Dedup.releaseShingles(spark)
+    val (nDocs, nLo, nHi) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (both, split, stab) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    assert((nDocs, nLo, nHi) === ((3L, 1L, 2L)), "loose {A,B,C}; strict {A,B},{C}")
+    assert((both, split) === ((1L, 2L)), "A–B survives; A–C and B–C split")
+    assert(stab === 333333L, "1 of 3 loose pairs survives, exact ppm")
+  }
 }
