@@ -822,6 +822,12 @@ object SparkEntry {
     // q106: Mann–Whitney AUC of the t03 scorer per source — tie-averaged
     // doubled ranks keep everything integral; exact-ppm division
     "q106_quality_auc"    -> ((s, d) => TextQueries.aucBySource(t(s, d).documents)),
+    // q108: half-life recency — dyadic-shift decay so the score is a
+    // plain integer sum; plan-borne anchor day
+    "q108_recency"        -> ((s, d) => Relational5.q108Recency(t(s, d))),
+    // q109: path-trigram mining — two leads over one user sort, counts
+    // partial-agg to an alphabet-bounded frame, deterministic tie rank
+    "q109_path_trigrams"  -> ((s, d) => Relational5.q109PathTrigrams(t(s, d))),
     // q107: calibration table for the same scorer — floored IEEE bucket
     // key, exact-ppm rates and midpoint gaps; 10-key aggregation
     "q107_calibration"    -> ((s, d) => TextQueries.calibration(t(s, d).documents)),
@@ -3946,6 +3952,26 @@ object SparkEntry {
         | CAST(pk.peak AS BIGINT) AS peak_concurrency,
         | strftime(make_timestamp(pa.pt), '%Y-%m-%d %H:%M:%S') AS peak_at
         |FROM pk JOIN pa USING (day) LEFT JOIN st USING (day)""".stripMargin,
+    // q108: same anchor cross join, same least-clamped shift — every
+    // term a power of two, the sum a plain BIGINT
+    "q108_recency" ->
+      """WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+        |d AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |  date_diff('day', CAST(ts AS DATE), anchor) AS age_d FROM events, a)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | strftime(max(day), '%Y-%m-%d') AS last_seen,
+        | CAST(sum(1048576 >> least(age_d, 20)) AS BIGINT) AS recency_score
+        |FROM d GROUP BY 1""".stripMargin,
+    // q109: the same two leads over the same (ts, event_id) user sort,
+    // the same (n DESC, trigram) deterministic rank
+    "q109_path_trigrams" ->
+      """WITH s AS (SELECT event_type,
+        |  lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (SELECT event_type || '>' || e2 || '>' || e3 AS trigram,
+        |  CAST(count(*) AS BIGINT) AS n FROM s WHERE e3 IS NOT NULL GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, trigram) AS rank FROM c)
+        |SELECT CAST(rank AS INT) AS rank, trigram, n FROM r WHERE rank <= 20""".stripMargin,
     // q103: the same two RANGE-frame window passes on epoch micros, the
     // same nearer-pick projection — diffs are exact longs end-to-end
     "q103_nearest_event" ->

@@ -634,6 +634,65 @@ object Relational5 {
       .agg(sum(col("delta")).as("net"), sum(col("st")).as("starts"))
   }
 
+  /** q108: half-life recency score — the feature-store "how alive is
+    * this user" engagement feature: every event contributes
+    * 2^(20 − min(age_days, 20)) relative to the corpus's newest day, so
+    * a today-event is worth 2^20 and worth half that per day of age,
+    * flooring at 1 beyond 20 days (nothing ever truncates to zero — the
+    * sum is a plain integer, bit-reproducible in any engine, which is
+    * why the half-life is a SHIFT and not exp(−λt): IEEE exp differs in
+    * ulps across libm implementations, dyadic shifts never do).
+    *
+    * Scale shape: the anchor day rides the plan as a broadcast 1-row
+    * aggregate (constructing the frame launches no jobs — the q33
+    * scalar-subquery shape), the shift is scan-local, and the per-user
+    * rollup is ONE partial-aggregated exchange. */
+  def q108Recency(t: Tables): DataFrame = recencyScore(t.events)
+
+  /** q108 core over any (user_id, ts) frame. */
+  def recencyScore(events: DataFrame): DataFrame = {
+    val anchor = events.agg(max(col("ts").cast("date")).as("anchor"))
+    events.select(col("user_id"), col("ts").cast("date").as("day"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"), col("day"),
+        datediff(col("anchor"), col("day")).as("age_d"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("last_seen"),
+        sum(expr("shiftright(1048576L, cast(least(age_d, 20) as int))"))
+          .as("recency_score"))
+  }
+
+  /** q109: path-trigram mining — the top consecutive event-type triples
+    * across all user timelines, in total ((ts, event_id)) order: the
+    * frequent-subsequence summary behind funnel DISCOVERY (q66 checks a
+    * known funnel; q109 surfaces which paths exist at all, the first
+    * step of sequence-pattern mining à la PrefixSpan restricted to
+    * contiguous 3-grams, where the n-gram restriction makes it one
+    * window pass instead of a combinatorial search).
+    *
+    * Scale shape: trigram generation is two lead()s over the user-keyed
+    * window sort (the q83/q88/q89 exchange family); counts partial-
+    * aggregate to ≤ |alphabet|³ rows; the final rank runs on that
+    * alphabet-bounded frame, so the unpartitioned window is safe by
+    * construction. Ties rank lexicographically — deterministic, hence
+    * hash-checkable. */
+  def q109PathTrigrams(t: Tables, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("trigram"))).cast("int"))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("trigram"), col("n"))
+  }
+
   /** The per-day sweep over a (day, t, net, starts) delta frame. */
   def concurrencyReport(deltas: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("day")).orderBy(col("t"))

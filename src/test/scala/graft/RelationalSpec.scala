@@ -1161,6 +1161,44 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q108: recency replays a JVM dyadic fold; bounds hold") {
+    val got = graft.operators.Relational5.q108Recency(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    val ev = tables.events.select(col("user_id"), col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val anchor = ev.map(_._2).maxBy(_.toEpochDay)
+    val byUser = ev.groupBy(_._1)
+    assert(got.keySet === byUser.keySet, "one row per user")
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(_._2)
+      val score = days.map { d =>
+        1048576L >> math.min(anchor.toEpochDay - d.toEpochDay, 20L).toInt
+      }.sum
+      val (n, last, s) = got(u)
+      assert(n === rows.size.toLong, s"user $u n_events")
+      assert(last === days.maxBy(_.toEpochDay).toString, s"user $u last_seen")
+      assert(s === score, s"user $u recency")
+      assert(s >= n && s <= n * 1048576L, s"user $u term bounds (floor 1, cap 2^20)")
+    }
+  }
+
+  test("q109: trigrams replay a JVM sliding count; ranks are total") {
+    val got = graft.operators.Relational5.q109PathTrigrams(tables).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val counts = tables.events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)), r.getString(3)))
+      .groupBy(_._1).values.flatMap { rows =>
+        rows.sortBy(r => r._2).map(_._3).sliding(3).filter(_.size == 3)
+          .map(_.mkString(">"))
+      }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      .zipWithIndex.map { case ((t, n), i) => (i + 1, t, n) }
+    assert(got.sortBy(_._1) === expected, "top-20 with deterministic ties")
+    assert(got.map(_._1).sorted === (1 to got.size), "gapless rank sequence")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
