@@ -834,6 +834,9 @@ object SparkEntry {
     // t33: MSTTR — length-controlled lexical diversity over 50-token
     // segments; one rounded division of exact integer sums
     "t33_msttr"           -> ((s, d) => TextQueries.msttr(t(s, d).documents)),
+    // t34: Dice-scored adjacent-bigram collocations — map-side bigram
+    // generation, broadcast unigram joins, exact-ppm deterministic rank
+    "t34_collocations"    -> ((s, d) => TextQueries.collocations(t(s, d).documents)),
     // s27: sample-diversity audit — k-center vs md5-uniform pairwise
     // distance stats; both selections deterministic, k²-bounded work
     "s27_sample_diversity" -> ((s, d) => graft.similarity.Report.sampleDiversity(t(s, d).embeddings)),
@@ -3952,6 +3955,25 @@ object SparkEntry {
         | CAST(pk.peak AS BIGINT) AS peak_concurrency,
         | strftime(make_timestamp(pa.pt), '%Y-%m-%d %H:%M:%S') AS peak_at
         |FROM pk JOIN pa USING (day) LEFT JOIN st USING (day)""".stripMargin,
+    // t34: same split, same adjacent pairs off the token list, same
+    // (dice DESC, a, b) deterministic rank — counts exact end-to-end
+    "t34_collocations" ->
+      """WITH tk AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |uni AS (SELECT w[i] AS tok, count(*) AS n
+        | FROM tk, unnest(generate_series(1, len(w))) AS t(i) GROUP BY 1),
+        |bi AS (SELECT w[i] AS a, w[i+1] AS b, count(*) AS n_ab
+        | FROM tk, unnest(generate_series(1, len(w) - 1)) AS t(i)
+        | WHERE len(w) >= 2 GROUP BY 1, 2),
+        |j AS (SELECT a, b, n_ab, ua.n AS n_a, ub.n AS n_b,
+        |  2 * n_ab * 1000000 // (ua.n + ub.n) AS dice_ppm
+        | FROM bi JOIN uni ua ON ua.tok = a JOIN uni ub ON ub.tok = b
+        | WHERE n_ab >= 5),
+        |r AS (SELECT *, row_number() OVER (ORDER BY dice_ppm DESC, a, b) AS rank
+        |      FROM j)
+        |SELECT CAST(rank AS INT) AS rank, a, b, CAST(n_ab AS BIGINT) AS n_ab,
+        | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        | CAST(dice_ppm AS BIGINT) AS dice_ppm
+        |FROM r WHERE rank <= 30""".stripMargin,
     // q108: same anchor cross join, same least-clamped shift — every
     // term a power of two, the sum a plain BIGINT
     "q108_recency" ->

@@ -1133,4 +1133,45 @@ object TextQueries {
         expr("n_pos * 1000000 div n").as("pos_rate_ppm"),
         expr("abs(n_pos * 1000000 div n - (bucket * 100000 + 50000))")
           .as("mid_gap_ppm"))
+
+  /** t34: collocation mining — the corpus's top adjacent-word pairs by
+    * Dice score (2·n_ab / (n_a + n_b), the symmetric-overlap collocation
+    * measure): which word pairs travel TOGETHER rather than merely both
+    * being frequent — the phrase-detection primitive behind tokenizer
+    * vocab curation (a high-Dice pair is a merge candidate t08's BPE
+    * should learn) and boilerplate phrase discovery (t18 finds repeated
+    * LINES; t34 finds repeated two-word idioms inside otherwise-varied
+    * text). Dice over PMI because it stays in exact integers — one ppm
+    * division of plain counts, no logs to drift.
+    *
+    * Scale shape: bigrams are generated MAP-SIDE from each doc's token
+    * array (the q93 sorted-array discipline — no posexplode self-join),
+    * unigram and bigram counts partial-aggregate to vocab- and
+    * vocab-pair-bounded frames, the two count joins broadcast the
+    * vocab-bounded unigram side, and the final rank window runs over the
+    * minCount-filtered candidate set only. Ties rank lexicographically —
+    * deterministic, hence hash-checkable. */
+  def collocations(docs: DataFrame, minCount: Long = 5, topK: Int = 30): DataFrame = {
+    val toks = docs.select(split(lower(col("text")), " ").as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val bi = toks.where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS a, w[i] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    bi
+      .join(broadcast(uni.select(col("tok").as("a"), col("n").as("n_a"))), Seq("a"))
+      .join(broadcast(uni.select(col("tok").as("b"), col("n").as("n_b"))), Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("2 * n_ab * 1000000 div (n_a + n_b)").as("dice_ppm"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("dice_ppm").desc, col("a"), col("b"))).cast("int"))
+      .where(col("rank") <= topK)
+      .select(col("rank"), col("a"), col("b"), col("n_ab"),
+        col("n_a"), col("n_b"), col("dice_ppm"))
+  }
 }

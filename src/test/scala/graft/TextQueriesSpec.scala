@@ -645,6 +645,28 @@ class TextQueriesSpec extends AnyFunSuite {
       "c" -> ((2L, 1L, 1000000L))))
   }
 
+  test("t34: a welded pair out-ranks frequent-but-independent words") {
+    import SparkTestSession.spark.implicits._
+    // "new york" always adjacent (perfect collocation); "the" is the most
+    // frequent token but pairs with everything; filler varies
+    val docs = (1L to 6L).map(i =>
+      (i, s"the new york office the f$i desk the new york the f$i room"))
+      .toSeq.toDF("doc_id", "text")
+    val got = graft.operators.TextQueries.collocations(docs, minCount = 5, topK = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    val top = got.minBy(_._1)
+    assert((top._2, top._3) === (("new", "york")), "the welded pair ranks first")
+    assert(top._4 === 12L && top._5 === 12L && top._6 === 12L,
+      "12 adjacent occurrences, both words exclusive to the pair")
+    assert(top._7 === 1000000L, "perfect Dice in exact ppm")
+    got.foreach { case (_, _, _, nab, na, nb, dice) =>
+      assert(dice === 2L * nab * 1000000L / (na + nb), "ppm identity")
+      assert(nab >= 5L, "minCount respected")
+    }
+    assert(got.map(_._1).sorted === (1 to got.size).toArray, "gapless ranks")
+  }
+
   test("q107: calibration buckets conserve counts and keep exact ppm identities") {
     val docs = SparkTestSession.tables.documents
     val rows = graft.operators.TextQueries.calibration(docs).collect()
