@@ -813,6 +813,10 @@ object SparkEntry {
     // d07 cluster closure; per-source audit + retained xor checksum
     "p46_forget_propagation" -> ((s, d) =>
       graft.operators.DataPipeline.forgetPropagate(t(s, d).documents)),
+    // p47: dedup saturation — md5 pseudo-crawl order in ten batches,
+    // first-copy attribution by min admission rank; exact ppm
+    "p47_dedup_saturation" -> ((s, d) =>
+      graft.operators.DataPipeline.dedupSaturation(t(s, d).documents)),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -4020,6 +4024,25 @@ object SparkEntry {
         |FROM n""".stripMargin,
     // p46: same md5-prefix request plant, same cluster closure (the d07
     // recursive CTE), same xor checksum over the retained rows
+    // p47: same md5 admission order, same integer batch arithmetic off
+    // the corpus count, same min-rank first-copy attribution
+    "p47_dedup_saturation" ->
+      """WITH n AS (SELECT count(*) AS n_total FROM documents),
+        |rk AS (SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        | FROM documents),
+        |b AS (SELECT f, CAST((rank - 1) * 10 // n_total + 1 AS INT) AS batch
+        |      FROM rk, n),
+        |pb AS (SELECT batch, count(*) AS n_docs FROM b GROUP BY 1),
+        |fi AS (SELECT batch, count(*) AS n_new FROM (
+        |   SELECT f, min(batch) AS batch FROM b GROUP BY 1) GROUP BY 1)
+        |SELECT pb.batch, CAST(pb.n_docs AS BIGINT) AS n_docs,
+        | CAST(coalesce(fi.n_new, 0) AS BIGINT) AS n_new,
+        | CAST(coalesce(fi.n_new, 0) * 1000000 // pb.n_docs AS BIGINT) AS new_ppm,
+        | CAST(sum(coalesce(fi.n_new, 0)) OVER (ORDER BY pb.batch
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_unique
+        |FROM pb LEFT JOIN fi USING (batch)""".stripMargin,
     "p46_forget_propagation" ->
       s"""WITH cl AS ($dupClustersSql),
          |base AS (

@@ -1540,4 +1540,48 @@ object DataPipeline {
       .select(col("doc_id"), col("source"), col("src_n"), col("rate_ppm"),
         expr("1000000000000L div rate_ppm").as("w_ppm"))
   }
+
+  /** p47: dedup saturation curve — replay the corpus in a deterministic
+    * pseudo-crawl order (md5 of the doc id — the p03 portable-hash
+    * shuffle) cut into ten admission batches, and report per batch how
+    * much of it is NEW (first copy of its d01 fingerprint) vs already
+    * held: the "is more crawling still buying us data" curve every
+    * collection effort reads before paying for the next crawl — a
+    * flattening cum_unique (falling new_ppm) says the source is mined
+    * out, the capacity-planning twin of p23's one-number effective size.
+    *
+    * Exactness: each fingerprint's first copy is attributed to the batch
+    * of its MINIMUM admission rank (one partial-aggregated min per
+    * fingerprint — ties impossible, ranks are a total order); batch
+    * membership is integer arithmetic off a plan-borne corpus count;
+    * shares in exact ppm; the cumulative sum runs over ten rows.
+    *
+    * Scale shape: the rank is the one total sort (the p14 global-order
+    * price, paid on (hash, id) pairs — not text); the fingerprint min is
+    * one partial-aggregated exchange; everything after is 10-row work.
+    * At 100 TB the sort is the known cost of ANY deterministic
+    * admission-order replay and batches could instead key off hash
+    * PREFIX ranges (zero sort, approximate tenths) — the exact-rank form
+    * is the auditable contract. */
+  def dedupSaturation(docs: DataFrame, batches: Int = 10): DataFrame = {
+    require(batches > 0, s"batches=$batches must be > 0")
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    val ranked = docs
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("f"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .crossJoin(broadcast(n))
+      .select(col("f"),
+        expr(s"(rank - 1) * $batches div n_total + 1").cast("int").as("batch"))
+    val perBatch = ranked.groupBy(col("batch")).agg(count(lit(1)).as("n_docs"))
+    val firstIn = ranked.groupBy(col("f")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
+    perBatch.join(firstIn, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("new_ppm", expr("n_new * 1000000 div n_docs"))
+      .withColumn("cum_unique", sum(col("n_new")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -1316,4 +1316,30 @@ class DataPipelineSpec extends AnyFunSuite {
     // source b: the requested singleton deletes alone; nothing retained
     assert(got("b") === ((1L, 1L, 0L, 0L, None)))
   }
+
+  test("p47: saturation counts every copy once, laws hold, order is stable") {
+    import spark.implicits._
+    // 30 docs: ids 1-20 unique texts, ids 21-30 duplicate texts 1-10 —
+    // whichever admission batch sees a text second must NOT count it new
+    val docs = ((1L to 20L).map(i => (i, (1 to 25).map(j => s"u$i-$j").mkString(" ")))
+      ++ (21L to 30L).map(i => (i, (1 to 25).map(j => s"u${i - 20}-$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val got = DataPipeline.dedupSaturation(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.map(_._2).sum === 30L, "every doc in exactly one batch")
+    assert(got.last._5 === 20L, "cumulative uniques end at the distinct-text count")
+    got.foreach { case (b, nd, nn, ppm, _) =>
+      assert(b >= 1 && b <= 10, "ten admission batches")
+      assert(nn <= nd, "a batch cannot mint more uniques than docs")
+      assert(ppm === nn * 1000000L / nd, "ppm identity")
+    }
+    val cums = got.map(_._5)
+    assert(cums.zip(cums.drop(1)).forall { case (a, c) => a <= c },
+      "cum_unique is monotone")
+    val again = DataPipeline.dedupSaturation(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(again === got, "deterministic admission order")
+  }
 }
