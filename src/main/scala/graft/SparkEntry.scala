@@ -796,6 +796,10 @@ object SparkEntry {
     // the 0.8 and 0.9 closures off ONE shared pair frame; exact ppm
     "d34_threshold_stability" -> ((s, d) =>
       graft.dedup.Clusters.thresholdStability(t(s, d).documents)),
+    // d35: cross-method cluster agreement — Jaccard of the co-clustered
+    // pair sets of the shingle and edit closures; exact ppm
+    "d35_method_stability" -> ((s, d) =>
+      graft.dedup.Clusters.methodClusterAgreement(t(s, d).documents)),
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
@@ -3827,6 +3831,44 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // d35: both method closures replayed as recursive min-label walks
+    // (d34's oracle shape with the edit pair set as the second graph)
+    "d35_method_stability" ->
+      s"""WITH RECURSIVE
+         |nd AS ($ngramJaccardSql),
+         |ed AS ($editPairsSql),
+         |e1 AS (SELECT d1 AS a, d2 AS b FROM nd UNION SELECT d2, d1 FROM nd),
+         |e2 AS (SELECT d1 AS a, d2 AS b FROM ed UNION SELECT d2, d1 FROM ed),
+         |w1(id, comp) AS (
+         |  SELECT a, a FROM e1
+         |  UNION SELECT e.a, w.comp FROM e1 e JOIN w1 w ON e.b = w.id),
+         |c1t AS (SELECT id, min(comp) AS c FROM w1 GROUP BY 1),
+         |w2(id, comp) AS (
+         |  SELECT a, a FROM e2
+         |  UNION SELECT e.a, w.comp FROM e2 e JOIN w2 w ON e.b = w.id),
+         |c2t AS (SELECT id, min(comp) AS c FROM w2 GROUP BY 1),
+         |labs AS (SELECT d.id AS doc_id, coalesce(a.c, d.id) AS cj,
+         |                coalesce(b.c, d.id) AS ce
+         |         FROM (SELECT id FROM c1t UNION SELECT id FROM c2t) d
+         |         LEFT JOIN c1t a ON a.id = d.id LEFT JOIN c2t b ON b.id = d.id),
+         |g12 AS (SELECT cj, ce, count(*) AS n FROM labs GROUP BY 1, 2),
+         |g1 AS (SELECT cj, count(*) AS n FROM labs GROUP BY 1),
+         |g2 AS (SELECT ce, count(*) AS n FROM labs GROUP BY 1),
+         |agg AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM labs) AS n_docs,
+         |  (SELECT CAST(count(DISTINCT cj) AS BIGINT) FROM labs) AS n_clusters_jaccard,
+         |  (SELECT CAST(count(DISTINCT ce) AS BIGINT) FROM labs) AS n_clusters_edit,
+         |  (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) FROM g12) AS both_pairs,
+         |  (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) FROM g1) AS jaccard_pairs,
+         |  (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) FROM g2) AS edit_pairs)
+         |SELECT n_docs, n_clusters_jaccard, n_clusters_edit, both_pairs,
+         | jaccard_pairs - both_pairs AS jaccard_only_pairs,
+         | edit_pairs - both_pairs AS edit_only_pairs,
+         | CASE WHEN jaccard_pairs + edit_pairs - both_pairs > 0
+         |      THEN CAST(both_pairs * 1000000
+         |             // (jaccard_pairs + edit_pairs - both_pairs) AS BIGINT) END
+         |   AS agreement_ppm
+         |FROM agg""".stripMargin,
     // d34: both closures replayed as recursive min-label walks over the
     // same pair SQL (strict = filter of loose), same n·(n−1)/2 counting
     "d34_threshold_stability" ->

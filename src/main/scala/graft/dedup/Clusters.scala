@@ -487,6 +487,13 @@ object Clusters {
     * Scale shape: both closures run over the pair graph only; the label
     * join and the three size aggregations are bounded by paired docs;
     * output is ONE row. */
+  /** Σ n·(n−1)/2 over the group sizes of `keys` — the contingency-table
+    * co-clustered-pair count shared by d34/d35 (never materializes
+    * doc-pairs; exact longs). */
+  private def pairSum(df: DataFrame, keys: Seq[String], out: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as(out))
+
   def thresholdStability(docs: DataFrame, tHi: Double = 0.9,
                          threshold: Double = 0.8, bands: Int = 16,
                          rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
@@ -503,9 +510,6 @@ object Clusters {
       .select(col("doc_id"),
         coalesce(col("c1"), col("doc_id")).as("c1"),
         coalesce(col("c2"), col("doc_id")).as("c2"))
-    def pairSum(df: DataFrame, keys: Seq[String], out: String): DataFrame =
-      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as(out))
     val both = pairSum(labs, Seq("c1", "c2"), "both_pairs")
     val loose = pairSum(labs, Seq("c1"), "loose_pairs")
     val nDocs = labs.agg(count(lit(1)).as("n_docs"))
@@ -516,5 +520,52 @@ object Clusters {
         col("both_pairs"), (col("loose_pairs") - col("both_pairs")).as("split_pairs"),
         when(col("loose_pairs") > 0,
           expr("both_pairs * 1000000 div loose_pairs")).as("stability_ppm"))
+  }
+
+  /** d35: cross-method cluster agreement — do the shingle-Jaccard (d07)
+    * and edit-distance (d22) clusterings GROUP the same way? d20 answers
+    * at the doc level (is the doc flagged by both methods); d35 answers
+    * at the structure level: pairs co-clustered by both vs by only one,
+    * as a Jaccard of the two co-clustered-pair sets in exact ppm. The
+    * methods disagree by construction on some families (block moves keep
+    * the shingle set but blow the edit budget; scattered token
+    * substitutions are edit-small but shingle-destroying), so a LOW
+    * score localizes which family dominates
+    * the corpus — and unlike d34's refinement the two closures are
+    * incomparable, both one-only counts can be nonzero.
+    *
+    * Same contingency-table counting as d34 (never doc-pairs); the doc
+    * universe is docs paired by EITHER method, each a singleton in the
+    * method that didn't pair it. Scale shape: two closures over pair
+    * graphs only, one full-outer label join bounded by paired docs, three
+    * size aggregations, ONE output row. */
+  def methodClusterAgreement(docs: DataFrame, threshold: Double = 0.8,
+                             maxDist: Int = 32, k: Int = 3): DataFrame = {
+    val pj = Dedup.sharedJaccardPairs(docs, threshold, k)
+    val pe = Dedup.sharedEditPairs(docs, maxDist)
+    val lj = sharedComponents(pj.select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("comp").as("cj"))
+    val le = sharedComponents(pe.select(col("d1"), col("d2")))
+      .select(col("id").as("doc_id"), col("comp").as("ce"))
+    val labs = lj.join(le, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("cj"), col("doc_id")).as("cj"),
+        coalesce(col("ce"), col("doc_id")).as("ce"))
+    val both = pairSum(labs, Seq("cj", "ce"), "both_pairs")
+    val jac = pairSum(labs, Seq("cj"), "jaccard_pairs")
+    val edt = pairSum(labs, Seq("ce"), "edit_pairs")
+    val nDocs = labs.agg(count(lit(1)).as("n_docs"))
+    val nJ = labs.select(col("cj")).distinct()
+      .agg(count(lit(1)).as("n_clusters_jaccard"))
+    val nE = labs.select(col("ce")).distinct()
+      .agg(count(lit(1)).as("n_clusters_edit"))
+    nDocs.crossJoin(nJ).crossJoin(nE).crossJoin(both).crossJoin(jac).crossJoin(edt)
+      .select(col("n_docs"), col("n_clusters_jaccard"), col("n_clusters_edit"),
+        col("both_pairs"),
+        (col("jaccard_pairs") - col("both_pairs")).as("jaccard_only_pairs"),
+        (col("edit_pairs") - col("both_pairs")).as("edit_only_pairs"),
+        when(col("jaccard_pairs") + col("edit_pairs") - col("both_pairs") > 0,
+          expr("both_pairs * 1000000 div (jaccard_pairs + edit_pairs - both_pairs)"))
+          .as("agreement_ppm"))
   }
 }

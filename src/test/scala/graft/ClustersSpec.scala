@@ -280,6 +280,37 @@ class ClustersSpec extends AnyFunSuite {
     assert(got(201L)._1 === got(202L)._1 && got(202L)._1 === got(203L)._1)
   }
 
+  test("d35: each disagreement family lands in its own counter") {
+    import SparkTestSession.spark.implicits._
+    val a = (1 to 20).map(i => s"aa$i")
+    val b = (1 to 20).map(i => s"bb$i")
+    val e = (1 to 20).map(i => s"ee$i")
+    val f = (1 to 20).map(i => s"ff$i")
+    val c = (1 to 40).map(i => s"cc$i")
+    val docs = Seq(
+      // both methods: exact copies (J = 1, edit 0)
+      (1L, (a ++ b).mkString(" ")),
+      (2L, (a ++ b).mkString(" ")),
+      // jaccard only: block swap — shingle set survives (J = 0.9), the
+      // 20-token move blows the 32-char edit budget
+      (3L, (e ++ f).mkString(" ")),
+      (4L, (f ++ e).mkString(" ")),
+      // edit only: 8 scattered 1-char substitutions (edit 8) each kill 3
+      // shingles (J ≈ 0.22)
+      (5L, c.mkString(" ")),
+      (6L, c.zipWithIndex.map { case (w, i) =>
+        if (i % 5 == 0) "dd" + w.drop(2) else w }.mkString(" "))
+    ).toDF("doc_id", "text")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val r = graft.dedup.Clusters.methodClusterAgreement(docs).collect().head
+    graft.dedup.Dedup.releaseShingles(spark)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((6L, 4L, 4L)),
+      "six paired docs; each method sees two singletons from the other family")
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) === ((1L, 1L, 1L)),
+      "exact pair in both; block swap jaccard-only; scattered subs edit-only")
+    assert(r.getLong(6) === 333333L, "1 of 3 co-clustered pairs shared, exact ppm")
+  }
+
   test("d34: strict threshold splits the weak member, stability counts it") {
     import SparkTestSession.spark.implicits._
     val base = (1 to 24).map(i => s"w$i")
