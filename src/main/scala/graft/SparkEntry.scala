@@ -830,6 +830,9 @@ object SparkEntry {
     // q106: Mann–Whitney AUC of the t03 scorer per source — tie-averaged
     // doubled ranks keep everything integral; exact-ppm division
     "q106_quality_auc"    -> ((s, d) => TextQueries.aucBySource(t(s, d).documents)),
+    // q110: debounce — greedy keep-chain folded scan-local by one
+    // aggregate() HOF; oracle replays it as a recursive frontier walk
+    "q110_debounce"       -> ((s, d) => Relational5.q110Debounce(t(s, d))),
     // q108: half-life recency — dyadic-shift decay so the score is a
     // plain integer sum; plan-borne anchor day
     "q108_recency"        -> ((s, d) => Relational5.q108Recency(t(s, d))),
@@ -4020,6 +4023,27 @@ object SparkEntry {
         | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         | CAST(dice_ppm AS BIGINT) AS dice_ppm
         |FROM r WHERE rank <= 30""".stripMargin,
+    // q110: the same greedy chain as a recursive frontier walk — each
+    // iteration advances every user by one kept instant; the min()
+    // subqueries aggregate the BASE relation only
+    "q110_debounce" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT user_id, epoch_us(ts) AS us FROM events),
+        |f AS (SELECT user_id, min(us) AS us FROM e GROUP BY 1),
+        |kept(user_id, us) AS (
+        |  SELECT user_id, us FROM f
+        |  UNION ALL
+        |  SELECT k.user_id,
+        |   (SELECT min(e2.us) FROM e e2 WHERE e2.user_id = k.user_id
+        |     AND e2.us >= k.us + 3600000000)
+        |  FROM kept k
+        |  WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.user_id = k.user_id
+        |     AND e2.us >= k.us + 3600000000)),
+        |n AS (SELECT user_id, count(*) AS n_instants FROM e GROUP BY 1),
+        |kk AS (SELECT user_id, count(*) AS n_kept FROM kept GROUP BY 1)
+        |SELECT n.user_id, CAST(n.n_instants AS BIGINT) AS n_instants,
+        | CAST(kk.n_kept AS BIGINT) AS n_kept,
+        | CAST(kk.n_kept * 1000000 // n.n_instants AS BIGINT) AS kept_ppm
+        |FROM n JOIN kk USING (user_id)""".stripMargin,
     // q108: same anchor cross join, same least-clamped shift — every
     // term a power of two, the sum a plain BIGINT
     "q108_recency" ->

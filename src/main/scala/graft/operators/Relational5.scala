@@ -693,6 +693,43 @@ object Relational5 {
       .select(col("rank"), col("trigram"), col("n"))
   }
 
+  /** q110: debounce — per user, keep an event instant only if ≥ `gapSec`
+    * has passed since the last KEPT instant: the rate-limiting semantics
+    * (double-click suppression, notification throttling, at-most-one-per-
+    * hour alert rules). This is the classic NOT-window-expressible
+    * operator: whether an instant survives depends on which PREVIOUS
+    * instants survived (a greedy chain), which no frame over the raw
+    * sequence can see — q24/q101's island sessionization measures gaps
+    * from the previous RAW event, q110 from the previous KEPT one.
+    *
+    * Engine shape: per-user distinct instants fold through ONE codegen'd
+    * `aggregate` HOF over the sorted array (the q64 ordered-agg
+    * discipline) — state is (last_kept, n_kept), so the chain runs
+    * scan-local after one user-keyed exchange; no recursion, no
+    * per-iteration jobs. The oracle replays the same greedy chain as a
+    * DuckDB recursive CTE stepping every user's frontier one kept
+    * instant per iteration (aggregates over the base — not the
+    * recursive — relation, so the standard restriction doesn't bite).
+    * Array size is bounded by per-user activity; ties collapse via the
+    * DISTINCT instant grid so the fold is total-ordered. */
+  def q110Debounce(t: Tables, gapSec: Long = 3600L): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    t.events
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_instants"),
+        sort_array(collect_list(col("us"))).as("a"))
+      .select(col("user_id"), col("n_instants"),
+        expr(
+          s"""aggregate(a,
+             |  named_struct('last', CAST(-4611686018427387904 AS BIGINT),
+             |               'n', CAST(0 AS BIGINT)),
+             |  (acc, x) -> IF(x >= acc.last + ${gapUs}L,
+             |                 named_struct('last', x, 'n', acc.n + 1L), acc),
+             |  acc -> acc.n)""".stripMargin).as("n_kept"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_instants"))
+  }
+
   /** The per-day sweep over a (day, t, net, starts) delta frame. */
   def concurrencyReport(deltas: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("day")).orderBy(col("t"))

@@ -1199,6 +1199,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.map(_._1).sorted === (1 to got.size), "gapless rank sequence")
   }
 
+  test("q110: debounce replays the JVM greedy chain; gap monotonicity holds") {
+    def run(gap: Long) =
+      graft.operators.Relational5.q110Debounce(tables, gap).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = run(3600L)
+    val byUser = tables.events
+      .select(col("user_id"), unix_micros(col("ts"))).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(got.keySet === byUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val us = rows.map(_._2).sorted
+      val kept = us.foldLeft((Long.MinValue / 2, 0L)) { case ((last, n), x) =>
+        if (x >= last + 3600000000L) (x, n + 1) else (last, n)
+      }._2
+      val (ni, nk, ppm) = got(u)
+      assert(ni === us.length.toLong, s"user $u instants")
+      assert(nk === kept, s"user $u greedy chain")
+      assert(nk >= 1L && nk <= ni, s"user $u bounds")
+      assert(ppm === nk * 1000000L / ni, s"user $u ppm identity")
+    }
+    val wider = run(24 * 3600L)
+    got.keySet.foreach { u =>
+      assert(wider(u)._2 <= got(u)._2, s"user $u: wider gap keeps fewer")
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
