@@ -833,6 +833,9 @@ object SparkEntry {
     // q110: debounce — greedy keep-chain folded scan-local by one
     // aggregate() HOF; oracle replays it as a recursive frontier walk
     "q110_debounce"       -> ((s, d) => Relational5.q110Debounce(t(s, d))),
+    // q111: header-vs-detail revenue reconciliation — integer-cents
+    // charge arithmetic, full-outer orphan surfacing, status rollup
+    "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
     // q108: half-life recency — dyadic-shift decay so the score is a
     // plain integer sum; plan-borne anchor day
     "q108_recency"        -> ((s, d) => Relational5.q108Recency(t(s, d))),
@@ -4023,6 +4026,30 @@ object SparkEntry {
         | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         | CAST(dice_ppm AS BIGINT) AS dice_ppm
         |FROM r WHERE rank <= 30""".stripMargin,
+    // q111: same once-per-column integerization, same integer charge
+    // formula, same full-outer orphan handling
+    "q111_reconciliation" ->
+      """WITH l AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |    * (100 + CAST(round(l_tax * 100) AS BIGINT)) // 10000) AS BIGINT)
+        |   AS billed_cents
+        | FROM lineitem GROUP BY 1),
+        |h AS (SELECT o_orderkey, coalesce(o_orderstatus, '(none)') AS status,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS header_cents FROM orders),
+        |j AS (SELECT coalesce(status, '(no_header)') AS status,
+        |  header_cents, billed_cents,
+        |  coalesce(header_cents, 0) - coalesce(billed_cents, 0) AS delta
+        | FROM h FULL OUTER JOIN l ON o_orderkey = l_orderkey)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CASE WHEN billed_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_no_lines,
+        | CAST(sum(CASE WHEN header_cents IS NOT NULL AND billed_cents IS NOT NULL
+        |   AND delta = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        | CAST(sum(coalesce(billed_cents, 0)) AS BIGINT) AS billed_cents,
+        | CAST(sum(coalesce(header_cents, 0)) AS BIGINT) AS header_cents,
+        | CAST(sum(abs(delta)) AS BIGINT) AS abs_delta_cents
+        |FROM j GROUP BY 1""".stripMargin,
     // q110: the same greedy chain as a recursive frontier walk — each
     // iteration advances every user by one kept instant; the min()
     // subqueries aggregate the BASE relation only

@@ -730,6 +730,56 @@ object Relational5 {
       .withColumn("kept_ppm", expr("n_kept * 1000000 div n_instants"))
   }
 
+  /** q111: revenue reconciliation — the warehouse's header-vs-detail
+    * consistency audit: recompute each order's billed total from its
+    * line items (extended price less discount plus tax) and roll the
+    * deltas against the order header's total up per order status,
+    * counting exact matches, mismatches and headerless/line-less
+    * orphans. The close-of-books query every finance pipeline runs; on
+    * this synthetic data every header mismatches (totals are generated
+    * independently) — which is exactly what the audit should report.
+    *
+    * Exactness: money is integerized ONCE per column (cents for prices,
+    * integer percent for discount/tax — the q77 cents rule), the
+    * per-line charge is ext·(100−d)·(100+t)/10000 in pure integer
+    * arithmetic, so both engines agree bit-for-bit with zero float
+    * aggregation. Scale shape: line items partial-aggregate to per-order
+    * totals before ONE order-keyed join (full outer, so orphan sides
+    * surface); the status rollup is a second tiny exchange. Cent sums
+    * fit BIGINT to ~10¹⁷ cents/status; beyond that the integerization
+    * would move to DECIMAL(38), same plan. */
+  def q111Reconciliation(t: Tables): DataFrame =
+    reconcile(t.orders, t.lineitem)
+
+  /** q111 core over any (orders, lineitem)-shaped pair. */
+  def reconcile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lines = lineitem
+      .select(col("l_orderkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")) *
+          (lit(100L) + expr("CAST(round(l_tax * 100) AS BIGINT)")))
+          .as("raw"))
+      .groupBy(col("l_orderkey"))
+      .agg(expr("sum(raw div 10000)").as("billed_cents"))
+    val heads = orders.select(col("o_orderkey"),
+      coalesce(col("o_orderstatus"), lit("(none)")).as("status"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("header_cents"))
+    heads.join(lines, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(
+        coalesce(col("status"), lit("(no_header)")).as("status"),
+        col("header_cents"), col("billed_cents"),
+        (coalesce(col("header_cents"), lit(0L)) -
+          coalesce(col("billed_cents"), lit(0L))).as("delta"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("billed_cents").isNull, 1L).otherwise(0L)).as("n_no_lines"),
+        sum(when(col("header_cents").isNotNull && col("billed_cents").isNotNull &&
+          col("delta") === 0L, 1L).otherwise(0L)).as("n_exact"),
+        sum(coalesce(col("billed_cents"), lit(0L))).as("billed_cents"),
+        sum(coalesce(col("header_cents"), lit(0L))).as("header_cents"),
+        sum(abs(col("delta"))).as("abs_delta_cents"))
+  }
+
   /** The per-day sweep over a (day, t, net, starts) delta frame. */
   def concurrencyReport(deltas: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("day")).orderBy(col("t"))

@@ -1225,6 +1225,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q111: reconciliation counts matches, mismatches and both orphan kinds") {
+    import SparkTestSession.spark.implicits._
+    val orders = Seq(
+      (1L, "F", 99.0),      // reconciles exactly: 100.00·0.99·1.00 = 99.00
+      (2L, "F", 50.00),     // header off by 1 cent from billed 50.01
+      (3L, "O", 10.00)      // no lines
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val lines = Seq(
+      (1L, 100.00, 0.01, 0.00),
+      (2L, 49.02, 0.00, 0.02),  // 4902·100·102/10000 = 5000.04 → 5000 cents
+      (2L, 0.01, 0.00, 0.00),   // +1 cent → billed 5001
+      (4L, 20.00, 0.00, 0.00)   // headerless order
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val got = graft.operators.Relational5.reconcile(orders, lines).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("F") === ((2L, 0L, 1L, 9900L + 5001L, 9900L + 5000L, 1L)),
+      "order 1 exact, order 2 one cent short")
+    assert(got("O") === ((1L, 1L, 0L, 0L, 1000L, 1000L)), "line-less order")
+    assert(got("(no_header)") === ((1L, 0L, 0L, 2000L, 0L, 2000L)),
+      "headerless lines surface")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
