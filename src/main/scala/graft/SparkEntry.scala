@@ -836,6 +836,9 @@ object SparkEntry {
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
+    // q112: A/B z-test — portable-hash arms, integer conversion counts,
+    // one bit-parity IEEE z projection
+    "q112_ab_ztest"       -> ((s, d) => Relational5.q112AbTest(t(s, d))),
     // q108: half-life recency — dyadic-shift decay so the score is a
     // plain integer sum; plan-borne anchor day
     "q108_recency"        -> ((s, d) => Relational5.q108Recency(t(s, d))),
@@ -4026,6 +4029,36 @@ object SparkEntry {
         | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         | CAST(dice_ppm AS BIGINT) AS dice_ppm
         |FROM r WHERE rank <= 30""".stripMargin,
+    // q112: same md5-fold arm hash, same integer counts, the identical
+    // z expression text — bit-parity IEEE end-to-end
+    "q112_ab_ztest" ->
+      """WITH u AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |  max(event_type = 'purchase') AS converted
+        | FROM events GROUP BY 1, 2),
+        |h AS (SELECT
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1)
+        |      << ((15 - i) * 4))) AS BIGINT) % 2 = 0 AS in_a,
+        |  converted
+        | FROM (SELECT md5('ab:' || CAST(user_id AS VARCHAR)) AS m, converted
+        |       FROM u)),
+        |c AS (SELECT
+        |  CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN in_a AND converted THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+        |  CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN NOT in_a AND converted THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+        | FROM h)
+        |SELECT n_a, x_a, n_b, x_b,
+        | CASE WHEN n_a > 0 THEN CAST(x_a * 1000000 // n_a AS BIGINT) END AS rate_a_ppm,
+        | CASE WHEN n_b > 0 THEN CAST(x_b * 1000000 // n_b AS BIGINT) END AS rate_b_ppm,
+        | CASE WHEN n_a > 0 AND n_b > 0
+        |   AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+        |   (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |   / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |     * (CAST(1 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |     * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+        | END AS z
+        |FROM c""".stripMargin,
     // q111: same once-per-column integerization, same integer charge
     // formula, same full-outer orphan handling
     "q111_reconciliation" ->

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.dedup.Dedup
 
 /** Fifth relational batch: activity streaks (gaps-and-islands), decile
   * reports, weighted medians, Pareto frontiers, ordered-path pattern
@@ -778,6 +779,53 @@ object Relational5 {
         sum(coalesce(col("billed_cents"), lit(0L))).as("billed_cents"),
         sum(coalesce(col("header_cents"), lit(0L))).as("header_cents"),
         sum(abs(col("delta"))).as("abs_delta_cents"))
+  }
+
+  /** q112: A/B-test read-out — the experimentation primitive: users are
+    * assigned to arms by the salted portable hash (p03's rule — an
+    * auditable, engine-reproducible assignment, where rand() is none of
+    * those), the unit of analysis is the ACTIVE DAY (a (user, day) with
+    * any event; it converts if it saw a purchase — user-level "ever
+    * purchased" saturates to 100 % on any long-window corpus, a
+    * degenerate metric whose pooled variance is zero), and the read-out
+    * is the two-proportion pooled z statistic. The z is an unrounded
+    * IEEE projection of four exact integers (the t11/q28 bit-parity
+    * class: identical expression text in both engines, only correctly-
+    * rounded IEEE ops — no aggregated-float drift because the
+    * aggregation happened in integer space); degenerate pooled rates
+    * (0 or 1 — zero variance) surface as NULL by the same CASE in both
+    * engines rather than an ANSI 0/0 error.
+    *
+    * Scale shape: events partial-aggregate to (user, day, converted) in
+    * one exchange — arm is a scan projection off the hash, never a
+    * lookup join — then four conditional counts collapse to ONE row. */
+  def q112AbTest(t: Tables): DataFrame = abTest(t.events)
+
+  /** q112 core over any (user_id, ts, event_type) frame. */
+  def abTest(events: DataFrame): DataFrame = {
+    val units = events
+      .select(col("user_id"), col("ts").cast("date").as("day"),
+        (col("event_type") === "purchase").as("conv"))
+      .groupBy(col("user_id"), col("day")).agg(max(col("conv")).as("converted"))
+      .select(
+        (pmod(Dedup.md5Hash60(concat(lit("ab:"), col("user_id").cast("string"))),
+          lit(2L)) === 0L).as("in_a"),
+        col("converted"))
+    units.agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("in_a") && col("converted"), 1L).otherwise(0L)).as("x_a"),
+      sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("in_a") && col("converted"), 1L).otherwise(0L)).as("x_b"))
+      .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        expr("CASE WHEN n_a > 0 THEN x_a * 1000000 div n_a END").as("rate_a_ppm"),
+        expr("CASE WHEN n_b > 0 THEN x_b * 1000000 div n_b END").as("rate_b_ppm"),
+        expr("""CASE WHEN n_a > 0 AND n_b > 0
+                  AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+                  (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                  / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+                END""").as("z"))
   }
 
   /** The per-day sweep over a (day, t, net, starts) delta frame. */

@@ -1248,6 +1248,42 @@ class RelationalSpec extends AnyFunSuite {
       "headerless lines surface")
   }
 
+  test("q112: z replays the JVM formula bit-for-bit; degenerate pools are NULL") {
+    def md5Hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val r = graft.operators.Relational5.q112AbTest(tables).collect().head
+    val (na, xa, nb, xb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val units = tables.events
+      .select(col("user_id"), col("ts").cast("date"),
+        (col("event_type") === "purchase").cast("long")).collect()
+      .map(row => ((row.getLong(0), row.getDate(1).toLocalDate), row.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).max == 1L).toMap
+    val (ena, exa, enb, exb) = units.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, va, b, vb), ((u, _), conv)) =>
+        if (md5Hash60(s"ab:$u") % 2 == 0)
+          (a + 1, va + (if (conv) 1 else 0), b, vb)
+        else (a, va, b + 1, vb + (if (conv) 1 else 0))
+    }
+    assert((na, xa, nb, xb) === ((ena, exa, enb, exb)), "unit counts")
+    assert(r.getLong(4) === xa * 1000000L / na, "rate_a ppm")
+    assert(r.getLong(5) === xb * 1000000L / nb, "rate_b ppm")
+    val p = (xa + xb).toDouble / (na + nb)
+    val zExp = (xa.toDouble / na - xb.toDouble / nb) /
+      math.sqrt(p * (1.0d - p) * (1.0d / na + 1.0d / nb))
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(6)) ===
+      java.lang.Double.doubleToLongBits(zExp), "bit-identical IEEE z")
+    import SparkTestSession.spark.implicits._
+    val saturated = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "purchase"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val deg = graft.operators.Relational5.abTest(saturated).collect().head
+    assert(deg.isNullAt(6), "pooled rate 1 has zero variance -> NULL, not an error")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
