@@ -433,6 +433,9 @@ object SparkEntry {
     // s09: MIPS — top-k by raw dot product (norm carries signal); exact,
     // round(dot, 8) + id tiebreak both engines
     "s09_mips"            -> ((s, d) => Knn.mips(t(s, d).embeddings)),
+    // s28: reciprocal-rank fusion of the cosine and MIPS rankings —
+    // exact integer-ppm RRF, full-outer candidate union, id tiebreak
+    "s28_rrf_fusion"      -> ((s, d) => Knn.rrfFusion(t(s, d).embeddings)),
     // s10: metadata-filtered search — PRE-filter semantics (corpus
     // restricted before ranking, k qualifying neighbors guaranteed);
     // exact, the s01 discipline; filteredIvf recall-spec'd in KnnSpec
@@ -2577,6 +2580,32 @@ object SparkEntry {
         | CAST(k.kept_chars AS DOUBLE) / CAST(t.t_chars AS DOUBLE) AS char_share
         |FROM kept k JOIN tot t USING (lang)""".stripMargin,
     // s09: s01's oracle with list_inner_product and the same tiebreak
+    // s28: both rankings replayed off ONE scored frame, same full-outer
+    // candidate union, same ⌊10⁶/(60+r)⌋ integer fusion
+    "s28_rrf_fusion" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |  round(list_cosine_similarity(qv, v), 8) AS cos,
+        |  round(list_inner_product(qv, v), 8) AS dot
+        | FROM q JOIN e ON e.vec_id <> q.query_id),
+        |cr AS (SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r FROM sc),
+        |dr AS (SELECT query_id, neighbor_id, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS r FROM sc),
+        |c5 AS (SELECT query_id, neighbor_id, CAST(r AS INT) AS cos_rank
+        |       FROM cr WHERE r <= 5),
+        |d5 AS (SELECT query_id, neighbor_id, CAST(r AS INT) AS dot_rank
+        |       FROM dr WHERE r <= 5),
+        |f AS (SELECT query_id, neighbor_id, cos_rank, dot_rank,
+        |  coalesce(1000000 // (60 + cos_rank), 0)
+        |    + coalesce(1000000 // (60 + dot_rank), 0) AS rrf_ppm
+        | FROM c5 FULL OUTER JOIN d5 USING (query_id, neighbor_id)),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY rrf_ppm DESC, neighbor_id) AS rank FROM f)
+        |SELECT query_id, CAST(rank AS INT) AS "rank", neighbor_id,
+        | CAST(rrf_ppm AS BIGINT) AS rrf_ppm, cos_rank, dot_rank
+        |FROM r WHERE rank <= 5""".stripMargin,
     "s09_mips" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -3,6 +3,7 @@ package graft.similarity
 import graft.functions.VectorFns
 import graft.ml.MlOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -194,6 +195,39 @@ object Knn {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(VectorFns.dot(col("qv"), col("v")), 8).as("cos"))
     topKPerKey(scored, k).withColumnRenamed("cos", "dot")
+  }
+
+  /** s28: reciprocal-rank fusion — the standard hybrid-retrieval
+    * combiner (Cormack et al. 2009): fuse the cosine ranking (s01, angle
+    * only) and the MIPS ranking (s09, norm-weighted) per query by
+    * RRF(d) = Σ 1/(60 + rank_i(d)), so a document ranked well by EITHER
+    * view surfaces without any score normalization across incomparable
+    * scales — the reason RRF beats score averaging in practice and the
+    * shape ensemble retrieval (dense + sparse, multi-model) reduces to.
+    * Scaled to exact integer ppm (⌊10⁶/(60+r)⌋ per list) so the fused
+    * ranking is engine-reproducible; ties break by neighbor id.
+    *
+    * Scale shape: both input rankings are bounded-heap top-k frames
+    * (exchange ∝ |Q|·k each); the fusion is ONE (query, neighbor)-keyed
+    * full-outer join of two |Q|·k frames and a window over ≤ 2k
+    * candidates per query — the corpus is never touched again. */
+  def rrfFusion(emb: DataFrame, queryPred: String = "vec_id < 10",
+                k: Int = 5, kRrf: Int = 60): DataFrame = {
+    val cosR = bruteForce(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("cos_rank"))
+    val dotR = mips(emb, queryPred, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("dot_rank"))
+    val fused = cosR.join(dotR, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"), col("cos_rank"), col("dot_rank"),
+        (coalesce(expr(s"1000000 div ($kRrf + cos_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kRrf + dot_rank)"), lit(0L))).as("rrf_ppm"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_ppm").desc, col("neighbor_id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("rrf_ppm"),
+        col("cos_rank"), col("dot_rank"))
   }
 
   /** s17: exact k-NN label propagation — classify each query vector by

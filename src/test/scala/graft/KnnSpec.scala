@@ -382,4 +382,31 @@ class KnnSpec extends AnyFunSuite {
       assert(share === votes.toDouble / 5.0)
     }
   }
+
+  test("s28: RRF replays the JVM fusion of the two exact rankings") {
+    val emb = tables.embeddings
+    def ranks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val cosR = ranks(Knn.bruteForce(emb, "vec_id < 5", k = 5).collect())
+    val dotR = ranks(Knn.mips(emb, "vec_id < 5", k = 5).collect())
+    val fusedExp = (cosR.keySet ++ dotR.keySet).toSeq.map { key =>
+      val rrf = cosR.get(key).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        dotR.get(key).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      (key._1, key._2, rrf)
+    }.groupBy(_._1).flatMap { case (q, cands) =>
+      cands.sortBy(c => (-c._3, c._2)).take(5).zipWithIndex
+        .map { case ((_, n, rrf), i) => (q, i + 1, n, rrf) }
+    }.toSet
+    val got = Knn.rrfFusion(emb, "vec_id < 5", k = 5).collect()
+    val gotSet = got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotSet === fusedExp, "fused ranking replays the JVM RRF")
+    got.foreach { r =>
+      val (cos, dot) = (if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5)))
+      assert(cos.nonEmpty || dot.nonEmpty, "every candidate came from a list")
+      val expRrf = cos.map(x => 1000000L / (60 + x)).getOrElse(0L) +
+        dot.map(x => 1000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(3) === expRrf, "ppm identity per row")
+    }
+  }
 }
