@@ -836,6 +836,10 @@ object SparkEntry {
     // q110: debounce — greedy keep-chain folded scan-local by one
     // aggregate() HOF; oracle replays it as a recursive frontier walk
     "q110_debounce"       -> ((s, d) => Relational5.q110Debounce(t(s, d))),
+    // q113: U-shaped 40/20/40 attribution — q91's group machinery plus
+    // two same-partitioning row_numbers; truncating middle share
+    "q113_position_attribution" -> ((s, d) =>
+      Relational5.q113PositionAttribution(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3518,6 +3522,32 @@ object SparkEntry {
         |FROM sp GROUP BY 1, 2, 3""".stripMargin,
     // q91: same running-purchase-count grouping; credit in exact integer
     // micro-units (1e6 // n per touch), so sums cannot drift
+    // q113: q91's group machinery + two row_numbers over the same
+    // partitioning; the middle share truncates identically (200000 // n)
+    "q113_position_attribution" ->
+      """WITH g AS (SELECT user_id, event_id, event_type, ts,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS conv_id
+        | FROM events),
+        |conv AS (SELECT DISTINCT user_id, conv_id FROM g WHERE event_type = 'purchase'),
+        |tch AS (SELECT g.user_id, g.conv_id, g.event_type, g.ts, g.event_id
+        | FROM g JOIN conv USING (user_id, conv_id) WHERE g.event_type <> 'purchase'),
+        |pz AS (SELECT event_type,
+        |  row_number() OVER (PARTITION BY user_id, conv_id
+        |    ORDER BY ts, event_id) AS pos,
+        |  row_number() OVER (PARTITION BY user_id, conv_id
+        |    ORDER BY ts DESC, event_id DESC) AS rpos,
+        |  count(*) OVER (PARTITION BY user_id, conv_id) AS n_group
+        | FROM tch)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        | CAST(sum(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        | CAST(sum(CASE WHEN rpos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        | CAST(sum(CASE WHEN n_group = 1 THEN 1000000
+        |   WHEN n_group = 2 THEN 500000
+        |   WHEN pos = 1 OR rpos = 1 THEN 400000
+        |   ELSE 200000 // (n_group - 2) END) AS BIGINT) AS credit_micro
+        |FROM pz GROUP BY event_type""".stripMargin,
     "q91_linear_attribution" ->
       """WITH g AS (SELECT user_id, event_id, event_type,
         |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

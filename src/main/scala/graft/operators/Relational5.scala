@@ -223,6 +223,49 @@ object Relational5 {
         sum(col("cnt") * expr("1000000 div n_group")).as("credit_micro"))
   }
 
+  /** q113: position-based (U-shaped) attribution — the third member of
+    * the attribution family: q89 credits the LAST touch, q91 spreads
+    * evenly, q113 applies the standard 40/20/40 rule (first touch 40 %,
+    * last touch 40 %, middles share 20 %) — the model marketing uses
+    * when discovery and closing both matter. Degenerate groups follow
+    * the convention: a single touch takes 100 %, a pair splits 50/50.
+    *
+    * Exactness: credit is integer ppm of a conversion — the middle share
+    * is 200000 div (n−2) with the remainder deliberately dropped (both
+    * engines truncate identically; conservation up to the declared
+    * integer remainder is spec-pinned). Scale shape: q91's conversion-
+    * group machinery (one user-keyed window pass), position flags from
+    * two more row_numbers over the SAME partitioning (no extra
+    * exchange), rollup by touch type. */
+  def q113PositionAttribution(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val grouped = t.events
+      .withColumn("conv_id",
+        coalesce(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w), lit(0L)))
+    val touches = grouped.where(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("conv_id"), col("event_type"),
+        col("ts"), col("event_id"))
+    val converted = grouped.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("conv_id")).distinct()
+    val g = Window.partitionBy(col("user_id"), col("conv_id"))
+    val credited = touches.join(converted, Seq("user_id", "conv_id"))
+      .withColumn("pos", row_number().over(g.orderBy(col("ts"), col("event_id"))))
+      .withColumn("rpos", row_number().over(g.orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_group", count(lit(1)).over(g))
+      .withColumn("credit", expr(
+        """CASE WHEN n_group = 1 THEN 1000000L
+          |     WHEN n_group = 2 THEN 500000L
+          |     WHEN pos = 1 OR rpos = 1 THEN 400000L
+          |     ELSE 200000 div (n_group - 2) END""".stripMargin))
+    credited.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("pos") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rpos") === 1, 1L).otherwise(0L)).as("n_last"),
+        sum(col("credit")).as("credit_micro"))
+  }
+
   /** q92: RFM segmentation — per customer the classic recency/frequency/
     * monetary quintile scores and the concatenated "RFM" segment label,
     * the workhorse customer-base cut. Recency anchors on the corpus max

@@ -1284,6 +1284,47 @@ class RelationalSpec extends AnyFunSuite {
     assert(deg.isNullAt(6), "pooled rate 1 has zero variance -> NULL, not an error")
   }
 
+  test("q113: U-shaped credits replay the JVM rule; conservation up to truncation") {
+    val got = graft.operators.Relational5.q113PositionAttribution(tables).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val ev = tables.events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val groups = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val convId = sorted.scanLeft(0L)((acc, r) =>
+        acc + (if (r._4 == "purchase") 1 else 0)).init
+      val byConv = sorted.zip(convId).groupBy(_._2)
+      val convertedIds = sorted.zip(convId)
+        .filter(_._1._4 == "purchase").map(_._2).toSet
+      byConv.filter { case (cid, g) =>
+        convertedIds.contains(cid) && g.exists(_._1._4 != "purchase")
+      }.values.map(_.map(_._1).filter(_._4 != "purchase"))
+    }.toSeq
+    var exp = Map.empty[String, (Long, Long, Long, Long)].withDefaultValue((0L, 0L, 0L, 0L))
+    var truncated = 0L
+    groups.foreach { g =>
+      val n = g.size
+      g.zipWithIndex.foreach { case (r, i) =>
+        val credit =
+          if (n == 1) 1000000L
+          else if (n == 2) 500000L
+          else if (i == 0 || i == n - 1) 400000L
+          else 200000L / (n - 2)
+        val (t0, f0, l0, c0) = exp(r._4)
+        exp += r._4 -> ((t0 + 1, f0 + (if (i == 0) 1L else 0L),
+          l0 + (if (i == n - 1) 1L else 0L), c0 + credit))
+      }
+      if (n > 2) truncated += 200000L - (n - 2).toLong * (200000L / (n - 2))
+    }
+    assert(got === exp, "per-type counters replay the JVM 40/20/40 rule")
+    val totalCredit = got.values.map(_._4).sum
+    assert(totalCredit + truncated === groups.size.toLong * 1000000L,
+      "credit conserves up to the declared integer truncation")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
