@@ -840,6 +840,9 @@ object SparkEntry {
     // two same-partitioning row_numbers; truncating middle share
     "q113_position_attribution" -> ((s, d) =>
       Relational5.q113PositionAttribution(t(s, d))),
+    // q114: floor-at-zero stock ledger via the prefix-min closed form —
+    // three windows over one part sort; integer units end-to-end
+    "q114_clamped_balance" -> ((s, d) => Relational5.q114ClampedBalance(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3522,6 +3525,30 @@ object SparkEntry {
         |FROM sp GROUP BY 1, 2, 3""".stripMargin,
     // q91: same running-purchase-count grouping; credit in exact integer
     // micro-units (1e6 // n per touch), so sums cannot drift
+    // q114: the same prefix-min identity over the same (part, day)
+    // deltas — final = max_by(day), floors via running mins
+    "q114_clamped_balance" ->
+      """WITH d AS (SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+        |      ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS delta
+        | FROM lineitem GROUP BY 1, 2),
+        |pp AS (SELECT l_partkey, day,
+        |  sum(delta) OVER (PARTITION BY l_partkey ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        | FROM d),
+        |r AS (SELECT l_partkey, day, p,
+        |  least(min(p) OVER (PARTITION BY l_partkey ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS floor_all,
+        |  least(coalesce(min(p) OVER (PARTITION BY l_partkey ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0) AS floor_prev
+        | FROM pp)
+        |SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(CASE WHEN p < floor_prev THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_stockouts,
+        | CAST(max(p - floor_all) AS BIGINT) AS peak_units,
+        | CAST(max_by(p, day) - min(floor_all) AS BIGINT) AS final_units,
+        | CAST(-min(floor_all) AS BIGINT) AS shortfall_units
+        |FROM r GROUP BY 1""".stripMargin,
     // q113: q91's group machinery + two row_numbers over the same
     // partitioning; the middle share truncates identically (200000 // n)
     "q113_position_attribution" ->

@@ -266,6 +266,48 @@ object Relational5 {
         sum(col("credit")).as("credit_micro"))
   }
 
+  /** q114: clamped inventory balance — per part, replay daily net
+    * movements (returns restock, shipments draw down) through a
+    * floor-at-zero balance: the stock-ledger semantics where demand
+    * against an empty shelf is LOST (a shortfall), not borrowed. The
+    * naive form is sequential (each day's balance depends on the clamped
+    * previous one — the q110 iterative class), but the zero-floor clamp
+    * has a closed form: with P_t the plain prefix sum,
+    * bal_t = P_t − min(0, min_{j≤t} P_j), total shortfall =
+    * −min(0, min_j P_j), and a stockout happens exactly where P_t drops
+    * below the pre-t running floor. That identity turns the whole
+    * operator into three window passes over ONE part-keyed sort — the
+    * reason this ships as a window plan while q110 (whose keep-rule
+    * is not prefix-decomposable) needs the fold.
+    *
+    * Exactness: quantities are integral doubles integerized once; every
+    * derived value is long arithmetic. Sequential-replay equality is
+    * spec-pinned against the naive JVM fold. Scale shape: movements
+    * partial-aggregate to (part, day) before the one exchange; windows
+    * share the single sort; output ∝ parts. */
+  def q114ClampedBalance(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .select(col("l_partkey"), col("l_shipdate").cast("date").as("day"),
+        (when(col("l_returnflag") === "R", expr("CAST(l_quantity AS BIGINT)"))
+          .otherwise(-expr("CAST(l_quantity AS BIGINT)"))).as("delta"))
+      .groupBy(col("l_partkey"), col("day")).agg(sum(col("delta")).as("delta"))
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("day"))
+    val run = daily
+      .withColumn("p", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("floor_all", least(
+        min(col("p")).over(w.rowsBetween(Window.unboundedPreceding, 0)), lit(0L)))
+      .withColumn("floor_prev", least(coalesce(
+        min(col("p")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)), lit(0L)))
+    run.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("p") < col("floor_prev"), 1L).otherwise(0L)).as("n_stockouts"),
+        max(col("p") - col("floor_all")).as("peak_units"),
+        (max_by(col("p"), col("day")) - min(col("floor_all"))).as("final_units"),
+        (-min(col("floor_all"))).as("shortfall_units"))
+  }
+
   /** q92: RFM segmentation — per customer the classic recency/frequency/
     * monetary quintile scores and the concatenated "RFM" segment label,
     * the workhorse customer-base cut. Recency anchors on the corpus max

@@ -1325,6 +1325,34 @@ class RelationalSpec extends AnyFunSuite {
       "credit conserves up to the declared integer truncation")
   }
 
+  test("q114: the prefix-min closed form equals the naive sequential clamp") {
+    val got = graft.operators.Relational5.q114ClampedBalance(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val daily = tables.lineitem
+      .select(col("l_partkey"), col("l_shipdate").cast("date"),
+        when(col("l_returnflag") === "R", expr("CAST(l_quantity AS BIGINT)"))
+          .otherwise(-expr("CAST(l_quantity AS BIGINT)"))).collect()
+      .map(r => ((r.getLong(0), r.getDate(1).toLocalDate), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      .map { case ((part, day), delta) => (part, day, delta) }
+      .groupBy(_._1)
+    assert(got.keySet === daily.keySet)
+    daily.foreach { case (part, rows) =>
+      var bal = 0L; var stockouts = 0L; var shortfall = 0L
+      var peak = 0L; var n = 0L
+      rows.sortBy(_._2.toEpochDay).foreach { case (_, _, delta) =>
+        n += 1
+        val next = bal + delta
+        if (next < 0) { stockouts += 1; shortfall += -next; bal = 0L }
+        else bal = next
+        if (bal > peak) peak = bal
+      }
+      assert(got(part) === ((n, stockouts, peak, bal, shortfall)),
+        s"part $part: closed form must equal the sequential replay")
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
