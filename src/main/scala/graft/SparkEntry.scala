@@ -864,6 +864,9 @@ object SparkEntry {
     // t34: Dice-scored adjacent-bigram collocations — map-side bigram
     // generation, broadcast unigram joins, exact-ppm deterministic rank
     "t34_collocations"    -> ((s, d) => TextQueries.collocations(t(s, d).documents)),
+    // t35: cross-source LM transfer matrix — smoothing algebra keeps the
+    // scoring inner-join-shaped over the vocab-bounded count table
+    "t35_lm_transfer"     -> ((s, d) => TextQueries.lmTransfer(t(s, d).documents)),
     // s27: sample-diversity audit — k-center vs md5-uniform pairwise
     // distance stats; both selections deterministic, k²-bounded work
     "s27_sample_diversity" -> ((s, d) => graft.similarity.Report.sampleDiversity(t(s, d).embeddings)),
@@ -4096,6 +4099,24 @@ object SparkEntry {
         | CAST(pk.peak AS BIGINT) AS peak_concurrency,
         | strftime(make_timestamp(pa.pt), '%Y-%m-%d %H:%M:%S') AS peak_at
         |FROM pk JOIN pa USING (day) LEFT JOIN st USING (day)""".stripMargin,
+    // t35: same smoothing algebra — common-token ln sum + N_t·ln(N_s+V),
+    // one rounded division over exact integer counts
+    "t35_lm_transfer" ->
+      """WITH tk AS (SELECT source, unnest(string_split(lower(text), ' ')) AS token
+        | FROM documents),
+        |ct AS (SELECT source, token, count(*) AS c FROM tk GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS n FROM ct GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM ct),
+        |cm AS (SELECT m.source AS model_source, d.source AS data_source,
+        |  sum(d.c * ln(m.c + 1)) AS common_ll
+        | FROM ct d JOIN ct m ON d.token = m.token GROUP BY 1, 2)
+        |SELECT ms.source AS model_source, ds.source AS data_source,
+        | CAST(ds.n AS BIGINT) AS n_tokens,
+        | round((ds.n * ln(ms.n + v.v) - coalesce(cm.common_ll, 0.0)) / ds.n, 6)
+        |   + 0.0 AS avg_nll
+        |FROM tot ms CROSS JOIN tot ds CROSS JOIN v
+        |LEFT JOIN cm ON cm.model_source = ms.source
+        |  AND cm.data_source = ds.source""".stripMargin,
     // t34: same split, same adjacent pairs off the token list, same
     // (dice DESC, a, b) deterministic rank — counts exact end-to-end
     "t34_collocations" ->

@@ -1134,6 +1134,47 @@ object TextQueries {
         expr("abs(n_pos * 1000000 div n - (bucket * 100000 + 50000))")
           .as("mid_gap_ppm"))
 
+  /** t35: cross-source LM transfer matrix — fit an add-one-smoothed
+    * unigram LM per source and score every source's token stream under
+    * every source's LM: avg_nll(model → data), the asymmetric
+    * domain-transfer distance. t13 asks "do sources share words", t15
+    * "at the same rates, symmetrically"; t35 answers the mixing
+    * question directly — "how surprised is a model of s by data from t"
+    * — the cheap proxy for the cross-domain perplexity grids data-mixture
+    * papers tabulate (diagonal lowest; an off-diagonal near the diagonal
+    * marks a merge candidate, p08/p36's input).
+    *
+    * The smoothing algebra keeps it inner-join-shaped (the t15 trick):
+    * with p_s(w) = (c_s(w)+1)/(N_s+V), unseen-token terms are
+    * ln(N_s+V) exactly, so avg_nll = ln-term of the COMMON tokens only
+    * plus N_t·ln(N_s+V), and the join runs over the vocab-bounded count
+    * table, never token streams. One rounded division at the end (the
+    * t06 float rule). Scale shape: counts = one (source, token)
+    * partial-agg exchange; the token self-join and S×S grid are vocab-
+    * and S-bounded. */
+  def lmTransfer(docs: DataFrame): DataFrame = {
+    val ct = docs
+      .select(col("source"), explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val totals = ct.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val vocab = ct.select(col("token")).distinct().agg(count(lit(1)).as("v"))
+    val common = ct.select(col("source").as("data_source"), col("token"),
+        col("c").as("ct"))
+      .join(ct.select(col("source").as("model_source"), col("token"),
+        col("c").as("cs")), Seq("token"))
+      .groupBy(col("model_source"), col("data_source"))
+      .agg(sum(col("ct") * log(col("cs") + lit(1L))).as("common_ll"))
+    totals.select(col("source").as("model_source"), col("n").as("n_s"))
+      .crossJoin(totals.select(col("source").as("data_source"), col("n").as("n_t")))
+      .crossJoin(broadcast(vocab))
+      .join(common, Seq("model_source", "data_source"), "left")
+      .select(col("model_source"), col("data_source"),
+        col("n_t").as("n_tokens"),
+        (round((col("n_t") * log(col("n_s") + col("v"))
+          - coalesce(col("common_ll"), lit(0.0))) / col("n_t"), 6) + lit(0.0))
+          .as("avg_nll"))
+  }
+
   /** t34: collocation mining — the corpus's top adjacent-word pairs by
     * Dice score (2·n_ab / (n_a + n_b), the symmetric-overlap collocation
     * measure): which word pairs travel TOGETHER rather than merely both

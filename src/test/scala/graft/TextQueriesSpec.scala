@@ -667,6 +667,41 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got.map(_._1).sorted === (1 to got.size).toArray, "gapless ranks")
   }
 
+  test("t35: transfer matrix replays the JVM smoothing algebra; self-score is best") {
+    import SparkTestSession.spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b", "sA"), (2L, "a b b a", "sA"),
+      (3L, "c c d", "sB"), (4L, "d c c", "sB"),
+      (5L, "a b c d", "sC")
+    ).toDF("doc_id", "text", "source")
+    graft.operators.TextQueries.releaseTokens(SparkTestSession.spark)
+    val got = graft.operators.TextQueries.lmTransfer(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val counts = Map(
+      "sA" -> Map("a" -> 5L, "b" -> 3L),
+      "sB" -> Map("c" -> 4L, "d" -> 2L),
+      "sC" -> Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L))
+    val v = 4L
+    for (m <- counts.keys; d <- counts.keys) {
+      val nS = counts(m).values.sum
+      val nT = counts(d).values.sum
+      val nll = counts(d).map { case (w, cT) =>
+        cT * (math.log(nS + v) - math.log(counts(m).getOrElse(w, 0L) + 1.0))
+      }.sum / nT
+      val (gn, gnll) = got((m, d))
+      assert(gn === nT, s"$m->$d token count")
+      assert(math.abs(gnll - nll) < 2e-6, s"$m->$d avg_nll replay")
+    }
+    for (s <- counts.keys) {
+      val self = got((s, s))._2
+      counts.keys.filter(_ != s).foreach { m =>
+        assert(self <= got((m, s))._2,
+          s"data $s: own model scores no worse than $m's")
+      }
+    }
+  }
+
   test("q107: calibration buckets conserve counts and keep exact ppm identities") {
     val docs = SparkTestSession.tables.documents
     val rows = graft.operators.TextQueries.calibration(docs).collect()
