@@ -843,6 +843,9 @@ object SparkEntry {
     // q114: floor-at-zero stock ledger via the prefix-min closed form —
     // three windows over one part sort; integer units end-to-end
     "q114_clamped_balance" -> ((s, d) => Relational5.q114ClampedBalance(t(s, d))),
+    // q115: market-basket lift over island sessions — map-side pairs
+    // off sorted type sets; alphabet-bounded tail, exact-ppm lift
+    "q115_session_affinity" -> ((s, d) => Relational5.q115SessionAffinity(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3616,6 +3619,34 @@ object SparkEntry {
         |FROM sc""".stripMargin,
     // q93: same basket self-join, supports and plan-borne N; the top-50
     // page cut is total-ordered (co DESC, p1, p2)
+    // q115: the same island sessionization, distinct-type baskets as a
+    // plain self-join (the engine's map-side pairs are provably equal),
+    // the same single-division integer lift
+    "q115_session_affinity" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        | FROM events),
+        |m AS (SELECT user_id, event_type, us, event_id,
+        |  CASE WHEN us - lag(us) OVER w > 1800000000
+        |    OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, event_type,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM m),
+        |items AS (SELECT DISTINCT user_id, session_id, event_type FROM s),
+        |pairs AS (SELECT x.event_type AS a, y.event_type AS b, count(*) AS co
+        | FROM items x JOIN items y
+        |   ON x.user_id = y.user_id AND x.session_id = y.session_id
+        |  AND x.event_type < y.event_type
+        | GROUP BY 1, 2),
+        |sup AS (SELECT event_type AS t, count(*) AS s FROM items GROUP BY 1),
+        |n AS (SELECT count(*) AS n_sessions
+        |      FROM (SELECT DISTINCT user_id, session_id FROM items))
+        |SELECT a, b, CAST(co AS BIGINT) AS co,
+        | CAST(sa.s AS BIGINT) AS s1, CAST(sb.s AS BIGINT) AS s2,
+        | CAST(n.n_sessions AS BIGINT) AS n_sessions,
+        | CAST(co * n.n_sessions * 1000000 // (sa.s * sb.s) AS BIGINT) AS lift_ppm
+        |FROM pairs JOIN sup sa ON sa.t = a JOIN sup sb ON sb.t = b, n""".stripMargin,
     "q93_basket_affinity" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS co

@@ -308,6 +308,53 @@ object Relational5 {
         (-min(col("floor_all"))).as("shortfall_units"))
   }
 
+  /** q115: session-level event co-occurrence lift — which event TYPES
+    * travel together inside one 30-minute-gap session beyond what their
+    * marginals predict: q93's market-basket analysis with the session as
+    * the basket (q93: what parts sell together; q115: what behaviors
+    * cluster — does `error` co-occur with `purchase` more than chance,
+    * the diagnostic that separates "errors block checkout" from "errors
+    * are background noise"). Sessions come from q101's island machinery,
+    * baskets are the per-session distinct type sets, pairs generate
+    * MAP-SIDE from the sorted array (the q93 rule — never a self-join),
+    * and lift is exact integer ppm: co·N·10⁶ div (s1·s2), magnitudes
+    * safe because the alphabet bounds every count by N.
+    *
+    * Scale shape: one user-keyed window pass (sessionize), one
+    * session-keyed distinct-set aggregation, then everything is
+    * alphabet²-bounded. */
+  def q115SessionAffinity(t: Tables, timeoutMin: Int = 30): DataFrame = {
+    val gapUs = timeoutMin * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sessions = t.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val baskets = sessions.groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(ts, (x, i) -> " +
+          "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"))
+        .as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg(count(lit(1)).as("co"))
+    val support = baskets.select(explode(col("ts")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("s"))
+    val n = baskets.agg(count(lit(1)).as("n_sessions"))
+    pairs
+      .join(broadcast(support.select(col("a"), col("s").as("s1"))), Seq("a"))
+      .join(broadcast(support.select(col("a").as("b"), col("s").as("s2"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("co"), col("s1"), col("s2"),
+        col("n_sessions"),
+        expr("co * n_sessions * 1000000 div (s1 * s2)").as("lift_ppm"))
+  }
+
   /** q92: RFM segmentation — per customer the classic recency/frequency/
     * monetary quintile scores and the concatenated "RFM" segment label,
     * the workhorse customer-base cut. Recency anchors on the corpus max

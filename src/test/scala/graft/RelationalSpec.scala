@@ -1353,6 +1353,42 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q115: session baskets replay a JVM sessionize+pairs; lift identity holds") {
+    val got = graft.operators.Relational5.q115SessionAffinity(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val ev = tables.events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val baskets = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.Set.empty[String])
+      var prev = Long.MinValue
+      sorted.foreach { r =>
+        if (prev != Long.MinValue && r._2 - prev > 1800000000L)
+          sessions += scala.collection.mutable.Set.empty[String]
+        sessions.last += r._4; prev = r._2
+      }
+      sessions.map(_.toSet)
+    }.toSeq
+    val nSessions = baskets.size.toLong
+    val support = baskets.flatten.groupBy(identity).view.mapValues(_.size.toLong)
+    val expPairs = baskets.flatMap(b =>
+      b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet === expPairs.keySet, "pair universe")
+    expPairs.foreach { case (key @ (a, b), co) =>
+      val (gco, s1, s2, n, lift) = got(key)
+      assert(gco === co, s"$key co")
+      assert(s1 === support(a) && s2 === support(b), s"$key supports")
+      assert(n === nSessions, s"$key session count")
+      assert(lift === co * nSessions * 1000000L / (s1 * s2), s"$key lift identity")
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
