@@ -348,6 +348,56 @@ object EventStreams {
       }
   }
 
+  /** Streaming q108 — live recency scoring with EXACTLY bounded state:
+    * the dyadic decay floors at 1 beyond 20 days, so all days older than
+    * the horizon are SCORE-EQUIVALENT — per user they roll up to one row
+    * keeping (max day, total count), which preserves every q108 output
+    * (n_events by count sum, last_seen by max, score because each old
+    * event contributes exactly 1 regardless of its day). State is
+    * therefore ≤ 21 rows + 1 rollup row per user with NO approximation —
+    * the reason the shift decay was chosen over exp(−λt), which never
+    * stops distinguishing ages and forces either unbounded state or
+    * drift. Each micro-batch folds (user, day) counts by summation (the
+    * q105 monitor's algebra) and the callback receives the full q108
+    * report against the stream's current anchor day. Spec-pinned EQUAL
+    * to batch q108 over the union of every batch. */
+  def monitorRecencyStream(eventStream: DataFrame,
+                           onBatch: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    val state = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    eventStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val db = batch
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .groupBy(col("user_id"), col("day")).agg(count(lit(1)).as("cnt"))
+        val folded = Option(state.get) match {
+          case None => db
+          case Some(standing) => standing.unionByName(db)
+            .groupBy(col("user_id"), col("day")).agg(sum(col("cnt")).as("cnt"))
+        }
+        val anchor = folded.agg(max(col("day")).as("anchor"))
+        val tagged = folded.crossJoin(broadcast(anchor))
+        val recent = tagged.filter(datediff(col("anchor"), col("day")) <= 20)
+          .select(col("user_id"), col("day"), col("cnt"))
+        val rolled = tagged.filter(datediff(col("anchor"), col("day")) > 20)
+          .groupBy(col("user_id"))
+          .agg(max(col("day")).as("day"), sum(col("cnt")).as("cnt"))
+          .select(col("user_id"), col("day"), col("cnt"))
+        val merged = recent.unionByName(rolled).localCheckpoint(true)
+        state.set(merged)
+        val report = merged.crossJoin(broadcast(anchor))
+          .select(col("user_id"), col("cnt"), col("day"),
+            datediff(col("anchor"), col("day")).as("age_d"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("cnt")).as("n_events"),
+            date_format(max(col("day")), "yyyy-MM-dd").as("last_seen"),
+            sum(col("cnt") *
+              expr("shiftright(1048576L, cast(least(age_d, 20) as int))"))
+              .as("recency_score"))
+        onBatch(report, batchId)
+      }
+  }
+
   /** Streaming p24 — stratified-holdout maintenance as documents land.
     * The per-source min-k selection is MERGEABLE (the top-k of a union is
     * the top-k of the two sides' top-ks — the heap's own algebra, the

@@ -272,6 +272,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalRep.contains("2024-01-02"), "midnight tail day reported")
   }
 
+  test("streaming recency monitor rolls aged days losslessly, equals batch q108") {
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    var finalRep = Map.empty[Long, (Long, String, Long)]
+    val q = EventStreams.monitorRecencyStream(
+      mem.toDF().toDF("user_id", "ts"),
+      (df, _) => finalRep = df.collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap)
+      .start()
+    // batch 1: user 1 active long ago (three old days), user 2 recent
+    val b1 = Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")), (2L, ts("2024-01-25 09:00:00")))
+    // batch 2: anchor jumps to Feb 20 — user 1's days age past the horizon
+    val b2 = Seq((2L, ts("2024-02-20 12:00:00")), (2L, ts("2024-02-20 13:00:00")))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val union = (b1 ++ b2).toDF("user_id", "ts")
+    val expected = graft.operators.Relational5.recencyScore(union).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(finalRep === expected,
+      "rolled state must reproduce batch q108 over the streamed union")
+    assert(finalRep(1L) === ((3L, "2024-01-03", 3L)),
+      "aged-out user: floor score 1 per event, true last_seen preserved")
+  }
+
   test("streaming dedup drops within-horizon re-deliveries and evicts state after") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[Event]
