@@ -803,6 +803,10 @@ object SparkEntry {
     // pair sets of the shingle and edit closures; exact ppm
     "d35_method_stability" -> ((s, d) =>
       graft.dedup.Clusters.methodClusterAgreement(t(s, d).documents)),
+    // d36: per-pair triangle support — edge-iterator count over the
+    // pair graph; support-0 edges are the chain-cut candidates
+    "d36_pair_support" -> ((s, d) =>
+      graft.dedup.Clusters.pairSupport(t(s, d).documents)),
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
@@ -3960,6 +3964,20 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // d36: wedge–close triangle counting over the same pair set — a is
+    // adjacent to both ends iff both ordered edges exist
+    "d36_pair_support" ->
+      s"""WITH nd AS ($ngramJaccardSql),
+         |p AS (SELECT d1, d2 FROM nd),
+         |e AS (SELECT d1 AS w, d2 AS x FROM p UNION ALL SELECT d2, d1 FROM p),
+         |tri AS (SELECT ea.x AS d1, eb.x AS d2, count(*) AS support
+         | FROM e ea JOIN e eb ON ea.w = eb.w AND ea.x < eb.x
+         | JOIN p ON p.d1 = ea.x AND p.d2 = eb.x
+         | GROUP BY 1, 2)
+         |SELECT p.d1, p.d2,
+         | CAST(coalesce(tri.support, 0) AS BIGINT) AS support,
+         | coalesce(tri.support, 0) > 0 AS corroborated
+         |FROM p LEFT JOIN tri ON tri.d1 = p.d1 AND tri.d2 = p.d2""".stripMargin,
     // d35: both method closures replayed as recursive min-label walks
     // (d34's oracle shape with the edit pair set as the second graph)
     "d35_method_stability" ->

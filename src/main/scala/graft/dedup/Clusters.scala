@@ -522,6 +522,41 @@ object Clusters {
           expr("both_pairs * 1000000 div loose_pairs")).as("stability_ppm"))
   }
 
+  /** d36: pair corroboration — per verified near-dup pair, its TRIANGLE
+    * SUPPORT: how many third documents are near-dups of BOTH endpoints.
+    * Support 0 is an UNCORROBORATED edge — no independent witness agrees
+    * the two docs belong together — exactly the chain-culprit profile
+    * behind d30's transitivity gap and d31's low-density clusters (a
+    * boilerplate-bridged false pair is rarely corroborated; a true
+    * duplicate family corroborates every internal edge). The per-edge
+    * answer to d31's per-cluster density: d31 says WHICH cluster is
+    * chain-merged, d36 says which EDGE to cut (feeding p46-style
+    * review queues before a dedupByClusters sweep).
+    *
+    * Distributed shape — the standard edge-iterator triangle count: the
+    * symmetric edge list wedges on the shared center (one join), wedges
+    * close against the ordered pair set (one join), counts partial-agg
+    * per edge. Everything is ∝ pair-graph size (wedges ∝ Σ deg², the
+    * hub-doc hot spot AQE handles — never corpus-sized). */
+  def pairSupport(docs: DataFrame, threshold: Double = 0.8, k: Int = 3): DataFrame = {
+    val pairs = Dedup.sharedJaccardPairs(docs, threshold, k)
+      .select(col("d1"), col("d2"))
+    val edges = pairs.select(col("d1").as("w"), col("d2").as("x"))
+      .unionByName(pairs.select(col("d2").as("w"), col("d1").as("x")))
+    val wedges = edges.select(col("w"), col("x").as("a"))
+      .join(edges.select(col("w"), col("x").as("b")), Seq("w"))
+      .where(col("a") < col("b"))
+    val tri = wedges
+      .join(pairs.select(col("d1").as("a"), col("d2").as("b")), Seq("a", "b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    pairs
+      .join(tri.select(col("a").as("d1"), col("b").as("d2"), col("support")),
+        Seq("d1", "d2"), "left")
+      .select(col("d1"), col("d2"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        (coalesce(col("support"), lit(0L)) > 0L).as("corroborated"))
+  }
+
   /** d35: cross-method cluster agreement — do the shingle-Jaccard (d07)
     * and edit-distance (d22) clusterings GROUP the same way? d20 answers
     * at the doc level (is the doc flagged by both methods); d35 answers

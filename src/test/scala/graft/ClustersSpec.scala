@@ -311,6 +311,25 @@ class ClustersSpec extends AnyFunSuite {
     assert(r.getLong(6) === 333333L, "1 of 3 co-clustered pairs shared, exact ppm")
   }
 
+  test("d36: triangle edges corroborate, the lone pair does not") {
+    import SparkTestSession.spark.implicits._
+    val a = (1 to 24).map(i => s"ga$i").mkString(" ")
+    val b = (1 to 24).map(i => s"gb$i").mkString(" ")
+    // {1,2,3} an exact trio (3 edges, each witnessed by the third doc);
+    // {4,5} an isolated pair (no witness)
+    val docs = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b))
+      .toDF("doc_id", "text")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val got = graft.dedup.Clusters.pairSupport(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    assert(got.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    assert(got((1L, 2L)) === ((1L, true)), "doc 3 witnesses 1-2")
+    assert(got((1L, 3L)) === ((1L, true)) && got((2L, 3L)) === ((1L, true)))
+    assert(got((4L, 5L)) === ((0L, false)), "the lone pair is uncorroborated")
+  }
+
   test("d34: strict threshold splits the weak member, stability counts it") {
     import SparkTestSession.spark.implicits._
     val base = (1 to 24).map(i => s"w$i")
