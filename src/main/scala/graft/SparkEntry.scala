@@ -874,6 +874,9 @@ object SparkEntry {
     // t35: cross-source LM transfer matrix — smoothing algebra keeps the
     // scoring inner-join-shaped over the vocab-bounded count table
     "t35_lm_transfer"     -> ((s, d) => TextQueries.lmTransfer(t(s, d).documents)),
+    // t36: top-V coverage curve — vocab-bounded rank/prefix windows,
+    // doubling grid probe, exact-ppm coverage
+    "t36_coverage_curve"  -> ((s, d) => TextQueries.coverageCurve(t(s, d).documents)),
     // s27: sample-diversity audit — k-center vs md5-uniform pairwise
     // distance stats; both selections deterministic, k²-bounded work
     "s27_sample_diversity" -> ((s, d) => graft.similarity.Report.sampleDiversity(t(s, d).embeddings)),
@@ -4148,6 +4151,25 @@ object SparkEntry {
         | CAST(pk.peak AS BIGINT) AS peak_concurrency,
         | strftime(make_timestamp(pa.pt), '%Y-%m-%d %H:%M:%S') AS peak_at
         |FROM pk JOIN pa USING (day) LEFT JOIN st USING (day)""".stripMargin,
+    // t36: same (count DESC, token) rank, same prefix sums, same grid
+    // probe — exact longs end-to-end
+    "t36_coverage_curve" ->
+      """WITH tk AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        | FROM documents),
+        |ct AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rank FROM ct),
+        |cu AS (SELECT rank, sum(c) OVER (ORDER BY rank
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM r),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens FROM ct),
+        |g AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]) AS v)
+        |SELECT CAST(g.v AS INT) AS v,
+        | CAST(coalesce(max(cu.rank), 0) AS BIGINT) AS types_used,
+        | CAST(coalesce(max(cu.cum), 0) AS BIGINT) AS covered,
+        | CAST(any_value(tot.n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(max(cu.cum), 0) * 1000000 // any_value(tot.n_tokens)
+        |   AS BIGINT) AS coverage_ppm
+        |FROM g CROSS JOIN tot LEFT JOIN cu ON cu.rank <= g.v
+        |GROUP BY g.v""".stripMargin,
     // t35: same smoothing algebra — common-token ln sum + N_t·ln(N_s+V),
     // one rounded division over exact integer counts
     "t35_lm_transfer" ->

@@ -1134,6 +1134,44 @@ object TextQueries {
         expr("abs(n_pos * 1000000 div n - (bucket * 100000 + 50000))")
           .as("mid_gap_ppm"))
 
+  /** t36: vocabulary coverage curve — cumulative token coverage of the
+    * top-V types for V on a doubling grid: the tokenizer-sizing artifact
+    * (t17 prices ONE vocab cut; t36 draws the whole curve, where the
+    * knee is the V worth paying for — Heaps-law's empirical answer,
+    * t30's fit made operational). Also the compression ceiling for any
+    * word-level vocab: 1 − coverage is the UNK mass at that size.
+    *
+    * Exactness: the rank orders on (count DESC, token) — engine-
+    * deterministic (the t17 boundary rule); coverage is an exact-ppm
+    * division of long prefix sums. Scale shape: everything after the one
+    * (token) partial-agg exchange is vocab-bounded — the rank window,
+    * the prefix sum, and the |grid| probe join. */
+  def coverageCurve(docs: DataFrame,
+                    grid: Seq[Int] = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024))
+      : DataFrame = {
+    require(grid.nonEmpty && grid.forall(_ > 0), "grid must be positive")
+    val counts = docs
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("token"))
+    val cum = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val total = counts.agg(sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    import docs.sparkSession.implicits._
+    val gridDf = grid.toDF("v")
+    gridDf.join(cum, col("rank") <= col("v"), "left")
+      .groupBy(col("v"))
+      .agg(max(col("rank")).as("types_used"), max(col("cum")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("v"), coalesce(col("types_used"), lit(0L)).as("types_used"),
+        coalesce(col("covered"), lit(0L)).as("covered"), col("n_tokens"),
+        expr("coalesce(covered, 0) * 1000000 div n_tokens").as("coverage_ppm"))
+  }
+
   /** t35: cross-source LM transfer matrix — fit an add-one-smoothed
     * unigram LM per source and score every source's token stream under
     * every source's LM: avg_nll(model → data), the asymmetric

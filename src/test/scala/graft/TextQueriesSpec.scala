@@ -702,6 +702,25 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t36: the coverage curve is monotone, saturates at 1, replays JVM counts") {
+    import SparkTestSession.spark.implicits._
+    // 8 'a', 4 'b', 2 'c', 1 'd', 1 'e' → total 16
+    val docs = Seq((1L, "a a a a b b c d"), (2L, "a a a a b b c e"))
+      .toDF("doc_id", "text")
+    graft.operators.TextQueries.releaseTokens(SparkTestSession.spark)
+    val got = graft.operators.TextQueries.coverageCurve(docs, Seq(1, 2, 3, 4, 8))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got(1) === ((1L, 8L, 16L, 500000L)), "top-1 = 'a' covers half")
+    assert(got(2) === ((2L, 12L, 16L, 750000L)))
+    assert(got(3) === ((3L, 14L, 16L, 875000L)))
+    assert(got(4) === ((4L, 15L, 16L, 937500L)), "tie d<e: d enters at V=4")
+    assert(got(8) === ((5L, 16L, 16L, 1000000L)), "full vocab saturates at 1")
+    val cov = got.toSeq.sortBy(_._1).map(_._2._4)
+    assert(cov.zip(cov.drop(1)).forall { case (a, b) => a <= b }, "monotone")
+  }
+
   test("q107: calibration buckets conserve counts and keep exact ppm identities") {
     val docs = SparkTestSession.tables.documents
     val rows = graft.operators.TextQueries.calibration(docs).collect()
