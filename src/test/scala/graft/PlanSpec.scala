@@ -312,4 +312,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!badExchange, s"an expansion join shuffled the edge/vector side:\n$p")
     graft.similarity.GraphSearch.clearGraphs(spark)
   }
+
+  test("q108/q112: plan-borne anchors — construction launches zero jobs") {
+    val t = Tables(spark, sf)
+    t.events.schema
+    val sc = spark.sparkContext
+    sc.setJobGroup("r8-construct", "construction probe")
+    val d1 = graft.operators.Relational5.q108Recency(t)
+    val d2 = graft.operators.Relational5.q112AbTest(t)
+    sc.setJobGroup("r8-marker", "construction probe marker")
+    spark.range(1).count()
+    sc.clearJobGroup()
+    val deadline = System.currentTimeMillis() + 30000
+    while (sc.statusTracker.getJobIdsForGroup("r8-marker").isEmpty &&
+           System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(sc.statusTracker.getJobIdsForGroup("r8-marker").nonEmpty,
+      "marker job never observed")
+    assert(sc.statusTracker.getJobIdsForGroup("r8-construct").isEmpty,
+      "constructing q108/q112 must launch zero jobs")
+    assert(d1.count() > 0L && d2.count() === 1L)
+  }
+
+  test("q114: partial-agg exchange + ONE part exchange shared by all windows") {
+    val df = SparkEntry.queries("q114_clamped_balance")(spark, sf)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    // exactly two: the (part, day) aggregation exchange (carrying partial
+    // sums, not raw lineitems) and ONE l_partkey exchange that all three
+    // window passes and the final rollup share — a per-window exchange
+    // would show 4+
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.length === 2, s"expected agg + one shared window exchange:\n$p")
+    assert(exchanges.count(l => l.contains("l_partkey") && l.contains("day")) === 1, p)
+    assert(p.contains("partial_sum"), "daily deltas must partial-aggregate map-side")
+  }
+
+  test("t34: unigram count joins broadcast the vocab side, never sort-merge") {
+    val df = SparkEntry.queries("t34_collocations")(spark, sf)
+    df.collect()
+    val p = SparkTestSession.finalPlan(df)
+    assert(p.split("\n").count(_.contains("BroadcastHashJoin")) >= 2,
+      s"both unigram joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no vocab join may shuffle both sides:\n$p")
+  }
 }
