@@ -850,6 +850,9 @@ object SparkEntry {
     // q115: market-basket lift over island sessions — map-side pairs
     // off sorted type sets; alphabet-bounded tail, exact-ppm lift
     "q115_session_affinity" -> ((s, d) => Relational5.q115SessionAffinity(t(s, d))),
+    // q116: no-equi-key interval overlap join — time-axis banding with
+    // exactly-once overlap-start bucket credit; exact-us overlaps
+    "q116_overlap_join"   -> ((s, d) => Relational5.q116OverlapJoin(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3626,6 +3629,22 @@ object SparkEntry {
         |FROM sc""".stripMargin,
     // q93: same basket self-join, supports and plan-borne N; the top-50
     // page cut is total-ordered (co DESC, p1, p2)
+    // q116: the oracle is the NAIVE overlap join — the banded plan is
+    // pair-for-pair equal (q94 precedent); overlaps in exact micros
+    "q116_overlap_join" ->
+      """WITH v AS (SELECT event_id AS view_id, epoch_us(ts) AS s1,
+        |  epoch_us(ts) + (60 + event_id % 240) * 1000000 AS e1
+        | FROM events WHERE event_type = 'view'),
+        |i AS (SELECT epoch_us(ts) AS s2, epoch_us(ts) + 600000000 AS e2
+        | FROM events WHERE event_type = 'error'),
+        |p AS (SELECT view_id, count(*) AS n_incidents,
+        |  CAST(sum(least(e1, e2) - greatest(s1, s2)) AS BIGINT) AS overlap_us
+        | FROM v JOIN i ON s1 < e2 AND s2 < e1
+        | GROUP BY 1)
+        |SELECT v.view_id,
+        | CAST(coalesce(p.n_incidents, 0) AS BIGINT) AS n_incidents,
+        | coalesce(p.overlap_us, 0) AS overlap_us
+        |FROM v LEFT JOIN p USING (view_id)""".stripMargin,
     // q115: the same island sessionization, distinct-type baskets as a
     // plain self-join (the engine's map-side pairs are provably equal),
     // the same single-division integer lift

@@ -355,6 +355,52 @@ object Relational5 {
         expr("co * n_sessions * 1000000 div (s1 * s2)").as("lift_ppm"))
   }
 
+  /** q116: interval-overlap join — every (view session, incident window)
+    * pair that overlaps IN TIME, with NO shared equi-key: q25/q103 join
+    * within a user; q116 answers "which sessions ran during an outage",
+    * where the incident is global and the only join predicate is
+    * s₁ < e₂ ∧ s₂ < e₁ — the naive plan is a cross product. The scale
+    * shape is time-axis banding (the q94 idiom lifted from points to
+    * intervals): both sides explode into the fixed-width buckets they
+    * span, pairs meet on the bucket equi-key, and each qualifying pair
+    * is counted EXACTLY once — credited to the single bucket containing
+    * the overlap's start, max(s₁,s₂) — so no distinct pass exists to
+    * shuffle pair duplicates. Bucket width ≥ both sides' max duration
+    * keeps the explode factor ≤ 2.
+    *
+    * The oracle states the semantics as the naive overlap join (the q94
+    * precedent — the banded plan is provably pair-for-pair equal).
+    * Output: every view session with its overlapping-incident count and
+    * total overlapped microseconds (exact longs). */
+  def q116OverlapJoin(t: Tables): DataFrame = {
+    val bucketUs = 600L * 1000000L // >= max view duration (300 s) and incident (600 s)
+    val views = t.events.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("s1"),
+        (unix_micros(col("ts")) +
+          (lit(60L) + pmod(col("event_id"), lit(240L))) * lit(1000000L)).as("e1"))
+    val incidents = t.events.where(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"),
+        unix_micros(col("ts")).as("s2"),
+        (unix_micros(col("ts")) + lit(600L * 1000000L)).as("e2"))
+    def banded(df: DataFrame, s: String, e: String) =
+      df.select(col("*"), explode(sequence(
+        expr(s"$s div ${bucketUs}L"), expr(s"($e - 1) div ${bucketUs}L"))).as("b"))
+    val pairs = banded(views, "s1", "e1")
+      .join(banded(incidents, "s2", "e2"), Seq("b"))
+      .where(col("s1") < col("e2") && col("s2") < col("e1") &&
+        col("b") === expr(s"greatest(s1, s2) div ${bucketUs}L"))
+      .groupBy(col("view_id"))
+      .agg(count(lit(1)).as("n_incidents"),
+        sum(least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")))
+          .as("overlap_us"))
+    views.select(col("view_id"))
+      .join(pairs, Seq("view_id"), "left")
+      .select(col("view_id"),
+        coalesce(col("n_incidents"), lit(0L)).as("n_incidents"),
+        coalesce(col("overlap_us"), lit(0L)).as("overlap_us"))
+  }
+
   /** q92: RFM segmentation — per customer the classic recency/frequency/
     * monetary quintile scores and the concatenated "RFM" segment label,
     * the workhorse customer-base cut. Recency anchors on the corpus max

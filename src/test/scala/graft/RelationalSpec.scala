@@ -1389,6 +1389,29 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q116: banded overlap join replays the naive JVM join, never a cartesian") {
+    val df = graft.operators.Relational5.q116OverlapJoin(tables)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = tables.events
+      .select(col("event_id"), unix_micros(col("ts")), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val views = ev.filter(_._3 == "view")
+      .map(r => (r._1, r._2, r._2 + (60L + r._1 % 240) * 1000000L))
+    val incidents = ev.filter(_._3 == "error")
+      .map(r => (r._2, r._2 + 600000000L))
+    val exp = views.map { case (id, s1, e1) =>
+      val over = incidents.filter { case (s2, e2) => s1 < e2 && s2 < e1 }
+        .map { case (s2, e2) => math.min(e1, e2) - math.max(s1, s2) }
+      id -> ((over.size.toLong, over.sum))
+    }.toMap
+    assert(got === exp, "banded join must equal the naive overlap join")
+    assert(got.values.exists(_._1 > 0L), "fixture has overlapping pairs")
+    val p = SparkTestSession.finalPlan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the overlap join must band on buckets, not cross-product:\n$p")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
