@@ -436,6 +436,9 @@ object SparkEntry {
     // s28: reciprocal-rank fusion of the cosine and MIPS rankings —
     // exact integer-ppm RRF, full-outer candidate union, id tiebreak
     "s28_rrf_fusion"      -> ((s, d) => Knn.rrfFusion(t(s, d).embeddings)),
+    // s29: scalar-quantization ladder — recall@k + cosine distortion per
+    // bit width; floor arithmetic keeps every rung deterministic
+    "s29_quant_ladder"    -> ((s, d) => Knn.quantLadder(t(s, d).embeddings)),
     // s10: metadata-filtered search — PRE-filter semantics (corpus
     // restricted before ranking, k qualifying neighbors guaranteed);
     // exact, the s01 discipline; filteredIvf recall-spec'd in KnnSpec
@@ -2603,6 +2606,24 @@ object SparkEntry {
         | CAST(k.kept_chars AS DOUBLE) / CAST(t.t_chars AS DOUBLE) AS char_share
         |FROM kept k JOIN tot t USING (lang)""".stripMargin,
     // s09: s01's oracle with list_inner_product and the same tiebreak
+    // s29: each rung dequantizes with the same floor arithmetic, ranks,
+    // and scores against the shared exact ranking CTE
+    "s29_quant_ladder" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |exr AS (SELECT query_id, neighbor_id, cos FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |   round(list_cosine_similarity(a.v, b.v), 8) AS cos,
+         |   row_number() OVER (PARTITION BY a.vec_id
+         |     ORDER BY round(list_cosine_similarity(a.v, b.v), 8) DESC, b.vec_id)
+         |     AS rnk
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10) WHERE rnk <= 5),
+         |${quantRungCtes(1)},
+         |${quantRungCtes(7)},
+         |${quantRungCtes(127)}
+         |${quantRungSelect(2, 1)}
+         |UNION ALL ${quantRungSelect(4, 7)}
+         |UNION ALL ${quantRungSelect(8, 127)}""".stripMargin,
     // s28: both rankings replayed off ONE scored frame, same full-outer
     // candidate union, same ⌊10⁶/(60+r)⌋ integer fusion
     "s28_rrf_fusion" ->
@@ -4533,6 +4554,34 @@ object SparkEntry {
   /** The d02 pair SQL at an arbitrary threshold (d18's curve base). */
   private def ngramJaccardSqlAt(threshold: Double): String =
     ngramJaccardSql.replace(">= 0.8", s">= $threshold")
+
+  /** One s29 rung: dequantize at ±maxq, rank, and score vs the shared
+    * exact ranking CTE `exr`. Emitted as CTE fragments + a final SELECT. */
+  private def quantRungCtes(maxq: Int): String = {
+    val scale = s"(greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / $maxq.0)"
+    s"""dq$maxq AS (SELECT vec_id,
+       |  list_transform(v, x -> floor(x / $scale + 0.5) * $scale) AS v FROM e),
+       |qr$maxq AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY round(list_cosine_similarity(a.v, b.v), 8) DESC, b.vec_id) AS rnk
+       |  FROM dq$maxq a JOIN dq$maxq b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10) WHERE rnk <= 5)""".stripMargin
+  }
+
+  private def quantRungSelect(bits: Int, maxq: Int): String =
+    s"""SELECT CAST($bits AS INT) AS bits, CAST($maxq AS INT) AS maxq,
+       | (SELECT CAST(count(*) AS BIGINT) FROM exr) AS n_pairs,
+       | (SELECT CAST(count(*) AS BIGINT) FROM exr
+       |   SEMI JOIN qr$maxq USING (query_id, neighbor_id)) AS n_common,
+       | (SELECT CAST((SELECT count(*) FROM exr SEMI JOIN qr$maxq
+       |     USING (query_id, neighbor_id)) * 1000000
+       |   // (SELECT count(*) FROM exr) AS BIGINT)) AS recall_ppm,
+       | (SELECT round(sum(abs(ex.cos
+       |     - round(list_cosine_similarity(qa.v, qb.v), 8))) / count(*), 6) + 0.0
+       |  FROM exr ex JOIN dq$maxq qa ON qa.vec_id = ex.query_id
+       |  JOIN dq$maxq qb ON qb.vec_id = ex.neighbor_id) AS mean_cos_err"""
+      .stripMargin
 
   /** s12's oracle: the greedy farthest-point trajectory replayed as k
     * chained CTE steps — step t carries the running min-distance frame

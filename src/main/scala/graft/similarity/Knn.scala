@@ -230,6 +230,51 @@ object Knn {
         col("cos_rank"), col("dot_rank"))
   }
 
+  /** s29: quantization ladder — the bits-vs-fidelity tradeoff curve for
+    * scalar quantization: at 2/4/8 bits (symmetric levels ±1/±7/±127),
+    * the recall@k of the quantized search against the exact ranking AND
+    * the mean |cosine distortion| over the exact top-k pairs — recall
+    * says how often the ranking survives, distortion says WHY (the s03
+    * per-element bound made empirical). The sizing artifact read before
+    * committing a corpus to a byte budget; s04 ships the chosen rung,
+    * s29 prices the whole ladder.
+    *
+    * Deterministic end-to-end (quantization is floor arithmetic, both
+    * rankings total-ordered), so fully exact: recall in integer ppm,
+    * distortion one rounded aggregated double. Scale shape: each rung is
+    * s01's broadcast-query + bounded-heap shape over the dequantized
+    * expression tree; the recall/distortion joins run on |Q|·k ranked
+    * frames. */
+  def quantLadder(emb: DataFrame, queryPred: String = "vec_id < 10",
+                  k: Int = 5, levels: Seq[(Int, Int)] = Seq(2 -> 1, 4 -> 7, 8 -> 127))
+      : DataFrame = {
+    require(levels.nonEmpty, "levels must be non-empty")
+    val exact = bruteForce(emb, queryPred, k)
+    val nExact = exact.agg(count(lit(1)).as("n_pairs"))
+    levels.map { case (bits, maxq) =>
+      val dq = Quantize.dequantizedAt(emb, maxq)
+      val quantR = bruteForce(dq, queryPred, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val common = exact.select(col("query_id"), col("neighbor_id"))
+        .join(quantR, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+      val dv = dq.select(col("vec_id"), col("embedding"))
+      val dist = exact
+        .join(dv.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          Seq("query_id"))
+        .join(dv.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+          Seq("neighbor_id"))
+        .select(abs(col("cos") -
+          round(graft.functions.VectorFns.cosine(col("qv"), col("nv")), 8)).as("d"))
+        .agg((round(sum(col("d")) / count(lit(1)), 6) + lit(0.0)).as("mean_cos_err"))
+      nExact.crossJoin(common).crossJoin(dist)
+        .select(lit(bits).as("bits"), lit(maxq).as("maxq"),
+          col("n_pairs"), col("n_common"),
+          expr("n_common * 1000000 div n_pairs").as("recall_ppm"),
+          col("mean_cos_err"))
+    }.reduce(_ unionByName _)
+  }
+
   /** s17: exact k-NN label propagation — classify each query vector by
     * the majority label of its k nearest labeled neighbors: the
     * embedding-space auto-labeling step a curation pipeline runs to

@@ -44,6 +44,21 @@ object Quantize {
     quantized(emb).select(col("vec_id"),
       transform(col("qvec"), q => q.cast("double") * col("scale")).as("embedding"))
 
+  /** [[dequantized]] at an arbitrary symmetric level count: max|x| maps to
+    * ±maxq (maxq = 127 is the int8 path; 7 ≈ 4-bit; 1 ≈ 2-bit ternary).
+    * Same floor(x/scale + 0.5) portable rounding, same expression-tree
+    * zero-shuffle shape — the s29 ladder's knob. */
+  def dequantizedAt(emb: DataFrame, maxq: Int): DataFrame = {
+    require(maxq >= 1, s"maxq=$maxq must be >= 1")
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"),
+        (greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30))
+          / lit(maxq.toDouble)).as("scale"))
+      .select(col("vec_id"),
+        transform(col("v"),
+          x => floor(x / col("scale") + lit(0.5)) * col("scale")).as("embedding"))
+  }
+
   /** s19: vector-hygiene audit — t03's quality gate for the embedding
     * modality: per vector its dimensionality, squared norm, zero-element
     * count, non-finite count, and a degenerate flag (zero vector,

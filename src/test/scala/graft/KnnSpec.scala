@@ -409,4 +409,30 @@ class KnnSpec extends AnyFunSuite {
       assert(r.getLong(3) === expRrf, "ppm identity per row")
     }
   }
+
+  test("s29: the ladder is monotone in bits; 8-bit matches s04's ranking") {
+    val emb = tables.embeddings
+    val rows = Knn.quantLadder(emb, "vec_id < 5", k = 5).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))).toMap
+    assert(rows.keySet === Set(2, 4, 8))
+    rows.values.foreach { case (np, nc, ppm, err) =>
+      assert(nc <= np, "common bounded by pair count")
+      assert(ppm === nc * 1000000L / np, "recall ppm identity")
+      assert(err >= 0.0, "distortion non-negative")
+    }
+    // more bits => no worse distortion (recall CAN be non-monotone on
+    // near-ties, distortion cannot)
+    assert(rows(8)._4 <= rows(4)._4 && rows(4)._4 <= rows(2)._4,
+      "cos distortion shrinks with bit width")
+    // the 8-bit rung IS s04's dequantization: its ranking must agree
+    val s04 = Knn.bruteForce(graft.similarity.Quantize.dequantized(emb),
+      "vec_id < 5", k = 5).select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Knn.bruteForce(emb, "vec_id < 5", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(8)._2 === (exact & s04).size.toLong,
+      "8-bit common count equals the s04-vs-exact intersection")
+  }
 }
