@@ -856,6 +856,9 @@ object SparkEntry {
     // q116: no-equi-key interval overlap join — time-axis banding with
     // exactly-once overlap-start bucket credit; exact-us overlaps
     "q116_overlap_join"   -> ((s, d) => Relational5.q116OverlapJoin(t(s, d))),
+    // q117: point-in-time training assembly — half-open trailing RANGE
+    // frames on the us axis; one scan feeds every label
+    "q117_training_assembly" -> ((s, d) => Relational5.q117TrainingAssembly(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3650,6 +3653,28 @@ object SparkEntry {
         |FROM sc""".stripMargin,
     // q93: same basket self-join, supports and plan-borne N; the top-50
     // page cut is total-ordered (co DESC, p1, p2)
+    // q117: the same half-open trailing RANGE frames over epoch micros
+    "q117_training_assembly" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        | FROM events),
+        |f AS (SELECT user_id, event_id, event_type, us,
+        |  coalesce(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    OVER w, 0) AS prior_views,
+        |  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    OVER w, 0) AS prior_clicks,
+        |  coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    OVER w, 0) AS prior_errors,
+        |  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER w, 0) AS prior_purchases
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |   RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS label_id,
+        | strftime(make_timestamp(us), '%Y-%m-%d %H:%M:%S') AS label_at,
+        | CAST(prior_views AS BIGINT) AS prior_views,
+        | CAST(prior_clicks AS BIGINT) AS prior_clicks,
+        | CAST(prior_errors AS BIGINT) AS prior_errors,
+        | CAST(prior_purchases AS BIGINT) AS prior_purchases
+        |FROM f WHERE event_type = 'purchase'""".stripMargin,
     // q116: the oracle is the NAIVE overlap join — the banded plan is
     // pair-for-pair equal (q94 precedent); overlaps in exact micros
     "q116_overlap_join" ->

@@ -401,6 +401,43 @@ object Relational5 {
         coalesce(col("overlap_us"), lit(0L)).as("overlap_us"))
   }
 
+  /** q117: point-in-time training assembly — for every label event (a
+    * purchase), the user's behavioral features computed STRICTLY BEFORE
+    * the label instant over a trailing 7-day window: the feature-store
+    * discipline ("as-of the label, no future data") that separates a
+    * valid training set from one with label leakage — the ML-pipeline
+    * sibling of p17's split-leakage closure, at the feature level. A
+    * naive build joins labels × events and re-filters per label; the
+    * leak-safe AND scale-safe form is ONE user-keyed sort with trailing
+    * RANGE frames on the exact microsecond axis (the q100 member), one
+    * conditional sum per feature, label rows filtered afterwards — so
+    * every event is scanned once no matter how many labels it feeds.
+    *
+    * The window is [label−7d, label) — half-open, so a feature can never
+    * see its own label instant (simultaneous events excluded by the
+    * frame bound, not by fragile timestamp arithmetic). All counts exact
+    * longs. */
+  def q117TrainingAssembly(t: Tables, windowDays: Int = 7): DataFrame = {
+    val win = windowDays * 86400L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-win, -1)
+    def prior(tpe: String) =
+      sum(when(col("event_type") === tpe, 1L).otherwise(0L)).over(w)
+    t.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prior_views", coalesce(prior("view"), lit(0L)))
+      .withColumn("prior_clicks", coalesce(prior("click"), lit(0L)))
+      .withColumn("prior_errors", coalesce(prior("error"), lit(0L)))
+      .withColumn("prior_purchases", coalesce(prior("purchase"), lit(0L)))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("label_id"),
+        date_format(timestamp_micros(col("us")), "yyyy-MM-dd HH:mm:ss")
+          .as("label_at"),
+        col("prior_views"), col("prior_clicks"), col("prior_errors"),
+        col("prior_purchases"))
+  }
+
   /** q92: RFM segmentation — per customer the classic recency/frequency/
     * monetary quintile scores and the concatenated "RFM" segment label,
     * the workhorse customer-base cut. Recency anchors on the corpus max

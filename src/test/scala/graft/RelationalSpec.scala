@@ -1412,6 +1412,29 @@ class RelationalSpec extends AnyFunSuite {
       s"the overlap join must band on buckets, not cross-product:\n$p")
   }
 
+  test("q117: features replay a JVM trailing scan and never see the label instant") {
+    val got = graft.operators.Relational5.q117TrainingAssembly(tables).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    val ev = tables.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val win = 7L * 86400L * 1000000L
+    val labels = ev.filter(_._3 == "purchase")
+    assert(got.keySet === labels.map(_._2).toSet, "one row per purchase")
+    labels.foreach { case (u, id, _, us) =>
+      val prior = byUser(u).filter(e => e._4 >= us - win && e._4 < us)
+      def n(tpe: String) = prior.count(_._3 == tpe).toLong
+      assert(got(id) === ((u, n("view"), n("click"), n("error"), n("purchase"))),
+        s"label $id trailing-window replay")
+    }
+    // the replay's `< us` bound excluded each label's own instant; the
+    // equality above therefore proves the engine's frame did too
+    assert(got.values.exists(_._5 > 0L), "fixture exercises repeat purchasers")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
