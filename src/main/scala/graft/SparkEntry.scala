@@ -859,6 +859,9 @@ object SparkEntry {
     // q117: point-in-time training assembly — half-open trailing RANGE
     // frames on the us axis; one scan feeds every label
     "q117_training_assembly" -> ((s, d) => Relational5.q117TrainingAssembly(t(s, d))),
+    // q118: Kaplan–Meier time-to-convert — censoring-aware survival,
+    // product as an order-pinned cumulative ln sum
+    "q118_survival_curve" -> ((s, d) => Relational5.q118SurvivalCurve(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3653,6 +3656,47 @@ object SparkEntry {
         |FROM sc""".stripMargin,
     // q93: same basket self-join, supports and plan-borne N; the top-50
     // page cut is total-ordered (co DESC, p1, p2)
+    // q118: same subject reduction, same ordered cumulative ln-product —
+    // the window fold order is identical, so survival hash-matches
+    "q118_survival_curve" ->
+      """WITH h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+        |pu AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+        |  min(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END) AS s_day
+        | FROM events GROUP BY 1 HAVING s_us IS NOT NULL),
+        |fc AS (SELECT e.user_id, min(CAST(e.ts AS DATE)) AS p_day
+        | FROM events e JOIN pu ON pu.user_id = e.user_id
+        | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= pu.s_us
+        | GROUP BY 1),
+        |subj AS (SELECT pu.user_id,
+        |  CAST(CASE WHEN fc.p_day IS NOT NULL
+        |    THEN date_diff('day', s_day, fc.p_day)
+        |    ELSE date_diff('day', s_day, h.h) END AS BIGINT) AS dur,
+        |  fc.p_day IS NOT NULL AS converted
+        | FROM pu LEFT JOIN fc ON fc.user_id = pu.user_id CROSS JOIN h),
+        |bd AS (SELECT dur,
+        |  CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS c
+        | FROM subj GROUP BY 1),
+        |n AS (SELECT count(*) AS n_subjects FROM subj),
+        |r AS (SELECT dur, d, c,
+        |  n_subjects - coalesce(sum(d + c) OVER (ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        | FROM bd CROSS JOIN n),
+        |km AS (SELECT dur, n_risk, d,
+        |  sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+        |    OVER cum AS zeroed,
+        |  sum(CASE WHEN d < n_risk
+        |      THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER cum AS log_s
+        | FROM r WHERE d > 0
+        | WINDOW cum AS (ORDER BY dur
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT dur AS days, CAST(n_risk AS BIGINT) AS n_risk,
+        | d AS events,
+        | CASE WHEN zeroed > 0 THEN 0.0
+        |      ELSE round(exp(log_s), 6) + 0.0 END AS survival
+        |FROM km""".stripMargin,
     // q117: the same half-open trailing RANGE frames over epoch micros
     "q117_training_assembly" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us

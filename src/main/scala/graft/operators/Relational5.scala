@@ -438,6 +438,73 @@ object Relational5 {
         col("prior_purchases"))
   }
 
+  /** q118: Kaplan–Meier time-to-convert — the survival curve from first
+    * signup to first purchase with RIGHT CENSORING at the corpus
+    * horizon: the estimator product-limit analytics needs when "hasn't
+    * converted YET" must not be counted as "never converts" (q65's
+    * retention grid ignores censoring; a naive conversion-rate-by-day
+    * understates late conversion). Output: one row per event time —
+    * days-to-convert, the at-risk count, events that day, and S(t) =
+    * Π(1 − dᵢ/nᵢ).
+    *
+    * Float discipline: the product runs as exp(Σ ln(1 − d/n)) where the
+    * Σ is a CUMULATIVE window sum — evaluated in sorted order as a
+    * sequential running aggregate by both engines, so the float fold
+    * order is identical and the rounded survival hash-matches (the
+    * ln/exp parity precedent of t14/t15). Scale shape: events collapse
+    * to per-user (signup, first-purchase-after) in one exchange; the
+    * KM table is |distinct durations|-bounded; the horizon rides the
+    * plan as a broadcast 1-row aggregate. */
+  def q118SurvivalCurve(t: Tables): DataFrame = {
+    val horizon = t.events.agg(max(col("ts").cast("date")).as("h"))
+    val perUser = t.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("ts").cast("date").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("s_us"),
+        min(when(col("event_type") === "signup", col("day"))).as("s_day"))
+      .where(col("s_us").isNotNull)
+    val firstConv = t.events.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"),
+        col("ts").cast("date").as("p_day"))
+      .join(perUser, Seq("user_id"))
+      .where(col("p_us") >= col("s_us"))
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("p_us"), col("p_day"))).as("fp"))
+      .select(col("user_id"), col("fp.p_day").as("p_day"))
+    val subjects = perUser.join(firstConv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"),
+        when(col("p_day").isNotNull, datediff(col("p_day"), col("s_day")))
+          .otherwise(datediff(col("h"), col("s_day"))).cast("long").as("dur"),
+        col("p_day").isNotNull.as("converted"))
+    val byDur = subjects.groupBy(col("dur"))
+      .agg(sum(when(col("converted"), 1L).otherwise(0L)).as("d"),
+        sum(when(!col("converted"), 1L).otherwise(0L)).as("c"))
+    val n = subjects.agg(count(lit(1)).as("n_subjects"))
+    val w = Window.orderBy(col("dur"))
+    val km = byDur.crossJoin(broadcast(n))
+      .withColumn("exited_before", coalesce(
+        sum(col("d") + col("c")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n_risk", col("n_subjects") - col("exited_before"))
+      .where(col("d") > 0)
+      // a time where EVERYONE at risk converts has factor 0 — from there
+      // on survival is exactly 0, kept out of the ln fold in both engines
+      .withColumn("zeroed", sum(when(col("d") === col("n_risk"), 1L)
+        .otherwise(0L)).over(Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("log_s", sum(
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+        .over(Window.orderBy(col("dur"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    km.select(col("dur").as("days"), col("n_risk"), col("d").as("events"),
+      when(col("zeroed") > 0, lit(0.0))
+        .otherwise(round(exp(col("log_s")), 6) + lit(0.0)).as("survival"))
+  }
+
   /** q92: RFM segmentation — per customer the classic recency/frequency/
     * monetary quintile scores and the concatenated "RFM" segment label,
     * the workhorse customer-base cut. Recency anchors on the corpus max

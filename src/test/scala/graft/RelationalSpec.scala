@@ -1435,6 +1435,50 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.values.exists(_._5 > 0L), "fixture exercises repeat purchasers")
   }
 
+  test("q118: KM curve replays a JVM product-limit fold; survival is monotone") {
+    val got = graft.operators.Relational5.q118SurvivalCurve(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val ev = tables.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("ts").cast("date")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDate(3).toLocalDate))
+    val horizon = ev.map(_._4).maxBy(_.toEpochDay)
+    val subs = ev.groupBy(_._1).values.flatMap { rows =>
+      val signups = rows.filter(_._2 == "signup")
+      if (signups.isEmpty) None else {
+        val s = signups.minBy(_._3)
+        val conv = rows.filter(r => r._2 == "purchase" && r._3 >= s._3)
+        if (conv.nonEmpty) {
+          val p = conv.minBy(_._3)
+          Some((p._4.toEpochDay - s._4.toEpochDay, true))
+        } else Some((horizon.toEpochDay - s._4.toEpochDay, false))
+      }
+    }.toSeq
+    var atRisk = subs.size.toLong
+    var surv = 1.0
+    val exp = subs.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (dur, g) =>
+      val d = g.count(_._2).toLong
+      val row = if (d > 0) {
+        val r = (dur, atRisk, d,
+          if (d == atRisk) 0.0
+          else { surv *= (1.0 - d.toDouble / atRisk); surv })
+        Some(r)
+      } else None
+      atRisk -= g.size
+      row
+    }
+    assert(got.map(r => (r._1, r._2, r._3)) === exp.map(r => (r._1, r._2, r._3)),
+      "event times, risk sets and event counts replay")
+    got.zip(exp).foreach { case ((_, _, _, gs), (_, _, _, es)) =>
+      assert(math.abs(gs - es) < 2e-6, "survival within rounding of the JVM fold")
+    }
+    val ss = got.map(_._4)
+    assert(ss.zip(ss.drop(1)).forall { case (a, b) => b <= a + 1e-12 }, "monotone")
+    assert(ss.forall(s => s >= 0.0 && s <= 1.0), "bounded")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
