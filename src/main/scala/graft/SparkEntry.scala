@@ -810,6 +810,10 @@ object SparkEntry {
     // pair graph; support-0 edges are the chain-cut candidates
     "d36_pair_support" -> ((s, d) =>
       graft.dedup.Clusters.pairSupport(t(s, d).documents)),
+    // d37: dedup drop profile per quality decile — d07 closure × t03
+    // score; 10-key aggregation, exact ppm
+    "d37_drop_profile" -> ((s, d) =>
+      graft.dedup.Clusters.dropProfile(t(s, d).documents)),
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
@@ -4076,6 +4080,27 @@ object SparkEntry {
         | FROM d GROUP BY dim)
         |SELECT dim, mean_a, mean_b, round(mean_b - mean_a, 6) + 0.0 AS drift
         |FROM m""".stripMargin,
+    // d37: d07's recursive closure for the drop set, q107's floored
+    // score decile, one 10-key rollup
+    "d37_drop_profile" ->
+      s"""WITH cl AS ($dupClustersSql),
+         |drp AS (SELECT doc_id FROM cl WHERE NOT keep),
+         |b AS (SELECT doc_id,
+         |  least(CAST(floor((
+         |  least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0, 1.0) * 0.5
+         |  + CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) * 0.3
+         |  + least(CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($inEn))) AS DOUBLE)
+         |    / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) * 5.0, 1.0) * 0.2
+         |  ) * 10) AS BIGINT), 9) AS bucket
+         | FROM documents)
+         |SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN drp.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_dropped,
+         | CAST(sum(CASE WHEN drp.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |   // count(*) AS BIGINT) AS drop_ppm
+         |FROM b LEFT JOIN drp ON drp.doc_id = b.doc_id
+         |GROUP BY 1""".stripMargin,
     // d36: wedge–close triangle counting over the same pair set — a is
     // adjacent to both ends iff both ordered edges exist
     "d36_pair_support" ->

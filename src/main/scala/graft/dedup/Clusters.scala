@@ -522,6 +522,36 @@ object Clusters {
           expr("both_pairs * 1000000 div loose_pairs")).as("stability_ppm"))
   }
 
+  /** d37: dedup drop profile — which QUALITY strata the near-dup sweep
+    * deletes from: per t03-score decile, total docs, docs a
+    * [[dedupByClusters]] clean would drop (non-keeper cluster members)
+    * and the drop share in exact ppm. The interplay audit curation teams
+    * run before committing a dedup pass: mass concentrated in LOW
+    * deciles says dedup is removing junk (template spam duplicates
+    * itself — fine); mass in HIGH deciles says syndication is eating
+    * good content and the keeper rule (d11/d25/d32) deserves attention.
+    * Composes two families the engine already pays for — the d07
+    * closure and the scan-local t03 score — so the audit's own cost is
+    * one 10-key aggregation.
+    *
+    * Exactness: the bucket floors a per-row IEEE projection (the q107
+    * rule); counts and shares are exact integers; the oracle nests the
+    * d07 recursive CTE. */
+  def dropProfile(docs: DataFrame, threshold: Double = 0.8, bands: Int = 16,
+                  rowsPerBand: Int = 4, k: Int = 3): DataFrame = {
+    val dropped = dupClusters(docs, threshold, bands, rowsPerBand, k)
+      .filter(!col("keep")).select(col("doc_id"), lit(true).as("dropped"))
+    docs
+      .select(col("doc_id"),
+        least(floor(graft.functions.TextFns.qualityScore(col("text")) * 10)
+          .cast("long"), lit(9L)).as("bucket"))
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("drop_ppm", expr("n_dropped * 1000000 div n_docs"))
+  }
+
   /** d36: pair corroboration — per verified near-dup pair, its TRIANGLE
     * SUPPORT: how many third documents are near-dups of BOTH endpoints.
     * Support 0 is an UNCORROBORATED edge — no independent witness agrees

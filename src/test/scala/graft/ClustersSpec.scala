@@ -330,6 +330,29 @@ class ClustersSpec extends AnyFunSuite {
     assert(got((4L, 5L)) === ((0L, false)), "the lone pair is uncorroborated")
   }
 
+  test("d37: drop counts land in the right quality decile and conserve") {
+    import SparkTestSession.spark.implicits._
+    val rich = (1 to 80).map(i => s"the of and a w$i").mkString(" ") // high score
+    val junk = "zzz qqq xxx" // short, low score
+    val docs = Seq(
+      (1L, rich), (2L, rich),     // high-decile dup pair -> one dropped
+      (3L, junk), (4L, junk),     // low-decile dup pair -> one dropped
+      (5L, (1 to 40).map(i => s"solo$i").mkString(" ")) // unpaired
+    ).toDF("doc_id", "text")
+    graft.dedup.Dedup.releaseShingles(spark)
+    val got = graft.dedup.Clusters.dropProfile(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    graft.dedup.Dedup.releaseShingles(spark)
+    assert(got.values.map(_._1).sum === 5L, "every doc in exactly one bucket")
+    assert(got.values.map(_._2).sum === 2L, "one drop per planted pair")
+    val (loB, hiB) = (got.filter(_._2._2 > 0).keys.min, got.filter(_._2._2 > 0).keys.max)
+    assert(loB < hiB, "drops land in two distinct deciles")
+    got.foreach { case (_, (n, d, ppm)) =>
+      assert(ppm === d * 1000000L / n, "ppm identity")
+    }
+  }
+
   test("d34: strict threshold splits the weak member, stability counts it") {
     import SparkTestSession.spark.implicits._
     val base = (1 to 24).map(i => s"w$i")
