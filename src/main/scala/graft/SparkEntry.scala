@@ -866,6 +866,9 @@ object SparkEntry {
     // q118: Kaplan–Meier time-to-convert — censoring-aware survival,
     // product as an order-pinned cumulative ln sum
     "q118_survival_curve" -> ((s, d) => Relational5.q118SurvivalCurve(t(s, d))),
+    // q119: positional Sankey transitions — one more window on the q101
+    // session sort; alphabet²·steps-bounded output, exact ppm shares
+    "q119_step_transitions" -> ((s, d) => Relational5.q119StepTransitions(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3660,6 +3663,30 @@ object SparkEntry {
         |FROM sc""".stripMargin,
     // q93: same basket self-join, supports and plan-borne N; the top-50
     // page cut is total-ordered (co DESC, p1, p2)
+    // q119: same islands, same in-session row_number/lead, same per-step
+    // ppm shares
+    "q119_step_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        | FROM events),
+        |m AS (SELECT user_id, event_id, event_type, us,
+        |  CASE WHEN us - lag(us) OVER w > 1800000000
+        |    OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, event_id, event_type, us,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM m),
+        |st AS (SELECT event_type,
+        |  row_number() OVER sw AS step, lead(event_type, 1) OVER sw AS next_type
+        | FROM s WINDOW sw AS (PARTITION BY user_id, session_id
+        |   ORDER BY us, event_id)),
+        |c AS (SELECT step, event_type AS from_type, next_type AS to_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM st WHERE step <= 5 AND next_type IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT CAST(step AS INT) AS step, from_type, to_type, n,
+        | CAST(n * 1000000 // sum(n) OVER (PARTITION BY step) AS BIGINT)
+        |   AS share_ppm
+        |FROM c""".stripMargin,
     // q118: same subject reduction, same ordered cumulative ln-product —
     // the window fold order is identical, so survival hash-matches
     "q118_survival_curve" ->

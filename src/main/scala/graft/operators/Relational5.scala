@@ -505,6 +505,45 @@ object Relational5 {
         .otherwise(round(exp(col("log_s")), 6) + lit(0.0)).as("survival"))
   }
 
+  /** q119: journey step transitions — the Sankey-diagram table: per step
+    * index k, how many sessions moved from type X at step k to type Y at
+    * step k+1 (first `maxSteps` steps). q83's transition matrix pools
+    * ALL positions — it answers "what follows a click in general"; q119
+    * keeps the position, which is what a journey visualization needs
+    * (the entry mix at step 1 differs from the loop behavior at step 5).
+    * Sessions are q101's 30-minute islands; steps are row_numbers inside
+    * them — one more window on the SAME user sort, zero extra exchanges.
+    *
+    * Output is ≤ maxSteps·|alphabet|² rows of exact counts plus each
+    * step-pair's share of its step in exact ppm. */
+  def q119StepTransitions(t: Tables, timeoutMin: Int = 30,
+                          maxSteps: Int = 5): DataFrame = {
+    val gapUs = timeoutMin * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val sessions = t.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs ||
+          lag(col("us"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sw = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("us"), col("event_id"))
+    val steps = sessions
+      .withColumn("step", row_number().over(sw))
+      .withColumn("next_type", lead(col("event_type"), 1).over(sw))
+      .where(col("step") <= maxSteps && col("next_type").isNotNull)
+      .groupBy(col("step"), col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    steps
+      .withColumn("step_total",
+        sum(col("n")).over(Window.partitionBy(col("step"))))
+      .select(col("step"), col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div step_total").as("share_ppm"))
+  }
+
   /** q92: RFM segmentation — per customer the classic recency/frequency/
     * monetary quintile scores and the concatenated "RFM" segment label,
     * the workhorse customer-base cut. Recency anchors on the corpus max

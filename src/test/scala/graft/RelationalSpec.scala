@@ -1479,6 +1479,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(ss.forall(s => s >= 0.0 && s <= 1.0), "bounded")
   }
 
+  test("q119: step transitions replay the JVM session walk; shares sum per step") {
+    val got = graft.operators.Relational5.q119StepTransitions(tables).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    val ev = tables.events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val exp = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).toList
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      var prev = Long.MinValue
+      sorted.foreach { r =>
+        if (prev != Long.MinValue && r._2 - prev > 1800000000L)
+          sessions += scala.collection.mutable.ArrayBuffer.empty[String]
+        sessions.last += r._4; prev = r._2
+      }
+      sessions.flatMap(s => s.toSeq.zip(s.drop(1)).zipWithIndex
+        .filter(_._2 < 5).map { case ((a, b), i) => (i + 1, a, b) })
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet === exp.keySet, "transition universe")
+    val stepTotals = exp.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    exp.foreach { case (key, n) =>
+      assert(got(key)._1 === n, s"$key count")
+      assert(got(key)._2 === n * 1000000L / stepTotals(key._1), s"$key share")
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
