@@ -869,6 +869,9 @@ object SparkEntry {
     // q119: positional Sankey transitions — one more window on the q101
     // session sort; alphabet²·steps-bounded output, exact ppm shares
     "q119_step_transitions" -> ((s, d) => Relational5.q119StepTransitions(t(s, d))),
+    // q120: CUPED variance reduction — rounded θ applied identically in
+    // both engines; user-frame aggregates, plan-borne scalars
+    "q120_cuped"          -> ((s, d) => Relational5.q120Cuped(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3663,6 +3666,35 @@ object SparkEntry {
         |FROM sc""".stripMargin,
     // q93: same basket self-join, supports and plan-borne N; the top-50
     // page cut is total-ordered (co DESC, p1, p2)
+    // q120: same user frame, θ and x̄ rounded BEFORE application — the
+    // adjusted means are the only aggregated floats, rounded once
+    "q120_cuped" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        | FROM events),
+        |u AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN epoch_us(ts) < lo + (hi - lo) // 2
+        |    THEN 1 ELSE 0 END) AS DOUBLE) AS x,
+        |  CAST(sum(CASE WHEN epoch_us(ts) >= lo + (hi - lo) // 2
+        |    AND event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS y
+        | FROM events CROSS JOIN b GROUP BY 1),
+        |h AS (SELECT
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1)
+        |      << ((15 - i) * 4))) AS BIGINT) % 2 = 0 AS in_a, x, y
+        | FROM (SELECT md5('ab:' || CAST(user_id AS VARCHAR)) AS m, x, y FROM u)),
+        |th AS (SELECT round(covar_pop(x, y) / var_pop(x), 6) + 0.0 AS theta,
+        |  round(avg(x), 6) + 0.0 AS x_bar FROM h),
+        |adj AS (SELECT in_a, y, y - theta * (x - x_bar) AS y_adj
+        | FROM h CROSS JOIN th)
+        |SELECT
+        | CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        | CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        | round(avg(CASE WHEN in_a THEN y END), 6) + 0.0 AS raw_a,
+        | round(avg(CASE WHEN NOT in_a THEN y END), 6) + 0.0 AS raw_b,
+        | round(avg(CASE WHEN in_a THEN y_adj END), 6) + 0.0 AS adj_a,
+        | round(avg(CASE WHEN NOT in_a THEN y_adj END), 6) + 0.0 AS adj_b,
+        | (SELECT theta FROM th) AS theta
+        |FROM adj""".stripMargin,
     // q119: same islands, same in-session row_number/lead, same per-step
     // ppm shares
     "q119_step_transitions" ->

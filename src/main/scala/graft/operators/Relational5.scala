@@ -544,6 +544,56 @@ object Relational5 {
         expr("n * 1000000 div step_total").as("share_ppm"))
   }
 
+  /** q120: CUPED-adjusted A/B read-out — the variance-reduction
+    * technique production experimentation platforms run on top of q112's
+    * plain z: per user, a PRE-period covariate (event count in the first
+    * half of the window) explains away baseline activity differences in
+    * the outcome (purchases in the second half), via
+    * y_adj = y − θ·(x − x̄) with θ = cov(x,y)/var(x). Same portable-hash
+    * arms as q112.
+    *
+    * Float discipline: θ is computed with covar_pop/var_pop (the q52
+    * aggregate class) and ROUNDED at 6 dp BEFORE it is applied — both
+    * engines then adjust with the identical θ, so the only aggregated
+    * floats are the final means, rounded once (the q52 magnitude
+    * discipline). The midpoint is exact integer-µs arithmetic off
+    * plan-borne min/max. Scale shape: events partial-aggregate to one
+    * row per user; every later aggregate runs on the user frame; the
+    * tiny θ/mean scalars ride the plan as broadcast crossJoins. */
+  def q120Cuped(t: Tables): DataFrame = {
+    val bounds = t.events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val users = t.events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("mid", expr("lo + (hi - lo) div 2"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L))
+          .cast("double").as("x"),
+        sum(when(col("us") >= col("mid") && col("event_type") === "purchase",
+          1L).otherwise(0L)).cast("double").as("y"))
+      .select(
+        (pmod(Dedup.md5Hash60(concat(lit("ab:"), col("user_id").cast("string"))),
+          lit(2L)) === 0L).as("in_a"),
+        col("x"), col("y"))
+    val theta = users.agg(
+      (round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6) + lit(0.0))
+        .as("theta"),
+      (round(avg(col("x")), 6) + lit(0.0)).as("x_bar"))
+    users.crossJoin(broadcast(theta))
+      .select(col("in_a"), col("y"), col("theta"),
+        (col("y") - col("theta") * (col("x") - col("x_bar"))).as("y_adj"))
+      .agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"),
+        (round(avg(when(col("in_a"), col("y"))), 6) + lit(0.0)).as("raw_a"),
+        (round(avg(when(!col("in_a"), col("y"))), 6) + lit(0.0)).as("raw_b"),
+        (round(avg(when(col("in_a"), col("y_adj"))), 6) + lit(0.0)).as("adj_a"),
+        (round(avg(when(!col("in_a"), col("y_adj"))), 6) + lit(0.0)).as("adj_b"),
+        max(col("theta")).as("theta"))
+  }
+
   /** q92: RFM segmentation — per customer the classic recency/frequency/
     * monetary quintile scores and the concatenated "RFM" segment label,
     * the workhorse customer-base cut. Recency anchors on the corpus max

@@ -1508,6 +1508,46 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q112/q120: CUPED replays JVM moments; adjustment preserves the pooled mean") {
+    def md5Hash60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val r = graft.operators.Relational5.q120Cuped(tables).collect().head
+    val ev = tables.events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val mid = lo + (hi - lo) / 2
+    val users = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.count(_._2 < mid).toDouble,
+        rows.count(e => e._2 >= mid && e._3 == "purchase").toDouble)
+    }.toSeq
+    val n = users.size
+    val xb = users.map(_._2).sum / n; val yb = users.map(_._3).sum / n
+    val cov = users.map(u => (u._2 - xb) * (u._3 - yb)).sum / n
+    val vx = users.map(u => (u._2 - xb) * (u._2 - xb)).sum / n
+    val theta = math.rint(cov / vx * 1e6) / 1e6
+    assert(math.abs(r.getDouble(6) - theta) < 2e-6, "theta replay")
+    val xbr = math.rint(xb * 1e6) / 1e6
+    def sideMeans(inA: Boolean) = {
+      val g = users.filter(u => (md5Hash60(s"ab:${u._1}") % 2 == 0) == inA)
+      (g.map(_._3).sum / g.size,
+        g.map(u => u._3 - theta * (u._2 - xbr)).sum / g.size)
+    }
+    val (rawA, adjA) = sideMeans(true); val (rawB, adjB) = sideMeans(false)
+    assert(math.abs(r.getDouble(2) - rawA) < 2e-6 &&
+      math.abs(r.getDouble(3) - rawB) < 2e-6, "raw means replay")
+    assert(math.abs(r.getDouble(4) - adjA) < 2e-6 &&
+      math.abs(r.getDouble(5) - adjB) < 2e-6, "adjusted means replay")
+    val nA = r.getLong(0); val nB = r.getLong(1)
+    val pooledRaw = (r.getDouble(2) * nA + r.getDouble(3) * nB) / (nA + nB)
+    val pooledAdj = (r.getDouble(4) * nA + r.getDouble(5) * nB) / (nA + nB)
+    assert(math.abs(pooledRaw - pooledAdj) < 1e-4,
+      "CUPED must not move the pooled mean (Σ(x−x̄) = 0)")
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
