@@ -835,6 +835,10 @@ object SparkEntry {
     // first-copy attribution by min admission rank; exact ppm
     "p47_dedup_saturation" -> ((s, d) =>
       graft.operators.DataPipeline.dedupSaturation(t(s, d).documents)),
+    // p49: max–min fair water-filling — the sequential waterline as a
+    // window predicate; exact longs, hash-deterministic remainder
+    "p49_waterfill" -> ((s, d) =>
+      graft.operators.DataPipeline.waterfill(t(s, d).documents, 10000L)),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -4521,6 +4525,31 @@ object SparkEntry {
         |FROM n""".stripMargin,
     // p46: same md5-prefix request plant, same cluster closure (the d07
     // recursive CTE), same xor checksum over the retained rows
+    // p49: the same window-collapsed waterline test, the same
+    // hash-ranked remainder — exact longs end-to-end
+    "p49_waterfill" ->
+      """WITH sz AS (SELECT source,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS s_total FROM sz),
+        |r AS (SELECT source, n_tokens, s_total,
+        |  row_number() OVER w AS k,
+        |  coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        | FROM sz CROSS JOIN t WINDOW w AS (ORDER BY n_tokens, source)),
+        |c AS (SELECT *, prefix + n_tokens * (s_total - k + 1) <= 10000 AS capped
+        |      FROM r),
+        |p AS (SELECT
+        |  CAST(sum(CASE WHEN capped THEN n_tokens ELSE 0 END) AS BIGINT) AS taken,
+        |  CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS u FROM c),
+        |h AS (SELECT c.*, row_number() OVER
+        |  (PARTITION BY capped ORDER BY md5(source), source) AS hash_rank FROM c)
+        |SELECT source, n_tokens, capped,
+        | CAST(CASE WHEN capped THEN n_tokens
+        |  ELSE (10000 - taken) // u
+        |    + CASE WHEN hash_rank <= (10000 - taken) % u THEN 1 ELSE 0 END
+        |  END AS BIGINT) AS alloc_tokens
+        |FROM h CROSS JOIN p""".stripMargin,
     // p47: same md5 admission order, same integer batch arithmetic off
     // the corpus count, same min-rank first-copy attribution
     "p47_dedup_saturation" ->

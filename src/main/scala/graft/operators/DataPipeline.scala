@@ -1541,6 +1541,54 @@ object DataPipeline {
         expr("1000000000000L div rate_ppm").as("w_ppm"))
   }
 
+  /** p49: max–min fair token budget (water-filling) — split a training
+    * budget across sources so no source is starved and none over-serves:
+    * every source gets min(its size, the waterline L), with L the
+    * largest level the budget affords — the allocation that maximizes
+    * the minimum share (the cap arithmetic inside UNIMAX-family mixing,
+    * here as the exact allocator rather than p08's n^α weights). Small
+    * sources are taken whole ("capped" by their own size); the rest
+    * split the remainder evenly, with the integer remainder handed one
+    * token each to the hash-first uncapped sources so the allocation is
+    * total and engine-reproducible.
+    *
+    * The whole plan is |sources|-bounded after one count aggregation:
+    * the classic sequential water-filling loop collapses to a window
+    * test — source k (ascending by size) is capped iff
+    * prefix_{k−1} + s_k·(S−k+1) ≤ B, a per-row predicate over prefix
+    * sums — so no iteration exists at any scale. Exact longs
+    * end-to-end; conservation and fairness are spec-pinned laws. */
+  def waterfill(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens=$budgetTokens must be >= 0")
+    val sizes = docs
+      .select(col("source"), TextFns.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val total = sizes.agg(count(lit(1)).as("s_total"))
+    val ranked = sizes.crossJoin(broadcast(total))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("prefix", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("capped",
+        col("prefix") + col("n_tokens") * (col("s_total") - col("k") + 1)
+          <= budgetTokens)
+    val pool = ranked.agg(
+      sum(when(col("capped"), col("n_tokens")).otherwise(0L)).as("taken"),
+      sum(when(!col("capped"), 1L).otherwise(0L)).as("u"))
+    ranked.crossJoin(broadcast(pool))
+      .withColumn("hash_rank",
+        row_number().over(Window.partitionBy(col("capped")).orderBy(
+          md5(col("source")), col("source"))).cast("long"))
+      .select(col("source"), col("n_tokens"), col("capped"),
+        when(col("capped"), col("n_tokens"))
+          .otherwise(
+            expr(s"(${budgetTokens}L - taken) div u") +
+              when(col("hash_rank") <= expr(s"(${budgetTokens}L - taken) % u"),
+                1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
+
   /** p47: dedup saturation curve — replay the corpus in a deterministic
     * pseudo-crawl order (md5 of the doc id — the p03 portable-hash
     * shuffle) cut into ten admission batches, and report per batch how

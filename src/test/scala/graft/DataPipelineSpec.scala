@@ -1342,4 +1342,28 @@ class DataPipelineSpec extends AnyFunSuite {
       .sortBy(_._1)
     assert(again === got, "deterministic admission order")
   }
+
+  test("p49: waterline caps small sources, conserves the budget, fair elsewhere") {
+    import spark.implicits._
+    def doc(src: String, i: Long, n: Int) =
+      (i, (1 to n).map(j => s"w$j").mkString(" "), src)
+    // sizes: tiny=10, small=50, big=400, huge=400 tokens; budget 300
+    val docs = Seq(doc("tiny", 1L, 10), doc("small", 2L, 50),
+      doc("big", 3L, 400), doc("huge", 4L, 400))
+      .toDF("doc_id", "text", "source")
+    val got = DataPipeline.waterfill(docs, 300L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2), r.getLong(3))))
+      .toMap
+    assert(got("tiny") === ((10L, true, 10L)), "tiny taken whole")
+    assert(got("small") === ((50L, true, 50L)), "small taken whole")
+    val (bigA, hugeA) = (got("big")._3, got("huge")._3)
+    assert(!got("big")._2 && !got("huge")._2, "large sources share the waterline")
+    assert(math.abs(bigA - hugeA) <= 1L, "max-min fair within the remainder token")
+    assert(Seq(got("tiny"), got("small"), got("big"), got("huge"))
+      .map(_._3).sum === 300L, "budget exactly consumed")
+    // a budget above the total degenerates to take-everything
+    val all = DataPipeline.waterfill(docs, 100000L).collect()
+      .map(r => (r.getLong(1), r.getLong(3)))
+    assert(all.forall { case (n, a) => a === n }, "surplus budget takes all")
+  }
 }
