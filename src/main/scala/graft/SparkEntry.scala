@@ -439,6 +439,9 @@ object SparkEntry {
     // s29: scalar-quantization ladder — recall@k + cosine distortion per
     // bit width; floor arithmetic keeps every rung deterministic
     "s29_quant_ladder"    -> ((s, d) => Knn.quantLadder(t(s, d).embeddings)),
+    // s30: Matryoshka dimension ladder — prefix-slice truncation,
+    // recall + cosine gap per dim fraction; slices are deterministic
+    "s30_matryoshka"      -> ((s, d) => Knn.matryoshkaLadder(t(s, d).embeddings)),
     // s10: metadata-filtered search — PRE-filter semantics (corpus
     // restricted before ranking, k qualifying neighbors guaranteed);
     // exact, the s01 discipline; filteredIvf recall-spec'd in KnnSpec
@@ -2626,6 +2629,24 @@ object SparkEntry {
         | CAST(k.kept_chars AS DOUBLE) / CAST(t.t_chars AS DOUBLE) AS char_share
         |FROM kept k JOIN tot t USING (lang)""".stripMargin,
     // s09: s01's oracle with list_inner_product and the same tiebreak
+    // s30: each rung prefix-slices, ranks, and scores against the shared
+    // exact ranking CTE — the s29 oracle shape on the dimension axis
+    "s30_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |exr AS (SELECT query_id, neighbor_id, cos FROM (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |   round(list_cosine_similarity(a.v, b.v), 8) AS cos,
+         |   row_number() OVER (PARTITION BY a.vec_id
+         |     ORDER BY round(list_cosine_similarity(a.v, b.v), 8) DESC, b.vec_id)
+         |     AS rnk
+         |  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id < 10) WHERE rnk <= 5),
+         |${mrlRungCtes(8)},
+         |${mrlRungCtes(4)},
+         |${mrlRungCtes(2)}
+         |${mrlRungSelect(8)}
+         |UNION ALL ${mrlRungSelect(4)}
+         |UNION ALL ${mrlRungSelect(2)}""".stripMargin,
     // s29: each rung dequantizes with the same floor arithmetic, ranks,
     // and scores against the shared exact ranking CTE
     "s29_quant_ladder" ->
@@ -4736,6 +4757,31 @@ object SparkEntry {
   /** The d02 pair SQL at an arbitrary threshold (d18's curve base). */
   private def ngramJaccardSqlAt(threshold: Double): String =
     ngramJaccardSql.replace(">= 0.8", s">= $threshold")
+
+  /** One s30 rung: truncate to the 1/frac prefix, rank, score vs `exr`. */
+  private def mrlRungCtes(frac: Int): String =
+    s"""tv$frac AS (SELECT vec_id,
+       |  list_slice(v, 1, greatest(len(v) // $frac, 1)) AS v FROM e),
+       |tr$frac AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY round(list_cosine_similarity(a.v, b.v), 8) DESC, b.vec_id) AS rnk
+       |  FROM tv$frac a JOIN tv$frac b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10) WHERE rnk <= 5)""".stripMargin
+
+  private def mrlRungSelect(frac: Int): String =
+    s"""SELECT CAST($frac AS INT) AS dim_fraction,
+       | (SELECT CAST(count(*) AS BIGINT) FROM exr) AS n_pairs,
+       | (SELECT CAST(count(*) AS BIGINT) FROM exr
+       |   SEMI JOIN tr$frac USING (query_id, neighbor_id)) AS n_common,
+       | (SELECT CAST((SELECT count(*) FROM exr SEMI JOIN tr$frac
+       |     USING (query_id, neighbor_id)) * 1000000
+       |   // (SELECT count(*) FROM exr) AS BIGINT)) AS recall_ppm,
+       | (SELECT round(sum(abs(ex.cos
+       |     - round(list_cosine_similarity(qa.v, qb.v), 8))) / count(*), 6) + 0.0
+       |  FROM exr ex JOIN tv$frac qa ON qa.vec_id = ex.query_id
+       |  JOIN tv$frac qb ON qb.vec_id = ex.neighbor_id) AS mean_cos_gap"""
+      .stripMargin
 
   /** One s29 rung: dequantize at ±maxq, rank, and score vs the shared
     * exact ranking CTE `exr`. Emitted as CTE fragments + a final SELECT. */

@@ -275,6 +275,50 @@ object Knn {
     }.reduce(_ unionByName _)
   }
 
+  /** s30: dimension-truncation (Matryoshka) ladder — s29's tradeoff
+    * curve along the OTHER compression axis: instead of fewer bits per
+    * dimension, fewer DIMENSIONS per vector (the MRL deployment pattern
+    * — serve the first d/8, d/4, d/2 prefix dims and re-rank with the
+    * full vector only on the shortlist). Per prefix length: recall@k of
+    * the truncated-cosine ranking vs the full ranking and the mean
+    * |cosine gap| over the full ranking's top-k pairs. On non-MRL-
+    * trained embeddings (like this corpus') the curve quantifies what
+    * naive truncation loses — exactly the audit that tells you whether
+    * the checkpoint was Matryoshka-trained at all.
+    *
+    * Deterministic (truncation is a slice), fully exact: recall in
+    * integer ppm, distortion rounded once. Same |Q|·k join shapes as
+    * s29. */
+  def matryoshkaLadder(emb: DataFrame, queryPred: String = "vec_id < 10",
+                       k: Int = 5, fractions: Seq[Int] = Seq(8, 4, 2))
+      : DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_ >= 1), "bad fractions")
+    val exact = bruteForce(emb, queryPred, k)
+    val nExact = exact.agg(count(lit(1)).as("n_pairs"))
+    fractions.map { frac =>
+      val dv = emb.select(col("vec_id"),
+        expr(s"slice(CAST(embedding AS ARRAY<DOUBLE>), 1, " +
+          s"greatest(size(embedding) div $frac, 1))").as("embedding"))
+      val truncR = bruteForce(dv, queryPred, k)
+        .select(col("query_id"), col("neighbor_id"))
+      val common = exact.select(col("query_id"), col("neighbor_id"))
+        .join(truncR, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+      val dist = exact
+        .join(dv.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          Seq("query_id"))
+        .join(dv.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+          Seq("neighbor_id"))
+        .select(abs(col("cos") -
+          round(graft.functions.VectorFns.cosine(col("qv"), col("nv")), 8)).as("d"))
+        .agg((round(sum(col("d")) / count(lit(1)), 6) + lit(0.0)).as("mean_cos_gap"))
+      nExact.crossJoin(common).crossJoin(dist)
+        .select(lit(frac).as("dim_fraction"), col("n_pairs"), col("n_common"),
+          expr("n_common * 1000000 div n_pairs").as("recall_ppm"),
+          col("mean_cos_gap"))
+    }.reduce(_ unionByName _)
+  }
+
   /** s17: exact k-NN label propagation — classify each query vector by
     * the majority label of its k nearest labeled neighbors: the
     * embedding-space auto-labeling step a curation pipeline runs to

@@ -435,4 +435,21 @@ class KnnSpec extends AnyFunSuite {
     assert(rows(8)._2 === (exact & s04).size.toLong,
       "8-bit common count equals the s04-vs-exact intersection")
   }
+
+  test("s30: dimension ladder laws — full-prefix degenerates to exact recall 1") {
+    val emb = tables.embeddings
+    val rows = Knn.matryoshkaLadder(emb, "vec_id < 5", k = 5,
+      fractions = Seq(8, 2, 1)).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(rows.keySet === Set(8, 2, 1))
+    rows.values.foreach { case (np, nc, ppm, gap) =>
+      assert(nc <= np && ppm === nc * 1000000L / np && gap >= 0.0)
+    }
+    // fraction 1 keeps every dimension: identical ranking, zero gap
+    assert(rows(1)._3 === 1000000L, "frac 1 recall is exactly 1")
+    assert(rows(1)._4 === 0.0, "frac 1 cosine gap is exactly 0")
+    // an eighth of the dims cannot out-gap a half on average
+    assert(rows(2)._4 <= rows(8)._4, "more dims, no more distortion")
+  }
 }
