@@ -879,6 +879,9 @@ object SparkEntry {
     // q120: CUPED variance reduction — rounded θ applied identically in
     // both engines; user-frame aggregates, plan-borne scalars
     "q120_cuped"          -> ((s, d) => Relational5.q120Cuped(t(s, d))),
+    // q121: log2-bucket gap spectrum — bucket via binary-string length,
+    // no float log; one user+type window pass
+    "q121_gap_spectrum"   -> ((s, d) => Relational5.q121GapSpectrum(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3691,6 +3694,22 @@ object SparkEntry {
         |FROM sc""".stripMargin,
     // q93: same basket self-join, supports and plan-borne N; the top-50
     // page cut is total-ordered (co DESC, p1, p2)
+    // q121: same lag window, same binary-string-length log2 bucket
+    "q121_gap_spectrum" ->
+      """WITH g AS (SELECT event_type,
+        |  (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+        | FROM events),
+        |b AS (SELECT event_type,
+        |  CAST(CASE WHEN gap_s <= 0 THEN 0 ELSE length(bin(gap_s)) END AS INT)
+        |    AS bucket
+        | FROM g WHERE gap_s IS NOT NULL),
+        |c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+        |      FROM b GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        | CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |   AS share_ppm
+        |FROM c""".stripMargin,
     // q120: same user frame, θ and x̄ rounded BEFORE application — the
     // adjusted means are the only aggregated floats, rounded once
     "q120_cuped" ->

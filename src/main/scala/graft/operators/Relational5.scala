@@ -594,6 +594,34 @@ object Relational5 {
         max(col("theta")).as("theta"))
   }
 
+  /** q121: inter-event gap spectrum — per event type, the histogram of
+    * successive same-(user, type) gaps over LOG₂ seconds buckets: the
+    * cadence fingerprint that separates retry storms (mass at 2⁰–2²s),
+    * organic browsing (minutes) and daily habits (2¹⁶–2¹⁷s) at a
+    * glance — q94 counts pairs under ONE window, q121 draws the whole
+    * spectrum. The log bucket is EXACT integer arithmetic: bucket =
+    * length(bin(gap_seconds)) = ⌊log₂⌋+1 via the binary-string length —
+    * no float log to drift (zero-second gaps take bucket 0). One
+    * user+type-keyed window pass, alphabet × ~40 output rows, exact-ppm
+    * shares per type. */
+  def q121GapSpectrum(t: Tables): DataFrame = {
+    val gaps = t.events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_s", expr("(us - lag(us, 1) OVER (PARTITION BY user_id, " +
+        "event_type ORDER BY us, event_id)) div 1000000"))
+      .where(col("gap_s").isNotNull)
+      .select(col("event_type"),
+        when(col("gap_s") <= 0, lit(0))
+          .otherwise(length(expr("bin(gap_s)"))).cast("int").as("bucket"))
+    gaps.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("type_total",
+        sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("bucket"), col("n"),
+        expr("n * 1000000 div type_total").as("share_ppm"))
+  }
+
   /** q92: RFM segmentation — per customer the classic recency/frequency/
     * monetary quintile scores and the concatenated "RFM" segment label,
     * the workhorse customer-base cut. Recency anchors on the corpus max

@@ -1548,6 +1548,29 @@ class RelationalSpec extends AnyFunSuite {
       "CUPED must not move the pooled mean (Σ(x−x̄) = 0)")
   }
 
+  test("q121: gap buckets replay the JVM log2 rule; shares sum per type") {
+    val got = graft.operators.Relational5.q121GapSpectrum(tables).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = tables.events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exp = ev.groupBy(r => (r._1, r._2)).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._3, r._4))
+      s.zip(s.drop(1)).map { case (a, b) =>
+        val gapS = (b._3 - a._3) / 1000000L
+        val bucket = if (gapS <= 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(gapS)
+        (b._2, bucket)
+      }
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.keySet === exp.keySet, "bucket universe")
+    val totals = exp.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    exp.foreach { case (key, n) =>
+      assert(got(key) === ((n, n * 1000000L / totals(key._1))), s"$key")
+    }
+  }
+
   test("q80: the NOT IN null trap fires; EXISTS forms agree with IN") {
     val r = graft.operators.Relational4.q80NullMembership(tables).collect().head
     val (notIn, notExists, isIn, exists) =
