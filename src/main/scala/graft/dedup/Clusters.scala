@@ -448,9 +448,16 @@ object Clusters {
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n"))
+    // eager localCheckpoint per round (the d07 loop's discipline): `ranks`
+    // feeds BOTH the contrib join and the update join, so an unmaterialized
+    // loop doubles the plan every round (2^iters edge joins by round 3) —
+    // checkpointing keeps each round to one edge join + one agg over state
+    // bounded by the node count, and the integer ranks are deterministic so
+    // materialization cannot change any value
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("id"), col("deg"), col("n"),
         expr("1000000000L div n").as("rank_ppb"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(ranks.select(col("id").as("src"),
@@ -459,6 +466,7 @@ object Clusters {
       ranks = ranks.join(contrib.select(col("dst").as("id"), col("in_sum")), Seq("id"))
         .select(col("id"), col("deg"), col("n"),
           expr("150000000L div n + (85L * in_sum) div 100L").as("rank_ppb"))
+        .localCheckpoint(true)
     }
     val labels = dupClusters(docs, threshold, bands, rowsPerBand, k)
       .select(col("doc_id"), col("cluster_id"))
