@@ -245,23 +245,31 @@ object Relational4 {
     * NULLS clause, so the oracle uses the count-of-non-nulls grouping
     * identity: rows at-or-after the same non-null share
     * count(v) OVER (…PRECEDING…), and max(v) within that group IS the
-    * fill — spelled out in the oracle SQL. The demo partitions by order
-    * priority; at scale the partition key is a high-cardinality entity
-    * id (sensor/user), making per-key frames executor-local. */
+    * fill — spelled out in the oracle SQL.
+    *
+    * Scale form (round 9): the priority key has 5 values, so naive
+    * `last(…, ignoreNulls)` windows would serialize the fill onto ≤5
+    * reducers. Both fills run through [[ScanWindows.lastNonNull]] — the
+    * LOCF instantiation of the two-level prefix scan: the running MAX of
+    * struct(orderkey, v) over non-null rows carries the latest value at
+    * orderkey-bucket parallelism (fill-up is the same scan over the
+    * negated key), bit-identical to the naive window by the null-skipping
+    * max/greatest algebra (ScanWindowsSpec). */
   def q63GapFill(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = when(col("o_orderkey") % 3 === 0, lit(null))
       .otherwise(col("o_totalprice"))
-    val wDown = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wUp = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    t.orders
+    val base = t.orders
       .select(col("o_orderkey"), col("o_orderpriority"), v.as("v"))
-      .withColumn("fill_down", last(col("v"), ignoreNulls = true).over(wDown))
-      .withColumn("fill_up", first(col("v"), ignoreNulls = true).over(wUp))
+      .withColumn("okbkt", expr("o_orderkey div 16384"))
+      .withColumn("negk", -col("o_orderkey"))
+      .withColumn("negbkt", expr("negk div 16384"))
+    val down = ScanWindows.lastNonNull(base, Seq("o_orderpriority"), "okbkt",
+      "o_orderkey", "v", "fill_down")
+    ScanWindows.lastNonNull(down, Seq("o_orderpriority"), "negbkt",
+      "negk", "v", "fill_up")
       .withColumn("filled",
         coalesce(col("v"), col("fill_down"), col("fill_up")))
+      .drop("okbkt", "negk", "negbkt")
   }
 
   /** q64: ordered string aggregation — the deterministic LISTAGG surface:
@@ -294,18 +302,25 @@ object Relational4 {
     * the q63 running-count frames, and join back on rn. Values are
     * untouched doubles — hash-checked unrounded.
     *
-    * Scale: one hash exchange on the partition key + per-partition sort
-    * (the q08/q63 shape); IGNORE NULLS adds per-row state, not a second
-    * exchange. */
+    * Scale form (round 9): lag/lead IGNORE NULLS at offset 1 ARE the
+    * strictly-before/strictly-after non-null lookups, so both run through
+    * [[ScanWindows.lastNonNull]] with frameEnd = −1 (q63's LOCF scan with
+    * the current row excluded; the lead is the same scan over the negated
+    * key) — orderkey-bucket parallelism instead of the 5-value priority
+    * key, bit-identical by the null-skipping max algebra. */
   def q67NavIgnoreNulls(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
     val v = when(col("o_orderkey") % 3 === 0, lit(null))
       .otherwise(col("o_totalprice"))
-    t.orders
+    val base = t.orders
       .select(col("o_orderkey"), col("o_orderpriority"), v.as("v"))
-      .withColumn("prev_nn", lag(col("v"), 1, null, ignoreNulls = true).over(w))
-      .withColumn("next_nn", lead(col("v"), 1, null, ignoreNulls = true).over(w))
+      .withColumn("okbkt", expr("o_orderkey div 16384"))
+      .withColumn("negk", -col("o_orderkey"))
+      .withColumn("negbkt", expr("negk div 16384"))
+    val p = ScanWindows.lastNonNull(base, Seq("o_orderpriority"), "okbkt",
+      "o_orderkey", "v", "prev_nn", frameEnd = -1)
+    ScanWindows.lastNonNull(p, Seq("o_orderpriority"), "negbkt",
+      "negk", "v", "next_nn", frameEnd = -1)
+      .drop("okbkt", "negk", "negbkt")
   }
 
   /** q58: the approximate-sketch aggregates — HLL++ distinct counting
@@ -366,12 +381,17 @@ object Relational4 {
     *   - cumulative distinct customers per priority: the FIRST-OCCURRENCE
     *     trick — row_number over (priority, customer) marks each
     *     customer's first order, and a running SUM of that 0/1 flag IS
-    *     the running distinct count. O(n) state, plan = two window passes
-    *     over one exchange — the 100 TB shape (a per-row set
-    *     materialization is quadratic in the partition);
+    *     the running distinct count. O(n) state — the 100 TB shape (a
+    *     per-row set materialization is quadratic in the partition);
     *   - sliding 10-row distinct customers: size(collect_set) over the
     *     BOUNDED frame — per-row cost ∝ frame width, fine at any corpus
     *     size because the frame is fixed.
+    * Scale form (round-8 fix): the priority key has 5 values, so naive
+    * windows would shuffle all orders onto ≤5 reducers. Both passes run
+    * through ScanWindows' two-level scan instead — orderkey-range buckets
+    * (div 16384) carry the parallelism; the running sum adds exact bucket
+    * offsets and the sliding frame borrows each bucket's leading 9 rows
+    * by position, so both columns stay bit-identical to the naive form.
     * DuckDB replays both with native `count(DISTINCT …) OVER`, so the
     * equivalence of the derivations to the textbook semantics is exactly
     * what the oracle checks. Integer counts, unroundable. */
@@ -379,17 +399,18 @@ object Relational4 {
     import org.apache.spark.sql.expressions.Window
     val byCust = Window.partitionBy(col("o_orderpriority"), col("o_custkey"))
       .orderBy(col("o_orderkey"))
-    val run = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val slide = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_orderkey"))
-      .rowsBetween(-9, Window.currentRow)
-    t.orders
+    val flagged = t.orders
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
-      .withColumn("first_seen", (row_number().over(byCust) === 1).cast("int"))
-      .withColumn("cum_distinct_cust", sum(col("first_seen")).over(run))
-      .withColumn("win10_distinct_cust",
-        size(collect_set(col("o_custkey")).over(slide)).cast("long"))
-      .drop("first_seen")
+      .withColumn("first_seen", (row_number().over(byCust) === 1).cast("long"))
+      .withColumn("okbkt", expr("o_orderkey div 16384"))
+    val withCum = ScanWindows.prefixSums(flagged,
+      Seq("o_orderpriority"), "okbkt", Seq("o_orderkey"),
+      Seq("cum_distinct_cust" -> "first_seen"))
+    ScanWindows.slidingFrame(withCum,
+      Seq("o_orderpriority"), "okbkt", Seq("o_orderkey"), 10) { w =>
+      Seq("win10_distinct_cust" ->
+        size(collect_set(col("o_custkey")).over(w)).cast("long"))
+    }.drop("first_seen", "okbkt")
   }
 
   /** q70: interval union (gaps-and-islands merge) — per user, the total
@@ -477,12 +498,19 @@ object Relational4 {
     val med = t.lineitem.groupBy(col("l_returnflag"))
       .agg((round(expr("percentile(l_extendedprice, 0.5)"), 4) + lit(0.0))
         .as("median_price"))
-    val byQty = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    // scale form (round-8 fix): the discrete quartile derives from the
+    // (flag, quantity) HISTOGRAM — the value whose cumulative count range
+    // contains position (n+3) div 4 — so the only window input is the
+    // qty-cardinality-bounded histogram, never |lineitem| rows on a
+    // 3-value partition key
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nAll = Window.partitionBy(col("l_returnflag"))
-    val q25 = t.lineitem.select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(byQty))
-      .withColumn("n", count(lit(1)).over(nAll))
-      .where(expr("rn = (n + 3) div 4"))
+    val q25 = t.lineitem.groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("qcnt"))
+      .withColumn("cum", sum(col("qcnt")).over(wCum))
+      .withColumn("n", sum(col("qcnt")).over(nAll))
+      .where(expr("cum >= (n + 3) div 4 and cum - qcnt < (n + 3) div 4"))
       .select(col("l_returnflag"), col("l_quantity").as("q25_qty"))
     mode.join(med, "l_returnflag").join(q25, "l_returnflag")
   }
@@ -545,7 +573,6 @@ object Relational4 {
     * (all x equal → denominator 0) emit NULL via a guarded division in
     * both engines. */
   def q73RollingRegression(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val x = col("l_quantity")
     // round(·, 0) yields an integer-VALUED double in both engines — sums
     // over it are exact without any cast gymnastics
@@ -556,18 +583,27 @@ object Relational4 {
     // makes any remaining tie a row identical in every column that
     // influences the output — swapping such rows permutes identical
     // output rows, so the result multiset is deterministic anyway.
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-        col("x"), col("y"))
-      .rowsBetween(-29, Window.currentRow)
-    t.lineitem
+    //
+    // Scale form (round-8 fix): the flag key has 3 values, so a naive
+    // window is a ≤3-way serial sort of all of lineitem. The trailing
+    // frame runs through ScanWindows.slidingFrame instead, bucketed by
+    // l_shipdate (the leading sort key, ~2,500 distinct days at any SF):
+    // each day finishes independently after borrowing the 29 rows that
+    // globally precede it — bit-identical sums (integer-valued inputs,
+    // any accumulation order) at day-count parallelism.
+    val base = t.lineitem
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), x.as("x"), y.as("y"))
-      .withColumn("n", count(lit(1)).over(w).cast("double"))
-      .withColumn("sx", sum(col("x")).over(w))
-      .withColumn("sy", sum(col("y")).over(w))
-      .withColumn("sxy", sum(col("x") * col("y")).over(w))
-      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .withColumn("daybkt", col("l_shipdate"))
+    ScanWindows.slidingFrame(base, Seq("l_returnflag"), "daybkt",
+      Seq("l_shipdate", "l_orderkey", "l_linenumber", "x", "y"), 30) { w =>
+      Seq(
+        "n" -> count(lit(1)).over(w).cast("double"),
+        "sx" -> sum(col("x")).over(w),
+        "sy" -> sum(col("y")).over(w),
+        "sxy" -> sum(col("x") * col("y")).over(w),
+        "sxx" -> sum(col("x") * col("x")).over(w))
+    }
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         (round(
           (col("n") * col("sxy") - col("sx") * col("sy"))
@@ -587,19 +623,21 @@ object Relational4 {
     *
     * Scale shape: per-row cost ∝ the FIXED frame width (collect_list
     * over 30 rows — bounded state, the q69 sliding-frame discipline;
-    * a growing frame would be quadratic and is deliberately absent);
-    * one exchange on the flag partition. Values are integers end to
-    * end — nothing rounds. */
+    * a growing frame would be quadratic and is deliberately absent).
+    * Round-8 fix: the frame runs through ScanWindows.slidingFrame
+    * bucketed by l_shipdate (the leading sort key), so parallelism is
+    * day-count-bounded instead of the 3-value flag key; the frame's
+    * sorted multiset is position-borrowed-exact, hence bit-identical.
+    * Values are integers end to end — nothing rounds. */
   def q74WindowMedian(t: Tables): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"))
-      .rowsBetween(-29, Window.currentRow)
-    t.lineitem
+    val base = t.lineitem
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_shipdate"), col("l_quantity"))
-      .withColumn("frame", sort_array(collect_list(col("l_quantity")).over(w)))
+      .withColumn("daybkt", col("l_shipdate"))
+    ScanWindows.slidingFrame(base, Seq("l_returnflag"), "daybkt",
+      Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"), 30) { w =>
+      Seq("frame" -> sort_array(collect_list(col("l_quantity")).over(w)))
+    }
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         element_at(col("frame"), ((size(col("frame")) + 1) / 2).cast("int"))
           .as("med30"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -51,46 +51,92 @@ object Relational5 {
   }
 
   /** q85: decile report — orders bucketed into price deciles WITHIN each
-    * order priority (ntile over a keyed partition, never a global sort),
-    * with per-decile count and exact cents min/max/sum. The standard
-    * distribution-table shape for dashboards; the (cents, o_orderkey)
-    * order is total, so ntile's remainder placement is deterministic and
-    * both engines agree bucket for bucket. */
+    * order priority, with per-decile count and exact cents min/max/sum.
+    * The standard distribution-table shape for dashboards.
+    *
+    * Scale form (round-8 fix): NOT ntile over the raw fact rows — that
+    * window partitions by a 5-value key, a ≤5-way parallelism ceiling at
+    * 100×. Instead the rows partial-aggregate to the (priority, cents)
+    * HISTOGRAM first (one map-side-combined exchange), the running count
+    * over that price-cardinality-bounded table assigns each cents group
+    * its global position range, and closed-form integer arithmetic maps
+    * positions to deciles under the exact ntile remainder rule (first
+    * n mod 10 buckets take one extra row). A group straddling a boundary
+    * explodes into the ≤10 deciles it overlaps with its exact overlap
+    * count — per-decile (n, min, max, sum) are then identical to the
+    * row-level ntile's bucket for bucket (ties inside a cents group are
+    * interchangeable: every member contributes the same cents). The only
+    * window input left is the histogram. All arithmetic is exact: integer
+    * division renders as (a − a mod b)/b, whose quotient is an integer
+    * < 2^53 and therefore IEEE-exact. */
   def q85Deciles(t: Tables): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("cents"), col("o_orderkey"))
-    t.orders
-      .select(col("o_orderpriority"), col("o_orderkey"),
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def cdiv(a: Column, b: Column): Column = idiv(a + b - lit(1L), b)
+    val hist = t.orders
+      .select(col("o_orderpriority"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("o_orderpriority"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wRun = Window.partitionBy(col("o_orderpriority")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("o_orderpriority"))
+    val rows = hist
+      .withColumn("cum", sum(col("cnt")).over(wRun))
+      .withColumn("ntot", sum(col("cnt")).over(wAll))
+      .withColumn("prev", col("cum") - col("cnt"))
+      .withColumn("qq", idiv(col("ntot"), lit(10L)))
+      .withColumn("rr", pmod(col("ntot"), lit(10L)))
+    // ntile bucket of 1-based position p: the first rr buckets hold qq+1
+    // rows, the rest qq (guard qq=0: then p <= rr always, else unreachable)
+    def decileOf(p: Column): Column =
+      when(p <= col("rr") * (col("qq") + 1), cdiv(p, col("qq") + 1))
+        .otherwise(col("rr") +
+          cdiv(p - col("rr") * (col("qq") + 1), greatest(col("qq"), lit(1L))))
+    rows
+      .withColumn("decile",
+        explode(sequence(decileOf(col("prev") + 1), decileOf(col("cum")))))
+      .withColumn("sd",
+        (col("decile") - 1) * col("qq") + least(col("decile") - 1, col("rr")) + 1)
+      .withColumn("ed",
+        col("decile") * col("qq") + least(col("decile"), col("rr")))
+      .withColumn("k",
+        least(col("cum"), col("ed")) - greatest(col("prev") + 1, col("sd")) + 1)
       .groupBy(col("o_orderpriority"), col("decile"))
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("k")).as("n"),
         min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"),
-        sum(col("cents")).as("sum_cents"))
+        sum(col("cents") * col("k")).as("sum_cents"))
   }
 
   /** q86: weighted median — per return flag, the quantity-weighted median
     * of lineitem extended price: the smallest price whose cumulative
     * weight reaches half the total (the lower weighted median, the data-
-    * mixing statistic p08/p36-style samplers balance against). One keyed
-    * window pass for the running weight (total order (cents, orderkey,
-    * linenumber)), the flag totals ride the same frame via a full-
-    * partition window — zero extra exchanges — and the median is a
-    * min-over-qualifying-rows aggregation. All integer arithmetic
-    * (cents × whole-unit quantities); no doubles anywhere. */
+    * mixing statistic p08/p36-style samplers balance against).
+    *
+    * Scale form (round-8 fix): the fact rows partial-aggregate to the
+    * (flag, cents) → Σqty HISTOGRAM before any window touches them — the
+    * running-weight window's input drops from |lineitem| to the distinct
+    * prices per flag (price-cardinality-bounded, independent of row
+    * count), so the ≤3-way window partitioning no longer caps
+    * parallelism: the heavy exchange is the map-side-combined hash
+    * aggregate. The answer is identical to the row-level form: within a
+    * cents group the cumulative weight peaks at the group's last row, so
+    * the smallest qualifying cents is unchanged by pre-grouping. All
+    * integer arithmetic; no doubles anywhere. */
   def q86WeightedMedian(t: Tables): DataFrame = {
-    val base = t.lineitem.select(col("l_returnflag"),
-      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
-      round(col("l_quantity"), 0).cast("long").as("qty"),
-      col("l_orderkey"), col("l_linenumber"))
+    val hist = t.lineitem.select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        round(col("l_quantity"), 0).cast("long").as("qty"))
+      .groupBy(col("l_returnflag"), col("cents"))
+      .agg(sum(col("qty")).as("w"))
     val wRun = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("l_returnflag"))
-    base
-      .withColumn("cum", sum(col("qty")).over(wRun))
-      .withColumn("tot", sum(col("qty")).over(wAll))
+    hist
+      .withColumn("cum", sum(col("w")).over(wRun))
+      .withColumn("tot", sum(col("w")).over(wAll))
       .where(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(max(col("tot")).as("total_qty"),
@@ -107,15 +153,22 @@ object Relational5 {
     * (priority, day, cents) points make the frontier well-defined under
     * the strict-in-one domination rule. */
   def q87Skyline(t: Tables): DataFrame = {
-    val pts = t.orders
+    // Scale form (round-8 fix): only a day's cheapest point can survive
+    // the skyline (any same-day point above the day minimum is dominated
+    // by it under the (day DESC, cents ASC) running-min rule), so the
+    // rows partial-aggregate to per-(priority, day) min-cents BEFORE the
+    // window — its input is day-cardinality-bounded, not |orders|, and
+    // the heavy exchange is the map-side-combined hash aggregate.
+    val dayMin = t.orders
       .select(col("o_orderpriority"),
         col("o_orderdate").cast("date").as("day"),
         round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
-      .distinct()
+      .groupBy(col("o_orderpriority"), col("day"))
+      .agg(min(col("cents")).as("cents"))
     val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("day").desc, col("cents").asc)
+      .orderBy(col("day").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    pts
+    dayMin
       .withColumn("runmin", min(col("cents")).over(w))
       .where(col("runmin").isNull || col("cents") < col("runmin"))
       .select(col("o_orderpriority"),
