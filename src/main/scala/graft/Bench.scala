@@ -24,6 +24,13 @@ object Bench {
     val loadAvg = try {
       scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
     } catch { case _: Throwable => -1.0 }
+    // loud contamination flag (round-8 lesson: a load-10.5 rerun silently
+    // shadowed the committed idle record): medians from a loaded machine are
+    // not comparable round-over-round, so the artifact says so about itself
+    val contaminated = loadAvg > 1.0
+    if (contaminated) System.err.println(
+      s"BENCH WARNING: pre-run load $loadAvg > 1 - medians will be inflated;" +
+        " rerun on an idle machine before committing this artifact")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -129,7 +136,7 @@ object Bench {
       else results.collect { case (k, v) if baselineQs(k) => v }.sum
     val production = if (failed.nonEmpty) -1.0 else total - baseline
     val failedJs = failed.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"pre_run_load_1m":$loadAvg,"failed":$failedJs,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"pre_run_load_1m":$loadAvg,"load_contaminated":$contaminated,"failed":$failedJs,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line alone is NOT a durable artifact: the driver's tail
     // capture truncated round 6's ~5 KB line into unparseable JSON. Also
@@ -146,7 +153,7 @@ object Bench {
     // is committed with the round.
     val slowest = results.filter(r => !r._1.startsWith("_")).sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"pre_run_load_1m":$loadAvg,"failed":$failedJs,"queries":$slowest,"queries_full":"$out","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"pre_run_load_1m":$loadAvg,"load_contaminated":$contaminated,"failed":$failedJs,"queries":$slowest,"queries_full":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -63,7 +63,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     * as-read: they broadcast, and an exchange below a BroadcastExchange is
     * pure overhead. Plan-shape specs assert the scale property as "no
     * hash/range exchange" (no KEYED redistribution of the corpus); a
-    * round-robin exchange is permitted by exactly this rule. */
+    * round-robin exchange is permitted by exactly this rule.
+    *
+    * Measured (round 9, sf0.1, idle): the single-row-group layout costs the
+    * shared pair frames ~1–2.5 s each vs round 7's naturally-wide testdata —
+    * the whole ≥2× "shared-entry drift" in BENCH_r08. Attribution run:
+    * jaccard pairs 9.5 s over the raw 1-partition scan, 2.0–3.0 s widened
+    * (this pass), 1.13 s on r7's multi-row-group files; the residual delta
+    * is the unsplittable single-threaded text-column decode + the 0.6 s
+    * round-robin shuffle itself — data layout, not plan regression. */
   private def widen(name: String, df: DataFrame): DataFrame =
     if (!Tables.factTables(name)) df
     else {

@@ -38,6 +38,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     import os
     only_present = os.environ.get("CHECK_ONLY_PRESENT") == "1"
     n_pass = n_fail = n_weak = 0
+    record = {}  # driver-artifact shape, written to CORRECTNESS_LOCAL.json
+
+    def rec(name, rows_match, schema_match, hash_match,
+            spark_rows, oracle_rows, err):
+        record[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                        "hash_match": hash_match, "spark_rows": spark_rows,
+                        "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracles.items()):
         if only_present and not os.path.exists(f"{out_dir}/{name}"):
             continue  # targeted Verify subset run (local iteration only)
@@ -45,27 +53,35 @@ def main(sf_dir: str, out_dir: str) -> int:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: spark output missing ({e})")
+            rec(name, False, False, False, None, None,
+                f"spark output missing: {e}")
             n_fail += 1
             continue
         try:
             exp = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            rec(name, False, False, False, len(got), None,
+                f"oracle sql error: {e}")
             n_fail += 1
             continue
         g, x = canon(got), canon(exp)
         if list(g.columns) != list(x.columns):
             print(f"FAIL {name}: columns spark={list(g.columns)} oracle={list(x.columns)}")
+            rec(name, len(g) == len(x), False, False, len(g), len(x),
+                f"columns spark={list(g.columns)} oracle={list(x.columns)}")
             n_fail += 1
             continue
         if len(g) != len(x):
             print(f"FAIL {name}: rows spark={len(g)} oracle={len(x)}")
+            rec(name, False, True, False, len(g), len(x), "row count mismatch")
             n_fail += 1
             continue
         try:
             pd.testing.assert_frame_equal(g, x, check_dtype=False,
                                           check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")
+            rec(name, True, True, True, len(g), len(x), None)
             n_pass += 1
         except AssertionError:
             # retry with tolerance to report whether it's a float-noise issue
@@ -73,24 +89,40 @@ def main(sf_dir: str, out_dir: str) -> int:
                 pd.testing.assert_frame_equal(g, x, check_dtype=False,
                                               check_exact=False, rtol=1e-9)
                 print(f"FLOAT-NOISE {name}: equal at rtol=1e-9 but not exact")
+                rec(name, True, True, False, len(g), len(x),
+                    "float-noise: equal at rtol=1e-9 but not exact")
                 n_fail += 1
             except AssertionError as e2:
                 msg = str(e2).replace("\n", " | ")[:300]
                 print(f"FAIL {name}: {msg}")
+                rec(name, True, True, False, len(g), len(x), msg)
                 n_fail += 1
     # queries with no oracle → weaker rows-only check
-    import os
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if os.path.isdir(p) and name not in oracles:
             try:
                 n = len(pd.read_parquet(p))
                 print(f"WEAK {name}: rows={n} (no oracle)")
+                rec(name, None, None, None, n, None,
+                    "no oracle (declared rows-only)")
                 n_weak += 1
             except Exception as e:
                 print(f"FAIL {name}: unreadable ({e})")
+                rec(name, False, False, False, None, None, f"unreadable: {e}")
                 n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    # Persist the round's hard signal (driver artifacts have arrived empty /
+    # truncated twice): full-surface runs write CORRECTNESS_LOCAL.json next to
+    # the repo so it gets committed with the round.
+    if not only_present:
+        dest = os.environ.get(
+            "CORRECTNESS_OUT",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json"))
+        with open(dest, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(f"wrote {dest} ({len(record)} entries)")
     return 1 if n_fail else 0
 
 
