@@ -444,6 +444,34 @@ object Clusters {
                     iters: Int = 3): DataFrame = {
     val pairs = Dedup.minHashLshPairs(docs, threshold, bands, rowsPerBand, k)
       .select(col("d1"), col("d2"))
+    // adaptive path choice, the smallGraphComponents precedent: pair graphs
+    // are tiny relative to their corpus, and below the bounded-transfer
+    // threshold the 3 fixed rounds of eager localCheckpoint jobs are pure
+    // overhead (round-8 profile: d32 spent 5 s on job scheduling for a
+    // 47-node graph) — the count doubles as the emptiness check
+    val integralIds = Seq("d1", "d2").forall(n => pairs.schema(n).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
+    val ranks =
+      if (integralIds && 2 * pairs.count() <= SmallGraphEdges)
+        powerRanksLocal(pairs, iters)
+      else powerRanksDistributed(pairs, iters)
+    val labels = dupClusters(docs, threshold, bands, rowsPerBand, k)
+      .select(col("doc_id"), col("cluster_id"))
+    labels.join(ranks.select(col("id").as("doc_id"), col("rank_ppb")), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), col("rank_ppb"),
+        (row_number().over(Window.partitionBy(col("cluster_id"))
+          .orderBy(col("rank_ppb").desc, col("doc_id"))) === 1)
+          .as("is_canonical"))
+  }
+
+  /** The unbounded-scale power iteration: per round one edge-keyed hash
+    * join + one dst-keyed partial-agg sum, state bounded by node count.
+    * Returns (id, rank_ppb). Spec-pinned value-identical to
+    * [[powerRanksLocal]] (ClustersSpec) — the arithmetic is all BIGINT. */
+  private[graft] def powerRanksDistributed(pairs: DataFrame, iters: Int): DataFrame = {
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -468,13 +496,43 @@ object Clusters {
           expr("150000000L div n + (85L * in_sum) div 100L").as("rank_ppb"))
         .localCheckpoint(true)
     }
-    val labels = dupClusters(docs, threshold, bands, rowsPerBand, k)
-      .select(col("doc_id"), col("cluster_id"))
-    labels.join(ranks.select(col("id").as("doc_id"), col("rank_ppb")), Seq("doc_id"))
-      .select(col("doc_id"), col("cluster_id"), col("rank_ppb"),
-        (row_number().over(Window.partitionBy(col("cluster_id"))
-          .orderBy(col("rank_ppb").desc, col("doc_id"))) === 1)
-          .as("is_canonical"))
+    ranks.select(col("id"), col("rank_ppb"))
+  }
+
+  /** The bounded driver-side power iteration, the [[smallGraphComponents]]
+    * class of fast path: collect the (≤ [[SmallGraphEdges]], integral-id)
+    * pair list and replay the EXACT integer recurrence — r0 = 1e9 div n,
+    * r' = 0.15e9 div n + (85 · Σ_nbr (r div deg)) div 100, every operand a
+    * positive long, so JVM `/` and Spark `div` agree digit for digit and
+    * the two paths are value-identical by construction (spec-pinned).
+    * Returns (id, rank_ppb) as a local relation in the caller's id type. */
+  private[graft] def powerRanksLocal(pairs: DataFrame, iters: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val idType = pairs.schema("d1").dataType
+    val es = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
+      .as[(Long, Long)].collect()
+    val deg = new java.util.HashMap[Long, Long]()
+    es.foreach { case (a, b) =>
+      deg.merge(a, 1L, _ + _); deg.merge(b, 1L, _ + _)
+    }
+    val n = deg.size().toLong
+    var ranks = new java.util.HashMap[Long, Long]()
+    deg.keySet().forEach(id => ranks.put(id, if (n == 0) 0L else 1000000000L / n))
+    for (_ <- 1 to iters) {
+      val inSum = new java.util.HashMap[Long, Long]()
+      es.foreach { case (a, b) => // synchronous update: contributions read
+        inSum.merge(b, ranks.get(a) / deg.get(a), _ + _) // the PREVIOUS round
+        inSum.merge(a, ranks.get(b) / deg.get(b), _ + _)
+      }
+      val next = new java.util.HashMap[Long, Long]()
+      inSum.forEach((id, s) => next.put(id, 150000000L / n + (85L * s) / 100L))
+      ranks = next
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = ranks.asScala.toSeq.map { case (k, v) => (k, v) }
+    rows.toDF("id", "rank_ppb")
+      .select(col("id").cast(idType).as("id"), col("rank_ppb"))
   }
 
   /** d34: threshold-stability audit — how much of the τ = 0.8 clustering

@@ -51,6 +51,25 @@ class ClustersSpec extends AnyFunSuite {
     assert(viaUnionFind.nonEmpty)
   }
 
+  test("d32: local and distributed power iterations are value-identical") {
+    // seeded random graph with chains AND a clique so degrees vary; the
+    // integer ppb recurrence must agree digit for digit between the
+    // driver fast path and the localCheckpoint loop
+    val rnd = new scala.util.Random(13)
+    val ids = rnd.shuffle((0L until 60L).toVector)
+    val raw = (1 to 120).map { _ =>
+      (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size)))
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val pairs = raw.toDF("d1", "d2")
+    val local = Clusters.powerRanksLocal(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Clusters.powerRanksDistributed(pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === dist)
+    assert(local.nonEmpty)
+  }
+
   test("empty pair set yields empty clusters without running the loop") {
     val none = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Clusters.connectedComponents(none).count() === 0L)
