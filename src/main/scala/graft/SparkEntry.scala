@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat_ws, count, lit, round, sum}
-import graft.operators.{Relational, Relational2, Relational3, Relational4, Relational5, Temporal, TextQueries}
+import graft.operators.{Relational, Relational2, Relational3, Relational4, Relational5, Relational6, Temporal, TextQueries}
 import graft.dedup.Dedup
 import graft.similarity.Knn
 import graft.multimodal.Multimodal
@@ -842,6 +842,14 @@ object SparkEntry {
     // window predicate; exact longs, hash-deterministic remainder
     "p49_waterfill" -> ((s, d) =>
       graft.operators.DataPipeline.waterfill(t(s, d).documents, 10000L)),
+    // p50: p47's zero-sort form — hash-prefix-range batches, scan-local
+    // assignment, same first-copy curve arithmetic; exact given batching
+    "p50_saturation_ranged" -> ((s, d) =>
+      graft.operators.DataPipeline.dedupSaturationRanged(t(s, d).documents)),
+    // p51: repeat-epoch mixing plan — p08's rounded-weight quota with the
+    // multi-epoch cap; integer epochs/repeat share off the 6-dp weight
+    "p51_epoch_plan" -> ((s, d) =>
+      graft.operators.DataPipeline.epochPlan(t(s, d).documents)),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -882,6 +890,17 @@ object SparkEntry {
     // q121: log2-bucket gap spectrum — bucket via binary-string length,
     // no float log; one user+type window pass
     "q121_gap_spectrum"   -> ((s, d) => Relational5.q121GapSpectrum(t(s, d))),
+    // q122: idle-gap sessionization — gaps-and-islands on the 30-min
+    // rule; one user exchange, O(1) window state, integer micros
+    "q122_sessionize"     -> ((s, d) => Relational6.q122Sessionize(t(s, d))),
+    // q123: global Pareto/ABC revenue classes — the no-partition-key
+    // running sum through ScanWindows.prefixSums (bucket-parallel),
+    // integer class cuts against the plan-borne total
+    "q123_pareto_class"   -> ((s, d) => Relational6.q123ParetoClass(t(s, d))),
+    // q124: RFM segmentation — quintile boundaries by the explicit
+    // histogram position rule (never ntile), codes scan-local against
+    // 12 broadcast boundary values; all integers
+    "q124_rfm"            -> ((s, d) => Relational6.q124Rfm(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3710,6 +3729,90 @@ object SparkEntry {
         | CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
         |   AS share_ppm
         |FROM c""".stripMargin,
+    // q122: same lag/opens/running-count islands over the identical
+    // (us, event_id) total order; value_sum rounds once on both sides
+    "q122_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+        |  epoch_us(ts) AS us FROM events),
+        |x AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id) AS prev_us FROM e),
+        |o AS (SELECT *, CASE WHEN prev_us IS NULL
+        |  OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS opens FROM x),
+        |s AS (SELECT *, sum(opens) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        | FROM o)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        | CAST(min(us) AS BIGINT) AS start_us,
+        | CAST(max(us) AS BIGINT) AS end_us,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        | round(sum(value), 4) + 0.0 AS value_sum,
+        | CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // q123: the textbook no-partition running sum — the oracle keeps the
+    // naive global window, the engine runs the bucket-parallel scan
+    "q123_pareto_class" ->
+      """WITH o AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT o_orderkey, cents,
+        |  sum(cents) OVER (ORDER BY cents DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+        | FROM o),
+        |t AS (SELECT sum(cents) AS tot FROM o)
+        |SELECT o_orderkey, cents, CAST(cum_cents AS BIGINT) AS cum_cents,
+        | CASE WHEN cum_cents * 5 <= tot * 4 THEN 'A'
+        |      WHEN cum_cents * 20 <= tot * 19 THEN 'B'
+        |      ELSE 'C' END AS pareto_class
+        |FROM r, t""".stripMargin,
+    // q124: same histogram position rule (cum·5 ≥ k·n), same strict->
+    // comparison codes — ntile appears on NEITHER side
+    "q124_rfm" ->
+      """WITH m AS (SELECT o_custkey,
+        |  CAST(max(datediff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE))) AS BIGINT) AS r,
+        |  CAST(count(*) AS BIGINT) AS f,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS m
+        | FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM m),
+        |ks AS (SELECT unnest([1, 2, 3, 4]) AS k),
+        |br AS (SELECT k, min(v) AS b FROM (SELECT v, sum(cnt) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT r AS v, count(*) AS cnt FROM m GROUP BY 1)) h, n, ks
+        | WHERE cum * 5 >= k * n GROUP BY k),
+        |bf AS (SELECT k, min(v) AS b FROM (SELECT v, sum(cnt) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT f AS v, count(*) AS cnt FROM m GROUP BY 1)) h, n, ks
+        | WHERE cum * 5 >= k * n GROUP BY k),
+        |bm AS (SELECT k, min(v) AS b FROM (SELECT v, sum(cnt) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT m AS v, count(*) AS cnt FROM m GROUP BY 1)) h, n, ks
+        | WHERE cum * 5 >= k * n GROUP BY k),
+        |b AS (SELECT
+        |  (SELECT b FROM br WHERE k = 1) AS r1, (SELECT b FROM br WHERE k = 2) AS r2,
+        |  (SELECT b FROM br WHERE k = 3) AS r3, (SELECT b FROM br WHERE k = 4) AS r4,
+        |  (SELECT b FROM bf WHERE k = 1) AS f1, (SELECT b FROM bf WHERE k = 2) AS f2,
+        |  (SELECT b FROM bf WHERE k = 3) AS f3, (SELECT b FROM bf WHERE k = 4) AS f4,
+        |  (SELECT b FROM bm WHERE k = 1) AS m1, (SELECT b FROM bm WHERE k = 2) AS m2,
+        |  (SELECT b FROM bm WHERE k = 3) AS m3, (SELECT b FROM bm WHERE k = 4) AS m4)
+        |SELECT o_custkey, r AS last_day, f AS n_orders, m AS cents,
+        | CAST(1 + CASE WHEN r > r1 THEN 1 ELSE 0 END + CASE WHEN r > r2 THEN 1 ELSE 0 END
+        |  + CASE WHEN r > r3 THEN 1 ELSE 0 END + CASE WHEN r > r4 THEN 1 ELSE 0 END
+        |  AS BIGINT) AS r_code,
+        | CAST(1 + CASE WHEN f > f1 THEN 1 ELSE 0 END + CASE WHEN f > f2 THEN 1 ELSE 0 END
+        |  + CASE WHEN f > f3 THEN 1 ELSE 0 END + CASE WHEN f > f4 THEN 1 ELSE 0 END
+        |  AS BIGINT) AS f_code,
+        | CAST(1 + CASE WHEN m > m1 THEN 1 ELSE 0 END + CASE WHEN m > m2 THEN 1 ELSE 0 END
+        |  + CASE WHEN m > m3 THEN 1 ELSE 0 END + CASE WHEN m > m4 THEN 1 ELSE 0 END
+        |  AS BIGINT) AS m_code,
+        | CAST((1 + CASE WHEN r > r1 THEN 1 ELSE 0 END + CASE WHEN r > r2 THEN 1 ELSE 0 END
+        |  + CASE WHEN r > r3 THEN 1 ELSE 0 END + CASE WHEN r > r4 THEN 1 ELSE 0 END) * 100
+        |  + (1 + CASE WHEN f > f1 THEN 1 ELSE 0 END + CASE WHEN f > f2 THEN 1 ELSE 0 END
+        |  + CASE WHEN f > f3 THEN 1 ELSE 0 END + CASE WHEN f > f4 THEN 1 ELSE 0 END) * 10
+        |  + (1 + CASE WHEN m > m1 THEN 1 ELSE 0 END + CASE WHEN m > m2 THEN 1 ELSE 0 END
+        |  + CASE WHEN m > m3 THEN 1 ELSE 0 END + CASE WHEN m > m4 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS segment
+        |FROM m, b""".stripMargin,
     // q120: same user frame, θ and x̄ rounded BEFORE application — the
     // adjusted means are the only aggregated floats, rounded once
     "q120_cuped" ->
@@ -4599,6 +4702,45 @@ object SparkEntry {
         | FROM documents),
         |b AS (SELECT f, CAST((rank - 1) * 10 // n_total + 1 AS INT) AS batch
         |      FROM rk, n),
+        |pb AS (SELECT batch, count(*) AS n_docs FROM b GROUP BY 1),
+        |fi AS (SELECT batch, count(*) AS n_new FROM (
+        |   SELECT f, min(batch) AS batch FROM b GROUP BY 1) GROUP BY 1)
+        |SELECT pb.batch, CAST(pb.n_docs AS BIGINT) AS n_docs,
+        | CAST(coalesce(fi.n_new, 0) AS BIGINT) AS n_new,
+        | CAST(coalesce(fi.n_new, 0) * 1000000 // pb.n_docs AS BIGINT) AS new_ppm,
+        | CAST(sum(coalesce(fi.n_new, 0)) OVER (ORDER BY pb.batch
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_unique
+        |FROM pb LEFT JOIN fi USING (batch)""".stripMargin,
+    // p51: same 6-dp-rounded token-count temperature weight, same
+    // floor(B·w + 0.5) quota, integer epoch/cap/repeat arithmetic
+    "p51_epoch_plan" ->
+      """WITH s AS (SELECT source,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |  round(pow(CAST(n_tokens AS DOUBLE), 0.5)
+        |    / sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER (), 6) AS w
+        | FROM s),
+        |g AS (SELECT *, CAST(floor(500000 * w + 0.5) AS BIGINT) AS quota_tokens,
+        |  least(CAST(floor(500000 * w + 0.5) AS BIGINT), n_tokens * 4)
+        |    AS granted_tokens
+        | FROM w)
+        |SELECT source, n_tokens, w, quota_tokens, granted_tokens,
+        | CAST((granted_tokens + n_tokens - 1) // n_tokens AS BIGINT) AS epochs,
+        | quota_tokens > n_tokens * 4 AS capped,
+        | CAST(CASE WHEN granted_tokens > 0
+        |   THEN greatest(granted_tokens - n_tokens, 0) * 1000000 // granted_tokens
+        |   ELSE 0 END AS BIGINT) AS repeat_ppm
+        |FROM g""".stripMargin,
+    // p50: same scan-local 32-bit-md5-prefix batch assignment (the q72
+    // hex-to-BIGINT idiom), same first-copy curve arithmetic
+    "p50_saturation_ranged" ->
+      """WITH b AS (SELECT
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) * 10 // 4294967296 + 1 AS INT) AS batch
+        | FROM documents),
         |pb AS (SELECT batch, count(*) AS n_docs FROM b GROUP BY 1),
         |fi AS (SELECT batch, count(*) AS n_new FROM (
         |   SELECT f, min(batch) AS batch FROM b GROUP BY 1) GROUP BY 1)

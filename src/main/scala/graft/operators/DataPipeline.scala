@@ -400,6 +400,48 @@ object DataPipeline {
         (col("rn") <= col("quota")).as("sampled"))
   }
 
+  /** p51: repeat-epoch mixing plan — the data-constrained completion of
+    * p08: when the temperature quota exceeds a source's size, the source
+    * REPEATS (multi-epoch training — Muennighoff et al. 2023 show value
+    * decays past ~4 epochs), so the plan a 100 TB mixing run actually
+    * ships is per source: token mass, temperature weight over TOKEN
+    * counts (p08 weights doc counts), raw quota, the granted quota after
+    * the epoch cap, the epoch count ⌈granted/n⌉ and the repeated-token
+    * share. p49's waterfill answers "how much may each source give";
+    * this answers "how many TIMES each source is read for its share".
+    *
+    * Float discipline: the p08 rule — w rounds to 6 dp BEFORE the quota
+    * arithmetic, so floor(B·w + 0.5) runs over identical doubles in both
+    * engines; everything downstream is exact integer arithmetic.
+    *
+    * Scale shape: one partial-aggregated exchange to source-cardinality;
+    * the global-sum window and all plan arithmetic run on the tiny
+    * source frame. */
+  def epochPlan(docs: DataFrame, alpha: Double = 0.5,
+                budget: Long = 500000L, maxEpochs: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs must be >= 1")
+    val sizes = docs
+      .select(col("source"), TextFns.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val wRaw = pow(col("n_tokens").cast("double"), lit(alpha))
+    sizes
+      .withColumn("w", round(wRaw / sum(wRaw).over(Window.partitionBy()), 6))
+      .withColumn("quota_tokens",
+        floor(lit(budget) * col("w") + 0.5).cast("long"))
+      .withColumn("granted_tokens",
+        least(col("quota_tokens"), col("n_tokens") * maxEpochs))
+      .withColumn("epochs",
+        expr("(granted_tokens + n_tokens - 1) div n_tokens"))
+      .withColumn("capped",
+        col("quota_tokens") > col("n_tokens") * maxEpochs)
+      .withColumn("repeat_ppm",
+        when(col("granted_tokens") > 0,
+          expr("greatest(granted_tokens - n_tokens, 0) * 1000000" +
+            " div granted_tokens")).otherwise(lit(0L)))
+  }
+
   /** p10: the corpus data card — per-source summary statistics, the
     * dataset-documentation step every released training corpus ships
     * (docs, token volume, exact-duplicate load, language spread, size
@@ -1623,6 +1665,43 @@ object DataPipeline {
         expr(s"(rank - 1) * $batches div n_total + 1").cast("int").as("batch"))
     val perBatch = ranked.groupBy(col("batch")).agg(count(lit(1)).as("n_docs"))
     val firstIn = ranked.groupBy(col("f")).agg(min(col("batch")).as("batch"))
+      .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
+    perBatch.join(firstIn, Seq("batch"), "left")
+      .select(col("batch"), col("n_docs"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("new_ppm", expr("n_new * 1000000 div n_docs"))
+      .withColumn("cum_unique", sum(col("n_new")).over(
+        Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** p50: p47's documented 100 TB form — the same dedup-saturation curve
+    * with hash-prefix-RANGE batches instead of exact rank tenths. Batch
+    * membership is a pure scan-local function of the doc id: the first 32
+    * bits of md5(doc_id) scaled into [1, batches] — the ZERO-SORT
+    * admission order (p47's one global (md5, id) sort, its declared known
+    * cost, disappears entirely; no corpus count is needed either, so the
+    * whole batch assignment is one projection). Batches are then
+    * approximate tenths (md5-uniform, ±O(√n) per batch) instead of exact
+    * tenths — the documented trade; first-copy attribution and the curve
+    * arithmetic are unchanged and exact GIVEN the batching, and the batch
+    * order is the same md5 order p47 replays, so the curves agree on
+    * every total (Σ n_docs, Σ n_new, final cum_unique — spec-pinned).
+    *
+    * Scale shape: batch assignment scan-local; one partial-aggregated
+    * exchange per aggregation; the cumulative window runs over ≤ batches
+    * rows. Nothing in the plan touches a global order. */
+  def dedupSaturationRanged(docs: DataFrame, batches: Int = 10): DataFrame = {
+    require(batches > 0 && batches <= (1 << 20),
+      s"batches=$batches must be in [1, 2^20]")
+    val binned = docs
+      .select(TextFns.fingerprint(col("text")).as("f"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("u"))
+      .select(col("f"),
+        (expr(s"u * ${batches}L div 4294967296L") + 1).cast("int").as("batch"))
+    val perBatch = binned.groupBy(col("batch")).agg(count(lit(1)).as("n_docs"))
+    val firstIn = binned.groupBy(col("f")).agg(min(col("batch")).as("batch"))
       .groupBy(col("batch")).agg(count(lit(1)).as("n_new"))
     perBatch.join(firstIn, Seq("batch"), "left")
       .select(col("batch"), col("n_docs"),

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sixth relational batch (round 9, nineteenth wave): the classic
+  * whole-corpus ordered analytics — idle-gap sessionization, global
+  * Pareto/ABC classification, RFM segmentation — each built on the
+  * round-9 scale primitives: ScanWindows' distributed prefix scan where
+  * the order is global, histogram position arithmetic where a quantile
+  * boundary is all that's needed. The reference ships no analytic
+  * operator at all (its `common`/`core` are YARN orchestration); these
+  * are the dashboard shapes its users run downstream, expressed
+  * Spark-first.
+  *
+  * Exactness discipline as everywhere: money in integer cents, time in
+  * integer microseconds, total orders with id tiebreaks, boundaries by
+  * explicit integer position rules (never an engine's ntile/percentile
+  * tie behavior), one rounded division at most per emitted double.
+  */
+object Relational6 {
+
+  /** q122: idle-gap sessionization — the canonical session definition
+    * (a session ends after `idleSec` without an event; web analytics'
+    * 30-minute rule) rendered as gaps-and-islands: per user, order events
+    * by (ts, event_id), a row OPENS a session iff its gap from the
+    * previous event exceeds the timeout, and the session id is the
+    * running count of opens. Output is one row per session: bounds,
+    * event count, distinct event types, value mass (exact cents-free —
+    * `value` sums once, rounded once).
+    *
+    * Scale shape: ONE user_id exchange feeds both window passes and the
+    * session aggregation (q70's discipline); per-row window state is
+    * O(1). The user key is high-cardinality, so no ScanWindows detour is
+    * needed — the q08 class, not the q86 class. */
+  def q122Sessionize(t: Tables, idleSec: Long = 1800L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("opens",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > idleSec * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("opens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        (round(sum(col("value")), 4) + lit(0.0)).as("value_sum"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** q123: global Pareto / ABC classification — every order placed on the
+    * corpus-wide cumulative revenue curve (sorted by cents DESC): class A
+    * while the running total is within 80 % of total revenue, B within
+    * 95 %, C after — THE inventory-analysis operator ("which 20 % of
+    * orders carry 80 % of revenue"), and the one window shape with NO
+    * partition key at all.
+    *
+    * Scale form: this is exactly what [[ScanWindows.prefixSums]] exists
+    * for — a naive `SUM OVER (ORDER BY …)` with no PARTITION BY shuffles
+    * every order onto ONE reducer. Here the total order (neg = −cents,
+    * orderkey) buckets by `neg div 2^20` (truncation toward zero is
+    * monotone, so bucket boundaries respect the order); the bucket table
+    * carries the only global window (|buckets| rows), every fact-row pass
+    * runs #buckets-way parallel, and the running sum is bit-identical to
+    * the naive form by the ScanWindowsSpec equivalence. Class cuts are
+    * exact integer comparisons (cum·5 ≤ tot·4, cum·20 ≤ tot·19) against
+    * the plan-borne total — no percent float anywhere. */
+  def q123ParetoClass(t: Tables): DataFrame = {
+    val base = t.orders
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("neg", -col("cents"))
+      .withColumn("negbkt", expr("neg div 1048576"))
+    val run = graft.operators.ScanWindows.prefixSums(base,
+      Seq.empty, "negbkt", Seq("neg", "o_orderkey"),
+      Seq("cum_cents" -> "cents"))
+    val tot = t.orders.agg(
+      sum(round(col("o_totalprice") * 100, 0).cast("long")).as("tot"))
+    run.crossJoin(broadcast(tot))
+      .select(col("o_orderkey"), col("cents"), col("cum_cents"),
+        when(col("cum_cents") * 5 <= col("tot") * 4, "A")
+          .when(col("cum_cents") * 20 <= col("tot") * 19, "B")
+          .otherwise("C").as("pareto_class"))
+  }
+
+  /** q124: RFM segmentation — every customer scored 1–5 on Recency
+    * (epoch day of last order), Frequency (order count) and Monetary
+    * (lifetime cents), the standard marketing/retention segmentation.
+    *
+    * The quintile boundaries use the q71/q85 discipline: NEVER ntile over
+    * the raw rows (engine tie behavior + a global sort) — each metric
+    * partial-aggregates to its (value, count) HISTOGRAM, the boundary
+    * b_k is the value at ascending position ⌈k·n/5⌉ (the explicit
+    * integer rule, k = 1..4), and the code is 1 + #{k : metric > b_k} —
+    * a pure scan-local comparison against the 12 broadcast boundary
+    * values. Codes are deterministic under ties by construction (equal
+    * values always land in the same quintile — unlike ntile, which
+    * splits ties by position). All integer arithmetic.
+    *
+    * Scale shape: one custkey-keyed partial-agg exchange builds the
+    * metrics; each histogram is value-cardinality-bounded (the only
+    * windows in the plan run over histograms); the boundary frame is 12
+    * values crossJoin-broadcast back. */
+  def q124Rfm(t: Tables): DataFrame = {
+    val metrics = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(max(datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date"))).cast("long").as("r"),
+        count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("m"))
+    // value at ascending position ceil(k*n/5), k = 1..4, via the
+    // histogram running count (q71's discrete-quantile rule)
+    def bounds(metric: String): DataFrame = {
+      val hist = metrics.groupBy(col(metric).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+        .crossJoin(broadcast(metrics.agg(count(lit(1)).as("n"))))
+      cum.select(col("v"), col("cum"), col("n"),
+          explode(expr("array(1L, 2L, 3L, 4L)")).as("k"))
+        .where(col("cum") * 5 >= col("k") * col("n"))
+        .groupBy(col("k")).agg(min(col("v")).as("b"))
+        .groupBy().pivot("k", Seq(1, 2, 3, 4)).agg(first(col("b")))
+        .select(col("1").as(s"${metric}1"), col("2").as(s"${metric}2"),
+          col("3").as(s"${metric}3"), col("4").as(s"${metric}4"))
+    }
+    def code(metric: String): Column =
+      (lit(1L) + (col(metric) > col(s"${metric}1")).cast("long")
+        + (col(metric) > col(s"${metric}2")).cast("long")
+        + (col(metric) > col(s"${metric}3")).cast("long")
+        + (col(metric) > col(s"${metric}4")).cast("long"))
+    metrics
+      .crossJoin(broadcast(bounds("r")))
+      .crossJoin(broadcast(bounds("f")))
+      .crossJoin(broadcast(bounds("m")))
+      .select(col("o_custkey"), col("r").as("last_day"),
+        col("f").as("n_orders"), col("m").as("cents"),
+        code("r").as("r_code"), code("f").as("f_code"), code("m").as("m_code"))
+      .withColumn("segment",
+        col("r_code") * 100 + col("f_code") * 10 + col("m_code"))
+  }
+}

@@ -1343,6 +1343,62 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(again === got, "deterministic admission order")
   }
 
+  test("p50: ranged batches keep every p47 conservation law and total") {
+    import spark.implicits._
+    val docs = ((1L to 20L).map(i => (i, (1 to 25).map(j => s"u$i-$j").mkString(" ")))
+      ++ (21L to 30L).map(i => (i, (1 to 25).map(j => s"u${i - 20}-$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val exact = DataPipeline.dedupSaturation(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val ranged = DataPipeline.dedupSaturationRanged(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1)
+    // the ranged form trades exact tenths for zero sort — but the curve's
+    // TOTALS are batching-invariant: same corpus mass, same unique mass
+    assert(ranged.map(_._2).sum === exact.map(_._2).sum, "every doc in exactly one batch")
+    assert(ranged.map(_._3).sum === exact.map(_._3).sum, "every text minted once")
+    assert(ranged.last._4 === exact.last._4, "final cum_unique identical")
+    ranged.foreach { case (b, nd, nn, _) =>
+      assert(b >= 1 && b <= 10, "prefix scaling lands in [1, batches]")
+      assert(nn <= nd, "a batch cannot mint more uniques than docs")
+    }
+    val cums = ranged.map(_._4)
+    assert(cums.zip(cums.drop(1)).forall { case (a, c) => a <= c },
+      "cum_unique is monotone")
+    // batch assignment is a pure function of doc_id — rerun identical
+    val again = DataPipeline.dedupSaturationRanged(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(again === ranged, "deterministic scan-local batching")
+  }
+
+  test("p51: epoch plan caps repeats, grants within cap, flags exactly the capped") {
+    import spark.implicits._
+    // sources sized so the quota forces: uncapped single-epoch (huge),
+    // multi-epoch repeat (small), capped (tiny)
+    def doc(src: String, i: Long, n: Int) =
+      (i, (1 to n).map(j => s"w$j").mkString(" "), src)
+    val docs = ((1L to 40L).map(doc("huge", _, 100))
+      ++ (41L to 44L).map(doc("small", _, 50))
+      ++ Seq(doc("tiny", 45L, 10))).toDF("doc_id", "text", "source")
+    val got = DataPipeline.epochPlan(docs, alpha = 0.5, budget = 5000L,
+        maxEpochs = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6), r.getLong(7)))).toMap
+    got.foreach { case (src, (n, quota, granted, epochs, capped, rppm)) =>
+      assert(granted <= 4 * n, s"$src: granted beyond the epoch cap")
+      assert(granted <= quota, s"$src: granted beyond the quota")
+      assert(epochs === (granted + n - 1) / n, s"$src: epoch identity")
+      assert(epochs <= 4, s"$src: epochs beyond cap")
+      assert(capped === (quota > 4 * n), s"$src: capped flag identity")
+      assert((rppm == 0L) === (granted <= n), s"$src: repeat share iff repeats")
+    }
+    assert(got("tiny")._5, "tiny source must hit the epoch cap")
+    assert(got("tiny")._4 === 4L)
+    assert(!got("huge")._5 && got("huge")._4 === 1L,
+      "huge source serves its quota in one epoch")
+  }
+
   test("p49: waterline caps small sources, conserves the budget, fair elsewhere") {
     import spark.implicits._
     def doc(src: String, i: Long, n: Int) =
