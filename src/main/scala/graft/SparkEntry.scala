@@ -901,6 +901,12 @@ object SparkEntry {
     // histogram position rule (never ntile), codes scan-local against
     // 12 broadcast boundary values; all integers
     "q124_rfm"            -> ((s, d) => Relational6.q124Rfm(t(s, d))),
+    // q125: Benford first-digit audit — explicit floor before digit
+    // extraction, exact-ppm observed shares, IEEE Benford share
+    "q125_benford"        -> ((s, d) => Relational6.q125Benford(t(s, d))),
+    // q126: DAU/WAU stickiness — rolling distinct via the exploded
+    // (user, day) membership frame, day-keyed exchanges, exact ppm
+    "q126_stickiness"     -> ((s, d) => Relational6.q126Stickiness(t(s, d))),
     // q111: header-vs-detail revenue reconciliation — integer-cents
     // charge arithmetic, full-outer orphan surfacing, status rollup
     "q111_reconciliation" -> ((s, d) => Relational5.q111Reconciliation(t(s, d))),
@@ -3729,6 +3735,32 @@ object SparkEntry {
         | CAST(n * 1000000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
         |   AS share_ppm
         |FROM c""".stripMargin,
+    // q125: same explicit floor, same ppm integer shares; the Benford
+    // share and gap are identical IEEE expressions on identical inputs
+    "q125_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM orders)
+        |SELECT digit, n,
+        | CAST(n * 1000000 // n_total AS BIGINT) AS obs_ppm,
+        | log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS benford_share,
+        | round(abs(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |   - log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) + 0.0 AS abs_gap
+        |FROM c, t""".stripMargin,
+    // q126: same exploded membership derivation of the rolling distinct
+    // (generate_series ≡ sequence), same integer epoch-day arithmetic
+    "q126_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+        | FROM events),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT wd, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        | FROM (SELECT user_id, unnest(generate_series(d, d + 6)) AS wd FROM ud)
+        | GROUP BY 1)
+        |SELECT strftime(DATE '1970-01-01' + CAST(d AS INT), '%Y-%m-%d') AS day,
+        | dau, wau, CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+        |FROM dau JOIN wau ON d = wd""".stripMargin,
     // q122: same lag/opens/running-count islands over the identical
     // (us, event_id) total order; value_sum rounds once on both sides
     "q122_sessionize" ->

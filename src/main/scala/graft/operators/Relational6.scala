@@ -36,12 +36,23 @@ object Relational6 {
     * session aggregation (q70's discipline); per-row window state is
     * O(1). The user key is high-cardinality, so no ScanWindows detour is
     * needed — the q08 class, not the q86 class. */
-  def q122Sessionize(t: Tables, idleSec: Long = 1800L): DataFrame = {
+  def q122Sessionize(t: Tables, idleSec: Long = 1800L): DataFrame =
+    sessionizeBatch(t.events, idleSec)
+
+  /** The [[q122Sessionize]] islands over any events frame (the fixture
+    * entry StreamingSpec pins equal to the streaming session_window form). */
+  def sessionizeBatch(events: DataFrame, idleSec: Long = 1800L): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    t.events
+    events
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), unix_micros(col("ts")).as("us"))
       .withColumn("prev_us", lag(col("us"), 1).over(w))
+      // strict >: an event exactly the idle window after its predecessor
+      // still EXTENDS the session — measured Structured Streaming
+      // session_window(gap) behavior (windows merge when the next event
+      // lands on the closing boundary), which keeps this batch operator
+      // and streaming/EventStreams.sessionizeStream equal row for row
+      // (StreamingSpec plants exactly that boundary gap)
       .withColumn("opens",
         when(col("prev_us").isNull ||
           col("us") - col("prev_us") > idleSec * 1000000L, 1L).otherwise(0L))
@@ -89,6 +100,61 @@ object Relational6 {
         when(col("cum_cents") * 5 <= col("tot") * 4, "A")
           .when(col("cum_cents") * 20 <= col("tot") * 19, "B")
           .otherwise("C").as("pareto_class"))
+  }
+
+  /** q125: Benford first-digit audit — the observed leading-digit
+    * distribution of order totals against Benford's law share
+    * log₁₀(1 + 1/d): the standard forensic/data-quality screen for
+    * fabricated or truncated numeric columns (synthetic data generated
+    * from uniform RNGs fails it loudly — which is itself the useful
+    * signal on a synthetic corpus). Digit extraction goes through an
+    * explicit floor (Spark casts double→long by truncation, DuckDB by
+    * rounding — floor() first makes both exact); observed shares are
+    * exact ppm; the Benford share is a pure IEEE function of the digit
+    * literal (the t14 ln/log10-parity precedent) and the gap is the one
+    * rounded aggregated-float column. Scale: one 9-key partial-agg
+    * exchange; the total is a broadcast 1-row aggregate. */
+  def q125Benford(t: Tables): DataFrame = {
+    val total = t.orders.agg(count(lit(1)).as("n_total"))
+    val share = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    t.orders
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div n_total").as("obs_ppm"),
+        share.as("benford_share"),
+        (round(abs(col("n").cast("double") / col("n_total").cast("double")
+          - share), 6) + lit(0.0)).as("abs_gap"))
+  }
+
+  /** q126: DAU/WAU stickiness — per day, the distinct active users that
+    * day, the distinct users active in the trailing 7-day window, and
+    * their ratio: the standard product-growth engagement metric
+    * (stickiness = DAU/WAU; 1/7 = everyone visits once a week, 1.0 =
+    * everyone visits daily). Rolling DISTINCT counts admit no mergeable
+    * shortcut, so the scale-correct derivation materializes the distinct
+    * (user, day) frame ONCE (it is already tiny relative to events) and
+    * EXPLODES each membership into the ≤7 windows it covers — work
+    * ∝ 7·|user-days|, every exchange keyed by day, no window function at
+    * all. Integer epoch-day arithmetic; the ratio is exact ppm. */
+  def q126Stickiness(t: Tables): DataFrame = {
+    val ud = t.events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("d"))
+      .distinct()
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .withColumn("wd", explode(sequence(col("d"), col("d") + 6)))
+      .groupBy(col("wd")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, dau("d") === wau("wd"))
+      .select(
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          col("d").cast("int")), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
   }
 
   /** q124: RFM segmentation — every customer scored 1–5 on Recency

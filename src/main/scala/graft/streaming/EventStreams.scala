@@ -54,6 +54,30 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"), col("n"))
 
+  /** q122's streaming form: session_window(gap) IS the idle-gap island —
+    * a next event landing EXACTLY on the closing boundary still merges
+    * (measured behavior), i.e. a new session opens only when the gap
+    * strictly exceeds `gap` — exactly q122's strict-> opens rule, so on
+    * closed input this emits q122's sessions row for row (StreamingSpec
+    * pins it, boundary gap planted).
+    * collect_set over the small event-type alphabet stands in for the
+    * streaming-unsupported countDistinct (bounded state); value_sum
+    * follows the one-rounded-aggregate rule. State per key is one open
+    * session; the watermark closes and evicts sessions whose gap has
+    * provably passed. */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"),
+        size(collect_set(col("event_type"))).cast("long").as("n_types"),
+        (round(sum(col("value")), 4) + lit(0.0)).as("value_sum"))
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        col("n_types"), col("value_sum"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+
   /** Session windows with gap, streaming-native. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -13,6 +13,39 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(min: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
 
+  test("streaming sessionization equals q122's batch islands, boundary gaps included") {
+    implicit val sql = spark.sqlContext
+    // user 1: events 0/10/25 min (one session), 70 min (new: gap 45 > 30),
+    // 100 min (EXACTLY 30 min after 70 — the boundary gap EXTENDS the
+    // session, session_window's measured merge rule = q122's strict >);
+    // user 2: a lone event
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 1.0), Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(25), 1, "click", 3.0), Event(4, ts(70), 1, "purchase", 4.0),
+      Event(5, ts(100), 1, "view", 5.0), Event(6, ts(40), 2, "view", 6.0))
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.sessionizeStream(mem.toDF())
+      .writeStream.format("memory").queryName("sessionized")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getLong(6))
+    val cols = Seq("user_id", "start_us", "end_us", "n_events", "n_types",
+      "value_sum", "duration_us")
+    val streamed = spark.table("sessionized")
+      .select(cols.map(col): _*).collect().map(key).toSet
+    val batch = graft.operators.Relational6.sessionizeBatch(events.toDF())
+      .select(cols.map(col): _*).collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.size === 3, s"expected 3 sessions: $streamed")
+    // the boundary event extended the 70-min session instead of opening one
+    assert(streamed.exists { case (u, s, e, n, _, _, _) =>
+      u == 1L && n == 2L && s == ts(70).getTime * 1000L &&
+        e == ts(100).getTime * 1000L })
+  }
+
   test("streaming tumbling window equals the batch result on closed input") {
     implicit val sql = spark.sqlContext
     val events = Seq(
