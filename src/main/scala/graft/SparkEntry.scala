@@ -850,6 +850,14 @@ object SparkEntry {
     // multi-epoch cap; integer epochs/repeat share off the 6-dp weight
     "p51_epoch_plan" -> ((s, d) =>
       graft.operators.DataPipeline.epochPlan(t(s, d).documents)),
+    // p52: UniMax weighted water-filling — capped sources yield their
+    // epoch ceiling, freed budget re-levels via one cross-multiplied
+    // window predicate; exact longs, md5-order remainder
+    "p52_unimax" -> ((s, d) =>
+      graft.operators.DataPipeline.unimaxWaterfill(t(s, d).documents)),
+    // q127: conformance audit battery — one-scan domain checks + anti-
+    // join referential check + cross-table temporal law; exact ppm
+    "q127_conformance" -> ((s, d) => Relational6.q127Conformance(t(s, d))),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -4765,6 +4773,74 @@ object SparkEntry {
         |   THEN greatest(granted_tokens - n_tokens, 0) * 1000000 // granted_tokens
         |   ELSE 0 END AS BIGINT) AS repeat_ppm
         |FROM g""".stripMargin,
+    // p52: same rate order, same cross-multiplied waterline predicate,
+    // same integer base + md5-order remainder arithmetic
+    "p52_unimax" ->
+      """WITH s AS (SELECT source,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |  greatest(1, CAST(floor(round(pow(CAST(n_tokens AS DOUBLE), 0.5)
+        |    / sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER (), 6)
+        |    * 1000000 + 0.5) AS BIGINT)) AS wi,
+        |  n_tokens * 4 AS cap
+        | FROM s),
+        |r AS (SELECT *, cap * 1000000 // wi AS rate FROM w),
+        |f AS (SELECT *,
+        |  coalesce(sum(cap) OVER (ORDER BY rate, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_cap,
+        |  sum(wi) OVER () - coalesce(sum(wi) OVER (ORDER BY rate, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS suffix_wi
+        | FROM r),
+        |g AS (SELECT *,
+        |  prefix_cap * wi + cap * suffix_wi <= 300000 * wi AS capped FROM f),
+        |p AS (SELECT sum(CASE WHEN capped THEN cap ELSE 0 END) AS taken,
+        |  sum(CASE WHEN capped THEN 0 ELSE wi END) AS uw FROM g),
+        |b AS (SELECT g.*, 300000 - taken AS rr,
+        |  CASE WHEN NOT capped AND uw > 0
+        |    THEN (300000 - taken) * wi // uw ELSE 0 END AS base_alloc
+        | FROM g, p),
+        |q AS (SELECT sum(CASE WHEN capped THEN 0 ELSE base_alloc END) AS ba
+        | FROM b),
+        |h AS (SELECT b.*, ba,
+        |  row_number() OVER (PARTITION BY capped ORDER BY md5(source), source)
+        |    AS hash_rank
+        | FROM b, q)
+        |SELECT source, n_tokens, CAST(wi AS BIGINT) AS w_ppm,
+        | CAST(cap AS BIGINT) AS cap_tokens, capped,
+        | CAST(CASE WHEN capped THEN cap
+        |   ELSE least(cap, base_alloc +
+        |     CASE WHEN hash_rank <= rr - ba THEN 1 ELSE 0 END) END AS BIGINT)
+        |   AS alloc_tokens
+        |FROM h""".stripMargin,
+    // q127: same one-scan conditional-sum battery + the same two
+    // relational checks; counts exact, ppm integer division
+    "q127_conformance" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS c1,
+        |  sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS c2,
+        |  sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS c3,
+        |  sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS c4,
+        |  sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS c5
+        | FROM lineitem),
+        |orphan AS (SELECT count(*) AS c FROM lineitem l
+        |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |ship AS (SELECT coalesce(sum(CASE WHEN CAST(l.l_shipdate AS DATE)
+        |    < CAST(o.o_orderdate AS DATE) THEN 1 ELSE 0 END), 0) AS c
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |u AS (
+        | SELECT 'li_nonpositive_qty' AS rule, n_rows, c1 AS n_bad FROM a
+        | UNION ALL SELECT 'li_nonpositive_price', n_rows, c2 FROM a
+        | UNION ALL SELECT 'li_discount_range', n_rows, c3 FROM a
+        | UNION ALL SELECT 'li_negative_tax', n_rows, c4 FROM a
+        | UNION ALL SELECT 'li_bad_returnflag', n_rows, c5 FROM a
+        | UNION ALL SELECT 'li_orphan_orderkey', n_rows, (SELECT c FROM orphan) FROM a
+        | UNION ALL SELECT 'li_ship_before_order', n_rows, (SELECT c FROM ship) FROM a)
+        |SELECT rule, CAST(n_rows AS BIGINT) AS n_rows,
+        | CAST(n_bad AS BIGINT) AS n_bad,
+        | CAST(n_bad * 1000000 // n_rows AS BIGINT) AS bad_ppm
+        |FROM u""".stripMargin,
     // p50: same scan-local 32-bit-md5-prefix batch assignment (the q72
     // hex-to-BIGINT idiom), same first-copy curve arithmetic
     "p50_saturation_ranged" ->

@@ -442,6 +442,76 @@ object DataPipeline {
             " div granted_tokens")).otherwise(lit(0L)))
   }
 
+  /** p52: UniMax weighted water-filling — the actual multilingual-mixing
+    * algorithm (Chung et al. 2023): give every source its temperature
+    * share min(cap_s, λ·w_s) where cap_s = maxEpochs·n_tokens(s) is the
+    * repeat ceiling and the water level λ spends exactly the budget.
+    * p49 is the unweighted max–min form, p51 the per-source epoch
+    * report; this is their composition — capped sources yield their
+    * ceiling, the freed budget re-levels among the rest, all in ONE
+    * window predicate (no sequential loop): with sources ordered by the
+    * integer rate cap·10⁶ div w_ppm, source k is capped iff
+    * prefix_cap·w_k + cap_k·suffix_w ≤ B·w_k (the p49 waterline test,
+    * cross-multiplied so no division appears).
+    *
+    * Exactness: weights follow the p08 6-dp rule then integerize to ppm
+    * (floor(w·10⁶ + 0.5), floored at 1 so no rate divides by zero);
+    * everything after is exact long arithmetic, and the residual tokens
+    * left by the floor divisions are handed +1 each in p49's
+    * deterministic md5 order. Bounds: products stay under 2⁶³ while
+    * budget·10⁶ does — budgets to ~9·10¹² tokens, beyond which this
+    * frame-sized arithmetic would move to decimals.
+    *
+    * Scale shape: one partial-aggregated exchange to source cardinality;
+    * every window and join after runs on the #sources frame. */
+  def unimaxWaterfill(docs: DataFrame, alpha: Double = 0.5,
+                      budget: Long = 300000L, maxEpochs: Int = 4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    require(maxEpochs >= 1, s"maxEpochs=$maxEpochs must be >= 1")
+    val sizes = docs
+      .select(col("source"), TextFns.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val wRaw = pow(col("n_tokens").cast("double"), lit(alpha))
+    val rated = sizes
+      .withColumn("w", round(wRaw / sum(wRaw).over(Window.partitionBy()), 6))
+      .withColumn("wi", greatest(lit(1L),
+        floor(col("w") * 1000000d + 0.5).cast("long")))
+      .withColumn("cap", col("n_tokens") * maxEpochs)
+      .withColumn("rate", expr("cap * 1000000 div wi"))
+    val wOrd = Window.orderBy(col("rate"), col("source"))
+    val flagged = rated
+      .withColumn("prefix_cap", coalesce(sum(col("cap")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prefix_wi", coalesce(sum(col("wi")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("suffix_wi",
+        sum(col("wi")).over(Window.partitionBy()) - col("prefix_wi"))
+      .withColumn("capped",
+        col("prefix_cap") * col("wi") + col("cap") * col("suffix_wi")
+          <= lit(budget) * col("wi"))
+    val pool = flagged.agg(
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("taken"),
+      sum(when(!col("capped"), col("wi")).otherwise(0L)).as("uw"))
+    val based = flagged.crossJoin(broadcast(pool))
+      .withColumn("rr", lit(budget) - col("taken"))
+      .withColumn("base_alloc",
+        when(!col("capped") && col("uw") > 0, expr("rr * wi div uw"))
+          .otherwise(lit(0L)))
+    val rem = based.agg(
+      sum(when(!col("capped"), col("base_alloc")).otherwise(0L)).as("ba"))
+    based.crossJoin(broadcast(rem))
+      .withColumn("hash_rank",
+        row_number().over(Window.partitionBy(col("capped"))
+          .orderBy(md5(col("source")), col("source"))).cast("long"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("cap"))
+          .otherwise(least(col("cap"), col("base_alloc") +
+            when(col("hash_rank") <= col("rr") - col("ba"), 1L).otherwise(0L))))
+      .select(col("source"), col("n_tokens"), col("wi").as("w_ppm"),
+        col("cap").as("cap_tokens"), col("capped"), col("alloc_tokens"))
+  }
+
   /** p10: the corpus data card — per-source summary statistics, the
     * dataset-documentation step every released training corpus ships
     * (docs, token volume, exact-duplicate load, language spread, size

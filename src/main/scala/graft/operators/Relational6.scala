@@ -157,6 +157,55 @@ object Relational6 {
         expr("dau * 1000000 div wau").as("stickiness_ppm"))
   }
 
+  /** q127: data-conformance audit battery — the dbt-tests/great-
+    * expectations shape: one row per declared constraint with its
+    * violation count and exact-ppm rate, covering domain checks
+    * (non-positive quantity/price, discount out of [0, 1], negative tax,
+    * return flag outside {A, N, R}), referential integrity (lineitems
+    * whose order does not exist — an anti join, the q07 shape on the
+    * fact-fact key), and a cross-table temporal law (shipped before the
+    * order was placed). The audit a pipeline gates ingestion on; every
+    * violation is COUNTED, never dropped, so the table is the review
+    * artifact.
+    *
+    * Scale shape: the five domain checks share ONE scan (a single
+    * partial-aggregated battery of conditional sums); the two relational
+    * checks are one shuffle each on the join key; everything unions at
+    * 7 rows. Integer counts, one exact-ppm division. */
+  def q127Conformance(t: Tables): DataFrame = {
+    val l = t.lineitem
+    val scanChecks = Seq(
+      ("li_nonpositive_qty", col("l_quantity") <= 0),
+      ("li_nonpositive_price", col("l_extendedprice") <= 0),
+      ("li_discount_range", col("l_discount") < 0 || col("l_discount") > 1),
+      ("li_negative_tax", col("l_tax") < 0),
+      ("li_bad_returnflag", !col("l_returnflag").isin("A", "N", "R")))
+    val aggs = count(lit(1)).as("n_rows") +:
+      scanChecks.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(n) }
+    val one = l.agg(aggs.head, aggs.tail: _*)
+    val scanRows = one
+      .select(explode(array(scanChecks.map { case (n, _) =>
+        struct(lit(n).as("rule"), col("n_rows"), col(n).as("n_bad"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_rows").as("n_rows"),
+        col("r.n_bad").as("n_bad"))
+    val o = t.orders.select(col("o_orderkey"), col("o_orderdate"))
+    val orphan = l.select(col("l_orderkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+      .crossJoin(broadcast(one.select(col("n_rows"))))
+      .select(lit("li_orphan_orderkey").as("rule"), col("n_rows"), col("n_bad"))
+    val shipEarly = l.select(col("l_orderkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(coalesce(sum(when(
+        col("l_shipdate").cast("date") < col("o_orderdate").cast("date"), 1L)
+        .otherwise(0L)), lit(0L)).as("n_bad"))
+      .crossJoin(broadcast(one.select(col("n_rows"))))
+      .select(lit("li_ship_before_order").as("rule"), col("n_rows"), col("n_bad"))
+    scanRows.unionByName(orphan).unionByName(shipEarly)
+      .withColumn("bad_ppm", expr("n_bad * 1000000 div n_rows"))
+  }
+
   /** q124: RFM segmentation — every customer scored 1–5 on Recency
     * (epoch day of last order), Frequency (order count) and Monetary
     * (lifetime cents), the standard marketing/retention segmentation.

@@ -1399,6 +1399,35 @@ class DataPipelineSpec extends AnyFunSuite {
       "huge source serves its quota in one epoch")
   }
 
+  test("p52: unimax caps the ceiling-bound sources and spends the budget exactly") {
+    import spark.implicits._
+    def doc(src: String, i: Long, n: Int) =
+      (i, (1 to n).map(j => s"w$j").mkString(" "), src)
+    // tiny (10 tok) and small (200 tok) hit the 4-epoch ceiling under a
+    // 5000-token budget; huge (4000 tok) absorbs the re-leveled surplus
+    val docs = ((1L to 40L).map(doc("huge", _, 100))
+      ++ (41L to 44L).map(doc("small", _, 50))
+      ++ Seq(doc("tiny", 45L, 10))).toDF("doc_id", "text", "source")
+    val got = DataPipeline.unimaxWaterfill(docs, alpha = 0.5, budget = 5000L,
+        maxEpochs = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5)))).toMap
+    got.foreach { case (src, (n, wppm, cap, capped, alloc)) =>
+      assert(cap === 4 * n, s"$src: cap identity")
+      assert(alloc <= cap, s"$src: alloc beyond the epoch ceiling")
+      assert(wppm >= 1L, s"$src: weight floored at 1 ppm")
+      if (capped) assert(alloc === cap, s"$src: capped must yield its ceiling")
+    }
+    assert(got("tiny")._4 && got("small")._4, "ceiling-bound sources capped")
+    assert(!got("huge")._4, "the big source absorbs the surplus")
+    // exact conservation: caps + re-leveled remainder spend the budget
+    assert(got.values.map(_._5).sum === 5000L, "budget spent exactly")
+    // re-leveling: huge gets MORE than its raw temperature share
+    // (floor(5000 * w_huge + 0.5) < alloc after the capped surplus frees up)
+    val rawQuota = math.floor(5000.0 * (got("huge")._2 / 1e6) + 0.5).toLong
+    assert(got("huge")._5 > rawQuota, "freed budget re-levels to uncapped sources")
+  }
+
   test("p49: waterline caps small sources, conserves the budget, fair elsewhere") {
     import spark.implicits._
     def doc(src: String, i: Long, n: Int) =

@@ -382,12 +382,14 @@ class RelationalSpec extends AnyFunSuite {
     }.toMap
     val rows = graft.operators.Relational4.q63GapFill(tables).collect()
     assert(rows.length === expected.size)
-    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+    def opt(r: org.apache.spark.sql.Row, n: String): Option[Double] = {
+      val i = r.fieldIndex(n)
       if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
     rows.foreach { r =>
-      val e = expected(r.getLong(0))
-      assert((opt(r, 2), opt(r, 3), opt(r, 4), opt(r, 5)) === e,
-        s"orderkey=${r.getLong(0)}")
+      val k = r.getLong(r.fieldIndex("o_orderkey"))
+      assert((opt(r, "v"), opt(r, "fill_down"), opt(r, "fill_up"),
+        opt(r, "filled")) === expected(k), s"orderkey=$k")
     }
   }
 
@@ -515,11 +517,14 @@ class RelationalSpec extends AnyFunSuite {
     }.toMap
     val rows = graft.operators.Relational4.q67NavIgnoreNulls(tables).collect()
     assert(rows.length === expected.size)
-    def opt(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+    def opt(r: org.apache.spark.sql.Row, n: String): Option[Double] = {
+      val i = r.fieldIndex(n)
       if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
     rows.foreach { r =>
-      assert((opt(r, 2), opt(r, 3), opt(r, 4)) === expected(r.getLong(0)),
-        s"orderkey=${r.getLong(0)}")
+      val k = r.getLong(r.fieldIndex("o_orderkey"))
+      assert((opt(r, "v"), opt(r, "prev_nn"), opt(r, "next_nn")) === expected(k),
+        s"orderkey=$k")
     }
   }
 
@@ -792,7 +797,7 @@ class RelationalSpec extends AnyFunSuite {
 
   test("q85: deciles partition each priority; sizes differ by ≤1; ranges are ordered") {
     val rows = graft.operators.Relational5.q85Deciles(tables).collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val byPrio = rows.groupBy(_._1)
     val counts = tables.orders.groupBy(col("o_orderpriority")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
