@@ -858,6 +858,13 @@ object SparkEntry {
     // q127: conformance audit battery — one-scan domain checks + anti-
     // join referential check + cross-table temporal law; exact ppm
     "q127_conformance" -> ((s, d) => Relational6.q127Conformance(t(s, d))),
+    // q128: MAD anomaly days — discrete lower medians by the explicit
+    // position rule, integer dev > 3·MAD flag; day-bounded windows
+    "q128_mad_anomaly" -> ((s, d) => Relational6.q128MadAnomaly(t(s, d))),
+    // t38: Count-Min heavy hitters — md5-deterministic sketch, exactly
+    // oracle-reproducible; counters partial-agg to depth×width rows
+    "t38_cms_heavy_hitters" -> ((s, d) =>
+      TextQueries.cmsHeavyHitters(t(s, d).documents)),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -4773,6 +4780,48 @@ object SparkEntry {
         |   THEN greatest(granted_tokens - n_tokens, 0) * 1000000 // granted_tokens
         |   ELSE 0 END AS BIGINT) AS repeat_ppm
         |FROM g""".stripMargin,
+    // q128: same (type, day) counts, same discrete-lower-median position
+    // rule for med and MAD, same integer flag
+    "q128_mad_anomaly" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |   ORDER BY n, day) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS nd FROM d),
+        |m2 AS (SELECT *, max(CASE WHEN rn = (nd + 1) // 2 THEN n END)
+        |  OVER (PARTITION BY event_type) AS med FROM m),
+        |m3 AS (SELECT *, abs(n - med) AS dev FROM m2),
+        |m4 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |   ORDER BY dev, day) AS rd FROM m3),
+        |m5 AS (SELECT *, max(CASE WHEN rd = (nd + 1) // 2 THEN dev END)
+        |  OVER (PARTITION BY event_type) AS mad FROM m4)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        | CAST(med AS BIGINT) AS med, CAST(dev AS BIGINT) AS dev,
+        | CAST(mad AS BIGINT) AS mad, dev > 3 * mad AS is_anomaly
+        |FROM m5""".stripMargin,
+    // t38: the sketch is deterministic md5 arithmetic, so DuckDB rebuilds
+    // the identical counters — the one fully-oracle-checkable sketch
+    "t38_cms_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+        | FROM documents),
+        |rows_ AS (SELECT token, unnest([0, 1, 2, 3]) AS d FROM toks),
+        |hashed AS (SELECT token, d,
+        |  CAST(('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':' || token),
+        |    1, 15)) AS BIGINT) % 1024 AS bucket
+        | FROM rows_),
+        |counters AS (SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+        | FROM hashed GROUP BY 1, 2),
+        |truth AS (SELECT token, CAST(count(*) AS BIGINT) AS true_n
+        | FROM toks GROUP BY 1 ORDER BY true_n DESC, token LIMIT 20),
+        |est AS (SELECT t.token, t.true_n, min(c.c) AS cms_n
+        | FROM (SELECT token, true_n, unnest([0, 1, 2, 3]) AS d FROM truth) t
+        | JOIN counters c ON c.d = t.d AND c.bucket =
+        |   CAST(('0x' || substr(md5('cms' || CAST(t.d AS VARCHAR) || ':' || t.token),
+        |     1, 15)) AS BIGINT) % 1024
+        | GROUP BY 1, 2)
+        |SELECT token, true_n, CAST(cms_n AS BIGINT) AS cms_n,
+        | CAST(cms_n - true_n AS BIGINT) AS overcount
+        |FROM est""".stripMargin,
     // p52: same rate order, same cross-multiplied waterline predicate,
     // same integer base + md5-order remainder arithmetic
     "p52_unimax" ->

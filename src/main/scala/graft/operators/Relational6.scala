@@ -206,6 +206,43 @@ object Relational6 {
       .withColumn("bad_ppm", expr("n_bad * 1000000 div n_rows"))
   }
 
+  /** q128: MAD anomaly days — per event type, the days whose event count
+    * deviates from the type's median by more than 3× the median absolute
+    * deviation: the robust outlier rule ops monitoring runs over daily
+    * volumes (a mean/stddev z-score is itself dragged by the outliers it
+    * hunts; median/MAD are breakdown-resistant). Both medians use the
+    * explicit DISCRETE LOWER rule (value at sorted position
+    * (n+1) div 2 — the q71/q74 convention, so no engine interpolation
+    * can disagree) and the flag is the integer comparison dev > 3·MAD —
+    * no division, no float anywhere. MAD = 0 (over half the days at the
+    * modal count) flags every nonzero deviation — the standard MAD
+    * degeneracy, deterministic in both engines.
+    *
+    * Scale shape: events partial-aggregate to (type, day) counts first;
+    * every window runs over that day-bounded frame (the q86 histogram
+    * class — never raw events on a low-cardinality key). */
+  def q128MadAnomaly(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wN = Window.partitionBy(col("event_type")).orderBy(col("n"), col("day"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wD = Window.partitionBy(col("event_type")).orderBy(col("dev"), col("day"))
+    daily
+      .withColumn("rn", row_number().over(wN))
+      .withColumn("nd", count(lit(1)).over(wT))
+      .withColumn("med",
+        max(when(col("rn") === expr("(nd + 1) div 2"), col("n"))).over(wT))
+      .withColumn("dev", abs(col("n") - col("med")))
+      .withColumn("rd", row_number().over(wD))
+      .withColumn("mad",
+        max(when(col("rd") === expr("(nd + 1) div 2"), col("dev"))).over(wT))
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("med"), col("dev"), col("mad"),
+        (col("dev") > lit(3L) * col("mad")).as("is_anomaly"))
+  }
+
   /** q124: RFM segmentation — every customer scored 1–5 on Recency
     * (epoch day of last order), Frequency (order count) and Monetary
     * (lifetime cents), the standard marketing/retention segmentation.

@@ -1253,4 +1253,46 @@ object TextQueries {
       .select(col("rank"), col("a"), col("b"), col("n_ab"),
         col("n_a"), col("n_b"), col("dice_ppm"))
   }
+
+  /** t38: Count-Min sketch heavy hitters — the canonical mergeable
+    * frequency sketch (Cormode & Muthukrishnan 2005) the sketch family
+    * (q58 HLL/quantiles, p07 Bloom, d03 MinHash) was missing: `depth`
+    * independent hash rows of `width` counters, point estimate = min over
+    * rows, one-sided error (never an undercount, overcount ≤ 2·N/width
+    * w.h.p.). Unlike the engines' built-in sketches the whole structure
+    * is deterministic md5 arithmetic, so — uniquely among the family —
+    * the sketch itself is EXACTLY oracle-reproducible: DuckDB rebuilds
+    * the identical counters and estimates (no rows-only registration
+    * needed). Output: the true top-k tokens with their true count, CMS
+    * estimate and overcount side by side (the q72 error-visibility
+    * convention); the ≥-law overcount ≥ 0 is structural.
+    *
+    * Scale shape: THE reason this sketch exists at 100 TB — the corpus
+    * explodes ×depth and partial-aggregates to depth·width counters
+    * (map-side combine does nearly all the work; the exchange carries
+    * ≤ 4096 rows); the truth side is one TakeOrderedAndProject heap cut;
+    * estimates join the counter table broadcast. */
+  def cmsHeavyHitters(docs: DataFrame, width: Int = 1024, depth: Int = 4,
+                      topK: Int = 20): DataFrame = {
+    require(width > 0 && depth > 0 && topK > 0,
+      s"width=$width depth=$depth topK=$topK must be positive")
+    val toks = sharedTokens(docs).select(col("token"))
+    def bucket: Column = pmod(Dedup.md5Hash60(
+      concat(lit("cms"), col("d"), lit(":"), col("token"))), lit(width.toLong))
+    val depths = array((0 until depth).map(lit): _*)
+    val counters = toks
+      .withColumn("d", explode(depths))
+      .withColumn("bucket", bucket)
+      .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+    val truth = toks.groupBy(col("token")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("token")).limit(topK)
+    truth
+      .withColumn("d", explode(depths))
+      .withColumn("bucket", bucket)
+      .join(broadcast(counters), Seq("d", "bucket"))
+      .groupBy(col("token"), col("true_n"))
+      .agg(min(col("c")).as("cms_n"))
+      .select(col("token"), col("true_n"), col("cms_n"),
+        (col("cms_n") - col("true_n")).as("overcount"))
+  }
 }
