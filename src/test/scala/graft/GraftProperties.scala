@@ -481,4 +481,57 @@ object GraftProperties extends Properties("graft") {
           r.getDouble(5) == tf.count(_ == 1).toDouble / tf.size
       }
     }
+
+  // random frame for the ScanWindows laws: 1-3 groups, unique keys per
+  // group (the total-order contract), values small longs; bucket width
+  // drawn small so frames regularly straddle several buckets
+  private val scanFrame: Gen[(List[(String, Long, Long)], Long, Int)] = for {
+    nG <- Gen.chooseNum(1, 3)
+    sizes <- Gen.listOfN(nG, Gen.chooseNum(0, 60))
+    vals <- Gen.sequence[List[List[Long]], List[Long]](
+      sizes.map(n => Gen.listOfN(n, Gen.chooseNum(-9L, 9L))))
+    bucketWidth <- Gen.chooseNum(1L, 9L)
+    frameWidth <- Gen.chooseNum(1, 12)
+  } yield {
+    val rows = vals.zipWithIndex.flatMap { case (vs, g) =>
+      vs.zipWithIndex.map { case (v, i) => (s"g$g", i.toLong * 3 + 1, v) }
+    }
+    (rows, bucketWidth, frameWidth)
+  }
+
+  property("ScanWindows.prefixSums ≡ naive running sum on random frames") =
+    forAll(scanFrame) { case (rows, bw, _) =>
+      import org.apache.spark.sql.expressions.Window
+      rows.isEmpty || {
+        val df = rows.toDF("g", "k", "v").repartition(5)
+          .withColumn("bkt", expr(s"k div $bw"))
+        val got = graft.operators.ScanWindows.prefixSums(
+          df, Seq("g"), "bkt", Seq("k"), Seq("run" -> "v"))
+        val w = Window.partitionBy(col("g")).orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val want = df.withColumn("run", sum(col("v")).over(w))
+        got.select("g", "k", "run").except(want.select("g", "k", "run")).isEmpty &&
+          want.select("g", "k", "run").except(got.select("g", "k", "run")).isEmpty
+      }
+    }
+
+  property("ScanWindows.slidingFrame ≡ naive trailing frame on random frames") =
+    forAll(scanFrame) { case (rows, bw, fw) =>
+      import org.apache.spark.sql.expressions.Window
+      rows.isEmpty || {
+        val df = rows.toDF("g", "k", "v").repartition(5)
+          .withColumn("bkt", expr(s"k div $bw"))
+        val got = graft.operators.ScanWindows.slidingFrame(
+          df, Seq("g"), "bkt", Seq("k"), fw) { w =>
+          Seq("s" -> sum(col("v")).over(w), "n" -> count(lit(1)).over(w))
+        }
+        val w = Window.partitionBy(col("g")).orderBy(col("k"))
+          .rowsBetween(-(fw - 1), 0)
+        val want = df
+          .withColumn("s", sum(col("v")).over(w))
+          .withColumn("n", count(lit(1)).over(w))
+        got.select("g", "k", "s", "n").except(want.select("g", "k", "s", "n")).isEmpty &&
+          want.select("g", "k", "s", "n").except(got.select("g", "k", "s", "n")).isEmpty
+      }
+    }
 }
