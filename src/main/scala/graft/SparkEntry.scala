@@ -861,6 +861,9 @@ object SparkEntry {
     // q128: MAD anomaly days — discrete lower medians by the explicit
     // position rule, integer dev > 3·MAD flag; day-bounded windows
     "q128_mad_anomaly" -> ((s, d) => Relational6.q128MadAnomaly(t(s, d))),
+    // q129: MoM/YoY growth — calendar-shift joins on the month frame
+    // (never positional lag), signed exact-ppm growth
+    "q129_growth" -> ((s, d) => Relational6.q129Growth(t(s, d))),
     // t38: Count-Min heavy hitters — md5-deterministic sketch, exactly
     // oracle-reproducible; counters partial-agg to depth×width rows
     "t38_cms_heavy_hitters" -> ((s, d) =>
@@ -4780,6 +4783,23 @@ object SparkEntry {
         |   THEN greatest(granted_tokens - n_tokens, 0) * 1000000 // granted_tokens
         |   ELSE 0 END AS BIGINT) AS repeat_ppm
         |FROM g""".stripMargin,
+    // q129: same month truncation, same calendar-shift joins, same
+    // signed truncating integer division (Spark div ≡ DuckDB //)
+    "q129_growth" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents
+        | FROM orders GROUP BY 1)
+        |SELECT strftime(a.month, '%Y-%m-%d') AS month, a.rev_cents,
+        | CAST(CASE WHEN b.rev_cents > 0
+        |   THEN (a.rev_cents - b.rev_cents) * 1000000 // b.rev_cents END
+        |   AS BIGINT) AS mom_ppm,
+        | CAST(CASE WHEN c.rev_cents > 0
+        |   THEN (a.rev_cents - c.rev_cents) * 1000000 // c.rev_cents END
+        |   AS BIGINT) AS yoy_ppm
+        |FROM m a
+        |LEFT JOIN m b ON a.month = b.month + INTERVAL 1 MONTH
+        |LEFT JOIN m c ON a.month = c.month + INTERVAL 12 MONTH""".stripMargin,
     // q128: same (type, day) counts, same discrete-lower-median position
     // rule for med and MAD, same integer flag
     "q128_mad_anomaly" ->

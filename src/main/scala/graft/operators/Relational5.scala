@@ -696,17 +696,45 @@ object Relational5 {
       .select(col("o_custkey"),
         datediff(col("max_day"), col("last_day")).cast("long").as("recency_days"),
         col("frequency"), col("monetary_cents"))
-    val rw = Window.orderBy(col("recency_days").asc, col("o_custkey"))
-    val fw = Window.orderBy(col("frequency").desc, col("o_custkey"))
-    val mw = Window.orderBy(col("monetary_cents").desc, col("o_custkey"))
-    scored
-      .withColumn("r_score", ntile(5).over(rw))
-      .withColumn("f_score", ntile(5).over(fw))
-      .withColumn("m_score", ntile(5).over(mw))
-      .select(col("o_custkey"), col("recency_days"), col("frequency"),
-        col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
-        concat(col("r_score").cast("string"), col("f_score").cast("string"),
-          col("m_score").cast("string")).as("segment"))
+    // Round-9 scale form: ntile(5) over (metric, custkey) WITHOUT the
+    // three global single-partition windows — each score derives from the
+    // row's exact global position (a ScanWindows bucket-parallel running
+    // count over the (metric, custkey) total order, bucketed on a
+    // metric-range prefix) pushed through the closed-form ntile remainder
+    // rule (the q85 arithmetic, first n mod 5 buckets one row larger) —
+    // bit-identical to ntile(5), same DuckDB oracle.
+    def score(df: DataFrame, metric: String, descending: Boolean,
+              bucketDiv: Long, out: String): DataFrame = {
+      val v = if (descending) -col(metric) else col(metric)
+      val tagged = df
+        .withColumn(s"_v_$out", v)
+        .withColumn(s"_one_$out", lit(1L))
+        .withColumn(s"_vb_$out", expr(s"_v_$out div $bucketDiv"))
+      val pos = ScanWindows.prefixSums(tagged, Seq.empty, s"_vb_$out",
+        Seq(s"_v_$out", "o_custkey"), Seq(s"_pos_$out" -> s"_one_$out"))
+      def idiv(a: Column, b: Column): Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      def cdiv(a: Column, b: Column): Column = idiv(a + b - lit(1L), b)
+      val p = col(s"_pos_$out")
+      val qq = idiv(col("_n"), lit(5L))
+      val rr = pmod(col("_n"), lit(5L))
+      pos
+        .withColumn(out,
+          when(p <= rr * (qq + 1), cdiv(p, qq + 1))
+            .otherwise(rr + cdiv(p - rr * (qq + 1), greatest(qq, lit(1L))))
+            .cast("int"))
+        .drop(s"_v_$out", s"_one_$out", s"_vb_$out", s"_pos_$out")
+    }
+    val withN = scored.crossJoin(broadcast(
+      scored.agg(count(lit(1)).as("_n"))))
+    val r3 = score(score(score(withN,
+      "recency_days", descending = false, 64L, "r_score"),
+      "frequency", descending = true, 1L, "f_score"),
+      "monetary_cents", descending = true, 1L << 20, "m_score")
+    r3.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+      concat(col("r_score").cast("string"), col("f_score").cast("string"),
+        col("m_score").cast("string")).as("segment"))
   }
 
   /** q93: market-basket affinity — the top part pairs co-purchased within

@@ -243,6 +243,34 @@ object Relational6 {
         (col("dev") > lit(3L) * col("mad")).as("is_anomaly"))
   }
 
+  /** q129: month-over-month / year-over-year growth — the finance
+    * reporting staple: monthly revenue with MoM and YoY growth in exact
+    * ppm. Prior periods come from CALENDAR joins (the month frame shifted
+    * by add_months 1 / 12), not positional lag — a lag-12 silently reads
+    * the wrong month the moment one month is empty, the classic growth-
+    * report bug. Growth can be negative: Spark `div` and DuckDB `//`
+    * both truncate toward zero (verified), so the signed ppm is
+    * engine-exact; NULL where no prior period or a zero base.
+    *
+    * Scale shape: one partial-aggregated exchange to month cardinality;
+    * the shift joins run on the tiny month frame. */
+  def q129Growth(t: Tables): DataFrame = {
+    val monthly = t.orders
+      .groupBy(trunc(col("o_orderdate").cast("date"), "month").as("month"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev_cents"))
+    val m1 = monthly.select(add_months(col("month"), 1).as("month"),
+      col("rev_cents").as("prev_m"))
+    val y1 = monthly.select(add_months(col("month"), 12).as("month"),
+      col("rev_cents").as("prev_y"))
+    monthly.join(m1, Seq("month"), "left").join(y1, Seq("month"), "left")
+      .select(date_format(col("month"), "yyyy-MM-dd").as("month"),
+        col("rev_cents"),
+        when(col("prev_m") > 0,
+          expr("(rev_cents - prev_m) * 1000000 div prev_m")).as("mom_ppm"),
+        when(col("prev_y") > 0,
+          expr("(rev_cents - prev_y) * 1000000 div prev_y")).as("yoy_ppm"))
+  }
+
   /** q124: RFM segmentation — every customer scored 1–5 on Recency
     * (epoch day of last order), Frequency (order count) and Monetary
     * (lifetime cents), the standard marketing/retention segmentation.

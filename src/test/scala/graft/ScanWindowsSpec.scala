@@ -193,4 +193,8 @@ class ScanWindowsSpec extends AnyFunSuite {
   test("q123: the global running sum is bucket-keyed (negbkt), never single-partition") {
     heavyWindowsBucketKeyed("q123_pareto_class", Set("negbkt"), 1500000L)
   }
+  test("q92: the three ntile positions are bucket-keyed, never global windows") {
+    heavyWindowsBucketKeyed("q92_rfm",
+      Set("_vb_r_score", "_vb_f_score", "_vb_m_score"), 150000L)
+  }
 }
