@@ -864,6 +864,9 @@ object SparkEntry {
     // q129: MoM/YoY growth — calendar-shift joins on the month frame
     // (never positional lag), signed exact-ppm growth
     "q129_growth" -> ((s, d) => Relational6.q129Growth(t(s, d))),
+    // q130: column profiler — one scan, 11 rows: nulls/distincts exact,
+    // min/max strings only where rendering is engine-exact
+    "q130_profile" -> ((s, d) => Relational6.q130Profile(t(s, d))),
     // t38: Count-Min heavy hitters — md5-deterministic sketch, exactly
     // oracle-reproducible; counters partial-agg to depth×width rows
     "t38_cms_heavy_hitters" -> ((s, d) =>
@@ -4783,6 +4786,52 @@ object SparkEntry {
         |   THEN greatest(granted_tokens - n_tokens, 0) * 1000000 // granted_tokens
         |   ELSE 0 END AS BIGINT) AS repeat_ppm
         |FROM g""".stripMargin,
+    // q130: same per-column null/distinct counts; min/max strings only
+    // for integral/string/date columns (double renderings differ)
+    "q130_profile" ->
+      """WITH a AS (SELECT * FROM lineitem)
+        |SELECT 'l_orderkey' AS col_name, 'integral' AS dtype,
+        | CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        | CAST(min(l_orderkey) AS VARCHAR) AS min_str,
+        | CAST(max(l_orderkey) AS VARCHAR) AS max_str FROM a
+        |UNION ALL SELECT 'l_partkey', 'integral',
+        | CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_partkey) AS BIGINT),
+        | CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR) FROM a
+        |UNION ALL SELECT 'l_suppkey', 'integral',
+        | CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        | CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR) FROM a
+        |UNION ALL SELECT 'l_linenumber', 'integral',
+        | CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_linenumber) AS BIGINT),
+        | CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR) FROM a
+        |UNION ALL SELECT 'l_quantity', 'double',
+        | CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_quantity) AS BIGINT), NULL, NULL FROM a
+        |UNION ALL SELECT 'l_extendedprice', 'double',
+        | CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_extendedprice) AS BIGINT), NULL, NULL FROM a
+        |UNION ALL SELECT 'l_discount', 'double',
+        | CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_discount) AS BIGINT), NULL, NULL FROM a
+        |UNION ALL SELECT 'l_tax', 'double',
+        | CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_tax) AS BIGINT), NULL, NULL FROM a
+        |UNION ALL SELECT 'l_returnflag', 'string',
+        | CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_returnflag) AS BIGINT),
+        | min(l_returnflag), max(l_returnflag) FROM a
+        |UNION ALL SELECT 'l_linestatus', 'string',
+        | CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_linestatus) AS BIGINT),
+        | min(l_linestatus), max(l_linestatus) FROM a
+        |UNION ALL SELECT 'l_shipdate', 'date',
+        | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(DISTINCT l_shipdate) AS BIGINT),
+        | strftime(CAST(min(l_shipdate) AS DATE), '%Y-%m-%d'),
+        | strftime(CAST(max(l_shipdate) AS DATE), '%Y-%m-%d') FROM a""".stripMargin,
     // q129: same month truncation, same calendar-shift joins, same
     // signed truncating integer division (Spark div ≡ DuckDB //)
     "q129_growth" ->

@@ -271,6 +271,57 @@ object Relational6 {
           expr("(rev_cents - prev_y) * 1000000 div prev_y")).as("yoy_ppm"))
   }
 
+  /** q130: column profiler — the ANALYZE-TABLE / data-profiling pass as a
+    * query: one row per lineitem column with its type, null count, exact
+    * distinct count, and min/max rendered to strings where a rendering is
+    * engine-exact (integers and dates; doubles render differently across
+    * engines — shortest-roundtrip vs Java Double.toString — so double
+    * columns profile counts only, by declared rule). The first table a
+    * new dataset gets pointed at; also the statistics source a cost-based
+    * planner would consume.
+    *
+    * Scale shape: ONE scan computes every metric (a single aggregate with
+    * 11 columns × up to 4 expressions; the count-distincts run through
+    * Spark's two-phase expand), then the 11-row explode is driver-free
+    * plan arithmetic. */
+  def q130Profile(t: Tables): DataFrame = {
+    val longCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val dblCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val dateCols = Seq("l_shipdate")
+    val all = longCols ++ dblCols ++ strCols ++ dateCols
+    def dtypeOf(c: String): String =
+      if (longCols.contains(c)) "integral"
+      else if (dblCols.contains(c)) "double"
+      else if (strCols.contains(c)) "string" else "date"
+    val aggs = all.flatMap { c =>
+      val base = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nn_$c"),
+        countDistinct(col(c)).as(s"_nd_$c"))
+      val mm = dtypeOf(c) match {
+        case "integral" | "string" => Seq(
+          min(col(c)).cast("string").as(s"_mi_$c"),
+          max(col(c)).cast("string").as(s"_ma_$c"))
+        case "date" => Seq(
+          date_format(min(col(c)).cast("date"), "yyyy-MM-dd").as(s"_mi_$c"),
+          date_format(max(col(c)).cast("date"), "yyyy-MM-dd").as(s"_ma_$c"))
+        case _ => Seq( // doubles: renderings differ across engines
+          lit(null).cast("string").as(s"_mi_$c"),
+          lit(null).cast("string").as(s"_ma_$c"))
+      }
+      base ++ mm
+    }
+    t.lineitem.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(all.map { c =>
+        struct(lit(c).as("col_name"), lit(dtypeOf(c)).as("dtype"),
+          col(s"_nn_$c").as("n_nulls"), col(s"_nd_$c").as("n_distinct"),
+          col(s"_mi_$c").as("min_str"), col(s"_ma_$c").as("max_str"))
+      }: _*)).as("r"))
+      .select(col("r.col_name").as("col_name"), col("r.dtype").as("dtype"),
+        col("r.n_nulls").as("n_nulls"), col("r.n_distinct").as("n_distinct"),
+        col("r.min_str").as("min_str"), col("r.max_str").as("max_str"))
+  }
+
   /** q124: RFM segmentation — every customer scored 1–5 on Recency
     * (epoch day of last order), Frequency (order count) and Monetary
     * (lifetime cents), the standard marketing/retention segmentation.
