@@ -1272,13 +1272,28 @@ object TextQueries {
     * (map-side combine does nearly all the work; the exchange carries
     * ≤ 4096 rows); the truth side is one TakeOrderedAndProject heap cut;
     * estimates join the counter table broadcast. */
+  /** The CMS bucket of the current row's (d, token) — deterministic md5
+    * arithmetic shared by [[cmsHeavyHitters]], [[cmsCounters]] and the
+    * streaming fold. */
+  private def cmsBucket(width: Int): Column = pmod(Dedup.md5Hash60(
+    concat(lit("cms"), col("d"), lit(":"), col("token"))), lit(width.toLong))
+
+  /** The (d, bucket, c) Count-Min counter table of a (doc_id, text)
+    * frame — the mergeable state: counters of a union are the SUM of the
+    * sides' counters (streaming/EventStreams.maintainCmsStream folds
+    * micro-batches by exactly this algebra, spec-pinned). */
+  def cmsCounters(docs: DataFrame, width: Int = 1024, depth: Int = 4): DataFrame =
+    docs.select(explode(TextFns.tokens(col("text"))).as("token"))
+      .withColumn("d", explode(array((0 until depth).map(lit): _*)))
+      .withColumn("bucket", cmsBucket(width))
+      .groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+
   def cmsHeavyHitters(docs: DataFrame, width: Int = 1024, depth: Int = 4,
                       topK: Int = 20): DataFrame = {
     require(width > 0 && depth > 0 && topK > 0,
       s"width=$width depth=$depth topK=$topK must be positive")
     val toks = sharedTokens(docs).select(col("token"))
-    def bucket: Column = pmod(Dedup.md5Hash60(
-      concat(lit("cms"), col("d"), lit(":"), col("token"))), lit(width.toLong))
+    def bucket: Column = cmsBucket(width)
     val depths = array((0 until depth).map(lit): _*)
     val counters = toks
       .withColumn("d", explode(depths))

@@ -304,6 +304,32 @@ object EventStreams {
       }
   }
 
+  /** Streaming t38 — Count-Min sketch maintenance: each micro-batch's
+    * (d, bucket, c) counter table folds into the standing depth×width
+    * state by plain ADDITION (counters of a union are the sum of the
+    * sides' counters — CMS's defining mergeability, the same algebra as
+    * maintainManifestStream's sums), so per-batch cost ∝ batch tokens
+    * with no standing rescan and the final state is spec-pinned EQUAL to
+    * the batch counters of the union. State is ≤ depth·width rows,
+    * localCheckpoint-materialized per batch. */
+  def maintainCmsStream(docStream: DataFrame, initial: DataFrame,
+                        onBatch: (DataFrame, Long) => Unit,
+                        width: Int = 1024, depth: Int = 4): DataStreamWriter[Row] = {
+    val state = new java.util.concurrent.atomic.AtomicReference(initial)
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cb = graft.operators.TextQueries.cmsCounters(
+          batch.select(col("doc_id"), col("text")), width, depth)
+        val merged = state.get.unionByName(cb)
+          .groupBy(col("d"), col("bucket"))
+          .agg(sum(col("c")).as("c"))
+          .localCheckpoint(true)
+        state.set(merged)
+        onBatch(merged, batchId)
+      }
+  }
+
   /** Streaming p22 — quality-drift monitoring against a live document
     * stream: each micro-batch's 0.1-bucket quality histogram folds into
     * the standing observed histogram (counts are mergeable — the

@@ -199,6 +199,38 @@ class StreamingSpec extends AnyFunSuite {
       "xor/min/max/sum folding must equal the batch manifest of the union")
   }
 
+  test("streaming CMS maintenance equals batch counters over the streamed union") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.TextQueries
+    val standing = tables.documents.where(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val initial = TextQueries.cmsCounters(standing).localCheckpoint(true)
+    val mem = MemoryStream[(Long, String)]
+    var finalState = Map.empty[(Int, Long), Long]
+    val q = EventStreams.maintainCmsStream(
+      mem.toDF().toDF("doc_id", "text"), initial,
+      (df, _) => finalState = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap).start()
+    val b1 = Seq((9001L, "alpha beta alpha gamma"), (9002L, "beta beta delta"))
+    val b2 = Seq((9003L, "gamma alpha epsilon"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val union = standing.unionByName((b1 ++ b2).toDF("doc_id", "text"))
+    val expected = TextQueries.cmsCounters(union).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(finalState === expected,
+      "additive counter folding must equal the batch counters of the union")
+    // the folded sketch never undercounts a planted heavy hitter
+    val alphaBuckets = TextQueries.cmsCounters(
+      Seq((1L, "alpha")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val est = alphaBuckets.map(finalState).min
+    val trueAlpha = union.select(explode(split(lower(col("text")), " ")).as("t"))
+      .where(col("t") === "alpha").count()
+    assert(est >= trueAlpha, "CMS point estimate is one-sided")
+  }
+
   test("streaming holdout maintenance equals batch p24 over the streamed union") {
     implicit val sql = spark.sqlContext
     import graft.operators.DataPipeline
