@@ -693,6 +693,12 @@ object SparkEntry {
     // pairs (same planted re-keyed copies so clusters are non-empty at
     // every SF); rows-only, the m02 media class; MultimodalSpec pins the
     // copy + trim chain collapsing into one cluster
+    // m09: container-conformance audit — per (format, rule) violation
+    // counts (sniff/decode/length/empty); partition-local decode, one
+    // format-bounded rollup; rows-only (the m02 media class), planted-
+    // violation fixture spec in MultimodalSpec
+    "m09_conformance" -> ((s, d) =>
+      Multimodal.conformanceAudit(s, Multimodal.syntheticMedia(s, t(s, d).documents))),
     "m08_video_clusters" -> ((s, d) => {
       val media = Multimodal.syntheticMedia(s, t(s, d).documents)
       val dupped = media.unionByName(

@@ -404,6 +404,63 @@ object Multimodal {
       }
   }
 
+  /** m09: container-conformance audit — q127's ingestion-gate shape for
+    * binary media: per (declared format, rule), row and violation counts
+    * over sniff mismatch (magic bytes disagree with the declared MIME),
+    * decode failure (the sniffed format's decoder rejects the payload —
+    * truncated boxes, bad headers), length mismatch (meta.content_length
+    * vs actual payload bytes — the transfer-truncation check) and empty
+    * content (zero pixels/samples/frames after a successful decode). The
+    * audit a multimodal pipeline runs BEFORE paying for feature
+    * extraction; violations are counted, never dropped (the q127
+    * review-artifact rule). Rows-only by the m02 media class (DuckDB
+    * cannot decode); the compensating MultimodalSpec plants one violation
+    * of each rule and pins the exact counts.
+    *
+    * Scale shape: decode is partition-local (the m01 discipline, zero
+    * shuffle before the rollup); the rollup is one (format)-bounded
+    * partial-agg exchange and a 4-way rule explode. */
+  def conformanceAudit(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    val flags = media.select(col("doc_id"), col("payload"),
+        col("meta.format").as("format"), col("meta.content_length").as("clen"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (_, p, fmt, clen) =>
+          val sniffed = MediaCodecs.sniff(p)
+          val (ok, empty) = sniffed match {
+            case "image/bmp" | "image/png" | "image/jpeg" =>
+              MediaCodecs.decodeImage(p) match {
+                case Some(i) => (true, i.width * i.height == 0)
+                case None => (false, false)
+              }
+            case "audio/wav" => MediaCodecs.decodeWav(p) match {
+              case Some(a) => (true, a.samples.isEmpty)
+              case None => (false, false)
+            }
+            case "video/mp4" => MediaCodecs.decodeMp4(p) match {
+              case Some(m) => (true, m.sampleRanges.isEmpty)
+              case None => (false, false)
+            }
+            case _ => (false, false) // no decoder claims the payload
+          }
+          (fmt, sniffed != fmt, !ok, clen != p.length.toLong, empty)
+        }
+      }
+      .toDF("format", "sniff_mismatch", "decode_failed",
+        "length_mismatch", "empty_content")
+    val rules = Seq("sniff_mismatch", "decode_failed",
+      "length_mismatch", "empty_content")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map(r => sum(when(col(r), 1L).otherwise(0L)).as(r))
+    flags.groupBy(col("format")).agg(aggs.head, aggs.tail: _*)
+      .select(col("format"), col("n_rows"),
+        explode(array(rules.map(r =>
+          struct(lit(r).as("rule"), col(r).as("n_bad"))): _*)).as("r"))
+      .select(col("format"), col("r.rule").as("rule"),
+        col("n_rows"), col("r.n_bad").as("n_bad"))
+  }
+
   /** m07: modality-alignment audit — the join nothing else in the engine
     * exercises: documents ⟗ embeddings on doc_id = vec_id, rolled up per
     * source: how much of each source's text actually HAS a vector (and

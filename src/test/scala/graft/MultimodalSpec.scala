@@ -469,4 +469,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.forall(_._3 === 3L), "cluster size covers the whole chain")
     assert(got.filter(_._4).map(_._1).toSeq === Seq(6L), "keeper is the min id")
   }
+
+  test("m09: clean corpus conforms; each planted violation lands in its rule") {
+    import MediaCodecs._
+    def media(id: Long, fmt: String, payload: Array[Byte],
+              clen: Long): (Long, Array[Byte], String, Long) =
+      (id, payload, fmt, clen)
+    val bmp = encodeBmp(BmpImage(3, 2, Array.tabulate(18)(_.toByte)))
+    val wav = encodeWav(WavAudio(1, 8000, Array.tabulate(40)(_.toShort)))
+    val corrupt = bmp.clone(); corrupt(0) = 'X' // dead magic: sniff + decode fail
+    val rows = Seq(
+      media(1L, "image/bmp", bmp, bmp.length.toLong),            // clean
+      media(2L, "audio/wav", wav, wav.length.toLong),            // clean
+      media(3L, "image/bmp", wav, wav.length.toLong),            // mismatch (decodes as wav)
+      media(4L, "image/bmp", corrupt, corrupt.length.toLong),    // sniff+decode fail
+      media(5L, "audio/wav", wav, wav.length.toLong - 7))        // truncated transfer
+    val df = rows.toDF("doc_id", "payload", "fmt", "clen")
+      .select(col("doc_id"), col("payload"),
+        struct(col("fmt").as("format"), lit("fixture").as("origin"),
+          col("clen").as("content_length")).as("meta"))
+    val got = Multimodal.conformanceAudit(spark, df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(("image/bmp", "sniff_mismatch")) === ((3L, 2L)),
+      "the wav-as-bmp and the corrupt header both mismatch")
+    assert(got(("image/bmp", "decode_failed")) === ((3L, 1L)),
+      "only the dead-magic payload fails decode (the wav-as-bmp decodes as wav)")
+    assert(got(("image/bmp", "length_mismatch")) === ((3L, 0L)))
+    assert(got(("audio/wav", "length_mismatch")) === ((2L, 1L)),
+      "the truncated content_length is flagged")
+    assert(got(("audio/wav", "sniff_mismatch")) === ((2L, 0L)))
+    assert(got(("audio/wav", "decode_failed")) === ((2L, 0L)))
+    assert(got.values.forall { case (n, bad) => bad <= n })
+    // the synthetic corpus is fully conformant
+    val clean = Multimodal.conformanceAudit(spark,
+      Multimodal.syntheticMedia(spark, tables.documents)).collect()
+    assert(clean.nonEmpty && clean.forall(_.getLong(3) == 0L),
+      s"synthetic media must conform: ${clean.mkString(";")}")
+  }
 }
