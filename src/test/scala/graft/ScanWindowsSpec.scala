@@ -198,6 +198,47 @@ class ScanWindowsSpec extends AnyFunSuite {
       Set("_vb_r_score", "_vb_f_score", "_vb_m_score"), 150000L)
   }
 
+  test("full-surface audit: no non-equi join of two unbounded sides") {
+    // the cartesian-trap gate: a join with NO equality conjunct multiplies
+    // its inputs, which is fine only when at least one side is bounded (a
+    // broadcast scalar/grid/aggregate — the plan-borne-bound idiom used
+    // everywhere) or the operator declares the shape
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    // p25's one-scan broadcast NL anti-join IS its declared design (the
+    // substring-containment test has no equi key by nature); q42 is the
+    // explicit cross-join surface demo over two dimension tables; s21's
+    // quadratic lives on its 1/mod hash SAMPLE (mod the declared knob),
+    // s23's rep set is corpus/sampleMod broadcast against one corpus
+    // stream, s27's shortlist is k²-bounded by construction — each
+    // scaladoc'd, none visible to a maxRows heuristic
+    val declared = Set("p25_decontaminate_verbatim", "q42_cross_join",
+      "s21_sim_histogram", "s23_coverage_gap", "s27_sample_diversity")
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case l: LeafNode => l.maxRows.exists(_ <= 10000) ||
+        l.getClass.getSimpleName.contains("LocalRelation") ||
+        l.getClass.getSimpleName.contains("OneRowRelation")
+      case j: Join => j.children.forall(bounded)
+      case other if other.maxRows.exists(_ <= 10000) => true
+      case other => other.children.exists(bounded)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if declared(name) => Nil
+      case (name, fn) =>
+        val plan = try fn(spark, sf).queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        plan.collect { case j: Join => j }.flatMap { j =>
+          val hasEqui = j.condition.exists(c =>
+            c.collectFirst { case _: EqualTo => () }.nonEmpty)
+          if (!hasEqui && !j.children.exists(bounded))
+            Some(s"$name: ${j.joinType} join with no equality and two unbounded sides")
+          else None
+        }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("full-surface audit: no low-cardinality-partition window over unbounded input") {
     // the round-8 judge finding, promoted to a standing gate over EVERY
     // registered query: a window partitioned by nothing or by a known
