@@ -239,6 +239,26 @@ class ScanWindowsSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("full-surface audit: no ScalaUDF in any query plan") {
+    // the engine's standing claim (SURVEY §2.3 UDF row): extension points
+    // are native codegen Expressions, never udf() — a ScalaUDF breaks
+    // whole-stage codegen and hides from every optimizer rule. Typed
+    // mapPartitions (media decode, Lloyd partials) is a different node
+    // class and stays allowed where declared.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = try fn(spark, sf).queryExecution.optimizedPlan
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val n = plan.collect { case p =>
+          p.expressions.map(e =>
+            e.collectFirst { case _: ScalaUDF => () }.size).sum
+        }.sum
+        if (n > 0) Some(s"$name: $n ScalaUDF call(s)") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("full-surface audit: no low-cardinality-partition window over unbounded input") {
     // the round-8 judge finding, promoted to a standing gate over EVERY
     // registered query: a window partitioned by nothing or by a known
