@@ -873,6 +873,13 @@ object SparkEntry {
     // q130: column profiler — one scan, 11 rows: nulls/distincts exact,
     // min/max strings only where rendering is engine-exact
     "q130_profile" -> ((s, d) => Relational6.q130Profile(t(s, d))),
+    // q131: customer-value Gini + top-decile share — bucket-parallel
+    // global rank, decimal(38,0) accumulation, d02 single divisions
+    "q131_customer_gini" -> ((s, d) => Relational6.q131CustomerGini(t(s, d))),
+    // p53: mixture diversity — effective source count exp(H) off the
+    // 6-dp p08 weights; exp derives from the ROUNDED entropy
+    "p53_mixture_diversity" -> ((s, d) =>
+      graft.operators.DataPipeline.mixtureDiversity(t(s, d).documents)),
     // t38: Count-Min heavy hitters — md5-deterministic sketch, exactly
     // oracle-reproducible; counters partial-agg to depth×width rows
     "t38_cms_heavy_hitters" -> ((s, d) =>
@@ -4792,6 +4799,36 @@ object SparkEntry {
         |   THEN greatest(granted_tokens - n_tokens, 0) * 1000000 // granted_tokens
         |   ELSE 0 END AS BIGINT) AS repeat_ppm
         |FROM g""".stripMargin,
+    // q131: same total order (cents, custkey), same Σ(2i−n−1)x formula
+    // (DuckDB's HUGEINT sums ≡ the decimal(38,0) accumulation), same
+    // double-cast-then-multiply denominator
+    "q131_customer_gini" ->
+      """WITH c AS (SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |  row_number() OVER (ORDER BY cents, o_custkey) AS rnk FROM c),
+        |n AS (SELECT count(*) AS n FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        | CAST(sum(cents) AS BIGINT) AS total_cents,
+        | CAST(sum((2 * rnk - n - 1) * cents) AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) AS gini,
+        | CAST(sum(CASE WHEN rnk > n - n // 10 THEN cents ELSE 0 END) * 1000000
+        |   // sum(cents) AS BIGINT) AS top_decile_ppm
+        |FROM r, n GROUP BY n""".stripMargin,
+    // p53: same 6-dp weights, same guarded −w·ln w terms, entropy rounded
+    // once, exp off the rounded entropy
+    "p53_mixture_diversity" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |w AS (SELECT round(pow(CAST(n_docs AS DOUBLE), 0.7)
+        |  / sum(pow(CAST(n_docs AS DOUBLE), 0.7)) OVER (), 6) AS w FROM c),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |  round(sum(CASE WHEN w > 0 THEN -w * ln(w) ELSE 0.0 END), 6) + 0.0
+        |    AS entropy,
+        |  max(w) AS max_w FROM w)
+        |SELECT n_sources, entropy,
+        | round(exp(entropy), 4) + 0.0 AS effective_sources, max_w
+        |FROM h""".stripMargin,
     // q130: same per-column null/distinct counts; min/max strings only
     // for integral/string/date columns (double renderings differ)
     "q130_profile" ->

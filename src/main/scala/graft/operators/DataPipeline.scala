@@ -512,6 +512,38 @@ object DataPipeline {
         col("cap").as("cap_tokens"), col("capped"), col("alloc_tokens"))
   }
 
+  /** p53: mixture diversity — the effective source count exp(H) of the
+    * p08 temperature weights (H = −Σ w·ln w, Shannon): the one number
+    * that says whether a 20-source mixture is really 20 sources or 3
+    * giants with garnish — the diversity check run beside p08/p52 before
+    * committing a mixing plan (and tracked across releases, since a
+    * collapsing effective count means the corpus is re-concentrating).
+    *
+    * Float discipline: w follows the p08 6-dp rule; each −w·ln w term is
+    * plain IEEE on identical operands (t14 ln-parity precedent), the
+    * entropy rounds ONCE at 6 dp (an aggregated double over the tiny
+    * source frame), and exp derives from the ROUNDED entropy so both
+    * engines agree by construction (the t06 ppl-from-rounded-NLL rule).
+    * Weights that round to 0 contribute 0 by the 0·ln 0 = 0 convention,
+    * guarded identically in both engines.
+    *
+    * Scale shape: one partial-aggregated exchange to source cardinality;
+    * everything after is #sources-row arithmetic. */
+  def mixtureDiversity(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    val wRaw = pow(col("n_docs").cast("double"), lit(alpha))
+    val weights = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", round(wRaw / sum(wRaw).over(Window.partitionBy()), 6))
+    weights.agg(
+        count(lit(1)).as("n_sources"),
+        (round(sum(when(col("w") > 0, -col("w") * log(col("w")))
+          .otherwise(lit(0.0))), 6) + lit(0.0)).as("entropy"),
+        max(col("w")).as("max_w"))
+      .select(col("n_sources"), col("entropy"),
+        (round(exp(col("entropy")), 4) + lit(0.0)).as("effective_sources"),
+        col("max_w"))
+  }
+
   /** p10: the corpus data card — per-source summary statistics, the
     * dataset-documentation step every released training corpus ships
     * (docs, token volume, exact-duplicate load, language spread, size

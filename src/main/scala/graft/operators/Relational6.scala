@@ -322,6 +322,40 @@ object Relational6 {
         col("r.min_str").as("min_str"), col("r.max_str").as("max_str"))
   }
 
+  /** q131: customer-value concentration — the Gini coefficient of
+    * lifetime revenue across customers plus the top-decile revenue share:
+    * the CLV-inequality read-out behind "10 % of customers carry 60 % of
+    * revenue" planning (t21 measures the same statistic over token mass;
+    * this is the revenue-domain member, and the one that needs the
+    * GLOBAL rank t21's per-source partition avoided). The rank comes
+    * from ScanWindows' bucket-parallel running count over the
+    * (cents, custkey) total order — never a single-partition window —
+    * and Gini = Σ(2i − n − 1)·xᵢ / (n·Σx) accumulates in decimal(38,0)
+    * (the term product overflows a long past ~10⁶ customers; DuckDB's
+    * HUGEINT matches), leaving two final IEEE divisions (gini unrounded
+    * by the d02 single-division rule; the decile share exact ppm). */
+  def q131CustomerGini(t: Tables): DataFrame = {
+    val perCust = t.orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val base = perCust
+      .withColumn("one", lit(1L))
+      .withColumn("cbkt", expr("cents div 1048576"))
+    val pos = graft.operators.ScanWindows.prefixSums(base, Seq.empty, "cbkt",
+      Seq("cents", "o_custkey"), Seq("rnk" -> "one"))
+    pos.crossJoin(broadcast(perCust.agg(count(lit(1)).as("n"))))
+      .agg(max(col("n")).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum((lit(2L) * col("rnk") - col("n") - lit(1L)).cast("decimal(38,0)")
+          * col("cents").cast("decimal(38,0)")).as("num"),
+        sum(when(col("rnk") > col("n") - expr("n div 10"), col("cents"))
+          .otherwise(0L)).as("top_decile_cents"))
+      .select(col("n_customers"), col("total_cents"),
+        (col("num").cast("double") /
+          (col("n_customers").cast("double") * col("total_cents").cast("double")))
+          .as("gini"),
+        expr("top_decile_cents * 1000000 div total_cents").as("top_decile_ppm"))
+  }
+
   /** q124: RFM segmentation — every customer scored 1–5 on Recency
     * (epoch day of last order), Frequency (order count) and Monetary
     * (lifetime cents), the standard marketing/retention segmentation.
