@@ -141,7 +141,11 @@ object Bench {
     // the stdout line alone is NOT a durable artifact: the driver's tail
     // capture truncated round 6's ~5 KB line into unparseable JSON. Also
     // write the identical line to a repo file committed with the round.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // contaminated runs (driver rerun on a loaded box) go to a DIFFERENT
+    // filename so they can never shadow the committed idle record (round-9
+    // judge ask: the canonical BENCH_LOCAL.json must stay the idle run)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (contaminated) "BENCH_LOCAL.contaminated.json" else "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"BENCH_LOCAL write failed: $e") }

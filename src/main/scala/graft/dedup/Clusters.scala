@@ -448,7 +448,10 @@ object Clusters {
     // are tiny relative to their corpus, and below the bounded-transfer
     // threshold the 3 fixed rounds of eager localCheckpoint jobs are pure
     // overhead (round-8 profile: d32 spent 5 s on job scheduling for a
-    // 47-node graph) — the count doubles as the emptiness check
+    // 47-node graph) — the count doubles as the emptiness check. The count
+    // is NOT a wasted evaluation: minHashLshPairs is session-memoized with
+    // persist() (Dedup.pairMemo), so this first action populates the shared
+    // cache that powerRanks* and the dupClusters call below then read.
     val integralIds = Seq("d1", "d2").forall(n => pairs.schema(n).dataType match {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true

@@ -456,11 +456,14 @@ object DataPipeline {
     *
     * Exactness: weights follow the p08 6-dp rule then integerize to ppm
     * (floor(w·10⁶ + 0.5), floored at 1 so no rate divides by zero);
-    * everything after is exact long arithmetic, and the residual tokens
-    * left by the floor divisions are handed +1 each in p49's
-    * deterministic md5 order. Bounds: products stay under 2⁶³ while
-    * budget·10⁶ does — budgets to ~9·10¹² tokens, beyond which this
-    * frame-sized arithmetic would move to decimals.
+    * everything after is exact integer arithmetic, and the residual
+    * tokens left by the floor divisions are handed +1 each in p49's
+    * deterministic md5 order. Bounds: the 10⁶-scaled products (rate and
+    * the waterline cross-multiplication) scale with TOTAL CORPUS CAPS,
+    * not the budget, so they run in decimal(38,0) — corpus size never
+    * overflows them (headroom to 10³² cap-tokens). The long prefix sums
+    * bound total caps at 2⁶³ tokens, and `rr · wi` bounds the BUDGET at
+    * budget·10⁶ < 2⁶³ (~9·10¹² tokens), both far beyond any corpus.
     *
     * Scale shape: one partial-aggregated exchange to source cardinality;
     * every window and join after runs on the #sources frame. */
@@ -478,7 +481,10 @@ object DataPipeline {
       .withColumn("wi", greatest(lit(1L),
         floor(col("w") * 1000000d + 0.5).cast("long")))
       .withColumn("cap", col("n_tokens") * maxEpochs)
-      .withColumn("rate", expr("cap * 1000000 div wi"))
+      // floor(decimal) == integer div for these positive operands; the
+      // decimal keeps cap·10⁶ exact however large the corpus is
+      .withColumn("rate",
+        floor(col("cap").cast("decimal(38,0)") * 1000000 / col("wi")))
     val wOrd = Window.orderBy(col("rate"), col("source"))
     val flagged = rated
       .withColumn("prefix_cap", coalesce(sum(col("cap")).over(
@@ -488,8 +494,9 @@ object DataPipeline {
       .withColumn("suffix_wi",
         sum(col("wi")).over(Window.partitionBy()) - col("prefix_wi"))
       .withColumn("capped",
-        col("prefix_cap") * col("wi") + col("cap") * col("suffix_wi")
-          <= lit(budget) * col("wi"))
+        col("prefix_cap").cast("decimal(38,0)") * col("wi") +
+          col("cap").cast("decimal(38,0)") * col("suffix_wi")
+          <= lit(budget).cast("decimal(38,0)") * col("wi"))
     val pool = flagged.agg(
       sum(when(col("capped"), col("cap")).otherwise(0L)).as("taken"),
       sum(when(!col("capped"), col("wi")).otherwise(0L)).as("uw"))

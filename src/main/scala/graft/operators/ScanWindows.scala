@@ -78,7 +78,15 @@ object ScanWindows {
     val wIn = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, frameEnd)
-    val joined = df.join(offsets, keys, "left")
+    // null-SAFE key join: window partitioning groups NULL keys together,
+    // but plain join equality drops them — a row with a NULL part/bucket
+    // key would silently lose its offset. <=> matches window semantics.
+    val offR = offsets.select(
+      keys.map(n => col(n).as(s"_k_$n")) ++
+        ops.map(op => col(s"_off_${op.out}")): _*)
+    val joined = df
+      .join(offR, keys.map(n => col(n) <=> col(s"_k_$n")).reduce(_ && _), "left")
+      .drop(keys.map(n => s"_k_$n"): _*)
     ops.foldLeft(joined) { case (acc, op) =>
       acc.withColumn(op.out,
         op.merge(col(s"_off_${op.out}"), op.partial(col(op.value)).over(wIn)))
@@ -147,6 +155,13 @@ object ScanWindows {
     * candidate→target matching joins that small set against the bucket
     * table (broadcast) on a position-range predicate. Everything heavy
     * stays keyed by (part, bucket).
+    *
+    * Crossover: this form is multi-pass by construction (bucket table +
+    * borrow join + window), costing ~0.5–0.7 s of fixed job overhead per
+    * call regardless of size. Below ~1 M rows per partition key the naive
+    * single window wins on wall-clock; use this form when any partition
+    * key's row count can exceed one executor's comfortable sort (the
+    * 100 TB contract), not for small frames on small inputs.
     */
   def slidingFrame(df: DataFrame, partCols: Seq[String], bucketCol: String,
                    orderCols: Seq[String], width: Int)
@@ -168,9 +183,13 @@ object ScanWindows {
       .withColumn("_bstart",
         coalesce(sum(col("_bcnt")).over(
           wB.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1)
-    val base = df.join(
-      bkt.select(keys.map(col) :+ col("_bcnt") :+ col("_bstart"): _*),
-      keys, "left")
+    // null-SAFE key join (same contract as prefixScan: NULL part/bucket
+    // keys form their own group, exactly like window partitioning)
+    val bktR = bkt.select(
+      keys.map(n => col(n).as(s"_k_$n")) :+ col("_bcnt") :+ col("_bstart"): _*)
+    val base = df
+      .join(bktR, keys.map(n => col(n) <=> col(s"_k_$n")).reduce(_ && _), "left")
+      .drop(keys.map(n => s"_k_$n"): _*)
     // global position of every row = bucket start + within-bucket rank - 1;
     // the within-bucket rank runs #buckets-way parallel
     val wIn = Window.partitionBy(keys.map(col): _*)
@@ -194,7 +213,7 @@ object ScanWindows {
     val targets = bkt.select(
       partCols.map(n => col(n).as(s"_t_$n")) ++
         Seq(col(bucketCol).as("_tbkt"), col("_bstart").as("_tstart")): _*)
-    val joinCond = (partCols.map(n => col(n) === col(s"_t_$n")) ++
+    val joinCond = (partCols.map(n => col(n) <=> col(s"_t_$n")) ++
       Seq(col("_gpos") >= col("_tstart") - need,
         col("_gpos") <= col("_tstart") - 1)).reduce(_ && _)
     val borrowed = candidates.join(broadcast(targets), joinCond)

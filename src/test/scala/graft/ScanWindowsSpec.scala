@@ -150,8 +150,8 @@ class ScanWindowsSpec extends AnyFunSuite {
   /** The per-row queries can't pre-aggregate their output away; instead
     * their heavy windows must partition by (key, bucket) — parallelism
     * rides the bucket count, not the 3–5-value key. */
-  private def heavyWindowsBucketKeyed(name: String, bucketCols: Set[String],
-                                      factRows: Long): Unit = {
+  private def heavyWindowsBucketKeyed(name: String,
+                                      bucketCols: Set[String]): Unit = {
     val df = SparkEntry.queries(name)(spark, sf)
     val plan = df.queryExecution.optimizedPlan
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Window => LWindow}
@@ -176,26 +176,26 @@ class ScanWindowsSpec extends AnyFunSuite {
   }
 
   test("q69: heavy windows are bucket-keyed (okbkt), never priority-only") {
-    heavyWindowsBucketKeyed("q69_window_distinct", Set("okbkt"), 1500000L)
+    heavyWindowsBucketKeyed("q69_window_distinct", Set("okbkt"))
   }
   test("q73: heavy windows are bucket-keyed (daybkt), never flag-only") {
-    heavyWindowsBucketKeyed("q73_rolling_regression", Set("daybkt"), 6000000L)
+    heavyWindowsBucketKeyed("q73_rolling_regression", Set("daybkt"))
   }
   test("q74: heavy windows are bucket-keyed (daybkt), never flag-only") {
-    heavyWindowsBucketKeyed("q74_window_median", Set("daybkt"), 6000000L)
+    heavyWindowsBucketKeyed("q74_window_median", Set("daybkt"))
   }
   test("q63: heavy windows are bucket-keyed (okbkt/negbkt), never priority-only") {
-    heavyWindowsBucketKeyed("q63_gap_fill", Set("okbkt", "negbkt"), 1500000L)
+    heavyWindowsBucketKeyed("q63_gap_fill", Set("okbkt", "negbkt"))
   }
   test("q67: heavy windows are bucket-keyed (okbkt/negbkt), never priority-only") {
-    heavyWindowsBucketKeyed("q67_nav_ignore_nulls", Set("okbkt", "negbkt"), 1500000L)
+    heavyWindowsBucketKeyed("q67_nav_ignore_nulls", Set("okbkt", "negbkt"))
   }
   test("q123: the global running sum is bucket-keyed (negbkt), never single-partition") {
-    heavyWindowsBucketKeyed("q123_pareto_class", Set("negbkt"), 1500000L)
+    heavyWindowsBucketKeyed("q123_pareto_class", Set("negbkt"))
   }
   test("q92: the three ntile positions are bucket-keyed, never global windows") {
     heavyWindowsBucketKeyed("q92_rfm",
-      Set("_vb_r_score", "_vb_f_score", "_vb_m_score"), 150000L)
+      Set("_vb_r_score", "_vb_f_score", "_vb_m_score"))
   }
 
   test("full-surface audit: no non-equi join of two unbounded sides") {

@@ -112,6 +112,14 @@ def main(sf_dir: str, out_dir: str) -> int:
                 rec(name, False, False, False, None, None, f"unreadable: {e}")
                 n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} rows-only")
+    # one compact JSON line for tail captures (driver CORRECTNESS artifacts
+    # arrived empty in r8/r9; the bench tail-line trick works — reuse it)
+    failed = sorted(n for n, r in record.items()
+                    if r["hash_match"] is False)
+    print(json.dumps({"metric": "correctness", "pass": n_pass,
+                      "fail": n_fail, "rows_only": n_weak,
+                      "total": n_pass + n_fail + n_weak,
+                      "failed": failed}, separators=(",", ":")))
     # Persist the round's hard signal (driver artifacts have arrived empty /
     # truncated twice): full-surface runs write CORRECTNESS_LOCAL.json next to
     # the repo so it gets committed with the round.
