@@ -43,6 +43,11 @@ object Bench {
       SparkEntry.queries("q01_agg")(spark, sfDir).count()
       val t = Tables(spark, sfDir)
       t.documents.count(); t.embeddings.count(); t.events.count()
+      // warm the overhead probe's codegen too, so _probe_overhead_a does
+      // not charge one-time plan compilation against the start-of-sweep
+      // reading (the a/m/z deltas must isolate per-job scheduling cost)
+      spark.range(0L, 3200L, 1L, 32).selectExpr("id % 97 as k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id")).count()
     } catch { case _: Throwable => () }
     // the shared shingle set (d02/d03/d07/p01 all reuse one persisted frame),
     // the shared LSH pair set (d03/d07/p01) and the two memoized ANN serving
@@ -50,14 +55,24 @@ object Bench {
     // their own entries so their one-time materializations aren't charged to
     // whichever consumer happens to run first — the serve-side queries then
     // measure what a served index actually costs per query batch
-    val allNames = Seq("_shared_shingles", "_shared_weighted_shingles",
+    // fixed-overhead probes (round-9 judge ask: ~10 mid-tier entries gained
+    // 0.4-0.9 s idle-to-idle with no plan change — "smells like per-job fixed
+    // overhead, attribute it once, properly"). The SAME trivial job — one
+    // exchange, 32 tasks, a codegen'd agg — timed at the start, middle and
+    // end of every rep's sweep: if session-shared state (listeners, codegen
+    // cache, catalog, memo registries) inflates per-job cost as the sweep
+    // proceeds, probe_z − probe_a IS that inflation, measured not guessed.
+    // Probes are excluded from the headline totals (not production cost).
+    val sortedQ = SparkEntry.queries.keys.toSeq.sorted
+    val (qHead, qTail) = sortedQ.splitAt(sortedQ.size / 2)
+    val allNames = Seq("_probe_overhead_a") ++ Seq("_shared_shingles", "_shared_weighted_shingles",
       "_shared_shingle_arrays", "_shared_weighted_arrays",
       "_shared_lsh_pairs", "_shared_cws_sig",
       "_shared_jaccard_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
       "_shared_knn_graph", "_shared_srp_pairs", "_shared_srp_probe",
       "_shared_tokens") ++
-      SparkEntry.queries.keys.toSeq.sorted
+      qHead ++ Seq("_probe_overhead_m") ++ qTail ++ Seq("_probe_overhead_z")
     // local-iteration subset (SPARK_GRAFT_ONLY=d13_weighted_jaccard,...);
     // the driver never sets it, so round artifacts always cover everything
     val names = sys.env.get("SPARK_GRAFT_ONLY") match {
@@ -106,6 +121,10 @@ object Bench {
             graft.similarity.GraphSearch.sharedEdges(Tables(spark, sfDir).embeddings).count()
           else if (name == "_shared_tokens")
             graft.operators.TextQueries.sharedTokens(Tables(spark, sfDir).documents).count()
+          else if (name.startsWith("_probe_overhead"))
+            spark.range(0L, 3200L, 1L, 32)
+              .selectExpr("id % 97 as k", "id")
+              .groupBy("k").agg(org.apache.spark.sql.functions.sum("id")).count()
           else SparkEntry.queries(name)(spark, sfDir).count()
           true
         } catch {
@@ -126,8 +145,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-    // any failure poisons the headline value (-1) for the same reason
-    val total = if (failed.nonEmpty) -1.0 else results.map(_._2).sum
+    // any failure poisons the headline value (-1) for the same reason;
+    // overhead probes are diagnostics, not production cost — excluded
+    val total = if (failed.nonEmpty) -1.0
+      else results.collect {
+        case (k, v) if !k.startsWith("_probe_") => v }.sum
     // split headline (SURVEY §8.3): d02/d05 are *declared* exact oracle
     // baselines users must never run at scale — report the production-path
     // total separately so round-over-round tracking isn't dominated by them

@@ -884,6 +884,18 @@ object SparkEntry {
     // oracle-reproducible; counters partial-agg to depth×width rows
     "t38_cms_heavy_hitters" -> ((s, d) =>
       TextQueries.cmsHeavyHitters(t(s, d).documents)),
+    // p54: sampling-plan realization — p52 allocations → full epochs +
+    // decimal-safe tail ppm; all integer off the oracle-checked allocs
+    "p54_sampling_plan" -> ((s, d) =>
+      graft.operators.DataPipeline.samplingPlan(t(s, d).documents)),
+    // p55: dedup-aware mixture — p08 weights on d01-unique token mass,
+    // keeper-credited across sources; 6-dp weights, exact-ppm dup share
+    "p55_effective_mixture" -> ((s, d) =>
+      graft.operators.DataPipeline.effectiveMixture(t(s, d).documents)),
+    // t39: tokenizer fertility by language — BPE-ish tokens per word and
+    // chars per token over exactly aggregated longs; unrounded IEEE
+    "t39_fertility" -> ((s, d) =>
+      TextQueries.fertility(t(s, d).documents)),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -4974,6 +4986,90 @@ object SparkEntry {
         |     CASE WHEN hash_rank <= rr - ba THEN 1 ELSE 0 END) END AS BIGINT)
         |   AS alloc_tokens
         |FROM h""".stripMargin,
+    // p54: p52's chain verbatim, then integer epochs/tail off the allocs
+    "p54_sampling_plan" ->
+      """WITH s AS (SELECT source,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |  greatest(1, CAST(floor(round(pow(CAST(n_tokens AS DOUBLE), 0.5)
+        |    / sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER (), 6)
+        |    * 1000000 + 0.5) AS BIGINT)) AS wi,
+        |  n_tokens * 4 AS cap
+        | FROM s),
+        |r AS (SELECT *, cap * 1000000 // wi AS rate FROM w),
+        |f AS (SELECT *,
+        |  coalesce(sum(cap) OVER (ORDER BY rate, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_cap,
+        |  sum(wi) OVER () - coalesce(sum(wi) OVER (ORDER BY rate, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS suffix_wi
+        | FROM r),
+        |g AS (SELECT *,
+        |  prefix_cap * wi + cap * suffix_wi <= 300000 * wi AS capped FROM f),
+        |p AS (SELECT sum(CASE WHEN capped THEN cap ELSE 0 END) AS taken,
+        |  sum(CASE WHEN capped THEN 0 ELSE wi END) AS uw FROM g),
+        |b AS (SELECT g.*, 300000 - taken AS rr,
+        |  CASE WHEN NOT capped AND uw > 0
+        |    THEN (300000 - taken) * wi // uw ELSE 0 END AS base_alloc
+        | FROM g, p),
+        |q AS (SELECT sum(CASE WHEN capped THEN 0 ELSE base_alloc END) AS ba
+        | FROM b),
+        |h AS (SELECT b.*, ba,
+        |  row_number() OVER (PARTITION BY capped ORDER BY md5(source), source)
+        |    AS hash_rank
+        | FROM b, q),
+        |alloc AS (SELECT source, n_tokens, capped,
+        |  CAST(CASE WHEN capped THEN cap
+        |    ELSE least(cap, base_alloc +
+        |      CASE WHEN hash_rank <= rr - ba THEN 1 ELSE 0 END) END AS BIGINT)
+        |    AS alloc_tokens
+        | FROM h)
+        |SELECT source, n_tokens, alloc_tokens, capped,
+        | alloc_tokens // n_tokens AS full_epochs,
+        | alloc_tokens % n_tokens AS tail_tokens,
+        | (alloc_tokens % n_tokens) * 1000000 // n_tokens AS tail_rate_ppm
+        |FROM alloc""".stripMargin,
+    // p55: d01 keeper credit (global min doc_id per fingerprint), p08
+    // 6-dp weights on raw vs unique mass, decimal-safe ppm dup share
+    "p55_effective_mixture" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+        | FROM documents),
+        |raw AS (SELECT source, CAST(sum(nt) AS BIGINT) AS raw_tokens
+        | FROM d GROUP BY 1),
+        |keep AS (SELECT fp, min(doc_id) AS kid FROM d GROUP BY 1),
+        |uniq AS (SELECT d.source, CAST(sum(d.nt) AS BIGINT) AS unique_tokens
+        | FROM d JOIN keep ON d.fp = keep.fp AND d.doc_id = keep.kid
+        | GROUP BY 1),
+        |j AS (SELECT r.source, r.raw_tokens,
+        |  coalesce(u.unique_tokens, 0) AS unique_tokens
+        | FROM raw r LEFT JOIN uniq u ON r.source = u.source),
+        |wts AS (SELECT source, raw_tokens, unique_tokens,
+        |  round(pow(CAST(raw_tokens AS DOUBLE), 0.5)
+        |    / sum(pow(CAST(raw_tokens AS DOUBLE), 0.5)) OVER (), 6) AS raw_w,
+        |  round(pow(CAST(unique_tokens AS DOUBLE), 0.5)
+        |    / sum(pow(CAST(unique_tokens AS DOUBLE), 0.5)) OVER (), 6) AS eff_w
+        | FROM j)
+        |SELECT source, raw_tokens, unique_tokens, raw_w, eff_w,
+        | eff_w - raw_w + 0.0 AS w_shift,
+        | (raw_tokens - unique_tokens) * 1000000 // raw_tokens AS dup_ppm
+        |FROM wts""".stripMargin,
+    // t39: the t01 token primitives aggregated per language; ratios are
+    // plain IEEE divisions of identical exact longs — unrounded
+    "t39_fertility" ->
+      """WITH s AS (SELECT lang,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nw,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS nb,
+        |  CAST(length(text) AS BIGINT) AS nc
+        | FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nw) AS BIGINT) AS n_words,
+        | CAST(sum(nb) AS BIGINT) AS n_bpeish,
+        | CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) AS fertility,
+        | CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) AS chars_per_token
+        |FROM s GROUP BY lang""".stripMargin,
     // q127: same one-scan conditional-sum battery + the same two
     // relational checks; counts exact, ppm integer division
     "q127_conformance" ->

@@ -551,6 +551,81 @@ object DataPipeline {
         col("max_w"))
   }
 
+  /** p54: sampling-plan realization — turn p52's token allocations into
+    * the executable per-source reading plan a sampler actually consumes:
+    * how many FULL passes over the source, then what per-document
+    * sampling rate (ppm) covers the fractional tail epoch. p52 answers
+    * "how many tokens may source s contribute"; this answers "how does a
+    * reader realize that allocation without materializing anything" —
+    * full_epochs · n_tokens + tail at tail_rate_ppm ≈ alloc_tokens, with
+    * the ppm floor making the realized mass ≤ alloc (never over-budget).
+    *
+    * Exactness: pure integer arithmetic over p52's oracle-checked
+    * allocations. The tail-rate product scales with per-source token
+    * mass (tail < n_tokens), so like p52's waterline it runs in
+    * decimal(38,0) — corpus size never overflows it.
+    *
+    * Scale shape: inherits p52's — one partial-aggregated exchange to
+    * source cardinality, then plan arithmetic on the tiny source frame. */
+  def samplingPlan(docs: DataFrame, alpha: Double = 0.5,
+                   budget: Long = 300000L, maxEpochs: Int = 4): DataFrame =
+    unimaxWaterfill(docs, alpha, budget, maxEpochs)
+      .withColumn("full_epochs", expr("alloc_tokens div n_tokens"))
+      .withColumn("tail_tokens", expr("alloc_tokens % n_tokens"))
+      .withColumn("tail_rate_ppm",
+        floor(col("tail_tokens").cast("decimal(38,0)") * 1000000
+          / col("n_tokens")).cast("long"))
+      .select(col("source"), col("n_tokens"), col("alloc_tokens"),
+        col("capped"), col("full_epochs"), col("tail_tokens"),
+        col("tail_rate_ppm"))
+
+  /** p55: dedup-aware mixture — p08's temperature weights recomputed on
+    * EFFECTIVE (exact-unique) token mass instead of raw mass. Raw-mass
+    * mixing over-weights sources whose volume is inflated by duplicates
+    * (syndication feeds, mirrored crawls): after d01 dedup their real
+    * contribution shrinks, so the mixing weights the run will actually
+    * see are the unique-mass ones. One row per source: raw vs unique
+    * token mass, both temperature weights, the duplicated-token share
+    * and the weight shift — the audit that says which sources' shares
+    * were propped up by duplication. Keeps d01's cross-source rule: a
+    * duplicate spanning sources credits its mass to the keeper's source
+    * (global smallest doc_id per fingerprint).
+    *
+    * Float discipline: both weights follow the p08 rule (round to 6 dp
+    * after the pow/sum), the shift is plain IEEE on those rounded
+    * doubles (+0.0 normalizes the zero), and the dup share is exact
+    * integer ppm.
+    *
+    * Scale shape: one fingerprint-keyed partial-agg exchange (the d01
+    * shape) picks keepers, then two source-cardinality aggregates;
+    * weights and shifts run on the tiny source frame. */
+  def effectiveMixture(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    val d = docs.select(col("source"), col("doc_id"),
+      TextFns.fingerprint(col("text")).as("fp"),
+      TextFns.tokenCount(col("text")).cast("long").as("nt"))
+    val raw = d.groupBy(col("source")).agg(sum(col("nt")).as("raw_tokens"))
+    // d01 keeper: global min doc_id per fingerprint carries the mass
+    val kept = d.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("source"), col("nt"))).as("k"))
+      .groupBy(col("k.source").as("source"))
+      .agg(sum(col("k.nt")).as("unique_tokens"))
+    def w(massCol: String): Column = {
+      val m = pow(col(massCol).cast("double"), lit(alpha))
+      round(m / sum(m).over(Window.partitionBy()), 6)
+    }
+    raw.join(kept, Seq("source"), "left")
+      .withColumn("unique_tokens", coalesce(col("unique_tokens"), lit(0L)))
+      .withColumn("raw_w", w("raw_tokens"))
+      .withColumn("eff_w", w("unique_tokens"))
+      .select(col("source"), col("raw_tokens"), col("unique_tokens"),
+        col("raw_w"), col("eff_w"),
+        (col("eff_w") - col("raw_w") + lit(0.0)).as("w_shift"),
+        // corpus-scaled 10⁶ product → decimal, the p52 waterline rule
+        floor((col("raw_tokens") - col("unique_tokens")).cast("decimal(38,0)")
+          * 1000000 / col("raw_tokens")).cast("long").as("dup_ppm"))
+  }
+
   /** p10: the corpus data card — per-source summary statistics, the
     * dataset-documentation step every released training corpus ships
     * (docs, token volume, exact-duplicate load, language spread, size

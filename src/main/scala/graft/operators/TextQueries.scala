@@ -1310,4 +1310,33 @@ object TextQueries {
       .select(col("token"), col("true_n"), col("cms_n"),
         (col("cms_n") - col("true_n")).as("overcount"))
   }
+
+  /** t39: tokenizer fertility by language — tokens-per-word and
+    * chars-per-token for each language, the tokenizer-efficiency audit a
+    * multilingual corpus runs before committing a vocabulary (high
+    * fertility = the tokenizer fragments that language, so its documents
+    * cost more sequence positions per unit text; the standard metric in
+    * multilingual tokenizer evaluation, e.g. the XLM-R and NLLB
+    * analyses). Words = the t01 whitespace tokens, tokens = the t01
+    * BPE-ish segmentation, so the ratio is oracle-exact end-to-end.
+    *
+    * Float discipline: both ratios are plain IEEE divisions of exactly
+    * aggregated longs (identical operands in both engines) — unrounded
+    * by the projection rule.
+    *
+    * Scale shape: one map-side-combined exchange to language cardinality;
+    * everything after runs on the tiny language frame. */
+  def fertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        TextFns.tokenCount(col("text")).cast("long").as("nw"),
+        TextFns.bpeishCount(col("text")).cast("long").as("nb"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_bpeish"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpeish"),
+        (col("n_bpeish").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_bpeish")).as("chars_per_token"))
 }

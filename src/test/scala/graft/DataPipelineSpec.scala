@@ -1451,4 +1451,53 @@ class DataPipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(1), r.getLong(3)))
     assert(all.forall { case (n, a) => a === n }, "surplus budget takes all")
   }
+
+  test("p54: the sampling plan realizes p52 allocations exactly") {
+    import spark.implicits._
+    def doc(src: String, i: Long, n: Int) =
+      (i, (1 to n).map(j => s"w$j").mkString(" "), src)
+    val docs = ((1L to 40L).map(doc("huge", _, 100))
+      ++ (41L to 44L).map(doc("small", _, 50))
+      ++ Seq(doc("tiny", 45L, 10))).toDF("doc_id", "text", "source")
+    val got = DataPipeline.samplingPlan(docs, alpha = 0.5, budget = 5000L,
+        maxEpochs = 4).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    got.foreach { case (src, (n, alloc, capped, fe, tail, ppm)) =>
+      assert(fe * n + tail === alloc, s"$src: epochs*n + tail = alloc")
+      assert(tail >= 0 && tail < n, s"$src: tail is a proper remainder")
+      assert(ppm === tail * 1000000L / n, s"$src: floor ppm rate")
+      if (capped) assert(tail === 0L && fe === 4L,
+        s"$src: a capped source reads exactly maxEpochs full passes")
+    }
+    assert(got("tiny")._3 && got("small")._3 && !got("huge")._3)
+  }
+
+  test("p55: unique-mass weights credit cross-source duplicates to the keeper") {
+    import spark.implicits._
+    // doc 1 (srcA) and doc 3 (srcB) are exact duplicates after
+    // normalization (case AND whitespace differ); keeper = global min
+    // doc_id -> srcA. Token counts follow the t01/string_split(' ')
+    // convention, so doc 1's triple space counts the empties: 5 tokens.
+    val docs = Seq(
+      (1L, "dup   text here", "srcA"),
+      (2L, "unique a", "srcA"),
+      (3L, "Dup text HERE", "srcB"),
+      (4L, "unique b words", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = DataPipeline.effectiveMixture(docs, alpha = 0.5).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    // raw: srcA = 5 + 2 = 7, srcB = 3 + 3 = 6
+    assert(got("srcA")._1 === 7L && got("srcB")._1 === 6L)
+    // unique: srcA keeps both (keeper of the dup pair), srcB loses doc 3
+    assert(got("srcA")._2 === 7L && got("srcB")._2 === 3L)
+    assert(got("srcA")._6 === 0L, "no duplicated mass in srcA")
+    assert(got("srcB")._6 === 3L * 1000000L / 6L, "half of srcB is dup mass")
+    // the weight shift moves share toward the source with real mass
+    assert(got("srcA")._5 > 0.0 && got("srcB")._5 < 0.0)
+    // p08 discipline: weights are 6-dp rounded and sum to ~1 per family
+    Seq(got("srcA")._3 + got("srcB")._3, got("srcA")._4 + got("srcB")._4)
+      .foreach(sum => assert(math.abs(sum - 1.0) < 2e-6))
+  }
 }

@@ -733,4 +733,25 @@ class TextQueriesSpec extends AnyFunSuite {
       assert(gap === math.abs(rate - (b * 100000L + 50000L)), "midpoint gap identity")
     }
   }
+
+  test("t39: fertility aggregates the t01 primitives per language exactly") {
+    import spark.implicits._
+    // en: "hello world" -> 2 words, 2 bpeish, 11 chars
+    //     "a1 b!"       -> 2 words, 4 bpeish (a,1,b,!), 5 chars
+    // de: "zwei"        -> 1 word, 1 bpeish, 4 chars
+    val docs = Seq(
+      (1L, "hello world", "en", "s0"),
+      (2L, "a1 b!", "en", "s0"),
+      (3L, "zwei", "de", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextQueries.fertility(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert(en.getLong(1) === 2L && en.getLong(2) === 4L && en.getLong(3) === 6L)
+    assert(en.getDouble(4) === 6.0 / 4.0, "fertility = bpeish / words")
+    assert(en.getDouble(5) === 16.0 / 6.0, "chars per token")
+    val de = got("de")
+    assert(de.getLong(2) === 1L && de.getDouble(4) === 1.0
+      && de.getDouble(5) === 4.0)
+  }
 }
