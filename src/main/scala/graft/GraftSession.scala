@@ -63,9 +63,10 @@ object GraftSession {
     * built without the conf — tests, REPLs, the driver's harness. */
   def ensureOptimizations(s: SparkSession): Unit = {
     val rules = s.experimental.extraOptimizations
-    if (!rules.contains(graft.plans.PushCostlyProjectionThroughJoin))
-      s.experimental.extraOptimizations =
-        rules :+ graft.plans.PushCostlyProjectionThroughJoin
+    val missing = Seq(graft.plans.PushCostlyProjectionThroughJoin,
+      graft.plans.RewriteLowCardWindow).filterNot(rules.contains)
+    if (missing.nonEmpty)
+      s.experimental.extraOptimizations = rules ++ missing
     val strategies = s.experimental.extraStrategies
     if (!strategies.contains(graft.plans.TopKStrategy))
       s.experimental.extraStrategies = strategies :+ graft.plans.TopKStrategy

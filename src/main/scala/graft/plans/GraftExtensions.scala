@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => PushCostlyProjectionThroughJoin)
+    e.injectOptimizerRule(_ => RewriteLowCardWindow)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.RewriteLowCardWindow
+
+/** The engine-side scan-window rewrite must be invisible except in the
+  * plan: rule-on results ≡ rule-off results (exactly — supported
+  * aggregates are integer/decimal-exact, so no float tolerance), while
+  * the optimized plan stops containing any low-card-partition window
+  * over unbounded input (the round-8 finding the rule closes). */
+class RewriteLowCardWindowSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val enabledKey = RewriteLowCardWindow.enabledKey
+
+  /** Nulls everywhere they can be: partition keys, order keys, values;
+    * heavy ties on k (i % 37) so RANGE-frame peer handling is exercised. */
+  private def synth(n: Int = 500): DataFrame = {
+    import spark.implicits._
+    val rows = (1 to n).map { i =>
+      val flag = if (i % 11 == 0) null else Seq("A", "B", "C")(i % 3)
+      val status = Seq("F", "O")(i % 2)
+      val v: java.lang.Long = if (i % 7 == 0) null else (i % 100).toLong
+      val k: java.lang.Long = if (i % 53 == 0) null else (i % 37).toLong
+      (i.toLong, flag, status, k, v)
+    }
+    rows.toDF("id", "l_returnflag", "l_linestatus", "k", "v").repartition(7)
+  }
+
+  /** No window partitioned only by gate keys (or nothing) over unbounded
+    * input survives optimization, and the offset join is present. */
+  private def assertRewritten(df: DataFrame): Unit = {
+    val plan = df.queryExecution.optimizedPlan
+    val offenders = plan.collect {
+      case w: LWindow if w.partitionSpec.flatMap(_.references.map(_.name))
+        .toSet.subsetOf(RewriteLowCardWindow.lowCardKeys) &&
+        !RewriteLowCardWindow.boundedBelow(w.child) => w
+    }
+    assert(offenders.isEmpty, s"offending windows survived:\n$offenders")
+    assert(plan.collect { case j: Join => j }.nonEmpty,
+      "rewrite fired but no offset join in plan")
+  }
+
+  /** Build the same frame twice — rule off (ground truth: Spark's naive
+    * window) and rule on — and require identical sorted rows + schema. */
+  private def pinned(build: => DataFrame): Unit = {
+    spark.conf.set(enabledKey, "false")
+    val (wantSchema, want) =
+      try { val d = build; (d.schema, d.collect().map(_.toString).sorted) }
+      finally spark.conf.set(enabledKey, "true")
+    val df = build
+    assertRewritten(df)
+    assert(df.schema == wantSchema, "rewrite changed the schema")
+    val got = df.collect().map(_.toString).sorted
+    assert(got.sameElements(want), {
+      val diff = got.zip(want).filter { case (g, w) => g != w }.take(5)
+      s"rule-on differs from rule-off; first diffs: $diff"
+    })
+  }
+
+  test("running sum over a low-card partition (SQL-default RANGE frame)") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k"))
+      synth().withColumn("run", sum(col("v")).over(w))
+    }
+  }
+
+  test("global running sum — no partition at all") {
+    pinned {
+      val w = Window.orderBy(col("k"))
+      synth().withColumn("run", sum(col("v")).over(w))
+    }
+  }
+
+  test("min/max/count/count(*) merge exactly across buckets") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k"))
+      synth().select(col("id"), col("l_returnflag"), col("k"),
+        min(col("v")).over(w).as("mn"), max(col("v")).over(w).as("mx"),
+        count(col("v")).over(w).as("cnt_v"),
+        count(lit(1)).over(w).as("cnt_all"))
+    }
+  }
+
+  test("ROWS frame over a total order (unique key)") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      synth().withColumn("run", sum(col("v")).over(w))
+    }
+  }
+
+  test("descending order (nulls last) buckets in mirrored order") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k").desc)
+      synth().withColumn("run", sum(col("v")).over(w))
+    }
+  }
+
+  test("two low-card partition keys") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("k"))
+      synth().withColumn("run", sum(col("v")).over(w))
+    }
+  }
+
+  test("date, timestamp and string leading keys bucket monotonically") {
+    pinned {
+      val base = synth().withColumn("d",
+          expr("date_add(date'2020-01-01', cast(k as int))"))
+        .withColumn("ts", expr("to_timestamp(d)"))
+        .withColumn("s", expr("lpad(cast(k as string), 4, '0')"))
+      val wd = Window.partitionBy(col("l_returnflag")).orderBy(col("d"))
+      val wt = Window.partitionBy(col("l_returnflag")).orderBy(col("ts"))
+      val ws = Window.partitionBy(col("l_returnflag")).orderBy(col("s"))
+      base.select(col("id"), col("l_returnflag"), col("d"),
+        sum(col("v")).over(wd).as("run_d"),
+        sum(col("v")).over(wt).as("run_t"),
+        sum(col("v")).over(ws).as("run_s"))
+    }
+  }
+
+  test("decimal running sum keeps the original result type") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k"))
+      synth().withColumn("dv", col("v").cast("decimal(12,2)"))
+        .withColumn("run", sum(col("dv")).over(w))
+    }
+  }
+
+  test("downstream operators keep resolving the spliced attributes") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k"))
+      synth().withColumn("run", sum(col("v")).over(w))
+        .where(col("run") > 50)
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("run")).as("mr"), count(lit(1)).as("n"))
+    }
+  }
+
+  test("raw SQL users get the rewrite too") {
+    synth().createOrReplaceTempView("_gswspec_t")
+    try pinned {
+      spark.sql("""SELECT id, l_returnflag, k,
+        SUM(v) OVER (PARTITION BY l_returnflag ORDER BY k) AS run,
+        COUNT(v) OVER (ORDER BY k) AS gcnt
+        FROM _gswspec_t""")
+    } finally spark.catalog.dropTempView("_gswspec_t")
+  }
+
+  test("unsupported shapes are left alone (gate's job, not the rule's)") {
+    def offending(df: DataFrame): Seq[LWindow] =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if !RewriteLowCardWindow.boundedBelow(w.child) => w
+      }
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k"))
+    // rank function — not a running aggregate
+    assert(offending(synth().withColumn("r", rank().over(w))).nonEmpty)
+    // fp sum — reassociation would change results
+    assert(offending(synth()
+      .withColumn("run", sum(col("v").cast("double")).over(w))).nonEmpty)
+    // value-offset frame — not the unbounded-preceding scan shape
+    val wf = w.rowsBetween(-5, Window.currentRow)
+    assert(offending(synth().withColumn("run", sum(col("v")).over(wf))).nonEmpty)
+    // high-card partition key name — not in the gate set, no stats
+    val wh = Window.partitionBy(col("id")).orderBy(col("k"))
+    assert(offending(synth().withColumn("run", sum(col("v")).over(wh))).nonEmpty)
+  }
+
+  test("windows over aggregates stay naive (bounded input)") {
+    val agg = synth().groupBy(col("l_returnflag"), col("k"))
+      .agg(sum(col("v")).as("sv"))
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k"))
+    val df = agg.withColumn("run", sum(col("sv")).over(w))
+    val windows = df.queryExecution.optimizedPlan.collect { case x: LWindow => x }
+    assert(windows.nonEmpty, "aggregate-bounded window should survive as-is")
+    assert(windows.forall(x => RewriteLowCardWindow.boundedBelow(x.child)))
+  }
+}

@@ -266,9 +266,11 @@ class ScanWindowsSpec extends AnyFunSuite {
     // crossing a Join (histogram-bounded input) — otherwise it is a
     // single/5-way reducer sort of a fact table at scale
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Window => LWindow}
-    val lowCard = Set("l_returnflag", "l_linestatus", "o_orderpriority",
-      "o_orderstatus", "event_type", "lang", "capped", "converted", "kept",
-      "sampled", "cross_source", "is_anomaly")
+    // the rule's trigger set IS the gate's set (one source of truth): any
+    // window the gate would flag on these keys is auto-rewritten by
+    // RewriteLowCardWindow when its shape is supported, and flagged here
+    // when it is not (rank functions, fp sums, value-offset frames)
+    val lowCard = graft.plans.RewriteLowCardWindow.lowCardKeys
     // declared exceptions, each with the caveat in its scaladoc:
     // p32 — the output IS a global order (any curriculum is; computes as a
     // range-partitioned sort at scale); p47 — the exact-rank admission
