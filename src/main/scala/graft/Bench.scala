@@ -82,12 +82,21 @@ object Bench {
       case None => allNames
     }
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
-    for (_ <- 1 to reps) {
+    // per-query Spark JOB counts (rep 1, via job groups + statusTracker):
+    // the round-over-round drift question "did this query gain jobs?" is
+    // then a diff of two committed artifacts, not a profiling session.
+    // Read immediately after each query so AppStatusStore retention can't
+    // evict; the listener bus is async, so a count can undershoot by a
+    // late event — a consistent diagnostic, not an exact ledger.
+    val jobCounts = scala.collection.mutable.Map.empty[String, Int]
+    for (rep <- 1 to reps) {
       // reps are independent: drop every session memo (shingles, IVF
       // models, CC labels, relations) so each rep re-pays — and the pseudo
       // entry re-captures — the shared materializations
       SessionCaches.release(spark)
       for (name <- names) {
+        val group = s"bench$rep:$name"
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = false)
         val t0 = System.nanoTime()
         val ok = try {
           if (name == "_shared_shingles")
@@ -133,6 +142,9 @@ object Bench {
         // a failed rep records -1 so it can never read as a fast success
         val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         samples(name) = samples.getOrElse(name, Vector.empty) :+ sec
+        spark.sparkContext.clearJobGroup()
+        if (rep == 1) jobCounts(name) =
+          spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
       }
     }
     SessionCaches.release(spark)
@@ -158,7 +170,9 @@ object Bench {
       else results.collect { case (k, v) if baselineQs(k) => v }.sum
     val production = if (failed.nonEmpty) -1.0 else total - baseline
     val failedJs = failed.mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"pre_run_load_1m":$loadAvg,"load_contaminated":$contaminated,"failed":$failedJs,"queries":$qs,"sf":"$sfDir"}"""
+    val jobsJs = names.map(n => s"\"$n\":" + jobCounts.getOrElse(n, -1))
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"production_sec":$production,"baseline_sec":$baseline,"pre_run_load_1m":$loadAvg,"load_contaminated":$contaminated,"failed":$failedJs,"queries":$qs,"jobs":$jobsJs,"sf":"$sfDir"}"""
     println(line)
     // the stdout line alone is NOT a durable artifact: the driver's tail
     // capture truncated round 6's ~5 KB line into unparseable JSON. Also

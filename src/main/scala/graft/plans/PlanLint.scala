@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, ScalaUDF}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan, Window => LWindow}
+
+/** Scale-shape lint over optimized plans — the engine's plan gates as a
+  * user-callable API.
+  *
+  * Round 9 ran these three audits over every registered query inside the
+  * test suite; this object promotes them to engine capability so a user
+  * can lint their OWN queries before a 100 TB run (`PlanLint.lint(df)`)
+  * and the suite's full-surface gates dogfood the same code. Each finding
+  * names a shape that is fine at test scale and a cluster-wide ceiling at
+  * 100×:
+  *
+  *  - `low-card-window`: a window partitioned by nothing or by a known
+  *    3-5-value key whose input is unbounded — everything funnels through
+  *    ≤ NDV(partition) reducers. [[RewriteLowCardWindow]] auto-rewrites
+  *    the supported running-aggregate shapes; this lint catches the rest
+  *    (rank functions, fp sums, value-offset frames) that still need a
+  *    hand-routed [[graft.operators.ScanWindows]] form or a declared
+  *    exception.
+  *  - `non-equi-join`: a join with no equality conjunct multiplies its
+  *    inputs, acceptable only when one side is provably bounded (an
+  *    aggregate / tiny leaf — the plan-borne-bound idiom).
+  *  - `scala-udf`: a ScalaUDF breaks whole-stage codegen and hides from
+  *    every optimizer rule; the engine's extension points are native
+  *    codegen Expressions instead.
+  */
+object PlanLint {
+
+  /** One lint finding: the rule that fired and a plan-located detail. */
+  final case class Finding(rule: String, detail: String)
+
+  /** Bounded input for the window lint: an Aggregate reached without
+    * crossing a Join, or a join ALL of whose inputs are bounded
+    * (histogram ⨯ totals joins) — shared with [[RewriteLowCardWindow]]. */
+  def aggregateBounded(p: LogicalPlan): Boolean =
+    RewriteLowCardWindow.boundedBelow(p)
+
+  /** Bounded side for the join lint: aggregates, tiny/local leaves, or
+    * joins of bounded inputs; `maxRows` covers plan-borne limits. */
+  def joinSideBounded(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate => true
+    case l: LeafNode => l.maxRows.exists(_ <= 10000) ||
+      l.getClass.getSimpleName.contains("LocalRelation") ||
+      l.getClass.getSimpleName.contains("OneRowRelation")
+    case j: Join => j.children.forall(joinSideBounded)
+    case other if other.maxRows.exists(_ <= 10000) => true
+    case other => other.children.exists(joinSideBounded)
+  }
+
+  def lowCardWindows(plan: LogicalPlan): Seq[Finding] =
+    plan.collect { case w: LWindow => w }.flatMap { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      val suspect = parts.isEmpty ||
+        parts.subsetOf(RewriteLowCardWindow.lowCardKeys)
+      if (suspect && !aggregateBounded(w.child))
+        Some(Finding("low-card-window",
+          s"window over [${parts.mkString(",")}] with unbounded input"))
+      else None
+    }
+
+  def unboundedNonEquiJoins(plan: LogicalPlan): Seq[Finding] =
+    plan.collect { case j: Join => j }.flatMap { j =>
+      val hasEqui = j.condition.exists(c =>
+        c.collectFirst { case _: EqualTo => () }.nonEmpty)
+      if (!hasEqui && !j.children.exists(joinSideBounded))
+        Some(Finding("non-equi-join",
+          s"${j.joinType} join with no equality and two unbounded sides"))
+      else None
+    }
+
+  def scalaUdfs(plan: LogicalPlan): Seq[Finding] = {
+    val n = plan.collect { case p =>
+      p.expressions.map(e => e.collectFirst { case _: ScalaUDF => () }.size).sum
+    }.sum
+    if (n > 0) Seq(Finding("scala-udf", s"$n ScalaUDF call(s)")) else Nil
+  }
+
+  /** All lints over a frame's optimized plan (what a user calls). */
+  def lint(df: DataFrame): Seq[Finding] = {
+    val plan = df.queryExecution.optimizedPlan
+    lowCardWindows(plan) ++ unboundedNonEquiJoins(plan) ++ scalaUdfs(plan)
+  }
+}

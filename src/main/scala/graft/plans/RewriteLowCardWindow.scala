@@ -54,7 +54,12 @@ import org.apache.spark.sql.types._
   *     partitions every frame exactly;
   *   - ROWS frames inherit the usual caveat: under order-key ties their
   *     result depends on the tie order, which Spark never defines — the
-  *     rewrite stays within the same nondeterminism class.
+  *     rewrite stays within the same nondeterminism class;
+  *   - the strictly-before frame (ROWS UNBOUNDED PRECEDING → 1
+  *     PRECEDING, the lag/fill class) rewrites identically: every row of
+  *     an earlier bucket is strictly before the current row, so the
+  *     bucket offset is shared by both frame ends and only the
+  *     within-bucket frame end changes.
   *
   * Trigger: partition keys absent, all in [[lowCardKeys]] (the plan
   * gate's set — the engine's known 3-5-value columns), or all having
@@ -142,12 +147,25 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
       case _ => false
     })
 
+  /** Trailing-scan frames: at-or-before (ROWS/RANGE UNBOUNDED PRECEDING →
+    * CURRENT ROW) and strictly-before (ROWS ... → 1 PRECEDING, the
+    * lag/fill class; RANGE value offsets are a different shape). `avg` is
+    * deliberately absent everywhere: Spark's Average accumulates integral
+    * inputs in a DOUBLE sum, so an exact-integer two-level rewrite could
+    * differ in ulps from the naive window — not bit-parity-safe. */
+  private def supportedFrame(f: SpecifiedWindowFrame): Boolean =
+    f.lower == UnboundedPreceding &&
+      ((f.upper == CurrentRow &&
+        (f.frameType == RowFrame || f.frameType == RangeFrame)) ||
+       (f.frameType == RowFrame && (f.upper match {
+         case Literal(v: Int, IntegerType) => v == -1
+         case _ => false
+       })))
+
   private def supportedWinExpr(ne: NamedExpression): Boolean = ne match {
     case Alias(WindowExpression(ae: AggregateExpression,
         WindowSpecDefinition(_, _, f: SpecifiedWindowFrame)), _) =>
-      f.lower == UnboundedPreceding && f.upper == CurrentRow &&
-        (f.frameType == RowFrame || f.frameType == RangeFrame) &&
-        supportedAgg(ae) && ae.deterministic
+      supportedFrame(f) && supportedAgg(ae) && ae.deterministic
     case _ => false
   }
 
@@ -187,30 +205,33 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
   private case class Op(out: Attribute, value: Expression,
                         agg: Column => Column,
                         merge: (Column, Column) => Column,
-                        frameType: FrameType)
+                        frameType: FrameType, frameEnd: Int)
 
   private def opFor(ne: NamedExpression): Op = {
     val a = ne.asInstanceOf[Alias]
     val we = a.child.asInstanceOf[WindowExpression]
     val ae = we.windowFunction.asInstanceOf[AggregateExpression]
-    val ft = we.windowSpec.frameSpecification
-      .asInstanceOf[SpecifiedWindowFrame].frameType
+    val f = we.windowSpec.frameSpecification.asInstanceOf[SpecifiedWindowFrame]
+    val end = if (f.upper == CurrentRow) 0 else -1
     def sumMerge(off: Column, run: Column): Column =
       when(off.isNull, run).when(run.isNull, off).otherwise(off + run)
     ae.aggregateFunction match {
-      case s: Sum => Op(a.toAttribute, s.child, sumFn, sumMerge, ft)
+      case s: Sum => Op(a.toAttribute, s.child, sumFn, sumMerge, f.frameType, end)
       case m: Min => Op(a.toAttribute, m.child,
-        org.apache.spark.sql.functions.min, (o, r) => least(o, r), ft)
+        org.apache.spark.sql.functions.min, (o, r) => least(o, r), f.frameType, end)
       case m: Max => Op(a.toAttribute, m.child,
-        org.apache.spark.sql.functions.max, (o, r) => greatest(o, r), ft)
+        org.apache.spark.sql.functions.max, (o, r) => greatest(o, r), f.frameType, end)
       case c: Count =>
         // count → running sum of not-null indicators: the two-level merge
-        // must ADD counts across buckets, which count-of-counts would not
+        // must ADD counts across buckets, which count-of-counts would not.
+        // Both sides coalesce: a strictly-before frame is EMPTY on the
+        // first row, where count is 0 but an indicator sum is NULL
         val ind: Expression = if (c.children.head.nullable)
           If(IsNotNull(c.children.head), Literal(1L), Literal(0L))
         else Literal(1L)
         Op(a.toAttribute, ind, sumFn,
-          (o, r) => coalesce(o, lit(0L)) + r, ft)
+          (o, r) => coalesce(o, lit(0L)) + coalesce(r, lit(0L)),
+          f.frameType, end)
     }
   }
 
@@ -302,12 +323,12 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
     // 4. within-bucket windows at (partition, bucket) grain + merge
     val orderCols = w.orderSpec.map(so => sorted(cb(so.child), so))
     val base = W.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
-    def framed(ft: FrameType): WindowSpec = ft match {
-      case RowFrame => base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    def framed(op: Op): WindowSpec = op.frameType match {
+      case RowFrame => base.rowsBetween(W.unboundedPreceding, op.frameEnd)
       case _ => base.rangeBetween(W.unboundedPreceding, W.currentRow)
     }
     val outCols = ops.zip(valNames).zipWithIndex.map { case ((op, v), i) =>
-      op.merge(col(s"_gsw_off_$i"), op.agg(col(v)).over(framed(op.frameType)))
+      op.merge(col(s"_gsw_off_$i"), op.agg(col(v)).over(framed(op)))
         .cast(op.out.dataType).as(s"_gsw_out_$i")
     }
     val res = joined.select(childCols ++ outCols: _*)

@@ -95,6 +95,17 @@ class RewriteLowCardWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("strictly-before frame (ROWS unbounded -> 1 preceding, the lag/fill class)") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      synth().select(col("id"), col("l_returnflag"),
+        sum(col("v")).over(w).as("run"),
+        count(col("v")).over(w).as("cnt"),
+        min(col("v")).over(w).as("mn"))
+    }
+  }
+
   test("descending order (nulls last) buckets in mirrored order") {
     pinned {
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k").desc)

@@ -199,12 +199,8 @@ class ScanWindowsSpec extends AnyFunSuite {
   }
 
   test("full-surface audit: no non-equi join of two unbounded sides") {
-    // the cartesian-trap gate: a join with NO equality conjunct multiplies
-    // its inputs, which is fine only when at least one side is bounded (a
-    // broadcast scalar/grid/aggregate — the plan-borne-bound idiom used
-    // everywhere) or the operator declares the shape
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan}
-    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    // the cartesian-trap gate, dogfooding the engine's own PlanLint
+    // (plans/PlanLint.scala — users call the same check on their queries).
     // p25's one-scan broadcast NL anti-join IS its declared design (the
     // substring-containment test has no equi key by nature); q42 is the
     // explicit cross-join surface demo over two dimension tables; s21's
@@ -214,27 +210,13 @@ class ScanWindowsSpec extends AnyFunSuite {
     // scaladoc'd, none visible to a maxRows heuristic
     val declared = Set("p25_decontaminate_verbatim", "q42_cross_join",
       "s21_sim_histogram", "s23_coverage_gap", "s27_sample_diversity")
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
-      case l: LeafNode => l.maxRows.exists(_ <= 10000) ||
-        l.getClass.getSimpleName.contains("LocalRelation") ||
-        l.getClass.getSimpleName.contains("OneRowRelation")
-      case j: Join => j.children.forall(bounded)
-      case other if other.maxRows.exists(_ <= 10000) => true
-      case other => other.children.exists(bounded)
-    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if declared(name) => Nil
       case (name, fn) =>
-        val plan = try fn(spark, sf).queryExecution.optimizedPlan
+        val df = try fn(spark, sf)
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
-        plan.collect { case j: Join => j }.flatMap { j =>
-          val hasEqui = j.condition.exists(c =>
-            c.collectFirst { case _: EqualTo => () }.nonEmpty)
-          if (!hasEqui && !j.children.exists(bounded))
-            Some(s"$name: ${j.joinType} join with no equality and two unbounded sides")
-          else None
-        }
+        graft.plans.PlanLint.unboundedNonEquiJoins(
+          df.queryExecution.optimizedPlan).map(f => s"$name: ${f.detail}")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
@@ -245,16 +227,12 @@ class ScanWindowsSpec extends AnyFunSuite {
     // whole-stage codegen and hides from every optimizer rule. Typed
     // mapPartitions (media decode, Lloyd partials) is a different node
     // class and stays allowed where declared.
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = try fn(spark, sf).queryExecution.optimizedPlan
+        val df = try fn(spark, sf)
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
-        val n = plan.collect { case p =>
-          p.expressions.map(e =>
-            e.collectFirst { case _: ScalaUDF => () }.size).sum
-        }.sum
-        if (n > 0) Some(s"$name: $n ScalaUDF call(s)") else None
+        graft.plans.PlanLint.scalaUdfs(df.queryExecution.optimizedPlan)
+          .map(f => s"$name: ${f.detail}")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
@@ -265,36 +243,23 @@ class ScanWindowsSpec extends AnyFunSuite {
     // 3-5-value key must sit above an Aggregate it can reach without
     // crossing a Join (histogram-bounded input) — otherwise it is a
     // single/5-way reducer sort of a fact table at scale
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Window => LWindow}
-    // the rule's trigger set IS the gate's set (one source of truth): any
-    // window the gate would flag on these keys is auto-rewritten by
-    // RewriteLowCardWindow when its shape is supported, and flagged here
-    // when it is not (rank functions, fp sums, value-offset frames)
-    val lowCard = graft.plans.RewriteLowCardWindow.lowCardKeys
+    // dogfoods PlanLint.lowCardWindows, whose trigger set IS the rewrite
+    // rule's set (one source of truth): any window the lint would flag on
+    // these keys is auto-rewritten by RewriteLowCardWindow when its shape
+    // is supported, and flagged here when it is not (rank functions, fp
+    // sums, value-offset frames).
     // declared exceptions, each with the caveat in its scaladoc:
     // p32 — the output IS a global order (any curriculum is; computes as a
     // range-partitioned sort at scale); p47 — the exact-rank admission
     // order is its auditable contract, p50 is its implemented zero-sort form
     val declared = Set("p32_curriculum", "p47_dedup_saturation")
-    // bounded = an Aggregate reached without crossing a join, OR a join
-    // ALL of whose inputs are themselves bounded (histogram ⨯ totals joins)
-    def bounded(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => true
-      case j: Join => j.children.forall(bounded)
-      case other => other.children.exists(bounded)
-    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if declared(name) => Nil
       case (name, fn) =>
-        val plan = try fn(spark, sf).queryExecution.optimizedPlan
+        val df = try fn(spark, sf)
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
-        plan.collect { case w: LWindow => w }.flatMap { w =>
-          val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
-          val suspect = parts.isEmpty || parts.subsetOf(lowCard)
-          if (suspect && !bounded(w.child))
-            Some(s"$name: window over [${parts.mkString(",")}] with unbounded input")
-          else None
-        }
+        graft.plans.PlanLint.lowCardWindows(df.queryExecution.optimizedPlan)
+          .map(f => s"$name: ${f.detail}")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
