@@ -536,6 +536,42 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // nulls allowed in the partition key, order key AND value; k drawn from
+  // a tiny range so RANGE-frame peer groups are everywhere
+  private val ruleFrame: Gen[List[(Option[String], Option[Long], Option[Long])]] =
+    for {
+      n <- Gen.chooseNum(1, 120)
+      rows <- Gen.listOfN(n, for {
+        f <- Gen.frequency(8 -> Gen.oneOf("A", "B", "C").map(Some(_)),
+          1 -> Gen.const(None))
+        k <- Gen.frequency(8 -> Gen.chooseNum(-9L, 9L).map(Some(_)),
+          1 -> Gen.const(None))
+        v <- Gen.frequency(8 -> Gen.chooseNum(-99L, 99L).map(Some(_)),
+          1 -> Gen.const(None))
+      } yield (f, k, v))
+    } yield rows
+
+  property("RewriteLowCardWindow ≡ naive low-card window on random frames") =
+    forAll(ruleFrame) { rows =>
+      import org.apache.spark.sql.expressions.Window
+      val df = rows.toDF("l_returnflag", "k", "v").repartition(5)
+      def build() = {
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k"))
+        df.select(col("l_returnflag"), col("k"), col("v"),
+          sum(col("v")).over(w).as("s"), min(col("v")).over(w).as("mn"),
+          max(col("v")).over(w).as("mx"), count(col("v")).over(w).as("c"),
+          count(lit(1)).over(w).as("ca"))
+      }
+      val key = graft.plans.RewriteLowCardWindow.enabledKey
+      spark.conf.set(key, "false")
+      val want = try build() finally spark.conf.set(key, "true")
+      val got = build()
+      // multiset equality: both directions empty + equal cardinality
+      // (duplicate input rows produce duplicate output rows)
+      got.count() == want.count() &&
+        got.except(want).isEmpty && want.except(got).isEmpty
+    }
+
   property("ScanWindows.slidingFrame ≡ naive trailing frame on random frames") =
     forAll(scanFrame) { case (rows, bw, fw) =>
       import org.apache.spark.sql.expressions.Window
