@@ -896,6 +896,10 @@ object SparkEntry {
     // chars per token over exactly aggregated longs; unrounded IEEE
     "t39_fertility" -> ((s, d) =>
       TextQueries.fertility(t(s, d).documents)),
+    // p56: serpentine shard→worker placement over p21's manifest —
+    // size-balanced LPT surrogate, all integer off the shard aggregate
+    "p56_worker_placement" -> ((s, d) =>
+      graft.operators.DataPipeline.workerPlacement(t(s, d).documents)),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -5070,6 +5074,35 @@ object SparkEntry {
         | CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) AS fertility,
         | CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) AS chars_per_token
         |FROM s GROUP BY lang""".stripMargin,
+    // p56: p21's shard aggregate, then the serpentine deal + per-worker
+    // totals and decimal-safe ppm shares — all integer
+    "p56_worker_placement" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, 15), i ->
+        |    (CAST(strpos('0123456789abcdef', substring(m, i, 1)) AS BIGINT) - 1) << ((15 - i) * 4)
+        |  )) AS BIGINT) AS h,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+        | FROM (SELECT doc_id, text, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS m
+        |       FROM documents)),
+        |m AS (SELECT CAST(h % 16 AS INT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens
+        | FROM d GROUP BY 1),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY n_tokens DESC, shard)
+        |  AS BIGINT) AS size_rank FROM m),
+        |b AS (SELECT shard, n_docs, n_tokens, size_rank,
+        |  CAST(CASE WHEN ((size_rank - 1) // 3) % 2 = 0
+        |    THEN (size_rank - 1) % 3
+        |    ELSE 2 - (size_rank - 1) % 3 END AS INT) AS worker
+        | FROM r),
+        |t AS (SELECT worker, CAST(sum(n_tokens) AS BIGINT) AS worker_tokens
+        | FROM b GROUP BY 1),
+        |g AS (SELECT sum(n_tokens) AS tot FROM b)
+        |SELECT b.shard, b.n_docs, b.n_tokens, b.size_rank, b.worker,
+        | t.worker_tokens,
+        | CAST(t.worker_tokens * 1000000 // g.tot AS BIGINT) AS worker_share_ppm
+        |FROM b JOIN t ON b.worker = t.worker CROSS JOIN g""".stripMargin,
     // q127: same one-scan conditional-sum battery + the same two
     // relational checks; counts exact, ppm integer division
     "q127_conformance" ->

@@ -626,6 +626,56 @@ object DataPipeline {
           * 1000000 / col("raw_tokens")).cast("long").as("dup_ppm"))
   }
 
+  /** p56: shard→worker placement plan — assign p21's shards to training
+    * workers with the serpentine (boustrophedon) rule: rank shards by
+    * token mass descending, deal rank r to worker `pos` on even passes
+    * and `W−1−pos` on odd passes (pass = ⌊(r−1)/W⌋, pos = (r−1) mod W).
+    * The zig-zag pairs each pass's largest remainder with the previous
+    * pass's smallest — the classic deterministic LPT surrogate that needs
+    * NO sequential least-loaded loop, so the whole plan is one tiny
+    * window over the shard manifest plus integer arithmetic (the
+    * reference deals splits to workers round-robin with no size
+    * awareness — ref `AM/ApplicationMaster.java:971-1041`; this is the
+    * size-balanced upgrade a heterogeneous corpus needs). Output: one row
+    * per shard with its worker, the worker's total token load and exact
+    * ppm share — the imbalance audit is read directly off the plan.
+    *
+    * Exactness: ranks are a total order ((tokens DESC, shard) — ties
+    * broken by shard id), assignment is pure integer arithmetic, shares
+    * are decimal-safe floor ppm (the p52 waterline rule).
+    *
+    * Scale shape: everything after p21's one partial-aggregated exchange
+    * runs on the nShards-row manifest (windows over an Aggregate —
+    * gate-clean bounded input by construction). */
+  def workerPlacementFor(manifest: DataFrame, nWorkers: Int): DataFrame = {
+    require(nWorkers > 0, s"nWorkers=$nWorkers must be > 0")
+    val wRank = Window.orderBy(col("n_tokens").desc, col("shard"))
+    val ranked = manifest
+      .select(col("shard"), col("n_docs"), col("n_tokens"))
+      .withColumn("size_rank", row_number().over(wRank).cast("long"))
+      .withColumn("_pass", expr(s"(size_rank - 1) div $nWorkers"))
+      .withColumn("_pos", expr(s"(size_rank - 1) % $nWorkers"))
+      .withColumn("worker",
+        when(pmod(col("_pass"), lit(2L)) === 0, col("_pos"))
+          .otherwise(lit(nWorkers - 1L) - col("_pos")).cast("int"))
+      .drop("_pass", "_pos")
+    val totals = ranked.groupBy(col("worker"))
+      .agg(sum(col("n_tokens")).as("worker_tokens"))
+    val grand = ranked.agg(sum(col("n_tokens")).as("_tot"))
+    ranked.join(totals, Seq("worker")).crossJoin(grand)
+      .withColumn("worker_share_ppm",
+        floor(col("worker_tokens").cast("decimal(38,0)") * 1000000
+          / col("_tot")).cast("long"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("size_rank"), col("worker"), col("worker_tokens"),
+        col("worker_share_ppm"))
+  }
+
+  /** p56 over the corpus: p21's manifest → serpentine placement. */
+  def workerPlacement(docs: DataFrame, nShards: Int = 16,
+                      nWorkers: Int = 3): DataFrame =
+    workerPlacementFor(shardManifest(docs, nShards), nWorkers)
+
   /** p10: the corpus data card — per-source summary statistics, the
     * dataset-documentation step every released training corpus ships
     * (docs, token volume, exact-duplicate load, language spread, size
@@ -1474,10 +1524,12 @@ object DataPipeline {
     * (flesch DESC, doc_id) — flesch is the same IEEE expression both
     * engines compute from integer counts, and doc_id breaks every tie, so
     * the tiling cannot diverge; the within-decile order is the md5 shuffle
-    * (the d26 rule). Scale note: ntile is one global sort — acceptable
-    * because the output IS a global ordering (any curriculum is); at
-    * 100 TB the same layout computes as range-partitioned sort
-    * (df.orderBy writes range-partitioned anyway) — no driver state. */
+    * (the d26 rule). Scale note (round 10): the global ntile is
+    * auto-rewritten by [[graft.plans.RewriteLowCardWindow]] into the
+    * two-level bucket scan (closed-form big-buckets-first split from
+    * bucket-offset position + plan-borne total), so the decile pass runs
+    * bucket-parallel with results spec-pinned identical to the naive
+    * global window — p32 needs no plan-gate exception anymore. */
   def curriculumOrder(docs: DataFrame): DataFrame = {
     val scored = graft.operators.TextQueries.readability(docs)
       .select(col("doc_id"), col("flesch"))
@@ -1830,13 +1882,14 @@ object DataPipeline {
     * membership is integer arithmetic off a plan-borne corpus count;
     * shares in exact ppm; the cumulative sum runs over ten rows.
     *
-    * Scale shape: the rank is the one total sort (the p14 global-order
-    * price, paid on (hash, id) pairs — not text); the fingerprint min is
-    * one partial-aggregated exchange; everything after is 10-row work.
-    * At 100 TB the sort is the known cost of ANY deterministic
-    * admission-order replay and batches could instead key off hash
-    * PREFIX ranges (zero sort, approximate tenths) — the exact-rank form
-    * is the auditable contract. */
+    * Scale shape: the global admission rank is auto-rewritten by
+    * [[graft.plans.RewriteLowCardWindow]] (round 10) into the two-level
+    * bucket scan on the md5 prefix — bucket-parallel, results identical,
+    * so the exact-rank auditable contract holds distributed and p47
+    * needs no plan-gate exception; the fingerprint min is one
+    * partial-aggregated exchange; everything after is 10-row work. p50
+    * remains the documented zero-window hash-prefix-range alternative
+    * (approximate tenths). */
   def dedupSaturation(docs: DataFrame, batches: Int = 10): DataFrame = {
     require(batches > 0, s"batches=$batches must be > 0")
     val n = docs.agg(count(lit(1)).as("n_total"))

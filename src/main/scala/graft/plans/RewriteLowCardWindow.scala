@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project, Window => LWindow}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.expressions.{Window => W, WindowSpec}
-import org.apache.spark.sql.functions.{coalesce, col, count => _, greatest, least, lit, sum => sumFn, when}
+import org.apache.spark.sql.functions.{coalesce, col, countDistinct, dense_rank => denseRankFn, greatest, least, lit, rank => rankFn, row_number => rowNumberFn, struct, sum => sumFn, when}
 import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
@@ -59,7 +59,14 @@ import org.apache.spark.sql.types._
   *     PRECEDING, the lag/fill class) rewrites identically: every row of
   *     an earlier bucket is strictly before the current row, so the
   *     bucket offset is shared by both frame ends and only the
-  *     within-bucket frame end changes.
+  *     within-bucket frame end changes;
+  *   - the rank family rewrites by the same decomposition: ROW_NUMBER
+  *     and RANK add the previous buckets' ROW count to the within-bucket
+  *     function, DENSE_RANK adds the previous buckets' DISTINCT
+  *     order-key count (counted over `struct(orderKeys)` so the null key
+  *     group ranks like the window ranks it) — exact because peer rows
+  *     (equal order keys) can never straddle a bucket boundary, and
+  *     ROW_NUMBER keeps its usual under-ties nondeterminism class.
   *
   * Trigger: partition keys absent, all in [[lowCardKeys]] (the plan
   * gate's set — the engine's known 3-5-value columns), or all having
@@ -166,6 +173,19 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
     case Alias(WindowExpression(ae: AggregateExpression,
         WindowSpecDefinition(_, _, f: SpecifiedWindowFrame)), _) =>
       supportedFrame(f) && supportedAgg(ae) && ae.deterministic
+    // rank family: frame-independent (the analyzer pins their required
+    // frame); global = previous-bucket rows/keys + the within-bucket
+    // function, exact because peers never straddle buckets
+    case Alias(WindowExpression(_: RowNumber | _: Rank | _: DenseRank,
+        WindowSpecDefinition(_, _, _: SpecifiedWindowFrame)), _) => true
+    // ntile/percent_rank/cume_dist: closed-form over global position (or
+    // at-or-before count) + partition total, both of which the two-level
+    // scan provides (the q92 hand-rewrite, engine-side)
+    case Alias(WindowExpression(nt: NTile,
+        WindowSpecDefinition(_, _, _: SpecifiedWindowFrame)), _) =>
+      nt.buckets.foldable
+    case Alias(WindowExpression(_: PercentRank | _: CumeDist,
+        WindowSpecDefinition(_, _, _: SpecifiedWindowFrame)), _) => true
     case _ => false
   }
 
@@ -179,7 +199,8 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
 
   private def bucketableType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
-         TimestampType | TimestampNTZType | StringType => true
+         TimestampType | TimestampNTZType | StringType | FloatType |
+         DoubleType => true
     case _ => false
   }
 
@@ -200,38 +221,121 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
 
   // ---- rewrite --------------------------------------------------------
 
-  /** One rewritten aggregate: pre-projected value expression, the partial
-    * (= scan = run) aggregate, and the offset⊕run merge. */
-  private case class Op(out: Attribute, value: Expression,
-                        agg: Column => Column,
-                        merge: (Column, Column) => Column,
-                        frameType: FrameType, frameEnd: Int)
+  /** One rewritten window expression:
+    *  - `value`: pre-projected value expression (None for rank family);
+    *  - `partial`: per-(partition, bucket) aggregate over the value col;
+    *  - `scan`: folds partials across previous buckets (offset);
+    *  - `run`: within-bucket windowed value over the UN-framed spec
+    *    (each op applies its own frame — rank functions take none);
+    *  - `merge`: offset ⊕ run, with the whole-partition total of the
+    *    partials alongside when `needsTotal` (ntile). */
+  private case class Op(out: Attribute, value: Option[Expression],
+                        partial: Option[Column] => Column,
+                        scan: Column => Column,
+                        run: (WindowSpec, Option[Column]) => Column,
+                        merge: (Column, Column, Option[Column]) => Column,
+                        needsTotal: Boolean = false)
 
-  private def opFor(ne: NamedExpression): Op = {
+  private def opFor(ne: NamedExpression, orderExprs: Seq[Expression]): Op = {
     val a = ne.asInstanceOf[Alias]
     val we = a.child.asInstanceOf[WindowExpression]
-    val ae = we.windowFunction.asInstanceOf[AggregateExpression]
-    val f = we.windowSpec.frameSpecification.asInstanceOf[SpecifiedWindowFrame]
-    val end = if (f.upper == CurrentRow) 0 else -1
-    def sumMerge(off: Column, run: Column): Column =
+    def sumMerge(off: Column, run: Column, t: Option[Column]): Column =
       when(off.isNull, run).when(run.isNull, off).otherwise(off + run)
-    ae.aggregateFunction match {
-      case s: Sum => Op(a.toAttribute, s.child, sumFn, sumMerge, f.frameType, end)
-      case m: Min => Op(a.toAttribute, m.child,
-        org.apache.spark.sql.functions.min, (o, r) => least(o, r), f.frameType, end)
-      case m: Max => Op(a.toAttribute, m.child,
-        org.apache.spark.sql.functions.max, (o, r) => greatest(o, r), f.frameType, end)
-      case c: Count =>
-        // count → running sum of not-null indicators: the two-level merge
-        // must ADD counts across buckets, which count-of-counts would not.
-        // Both sides coalesce: a strictly-before frame is EMPTY on the
-        // first row, where count is 0 but an indicator sum is NULL
-        val ind: Expression = if (c.children.head.nullable)
-          If(IsNotNull(c.children.head), Literal(1L), Literal(0L))
-        else Literal(1L)
-        Op(a.toAttribute, ind, sumFn,
-          (o, r) => coalesce(o, lit(0L)) + coalesce(r, lit(0L)),
-          f.frameType, end)
+    def countMerge(off: Column, run: Column, t: Option[Column]): Column =
+      coalesce(off, lit(0L)) + coalesce(run, lit(0L))
+    // counts merge as sums of previous-bucket row/key counts — never
+    // count-of-counts (rank family + COUNT share this)
+    def rowsPartial: Option[Column] => Column =
+      _ => sumFn(lit(1L)) // count(1) as a sum: one partial shape for all
+    we.windowFunction match {
+      case ae: AggregateExpression =>
+        val f = we.windowSpec.frameSpecification.asInstanceOf[SpecifiedWindowFrame]
+        val end = if (f.upper == CurrentRow) 0 else -1
+        def framed(base: WindowSpec): WindowSpec = f.frameType match {
+          case RowFrame => base.rowsBetween(W.unboundedPreceding, end)
+          case _ => base.rangeBetween(W.unboundedPreceding, W.currentRow)
+        }
+        def aggOp(child: Expression, agg: Column => Column,
+                  merge: (Column, Column, Option[Column]) => Column): Op =
+          Op(a.toAttribute, Some(child), v => agg(v.get), agg,
+            (base, v) => agg(v.get).over(framed(base)), merge)
+        ae.aggregateFunction match {
+          case s: Sum => aggOp(s.child, sumFn, sumMerge)
+          case m: Min => aggOp(m.child, org.apache.spark.sql.functions.min,
+            (o, r, _) => least(o, r))
+          case m: Max => aggOp(m.child, org.apache.spark.sql.functions.max,
+            (o, r, _) => greatest(o, r))
+          case c: Count =>
+            // count → running sum of not-null indicators: the two-level
+            // merge must ADD counts across buckets, which count-of-counts
+            // would not. Both sides coalesce: a strictly-before frame is
+            // EMPTY on the first row (count 0, indicator sum NULL)
+            val ind: Expression = if (c.children.head.nullable)
+              If(IsNotNull(c.children.head), Literal(1L), Literal(0L))
+            else Literal(1L)
+            aggOp(ind, sumFn, countMerge)
+        }
+      // rank family: every previous-bucket row (row_number/rank) or
+      // distinct order key (dense_rank) sorts strictly before the current
+      // row — peers share a bucket — so global = offset + within-bucket
+      case _: RowNumber =>
+        Op(a.toAttribute, None, rowsPartial, sumFn,
+          (base, _) => rowNumberFn().over(base), countMerge)
+      case _: Rank =>
+        Op(a.toAttribute, None, rowsPartial, sumFn,
+          (base, _) => rankFn().over(base), countMerge)
+      case _: DenseRank =>
+        // distinct ORDER-KEY TUPLES per bucket; struct() keeps null keys
+        // countable (dense_rank ranks the null group, countDistinct on
+        // bare columns would drop it)
+        Op(a.toAttribute, None,
+          _ => countDistinct(struct(orderExprs.map(ColumnBridge.toColumn): _*)),
+          sumFn, (base, _) => denseRankFn().over(base), countMerge)
+      case nt: NTile =>
+        // SQL-standard big-buckets-first split, closed-form: with global
+        // 1-based position p and partition total N, q = N div B,
+        // r = N mod B: p in the first r·(q+1) rows → bucket ceil(p/(q+1)),
+        // else r + ceil((p − r·(q+1)) / q). The q = 0 branch (N < B,
+        // bucket = p) is exactly branch one (r = N). Arithmetic in
+        // floor-of-double: positions/totals are row counts < 2^53, so the
+        // divisions are exact; the division-by-zero in branch two is
+        // unreachable when q = 0 (CASE evaluates lazily).
+        val b = nt.buckets.eval().asInstanceOf[Number].longValue
+        def fdiv(x: Column, y: Column): Column =
+          org.apache.spark.sql.functions.floor(
+            x.cast(DoubleType) / y.cast(DoubleType))
+        Op(a.toAttribute, None, rowsPartial, sumFn,
+          (base, _) => rowNumberFn().over(base),
+          (off, run, tot) => {
+            val p = coalesce(off, lit(0L)) + run
+            val n = tot.get
+            val q = fdiv(n, lit(b))
+            val r = n - q * b
+            when(p <= r * (q + lit(1L)), fdiv(p + q, q + lit(1L)))
+              .otherwise(r + fdiv(p - r * (q + lit(1L)) + q - lit(1L), q))
+          }, needsTotal = true)
+      case _: PercentRank =>
+        // (rank − 1) / (N − 1), 0.0 for a single-row partition (Spark's
+        // definition) — both operands are exactly decomposed longs, so
+        // the one IEEE division matches the naive window bit for bit
+        Op(a.toAttribute, None, rowsPartial, sumFn,
+          (base, _) => rankFn().over(base),
+          (off, run, tot) => {
+            val n = tot.get
+            when(n > 1L, (coalesce(off, lit(0L)) + run - lit(1L))
+              .cast(DoubleType) / (n - lit(1L)).cast(DoubleType))
+              .otherwise(lit(0.0))
+          }, needsTotal = true)
+      case _: CumeDist =>
+        // (# rows at-or-before incl. peers) / N: the within-bucket count
+        // over RANGE unbounded→current row includes peers, previous
+        // buckets contribute whole-bucket counts
+        Op(a.toAttribute, None, rowsPartial, sumFn,
+          (base, _) => org.apache.spark.sql.functions.count(lit(1L))
+            .over(base.rangeBetween(W.unboundedPreceding, W.currentRow)),
+          (off, run, tot) => (coalesce(off, lit(0L)) + run)
+            .cast(DoubleType) / tot.get.cast(DoubleType),
+          needsTotal = true)
     }
   }
 
@@ -267,6 +371,15 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
         org.apache.spark.sql.functions.floor(
           c.cast(DoubleType) / lit(div.toDouble)).cast(LongType)
       case StringType => c.substr(1, 2)
+      case FloatType | DoubleType =>
+        // floor(64·k): IEEE multiply by a positive constant is monotone,
+        // floor is monotone, nulls stay null, every NaN lands in one NaN
+        // bucket (grouped together and sorted last-asc/first-desc exactly
+        // like the key itself), ±Inf keep their extremes. ~64 buckets per
+        // unit of key range — scores in [0,1] still fan out; a key whose
+        // whole span is ≪ 1/64 degenerates to few buckets (correct, naive
+        // parallelism — see the integral note above)
+        org.apache.spark.sql.functions.floor(c.cast(DoubleType) * 64d)
       case dt => throw new IllegalStateException(s"unbucketable $dt")
     }
   }
@@ -282,53 +395,62 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
   private def rewrite(w: LWindow): Option[LogicalPlan] = try {
     val spark = SparkSession.getActiveSession.get
     def cb(e: Expression): Column = ColumnBridge.toColumn(e)
-    val ops = w.windowExpressions.map(opFor)
+    val ops = w.windowExpressions.map(opFor(_, w.orderSpec.map(_.child)))
     val leading = w.orderSpec.head
 
     val df0 = DatasetBridge.ofRows(spark, w.child)
     val childCols = w.child.output.map(cb)
     val partNames = w.partitionSpec.indices.map(i => s"_gsw_p_$i")
     val bkt = "_gsw_bkt"
-    val valNames = ops.indices.map(i => s"_gsw_v_$i")
     val df = df0.select(childCols ++
       w.partitionSpec.zip(partNames).map { case (e, n) => cb(e).as(n) } ++
       Seq(bucketExpr(w.child, leading.child).as(bkt)) ++
-      ops.zip(valNames).map { case (op, n) => cb(op.value).as(n) }: _*)
+      ops.zipWithIndex.collect { case (op, i) if op.value.isDefined =>
+        cb(op.value.get).as(s"_gsw_v_$i") }: _*)
+    def valCol(i: Int): Option[Column] =
+      ops(i).value.map(_ => col(s"_gsw_v_$i"))
 
     // 1. per-(partition, bucket) partials — one map-side-combined exchange
     val keys = partNames :+ bkt
-    val partialCols = ops.zip(valNames).zipWithIndex.map {
-      case ((op, v), i) => op.agg(col(v)).as(s"_gsw_ps_$i")
+    val partialCols = ops.zipWithIndex.map {
+      case (op, i) => op.partial(valCol(i)).as(s"_gsw_ps_$i")
     }
     val partials = df.groupBy(keys.map(col): _*)
       .agg(partialCols.head, partialCols.tail: _*)
 
     // 2. offsets: prefix-scan the |buckets|-row table (bounded input — a
     // window above an Aggregate, which neither this rule nor the plan
-    // gate treats as an offender)
+    // gate treats as an offender); ntile also reads the whole-partition
+    // total off the same tiny table
     val wB = W.partitionBy(partNames.map(col): _*)
       .orderBy(sorted(col(bkt), leading))
       .rowsBetween(W.unboundedPreceding, -1)
-    val offsets = partials.select(keys.map(col) ++ ops.indices.map { i =>
-      ops(i).agg(col(s"_gsw_ps_$i")).over(wB).as(s"_gsw_off_$i")
-    }: _*)
+    val wAll = W.partitionBy(partNames.map(col): _*)
+      .orderBy(sorted(col(bkt), leading))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val offsets = partials.select(keys.map(col) ++
+      ops.indices.map { i =>
+        ops(i).scan(col(s"_gsw_ps_$i")).over(wB).as(s"_gsw_off_$i")
+      } ++
+      ops.zipWithIndex.collect { case (op, i) if op.needsTotal =>
+        op.scan(col(s"_gsw_ps_$i")).over(wAll).as(s"_gsw_tot_$i")
+      }: _*)
 
     // 3. null-safe offset join back to the rows (window partitioning
     // groups NULL keys; plain equality would drop them)
     val offR = offsets.select(keys.map(n => col(n).as(s"_gsw_k_$n")) ++
-      ops.indices.map(i => col(s"_gsw_off_$i")): _*)
+      ops.indices.map(i => col(s"_gsw_off_$i")) ++
+      ops.zipWithIndex.collect { case (op, i) if op.needsTotal =>
+        col(s"_gsw_tot_$i") }: _*)
     val joined = df.join(offR,
       keys.map(n => col(n) <=> col(s"_gsw_k_$n")).reduce(_ && _), "left")
 
     // 4. within-bucket windows at (partition, bucket) grain + merge
     val orderCols = w.orderSpec.map(so => sorted(cb(so.child), so))
     val base = W.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
-    def framed(op: Op): WindowSpec = op.frameType match {
-      case RowFrame => base.rowsBetween(W.unboundedPreceding, op.frameEnd)
-      case _ => base.rangeBetween(W.unboundedPreceding, W.currentRow)
-    }
-    val outCols = ops.zip(valNames).zipWithIndex.map { case ((op, v), i) =>
-      op.merge(col(s"_gsw_off_$i"), op.agg(col(v)).over(framed(op)))
+    val outCols = ops.zipWithIndex.map { case (op, i) =>
+      val tot = if (op.needsTotal) Some(col(s"_gsw_tot_$i")) else None
+      op.merge(col(s"_gsw_off_$i"), op.run(base, valCol(i)), tot)
         .cast(op.out.dataType).as(s"_gsw_out_$i")
     }
     val res = joined.select(childCols ++ outCols: _*)

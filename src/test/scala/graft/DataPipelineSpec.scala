@@ -1473,6 +1473,40 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(got("tiny")._3 && got("small")._3 && !got("huge")._3)
   }
 
+  test("p56: the serpentine deal balances a planted arithmetic ladder exactly") {
+    import spark.implicits._
+    // sizes 10..5 over 3 workers: pass 0 deals 10,9,8 to w0,w1,w2 and
+    // pass 1 deals 7,6,5 BACK as w2,w1,w0 — every worker lands on 15
+    val manifest = Seq(
+      (0, 1L, 10L), (1, 1L, 9L), (2, 1L, 8L),
+      (3, 1L, 7L), (4, 1L, 6L), (5, 1L, 5L))
+      .toDF("shard", "n_docs", "n_tokens")
+    val got = DataPipeline.workerPlacementFor(manifest, nWorkers = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(3), r.getInt(4), r.getLong(5), r.getLong(6)))).toMap
+    // serpentine assignment: rank→worker = 1→0, 2→1, 3→2, 4→2, 5→1, 6→0
+    assert(got(0) === ((1L, 0, 15L, 333333L)))
+    assert(got(1) === ((2L, 1, 15L, 333333L)))
+    assert(got(2) === ((3L, 2, 15L, 333333L)))
+    assert(got(3) === ((4L, 2, 15L, 333333L)))
+    assert(got(4) === ((5L, 1, 15L, 333333L)))
+    assert(got(5) === ((6L, 0, 15L, 333333L)))
+  }
+
+  test("p56: ties rank deterministically and a short last pass stays serpentine") {
+    import spark.implicits._
+    // 4 shards, 3 workers: last pass has ONE shard — it must land on
+    // worker 2 (odd pass starts from the top); equal sizes order by shard
+    val manifest = Seq((7, 1L, 4L), (3, 1L, 4L), (9, 1L, 9L), (1, 1L, 2L))
+      .toDF("shard", "n_docs", "n_tokens")
+    val got = DataPipeline.workerPlacementFor(manifest, nWorkers = 3)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+    assert(got(9) === ((1L, 0)), "largest first")
+    assert(got(3) === ((2L, 1)), "tie broken by shard id: 3 before 7")
+    assert(got(7) === ((3L, 2)))
+    assert(got(1) === ((4L, 2)), "odd pass deals from the last worker back")
+  }
+
   test("p55: unique-mass weights credit cross-source duplicates to the keeper") {
     import spark.implicits._
     // doc 1 (srcA) and doc 3 (srcB) are exact duplicates after

@@ -106,6 +106,62 @@ class RewriteLowCardWindowSpec extends AnyFunSuite {
     }
   }
 
+  test("rank and dense_rank decompose exactly across buckets (ties + null keys)") {
+    // deterministic under ties (unlike row_number), so pinnable on the
+    // tie-heavy fixture: global = previous-bucket rows/distinct-keys +
+    // the within-bucket function
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k"))
+      synth().select(col("id"), col("l_returnflag"), col("k"),
+        rank().over(w).as("r"), dense_rank().over(w).as("dr"))
+    }
+    pinned { // global ranking — the p32-curriculum shape
+      val w = Window.orderBy(col("k"), col("id"))
+      synth().select(col("id"), col("k"),
+        rank().over(w).as("r"), dense_rank().over(w).as("dr"))
+    }
+  }
+
+  test("ntile reproduces the big-buckets-first split from position + total") {
+    // 500 rows / 7 buckets: q = 71, r = 3 — the first 3 buckets carry one
+    // extra row; the total-order fixture makes ntile deterministic
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("id"))
+      synth().select(col("id"), col("l_returnflag"),
+        ntile(7).over(w).as("t7"), ntile(10).over(w).as("t10"))
+    }
+    pinned { // N < B edge: every row its own bucket (bucket = position)
+      val w = Window.orderBy(col("id"))
+      synth(5).select(col("id"), ntile(9).over(w).as("t9"))
+    }
+  }
+
+  test("percent_rank and cume_dist divide exactly decomposed longs (ties + nulls)") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k"))
+      synth().select(col("id"), col("l_returnflag"), col("k"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+    }
+    pinned { // single-row partitions: percent_rank's N = 1 → 0.0 branch
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("id"))
+      synth(3).select(col("id"), col("l_returnflag"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+    }
+  }
+
+  test("row_number over a total order decomposes exactly") {
+    pinned {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("id"))
+      synth().withColumn("rn", row_number().over(w))
+    }
+    pinned { // mixed node: rank function + running aggregate together
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("id"))
+      synth().select(col("id"), col("l_returnflag"),
+        row_number().over(w).as("rn"), sum(col("v")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)).as("s"))
+    }
+  }
+
   test("descending order (nulls last) buckets in mirrored order") {
     pinned {
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("k").desc)
