@@ -900,6 +900,10 @@ object SparkEntry {
     // size-balanced LPT surrogate, all integer off the shard aggregate
     "p56_worker_placement" -> ((s, d) =>
       graft.operators.DataPipeline.workerPlacement(t(s, d).documents)),
+    // t40: script-mixing profile — per-source script-class char counts,
+    // deterministic dominant pick, decimal-safe ppm purity
+    "t40_script_profile" -> ((s, d) =>
+      TextQueries.scriptProfile(t(s, d).documents)),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -5103,6 +5107,39 @@ object SparkEntry {
         | t.worker_tokens,
         | CAST(t.worker_tokens * 1000000 // g.tot AS BIGINT) AS worker_share_ppm
         |FROM b JOIN t ON b.worker = t.worker CROSS JOIN g""".stripMargin,
+    // t40: identical literal BMP ranges both engines (RE2-safe, the q51
+    // rule); counts via length-difference; DuckDB needs the 'g' flag
+    "t40_script_profile" ->
+      """WITH c AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS latin,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit,
+        |  CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS cyrillic,
+        |  CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT) AS cjk,
+        |  CAST(length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS BIGINT) AS arabic,
+        |  CAST(length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS greek
+        | FROM documents),
+        |s AS (SELECT source, CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(latin) AS BIGINT) AS latin, CAST(sum(digit) AS BIGINT) AS digit,
+        |  CAST(sum(cyrillic) AS BIGINT) AS cyrillic, CAST(sum(cjk) AS BIGINT) AS cjk,
+        |  CAST(sum(arabic) AS BIGINT) AS arabic, CAST(sum(greek) AS BIGINT) AS greek
+        | FROM c GROUP BY 1),
+        |t AS (SELECT *,
+        |  CAST(latin + digit + cyrillic + cjk + arabic + greek AS BIGINT) AS scripted_chars,
+        |  greatest(latin, digit, cyrillic, cjk, arabic, greek) AS top
+        | FROM s)
+        |SELECT source, n_chars, latin, digit, cyrillic, cjk, arabic, greek,
+        | scripted_chars,
+        | CASE WHEN latin > 0 AND latin = top THEN 'latin'
+        |      WHEN digit > 0 AND digit = top THEN 'digit'
+        |      WHEN cyrillic > 0 AND cyrillic = top THEN 'cyrillic'
+        |      WHEN cjk > 0 AND cjk = top THEN 'cjk'
+        |      WHEN arabic > 0 AND arabic = top THEN 'arabic'
+        |      WHEN greek > 0 AND greek = top THEN 'greek'
+        |      ELSE 'none' END AS dominant,
+        | CASE WHEN scripted_chars > 0
+        |   THEN CAST(top * 1000000 // scripted_chars AS BIGINT)
+        |   ELSE 0 END AS purity_ppm
+        |FROM t""".stripMargin,
     // q127: same one-scan conditional-sum battery + the same two
     // relational checks; counts exact, ppm integer division
     "q127_conformance" ->

@@ -1339,4 +1339,65 @@ object TextQueries {
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpeish"),
         (col("n_bpeish").cast("double") / col("n_words")).as("fertility"),
         (col("n_chars").cast("double") / col("n_bpeish")).as("chars_per_token"))
+
+  /** The t40 script classes: (name, single-char range pattern). The
+    * ranges are literal BMP codepoint ranges, valid and identical in
+    * Java regex and RE2 (the q51 RE2-safe rule), so both engines count
+    * the same characters. */
+  private val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]", "digit" -> "[0-9]",
+    "cyrillic" -> "[Ѐ-ӿ]", "cjk" -> "[一-鿿]",
+    "arabic" -> "[؀-ۿ]", "greek" -> "[Ͱ-Ͽ]")
+
+  /** t40: script-mixing profile — per-source character counts by Unicode
+    * script class (Latin, digits, Cyrillic, CJK, Arabic, Greek), the
+    * dominant script and its exact-ppm purity among scripted characters.
+    * The multilingual-ingest audit that catches script confusion a
+    * language-ID pass hides (a "ru" source that is half-transliterated,
+    * CJK spans inside an "en" crawl, digit-heavy boilerplate) — distinct
+    * from t19's encoding-noise score, which looks for BROKEN bytes, not
+    * wrong-but-valid scripts.
+    *
+    * Exactness: each class count is `length(text) −
+    * length(regexp_replace(text, class, ''))` — pure integer, no arrays;
+    * the dominant pick is a CASE over exact sums (ties resolve to the
+    * earlier class in the fixed order, both engines evaluate the same
+    * CASE); purity is decimal-safe floor ppm of the scripted total.
+    *
+    * Scale shape: the six counts are scan-local projections; ONE
+    * partial-aggregated exchange at source cardinality; the CASE and ppm
+    * run on the tiny source frame. */
+  def scriptProfile(docs: DataFrame): DataFrame = {
+    val perDoc = scriptClasses.foldLeft(
+      docs.select(col("source"), col("text"),
+        length(col("text")).cast("long").as("nc"))) {
+      case (df, (n, p)) => df.withColumn(n,
+        (col("nc") - length(regexp_replace(col("text"), p, ""))).cast("long"))
+    }
+    val sums = perDoc.groupBy(col("source"))
+      .agg(sum(col("nc")).as("n_chars"),
+        scriptClasses.map { case (n, _) => sum(col(n)).as(n) }: _*)
+    val scripted = scriptClasses.map { case (n, _) => col(n) }
+      .reduce(_ + _)
+    val top = scriptClasses.map { case (n, _) => col(n) }
+      .reduce((a, b) => greatest(a, b))
+    // foldRight nests earlier classes OUTERMOST, so a tie on `top`
+    // resolves to the first class in the declared order
+    val dominant = scriptClasses.foldRight(lit("none")) {
+      case ((n, _), rest) => when(col(n) > 0 && col(n) === top, lit(n))
+        .otherwise(rest)
+    }
+    sums
+      .withColumn("_scripted", scripted)
+      .withColumn("dominant", dominant)
+      .withColumn("purity_ppm",
+        when(col("_scripted") > 0,
+          floor(top.cast("decimal(38,0)") * 1000000 / col("_scripted"))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .select(Seq(col("source"), col("n_chars")) ++
+        scriptClasses.map { case (n, _) => col(n) } ++
+        Seq(col("_scripted").as("scripted_chars"), col("dominant"),
+          col("purity_ppm")): _*)
+  }
 }

@@ -734,6 +734,28 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("t40: script profile counts classes exactly and picks dominant deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      // mixed: 5 latin + 6 cyrillic + 2 digits + 2 spaces -> cyrillic wins
+      (1L, "hello привет 42", "en", "s0"),
+      // tie: 3 latin vs 3 greek -> earlier class (latin) wins the tie
+      (2L, "abcαβγ", "en", "s1"),
+      // no scripted chars at all -> dominant 'none', purity 0
+      (3L, "!!! ???", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextQueries.scriptProfile(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s0 = got("s0")
+    assert(s0.getLong(1) === 15L, "n_chars counts codepoints")
+    assert(s0.getLong(2) === 5L && s0.getLong(3) === 2L
+      && s0.getLong(4) === 6L, "latin/digit/cyrillic exact")
+    assert(s0.getLong(8) === 13L && s0.getString(9) === "cyrillic")
+    assert(s0.getLong(10) === 6L * 1000000L / 13L, "floor ppm purity")
+    assert(got("s1").getString(9) === "latin", "ties resolve to the earlier class")
+    assert(got("s2").getString(9) === "none" && got("s2").getLong(10) === 0L)
+  }
+
   test("t39: fertility aggregates the t01 primitives per language exactly") {
     import spark.implicits._
     // en: "hello world" -> 2 words, 2 bpeish, 11 chars
