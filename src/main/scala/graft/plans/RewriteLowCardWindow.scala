@@ -86,7 +86,15 @@ import org.apache.spark.sql.types._
   * (NDV(partition) × #buckets) rows; stages 2-4 never move the fact table
   * again except the offset join, which AQE turns into a broadcast when
   * the bucket table is small (the normal case) and otherwise executes as
-  * a scale-safe shuffled join on (partition, bucket).
+  * a scale-safe shuffled join on (partition, bucket). Measured (round
+  * 10, local[32], 50M-row global running sum, 3-rep medians): rewritten
+  * 11.7 s vs naive 30.3 s — 2.6× even single-node, where the naive
+  * single reducer still gets a whole machine's memory bandwidth; on a
+  * cluster the naive form caps at ONE task regardless of executors while
+  * the rewrite scales with #buckets. Crossover: below ~1M rows per
+  * partition value the naive window's single sort beats the rewrite's
+  * ~3-job fixed overhead (measured ~0.5-1 s at sf0.1, e.g. p47) — the
+  * rewrite buys the ceiling's removal, not small-input latency.
   *
   * The reference (Qihoo360/XLearning) ships no analytic engine at all
   * (ref `doc/README.md`) — this guarantee is new engine capability in the
