@@ -215,7 +215,7 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
   private def eligible(w: LWindow): Boolean =
     w.hint.isEmpty &&
       w.orderSpec.nonEmpty &&
-      w.orderSpec.head.child.deterministic &&
+      w.orderSpec.forall(_.child.deterministic) &&
       bucketableType(w.orderSpec.head.child.dataType) &&
       w.windowExpressions.nonEmpty &&
       w.windowExpressions.forall(supportedWinExpr) &&
@@ -363,7 +363,16 @@ object RewriteLowCardWindow extends Rule[LogicalPlan] {
     val c = ColumnBridge.toColumn(k)
     k.dataType match {
       case DateType => c
-      case TimestampType | TimestampNTZType => c.cast(DateType)
+      // epoch-second UTC days: cast-to-date would depend on the SESSION
+      // time zone, and a zone whose DST fall-back crosses midnight makes
+      // instant→local-date non-monotone; epoch seconds are TZ-free
+      case TimestampType =>
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.unix_timestamp(c)
+            .cast(DoubleType) / 86400d)
+      // NTZ is a wall clock — truncating it to its date is monotone by
+      // construction, no zone involved
+      case TimestampNTZType => c.cast(DateType)
       case ByteType | ShortType | IntegerType | LongType =>
         val statsDiv = k match {
           case a: Attribute => child.stats.attributeStats.toSeq.collectFirst {
