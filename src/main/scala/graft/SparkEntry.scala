@@ -876,6 +876,9 @@ object SparkEntry {
     // q131: customer-value Gini + top-decile share — bucket-parallel
     // global rank, decimal(38,0) accumulation, d02 single divisions
     "q131_customer_gini" -> ((s, d) => Relational6.q131CustomerGini(t(s, d))),
+    // q132: the stats-routed window — ANALYZE'd catalog table + CBO NDV
+    // stats trigger the scan-window rewrite on a NON-hardcoded key
+    "q132_stats_window" -> ((s, d) => Relational6.q132StatsWindow(s, d)),
     // p53: mixture diversity — effective source count exp(H) off the
     // 6-dp p08 weights; exp derives from the ROUNDED entropy
     "p53_mixture_diversity" -> ((s, d) =>
@@ -4836,6 +4839,13 @@ object SparkEntry {
         | CAST(sum(CASE WHEN rnk > n - n // 10 THEN cents ELSE 0 END) * 1000000
         |   // sum(cents) AS BIGINT) AS top_decile_ppm
         |FROM r, n GROUP BY n""".stripMargin,
+    // q132: plain running window — the Spark side auto-rewrites via the
+    // catalog-stats trigger, DuckDB computes it naively; exact long sums
+    "q132_stats_window" ->
+      """SELECT doc_id, source,
+        | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+        |   AS BIGINT) AS run_chars
+        |FROM documents""".stripMargin,
     // p53: same 6-dp weights, same guarded −w·ln w terms, entropy rounded
     // once, exp off the rounded entropy
     "p53_mixture_diversity" ->
@@ -5033,9 +5043,13 @@ object SparkEntry {
         |    AS alloc_tokens
         | FROM h)
         |SELECT source, n_tokens, alloc_tokens, capped,
-        | alloc_tokens // n_tokens AS full_epochs,
-        | alloc_tokens % n_tokens AS tail_tokens,
-        | (alloc_tokens % n_tokens) * 1000000 // n_tokens AS tail_rate_ppm
+        | CASE WHEN n_tokens > 0 THEN alloc_tokens // n_tokens
+        |   ELSE 0 END AS full_epochs,
+        | CASE WHEN n_tokens > 0 THEN alloc_tokens % n_tokens
+        |   ELSE 0 END AS tail_tokens,
+        | CASE WHEN n_tokens > 0
+        |   THEN (alloc_tokens % n_tokens) * 1000000 // n_tokens
+        |   ELSE 0 END AS tail_rate_ppm
         |FROM alloc""".stripMargin,
     // p55: d01 keeper credit (global min doc_id per fingerprint), p08
     // 6-dp weights on raw vs unique mass, decimal-safe ppm dup share

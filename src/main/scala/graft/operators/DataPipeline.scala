@@ -569,12 +569,20 @@ object DataPipeline {
     * source cardinality, then plan arithmetic on the tiny source frame. */
   def samplingPlan(docs: DataFrame, alpha: Double = 0.5,
                    budget: Long = 300000L, maxEpochs: Int = 4): DataFrame =
+    // a source whose documents all tokenize to zero (n_tokens = 0 ⇒
+    // alloc = 0) gets the empty plan, not a null/÷0: zero epochs, zero
+    // tail — guarded identically in the oracle SQL
     unimaxWaterfill(docs, alpha, budget, maxEpochs)
-      .withColumn("full_epochs", expr("alloc_tokens div n_tokens"))
-      .withColumn("tail_tokens", expr("alloc_tokens % n_tokens"))
+      .withColumn("full_epochs",
+        when(col("n_tokens") > 0, expr("alloc_tokens div n_tokens"))
+          .otherwise(lit(0L)))
+      .withColumn("tail_tokens",
+        when(col("n_tokens") > 0, expr("alloc_tokens % n_tokens"))
+          .otherwise(lit(0L)))
       .withColumn("tail_rate_ppm",
-        floor(col("tail_tokens").cast("decimal(38,0)") * 1000000
-          / col("n_tokens")).cast("long"))
+        when(col("n_tokens") > 0,
+          floor(col("tail_tokens").cast("decimal(38,0)") * 1000000
+            / col("n_tokens")).cast("long")).otherwise(lit(0L)))
       .select(col("source"), col("n_tokens"), col("alloc_tokens"),
         col("capped"), col("full_epochs"), col("tail_tokens"),
         col("tail_rate_ppm"))

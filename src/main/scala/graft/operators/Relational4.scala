@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fourth tranche of the relational surface (SURVEY.md §2.3): the regexp
@@ -247,29 +248,34 @@ object Relational4 {
     * count(v) OVER (…PRECEDING…), and max(v) within that group IS the
     * fill — spelled out in the oracle SQL.
     *
-    * Scale form (round 9): the priority key has 5 values, so naive
+    * Scale form (round 11): the priority key has 5 values, so naive
     * `last(…, ignoreNulls)` windows would serialize the fill onto ≤5
-    * reducers. Both fills run through [[ScanWindows.lastNonNull]] — the
-    * LOCF instantiation of the two-level prefix scan: the running MAX of
-    * struct(orderkey, v) over non-null rows carries the latest value at
-    * orderkey-bucket parallelism (fill-up is the same scan over the
-    * negated key), bit-identical to the naive window by the null-skipping
-    * max/greatest algebra (ScanWindowsSpec). */
+    * reducers AT SCALE — and since round 11 the ENGINE owns that
+    * property: [[graft.plans.RewriteLowCardWindow]] rewrites
+    * `last(ignoreNulls)` trailing windows into the two-level
+    * (order-key, value)-struct scan whenever the input is not provably
+    * below the crossover, so the query is written in the plain window
+    * form a user would write (the round-9 hand-routing through
+    * [[ScanWindows.lastNonNull]] is retired here; the primitive remains
+    * for direct callers). Fill-up is the same trailing scan over the
+    * negated key. At test SF the input is provably small and the naive
+    * single-sort window (which wins there) runs as-is; the plan gate
+    * accepts exactly that bypass class (PlanLint). */
   def q63GapFill(t: Tables): DataFrame = {
     val v = when(col("o_orderkey") % 3 === 0, lit(null))
       .otherwise(col("o_totalprice"))
-    val base = t.orders
+    val wDown = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wUp = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(-col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
       .select(col("o_orderkey"), col("o_orderpriority"), v.as("v"))
-      .withColumn("okbkt", expr("o_orderkey div 16384"))
-      .withColumn("negk", -col("o_orderkey"))
-      .withColumn("negbkt", expr("negk div 16384"))
-    val down = ScanWindows.lastNonNull(base, Seq("o_orderpriority"), "okbkt",
-      "o_orderkey", "v", "fill_down")
-    ScanWindows.lastNonNull(down, Seq("o_orderpriority"), "negbkt",
-      "negk", "v", "fill_up")
+      .withColumn("fill_down", last(col("v"), ignoreNulls = true).over(wDown))
+      .withColumn("fill_up", last(col("v"), ignoreNulls = true).over(wUp))
       .withColumn("filled",
         coalesce(col("v"), col("fill_down"), col("fill_up")))
-      .drop("okbkt", "negk", "negbkt")
   }
 
   /** q64: ordered string aggregation — the deterministic LISTAGG surface:
@@ -302,25 +308,28 @@ object Relational4 {
     * the q63 running-count frames, and join back on rn. Values are
     * untouched doubles — hash-checked unrounded.
     *
-    * Scale form (round 9): lag/lead IGNORE NULLS at offset 1 ARE the
-    * strictly-before/strictly-after non-null lookups, so both run through
-    * [[ScanWindows.lastNonNull]] with frameEnd = −1 (q63's LOCF scan with
-    * the current row excluded; the lead is the same scan over the negated
-    * key) — orderkey-bucket parallelism instead of the 5-value priority
-    * key, bit-identical by the null-skipping max algebra. */
+    * Scale form (round 11): written as the plain `lag(v, 1, null,
+    * ignoreNulls = true)` a user would write — since round 11
+    * [[graft.plans.RewriteLowCardWindow]] owns this shape too (the
+    * IGNORE-NULLS lag IS the strictly-before last-non-null scan, the
+    * lead its mirror over the negated key), rewriting it into the
+    * two-level struct scan whenever the input is not provably below the
+    * crossover. At test SF the provably-small bypass keeps the naive
+    * window, which wins there; the round-9 hand-routing through
+    * [[ScanWindows.lastNonNull]] is retired. */
   def q67NavIgnoreNulls(t: Tables): DataFrame = {
     val v = when(col("o_orderkey") % 3 === 0, lit(null))
       .otherwise(col("o_totalprice"))
-    val base = t.orders
+    val wPrev = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+    val wNext = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(-col("o_orderkey"))
+    t.orders
       .select(col("o_orderkey"), col("o_orderpriority"), v.as("v"))
-      .withColumn("okbkt", expr("o_orderkey div 16384"))
-      .withColumn("negk", -col("o_orderkey"))
-      .withColumn("negbkt", expr("negk div 16384"))
-    val p = ScanWindows.lastNonNull(base, Seq("o_orderpriority"), "okbkt",
-      "o_orderkey", "v", "prev_nn", frameEnd = -1)
-    ScanWindows.lastNonNull(p, Seq("o_orderpriority"), "negbkt",
-      "negk", "v", "next_nn", frameEnd = -1)
-      .drop("okbkt", "negk", "negbkt")
+      .withColumn("prev_nn",
+        lag(col("v"), 1, null, ignoreNulls = true).over(wPrev))
+      .withColumn("next_nn",
+        lag(col("v"), 1, null, ignoreNulls = true).over(wNext))
   }
 
   /** q58: the approximate-sketch aggregates — HLL++ distinct counting

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, ScalaUDF}
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, ScalaUDF}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan, Window => LWindow}
 
 /** Scale-shape lint over optimized plans — the engine's plan gates as a
@@ -56,7 +56,11 @@ object PlanLint {
       val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
       val suspect = parts.isEmpty ||
         parts.subsetOf(RewriteLowCardWindow.lowCardKeys)
-      if (suspect && !aggregateBounded(w.child))
+      // a window the rewrite left naive ONLY because the input is provably
+      // below the crossover is scale-safe: the same query over production
+      // stats stops being provably small and the rule fires — lint-clean
+      if (suspect && !aggregateBounded(w.child) &&
+          !RewriteLowCardWindow.smallInputBypassed(w))
         Some(Finding("low-card-window",
           s"window over [${parts.mkString(",")}] with unbounded input"))
       else None
@@ -64,8 +68,11 @@ object PlanLint {
 
   def unboundedNonEquiJoins(plan: LogicalPlan): Seq[Finding] =
     plan.collect { case j: Join => j }.flatMap { j =>
+      // null-safe <=> plans as a shuffled equi join too (ScanWindows'
+      // offset joins emit it) — both count as equality conjuncts
       val hasEqui = j.condition.exists(c =>
-        c.collectFirst { case _: EqualTo => () }.nonEmpty)
+        c.collectFirst { case _: EqualTo => (); case _: EqualNullSafe => () }
+          .nonEmpty)
       if (!hasEqui && !j.children.exists(joinSideBounded))
         Some(Finding("non-equi-join",
           s"${j.joinType} join with no equality and two unbounded sides"))
@@ -74,7 +81,7 @@ object PlanLint {
 
   def scalaUdfs(plan: LogicalPlan): Seq[Finding] = {
     val n = plan.collect { case p =>
-      p.expressions.map(e => e.collectFirst { case _: ScalaUDF => () }.size).sum
+      p.expressions.map(e => e.collect { case u: ScalaUDF => u }.size).sum
     }.sum
     if (n > 0) Seq(Finding("scala-udf", s"$n ScalaUDF call(s)")) else Nil
   }

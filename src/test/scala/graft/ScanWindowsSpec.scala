@@ -184,11 +184,37 @@ class ScanWindowsSpec extends AnyFunSuite {
   test("q74: heavy windows are bucket-keyed (daybkt), never flag-only") {
     heavyWindowsBucketKeyed("q74_window_median", Set("daybkt"))
   }
-  test("q63: heavy windows are bucket-keyed (okbkt/negbkt), never priority-only") {
-    heavyWindowsBucketKeyed("q63_gap_fill", Set("okbkt", "negbkt"))
+  test("q63/q67: nav windows rewrite ENGINE-side past the crossover (round 11)") {
+    // round 11 retired the hand-routing: both queries are plain
+    // last/lag(ignoreNulls) windows, and RewriteLowCardWindow owns the
+    // scale shape. With the provably-small bypass off (the 100 TB stand-in
+    // — production inputs are not provably small), the optimized plan
+    // must contain ONLY _gsw_-bucket-keyed or bounded windows
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val k = graft.plans.RewriteLowCardWindow.minChildBytesKey
+    spark.conf.set(k, "0")
+    try for (q <- Seq("q63_gap_fill", "q67_nav_ignore_nulls")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val naive = plan.collect {
+        case w: LWindow if !w.partitionSpec.flatMap(_.references.map(_.name))
+          .contains("_gsw_bkt") &&
+          !graft.plans.RewriteLowCardWindow.boundedBelow(w.child) => w
+      }
+      assert(naive.isEmpty, s"$q: naive nav window survived, bypass off:\n$naive")
+      assert(plan.collect { case w: LWindow => w }.exists(
+        _.partitionSpec.flatMap(_.references.map(_.name)).contains("_gsw_bkt")),
+        s"$q: expected the two-level _gsw_bkt windows in the plan")
+    } finally spark.conf.unset(k)
   }
-  test("q67: heavy windows are bucket-keyed (okbkt/negbkt), never priority-only") {
-    heavyWindowsBucketKeyed("q67_nav_ignore_nulls", Set("okbkt", "negbkt"))
+  test("q63/q67: at test SF the crossover bypass keeps the naive window, lint-clean") {
+    // below the crossover the naive single sort WINS (round-10 p47
+    // finding); the lint accepts exactly this bypass class because the
+    // same plan over production-sized stats rewrites
+    for (q <- Seq("q63_gap_fill", "q67_nav_ignore_nulls")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      assert(graft.plans.PlanLint.lowCardWindows(
+        df.queryExecution.optimizedPlan).isEmpty, s"$q: lint flagged the bypass")
+    }
   }
   test("q123: the global running sum is bucket-keyed (negbkt), never single-partition") {
     heavyWindowsBucketKeyed("q123_pareto_class", Set("negbkt"))
@@ -246,14 +272,17 @@ class ScanWindowsSpec extends AnyFunSuite {
     // dogfoods PlanLint.lowCardWindows, whose trigger set IS the rewrite
     // rule's set (one source of truth): any window the lint would flag on
     // these keys is auto-rewritten by RewriteLowCardWindow when its shape
-    // is supported, and flagged here when it is not (rank functions, fp
-    // sums, value-offset frames).
-    // round 10: the declared-exception set is EMPTY — RewriteLowCardWindow
-    // now rewrites p32's global ntile (curriculum phase split) and p47's
-    // global (md5, id) row_number (exact-rank admission) into the
-    // two-level scan, so every registered plan is gate-clean with no
-    // exceptions; results are unchanged (the rule is spec-pinned ≡ naive),
-    // so p47's auditable-order contract holds distributed.
+    // is supported, and flagged here when it is not (fp sums,
+    // value-offset frames, lead/nth_value).
+    // round 10: the declared-exception set is EMPTY — the rule covers the
+    // rank family (p32's global ntile, p47's global row_number) and since
+    // round 11 the nav family (q63/q67's last/lag IGNORE NULLS) too.
+    // round 11: at this test SF most eligible windows take the
+    // provably-small crossover bypass (the naive sort WINS below ~1M
+    // rows/partition value — the round-10 p47 regression); the lint
+    // accepts exactly that class because the same plan over
+    // production-sized stats rewrites (RewriteLowCardWindowSpec pins
+    // both sides of the crossover).
     val declared = Set.empty[String]
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, _) if declared(name) => Nil
