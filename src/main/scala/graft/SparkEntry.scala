@@ -907,6 +907,14 @@ object SparkEntry {
     // deterministic dominant pick, decimal-safe ppm purity
     "t40_script_profile" -> ((s, d) =>
       TextQueries.scriptProfile(t(s, d).documents)),
+    // p57: RAG chunk manifest — scan-local sequence/explode windows,
+    // md5 chunk identity, dup counts off one high-card hash exchange
+    "p57_chunk_windows" -> ((s, d) =>
+      graft.operators.DataPipeline.chunkWindows(t(s, d).documents)),
+    // t41: markup-structure profile — literal-marker counts per source,
+    // exact under non-overlapping replace; floor-ppm densities
+    "t41_structure_profile" -> ((s, d) =>
+      TextQueries.structureProfile(t(s, d).documents)),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -5154,6 +5162,48 @@ object SparkEntry {
         |   THEN CAST(top * 1000000 // scripted_chars AS BIGINT)
         |   ELSE 0 END AS purity_ppm
         |FROM t""".stripMargin,
+    // p57: same stride-window chunk rule replayed with generate_series +
+    // substring; md5 over identical code-point substrings, window dup
+    // count on the hash
+    "p57_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  greatest(CAST(length(text) AS BIGINT), 1) AS nc FROM documents),
+        |x AS (SELECT doc_id, text,
+        |  unnest(generate_series(CAST(0 AS BIGINT), (nc - 1) // 600)) AS i
+        | FROM d),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 600 + 1 AS BIGINT) AS chunk_start,
+        |  substring(text, CAST(i * 600 + 1 AS INT), 800) AS ch FROM x)
+        |SELECT doc_id, chunk_idx, chunk_start,
+        | CAST(length(ch) AS BIGINT) AS chunk_len, md5(ch) AS chunk_hash,
+        | CAST(count(*) OVER (PARTITION BY md5(ch)) AS BIGINT) AS hash_dups
+        |FROM c""".stripMargin,
+    // t41: identical literal markers, counts by length difference under
+    // non-overlapping replace (divided by marker length), floor-ppm
+    "t41_structure_profile" ->
+      """WITH c AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+        |  CAST((length(text) - length(replace(text, 'http', ''))) // 4 AS BIGINT) AS links,
+        |  CAST(length(text) - length(replace(text, '<', '')) AS BIGINT) AS tags,
+        |  CAST(length(text) - length(replace(text, '|', '')) AS BIGINT) AS pipes,
+        |  CAST((length(text) - length(replace(text, chr(10) || '#', ''))) // 2 AS BIGINT) AS headings,
+        |  CAST((length(text) - length(replace(text, chr(10) || '- ', ''))) // 3 AS BIGINT) AS bullets,
+        |  CAST((length(text) - length(replace(text, chr(10) || chr(10), ''))) // 2 AS BIGINT) AS paragraphs
+        | FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(links) AS BIGINT) AS links, CAST(sum(tags) AS BIGINT) AS tags,
+        |  CAST(sum(pipes) AS BIGINT) AS pipes, CAST(sum(headings) AS BIGINT) AS headings,
+        |  CAST(sum(bullets) AS BIGINT) AS bullets, CAST(sum(paragraphs) AS BIGINT) AS paragraphs
+        | FROM c GROUP BY 1)
+        |SELECT source, n_docs, n_chars, links, tags, pipes, headings,
+        | bullets, paragraphs,
+        | CAST(CASE WHEN n_chars > 0 THEN links * 1000000 // n_chars ELSE 0 END AS BIGINT) AS links_ppm,
+        | CAST(CASE WHEN n_chars > 0 THEN tags * 1000000 // n_chars ELSE 0 END AS BIGINT) AS tags_ppm,
+        | CAST(CASE WHEN n_chars > 0 THEN pipes * 1000000 // n_chars ELSE 0 END AS BIGINT) AS pipes_ppm,
+        | CAST(CASE WHEN n_chars > 0 THEN headings * 1000000 // n_chars ELSE 0 END AS BIGINT) AS headings_ppm,
+        | CAST(CASE WHEN n_chars > 0 THEN bullets * 1000000 // n_chars ELSE 0 END AS BIGINT) AS bullets_ppm,
+        | CAST(CASE WHEN n_chars > 0 THEN paragraphs * 1000000 // n_chars ELSE 0 END AS BIGINT) AS paragraphs_ppm
+        |FROM s""".stripMargin,
     // q127: same one-scan conditional-sum battery + the same two
     // relational checks; counts exact, ppm integer division
     "q127_conformance" ->

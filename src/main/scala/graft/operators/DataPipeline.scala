@@ -1956,4 +1956,47 @@ object DataPipeline {
         Window.orderBy(col("batch"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  /** p57: retrieval chunk manifest — split every document into fixed-width
+    * character windows with a fixed stride (width > stride ⇒ overlapping
+    * chunks, the standard RAG chunking rule), and annotate each chunk with
+    * its corpus-wide duplicate count so the downstream embedder can skip
+    * re-encoding repeated chunks. The reference streams whole records into
+    * training processes and leaves any sub-document windowing to user code
+    * (`container/HboxContainer.java:1142-1209`); here the chunker is a
+    * first-class operator the retrieval indexer and the chunk-level dedup
+    * both read.
+    *
+    * Chunk rule: starts at 1 + i·stride (1-based, code points) for every
+    * i ≥ 0 with start ≤ max(length, 1) — so an empty document still yields
+    * exactly one empty chunk and every non-empty suffix shorter than the
+    * stride still gets covered by the last window. Chunk identity is
+    * md5(chunk text) — byte-identical across engines since both hash the
+    * UTF-8 encoding of the same code-point substring.
+    *
+    * Scale shape: the explode is scan-local (sequence + explode inside one
+    * projection — no shuffle, no driver loop); the only exchange is the
+    * duplicate-count window partitioned by chunk_hash, a HIGH-cardinality
+    * key (32-hex md5), so partitions stay tiny and skew-free at any corpus
+    * size. Chunk text itself is NOT in the output — the manifest carries
+    * offsets + hash only, so output bytes stay O(chunks), not O(corpus). */
+  def chunkWindows(docs: DataFrame, width: Int = 800,
+                   stride: Int = 600): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val chunks = docs
+      .select(col("doc_id"), col("text"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("_nc"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(_nc - 1) div $stride"))))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).as("chunk_start"),
+        expr(s"substring(text, cast(chunk_idx * $stride + 1 as int), $width)")
+          .as("_ch"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        length(col("_ch")).cast("long").as("chunk_len"),
+        md5(col("_ch")).as("chunk_hash"))
+    chunks.withColumn("hash_dups",
+      count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+  }
 }

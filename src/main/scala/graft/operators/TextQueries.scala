@@ -1400,4 +1400,54 @@ object TextQueries {
         Seq(col("_scripted").as("scripted_chars"), col("dominant"),
           col("purity_ppm")): _*)
   }
+
+  /** The t41 structural markers: literal substrings whose occurrence
+    * counts profile how "marked up" a source's text is. Literals (not
+    * regexes) so both engines count with the same primitive — length
+    * difference under non-overlapping left-to-right replace — and the
+    * count is exact by construction. Multi-char markers divide by the
+    * marker length. */
+  private val structureMarkers: Seq[(String, String)] = Seq(
+    "links" -> "http",       // URL mentions (http + https)
+    "tags" -> "<",           // HTML/XML tag opens
+    "pipes" -> "|",          // table cells
+    "headings" -> "\n#",     // markdown heading starts
+    "bullets" -> "\n- ",     // markdown list items
+    "paragraphs" -> "\n\n")  // blank-line paragraph breaks
+
+  /** t41: markup-structure profile — per source, exact occurrence counts
+    * of the six structural markers and their floor-ppm density per
+    * character. Distinct from t18 (cross-document boilerplate k-grams)
+    * and t25 (code-symbol classification): t41 answers "how much of this
+    * source is links / tables / markdown scaffolding vs running prose",
+    * the signal a curation policy uses to route a source to an HTML
+    * stripper or a table-aware extractor before tokenization.
+    *
+    * Exactness: counts are (len − len(replace(text, m, ''))) / len(m) —
+    * both engines implement replace as a non-overlapping left-to-right
+    * scan, so overlapping candidates ("\n\n\n" → one "\n\n") resolve
+    * identically; densities are decimal-safe floor ppm (the p52 rule).
+    *
+    * Scale shape: marker counting is scan-local column arithmetic inside
+    * whole-stage codegen; ONE partial-aggregated exchange on source ends
+    * the plan. Nothing grows with corpus size but the scan. */
+  def structureProfile(docs: DataFrame): DataFrame = {
+    val perDoc = structureMarkers.foldLeft(
+      docs.select(col("source"), col("text"),
+        length(col("text")).cast("long").as("nc"))) {
+      case (df, (n, m)) => df.withColumn(n,
+        ((col("nc") - length(replace(col("text"), lit(m), lit("")))) /
+          m.length).cast("long"))
+    }
+    val sums = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("nc")).as("n_chars") +:
+          structureMarkers.map { case (n, _) => sum(col(n)).as(n) }): _*)
+    structureMarkers.foldLeft(sums) { case (df, (n, _)) =>
+      df.withColumn(s"${n}_ppm",
+        when(col("n_chars") > 0,
+          floor(col(n).cast("decimal(38,0)") * 1000000 / col("n_chars"))
+            .cast("long")).otherwise(lit(0L)))
+    }
+  }
 }

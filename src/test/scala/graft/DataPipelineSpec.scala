@@ -1507,6 +1507,44 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(got(1) === ((4L, 2)), "odd pass deals from the last worker back")
   }
 
+  test("p57: the stride-window chunk rule covers every planted length class") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 1500), // starts 1, 601, 1201 -> lens 800, 800, 300
+      (2L, ""),         // empty doc -> exactly one empty chunk
+      (3L, "y" * 600),  // fits one window -> one chunk, len 600
+      (4L, "z" * 601))  // one char past the stride -> overlap tail chunk
+      .toDF("doc_id", "text")
+    val got = DataPipeline.chunkWindows(docs, width = 800, stride = 600)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got.keySet === Set((1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L), (3L, 0L), (4L, 0L), (4L, 1L)))
+    assert(got((1L, 0L))._1 === 1L && got((1L, 0L))._2 === 800L)
+    assert(got((1L, 1L))._1 === 601L && got((1L, 1L))._2 === 800L)
+    assert(got((1L, 2L))._1 === 1201L && got((1L, 2L))._2 === 300L)
+    assert(got((2L, 0L))._2 === 0L, "empty doc still manifests one chunk")
+    assert(got((3L, 0L))._2 === 600L)
+    assert(got((4L, 0L))._2 === 601L && got((4L, 1L))._2 === 1L)
+    // same-content chunks hash identically: doc 1's two full windows are
+    // both 800 x's
+    assert(got((1L, 0L))._3 === got((1L, 1L))._3)
+  }
+
+  test("p57: hash_dups counts corpus-wide duplicate chunks across documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared paragraph body"),
+      (2L, "shared paragraph body"), // exact duplicate of doc 1
+      (3L, "something else"))
+      .toDF("doc_id", "text")
+    val got = DataPipeline.chunkWindows(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(got(1L) === 2L && got(2L) === 2L, "duplicate chunk seen twice")
+    assert(got(3L) === 1L)
+  }
+
   test("p55: unique-mass weights credit cross-source duplicates to the keeper") {
     import spark.implicits._
     // doc 1 (srcA) and doc 3 (srcB) are exact duplicates after

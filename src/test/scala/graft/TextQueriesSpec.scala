@@ -776,4 +776,34 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(de.getLong(2) === 1L && de.getDouble(4) === 1.0
       && de.getDouble(5) === 4.0)
   }
+
+  test("t41: structural marker counts match a hand-counted markdown doc") {
+    import spark.implicits._
+    val md = "intro\n# Title\n\nsee http://x and https://y" +
+      "\n- item one\n- item two\n|a|b|\n<b>x</b>"
+    val docs = Seq((1L, md, "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    val r = TextQueries.structureProfile(docs).collect()
+      .map(x => x.getString(0) -> x).toMap.apply("s0")
+    val nc = md.length.toLong
+    assert(r.getLong(1) === 1L && r.getLong(2) === nc)
+    assert(r.getLong(3) === 2L, "links: http + https")
+    assert(r.getLong(4) === 2L, "tags: <b> and </b>")
+    assert(r.getLong(5) === 3L, "pipes in |a|b|")
+    assert(r.getLong(6) === 1L, "one newline-heading")
+    assert(r.getLong(7) === 2L, "two bullets")
+    assert(r.getLong(8) === 1L, "one paragraph break")
+    assert(r.getLong(9) === 2L * 1000000L / nc, "floor ppm density")
+  }
+
+  test("t41: overlapping paragraph candidates count non-overlapping (\\n\\n\\n is ONE)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\n\n\nb", "en", "s0"),   // one non-overlapping \n\n match
+      (2L, "a\n\n\n\nb", "en", "s1")) // exactly two
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextQueries.structureProfile(docs).collect()
+      .map(x => x.getString(0) -> x.getLong(8)).toMap
+    assert(got("s0") === 1L)
+    assert(got("s1") === 2L)
+  }
 }
