@@ -33,4 +33,10 @@ class SurfaceSmokeSpec extends AnyFunSuite {
   test("entry (flagship) returns rows on the driver testdata") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("the scaling harness subset names only registered queries") {
+    val missing = Scaling.subset.map(_._1).filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty,
+      s"Scaling.subset references unregistered queries: $missing")
+  }
 }
