@@ -915,6 +915,15 @@ object SparkEntry {
     // exact under non-overlapping replace; floor-ppm densities
     "t41_structure_profile" -> ((s, d) =>
       TextQueries.structureProfile(t(s, d).documents)),
+    // p58: batch-incremental chunk-census maintenance — batch chunked
+    // alone, standing census probed by a broadcast join (never shuffled)
+    "p58_incremental_chunks" -> ((s, d) => {
+      val docs = t(s, d).documents
+      graft.operators.DataPipeline.incrementalChunkCensus(
+        graft.operators.DataPipeline.chunkCensus(
+          docs.where(col("doc_id") % 7 =!= 0)),
+        docs.where(col("doc_id") % 7 === 0))
+    }),
     // q103: bidirectional nearest-event join — two RANGE-frame passes
     // over one user sort, no join; exact epoch-us long diffs
     "q103_nearest_event"  -> ((s, d) => Temporal.q103NearestEvent(t(s, d))),
@@ -5204,6 +5213,27 @@ object SparkEntry {
         | CAST(CASE WHEN n_chars > 0 THEN bullets * 1000000 // n_chars ELSE 0 END AS BIGINT) AS bullets_ppm,
         | CAST(CASE WHEN n_chars > 0 THEN paragraphs * 1000000 // n_chars ELSE 0 END AS BIGINT) AS paragraphs_ppm
         |FROM s""".stripMargin,
+    // p58: full recompute from scratch — the merged census must equal a
+    // rebuild on the union, restricted to batch-touched hashes
+    "p58_incremental_chunks" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  greatest(CAST(length(text) AS BIGINT), 1) AS nc FROM documents),
+        |x AS (SELECT doc_id, text,
+        |  unnest(generate_series(CAST(0 AS BIGINT), (nc - 1) // 600)) AS i
+        | FROM d),
+        |c AS (SELECT doc_id,
+        |  md5(substring(text, CAST(i * 600 + 1 AS INT), 800)) AS chunk_hash
+        | FROM x),
+        |stand AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n
+        | FROM c WHERE doc_id % 7 <> 0 GROUP BY 1),
+        |batch AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n
+        | FROM c WHERE doc_id % 7 = 0 GROUP BY 1)
+        |SELECT b.chunk_hash,
+        | CAST(coalesce(s.n, 0) AS BIGINT) AS old_count,
+        | b.n AS add_count,
+        | CAST(coalesce(s.n, 0) + b.n AS BIGINT) AS new_count,
+        | CASE WHEN s.n IS NULL THEN 'new' ELSE 'grown' END AS status
+        |FROM batch b LEFT JOIN stand s USING (chunk_hash)""".stripMargin,
     // q127: same one-scan conditional-sum battery + the same two
     // relational checks; counts exact, ppm integer division
     "q127_conformance" ->

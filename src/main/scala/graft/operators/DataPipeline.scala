@@ -1984,7 +1984,15 @@ object DataPipeline {
                    stride: Int = 600): DataFrame = {
     require(width > 0 && stride > 0 && stride <= width,
       s"need 0 < stride <= width, got width=$width stride=$stride")
-    val chunks = docs
+    val chunks = chunksOf(docs, width, stride)
+    chunks.withColumn("hash_dups",
+      count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+  }
+
+  /** The p57 chunk rows without the duplicate-count window (shared by
+    * p57 and the p58 census maintenance). */
+  private def chunksOf(docs: DataFrame, width: Int, stride: Int): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         greatest(length(col("text")).cast("long"), lit(1L)).as("_nc"))
       .withColumn("chunk_idx",
@@ -1996,7 +2004,46 @@ object DataPipeline {
       .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
         length(col("_ch")).cast("long").as("chunk_len"),
         md5(col("_ch")).as("chunk_hash"))
-    chunks.withColumn("hash_dups",
-      count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+
+  /** The durable per-hash chunk census p58 maintains: chunk_hash →
+    * occurrence count. One partial-aggregated exchange on the high-card
+    * hash; at scale this is a bucketed table written once and updated
+    * per batch via [[incrementalChunkCensus]]. */
+  def chunkCensus(docs: DataFrame, width: Int = 800,
+                  stride: Int = 600): DataFrame =
+    chunksOf(docs, width, stride)
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("n_chunks"))
+
+  /** p58: incremental chunk-census maintenance — update p57's duplicate
+    * census from a document batch WITHOUT re-chunking the standing
+    * corpus: the batch is chunked and aggregated alone (cost ∝ batch),
+    * then probes the standing census. Output is one row per hash the
+    * batch TOUCHES: the standing count (0 for unseen), the batch's
+    * addition, the merged count, and whether the hash is `new` to the
+    * corpus or `grown` — the signal the retrieval embedder reads to skip
+    * re-encoding, and the d08/p41/p45 incremental pattern applied to the
+    * chunk grain.
+    *
+    * Scale shape: batch chunking + aggregation are batch-sized; the merge
+    * broadcasts the batch census (batches are small by definition) so the
+    * standing census — the 100 TB side — is PROBED by a broadcast hash
+    * join, never shuffled; with the census stored bucketed by hash the
+    * probe prunes to matching buckets. Counts merge additively, so the
+    * maintained census ≡ a full rebuild on the union (spec-pinned, and
+    * the oracle recomputes exactly that from scratch). */
+  def incrementalChunkCensus(standingCensus: DataFrame, batch: DataFrame,
+                             width: Int = 800, stride: Int = 600): DataFrame = {
+    val batchCen = chunkCensus(batch, width, stride)
+      .withColumnRenamed("n_chunks", "add_count")
+    standingCensus
+      .withColumnRenamed("n_chunks", "old_count")
+      .join(broadcast(batchCen), Seq("chunk_hash"), "right")
+      .select(col("chunk_hash"),
+        coalesce(col("old_count"), lit(0L)).as("old_count"),
+        col("add_count"),
+        (coalesce(col("old_count"), lit(0L)) + col("add_count"))
+          .as("new_count"),
+        when(col("old_count").isNull, lit("new")).otherwise(lit("grown"))
+          .as("status"))
   }
 }

@@ -1532,6 +1532,39 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(got((1L, 0L))._3 === got((1L, 1L))._3)
   }
 
+  test("p58: maintained census equals a full rebuild on the union (touched hashes)") {
+    import spark.implicits._
+    val standing = Seq((1L, "alpha body"), (2L, "beta body")).toDF("doc_id", "text")
+    val batch = Seq((3L, "alpha body"), (4L, "gamma body"),
+      (5L, "gamma body")).toDF("doc_id", "text")
+    val got = DataPipeline.incrementalChunkCensus(
+        DataPipeline.chunkCensus(standing), batch)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // the rebuild-on-union reference, restricted to batch hashes
+    val want = DataPipeline.chunkCensus(standing.unionByName(batch))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size === 2, "two distinct batch hashes touched")
+    got.foreach { case (h, (old, add, nw, status)) =>
+      assert(old + add === nw)
+      assert(nw === want(h), s"merged count must equal the union rebuild for $h")
+      assert(status === (if (old == 0L) "new" else "grown"))
+    }
+    assert(got.values.count(_._4 == "grown") === 1, "alpha grew")
+    assert(got.values.count(_._4 == "new") === 1, "gamma is new")
+  }
+
+  test("p58 plan: the standing census is probed by a broadcast join, never shuffled") {
+    import spark.implicits._
+    val standing = Seq((1L, "alpha body")).toDF("doc_id", "text")
+    val batch = Seq((2L, "alpha body")).toDF("doc_id", "text")
+    val plan = DataPipeline.incrementalChunkCensus(
+        DataPipeline.chunkCensus(standing), batch)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast probe of the standing census:\n$plan")
+  }
+
   test("p57: hash_dups counts corpus-wide duplicate chunks across documents") {
     import spark.implicits._
     val docs = Seq(
