@@ -915,6 +915,13 @@ object SparkEntry {
     // exact under non-overlapping replace; floor-ppm densities
     "t41_structure_profile" -> ((s, d) =>
       TextQueries.structureProfile(t(s, d).documents)),
+    // p59: chunk-grain syndication — source-pair shared-window matrix,
+    // map-side pair explode off sorted source sets, broadcast totals;
+    // 200/100 windows catch shared lead paragraphs (wire-copy openings),
+    // not just whole-document copies
+    "p59_chunk_syndication" -> ((s, d) =>
+      graft.operators.DataPipeline.chunkSyndication(t(s, d).documents,
+        width = 200, stride = 100)),
     // p58: batch-incremental chunk-census maintenance — batch chunked
     // alone, standing census probed by a broadcast join (never shuffled)
     "p58_incremental_chunks" -> ((s, d) => {
@@ -5234,6 +5241,29 @@ object SparkEntry {
         | CAST(coalesce(s.n, 0) + b.n AS BIGINT) AS new_count,
         | CASE WHEN s.n IS NULL THEN 'new' ELSE 'grown' END AS status
         |FROM batch b LEFT JOIN stand s USING (chunk_hash)""".stripMargin,
+    // p59: the pair matrix recomputed by a plain distinct-set self-join;
+    // identical floor-ppm Jaccard arithmetic; same 200/100 windows
+    "p59_chunk_syndication" ->
+      """WITH d AS (SELECT source, text,
+        |  greatest(CAST(length(text) AS BIGINT), 1) AS nc FROM documents),
+        |x AS (SELECT source, text,
+        |  unnest(generate_series(CAST(0 AS BIGINT), (nc - 1) // 100)) AS i
+        | FROM d),
+        |sc AS (SELECT DISTINCT source,
+        |  md5(substring(text, CAST(i * 100 + 1 AS INT), 200)) AS chunk_hash
+        | FROM x),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS shared_chunks
+        | FROM sc a JOIN sc b
+        |   ON a.chunk_hash = b.chunk_hash AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.shared_chunks,
+        | ta.n AS a_chunks, tb.n AS b_chunks,
+        | CAST(p.shared_chunks * 1000000 //
+        |   (ta.n + tb.n - p.shared_chunks) AS BIGINT) AS jaccard_ppm
+        |FROM p JOIN tot ta ON p.src_a = ta.source
+        |       JOIN tot tb ON p.src_b = tb.source""".stripMargin,
     // q127: same one-scan conditional-sum battery + the same two
     // relational checks; counts exact, ppm integer division
     "q127_conformance" ->

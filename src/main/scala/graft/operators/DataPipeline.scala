@@ -2031,6 +2031,59 @@ object DataPipeline {
     * probe prunes to matching buckets. Counts merge additively, so the
     * maintained census ≡ a full rebuild on the union (spec-pinned, and
     * the oracle recomputes exactly that from scratch). */
+  /** p59: chunk-grain syndication matrix — for every source pair, how
+    * much verbatim chunk mass they share (the wire-copy / press-release
+    * detector at sub-document grain: p20's syndication sees whole-doc
+    * copies, t18's boilerplate sees hot k-grams; this sees any shared
+    * fixed-width window, attributed to the source PAIR). Per source the
+    * distinct chunk-hash set; per pair: shared distinct hashes, each
+    * side's set size, and floor-ppm Jaccard of the two sets.
+    *
+    * Scale shape: the (source, hash) set is one partial-aggregated
+    * exchange; the per-hash source set is a second (hash-keyed, high-card,
+    * skew-free); pairs explode MAP-SIDE off the sorted source set (the
+    * q115 shape) — sources are low-cardinality so the fan-out is bounded
+    * by |sources|² per hash, never by corpus; the totals join is a
+    * broadcast of a |sources|-row aggregate. Nothing grows with corpus
+    * size except the two linear exchanges. */
+  def chunkSyndication(docs: DataFrame, width: Int = 800,
+                       stride: Int = 600): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val sc = docs
+      .select(col("source"), col("text"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("_nc"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(_nc - 1) div $stride"))))
+      .select(col("source"),
+        md5(expr(s"substring(text, cast(chunk_idx * $stride + 1 as int), $width)"))
+          .as("chunk_hash"))
+      .distinct()
+    val tot = sc.groupBy(col("source")).agg(count(lit(1)).as("n_chunks"))
+    val pairs = sc
+      .groupBy(col("chunk_hash"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)), b ->
+          |    struct(a as src_a, b as src_b))))""".stripMargin)).as("p"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    pairs
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n_chunks").as("a_chunks"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n_chunks").as("b_chunks"))), Seq("src_b"))
+      .withColumn("jaccard_ppm",
+        floor(col("shared_chunks").cast("decimal(38,0)") * 1000000 /
+          (col("a_chunks") + col("b_chunks") - col("shared_chunks")))
+          .cast("long"))
+      .select(col("src_a"), col("src_b"), col("shared_chunks"),
+        col("a_chunks"), col("b_chunks"), col("jaccard_ppm"))
+  }
+
   def incrementalChunkCensus(standingCensus: DataFrame, batch: DataFrame,
                              width: Int = 800, stride: Int = 600): DataFrame = {
     val batchCen = chunkCensus(batch, width, stride)

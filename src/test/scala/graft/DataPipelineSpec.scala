@@ -1532,6 +1532,31 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(got((1L, 0L))._3 === got((1L, 1L))._3)
   }
 
+  test("p59: source-pair shared-chunk matrix matches a hand-built fixture") {
+    import spark.implicits._
+    // wire copy "syndicated text" runs in all three sources; srcA and
+    // srcB additionally share "regional copy"; each has one unique doc.
+    // width>=text so each doc is exactly one chunk; distinct sets:
+    //   A = {synd, regional, ua}  B = {synd, regional, ub}  C = {synd, uc}
+    val docs = Seq(
+      (1L, "syndicated text", "srcA"), (2L, "syndicated text", "srcB"),
+      (3L, "syndicated text", "srcC"), (4L, "regional copy", "srcA"),
+      (5L, "regional copy", "srcB"), (6L, "regional copy", "srcB"),
+      (7L, "unique to a", "srcA"), (8L, "unique to b", "srcB"),
+      (9L, "unique to c", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = DataPipeline.chunkSyndication(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set(("srcA", "srcB"), ("srcA", "srcC"),
+      ("srcB", "srcC")))
+    // A∩B = {synd, regional} (2), |A|=3, |B|=3 -> J = 2/4
+    assert(got(("srcA", "srcB")) === ((2L, 3L, 3L, 500000L)))
+    // A∩C = {synd} (1), |C|=2 -> J = 1/4
+    assert(got(("srcA", "srcC")) === ((1L, 3L, 2L, 250000L)))
+    assert(got(("srcB", "srcC")) === ((1L, 3L, 2L, 250000L)))
+  }
+
   test("p58: maintained census equals a full rebuild on the union (touched hashes)") {
     import spark.implicits._
     val standing = Seq((1L, "alpha body"), (2L, "beta body")).toDF("doc_id", "text")
