@@ -879,6 +879,11 @@ object SparkEntry {
     // q132: the stats-routed window — ANALYZE'd catalog table + CBO NDV
     // stats trigger the scan-window rewrite on a NON-hardcoded key
     "q132_stats_window" -> ((s, d) => Relational6.q132StatsWindow(s, d)),
+    // q133: zone-map file pruning — range-clustered copy, per-file min/max
+    // manifest, manifest-pruned scan; oracle recomputes from the unpruned
+    // table so a wrong skip hash-fails; `pruned` pins that files skipped
+    "q133_zonemap_prune" -> ((s, d) =>
+      graft.sources.ZoneMaps.q133ZoneMapPrune(s, d)),
     // p53: mixture diversity — effective source count exp(H) off the
     // 6-dp p08 weights; exp derives from the ROUNDED entropy
     "p53_mixture_diversity" -> ((s, d) =>
@@ -4870,6 +4875,16 @@ object SparkEntry {
         | CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
         |   AS BIGINT) AS run_chars
         |FROM documents""".stripMargin,
+    // q133: the unpruned table under the same range predicate; the engine
+    // side must reproduce it from the manifest-pruned file subset
+    "q133_zonemap_prune" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 8 AS files_total, TRUE AS pruned
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
     // p53: same 6-dp weights, same guarded −w·ln w terms, entropy rounded
     // once, exp off the rounded entropy
     "p53_mixture_diversity" ->

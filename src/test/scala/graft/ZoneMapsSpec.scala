@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ZoneMaps
+
+/** Zone-map contract: the clustered layout yields disjoint file envelopes,
+  * the manifest is exact per file, pruning never changes results (for any
+  * range, including empty and full), and it really skips files — asserted
+  * on `inputFiles` of the pruned scan, not just the manifest count. */
+class ZoneMapsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val dir: String = {
+    val out = Files.createTempDirectory("graft_zm_spec_").toString
+    ZoneMaps.clusteredWrite(tables.lineitem, "l_shipdate", out, 6)
+    out
+  }
+  private def manifest = ZoneMaps.manifestRows(spark, dir, Seq("l_shipdate"))
+
+  private def ts(s: String) =
+    java.time.LocalDateTime.parse(s.stripSuffix("Z"))
+  private def tsCol(s: String) =
+    lit(s.replace("T", " ").stripSuffix("Z")).cast("timestamp_ntz")
+
+  test("manifest: one row per file, counts sum to the table, envelope exact") {
+    val total = tables.lineitem.count()
+    assert(manifest.length == 6)
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == total)
+    assert(manifest.map(_.getAs[String]("file")).distinct.length == 6)
+    // spot-check two files: per-file min/max match a direct read
+    manifest.take(2).foreach { r =>
+      val one = spark.read.parquet(r.getAs[String]("file"))
+        .agg(min(col("l_shipdate")), max(col("l_shipdate")), count(lit(1)))
+        .head()
+      assert(one.get(0) == r.getAs[Any]("l_shipdate_min"))
+      assert(one.get(1) == r.getAs[Any]("l_shipdate_max"))
+      assert(one.getLong(2) == r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("clusteredWrite: file envelopes are disjoint up to boundary ties") {
+    val sorted = manifest
+      .map(r => (r.getAs[java.time.LocalDateTime]("l_shipdate_min"),
+        r.getAs[java.time.LocalDateTime]("l_shipdate_max")))
+      .sortWith((a, b) => a._1.isBefore(b._1))
+    sorted.toSeq.sliding(2).foreach {
+      case Seq((_, prevMax), (nextMin, _)) =>
+        assert(!prevMax.isAfter(nextMin),
+          s"overlapping envelopes: $prevMax > $nextMin")
+      case _ =>
+    }
+  }
+
+  test("pruned read ≡ full-scan filter for narrow, empty and full ranges") {
+    val ranges = Seq(
+      ("1996-01-01T00:00:00Z", "1997-01-01T00:00:00Z"), // interior year
+      ("1990-01-01T00:00:00Z", "1991-01-01T00:00:00Z"), // fully before: empty
+      ("1990-01-01T00:00:00Z", "2030-01-01T00:00:00Z"), // covers everything
+      ("2001-10-01T00:00:00Z", "2030-01-01T00:00:00Z")) // tail sliver
+    for ((lo, hi) <- ranges) {
+      val pruned = ZoneMaps.prunedRead(spark, dir, "l_shipdate",
+        ts(lo), ts(hi), tsCol(lo), tsCol(hi))
+      val want = spark.read.parquet(dir)
+        .where(col("l_shipdate") >= tsCol(lo) && col("l_shipdate") < tsCol(hi))
+      assert(pruned.count() == want.count(), s"count drift for [$lo,$hi)")
+      assert(pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty,
+        s"row drift for [$lo,$hi)")
+    }
+  }
+
+  test("pruning really skips files — narrow range scans a strict subset") {
+    val pruned = ZoneMaps.prunedRead(spark, dir, "l_shipdate",
+      ts("1996-01-01T00:00:00Z"), ts("1997-01-01T00:00:00Z"),
+      tsCol("1996-01-01 00:00:00"), tsCol("1997-01-01 00:00:00"))
+    val scanned = pruned.inputFiles.length
+    assert(scanned > 0 && scanned < 6,
+      s"expected a strict file subset for a ~1/7th range, scanned $scanned/6")
+    // empty range: zero files scheduled (footer-only schema read)
+    val none = ZoneMaps.pruneFiles(manifest, "l_shipdate",
+      ts("1990-01-01T00:00:00Z"), ts("1991-01-01T00:00:00Z"))
+    assert(none.isEmpty)
+  }
+
+  test("q133 registered query: pruned flag true, groups match naive") {
+    val got = SparkEntry.queries("q133_zonemap_prune")(spark, sf)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("pruned")))
+    assert(rows.forall(_.getAs[Int]("files_total") == ZoneMaps.demoFiles))
+    val want = tables.lineitem
+      .where(col("l_shipdate") >= tsCol("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsCol("1997-01-01 00:00:00"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        (round(sum(col("l_quantity")), 4) + lit(0.0)).as("sum_qty"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val gotSet = rows.map(r => (r.getAs[String]("l_returnflag"),
+      r.getAs[Long]("n_rows"), r.getAs[Double]("sum_qty"))).toSet
+    assert(gotSet == want)
+  }
+}
