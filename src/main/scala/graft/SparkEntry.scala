@@ -823,6 +823,11 @@ object SparkEntry {
     // score; 10-key aggregation, exact ppm
     "d37_drop_profile" -> ((s, d) =>
       graft.dedup.Clusters.dropProfile(t(s, d).documents)),
+    // d38: stats-routed embedding dedup — the engine picks exact vs IVF
+    // from plan stats; provably-small test corpus routes exact, so the
+    // oracle is d05's with the route literal pinned
+    "d38_auto_dedup" -> ((s, d) =>
+      Dedup.embeddingDupAuto(t(s, d).embeddings)),
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
@@ -3262,6 +3267,15 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS d1, b.vec_id AS d2,
         | round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45""".stripMargin,
+    // d38: at test SF the parquet stats prove the corpus under the exact
+    // ceiling, so the routed result is d05's verbatim + the pinned route
+    "d38_auto_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        | round(list_cosine_similarity(a.v, b.v), 4) AS cos,
+        | 'exact' AS route
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.45""".stripMargin,
     // s23: the same modulus sample cross-joined in DuckDB; (cos DESC,

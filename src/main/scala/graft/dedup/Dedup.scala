@@ -1310,6 +1310,49 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** d38: stats-routed embedding dedup — [[graft.plans.RewriteLowCardWindow]]'s
+    * size-aware discipline applied at the OPERATOR level: the caller asks
+    * for embedding near-dups and the engine picks the route from plan
+    * statistics, so the quadratic exact baseline can only run when the
+    * input is PROVABLY small.
+    *
+    * Routing rule (mirrors the optimizer rule's crossover logic exactly):
+    *   - `plan.stats.sizeInBytes` ≤ `spark.graft.dedup.maxExactBytes`
+    *     (default 32 MB): the exact all-pairs [[embeddingDupPairs]] — its
+    *     n²/2 flops are affordable, and exactness is free;
+    *   - larger or UNKNOWN (an RDD-backed frame reports the conf'd
+    *     `defaultSizeInBytes` = Long.MaxValue): the IVF route
+    *     [[embeddingDupPairsIvf]], with `nCells` grown with the measured
+    *     bytes (`spark.graft.dedup.cellBytes` per cell, default 4 MB,
+    *     min 10, cap 65536) — the scaladoc's own "cells ∝ corpus"
+    *     prescription, now enforced rather than hand-tuned.
+    * Unknown-routes-to-scale is the load-bearing choice: at 100 TB the one
+    * unacceptable failure is the quadratic path firing on an input the
+    * planner couldn't size.
+    *
+    * The emitted `route` column makes the decision auditable in the result
+    * itself (and lets the oracle pin it: at test SF the parquet-backed
+    * corpus is provably small, so rows are the exact baseline's verbatim).
+    * Both routes emit identical (d1, d2, cos) semantics; the IVF route's
+    * pairs are a verbatim subset of exact (precision 1 by construction —
+    * DedupSpec pins both the subset law and the conf-driven flip). */
+  def embeddingDupAuto(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val spark = emb.sparkSession
+    val maxExact = spark.conf.getOption("spark.graft.dedup.maxExactBytes")
+      .map(_.toLong).getOrElse(32L << 20)
+    val cellBytes = spark.conf.getOption("spark.graft.dedup.cellBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    val bytes = emb.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= BigInt(maxExact))
+      embeddingDupPairs(emb, threshold).withColumn("route", lit("exact"))
+    else {
+      val cells = (bytes / BigInt(math.max(cellBytes, 1L)))
+        .min(BigInt(65536)).max(BigInt(10)).toInt
+      embeddingDupPairsIvf(emb, threshold, nCells = cells)
+        .withColumn("route", lit("ivf"))
+    }
+  }
+
   /** d23: the banded-LSH parameter planner — the S-curve
     * P[candidate](s) = 1 − (1 − s^r)^b tabulated over a similarity grid
     * for each (bands, rowsPerBand) configuration, with each config's

@@ -545,6 +545,37 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d38: stats routing — provably-small exact, large-or-unknown IVF, conf-driven flip") {
+    import org.apache.spark.sql.functions.col
+    // parquet-backed test corpus: stats prove it under the 32 MB ceiling
+    val auto = Dedup.embeddingDupAuto(tables.embeddings, 0.45)
+    val rows = auto.collect()
+    assert(rows.forall(_.getAs[String]("route") == "exact"))
+    val exact = Dedup.embeddingDupPairs(tables.embeddings, 0.45).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == exact, "small route must be the exact baseline verbatim")
+    // conf flip: a zero ceiling makes the same corpus route IVF, and the
+    // routed pairs obey the subset law vs exact
+    val key = "spark.graft.dedup.maxExactBytes"
+    spark.conf.set(key, "0")
+    try {
+      val ivf = Dedup.embeddingDupAuto(tables.embeddings, 0.45)
+      val ivfRows = ivf.collect()
+      assert(ivfRows.forall(_.getAs[String]("route") == "ivf"))
+      assert(ivfRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet.subsetOf(exact))
+    } finally spark.conf.unset(key)
+    // UNKNOWN stats (RDD-backed frame reports defaultSizeInBytes) must
+    // route to scale — the load-bearing safety default
+    val rddBacked = spark.createDataFrame(
+      tables.embeddings.select(col("vec_id"), col("embedding")).rdd,
+      tables.embeddings.select(col("vec_id"), col("embedding")).schema)
+    val unknown = Dedup.embeddingDupAuto(rddBacked, 0.45)
+    assert(unknown.collect().forall(_.getAs[String]("route") == "ivf"),
+      "unknown-size input must take the IVF route")
+  }
+
   test("clean-corpus pipeline composes its stage invariants") {
     val cleaned = graft.operators.CorpusPipeline.cleanCorpus(tables).collect()
     assert(cleaned.nonEmpty && cleaned.length < tables.documents.count())
