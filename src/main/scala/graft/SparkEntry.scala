@@ -932,6 +932,10 @@ object SparkEntry {
     "p59_chunk_syndication" -> ((s, d) =>
       graft.operators.DataPipeline.chunkSyndication(t(s, d).documents,
         width = 200, stride = 100)),
+    // p60: annealed mixture schedule — uniform → temperature weights over
+    // phases, exact integer ppm interpolation on the tiny source frame
+    "p60_mixture_anneal" -> ((s, d) =>
+      graft.operators.DataPipeline.mixtureAnneal(t(s, d).documents)),
     // p58: batch-incremental chunk-census maintenance — batch chunked
     // alone, standing census probed by a broadcast join (never shuffled)
     "p58_incremental_chunks" -> ((s, d) => {
@@ -5293,6 +5297,28 @@ object SparkEntry {
         |   (ta.n + tb.n - p.shared_chunks) AS BIGINT) AS jaccard_ppm
         |FROM p JOIN tot ta ON p.src_a = ta.source
         |       JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+    // p60: same 6-dp temperature weight converted once to ppm, same
+    // integer interpolation (both engines' int division truncates toward
+    // zero, so the signed delta divides identically)
+    "p60_mixture_anneal" ->
+      """WITH s AS (SELECT source,
+        |  CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_tokens,
+        |  CAST(count(*) OVER () AS BIGINT) AS n_sources,
+        |  round(pow(CAST(n_tokens AS DOUBLE), 0.5)
+        |    / sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) OVER (), 6) AS w
+        | FROM s),
+        |e AS (SELECT source, n_tokens,
+        |  CAST(round(w * 1000000, 0) AS BIGINT) AS end_ppm,
+        |  1000000 // n_sources AS start_ppm
+        | FROM w)
+        |SELECT source, CAST(p AS INT) AS phase, n_tokens,
+        | CAST(start_ppm AS BIGINT) AS start_ppm, end_ppm,
+        | CAST(start_ppm + (end_ppm - start_ppm) * p // 4 AS BIGINT) AS w_ppm,
+        | CAST(200000 * (start_ppm + (end_ppm - start_ppm) * p // 4)
+        |   // 1000000 AS BIGINT) AS phase_tokens
+        |FROM e, unnest(generate_series(0, 4)) AS t(p)""".stripMargin,
     // q127: same one-scan conditional-sum battery + the same two
     // relational checks; counts exact, ppm integer division
     "q127_conformance" ->

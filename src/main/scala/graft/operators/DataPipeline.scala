@@ -2099,4 +2099,50 @@ object DataPipeline {
         when(col("old_count").isNull, lit("new")).otherwise(lit("grown"))
           .as("status"))
   }
+
+  /** p60: annealed mixture schedule — per training phase, source weights
+    * interpolated linearly from the UNIFORM mixture (phase 0: maximum
+    * diversity, the early-training regime) to the TEMPERATURE mixture over
+    * token mass (final phase: the p51 weights — late-training upweights the
+    * big curated sources). The two-regime schedule is the published
+    * data-mixing recipe (curriculum/"midtraining" re-weighting); this
+    * operator emits the concrete per-phase plan a scheduler executes: for
+    * each (source, phase), the start/end/interpolated weight in exact ppm
+    * and the phase's token draw under an even per-phase budget split.
+    *
+    * Exactness discipline: the only float is p51's 6-dp-rounded temperature
+    * weight, converted ONCE to integer ppm; the interpolation
+    * `start + (end − start)·b div (B−1)` and the phase quota
+    * `phase_budget · w div 10⁶` are pure integer arithmetic (Spark `div`
+    * and DuckDB `//` both truncate toward zero — the q129 rule — so the
+    * signed delta divides identically). Phase-0 rows are exactly uniform,
+    * final-phase rows exactly the temperature ppm: the spec pins both
+    * endpoints and the per-phase monotonicity toward the end weight.
+    *
+    * Scale shape: ONE partial-aggregated exchange to source cardinality;
+    * the phase explode multiplies the |sources| frame by B (plan
+    * arithmetic, no second scan); the global-sum window runs on the tiny
+    * source frame. */
+  def mixtureAnneal(docs: DataFrame, alpha: Double = 0.5,
+                    phases: Int = 5, budget: Long = 1000000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    require(phases >= 2, s"phases=$phases must be >= 2")
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    val sizes = docs
+      .select(col("source"), TextFns.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    val wRaw = pow(col("n_tokens").cast("double"), lit(alpha))
+    val perPhase = budget / phases
+    sizes
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("w", round(wRaw / sum(wRaw).over(Window.partitionBy()), 6))
+      .withColumn("end_ppm", round(col("w") * 1000000, 0).cast("long"))
+      .withColumn("start_ppm", expr("1000000 div n_sources"))
+      .withColumn("phase", explode(sequence(lit(0), lit(phases - 1))))
+      .withColumn("w_ppm", col("start_ppm") +
+        expr(s"(end_ppm - start_ppm) * phase div ${phases - 1}"))
+      .select(col("source"), col("phase"), col("n_tokens"),
+        col("start_ppm"), col("end_ppm"), col("w_ppm"),
+        expr(s"$perPhase * w_ppm div 1000000").as("phase_tokens"))
+  }
 }

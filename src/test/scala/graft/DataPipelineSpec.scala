@@ -1630,4 +1630,37 @@ class DataPipelineSpec extends AnyFunSuite {
     Seq(got("srcA")._3 + got("srcB")._3, got("srcA")._4 + got("srcB")._4)
       .foreach(sum => assert(math.abs(sum - 1.0) < 2e-6))
   }
+
+  test("p60: anneal endpoints are exact and each source moves monotonically") {
+    val rows = graft.operators.DataPipeline
+      .mixtureAnneal(tables.documents, alpha = 0.5, phases = 5,
+        budget = 1000000L)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("phase"),
+        r.getAs[Long]("start_ppm"), r.getAs[Long]("end_ppm"),
+        r.getAs[Long]("w_ppm"), r.getAs[Long]("phase_tokens")))
+    val bySource = rows.groupBy(_._1)
+    val nSources = bySource.size
+    assert(rows.length == nSources * 5)
+    bySource.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      // phase 0 exactly uniform, final phase exactly the temperature ppm
+      assert(sorted.head._5 == 1000000L / nSources)
+      assert(sorted.last._5 == sorted.last._4)
+      // monotone toward the end weight (linear integer interpolation)
+      val diffs = sorted.map(_._5).sliding(2).map { case Array(a, b) => b - a }
+      val sign = (sorted.last._4 - sorted.head._3).sign
+      diffs.foreach(d => assert(d * sign >= 0, s"non-monotone step in $rs"))
+      // phase quota is the exact integer share of the per-phase budget
+      sorted.foreach { case (_, _, _, _, w, q) =>
+        assert(q == 200000L * w / 1000000L)
+      }
+    }
+    // each phase's weights stay within rounding of a full mixture
+    rows.groupBy(_._2).values.foreach { ph =>
+      val tot = ph.map(_._5).sum
+      assert(math.abs(tot - 1000000L) <= ph.length + nSources,
+        s"phase mass $tot drifts past rounding slack")
+    }
+  }
 }
