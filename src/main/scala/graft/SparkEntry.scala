@@ -936,6 +936,11 @@ object SparkEntry {
     // phases, exact integer ppm interpolation on the tiny source frame
     "p60_mixture_anneal" -> ((s, d) =>
       graft.operators.DataPipeline.mixtureAnneal(t(s, d).documents)),
+    // p61: chunk-grain decontamination — per-eval-doc verbatim-window
+    // leak severity against the training side's distinct chunk set
+    "p61_chunk_decontaminate" -> ((s, d) =>
+      graft.operators.DataPipeline.chunkDecontaminate(t(s, d).documents,
+        col("doc_id") % 10 === 0)),
     // p58: batch-incremental chunk-census maintenance — batch chunked
     // alone, standing census probed by a broadcast join (never shuffled)
     "p58_incremental_chunks" -> ((s, d) => {
@@ -5319,6 +5324,27 @@ object SparkEntry {
         | CAST(200000 * (start_ppm + (end_ppm - start_ppm) * p // 4)
         |   // 1000000 AS BIGINT) AS phase_tokens
         |FROM e, unnest(generate_series(0, 4)) AS t(p)""".stripMargin,
+    // p61: same 200/100 md5 chunk windows both sides (the p57/p59 SQL),
+    // train = distinct non-eval hashes, per-eval-doc hit rollup
+    "p61_chunk_decontaminate" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  greatest(CAST(length(text) AS BIGINT), 1) AS nc FROM documents),
+        |x AS (SELECT doc_id, text,
+        |  unnest(generate_series(CAST(0 AS BIGINT), (nc - 1) // 100)) AS i
+        | FROM d),
+        |ch AS (SELECT doc_id,
+        |  md5(substring(text, CAST(i * 100 + 1 AS INT), 200)) AS chunk_hash
+        | FROM x),
+        |train AS (SELECT DISTINCT chunk_hash FROM ch WHERE doc_id % 10 <> 0),
+        |ev AS (SELECT ch.doc_id, ch.chunk_hash,
+        |  CASE WHEN t.chunk_hash IS NULL THEN 0 ELSE 1 END AS hit
+        | FROM ch LEFT JOIN train t USING (chunk_hash)
+        | WHERE ch.doc_id % 10 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(hit) AS BIGINT) AS n_hit,
+        | CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS hit_ppm,
+        | sum(hit) > 0 AS compromised
+        |FROM ev GROUP BY 1""".stripMargin,
     // q127: same one-scan conditional-sum battery + the same two
     // relational checks; counts exact, ppm integer division
     "q127_conformance" ->

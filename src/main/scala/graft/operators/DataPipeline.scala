@@ -2100,6 +2100,40 @@ object DataPipeline {
           .as("status"))
   }
 
+  /** p61: chunk-grain decontamination audit — for every EVAL document, how
+    * much of it leaked into the training side at the retrieval-chunk
+    * grain: an eval doc is compromised if ANY of its fixed-width stride
+    * windows appears verbatim among the training corpus' chunk windows.
+    * The leak class the existing family misses: p25 needs the WHOLE eval
+    * text embedded, p02/p07 fire on k-token shingle overlap (tokenization-
+    * sensitive), p34 on near-dup similarity — this reports per-doc
+    * SEVERITY (hit windows / total windows, exact ppm), not just a flag,
+    * at exactly the grain a RAG system retrieves. Alignment caveat, by
+    * design: windows are doc-relative stride-aligned (the p57/p59 rule),
+    * so a copied span registers when it sits at matching offsets mod
+    * stride (whole-doc copies, shared prefixes/leads) — the unaligned-copy
+    * class belongs to the shingle routes (p02/p06), which slide per token.
+    *
+    * Scale shape: both sides chunk scan-locally (the p57 explode); the
+    * training side partial-aggregates to its DISTINCT hash set before the
+    * probe join (hash-keyed, high-cardinality, skew-free — never row×row);
+    * the per-eval-doc rollup is one doc_id-keyed exchange bounded by the
+    * eval set. With the training census maintained durably (p58), the
+    * training side never re-chunks: the probe hits the standing census. */
+  def chunkDecontaminate(docs: DataFrame, isEval: Column,
+                         width: Int = 200, stride: Int = 100): DataFrame = {
+    val trainHashes = chunksOf(docs.where(!isEval), width, stride)
+      .select(col("chunk_hash")).distinct()
+    chunksOf(docs.where(isEval), width, stride)
+      .join(trainHashes.withColumn("_hit", lit(1L)), Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_windows"), col("n_hit"),
+        expr("n_hit * 1000000 div n_windows").as("hit_ppm"),
+        (col("n_hit") > 0).as("compromised"))
+  }
+
   /** p60: annealed mixture schedule — per training phase, source weights
     * interpolated linearly from the UNIFORM mixture (phase 0: maximum
     * diversity, the early-training regime) to the TEMPERATURE mixture over

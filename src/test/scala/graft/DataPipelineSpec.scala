@@ -1663,4 +1663,32 @@ class DataPipelineSpec extends AnyFunSuite {
         s"phase mass $tot drifts past rounding slack")
     }
   }
+
+  test("p61: planted aligned leak is caught with exact severity; clean eval doc is zero") {
+    import spark.implicits._
+    val para = ("x" * 200) + ("y" * 200)   // two full aligned windows
+    val docs = Seq(
+      // eval doc 0: first 400 chars copied verbatim into train doc 1
+      (0L, para + ("e" * 100), "eval_src"),
+      (1L, para + ("t" * 300), "train_src"),
+      // eval doc 10: nothing shared
+      (10L, "z" * 350, "eval_src"),
+      // train-only noise
+      (3L, "w" * 500, "train_src"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.DataPipeline
+      .chunkDecontaminate(docs, org.apache.spark.sql.functions.col("doc_id") % 10 === 0,
+        width = 200, stride = 100)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    // doc 0: 500 chars -> 5 windows (stride 100); windows at offsets 0,100,
+    // 200 replay inside doc 1's aligned copy (full-width 200-char windows);
+    // offset-300 window (y*100 + e*100) and the 100-char tail do not
+    assert(got(0L)._1 == 5L)
+    assert(got(0L)._2 == 3L, s"expected 3 hit windows, got ${got(0L)}")
+    assert(got(0L)._3 == 3L * 1000000L / 5L && got(0L)._4)
+    // doc 10: 4 windows, zero hits, not compromised
+    assert(got(10L) == ((4L, 0L, 0L, false)))
+  }
 }
