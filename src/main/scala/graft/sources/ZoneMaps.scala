@@ -133,6 +133,33 @@ object ZoneMaps {
     }
   }
 
+  /** Batch-incremental manifest maintenance — the p58 census discipline at
+    * the file grain: scan ONLY files the standing manifest has not seen
+    * (cost ∝ the ingest batch, never the standing 100 TB), drop rows for
+    * files that vanished (compaction/retention), keep the rest verbatim.
+    * Per-file stats never change after the file is written (parquet files
+    * are immutable), so the merge is row union — the maintained manifest
+    * equals a from-scratch [[build]] exactly (spec-pinned). */
+  def incrementalBuild(spark: SparkSession, dir: String, cols: Seq[String],
+                       standing: Array[Row]): Array[Row] = {
+    def norm(f: String): String = java.net.URI.create(f).getPath
+    val current = spark.read.parquet(dir).inputFiles.map(norm).toSet
+    val kept = standing.filter(r => current(norm(r.getAs[String]("file"))))
+    val known = standing.map(r => norm(r.getAs[String]("file"))).toSet
+    val fresh = spark.read.parquet(dir).inputFiles.filterNot(f => known(norm(f)))
+    if (fresh.isEmpty) kept
+    else {
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+      }
+      kept ++ spark.read.parquet(fresh.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+    }
+  }
+
   // ---- q133: the registered end-to-end proof ------------------------------
 
   private val clusteredCache = new SessionKeyedCache[String, String]()

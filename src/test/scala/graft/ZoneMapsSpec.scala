@@ -85,6 +85,30 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("incrementalBuild: batch-only scan equals a full rebuild after append") {
+    val d2 = Files.createTempDirectory("graft_zm_incr_").toString
+    ZoneMaps.clusteredWrite(
+      tables.lineitem.where(col("l_orderkey") % 3 =!= 0), "l_shipdate", d2, 4)
+    val standing = ZoneMaps.build(spark, d2, Seq("l_shipdate")).collect()
+    // ingest batch: two more files land in the directory
+    tables.lineitem.where(col("l_orderkey") % 3 === 0)
+      .repartitionByRange(2, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("append").parquet(d2)
+    val maintained = ZoneMaps
+      .incrementalBuild(spark, d2, Seq("l_shipdate"), standing)
+    val rebuilt = ZoneMaps.build(spark, d2, Seq("l_shipdate")).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[String]("file"), r.getAs[Long]("n_rows"),
+        String.valueOf(r.getAs[Any]("l_shipdate_min")),
+        String.valueOf(r.getAs[Any]("l_shipdate_max")))).toSet
+    assert(maintained.length == 6 && rebuilt.length == 6)
+    assert(key(maintained) == key(rebuilt),
+      "maintained manifest must equal the from-scratch rebuild")
+    // standing rows survive verbatim (object identity of the kept subset)
+    assert(standing.forall(maintained.contains))
+  }
+
   test("q133 registered query: pruned flag true, groups match naive") {
     val got = SparkEntry.queries("q133_zonemap_prune")(spark, sf)
     val rows = got.collect()
