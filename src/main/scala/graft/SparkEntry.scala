@@ -889,12 +889,6 @@ object SparkEntry {
     // table so a wrong skip hash-fails; `pruned` pins that files skipped
     "q133_zonemap_prune" -> ((s, d) =>
       graft.sources.ZoneMaps.q133ZoneMapPrune(s, d)),
-    // q134: ordered funnel — first-touch ordering in exact epoch micros,
-    // one user-keyed exchange, 3-row conditional-sum output
-    "q134_funnel" -> ((s, d) => Relational6.q134Funnel(t(s, d))),
-    // q135: weekly retention cohorts — integer epoch weeks, distinct
-    // (user, week) frame first, exact-ppm retention matrix
-    "q135_retention" -> ((s, d) => Relational6.q135Retention(t(s, d))),
     // p53: mixture diversity — effective source count exp(H) off the
     // 6-dp p08 weights; exp derives from the ROUNDED entropy
     "p53_mixture_diversity" -> ((s, d) =>
@@ -4914,47 +4908,6 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
-    // q134: same first-touch triple (conditional min epoch micros), same
-    // at-or-after stage ordering, integer ppm conversions
-    "q134_funnel" ->
-      """WITH f AS (SELECT user_id,
-        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS uv,
-        |  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS uc,
-        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS up
-        | FROM events GROUP BY 1),
-        |s AS (SELECT
-        |  CAST(sum(CASE WHEN uv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |  CAST(sum(CASE WHEN uv IS NOT NULL AND uc IS NOT NULL
-        |    AND uc >= uv THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |  CAST(sum(CASE WHEN uv IS NOT NULL AND uc IS NOT NULL AND uc >= uv
-        |    AND up IS NOT NULL AND up >= uc THEN 1 ELSE 0 END) AS BIGINT) AS n3
-        | FROM f)
-        |SELECT 1 AS stage, 'view' AS event_type, n1 AS n_users,
-        |  CAST(CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 END AS BIGINT) AS step_ppm,
-        |  CAST(CASE WHEN n1 > 0 THEN n1 * 1000000 // n1 END AS BIGINT) AS overall_ppm
-        | FROM s
-        |UNION ALL SELECT 2, 'click', n2,
-        |  CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 END AS BIGINT),
-        |  CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 END AS BIGINT) FROM s
-        |UNION ALL SELECT 3, 'purchase', n3,
-        |  CAST(CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 END AS BIGINT),
-        |  CAST(CASE WHEN n1 > 0 THEN n3 * 1000000 // n1 END AS BIGINT) FROM s""".stripMargin,
-    // q135: same integer epoch weeks (epoch_day div 7), same distinct
-    // (user, week) frame and per-user min cohort, exact-ppm retention
-    "q135_retention" ->
-      """WITH uw AS (SELECT DISTINCT user_id,
-        |  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
-        | FROM events),
-        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1),
-        |s AS (SELECT cohort_wk,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_users
-        | FROM c GROUP BY 1),
-        |m AS (SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
-        |  CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_active
-        | FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
-        |SELECT m.cohort_wk, m.week_offset, s.cohort_users, m.n_active,
-        | CAST(m.n_active * 1000000 // s.cohort_users AS BIGINT) AS retained_ppm
-        |FROM m JOIN s USING (cohort_wk)""".stripMargin,
     // p53: same 6-dp weights, same guarded −w·ln w terms, entropy rounded
     // once, exp off the rounded entropy
     "p53_mixture_diversity" ->

@@ -414,89 +414,6 @@ object Relational6 {
         col("r_code") * 100 + col("f_code") * 10 + col("m_code"))
   }
 
-  /** q134: ordered funnel — the product-analytics staple: of the users who
-    * VIEWED, how many went on to CLICK (first click at-or-after first
-    * view), and of those, how many went on to PURCHASE. Stage membership
-    * uses FIRST-TOUCH ordering (min event time per type, compared in exact
-    * epoch micros; at-or-after keeps simultaneous timestamps deterministic
-    * in both engines), so a user who purchased before ever viewing does
-    * not count as a conversion — the ordering discipline that separates a
-    * funnel from three overlapping counts. Output per stage: users,
-    * step conversion vs the previous stage, and overall conversion vs
-    * stage 1, both exact ppm.
-    *
-    * Scale shape: ONE user_id-keyed partial-aggregated exchange builds the
-    * per-user first-touch triple (conditional mins in a single hash
-    * aggregate); stage membership is scan-local boolean arithmetic on that
-    * |users|-bounded frame; the 3-row funnel is one global conditional
-    * sum. No window, no join, no second scan. */
-  def q134Funnel(t: Tables): DataFrame = funnelOf(t.events)
-
-  /** The [[q134Funnel]] stages over any events frame (fixture entry). */
-  def funnelOf(events: DataFrame): DataFrame = {
-    def firstUs(tp: String) =
-      min(when(col("event_type") === tp, unix_micros(col("ts")))).as(s"us_$tp")
-    val first = events.groupBy(col("user_id"))
-      .agg(firstUs("view"), firstUs("click"), firstUs("purchase"))
-    val s2c = col("us_view").isNotNull && col("us_click").isNotNull &&
-      col("us_click") >= col("us_view")
-    val flags = first.select(
-      col("us_view").isNotNull.as("s1"),
-      s2c.as("s2"),
-      (s2c && col("us_purchase").isNotNull &&
-        col("us_purchase") >= col("us_click")).as("s3"))
-    val agg = flags.agg(
-      sum(when(col("s1"), 1L).otherwise(0L)).as("n1"),
-      sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
-      sum(when(col("s3"), 1L).otherwise(0L)).as("n3"))
-    agg.select(explode(array(
-        struct(lit(1).as("stage"), lit("view").as("event_type"),
-          col("n1").as("n_users"), col("n1").as("prev")),
-        struct(lit(2).as("stage"), lit("click").as("event_type"),
-          col("n2").as("n_users"), col("n1").as("prev")),
-        struct(lit(3).as("stage"), lit("purchase").as("event_type"),
-          col("n3").as("n_users"), col("n2").as("prev")))).as("r"),
-      col("n1"))
-      .select(col("r.stage").as("stage"), col("r.event_type").as("event_type"),
-        col("r.n_users").as("n_users"),
-        when(col("r.prev") > 0, expr("r.n_users * 1000000 div r.prev"))
-          .as("step_ppm"),
-        when(col("n1") > 0, expr("r.n_users * 1000000 div n1"))
-          .as("overall_ppm"))
-  }
-
-  /** q135: weekly retention cohorts — users grouped by their FIRST-ACTIVITY
-    * week (integer epoch week: epoch_day div 7 — no engine week-of-year
-    * rule can disagree), then for each (cohort, weeks-since) cell the
-    * distinct users active that week and the retention share of the cohort
-    * in exact ppm. THE growth-analytics matrix ("of January's new users,
-    * how many were still here in week 3").
-    *
-    * Scale shape: events partial-aggregate to the distinct (user, week)
-    * frame FIRST (the q126 discipline — never window over raw events);
-    * the cohort week is a per-user min on that frame; cohort sizes are a
-    * |cohorts|-row aggregate broadcast back. Every exchange is keyed
-    * (user, then (cohort, offset)); nothing grows past |user-weeks|. */
-  def q135Retention(t: Tables): DataFrame = retentionOf(t.events)
-
-  /** The [[q135Retention]] matrix over any events frame (fixture entry). */
-  def retentionOf(events: DataFrame): DataFrame = {
-    val uw = events
-      .select(col("user_id"),
-        expr("datediff(cast(ts as date), date '1970-01-01') div 7").as("wk"))
-      .distinct()
-    val cohort = uw.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
-    val sizes = cohort.groupBy(col("cohort_wk"))
-      .agg(countDistinct(col("user_id")).as("cohort_users"))
-    uw.join(cohort, Seq("user_id"))
-      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_active"))
-      .join(broadcast(sizes), Seq("cohort_wk"))
-      .select(col("cohort_wk"), col("week_offset"), col("cohort_users"),
-        col("n_active"),
-        expr("n_active * 1000000 div cohort_users").as("retained_ppm"))
-  }
-
   /** q132: the stats-routed window — proof that
     * [[graft.plans.RewriteLowCardWindow]]'s CATALOG-STATS trigger is live
     * end-to-end, not just its hardcoded key-name set (the round-10 judge
