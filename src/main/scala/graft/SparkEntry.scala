@@ -458,6 +458,17 @@ object SparkEntry {
       Knn.upsertIvfIndex(Knn.assigned(standing, centers), centers, batch)
         .select(col("vec_id"), col("cell"), (col("vec_id") % 5 === 0).as("is_new"))
     }),
+    // s31: tombstone-delete maintenance — the forget path for the serving
+    // index (s11's missing half): broadcast anti-join removes the batch,
+    // survivors never re-assigned; ≡-rebuild + serve parity spec'd in
+    // KnnSpec. Rows-only (the s02 class: cells come from trained centroids)
+    "s31_index_delete"    -> ((s, d) => {
+      val emb = t(s, d).embeddings
+      val centers = Knn.trainIvf(emb)
+      Knn.deleteFromIvfIndex(Knn.assigned(emb, centers),
+          emb.where(col("vec_id") % 7 === 0))
+        .select(col("vec_id"), col("cell"))
+    }),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
     // serializes it to CSV because the driver's hash compare (like any

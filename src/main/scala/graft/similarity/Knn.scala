@@ -516,6 +516,25 @@ object Knn {
                      batch: DataFrame): DataFrame =
     index.unionByName(assigned(batch, centers))
 
+  /** s31: tombstone-delete maintenance — the missing half of [[upsertIvfIndex]]:
+    * remove a batch of vec_ids from an existing IVF index WITHOUT
+    * retraining the model or touching the survivors. Deletion only removes
+    * members — cell assignment is a pure per-row function of (vector,
+    * centers), so the maintained index equals `assigned(standing ∖
+    * tombstones)` row-for-row and serving from it equals stateless serving
+    * over the survivors (both spec-pinned in KnnSpec). This is the
+    * right-to-be-forgotten path for the ANN side — p46's forget
+    * propagation reaching the serving index: per-batch cost is one
+    * broadcast anti-join probe of the index (tombstone batches are small
+    * by definition; with the index stored cell-partitioned the probe
+    * reads only matching row groups), history never re-scanned or
+    * re-encoded. Like s11's drift contract: enough deletions skew cells —
+    * retrain via [[ivfIndex]] when recall decays. */
+  def deleteFromIvfIndex(index: DataFrame, tombstones: DataFrame): DataFrame =
+    index.join(
+      broadcast(tombstones.select(col("vec_id")).distinct()),
+      Seq("vec_id"), "left_anti")
+
   /** The memoized, PERSISTED serving index for (corpus, nCells): trains the
     * model at most once and materializes the assignment at most once per
     * session — [[ivf]] serves from this, so the corpus is scanned+assigned

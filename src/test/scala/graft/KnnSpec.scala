@@ -226,6 +226,34 @@ class KnnSpec extends AnyFunSuite {
     assert(a === b, "served results must be identical — not just recall-equivalent")
   }
 
+  test("s31: deleted index equals the survivor rebuild; serving parity is exact") {
+    import org.apache.spark.sql.functions._
+    val emb = tables.embeddings
+    val tomb = emb.where(col("vec_id") % 7 === 0)
+    val survivors = emb.where(col("vec_id") % 7 =!= 0)
+    val centers = Knn.trainIvf(emb, nCells = 10)
+    val maintained = Knn.deleteFromIvfIndex(Knn.assigned(emb, centers), tomb)
+    // deletion only removes members under the frozen model: the maintained
+    // index must equal assigning the survivors in one pass
+    val rebuilt = Knn.assigned(survivors, centers)
+    assert(maintained.select("vec_id", "cell").except(rebuilt.select("vec_id", "cell")).isEmpty &&
+      rebuilt.select("vec_id", "cell").except(maintained.select("vec_id", "cell")).isEmpty,
+      "delete must equal the survivor rebuild under the frozen model")
+    assert(maintained.count() === survivors.count())
+    // no tombstoned id survives, and none can be served
+    assert(maintained.where(col("vec_id") % 7 === 0).isEmpty)
+    val a = Knn.ivfServeIndexed(maintained, centers, "vec_id < 5", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Knn.ivfServe(survivors, centers, "vec_id < 5", k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b, "served results must be identical over the survivors")
+    assert(a.forall { case (_, _, nbr, _) => nbr % 7 != 0 },
+      "a forgotten vector must never be served as a neighbor")
+    // delete is idempotent: replaying the tombstone batch is a no-op
+    val replay = Knn.deleteFromIvfIndex(maintained, tomb)
+    assert(replay.count() === maintained.count())
+  }
+
   test("ivf serving index is materialized once: second serve reads the in-memory index") {
     Knn.clearIvfModels(spark)
     val first = Knn.ivf(tables.embeddings, "vec_id < 5", k = 5).collect()
