@@ -330,6 +330,37 @@ object EventStreams {
       }
   }
 
+  /** Streaming p57/p58 — chunk-census maintenance against a live document
+    * stream: each micro-batch is chunked and aggregated ALONE (cost ∝
+    * batch — the p58 ingestion flow as a stream), then folds into the
+    * standing census by count ADDITION (chunk counts of a union are the
+    * sum of the sides' counts — the maintainCmsStream algebra at the
+    * retrieval-chunk grain). The batch callback sees the full census, so
+    * an indexer can skip re-encoding any hash whose count merely grew.
+    * Final state is spec-pinned EQUAL to batch [[graft.operators
+    * .DataPipeline.chunkCensus]] over the union of every batch. State is
+    * hash-keyed (high-cardinality, skew-free), localCheckpoint-
+    * materialized per batch; at 100 TB the standing census lives bucketed
+    * on disk and this fold is the p58 broadcast probe instead. */
+  def maintainChunkCensusStream(docStream: DataFrame, initial: DataFrame,
+                                onBatch: (DataFrame, Long) => Unit,
+                                width: Int = 800,
+                                stride: Int = 600): DataStreamWriter[Row] = {
+    val state = new java.util.concurrent.atomic.AtomicReference(initial)
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cb = graft.operators.DataPipeline.chunkCensus(
+          batch.select(col("doc_id"), col("text")), width, stride)
+        val merged = state.get.unionByName(cb)
+          .groupBy(col("chunk_hash"))
+          .agg(sum(col("n_chunks")).as("n_chunks"))
+          .localCheckpoint(true)
+        state.set(merged)
+        onBatch(merged, batchId)
+      }
+  }
+
   /** Streaming p22 — quality-drift monitoring against a live document
     * stream: each micro-batch's 0.1-bucket quality histogram folds into
     * the standing observed histogram (counts are mergeable — the

@@ -231,6 +231,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(est >= trueAlpha, "CMS point estimate is one-sided")
   }
 
+  test("streaming chunk-census maintenance equals batch census over the streamed union") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.DataPipeline
+    val standing = tables.documents.where(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val initial = DataPipeline.chunkCensus(standing, 200, 100)
+      .localCheckpoint(true)
+    val mem = MemoryStream[(Long, String)]
+    var finalState = Map.empty[String, Long]
+    val q = EventStreams.maintainChunkCensusStream(
+      mem.toDF().toDF("doc_id", "text"), initial,
+      (df, _) => finalState = df.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+      width = 200, stride = 100).start()
+    // b2 repeats b1's first text verbatim: its chunk counts must GROW
+    val b1 = Seq((9001L, "a" * 350), (9002L, ("b" * 200) + ("c" * 150)))
+    val b2 = Seq((9003L, "a" * 350))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable(); q.stop()
+    import spark.implicits._
+    val union = standing.unionByName((b1 ++ b2).toDF("doc_id", "text"))
+    val expected = DataPipeline.chunkCensus(union, 200, 100).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finalState === expected,
+      "additive count folding must equal the batch census of the union")
+    // the repeated document's aligned windows really merged (count 2+)
+    val dupHashes = DataPipeline.chunkCensus(
+      Seq((1L, "a" * 350)).toDF("doc_id", "text"), 200, 100).collect()
+      .map(_.getString(0))
+    dupHashes.foreach(h => assert(finalState(h) >= 2L,
+      s"replayed chunk $h should have merged counts"))
+  }
+
   test("streaming holdout maintenance equals batch p24 over the streamed union") {
     implicit val sql = spark.sqlContext
     import graft.operators.DataPipeline
