@@ -111,4 +111,30 @@ object GraftSession {
       columns.mkString(", "))
     name
   }
+
+  /** The INGEST RECIPE — one call turns a raw parquet directory into a
+    * query-optimized catalog table, composing the engine's three
+    * metadata-layer pieces (each also usable alone):
+    *   1. range-cluster by the dominant scan-predicate column
+    *      ([[graft.sources.ZoneMaps.clusteredWrite]] → disjoint file
+    *      envelopes — the layout that makes file skipping effective);
+    *   2. build + memoize the zone-map manifest (every later
+    *      [[graft.sources.ZoneMaps.prunedRead]] over `outDir` skips
+    *      non-overlapping files without opening them);
+    *   3. register as a catalog table and ANALYZE column stats with CBO on
+    *      ([[analyzeForStats]]) — NDV feeds
+    *      [[graft.plans.RewriteLowCardWindow]]'s stats trigger and size
+    *      stats feed its small-input bypass, join planning, and d38-style
+    *      operator routing.
+    * Pay the clustering scan once per ingest batch; every downstream query
+    * gets pruning + stats for free. Returns the catalog table name. */
+  def prepareTable(s: SparkSession, name: String, srcDir: String,
+                   outDir: String, zoneCol: String,
+                   statsCols: Seq[String], nFiles: Int = 64): String = {
+    graft.sources.ZoneMaps.clusteredWrite(
+      s.read.parquet(srcDir), zoneCol, outDir, nFiles)
+    graft.sources.ZoneMaps.manifestRows(s, outDir, Seq(zoneCol))
+    analyzeForStats(s, name, outDir,
+      if (statsCols.contains(zoneCol)) statsCols else zoneCol +: statsCols)
+  }
 }

@@ -109,6 +109,29 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(standing.forall(maintained.contains))
   }
 
+  test("prepareTable: one call yields clustering + manifest + catalog stats") {
+    val out = Files.createTempDirectory("graft_zm_prep_").toString + "/t"
+    val name = GraftSession.prepareTable(spark, "graft_zm_prep_spec",
+      s"$sf/orders.parquet", out, "o_orderdate",
+      Seq("o_custkey"), nFiles = 4)
+    // catalog table live with column stats (NDV present after ANALYZE)
+    val rel = spark.table(name).queryExecution.optimizedPlan
+    val stats = rel.stats.attributeStats
+    assert(stats.exists { case (a, s) =>
+      a.name == "o_custkey" && s.distinctCount.isDefined })
+    // the manifest was built and prunes: a narrow range scans a strict
+    // subset and equals the naive filter
+    val lo = ts("1996-01-01T00:00:00Z"); val hi = ts("1997-01-01T00:00:00Z")
+    val pruned = ZoneMaps.prunedRead(spark, out, "o_orderdate", lo, hi,
+      tsCol("1996-01-01 00:00:00"), tsCol("1997-01-01 00:00:00"))
+    assert(pruned.inputFiles.length < 4)
+    val want = spark.read.parquet(out)
+      .where(col("o_orderdate") >= tsCol("1996-01-01 00:00:00") &&
+        col("o_orderdate") < tsCol("1997-01-01 00:00:00")).count()
+    assert(pruned.count() == want)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("q133 registered query: pruned flag true, groups match naive") {
     val got = SparkEntry.queries("q133_zonemap_prune")(spark, sf)
     val rows = got.collect()
