@@ -330,6 +330,43 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Perceptual admission — the d08/d10 ingestion decision at the media
+    * grain: for each batch sketch, is it a visual/audio near-dup of the
+    * STANDING corpus (banded cross probe against the durable 8-byte/item
+    * phash table — the m04 index, never the media bytes), or of an
+    * earlier batch member (the [[hammingNearDups]] pair rule: the
+    * smaller doc_id wins)? One row per batch item with both flags and the
+    * admit verdict, so the caller can sink admitted hashes back into the
+    * standing table (counts and bytes ∝ batch — history never re-decoded).
+    * Banding gives recall 1 for hamming ≤ 3 by pigeonhole, same as the
+    * pair path; precision is exact (bit_count verify). */
+  def admitByPhash(standing: DataFrame, batch: DataFrame,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4x16 banding guarantees recall only to hamming 3")
+    def banded(df: DataFrame, id: String, h: String): DataFrame =
+      df.select(col("doc_id").as(id), col("phash").as(h),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("bb"))
+        .select(col(id), col(h), col("bb.band").as("band"), col("bb.key").as("key"))
+    val standingHits = banded(batch, "doc_id", "h1")
+      .join(banded(standing, "s_id", "h2"), Seq("band", "key"))
+      .filter(bit_count(col("h1").bitwiseXOR(col("h2"))) <= maxHamming)
+      .select(col("doc_id")).distinct()
+      .withColumn("_s", lit(true))
+    val followers = hammingNearDups(batch, maxHamming)
+      .select(col("d2").as("doc_id")).distinct()
+      .withColumn("_b", lit(true))
+    batch.join(standingHits, Seq("doc_id"), "left")
+      .join(followers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("phash"),
+        coalesce(col("_s"), lit(false)).as("dup_standing"),
+        coalesce(col("_b"), lit(false)).as("dup_in_batch"),
+        (coalesce(col("_s"), lit(false)) === false &&
+          coalesce(col("_b"), lit(false)) === false).as("admitted"))
+  }
+
   /** 64-bit audio energy-contour hash over decoded PCM: 65 equal sample
     * windows, mean energy per window, one bit per consecutive-window
     * energy comparison. The audio sibling of [[dHash64]] — it thresholds

@@ -232,6 +232,30 @@ object EventStreams {
           batchId)
       }
 
+  /** Streaming m04 admission — perceptual dedup of a media INGEST stream:
+    * each micro-batch of (doc_id, payload) rows is decoded and sketched to
+    * 64-bit perceptual hashes (partition-local, the m04 path), then the
+    * admission decision probes the STANDING phash table — 8 bytes/item,
+    * the durable media index, never the media bytes —
+    * via [[graft.multimodal.Multimodal.admitByPhash]]'s banded cross join.
+    * The callback receives per-item verdicts (dup-of-standing,
+    * dup-in-batch, admitted); a caller who appends admitted hashes back
+    * into standing's source gets batch-to-batch coverage too (the
+    * maintainClustersStream contract — with a static standing frame,
+    * cross-batch dups are out of contract). Per-batch cost ∝ batch:
+    * decode and banding touch only batch rows. */
+  def admitMediaStream(mediaStream: DataFrame, standingHashes: DataFrame,
+                       onBatch: (DataFrame, Long) => Unit,
+                       maxHamming: Int = 3): DataStreamWriter[Row] =
+    mediaStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hashes = graft.multimodal.Multimodal
+          .imageHashes(batch.sparkSession, batch).toDF()
+        onBatch(graft.multimodal.Multimodal
+          .admitByPhash(standingHashes, hashes, maxHamming), batchId)
+      }
+
   /** Streaming d15 — duplicate-cluster maintenance against a live document
     * stream, per micro-batch via `foreachBatch` (the d10 escape-hatch
     * class: pair generation + the merge closure exceed streaming's

@@ -507,4 +507,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(clean.nonEmpty && clean.forall(_.getLong(3) == 0L),
       s"synthetic media must conform: ${clean.mkString(";")}")
   }
+
+  test("admitByPhash: standing dups rejected, batch followers rejected, fresh admitted") {
+    val standing = Seq((100L, 0x0L)).toDF("doc_id", "phash")
+    val far = 0xFFFF0000FFFF0000L   // differs from 0x0 in 32 bits
+    val batch = Seq(
+      (1L, 0x3L),        // hamming 2 from standing -> dup_standing
+      (2L, far),         // fresh -> admitted
+      (3L, far ^ 0x1L),  // hamming 1 from batch doc 2 -> dup_in_batch
+      (4L, 0x00FF00FF00FF00FFL)) // fresh -> admitted
+      .toDF("doc_id", "phash")
+    val got = Multimodal.admitByPhash(standing, batch, maxHamming = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got(1L) == ((true, false, false)))
+    assert(got(2L) == ((false, false, true)))
+    assert(got(3L) == ((false, true, false)))
+    assert(got(4L) == ((false, false, true)))
+  }
 }

@@ -264,6 +264,36 @@ class StreamingSpec extends AnyFunSuite {
       s"replayed chunk $h should have merged counts"))
   }
 
+  test("streaming media admission rejects the perceptual replay, admits the fresh image") {
+    implicit val sql = spark.sqlContext
+    import graft.multimodal.{MediaCodecs, Multimodal}
+    def bmp(f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val (w, h) = (6, 4); val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = (y * w + x) * 3; val (r, g, b) = f(x, y)
+        rgb(d) = r.toByte; rgb(d + 1) = g.toByte; rgb(d + 2) = b.toByte
+      }
+      MediaCodecs.encodeBmp(MediaCodecs.BmpImage(w, h, rgb))
+    }
+    val known = bmp((x, y) => (x * 40, y * 60, x + y))
+    val fresh = bmp((x, y) => (200 - x * 40, 10, 255 - y * 60))
+    // fixture precondition: the fresh image is perceptually FAR
+    val h1 = Multimodal.dHash64(MediaCodecs.decodeBmp(known).get)
+    val h2 = Multimodal.dHash64(MediaCodecs.decodeBmp(fresh).get)
+    assert(java.lang.Long.bitCount(h1 ^ h2) > 3, "fixture images too similar")
+    val standing = Seq((100L, h1)).toDF("doc_id", "phash")
+    val mem = MemoryStream[(Long, Array[Byte])]
+    var verdicts = Map.empty[Long, Boolean]
+    val q = EventStreams.admitMediaStream(
+      mem.toDF().toDF("doc_id", "payload"), standing,
+      (df, _) => verdicts ++= df.collect()
+        .map(r => r.getLong(0) -> r.getBoolean(4)).toMap).start()
+    mem.addData((1L, known), (2L, fresh))
+    q.processAllAvailable(); q.stop()
+    assert(verdicts(1L) === false, "perceptual replay of standing must be rejected")
+    assert(verdicts(2L) === true, "fresh image must be admitted")
+  }
+
   test("streaming holdout maintenance equals batch p24 over the streamed union") {
     implicit val sql = spark.sqlContext
     import graft.operators.DataPipeline
