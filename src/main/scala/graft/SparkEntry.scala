@@ -679,6 +679,18 @@ object SparkEntry {
     // cross-container dup pair, and banding-exactness vs brute force.
     "m04_image_phash" -> ((s, d) =>
       Multimodal.imageHashes(s, Multimodal.syntheticMedia(s, t(s, d).documents)).toDF()),
+    // m10: perceptual ingestion admission — the d08/d10 decision at the
+    // media grain: batch sketches probe the standing phash table via the
+    // banded cross join (recall 1 for hamming<=3, exact verify) + the
+    // in-batch smaller-id-wins rule; verdict classes fixture-pinned in
+    // MultimodalSpec, streaming member spec'd. Rows-only (media decode)
+    "m10_media_admission" -> ((s, d) => {
+      val hashes = Multimodal.imageHashes(s,
+        Multimodal.syntheticMedia(s, t(s, d).documents)).toDF()
+      Multimodal.admitByPhash(
+        hashes.where(col("doc_id") % 5 =!= 0),
+        hashes.where(col("doc_id") % 5 === 0))
+    }),
     // m05: the audio sibling — real WAV PCM decode + 64-bit energy-contour
     // hash; volume-invariance and banding-exactness fixture-pinned in
     // MultimodalSpec (rows-only, the m04/m02 media-decode class)
