@@ -103,13 +103,15 @@ object ZoneMaps {
 
   /** Files whose [min, max] envelope overlaps the predicate interval
     * [lo, hi) — inclusive lower, exclusive upper, the natural shape for
-    * date/timestamp ranges. NULL envelopes (all-NULL files) never overlap. */
+    * date/timestamp ranges ([lo, hi] with `hiInclusive`, the natural shape
+    * for key ranges). NULL envelopes (all-NULL files) never overlap. */
   def pruneFiles(manifest: Array[Row], colName: String,
-                 lo: Any, hi: Any): Array[String] =
+                 lo: Any, hi: Any, hiInclusive: Boolean = false): Array[String] =
     manifest.filter { r =>
       val mn = r.getAs[Any](s"${colName}_min")
       val mx = r.getAs[Any](s"${colName}_max")
-      mn != null && mx != null && cmp(mx, lo) >= 0 && cmp(mn, hi) < 0
+      mn != null && mx != null && cmp(mx, lo) >= 0 &&
+        (if (hiInclusive) cmp(mn, hi) <= 0 else cmp(mn, hi) < 0)
     }.map(_.getAs[String]("file"))
 
   /** Manifest-pruned scan of `dir` for `zoneCol` ∈ [lo, hi): reads ONLY the
@@ -130,6 +132,31 @@ object ZoneMaps {
       // value-identical either way)
       val dt = df.schema(zoneCol).dataType
       df.where(col(zoneCol) >= loCol.cast(dt) && col(zoneCol) < hiCol.cast(dt))
+    }
+  }
+
+  /** Join-driven file pruning — dynamic partition pruning at the FILE
+    * grain: bound the dim side's join-key domain with one tiny aggregate
+    * (a 1-row job over the already-filtered dim), prune the fact's files
+    * to the envelopes overlapping [min, max], and return the pruned fact
+    * scan for the caller's join — the join's own equality removes any
+    * envelope-loose rows, so no residual is needed and correctness never
+    * depends on envelope tightness. Effective exactly when the fact is
+    * CLUSTERED by the join key and the dim's surviving key range is
+    * narrow (time-correlated ingest keys, the common star-join case) —
+    * the same contract as Spark's own DPP one level down: DPP skips
+    * unmatched PARTITIONS after listing; this skips unmatched FILES
+    * before any footer is opened. An empty dim prunes everything (the
+    * empty-join fast path, zero fact rows scanned). */
+  def joinPrunedRead(spark: SparkSession, factDir: String, zoneCol: String,
+                     dimKeys: DataFrame, dimKeyCol: String): DataFrame = {
+    val r = dimKeys.agg(min(col(dimKeyCol)), max(col(dimKeyCol))).head()
+    if (r.isNullAt(0)) spark.read.parquet(factDir).where(lit(false))
+    else {
+      val files = pruneFiles(manifestRows(spark, factDir, Seq(zoneCol)),
+        zoneCol, r.get(0), r.get(1), hiInclusive = true)
+      if (files.isEmpty) spark.read.parquet(factDir).where(lit(false))
+      else spark.read.parquet(files.toIndexedSeq: _*)
     }
   }
 

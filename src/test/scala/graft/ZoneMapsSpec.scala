@@ -85,6 +85,30 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("joinPrunedRead: key-clustered fact prunes by the dim's key range (long column)") {
+    // also exercises the non-timestamp manifest path: a LONG zone column
+    val d3 = Files.createTempDirectory("graft_zm_join_").toString
+    ZoneMaps.clusteredWrite(tables.lineitem, "l_orderkey", d3, 6)
+    // dim: a narrow orderkey slice (the time-correlated-ingest shape)
+    val keys = tables.orders.select(col("o_orderkey"))
+    val loHi = keys.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head()
+    val cut = loHi.getLong(0) + (loHi.getLong(1) - loHi.getLong(0)) / 10
+    val dim = tables.orders.where(col("o_orderkey") <= cut)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val fact = ZoneMaps.joinPrunedRead(spark, d3, "l_orderkey", dim, "o_orderkey")
+    assert(fact.inputFiles.length > 0 && fact.inputFiles.length < 6,
+      s"narrow dim range should prune files, scanned ${fact.inputFiles.length}/6")
+    // the pruned join equals the naive join — the join equality is the residual
+    val got = fact.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    val want = spark.read.parquet(d3)
+      .join(dim, col("l_orderkey") === col("o_orderkey")).count()
+    assert(got == want && want > 0)
+    // empty dim: everything pruned, zero rows, no error
+    val none = ZoneMaps.joinPrunedRead(spark, d3, "l_orderkey",
+      dim.where(lit(false)), "o_orderkey")
+    assert(none.count() == 0)
+  }
+
   test("incrementalBuild: batch-only scan equals a full rebuild after append") {
     val d2 = Files.createTempDirectory("graft_zm_incr_").toString
     ZoneMaps.clusteredWrite(
