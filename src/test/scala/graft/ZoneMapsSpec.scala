@@ -109,6 +109,42 @@ class ZoneMapsSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("clusteredWriteZ: one layout prunes on EITHER column; single-column layout cannot") {
+    val dz = Files.createTempDirectory("graft_zm_z_").toString
+    ZoneMaps.clusteredWriteZ(tables.lineitem, "l_orderkey", "l_shipdate", dz, 16)
+    val man = ZoneMaps.build(spark, dz, Seq("l_orderkey", "l_shipdate")).collect()
+    assert(man.length == 16)
+    val okLoHi = tables.lineitem
+      .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    val okCut = okLoHi.getLong(0) + (okLoHi.getLong(1) - okLoHi.getLong(0)) / 8
+    // predicate on the FIRST z column prunes
+    val byKey = ZoneMaps.pruneFiles(man, "l_orderkey",
+      okLoHi.getLong(0), okCut, hiInclusive = true)
+    assert(byKey.nonEmpty && byKey.length < 16,
+      s"orderkey slice should prune z-files, kept ${byKey.length}/16")
+    // predicate on the SECOND z column prunes too — same layout
+    val byDate = ZoneMaps.pruneFiles(man, "l_shipdate",
+      ts("1995-01-01T00:00:00Z"), ts("1996-01-01T00:00:00Z"))
+    assert(byDate.nonEmpty && byDate.length < 16,
+      s"shipdate slice should prune z-files, kept ${byDate.length}/16")
+    // pruned reads stay exact on both axes
+    val gotK = spark.read.parquet(byKey.toIndexedSeq: _*)
+      .where(col("l_orderkey") <= okCut).count()
+    val wantK = tables.lineitem.where(col("l_orderkey") <= okCut).count()
+    assert(gotK == wantK && wantK > 0)
+    // CONTRAST: the single-column layout by orderkey leaves shipdate
+    // envelopes spanning the whole domain — the same date slice keeps
+    // every file (this is WHY z-order exists)
+    val d1 = Files.createTempDirectory("graft_zm_single_").toString
+    ZoneMaps.clusteredWrite(tables.lineitem, "l_orderkey", d1, 16)
+    val man1 = ZoneMaps.build(spark, d1, Seq("l_shipdate")).collect()
+    val byDate1 = ZoneMaps.pruneFiles(man1, "l_shipdate",
+      ts("1995-01-01T00:00:00Z"), ts("1996-01-01T00:00:00Z"))
+    assert(byDate1.length > byDate.length,
+      s"z layout (${byDate.length} files) must beat key-only layout " +
+        s"(${byDate1.length} files) on the other column")
+  }
+
   test("incrementalBuild: batch-only scan equals a full rebuild after append") {
     val d2 = Files.createTempDirectory("graft_zm_incr_").toString
     ZoneMaps.clusteredWrite(
