@@ -912,6 +912,10 @@ object SparkEntry {
     // table so a wrong skip hash-fails; `pruned` pins that files skipped
     "q133_zonemap_prune" -> ((s, d) =>
       graft.sources.ZoneMaps.q133ZoneMapPrune(s, d)),
+    // q134: join-driven file pruning (DPP at file grain) — dim key range
+    // prunes the key-clustered fact's files; oracle joins unpruned
+    "q134_zonemap_join" -> ((s, d) =>
+      graft.sources.ZoneMaps.q134ZoneMapJoin(s, d)),
     // p53: mixture diversity — effective source count exp(H) off the
     // 6-dp p08 weights; exp derives from the ROUNDED entropy
     "p53_mixture_diversity" -> ((s, d) =>
@@ -4930,6 +4934,19 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    // q134: the unpruned join under the same dim slice; the engine side
+    // must reproduce it from the manifest-pruned fact file subset
+    "q134_zonemap_join" ->
+      """WITH b AS (SELECT min(o_orderkey)
+        |  + (max(o_orderkey) - min(o_orderkey)) // 8 AS cut FROM orders),
+        |d AS (SELECT o_orderkey, o_orderdate FROM orders, b
+        |      WHERE o_orderkey <= cut)
+        |SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        | count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 8 AS files_total, TRUE AS pruned
+        |FROM lineitem l JOIN d ON l.l_orderkey = d.o_orderkey
         |GROUP BY 1""".stripMargin,
     // p53: same 6-dp weights, same guarded −w·ln w terms, entropy rounded
     // once, exp off the rounded entropy

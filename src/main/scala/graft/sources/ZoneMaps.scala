@@ -252,6 +252,43 @@ object ZoneMaps {
       out
     }
 
+  /** A lineitem copy key-clustered by l_orderkey (for the join-pruning
+    * proof), memoized like [[clusteredLineitem]]. */
+  private def clusteredLineitemByKey(spark: SparkSession, dir: String): String =
+    clusteredCache.getOrElseUpdate(spark, s"$dir#bykey") {
+      val out = Files.createTempDirectory("graft_zonemap_k_").toString
+      clusteredWrite(graft.Tables(spark, dir).lineitem, "l_orderkey", out, demoFiles)
+      out
+    }
+
+  /** q134: join-driven file pruning, end to end — the dim side is the
+    * lowest eighth of the orderkey domain (the time-correlated-ingest
+    * shape: recent keys, narrow span); [[joinPrunedRead]] bounds it with
+    * one 1-row aggregate and scans only the overlapping files of the
+    * key-clustered fact. The oracle joins the UNPRUNED table, so a wrong
+    * skip loses rows and hash-fails; `pruned` pins that files were really
+    * skipped (a ~12 % key slice cannot overlap all 8 disjoint range
+    * files). The join equality is the residual — no envelope tightness
+    * assumption anywhere. */
+  def q134ZoneMapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cdir = clusteredLineitemByKey(spark, dir)
+    val orders = graft.Tables(spark, dir).orders
+    val b = orders.agg(min(col("o_orderkey")).as("lo"),
+      max(col("o_orderkey")).as("hi")).head()
+    val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+    val dim = orders.where(col("o_orderkey") <= cut)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val fact = joinPrunedRead(spark, cdir, "l_orderkey", dim, "o_orderkey")
+    val total = manifestRows(spark, cdir, Seq("l_orderkey")).length
+    val scanned = fact.inputFiles.length
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate").cast("date")).as("yr"))
+      .agg(count(lit(1)).as("n_rows"),
+        (round(sum(col("l_quantity")), 4) + lit(0.0)).as("sum_qty"))
+      .withColumn("files_total", lit(total))
+      .withColumn("pruned", lit(scanned < total))
+  }
+
   /** q133: zone-map-pruned scan, end to end — cluster lineitem by ship
     * date, build the file manifest, prune to the files overlapping
     * calendar-1996, and aggregate the survivors. The oracle recomputes the
