@@ -597,4 +597,28 @@ object GraftProperties extends Properties("graft") {
           want.select("g", "k", "s", "n").except(got.select("g", "k", "s", "n")).isEmpty
       }
     }
+
+  // shared clustered copy for the zone-map law (written once per JVM)
+  private lazy val zmDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("prop_zm_").toString
+    graft.sources.ZoneMaps.clusteredWrite(
+      SparkTestSession.tables.lineitem, "l_shipdate", d, 6)
+    d
+  }
+
+  property("ZoneMaps.prunedRead ≡ naive range filter for arbitrary ranges") =
+    forAll(Gen.chooseNum(0, 3000), Gen.chooseNum(1, 3000)) { (off, len) =>
+      // random [lo, hi) windows across (and beyond) the 1995–2001 domain —
+      // degenerate, empty and full-cover ranges all land here
+      val lo = java.time.LocalDateTime.parse("1994-06-01T00:00:00").plusDays(off)
+      val hi = lo.plusDays(len)
+      def lit_(d: java.time.LocalDateTime) =
+        lit(d.toString.replace("T", " ")).cast("timestamp_ntz")
+      val pruned = graft.sources.ZoneMaps.prunedRead(
+        spark, zmDir, "l_shipdate", lo, hi, lit_(lo), lit_(hi))
+      val want = spark.read.parquet(zmDir)
+        .where(col("l_shipdate") >= lit_(lo) && col("l_shipdate") < lit_(hi))
+      pruned.count() == want.count() &&
+        pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty
+    }
 }
