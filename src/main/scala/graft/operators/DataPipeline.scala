@@ -2134,6 +2134,25 @@ object DataPipeline {
         (col("n_hit") > 0).as("compromised"))
   }
 
+  /** [[chunkDecontaminate]] against a STANDING census — the production
+    * path the p61 scaladoc promises: the training side is the durable
+    * chunk census p57 built and p58/`maintainChunkCensusStream` keep
+    * fresh, so decontaminating a new eval suite never re-chunks the
+    * 100 TB corpus — cost ∝ eval chunks probing the (bucketed, at scale)
+    * census. Semantics pinned ≡ [[chunkDecontaminate]] when the census
+    * covers exactly the non-eval docs (spec'd). */
+  def chunkDecontaminateAgainst(census: DataFrame, evalDocs: DataFrame,
+                                width: Int = 200, stride: Int = 100): DataFrame =
+    chunksOf(evalDocs, width, stride)
+      .join(census.select(col("chunk_hash")).distinct()
+        .withColumn("_hit", lit(1L)), Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_windows"), col("n_hit"),
+        expr("n_hit * 1000000 div n_windows").as("hit_ppm"),
+        (col("n_hit") > 0).as("compromised"))
+
   /** p60: annealed mixture schedule — per training phase, source weights
     * interpolated linearly from the UNIFORM mixture (phase 0: maximum
     * diversity, the early-training regime) to the TEMPERATURE mixture over

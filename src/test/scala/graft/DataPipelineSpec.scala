@@ -1691,4 +1691,19 @@ class DataPipelineSpec extends AnyFunSuite {
     // doc 10: 4 windows, zero hits, not compromised
     assert(got(10L) == ((4L, 0L, 0L, false)))
   }
+
+  test("p61 census path: decontaminating against the standing census equals recompute") {
+    import org.apache.spark.sql.functions.col
+    val isEval = col("doc_id") % 10 === 0
+    val docs = tables.documents.select(col("doc_id"), col("text"))
+    val census = graft.operators.DataPipeline
+      .chunkCensus(docs.where(!isEval), 200, 100)
+    val viaCensus = graft.operators.DataPipeline
+      .chunkDecontaminateAgainst(census, docs.where(isEval), 200, 100)
+    val recompute = graft.operators.DataPipeline
+      .chunkDecontaminate(docs, isEval, 200, 100)
+    assert(viaCensus.exceptAll(recompute).isEmpty &&
+      recompute.exceptAll(viaCensus).isEmpty,
+      "census-probe decontamination must equal the recompute form")
+  }
 }
