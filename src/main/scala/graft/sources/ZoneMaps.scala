@@ -5,6 +5,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.internal.Logging
+
 import graft.SessionKeyedCache
 
 /** Zone maps: file-grain min/max statistics + manifest-pruned scans — the
@@ -49,7 +51,7 @@ import graft.SessionKeyedCache
   * NULLs with values keeps its value envelope; NULL rows in surviving
   * files are removed by the residual filter.
   */
-object ZoneMaps {
+object ZoneMaps extends Logging {
 
   /** Range-cluster `df` by `colName` into exactly `nFiles` parquet files
     * under `dir`. `repartitionByRange` samples boundaries deterministically
@@ -170,7 +172,13 @@ object ZoneMaps {
     * schema read with a false predicate — zero data rows scanned. */
   def prunedRead(spark: SparkSession, dir: String, zoneCol: String,
                  lo: Any, hi: Any, loCol: Column, hiCol: Column): DataFrame = {
-    val files = pruneFiles(manifestRows(spark, dir, Seq(zoneCol)), zoneCol, lo, hi)
+    val manifest = manifestRows(spark, dir, Seq(zoneCol))
+    val files = pruneFiles(manifest, zoneCol, lo, hi)
+    // the ScanWindowWatch discipline: degradation is observable, not silent
+    if (files.length == manifest.length && manifest.length > 1)
+      logWarning(s"zone-map prune on '$zoneCol' kept every file of $dir " +
+        s"(${manifest.length}) — the layout does not separate this column; " +
+        "cluster by it (clusteredWrite) or add it to a clusteredWriteZ pair")
     if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
     else {
       val df = spark.read.parquet(files.toIndexedSeq: _*)
@@ -180,6 +188,25 @@ object ZoneMaps {
       val dt = df.schema(zoneCol).dataType
       df.where(col(zoneCol) >= loCol.cast(dt) && col(zoneCol) < hiCol.cast(dt))
     }
+  }
+
+  /** Persist the manifest as a parquet table — the durable form the
+    * production story uses (build once per ingest, read per query session,
+    * maintain with [[incrementalBuild]] + rewrite). One tiny write:
+    * #files rows. */
+  def writeManifest(spark: SparkSession, dir: String, cols: Seq[String],
+                    manifestPath: String): Unit =
+    build(spark, dir, cols).coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+
+  /** Load a persisted manifest into the session memo so every
+    * [[prunedRead]]/[[joinPrunedRead]] over `dir` consults it without
+    * re-scanning the data — the session-open step a query service runs. */
+  def loadManifest(spark: SparkSession, dir: String, cols: Seq[String],
+                   manifestPath: String): Array[Row] = {
+    val rows = spark.read.parquet(manifestPath).collect()
+    manifestCache.put(spark, (dir, cols), rows)
+    rows
   }
 
   /** Join-driven file pruning — dynamic partition pruning at the FILE
