@@ -133,7 +133,10 @@ object GraftSession {
                    statsCols: Seq[String], nFiles: Int = 64): String = {
     graft.sources.ZoneMaps.clusteredWrite(
       s.read.parquet(srcDir), zoneCol, outDir, nFiles)
-    graft.sources.ZoneMaps.manifestRows(s, outDir, Seq(zoneCol))
+    // REFRESH, not memoize-once: a second prepareTable over the same
+    // outDir (the per-ingest-batch recipe) rewrites every part file, and
+    // a stale memoized manifest would prune to deleted paths
+    graft.sources.ZoneMaps.refreshManifest(s, outDir, Seq(zoneCol))
     analyzeForStats(s, name, outDir,
       if (statsCols.contains(zoneCol)) statsCols else zoneCol +: statsCols)
   }

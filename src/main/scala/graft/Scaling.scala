@@ -105,14 +105,22 @@ object Scaling {
       SessionCaches.release(spark)
     }
     // exponent from the two LARGEST SFs (least overhead-dominated pair),
-    // each query against ITS driving table's measured row growth
-    val (lo, hi) = (sfDirs(sfDirs.length - 2), sfDirs.last)
-    val perQ = names.map { case (n, tbl) =>
-      val ratio = rows(hi)(tbl).toDouble / rows(lo)(tbl)
-      val (tl, th) = (times((lo, n)), times((hi, n)))
-      val exp = if (tl > 0 && th > 0 && ratio > 1)
-        math.log(th / tl) / math.log(ratio) else Double.NaN
-      n -> ((sfDirs.map(d => times((d, n))), exp, tbl, ratio))
+    // each query against ITS driving table's measured row growth; with a
+    // single sf-dir there is no pair — times are still reported, the fit
+    // is null (previously this indexed sfDirs(-1) and lost the whole run)
+    val perQ = if (sfDirs.length < 2) {
+      names.map { case (n, tbl) =>
+        n -> ((sfDirs.map(d => times((d, n))), Double.NaN, tbl, 1.0))
+      }
+    } else {
+      val (lo, hi) = (sfDirs(sfDirs.length - 2), sfDirs.last)
+      names.map { case (n, tbl) =>
+        val ratio = rows(hi)(tbl).toDouble / rows(lo)(tbl)
+        val (tl, th) = (times((lo, n)), times((hi, n)))
+        val exp = if (tl > 0 && th > 0 && ratio > 1)
+          math.log(th / tl) / math.log(ratio) else Double.NaN
+        n -> ((sfDirs.map(d => times((d, n))), exp, tbl, ratio))
+      }
     }
     val qs = perQ.map { case (n, (ts, e, tbl, ratio)) =>
       val tsJs = ts.map(t => f"$t%.3f").mkString("[", ",", "]")

@@ -1989,21 +1989,29 @@ object DataPipeline {
       count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
   }
 
-  /** The p57 chunk rows without the duplicate-count window (shared by
-    * p57 and the p58 census maintenance). */
-  private def chunksOf(docs: DataFrame, width: Int, stride: Int): DataFrame =
+  /** The p57 chunk rule in ONE place — shared by p57, the p58 census
+    * maintenance, p59 syndication and p61 decontamination, so the
+    * stride/substring/md5 convention (and their DuckDB oracles) can never
+    * desynchronize. `keyCols` are carried through per chunk row (doc_id
+    * for the per-document consumers, source for p59's per-source sets). */
+  private def chunksOf(docs: DataFrame, width: Int, stride: Int,
+                       keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val ks = keyCols.map(col)
     docs
-      .select(col("doc_id"), col("text"),
-        greatest(length(col("text")).cast("long"), lit(1L)).as("_nc"))
+      .select(ks :+ col("text") :+
+        greatest(length(col("text")).cast("long"), lit(1L)).as("_nc"): _*)
       .withColumn("chunk_idx",
         explode(sequence(lit(0L), expr(s"(_nc - 1) div $stride"))))
-      .select(col("doc_id"), col("chunk_idx"),
+      .select(ks ++ Seq(col("chunk_idx"),
         (col("chunk_idx") * stride + 1).as("chunk_start"),
         expr(s"substring(text, cast(chunk_idx * $stride + 1 as int), $width)")
-          .as("_ch"))
-      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          .as("_ch")): _*)
+      .select(ks ++ Seq(col("chunk_idx"), col("chunk_start"),
         length(col("_ch")).cast("long").as("chunk_len"),
-        md5(col("_ch")).as("chunk_hash"))
+        md5(col("_ch")).as("chunk_hash")): _*)
+  }
 
   /** The durable per-hash chunk census p58 maintains: chunk_hash →
     * occurrence count. One partial-aggregated exchange on the high-card
@@ -2048,16 +2056,8 @@ object DataPipeline {
     * size except the two linear exchanges. */
   def chunkSyndication(docs: DataFrame, width: Int = 800,
                        stride: Int = 600): DataFrame = {
-    require(width > 0 && stride > 0 && stride <= width,
-      s"need 0 < stride <= width, got width=$width stride=$stride")
-    val sc = docs
-      .select(col("source"), col("text"),
-        greatest(length(col("text")).cast("long"), lit(1L)).as("_nc"))
-      .withColumn("chunk_idx",
-        explode(sequence(lit(0L), expr(s"(_nc - 1) div $stride"))))
-      .select(col("source"),
-        md5(expr(s"substring(text, cast(chunk_idx * $stride + 1 as int), $width)"))
-          .as("chunk_hash"))
+    val sc = chunksOf(docs, width, stride, keyCols = Seq("source"))
+      .select(col("source"), col("chunk_hash"))
       .distinct()
     val tot = sc.groupBy(col("source")).agg(count(lit(1)).as("n_chunks"))
     val pairs = sc
@@ -2088,9 +2088,20 @@ object DataPipeline {
                              width: Int = 800, stride: Int = 600): DataFrame = {
     val batchCen = chunkCensus(batch, width, stride)
       .withColumnRenamed("n_chunks", "add_count")
-    standingCensus
+    // the standing (100 TB) side is STREAMED through two broadcast
+    // probes: a broadcast LEFT-SEMI narrows it map-side to the
+    // batch-touched hashes (LeftSemi broadcasts its right side), and the
+    // surviving batch-bounded slice is broadcast back as the right side
+    // of the batch frame's LEFT join. The previous right-outer form
+    // hinted broadcast on its PRESERVED side, which Spark cannot honor
+    // (canBuildBroadcastRight(RightOuter) = false) — the hint was
+    // silently dropped and the standing census shuffled at scale.
+    val touched = standingCensus
       .withColumnRenamed("n_chunks", "old_count")
-      .join(broadcast(batchCen), Seq("chunk_hash"), "right")
+      .join(broadcast(batchCen.select(col("chunk_hash"))),
+        Seq("chunk_hash"), "left_semi")
+    batchCen
+      .join(broadcast(touched), Seq("chunk_hash"), "left")
       .select(col("chunk_hash"),
         coalesce(col("old_count"), lit(0L)).as("old_count"),
         col("add_count"),

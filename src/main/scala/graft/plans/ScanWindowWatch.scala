@@ -45,7 +45,12 @@ object ScanWindowWatch extends QueryExecutionListener with Logging {
     * rewritten window whose partials table resolved to ≤ warnBuckets
     * rows. Pure metric read; safe to call any time after an action. */
   def check(qe: QueryExecution): Seq[String] = {
-    val ceiling = try SQLConf.get.getConfString(warnRowsKey, "4").toLong
+    // read the conf from the query's OWN session state: the listener bus
+    // thread has no active session, so SQLConf.get there would silently
+    // fall back to defaults and ignore a user's warnBuckets override
+    val conf = try qe.sparkSession.sessionState.conf
+    catch { case _: Exception => SQLConf.get }
+    val ceiling = try conf.getConfString(warnRowsKey, "4").toLong
     catch { case _: Exception => 4L }
     allNodes(qe.executedPlan).collect {
       // the rewrite's FINAL partials aggregate: grouped on _gsw_bkt,

@@ -136,6 +136,26 @@ object ZoneMaps extends Logging {
     manifestCache.getOrElseUpdate(spark, (dir, cols))(
       build(spark, dir, cols).collect())
 
+  /** Rebuild the manifest and REPLACE the session memo — the step after
+    * any rewrite of `dir` (a re-clustering, a compaction): the memoized
+    * rows name the old files, and a stale manifest prunes to paths that
+    * no longer exist. [[graft.GraftSession.prepareTable]] calls this, so
+    * re-running the ingest recipe in one session stays consistent. Also
+    * seeds the per-column subset keys (a manifest over (a, b) carries
+    * a's and b's envelopes, so single-column prunes hit the memo too). */
+  def refreshManifest(spark: SparkSession, dir: String,
+                      cols: Seq[String]): Array[Row] = {
+    val rows = build(spark, dir, cols).collect()
+    seed(spark, dir, cols, rows)
+    rows
+  }
+
+  private def seed(spark: SparkSession, dir: String, cols: Seq[String],
+                   rows: Array[Row]): Unit = {
+    manifestCache.put(spark, (dir, cols), rows)
+    cols.foreach(c => manifestCache.put(spark, (dir, Seq(c)), rows))
+  }
+
   /** Timestamp externals differ by parquet physical type across testdata
     * generations (TIMESTAMP_NTZ collects as LocalDateTime, adjusted-to-UTC
     * as java.sql.Timestamp); normalize the instant form to its UTC wall
@@ -174,11 +194,22 @@ object ZoneMaps extends Logging {
                  lo: Any, hi: Any, loCol: Column, hiCol: Column): DataFrame = {
     val manifest = manifestRows(spark, dir, Seq(zoneCol))
     val files = pruneFiles(manifest, zoneCol, lo, hi)
-    // the ScanWindowWatch discipline: degradation is observable, not silent
-    if (files.length == manifest.length && manifest.length > 1)
-      logWarning(s"zone-map prune on '$zoneCol' kept every file of $dir " +
-        s"(${manifest.length}) — the layout does not separate this column; " +
-        "cluster by it (clusteredWrite) or add it to a clusteredWriteZ pair")
+    // the ScanWindowWatch discipline: degradation is observable, not
+    // silent — but only blame the layout when the predicate is a STRICT
+    // subinterval of the data's domain (a full-history range keeping
+    // every file is the correct answer, not degeneracy)
+    if (files.length == manifest.length && manifest.length > 1) {
+      val mins = manifest.map(_.getAs[Any](s"${zoneCol}_min")).filter(_ != null)
+      val maxs = manifest.map(_.getAs[Any](s"${zoneCol}_max")).filter(_ != null)
+      val strictSub = mins.nonEmpty &&
+        (cmp(lo, mins.min(Ordering.fromLessThan[Any](cmp(_, _) < 0))) > 0 ||
+         cmp(hi, maxs.max(Ordering.fromLessThan[Any](cmp(_, _) < 0))) <= 0)
+      if (strictSub)
+        logWarning(s"zone-map prune on '$zoneCol' kept every file of $dir " +
+          s"(${manifest.length}) for a strict subrange — the layout does " +
+          "not separate this column; cluster by it (clusteredWrite) or " +
+          "add it to a clusteredWriteZ pair")
+    }
     if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
     else {
       val df = spark.read.parquet(files.toIndexedSeq: _*)
@@ -201,11 +232,14 @@ object ZoneMaps extends Logging {
 
   /** Load a persisted manifest into the session memo so every
     * [[prunedRead]]/[[joinPrunedRead]] over `dir` consults it without
-    * re-scanning the data — the session-open step a query service runs. */
+    * re-scanning the data — the session-open step a query service runs.
+    * Seeds the per-column subset keys too: prunedRead looks up
+    * (dir, Seq(zoneCol)), and a multi-column manifest row carries every
+    * tracked column's envelope. */
   def loadManifest(spark: SparkSession, dir: String, cols: Seq[String],
                    manifestPath: String): Array[Row] = {
     val rows = spark.read.parquet(manifestPath).collect()
-    manifestCache.put(spark, (dir, cols), rows)
+    seed(spark, dir, cols, rows)
     rows
   }
 
@@ -244,10 +278,13 @@ object ZoneMaps extends Logging {
   def incrementalBuild(spark: SparkSession, dir: String, cols: Seq[String],
                        standing: Array[Row]): Array[Row] = {
     def norm(f: String): String = java.net.URI.create(f).getPath
-    val current = spark.read.parquet(dir).inputFiles.map(norm).toSet
+    // ONE listing serves both sides — at 10⁵–10⁶ files the listing is the
+    // dominant metadata cost of the maintenance call
+    val listing = spark.read.parquet(dir).inputFiles
+    val current = listing.map(norm).toSet
     val kept = standing.filter(r => current(norm(r.getAs[String]("file"))))
     val known = standing.map(r => norm(r.getAs[String]("file"))).toSet
-    val fresh = spark.read.parquet(dir).inputFiles.filterNot(f => known(norm(f)))
+    val fresh = listing.filterNot(f => known(norm(f)))
     if (fresh.isEmpty) kept
     else {
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>

@@ -1583,11 +1583,24 @@ class DataPipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val standing = Seq((1L, "alpha body")).toDF("doc_id", "text")
     val batch = Seq((2L, "alpha body")).toDF("doc_id", "text")
-    val plan = DataPipeline.incrementalChunkCensus(
-        DataPipeline.chunkCensus(standing), batch)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected a broadcast probe of the standing census:\n$plan")
+    // disable size-based auto-broadcast so only the HINTED direction can
+    // produce broadcast joins — the old right-outer form passed this
+    // test vacuously (Spark size-broadcast the tiny LEFT side, the
+    // opposite of the contract, while dropping the unhonorable hint)
+    val thKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thKey)
+    spark.conf.set(thKey, "-1")
+    try {
+      val plan = DataPipeline.incrementalChunkCensus(
+          DataPipeline.chunkCensus(standing), batch)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LeftSemi, BuildRight"),
+        s"standing census must be STREAMED through a broadcast semi probe:\n$plan")
+      assert(plan.contains("LeftOuter, BuildRight"),
+        s"the touched slice must broadcast back to the batch frame:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("RightOuter"),
+        s"no shuffled join may touch the standing census:\n$plan")
+    } finally spark.conf.set(thKey, prev)
   }
 
   test("p57: hash_dups counts corpus-wide duplicate chunks across documents") {
