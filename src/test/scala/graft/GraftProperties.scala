@@ -621,4 +621,40 @@ object GraftProperties extends Properties("graft") {
       pruned.count() == want.count() &&
         pruned.exceptAll(want).isEmpty && want.exceptAll(pruned).isEmpty
     }
+
+  // the chunk rule now backs p57/p58/p59/p61 and their DuckDB oracles —
+  // pin it against an independent JVM reference over arbitrary BMP text
+  // (both engines' substring counts CODE POINTS; the gen stays inside the
+  // BMP so a UTF-16-unit reference is code-point exact)
+  private val chunkText: Gen[String] =
+    Gen.chooseNum(0, 900).flatMap(n => Gen.stringOfN(n, nastyChar))
+  private val chunkGeom: Gen[(Int, Int)] = for {
+    w <- Gen.chooseNum(1, 300)
+    st <- Gen.chooseNum(1, w)
+  } yield (w, st)
+
+  property("chunk rule ≡ JVM reference: starts, lengths, hashes, count") =
+    forAll(Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, chunkText)),
+           chunkGeom) { case (texts, (w, st)) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.DataPipeline.chunkWindows(docs, w, st)
+        .select("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_hash")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+      val want = texts.zipWithIndex.flatMap { case (t, i) =>
+        val nc = math.max(t.length, 1L)
+        (0L to (nc - 1) / st).map { idx =>
+          val from = (idx * st).toInt
+          val chunk = if (from >= t.length) ""
+            else t.substring(from, math.min(from + w, t.length))
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(chunk.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          (i.toLong, idx, idx * st + 1, chunk.length.toLong, md5)
+        }
+      }.toSet
+      got == want
+    }
 }
