@@ -657,4 +657,57 @@ object GraftProperties extends Properties("graft") {
       }.toSet
       got == want
     }
+
+  // m10's admission decision vs a JVM brute force over random 64-bit
+  // sketches — partition law (exactly one verdict class per item) plus
+  // flag-by-flag agreement; banding recall is exact for hamming <= 3
+  private val hashGen: Gen[Long] = Gen.oneOf(
+    Gen.chooseNum(Long.MinValue, Long.MaxValue),
+    // near-collisions: a base hash with 0-4 bits flipped
+    for {
+      base <- Gen.chooseNum(0L, 1L << 20)
+      k <- Gen.chooseNum(0, 4)
+      bits <- Gen.listOfN(k, Gen.chooseNum(0, 63))
+    } yield bits.foldLeft(base)((h, b) => h ^ (1L << b)))
+
+  property("admitByPhash ≡ JVM brute force (flags and partition law)") =
+    forAll(Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, hashGen)),
+           Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, hashGen))) {
+      (standing, batch) =>
+        val sDf = standing.zipWithIndex
+          .map { case (h, i) => (100L + i, h) }.toDF("doc_id", "phash")
+        val bIds = batch.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+        val bDf = bIds.toDF("doc_id", "phash")
+        val got = graft.multimodal.Multimodal.admitByPhash(sDf, bDf, 3)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+        def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+        bIds.forall { case (id, h) =>
+          val ds = standing.exists(sh => ham(sh, h) <= 3)
+          val db = bIds.exists { case (id2, h2) => id2 < id && ham(h2, h) <= 3 }
+          got(id) == ((ds, db, !ds && !db))
+        } && got.size == bIds.size
+    }
+
+  // join-driven file pruning never changes a join result, for arbitrary
+  // dim key slices over the key-clustered fact (incl. empty slices)
+  private lazy val jpDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("prop_zm_join_").toString
+    graft.sources.ZoneMaps.clusteredWrite(
+      SparkTestSession.tables.lineitem, "l_orderkey", d, 6)
+    d
+  }
+
+  property("joinPrunedRead ≡ naive join for arbitrary dim key slices") =
+    forAll(Gen.chooseNum(0L, 70000L), Gen.chooseNum(0L, 40000L)) { (lo, len) =>
+      val dim = SparkTestSession.tables.orders
+        .where(col("o_orderkey") >= lo && col("o_orderkey") < lo + len)
+        .select(col("o_orderkey"))
+      val fact = graft.sources.ZoneMaps.joinPrunedRead(
+        spark, jpDir, "l_orderkey", dim, "o_orderkey")
+      val got = fact.join(dim, col("l_orderkey") === col("o_orderkey")).count()
+      val want = spark.read.parquet(jpDir)
+        .join(dim, col("l_orderkey") === col("o_orderkey")).count()
+      got == want
+    }
 }
