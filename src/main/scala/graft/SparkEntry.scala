@@ -968,6 +968,10 @@ object SparkEntry {
     "p61_chunk_decontaminate" -> ((s, d) =>
       graft.operators.DataPipeline.chunkDecontaminate(t(s, d).documents,
         col("doc_id") % 10 === 0)),
+    // p62: length-bucketed batch plan — padding waste per batch for the
+    // sorted vs arrival strategies, exact integer ppm
+    "p62_batch_plan" -> ((s, d) =>
+      graft.operators.DataPipeline.lengthBucketedBatches(t(s, d).documents)),
     // p58: batch-incremental chunk-census maintenance — batch chunked
     // alone, standing census probed by a broadcast join (never shuffled)
     "p58_incremental_chunks" -> ((s, d) => {
@@ -5385,6 +5389,27 @@ object SparkEntry {
         | CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS hit_ppm,
         | sum(hit) > 0 AS compromised
         |FROM ev GROUP BY 1""".stripMargin,
+    // p62: same two total-order ranks, same fixed-size batch split, same
+    // guarded integer-ppm waste
+    "p62_batch_plan" ->
+      """WITH lens AS (SELECT doc_id,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt
+        | FROM documents),
+        |r AS (SELECT doc_id, nt,
+        |  row_number() OVER (ORDER BY nt, doc_id) AS r1,
+        |  row_number() OVER (ORDER BY doc_id) AS r2 FROM lens),
+        |b AS (SELECT 'length_sorted' AS strategy,
+        |        (r1 - 1) // 32 AS batch_idx, nt FROM r
+        |      UNION ALL
+        |      SELECT 'arrival', (r2 - 1) // 32, nt FROM r)
+        |SELECT strategy, CAST(batch_idx AS BIGINT) AS batch_idx,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(max(nt) AS BIGINT) AS max_tokens,
+        | CAST(count(*) * max(nt) AS BIGINT) AS padded_tokens,
+        | CAST(CASE WHEN count(*) * max(nt) > 0 THEN
+        |   (count(*) * max(nt) - sum(nt)) * 1000000 // (count(*) * max(nt))
+        | END AS BIGINT) AS waste_ppm
+        |FROM b GROUP BY 1, 2""".stripMargin,
     // q127: same one-scan conditional-sum battery + the same two
     // relational checks; counts exact, ppm integer division
     "q127_conformance" ->

@@ -2164,6 +2164,52 @@ object DataPipeline {
         expr("n_hit * 1000000 div n_windows").as("hit_ppm"),
         (col("n_hit") > 0).as("compromised"))
 
+  /** p62: length-bucketed batch plan — the DYNAMIC-BATCHING decision for
+    * padded (non-packed) training/inference: fixed-size batches drawn in
+    * LENGTH order pad every member to the batch max, so sorting by length
+    * before batching collapses the padding waste that arrival-order
+    * batching pays (the bucketing trick every serving stack and padded
+    * trainer uses; p05/p09 PACK by concatenation instead — different
+    * regime, sequences keep their identity here). One row per
+    * (strategy, batch): member count, batch max, padded token cost and
+    * exact-ppm waste — emitted for BOTH strategies so the win is measured
+    * in the result, not asserted (the spec additionally pins
+    * sorted-total-waste ≤ arrival-total-waste corpus-wide).
+    *
+    * Exactness: token counts are exact longs; ranks are total orders
+    * ((n_tokens, doc_id) / (doc_id)); waste is one integer-ppm division
+    * guarded for the all-empty batch. Scale shape: the global row_number
+    * is the p32/q131 class — written as the PLAIN window a user would
+    * write, because [[graft.plans.RewriteLowCardWindow]] auto-distributes
+    * the rank family past the crossover; everything after is one
+    * batch-keyed partial-agg exchange. */
+  def lengthBucketedBatches(docs: DataFrame, batchSize: Int = 32): DataFrame = {
+    require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
+    val lens = docs.select(col("doc_id"),
+      TextFns.tokenCount(col("text")).cast("long").as("nt"))
+    val byLen = Window.orderBy(col("nt"), col("doc_id"))
+    val byArrival = Window.orderBy(col("doc_id"))
+    val ranked = lens
+      .withColumn("r1", row_number().over(byLen))
+      .withColumn("r2", row_number().over(byArrival))
+    val both = ranked
+      .select(lit("length_sorted").as("strategy"),
+        expr(s"(r1 - 1) div $batchSize").as("batch_idx"), col("nt"))
+      .unionByName(ranked
+        .select(lit("arrival").as("strategy"),
+          expr(s"(r2 - 1) div $batchSize").as("batch_idx"), col("nt")))
+    both.groupBy(col("strategy"), col("batch_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("nt")).as("max_tokens"),
+        sum(col("nt")).as("token_sum"))
+      .select(col("strategy"), col("batch_idx"), col("n_docs"),
+        col("max_tokens"),
+        (col("n_docs") * col("max_tokens")).as("padded_tokens"),
+        when(col("n_docs") * col("max_tokens") > 0,
+          expr("(n_docs * max_tokens - token_sum) * 1000000" +
+            " div (n_docs * max_tokens)")).as("waste_ppm"))
+  }
+
   /** p60: annealed mixture schedule — per training phase, source weights
     * interpolated linearly from the UNIFORM mixture (phase 0: maximum
     * diversity, the early-training regime) to the TEMPERATURE mixture over

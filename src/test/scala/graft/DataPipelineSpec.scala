@@ -1719,4 +1719,29 @@ class DataPipelineSpec extends AnyFunSuite {
       recompute.exceptAll(viaCensus).isEmpty,
       "census-probe decontamination must equal the recompute form")
   }
+
+  test("p62: length-sorted batching never pads more than arrival order; fixture exact") {
+    import spark.implicits._
+    // corpus-wide law on real data
+    val plan = graft.operators.DataPipeline
+      .lengthBucketedBatches(tables.documents).collect()
+    // token_sum is strategy-invariant, so comparing padded totals IS
+    // comparing total waste
+    val padded = plan.groupBy(_.getString(0)).view.mapValues(rs =>
+      rs.map(_.getLong(4)).sum).toMap
+    assert(padded("length_sorted") <= padded("arrival"),
+      s"sorted batching must not pad more: $padded")
+    // planted fixture, batchSize 2: lengths 1,1,5,5 sorted -> batches
+    // (1,1) and (5,5), zero waste; arrival (1,5),(1,5) wastes 4/12 each
+    val docs = Seq((1L, "a"), (2L, "b b b b b"), (3L, "c"),
+      (4L, "d d d d d")).toDF("doc_id", "text")
+    val got = graft.operators.DataPipeline
+      .lengthBucketedBatches(docs, batchSize = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("length_sorted", 0L)) == ((2L, 1L, 2L, 0L)))
+    assert(got(("length_sorted", 1L)) == ((2L, 5L, 10L, 0L)))
+    assert(got(("arrival", 0L)) == ((2L, 5L, 10L, 4L * 1000000L / 10L)))
+    assert(got(("arrival", 1L)) == ((2L, 5L, 10L, 4L * 1000000L / 10L)))
+  }
 }
