@@ -1353,6 +1353,37 @@ object Dedup {
     }
   }
 
+  /** d39: stats-routed n-gram Jaccard dedup — [[embeddingDupAuto]]'s
+    * routing rule ([[graft.plans.StatsRoute]]) applied to the d02/d03
+    * pair: a PROVABLY small corpus takes the exact prefix-filtered
+    * all-pairs baseline ([[ngramJaccardPairs]]); larger or UNKNOWN takes
+    * the banded MinHash-LSH route ([[minHashLshPairs]]) whose candidate
+    * set is banding-bounded instead of index-join-bounded. Both routes
+    * emit identical (d1, d2, jaccard) semantics — LSH verifies candidates
+    * with the same exact Jaccard, so its pairs are a verbatim subset of
+    * exact (recall priced by the d23 S-curve; precision 1). The `route`
+    * column makes the decision auditable and oracle-pinnable. */
+  def jaccardAuto(docs: DataFrame, threshold: Double = 0.8,
+                  k: Int = 3): DataFrame =
+    if (graft.plans.StatsRoute.exactAffordable(docs))
+      ngramJaccardPairs(docs, threshold, k).withColumn("route", lit("exact"))
+    else
+      minHashLshPairs(docs, threshold, k = k).withColumn("route", lit("lsh"))
+
+  /** d40: stats-routed WEIGHTED Jaccard dedup — the same rule over the
+    * d13/d14 pair: provably small → exact weighted all-pairs
+    * ([[weightedJaccardPairs]]); larger or unknown → Ioffe CWS weighted
+    * MinHash in the banded shape ([[weightedMinHashLshPairs]]). Same
+    * subset law (CWS candidates verify with the exact weighted Jaccard),
+    * same auditable `route` column. */
+  def weightedJaccardAuto(docs: DataFrame, threshold: Double = 0.5,
+                          k: Int = 3): DataFrame =
+    if (graft.plans.StatsRoute.exactAffordable(docs))
+      weightedJaccardPairs(docs, threshold, k).withColumn("route", lit("exact"))
+    else
+      weightedMinHashLshPairs(docs, threshold, k = k)
+        .withColumn("route", lit("cws"))
+
   /** d23: the banded-LSH parameter planner — the S-curve
     * P[candidate](s) = 1 − (1 − s^r)^b tabulated over a similarity grid
     * for each (bands, rowsPerBand) configuration, with each config's

@@ -557,6 +557,27 @@ object Knn {
           k: Int = 5, nProbe: Int = 3, nCells: Int = 10): DataFrame =
     ivfServeIndexed(ivfIndex(emb, nCells), modelFor(emb, nCells), queryPred, k, nProbe)
 
+  /** s32: stats-routed kNN serve — [[graft.plans.StatsRoute]]'s rule over
+    * the s01/s02 pair: a corpus the planner PROVES small takes the exact
+    * broadcast-queries scan ([[bruteForce]] — affordable, and exactness is
+    * free); larger or UNKNOWN takes the IVF route ([[ivf]]) with cells
+    * grown from the measured bytes, so the full-corpus-per-query-batch
+    * scan can never fire on an input the planner couldn't size. Both
+    * routes emit identical (query_id, rank, neighbor_id, cos) semantics
+    * (IVF recall < 1 when a true neighbor lives in an unprobed cell —
+    * spec-bounded); the `route` column makes the decision auditable and
+    * lets the oracle pin the exact route at test SF. */
+  def knnAuto(emb: DataFrame, queryPred: String = "vec_id < 10",
+              k: Int = 5, nProbe: Int = 3): DataFrame =
+    if (graft.plans.StatsRoute.exactAffordable(emb))
+      bruteForce(emb, queryPred, k).withColumn("route", lit("exact"))
+    else {
+      val cells = graft.plans.StatsRoute.grownCells(
+        emb, "spark.graft.knn.cellBytes")
+      ivf(emb, queryPred, k, nProbe, nCells = cells)
+        .withColumn("route", lit("ivf"))
+    }
+
   /** Stateless IVF serving against an already-fitted model (from
     * [[trainIvf]] or an external source): assigns on the fly, then serves.
     * For repeated query batches use [[ivf]]/[[ivfIndex]] — this path

@@ -599,6 +599,32 @@ class DedupSpec extends AnyFunSuite {
     assert(ids.subsetOf(keepers), "only exact-dup group keepers may survive")
   }
 
+  test("d39/d40: stats routing — small exact, conf-flip to the banded route, subset law") {
+    val docs = tables.documents
+    // parquet-backed corpus: provably small → exact routes, verbatim
+    val d39 = Dedup.jaccardAuto(docs).collect()
+    assert(d39.forall(_.getAs[String]("route") == "exact"))
+    val exactJ = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d39.map(r => (r.getLong(0), r.getLong(1))).toSet == exactJ)
+    val d40 = Dedup.weightedJaccardAuto(docs).collect()
+    assert(d40.forall(_.getAs[String]("route") == "exact"))
+    val exactW = Dedup.weightedJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d40.map(r => (r.getLong(0), r.getLong(1))).toSet == exactW)
+    // conf flip: zero ceiling routes both to the banded sketches, whose
+    // verified pairs are a subset of exact (precision 1 by construction)
+    spark.conf.set(graft.plans.StatsRoute.ceilingKey, "0")
+    try {
+      val lsh = Dedup.jaccardAuto(docs).collect()
+      assert(lsh.forall(_.getAs[String]("route") == "lsh"))
+      assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exactJ))
+      val cws = Dedup.weightedJaccardAuto(docs).collect()
+      assert(cws.forall(_.getAs[String]("route") == "cws"))
+      assert(cws.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exactW))
+    } finally spark.conf.unset(graft.plans.StatsRoute.ceilingKey)
+  }
+
   test("d23: S-curve values match the JVM multiplication chains; curve laws hold") {
     val rows = Dedup.lshPlanCurve(spark).collect()
       .map(r => ((r.getInt(0), r.getInt(1), r.getDouble(2)),

@@ -480,4 +480,34 @@ class KnnSpec extends AnyFunSuite {
     // an eighth of the dims cannot out-gap a half on average
     assert(rows(2)._4 <= rows(8)._4, "more dims, no more distortion")
   }
+
+  test("s32: stats routing — provably-small exact, conf-flip to IVF, unknown routes to scale") {
+    import org.apache.spark.sql.functions.col
+    // parquet-backed test corpus: stats prove it under the 32 MB ceiling
+    val rows = Knn.knnAuto(tables.embeddings).collect()
+    assert(rows.forall(_.getAs[String]("route") == "exact"))
+    val exact = Knn.bruteForce(tables.embeddings).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getDouble(3))).toSet == exact,
+      "small route must be the exact baseline verbatim")
+    // conf flip: a zero ceiling routes the same corpus to IVF; per-query
+    // results keep rank-consecutiveness and the recall floor vs exact
+    spark.conf.set(graft.plans.StatsRoute.ceilingKey, "0")
+    try {
+      val ivfRows = Knn.knnAuto(tables.embeddings).collect()
+      assert(ivfRows.forall(_.getAs[String]("route") == "ivf"))
+      val exactPairs = exact.map(t => (t._1, t._3))
+      val ivfPairs = ivfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (exactPairs intersect ivfPairs).size.toDouble / exactPairs.size
+      assert(recall >= 0.2, s"recall=$recall below the cell-probe floor")
+    } finally spark.conf.unset(graft.plans.StatsRoute.ceilingKey)
+    // UNKNOWN stats (RDD-backed frame reports defaultSizeInBytes) must
+    // route to scale — the load-bearing safety default
+    val src = tables.embeddings.select(col("vec_id"), col("embedding"))
+    val rddBacked = spark.createDataFrame(src.rdd, src.schema)
+    assert(Knn.knnAuto(rddBacked).collect()
+      .forall(_.getAs[String]("route") == "ivf"),
+      "unknown-size input must take the IVF route")
+  }
 }
