@@ -113,14 +113,20 @@ object GraftSession {
   }
 
   /** The INGEST RECIPE — one call turns a raw parquet directory into a
-    * query-optimized catalog table, composing the engine's three
-    * metadata-layer pieces (each also usable alone):
-    *   1. range-cluster by the dominant scan-predicate column
-    *      ([[graft.sources.ZoneMaps.clusteredWrite]] → disjoint file
-    *      envelopes — the layout that makes file skipping effective);
-    *   2. build + memoize the zone-map manifest (every later
-    *      [[graft.sources.ZoneMaps.prunedRead]] over `outDir` skips
-    *      non-overlapping files without opening them);
+    * query-optimized catalog table, composing the engine's metadata-layer
+    * pieces (each also usable alone):
+    *   1. cluster by the dominant scan-predicate column(s): ONE zone
+    *      column → range clustering
+    *      ([[graft.sources.ZoneMaps.clusteredWrite]] — disjoint file
+    *      envelopes); TWO → Z-order
+    *      ([[graft.sources.ZoneMaps.clusteredWriteZ]] — one layout
+    *      serving range predicates on EITHER column; `equiDepth` picks
+    *      rank-space buckets for skewed keys);
+    *   2. build the zone-map manifest over ALL zone columns — memoized for
+    *      this session, and PERSISTED when `manifestPath` is given (the
+    *      production form: a fresh session calls
+    *      [[graft.sources.ZoneMaps.loadManifest]] and prunes for the cost
+    *      of #files manifest rows, never re-scanning the data);
     *   3. register as a catalog table and ANALYZE column stats with CBO on
     *      ([[analyzeForStats]]) — NDV feeds
     *      [[graft.plans.RewriteLowCardWindow]]'s stats trigger and size
@@ -129,15 +135,35 @@ object GraftSession {
     * Pay the clustering scan once per ingest batch; every downstream query
     * gets pruning + stats for free. Returns the catalog table name. */
   def prepareTable(s: SparkSession, name: String, srcDir: String,
-                   outDir: String, zoneCol: String,
-                   statsCols: Seq[String], nFiles: Int = 64): String = {
-    graft.sources.ZoneMaps.clusteredWrite(
-      s.read.parquet(srcDir), zoneCol, outDir, nFiles)
+                   outDir: String, zoneCols: Seq[String],
+                   statsCols: Seq[String], nFiles: Int = 64,
+                   manifestPath: Option[String] = None,
+                   equiDepth: Boolean = false): String = {
+    // clusteredWrite overwrites outDir while reading srcDir: the same (or
+    // a nested) directory would race the scan against its own deletion —
+    // refuse loudly instead of losing the source
+    val srcN = java.nio.file.Paths.get(
+      srcDir.stripPrefix("file:")).toAbsolutePath.normalize
+    val outN = java.nio.file.Paths.get(
+      outDir.stripPrefix("file:")).toAbsolutePath.normalize
+    require(!outN.startsWith(srcN) && !srcN.startsWith(outN),
+      s"prepareTable: outDir ($outN) must not equal or nest with srcDir ($srcN)")
+    zoneCols match {
+      case Seq(a) => graft.sources.ZoneMaps.clusteredWrite(
+        s.read.parquet(srcDir), a, outDir, nFiles)
+      case Seq(a, b) => graft.sources.ZoneMaps.clusteredWriteZ(
+        s.read.parquet(srcDir), a, b, outDir, nFiles, equiDepth)
+      case _ => throw new IllegalArgumentException(
+        s"prepareTable: 1 (range) or 2 (Z-order) zone columns, got $zoneCols")
+    }
     // REFRESH, not memoize-once: a second prepareTable over the same
     // outDir (the per-ingest-batch recipe) rewrites every part file, and
     // a stale memoized manifest would prune to deleted paths
-    graft.sources.ZoneMaps.refreshManifest(s, outDir, Seq(zoneCol))
+    manifestPath match {
+      case Some(p) => graft.sources.ZoneMaps.persistManifest(s, outDir, zoneCols, p)
+      case None => graft.sources.ZoneMaps.refreshManifest(s, outDir, zoneCols)
+    }
     analyzeForStats(s, name, outDir,
-      if (statsCols.contains(zoneCol)) statsCols else zoneCol +: statsCols)
+      (zoneCols ++ statsCols.filterNot(zoneCols.contains)).toSeq)
   }
 }

@@ -75,6 +75,21 @@ final class SessionKeyedCache[K, V](onDrop: V => Unit = (_: V) => ()) {
     Option(m.put((spark, key), value))
   }
 
+  /** Drop every entry of `spark` whose key matches `pred`, running onDrop
+    * on the evicted values — the targeted-invalidation hook (e.g. a table
+    * directory was rewritten, so every memo derived from it is stale
+    * regardless of which column set keyed it). */
+  def purgeKeys(spark: SparkSession, pred: K => Boolean): Unit = {
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if ((e.getKey._1 eq spark) && pred(e.getKey._2)) {
+        try onDrop(e.getValue) catch { case NonFatal(_) => () }
+        it.remove()
+      }
+    }
+  }
+
   def sizeFor(spark: SparkSession): Int = {
     var n = 0
     m.forEach((k, _) => if (k._1 eq spark) n += 1)

@@ -448,26 +448,42 @@ object SparkEntry {
     "s10_filtered_knn"    -> ((s, d) => Knn.filteredBruteForce(t(s, d).embeddings)),
     // s11: incremental index upsert — frozen centers (trained on the
     // standing 4/5 of the corpus) assign ONLY the held-out batch, union
-    // is the new index; exact-parity-with-full-rebuild spec'd in KnnSpec.
-    // Rows-only (the s02 class: cells come from trained centroids)
+    // is the new index. Registered as the EXACT-PARITY frame (full-outer
+    // vs the from-scratch rebuild under the same centers): the trained
+    // cell ids themselves aren't SQL-derivable, but the operator's
+    // CONTRACT — every vector present exactly once, upserted cell ≡
+    // rebuilt cell — is, so the oracle hash-checks the full row universe
+    // (a dropped, duplicated or re-assigned row breaks it). Cell-level
+    // values + serve parity remain spec'd in KnnSpec.
     "s11_index_upsert"    -> ((s, d) => {
       val emb = t(s, d).embeddings
       val standing = emb.where(col("vec_id") % 5 =!= 0)
       val batch = emb.where(col("vec_id") % 5 === 0)
       val centers = Knn.trainIvf(standing)
-      Knn.upsertIvfIndex(Knn.assigned(standing, centers), centers, batch)
-        .select(col("vec_id"), col("cell"), (col("vec_id") % 5 === 0).as("is_new"))
+      val upserted = Knn.upsertIvfIndex(
+        Knn.assigned(standing, centers), centers, batch)
+      val rebuilt = Knn.assigned(emb, centers)
+        .select(col("vec_id"), col("cell").as("cell_rebuilt"))
+      upserted.join(rebuilt, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"), (col("vec_id") % 5 === 0).as("is_new"),
+          (col("cell") === col("cell_rebuilt")).as("cell_match"))
     }),
     // s31: tombstone-delete maintenance — the forget path for the serving
     // index (s11's missing half): broadcast anti-join removes the batch,
-    // survivors never re-assigned; ≡-rebuild + serve parity spec'd in
-    // KnnSpec. Rows-only (the s02 class: cells come from trained centroids)
+    // survivors never re-assigned. Registered as the EXACT-PARITY frame
+    // (s11's discipline): full-outer vs the survivor rebuild, so an
+    // undeleted tombstone, a lost survivor, or a re-assigned cell all
+    // break the oracle hash. Serve parity + replay idempotence in KnnSpec.
     "s31_index_delete"    -> ((s, d) => {
       val emb = t(s, d).embeddings
       val centers = Knn.trainIvf(emb)
-      Knn.deleteFromIvfIndex(Knn.assigned(emb, centers),
-          emb.where(col("vec_id") % 7 === 0))
-        .select(col("vec_id"), col("cell"))
+      val kept = Knn.deleteFromIvfIndex(Knn.assigned(emb, centers),
+        emb.where(col("vec_id") % 7 === 0))
+      val rebuilt = Knn.assigned(emb.where(col("vec_id") % 7 =!= 0), centers)
+        .select(col("vec_id"), col("cell").as("cell_rebuilt"))
+      kept.join(rebuilt, Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+          (col("cell") === col("cell_rebuilt")).as("cell_match"))
     }),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
@@ -851,6 +867,16 @@ object SparkEntry {
     // oracle is d05's with the route literal pinned
     "d38_auto_dedup" -> ((s, d) =>
       Dedup.embeddingDupAuto(t(s, d).embeddings)),
+    // d39/d40/s32: the d38 routing rule generalized (plans.StatsRoute) —
+    // exact baseline only when the planner PROVES the input small, the
+    // banded/IVF scale route otherwise; test corpora route exact, so each
+    // oracle is the baseline's with the route literal pinned
+    "d39_jaccard_auto" -> ((s, d) =>
+      Dedup.jaccardAuto(t(s, d).documents)),
+    "d40_weighted_auto" -> ((s, d) =>
+      Dedup.weightedJaccardAuto(t(s, d).documents)),
+    "s32_knn_auto" -> ((s, d) =>
+      Knn.knnAuto(t(s, d).embeddings)),
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
@@ -916,6 +942,23 @@ object SparkEntry {
     // prunes the key-clustered fact's files; oracle joins unpruned
     "q134_zonemap_join" -> ((s, d) =>
       graft.sources.ZoneMaps.q134ZoneMapJoin(s, d)),
+    // q135: MEMBERSHIP-grade join pruning — per-file key Bloom filters
+    // prune a SCATTERED dim key set (envelope-only keeps every file on
+    // the same dim, spec-contrasted); oracle joins unpruned
+    "q135_membership_prune" -> ((s, d) =>
+      graft.sources.ZoneMaps.q135MembershipPrune(s, d)),
+    // q136: the full ingest recipe — equi-depth Z-order on two columns +
+    // persisted manifest + stats, pruned scan on the SECOND column
+    "q136_zorder_prepared" -> ((s, d) =>
+      graft.sources.ZoneMaps.q136ZOrderPrepared(s, d)),
+    // q137: metadata-only aggregate — count + zone extremes from the
+    // manifest alone (zero data-dir access); oracle recomputes from table
+    "q137_metadata_agg" -> ((s, d) =>
+      graft.sources.ZoneMaps.q137MetadataAgg(s, d)),
+    // q138: zone-map top-k — latest-100 by shipdate reading only the tail
+    // file(s); TakeOrderedAndProject on the pruned scan, no global sort
+    "q138_zonemap_topk" -> ((s, d) =>
+      graft.sources.ZoneMaps.q138ZoneMapTopK(s, d)),
     // p53: mixture diversity — effective source count exp(H) off the
     // 6-dp p08 weights; exp derives from the ROUNDED entropy
     "p53_mixture_diversity" -> ((s, d) =>
@@ -2937,27 +2980,18 @@ object SparkEntry {
     "d12_containment" -> containmentSql,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
+    // d39: d02's oracle with the stats route pinned (small corpus => exact)
+    "d39_jaccard_auto" ->
+      s"""WITH base AS ($ngramJaccardSql)
+        |SELECT d1, d2, jaccard, 'exact' AS route FROM base""".stripMargin,
     // d13: same 3-gram shingles; weight = one integer division, sums are
     // exact BIGINTs, threshold is the integer comparison, score the one
     // final double division — boundary rows can never disagree
-    "d13_weighted_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(CASE WHEN len(w) >= 3
-        |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-        |    ELSE [array_to_string(w, ' ')] END) AS shingle
-        | FROM toks),
-        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
-        |wsh AS (SELECT doc_id, shingle, 1000000 // df AS wt
-        |        FROM sh JOIN df USING (shingle) WHERE 1000000 // df > 0),
-        |tw AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS tw FROM wsh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(sum(a.wt) AS BIGINT) AS common_w
-        |          FROM wsh a JOIN wsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT d1, d2,
-        | CAST(common_w AS DOUBLE) / CAST(t1.tw + t2.tw - common_w AS DOUBLE) AS wjaccard
-        |FROM pairs JOIN tw t1 ON t1.doc_id = d1 JOIN tw t2 ON t2.doc_id = d2
-        |WHERE common_w * 1000000 >= 500000 * (t1.tw + t2.tw - common_w)""".stripMargin,
+    "d13_weighted_jaccard" -> weightedJaccardSql,
+    // d40: d13's oracle with the stats route pinned (small corpus => exact)
+    "d40_weighted_auto" ->
+      s"""WITH base AS ($weightedJaccardSql)
+        |SELECT d1, d2, wjaccard, 'exact' AS route FROM base""".stripMargin,
     // p17: d07's recursive-CTE clusters + p03's md5-fold hash with the
     // 'csplit:' salt over the CLUSTER key (own id when unclustered)
     "p17_cluster_split" ->
@@ -3331,18 +3365,20 @@ object SparkEntry {
         | row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, rep_id ASC) AS rn
         | FROM scored)
         |SELECT vec_id, rep_id AS nearest_rep, cos FROM rk WHERE rn = 1""".stripMargin,
-    "s01_knn_brute" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |scored AS (
-        | SELECT query_id, e.vec_id AS neighbor_id,
-        |  round(list_cosine_similarity(qv, v), 8) AS cos
-        | FROM q JOIN e ON e.vec_id <> q.query_id),
-        |ranked AS (SELECT query_id, neighbor_id, cos,
-        | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
-        | FROM scored)
-        |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
-        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    "s01_knn_brute" -> knnBruteSql,
+    // s11/s31: the registered frame is the exact-parity CONTRACT (every
+    // vector exactly once, maintained cell ≡ rebuilt cell), which IS
+    // SQL-expressible even though the trained cell ids aren't: the oracle
+    // pins the full row universe and all-true parity
+    "s11_index_upsert" ->
+      "SELECT vec_id, vec_id % 5 = 0 AS is_new, TRUE AS cell_match FROM embeddings",
+    "s31_index_delete" ->
+      "SELECT vec_id, TRUE AS cell_match FROM embeddings WHERE vec_id % 7 <> 0",
+    // s32: s01's oracle with the stats route pinned (small corpus => exact)
+    "s32_knn_auto" ->
+      s"""WITH base AS ($knnBruteSql)
+        |SELECT query_id, "rank", neighbor_id, cos, 'exact' AS route
+        |FROM base""".stripMargin,
     // s04: s03's dequantization composed with s01's ranking — every term
     // (scale, int8 code, q*scale product, cosine rounded to 8) is
     // IEEE-deterministic on both engines, so the full quantized search
@@ -4952,6 +4988,43 @@ object SparkEntry {
         | 8 AS files_total, TRUE AS pruned
         |FROM lineitem l JOIN d ON l.l_orderkey = d.o_orderkey
         |GROUP BY 1""".stripMargin,
+    // q135: the unpruned join under the same scattered dim key slice; the
+    // engine side must reproduce it from the bloom-pruned file subset
+    "q135_membership_prune" ->
+      """SELECT p_partkey AS partkey, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 16 AS files_total, TRUE AS pruned
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p_partkey % 398 = 7
+        |GROUP BY 1""".stripMargin,
+    // q136: the unpruned table under the same second-column range (the
+    // identical domain-relative bounds); the engine side must reproduce it
+    // from the Z-order-pruned file subset
+    "q136_zorder_prepared" ->
+      """WITH b AS (SELECT
+        |  min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 8 AS lo,
+        |  min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 4 AS hi
+        | FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 16 AS files_total, TRUE AS pruned
+        |FROM lineitem, b
+        |WHERE l_partkey >= lo AND l_partkey < hi
+        |GROUP BY 1""".stripMargin,
+    // q137: the same three aggregates from the full table; the engine side
+    // answers from the manifest alone (envelope extremes + Σ n_rows)
+    "q137_metadata_agg" ->
+      """SELECT count(*) AS n_rows, min(l_shipdate) AS l_shipdate_min,
+        | max(l_shipdate) AS l_shipdate_max, 8 AS files_total
+        |FROM lineitem""".stripMargin,
+    // q138: the same total-tuple-ordered top-100; the engine side reads
+    // only the tail files of the date-clustered layout
+    "q138_zonemap_topk" ->
+      """SELECT l_shipdate, l_orderkey, l_linenumber, l_quantity,
+        | 8 AS files_total, TRUE AS pruned
+        |FROM lineitem
+        |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber, l_quantity
+        |LIMIT 100""".stripMargin,
     // p53: same 6-dp weights, same guarded −w·ln w terms, entropy rounded
     // once, exp off the rounded entropy
     "p53_mixture_diversity" ->
@@ -5797,6 +5870,41 @@ object SparkEntry {
       |  ON a.doc_id < b.doc_id
       | AND abs(length(a.text) - length(b.text)) <= 32
       | AND levenshtein(a.text, b.text) <= 32""".stripMargin
+
+  // d13: same 3-gram shingles; weight = one integer division, sums are
+  // exact BIGINTs, threshold is the integer comparison, score the one
+  // final double division — boundary rows can never disagree
+  private val weightedJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w)-2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE [array_to_string(w, ' ')] END) AS shingle
+      | FROM toks),
+      |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+      |wsh AS (SELECT doc_id, shingle, 1000000 // df AS wt
+      |        FROM sh JOIN df USING (shingle) WHERE 1000000 // df > 0),
+      |tw AS (SELECT doc_id, CAST(sum(wt) AS BIGINT) AS tw FROM wsh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(sum(a.wt) AS BIGINT) AS common_w
+      |          FROM wsh a JOIN wsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2,
+      | CAST(common_w AS DOUBLE) / CAST(t1.tw + t2.tw - common_w AS DOUBLE) AS wjaccard
+      |FROM pairs JOIN tw t1 ON t1.doc_id = d1 JOIN tw t2 ON t2.doc_id = d2
+      |WHERE common_w * 1000000 >= 500000 * (t1.tw + t2.tw - common_w)""".stripMargin
+
+  private val knnBruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |scored AS (
+      | SELECT query_id, e.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(qv, v), 8) AS cos
+      | FROM q JOIN e ON e.vec_id <> q.query_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos,
+      | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      | FROM scored)
+      |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
+      |FROM ranked WHERE rnk <= 5""".stripMargin
 
   private val ngramJaccardSql: String =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),

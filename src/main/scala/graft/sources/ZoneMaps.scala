@@ -77,37 +77,89 @@ object ZoneMaps extends Logging {
     * EFFECTIVENESS, never correctness: the manifest always carries the
     * files' exact min/max. Columns must be integral or timestamp (scaled
     * in exact micros). The interleave is a pure Column expression tree —
-    * codegen'd, no UDF, computed once at write time. */
+    * codegen'd, no UDF, computed once at write time.
+    *
+    * `equiDepth = true` derives each column's bucket id from RANK space
+    * instead of value space: 255 `approx_percentile` boundaries (one tiny
+    * 1-row aggregate, the same cost class as the linear path's [min, max])
+    * and the bucket is the count of boundaries ≤ v — a codegen'd fold over
+    * the 255-element literal array. Under a heavy tail or an outlier,
+    * linear scaling collapses most rows into a few Morton cells (one far
+    * value stretches the domain so the mass lands in bucket 0) and pruning
+    * on the non-outlier mass degrades to nothing; rank-space buckets hold
+    * ~1/256 of the ROWS each by construction, so file envelopes stay tight
+    * on the mass regardless of the distribution (spec-contrasted on a
+    * skewed fixture). Correctness is unaffected either way — the manifest
+    * carries exact per-file min/max. */
   def clusteredWriteZ(df: DataFrame, colA: String, colB: String,
-                      dir: String, nFiles: Int): Unit = {
+                      dir: String, nFiles: Int,
+                      equiDepth: Boolean = false): Unit = {
     def asLong(c: String): Column = df.schema(c).dataType match {
       case org.apache.spark.sql.types.TimestampType |
            org.apache.spark.sql.types.TimestampNTZType =>
         unix_micros(col(c).cast("timestamp"))
       case _ => col(c).cast("long")
     }
-    val mm = df.agg(min(asLong(colA)), max(asLong(colA)),
-      min(asLong(colB)), max(asLong(colB))).head()
-    require(!mm.isNullAt(0) && !mm.isNullAt(2),
-      "clusteredWriteZ: both columns need at least one non-null value")
-    def bucket(v: Column, lo: Long, hi: Long): Column = {
-      val span = math.max(hi - lo, 1L)
-      // double scaling is exact below 2^53 and only affects effectiveness
-      least(lit(65535L),
-        ((v - lit(lo)).cast("double") / lit(span.toDouble) * 65535.0)
-          .cast("long"))
-    }
-    val a = bucket(asLong(colA), mm.getLong(0), mm.getLong(1))
-    val b = bucket(asLong(colB), mm.getLong(2), mm.getLong(3))
-    // Morton interleave: a's bit i → 2i+1, b's bit i → 2i (16 bits each)
-    val z = (0 until 16).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    // bucket width: 16 bits in value space (the scaling arithmetic is
+    // free) and 16 in rank space — the bucket is one codegen'd binary
+    // search ([[graft.plans.SearchSortedLong]]) over the boundary array,
+    // so rank resolution costs log₂, not tree size. (The declarative
+    // forms both measured badly at write scale: an `aggregate` fold is
+    // interpreted per element; a nested CASE tree bloats generated code.)
+    val nbits = 16
+    val (a, b) =
+      if (equiDepth) {
+        // 4096 rank buckets per dimension: ≫ any driver-manifest-sized
+        // file count; accuracy 2000 keeps the one-row aggregate cheap
+        // (boundary rank error 1/2000 ≪ the 1/4096 bucket width matters
+        // only for pruning effectiveness, never correctness). Buckets are
+        // spread over the full 16-bit Morton range so both layouts share
+        // one interleave shape.
+        val nb = 4096
+        val qs = (1 until nb).map(_.toDouble / nb).toArray
+        val r = df.agg(
+          percentile_approx(asLong(colA), lit(qs), lit(2000)),
+          percentile_approx(asLong(colB), lit(qs), lit(2000))).head()
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          "clusteredWriteZ: both columns need at least one non-null value")
+        def bucket(v: Column, bounds: Seq[Long]): Column = {
+          import org.apache.spark.sql.graft.ColumnBridge
+          ColumnBridge.toColumn(graft.plans.SearchSortedLong(
+            ColumnBridge.toExpression(v), bounds)) * lit((65536 / nb).toLong)
+        }
+        (bucket(asLong(colA), r.getSeq[Long](0)),
+          bucket(asLong(colB), r.getSeq[Long](1)))
+      } else {
+        val mm = df.agg(min(asLong(colA)), max(asLong(colA)),
+          min(asLong(colB)), max(asLong(colB))).head()
+        require(!mm.isNullAt(0) && !mm.isNullAt(2),
+          "clusteredWriteZ: both columns need at least one non-null value")
+        def bucket(v: Column, lo: Long, hi: Long): Column = {
+          val span = math.max(hi - lo, 1L)
+          // double scaling is exact below 2^53 and only affects effectiveness
+          least(lit(65535L),
+            ((v - lit(lo)).cast("double") / lit(span.toDouble) * 65535.0)
+              .cast("long"))
+        }
+        (bucket(asLong(colA), mm.getLong(0), mm.getLong(1)),
+          bucket(asLong(colB), mm.getLong(2), mm.getLong(3)))
+      }
+    // Morton interleave: a's bit i → 2i+1, b's bit i → 2i. The interleave
+    // references each bucket id nbits times — materialize the ids as
+    // columns FIRST so the shift/mask tree works on plain attributes
+    // (CollapseProject keeps multiply-referenced non-trivial expressions
+    // un-inlined); inlining the equi-depth search tree 2×nbits times was
+    // measured 4× slower on the write
+    val (ca, cb) = (col("_gzm_a"), col("_gzm_b"))
+    val z = (0 until nbits).map { i =>
+      shiftleft(shiftright(ca, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(cb, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_.bitwiseOR(_))
-    df.withColumn("_gzm_z", coalesce(z, lit(-1L)))
+    df.withColumn("_gzm_a", a).withColumn("_gzm_b", b)
+      .withColumn("_gzm_z", coalesce(z, lit(-1L)))
       .repartitionByRange(nFiles, col("_gzm_z"))
       .sortWithinPartitions("_gzm_z")
-      .drop("_gzm_z")
+      .drop("_gzm_a", "_gzm_b", "_gzm_z")
       .write.mode("overwrite").parquet(dir)
   }
 
@@ -127,6 +179,14 @@ object ZoneMaps extends Logging {
 
   private val manifestCache = new SessionKeyedCache[(String, Seq[String]), Array[Row]]()
 
+  /** Drop every manifest/membership memo for `dir` (test + lifecycle
+    * hook — simulates a fresh session for one table without draining the
+    * whole session's caches). */
+  private[graft] def dropMemos(spark: SparkSession, dir: String): Unit = {
+    manifestCache.purgeKeys(spark, _._1 == dir)
+    membershipCache.purgeKeys(spark, _._1 == dir)
+  }
+
   /** Collected manifest rows, built at most once per (session, dir, cols).
     * Driver-resident by design: #files rows is what Delta/Iceberg hold in
     * their metadata layer too — at 10⁶ files this is megabytes, and it is
@@ -145,6 +205,12 @@ object ZoneMaps extends Logging {
     * a's and b's envelopes, so single-column prunes hit the memo too). */
   def refreshManifest(spark: SparkSession, dir: String,
                       cols: Seq[String]): Array[Row] = {
+    // purge EVERY memo for this dir first (not just the keys derived from
+    // `cols`): a manifest memoized under a different column set — a prior
+    // prunedRead on another column, an earlier multi-column build — names
+    // the now-deleted files and would prune to FileNotFound at scan time
+    manifestCache.purgeKeys(spark, _._1 == dir)
+    membershipCache.purgeKeys(spark, _._1 == dir)
     val rows = build(spark, dir, cols).collect()
     seed(spark, dir, cols, rows)
     rows
@@ -156,19 +222,51 @@ object ZoneMaps extends Logging {
     cols.foreach(c => manifestCache.put(spark, (dir, Seq(c)), rows))
   }
 
-  /** Timestamp externals differ by parquet physical type across testdata
-    * generations (TIMESTAMP_NTZ collects as LocalDateTime, adjusted-to-UTC
-    * as java.sql.Timestamp); normalize the instant form to its UTC wall
-    * time (the session TZ is pinned UTC) so either generation compares
-    * against TZ-free LocalDateTime bounds. */
+  /** Normalize a manifest value / caller bound to a comparable form:
+    *   - temporal externals differ by parquet physical type across testdata
+    *     generations (TIMESTAMP_NTZ collects as LocalDateTime, adjusted-to-
+    *     UTC as java.sql.Timestamp, DateType as java.sql.Date); normalize
+    *     the instant forms to UTC wall time (session TZ is pinned UTC) so
+    *     either generation compares against TZ-free java.time bounds;
+    *   - integral numerics widen to Long, so Int bounds over a LongType
+    *     zone column (and any other width mix) PRUNE instead of throwing
+    *     ClassCastException at query build time. */
   private def key(a: Any): Any = a match {
     case t: java.sql.Timestamp =>
       t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+    case d: java.sql.Date => d.toLocalDate
+    case b: java.lang.Byte => java.lang.Long.valueOf(b.longValue)
+    case s: java.lang.Short => java.lang.Long.valueOf(s.longValue)
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue)
     case x => x
   }
 
-  private def cmp(a: Any, b: Any): Int =
-    key(a).asInstanceOf[Comparable[Any]].compareTo(key(b))
+  private def cmp(a: Any, b: Any): Int = (key(a), key(b)) match {
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    // mixed numeric widths (Long vs Double vs BigDecimal): compare exactly
+    // in decimal space — a lossy double cast could mis-prune a file whose
+    // envelope straddles the bound, which is a CORRECTNESS error, not an
+    // effectiveness one. NaN/Infinity have no decimal form; fall back to
+    // Double ordering (NaN greatest — java.lang.Double.compare semantics)
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      def finite(n: java.lang.Number): Boolean = n match {
+        case d: java.lang.Double => !d.isNaN && !d.isInfinite
+        case f: java.lang.Float => !f.isNaN && !f.isInfinite
+        case _ => true
+      }
+      if (finite(x) && finite(y))
+        new java.math.BigDecimal(x.toString).compareTo(
+          new java.math.BigDecimal(y.toString))
+      else java.lang.Double.compare(x.doubleValue, y.doubleValue)
+    case (x, y) =>
+      try x.asInstanceOf[Comparable[Any]].compareTo(y)
+      catch { case _: ClassCastException =>
+        throw new IllegalArgumentException(
+          s"zone-map bound of ${y.getClass.getName} is not comparable to " +
+            s"the manifest's ${x.getClass.getName} values — pass a bound " +
+            "of the zone column's external type")
+      }
+  }
 
   /** Files whose [min, max] envelope overlaps the predicate interval
     * [lo, hi) — inclusive lower, exclusive upper, the natural shape for
@@ -243,6 +341,21 @@ object ZoneMaps extends Logging {
     rows
   }
 
+  /** The durable-ingest step: build the manifest with ONE data scan,
+    * persist it at `manifestPath` AND seed the session memo — so THIS
+    * session prunes immediately and every FRESH session gets pruning for
+    * the cost of reading #files manifest rows ([[loadManifest]]) instead
+    * of re-scanning the data. Purges every stale memo for `dir` first
+    * (the [[refreshManifest]] discipline — the caller just rewrote the
+    * directory). */
+  def persistManifest(spark: SparkSession, dir: String, cols: Seq[String],
+                      manifestPath: String): Array[Row] = {
+    manifestCache.purgeKeys(spark, _._1 == dir)
+    membershipCache.purgeKeys(spark, _._1 == dir)
+    writeManifest(spark, dir, cols, manifestPath)
+    loadManifest(spark, dir, cols, manifestPath)
+  }
+
   /** Join-driven file pruning — dynamic partition pruning at the FILE
     * grain: bound the dim side's join-key domain with one tiny aggregate
     * (a 1-row job over the already-filtered dim), prune the fact's files
@@ -257,15 +370,204 @@ object ZoneMaps extends Logging {
     * before any footer is opened. An empty dim prunes everything (the
     * empty-join fast path, zero fact rows scanned). */
   def joinPrunedRead(spark: SparkSession, factDir: String, zoneCol: String,
-                     dimKeys: DataFrame, dimKeyCol: String): DataFrame = {
+                     dimKeys: DataFrame, dimKeyCol: String): DataFrame =
+    readFiles(spark, factDir,
+      joinPruneFiles(spark, factDir, zoneCol, dimKeys, dimKeyCol))
+
+  /** [[joinPrunedRead]]'s survivor set as file paths — exposed so callers
+    * (and the registered proof queries) can report how much was pruned
+    * without re-deriving it from `inputFiles` (whose empty-survivor
+    * fallback frame lists every file despite scanning none). Empty dim →
+    * empty array (everything pruned). */
+  def joinPruneFiles(spark: SparkSession, factDir: String, zoneCol: String,
+                     dimKeys: DataFrame, dimKeyCol: String): Array[String] = {
     val r = dimKeys.agg(min(col(dimKeyCol)), max(col(dimKeyCol))).head()
-    if (r.isNullAt(0)) spark.read.parquet(factDir).where(lit(false))
-    else {
-      val files = pruneFiles(manifestRows(spark, factDir, Seq(zoneCol)),
-        zoneCol, r.get(0), r.get(1), hiInclusive = true)
-      if (files.isEmpty) spark.read.parquet(factDir).where(lit(false))
-      else spark.read.parquet(files.toIndexedSeq: _*)
+    if (r.isNullAt(0)) Array.empty
+    else pruneFiles(manifestRows(spark, factDir, Seq(zoneCol)),
+      zoneCol, r.get(0), r.get(1), hiInclusive = true)
+  }
+
+  /** Scan exactly `files` of `dir` — the empty set short-circuits through a
+    * footer-only schema read under a false predicate (zero data scanned). */
+  private def readFiles(spark: SparkSession, dir: String,
+                        files: Array[String]): DataFrame =
+    if (files.isEmpty) spark.read.parquet(dir).where(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+
+  // ---- membership manifest: per-file key Bloom filters ---------------------
+
+  private val membershipCache = new SessionKeyedCache[(String, String), Array[Row]]()
+
+  /** The membership manifest: one row per file with the key column's
+    * [min, max] envelope AND a Bloom filter over its key SET — the sketch
+    * that closes the gap a pure envelope leaves open for star joins. A
+    * scattered dim key set ("these 200 customer ids" spread over the
+    * domain) reduces to a [min, max] spanning everything, so envelope-only
+    * join pruning ([[joinPrunedRead]]) keeps every file even on a
+    * perfectly key-clustered fact; per-file key MEMBERSHIP prunes exactly
+    * the files at least one dim key actually lands in. Parquet's own
+    * column-index blooms answer the same question one level down — AFTER
+    * the footer is opened; this answers it before any file is listed into
+    * the scan.
+    *
+    * Built in ONE scan like [[build]] (partial aggregation merges the
+    * per-partition blooms map-side; the exchange carries #files rows ×
+    * bloom bytes). Keys are the column cast to long (integral join keys —
+    * the star-join case); the driver-side probe uses the sketch library's
+    * own `mightContainLong`, the exact hash the aggregate inserted with,
+    * so a present key can never probe false (no false negatives — files
+    * are only ever OVER-kept, never wrongly skipped).
+    *
+    * Sizing: `bitsPerFile` defaults to ~1.2 MB (10⁶ expected distinct keys
+    * per file at ~1 % FPP — a 128 MB parquet file of short fact rows).
+    * The manifest is #files × (bits/8) bytes: at 10⁵ files ≈ tens of GB in
+    * the DEFAULT sizing, so size it to the real per-file key count — the
+    * demo layouts use 2¹⁶ bits. Like [[build]]'s manifest it is a durable
+    * table in production (write with [[writeManifest]]'s discipline);
+    * driver-resident probing holds to ~10⁵ files, beyond which the probe
+    * itself becomes a broadcast join of dim keys against the manifest
+    * table (same plan shape, distributed — the p07 machinery). */
+  def buildMembership(spark: SparkSession, dir: String, keyCol: String,
+                      expectedKeysPerFile: Long = 1L << 20,
+                      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
+    val numBits = math.max(64L, math.ceil(
+      -expectedKeysPerFile * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val keyLong = col(keyCol).cast("long")
+    val bf = new BloomFilterAggregate(ColumnBridge.toExpression(keyLong),
+      Literal(expectedKeysPerFile), Literal(numBits)).toAggregateExpression()
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(keyLong).as(s"${keyCol}_min"), max(keyLong).as(s"${keyCol}_max"),
+        ColumnBridge.toColumn(bf).as(s"${keyCol}_bloom"))
+  }
+
+  /** Collected membership-manifest rows, built at most once per
+    * (session, dir, keyCol) — the demo sizing (2¹⁶ bits ≈ 8 KB/file; the
+    * test layouts hold ≤ a few thousand distinct keys per file, so
+    * effective FPP ≪ 1 %). */
+  def membershipRows(spark: SparkSession, dir: String,
+                     keyCol: String): Array[Row] =
+    membershipCache.getOrElseUpdate(spark, (dir, keyCol))(
+      buildMembership(spark, dir, keyCol,
+        expectedKeysPerFile = 1L << 13, fpp = 0.01).collect())
+
+  /** Files at least one of `keys` might land in: restrict the sorted key
+    * list to the file's [min, max] envelope first (binary search — a key
+    * outside the envelope cannot be present regardless of what the bloom
+    * says), then probe the in-range keys against the file's bloom. A file
+    * is kept iff some key survives both tests; "might contain" keeps the
+    * no-false-negative contract, so pruning can only err toward keeping.
+    * Cost: #files × log|keys| searches + (keys-in-envelope) probes —
+    * driver-side, the same metadata class as [[pruneFiles]]. */
+  def membershipPruneFiles(manifest: Array[Row], keyCol: String,
+                           keys: Array[Long]): Array[String] = {
+    require(isSorted(keys), "membershipPruneFiles: keys must be sorted")
+    manifest.filter { r =>
+      val mnA = r.getAs[Any](s"${keyCol}_min")
+      val mxA = r.getAs[Any](s"${keyCol}_max")
+      mnA != null && mxA != null && {
+        val mn = mnA.asInstanceOf[Number].longValue
+        val mx = mxA.asInstanceOf[Number].longValue
+        val from = lowerBound(keys, mn)
+        from < keys.length && keys(from) <= mx && {
+          val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]](s"${keyCol}_bloom")))
+          var i = from
+          var hit = false
+          while (!hit && i < keys.length && keys(i) <= mx) {
+            hit = bloom.mightContainLong(keys(i)); i += 1
+          }
+          hit
+        }
+      }
+    }.map(_.getAs[String]("file"))
+  }
+
+  private def isSorted(xs: Array[Long]): Boolean = {
+    var i = 1
+    while (i < xs.length && xs(i - 1) <= xs(i)) i += 1
+    i >= xs.length
+  }
+
+  /** First index with keys(i) >= lo (keys sorted ascending). */
+  private def lowerBound(keys: Array[Long], lo: Long): Int = {
+    var a = 0; var b = keys.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (keys(m) < lo) a = m + 1 else b = m
     }
+    a
+  }
+
+  /** The ≥10⁵-files form of [[membershipPruneFiles]]: the manifest stays a
+    * DataFrame (NEVER collected whole — at 10⁶ files × KBs of bloom it
+    * outgrows the driver), the bounded dim key set broadcasts, and each
+    * manifest partition probes its own files' blooms locally; only the
+    * SURVIVING file paths come back (≤ #files strings — the same driver
+    * object [[pruneFiles]] returns). Same contract as the driver-side
+    * path, spec-pinned equal on the same fixture. */
+  def membershipPruneFilesDistributed(manifest: DataFrame, keyCol: String,
+                                      keys: Array[Long]): Array[String] = {
+    require(isSorted(keys), "membershipPruneFilesDistributed: keys must be sorted")
+    val bKeys = manifest.sparkSession.sparkContext.broadcast(keys)
+    manifest.select(col("file"), col(s"${keyCol}_min").cast("long"),
+        col(s"${keyCol}_max").cast("long"), col(s"${keyCol}_bloom"))
+      .rdd.mapPartitions { it =>
+        // self-contained closure: no module capture, the key array comes
+        // from the broadcast, the bound/probe logic is re-stated locally
+        val ks = bKeys.value
+        def lb(lo: Long): Int = {
+          var a = 0; var b = ks.length
+          while (a < b) { val m = (a + b) >>> 1; if (ks(m) < lo) a = m + 1 else b = m }
+          a
+        }
+        it.filter { r =>
+          !r.isNullAt(1) && !r.isNullAt(2) && {
+            val mn = r.getLong(1); val mx = r.getLong(2)
+            val from = lb(mn)
+            from < ks.length && ks(from) <= mx && {
+              val bloom = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](3)))
+              var i = from; var hit = false
+              while (!hit && i < ks.length && ks(i) <= mx) {
+                hit = bloom.mightContainLong(ks(i)); i += 1
+              }
+              hit
+            }
+          }
+        }.map(_.getString(0))
+      }.collect()
+  }
+
+  /** Membership-grade join-driven file pruning — [[joinPrunedRead]] for
+    * SCATTERED dim key sets: collect the dim's distinct keys (the same
+    * driver-bounded object Spark's own DPP broadcasts), probe each fact
+    * file's key bloom, scan only files some key might land in. The join
+    * equality downstream is the residual, so correctness never depends on
+    * the bloom (false positives only over-keep). A dim wider than
+    * `maxKeys` distinct keys falls back to envelope pruning — at that
+    * width the key set is dense enough that envelopes prune comparably,
+    * and the driver never holds an unbounded collect. */
+  def membershipPrunedRead(spark: SparkSession, factDir: String,
+                           keyCol: String, dimKeys: DataFrame,
+                           dimKeyCol: String,
+                           maxKeys: Int = 100000): DataFrame = {
+    val collected = dimKeys.select(col(dimKeyCol).cast("long").as("k"))
+      .na.drop().distinct().limit(maxKeys + 1).collect().map(_.getLong(0))
+    if (collected.isEmpty) readFiles(spark, factDir, Array.empty)
+    else if (collected.length > maxKeys) {
+      logWarning(s"membershipPrunedRead: dim exceeds $maxKeys distinct " +
+        s"keys; falling back to envelope pruning for $factDir")
+      joinPrunedRead(spark, factDir, keyCol, dimKeys, dimKeyCol)
+    } else readFiles(spark, factDir,
+      membershipPruneFiles(membershipRows(spark, factDir, keyCol),
+        keyCol, collected.sorted))
   }
 
   /** Batch-incremental manifest maintenance — the p58 census discipline at
@@ -277,7 +579,12 @@ object ZoneMaps extends Logging {
     * equals a from-scratch [[build]] exactly (spec-pinned). */
   def incrementalBuild(spark: SparkSession, dir: String, cols: Seq[String],
                        standing: Array[Row]): Array[Row] = {
-    def norm(f: String): String = java.net.URI.create(f).getPath
+    // hadoop Path handles unencoded characters URI.create rejects (spaces
+    // in file names from a persisted/hand-built manifest); if even that
+    // fails, the raw string still matches itself across both listings
+    def norm(f: String): String =
+      try new org.apache.hadoop.fs.Path(f).toUri.getPath
+      catch { case _: IllegalArgumentException => f }
     // ONE listing serves both sides — at 10⁵–10⁶ files the listing is the
     // dominant metadata cost of the maintenance call
     val listing = spark.read.parquet(dir).inputFiles
@@ -325,6 +632,121 @@ object ZoneMaps extends Logging {
       out
     }
 
+  private[graft] val membershipDemoFiles = 16
+
+  /** A lineitem copy key-clustered by l_partkey into
+    * [[membershipDemoFiles]] files (for the membership-pruning proof),
+    * memoized like [[clusteredLineitem]]. */
+  private def clusteredLineitemByPart(spark: SparkSession, dir: String): String =
+    clusteredCache.getOrElseUpdate(spark, s"$dir#bypart") {
+      val out = Files.createTempDirectory("graft_zonemap_p_").toString
+      clusteredWrite(graft.Tables(spark, dir).lineitem, "l_partkey", out,
+        membershipDemoFiles)
+      out
+    }
+
+  /** q135: membership-grade join pruning, end to end — the dim is a
+    * SCATTERED ~0.25 % part-key slice (`p_partkey % 398 = 7`: six keys
+    * spread across the whole domain), the textbook star-join filter shape
+    * that envelope-only pruning is structurally blind to: the slice's
+    * [min, max] spans essentially the full key domain, so
+    * [[joinPruneFiles]] keeps every file of the part-clustered fact
+    * (spec-pinned contrast), while the per-file key blooms keep only the
+    * ~6 files a dim key actually lands in. The oracle joins the UNPRUNED
+    * table, so a wrong skip loses rows and hash-fails; `pruned` pins that
+    * files were really skipped. The join equality is the residual — no
+    * bloom or envelope tightness assumption anywhere. */
+  def q135MembershipPrune(spark: SparkSession, dir: String): DataFrame = {
+    val cdir = clusteredLineitemByPart(spark, dir)
+    val dim = graft.Tables(spark, dir).part
+      .where(pmod(col("p_partkey"), lit(398L)) === 7)
+      .select(col("p_partkey"))
+    val keys = dim.select(col("p_partkey").cast("long").as("k"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val mrows = membershipRows(spark, cdir, "l_partkey")
+    val files = membershipPruneFiles(mrows, "l_partkey", keys)
+    val fact = readFiles(spark, cdir, files)
+    fact.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        (round(sum(col("l_quantity")), 4) + lit(0.0)).as("sum_qty"))
+      .withColumn("files_total", lit(mrows.length))
+      .withColumn("pruned", lit(files.length < mrows.length))
+  }
+
+  /** Metadata-only aggregation — answer count/min/max from the manifest
+    * ALONE, zero data-dir access: Σ n_rows is the exact row count and the
+    * zone column's global [min, max] is the extreme of the file envelopes
+    * (min/max are exactly the statistics the manifest carries; they
+    * compose by associativity). This is the file-grain analog of Spark's
+    * own partition-metadata-only optimization and the lakehouse formats'
+    * metadata-only `count(*)` — at 100 TB the difference between a
+    * catalog lookup and a full scan. Exact under the manifest's standing
+    * contract (built/maintained against the current file set; parquet
+    * files are immutable). Returns a 1-row frame; NULL extremes when
+    * every file's envelope is NULL. */
+  def statsOnlyAggregate(spark: SparkSession, dir: String,
+                         zoneCol: String): DataFrame = {
+    val man = manifestRows(spark, dir, Seq(zoneCol))
+    val nRows = man.map(_.getAs[Long]("n_rows")).sum
+    val ord = Ordering.fromLessThan[Any](cmp(_, _) < 0)
+    val mins = man.map(_.getAs[Any](s"${zoneCol}_min")).filter(_ != null)
+    val maxs = man.map(_.getAs[Any](s"${zoneCol}_max")).filter(_ != null)
+    def asLit(a: Any): Column = if (a == null) lit(null) else key(a) match {
+      case t: java.time.LocalDateTime => lit(t)
+      case x => lit(x)
+    }
+    spark.range(1).select(lit(nRows).as("n_rows"),
+      asLit(if (mins.isEmpty) null else mins.min(ord)).as(s"${zoneCol}_min"),
+      asLit(if (maxs.isEmpty) null else maxs.max(ord)).as(s"${zoneCol}_max"),
+      lit(man.length).as("files_total"))
+  }
+
+  /** Zone-map-served top-k — ORDER BY zoneCol DESC LIMIT k reading only
+    * the TAIL files (the "latest k events" query, which at 100 TB must
+    * not sort the table): take files in descending-max order until their
+    * row counts cover k, let cMin be the smallest `min` among them, and
+    * scan every file whose max ≥ cMin. Correct for ANY layout: the taken
+    * prefix holds ≥ k rows with values ≥ their files' mins ≥ cMin, so the
+    * k-th largest value t ≥ cMin, and every row ≥ t lives in a scanned
+    * file; on a clustered layout (disjoint envelopes) the scanned set IS
+    * the minimal tail. The caller's own orderBy/limit runs on the pruned
+    * scan — Spark's TakeOrderedAndProject keeps the sort partial + heap-
+    * bounded, so the total cost is (tail files) not (table sort). */
+  def topTailFiles(spark: SparkSession, dir: String, zoneCol: String,
+                   k: Long): Array[String] = {
+    val man = manifestRows(spark, dir, Seq(zoneCol))
+    val ord = Ordering.fromLessThan[Any](cmp(_, _) < 0)
+    val nonNull = man.filter(_.getAs[Any](s"${zoneCol}_max") != null)
+    if (nonNull.isEmpty) return Array.empty
+    val descByMax = nonNull.sortBy(_.getAs[Any](s"${zoneCol}_max"))(ord.reverse)
+    var cum = 0L
+    val taken = descByMax.takeWhile { r =>
+      val need = cum < k; cum += r.getAs[Long]("n_rows"); need
+    }
+    val cMin = taken.map(_.getAs[Any](s"${zoneCol}_min")).min(ord)
+    nonNull.filter(r => cmp(r.getAs[Any](s"${zoneCol}_max"), cMin) >= 0)
+      .map(_.getAs[String]("file"))
+  }
+
+  /** Bench attribution hooks (the `_shared_*` discipline): materialize the
+    * demo layouts and manifests so their one-time ingest cost lands on the
+    * `_shared_zonemap_layout` / `_shared_zonemap_manifest` pseudo-entries
+    * instead of whichever of q133–q136 happens to run first — the serve
+    * entries then measure what a prepared table actually costs per query. */
+  private[graft] def warmDemoLayouts(spark: SparkSession, dir: String): Long =
+    Seq(clusteredLineitem(spark, dir), clusteredLineitemByKey(spark, dir),
+      clusteredLineitemByPart(spark, dir), preparedZLineitem(spark, dir))
+      .length.toLong
+
+  private[graft] def warmDemoManifests(spark: SparkSession, dir: String): Long =
+    manifestRows(spark, clusteredLineitem(spark, dir),
+      Seq("l_shipdate")).length.toLong +
+      manifestRows(spark, clusteredLineitemByKey(spark, dir),
+        Seq("l_orderkey")).length +
+      membershipRows(spark, clusteredLineitemByPart(spark, dir),
+        "l_partkey").length
+
   /** q134: join-driven file pruning, end to end — the dim side is the
     * lowest eighth of the orderkey domain (the time-correlated-ingest
     * shape: recent keys, narrow span); [[joinPrunedRead]] bounds it with
@@ -342,15 +764,99 @@ object ZoneMaps extends Logging {
     val cut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
     val dim = orders.where(col("o_orderkey") <= cut)
       .select(col("o_orderkey"), col("o_orderdate"))
-    val fact = joinPrunedRead(spark, cdir, "l_orderkey", dim, "o_orderkey")
+    // derive `pruned` from the survivor set itself, NOT from
+    // fact.inputFiles: the empty-dim/empty-survivor fallback frame is a
+    // full-dir scan under lit(false), whose inputFiles lists every file
+    // even though zero data is read
+    val files = joinPruneFiles(spark, cdir, "l_orderkey", dim, "o_orderkey")
+    val fact = readFiles(spark, cdir, files)
     val total = manifestRows(spark, cdir, Seq("l_orderkey")).length
-    val scanned = fact.inputFiles.length
+    val scanned = files.length
     fact.join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(year(col("o_orderdate").cast("date")).as("yr"))
       .agg(count(lit(1)).as("n_rows"),
         (round(sum(col("l_quantity")), 4) + lit(0.0)).as("sum_qty"))
       .withColumn("files_total", lit(total))
       .withColumn("pruned", lit(scanned < total))
+  }
+
+  /** The full ingest recipe run once per session for the q136 proof:
+    * equi-depth Z-order on (l_orderkey, l_partkey) + PERSISTED manifest +
+    * catalog stats — [[graft.GraftSession.prepareTable]] end to end. */
+  private def preparedZLineitem(spark: SparkSession, dir: String): String =
+    clusteredCache.getOrElseUpdate(spark, s"$dir#zprep") {
+      val out = Files.createTempDirectory("graft_zonemap_z_").toString + "/t"
+      val mf = Files.createTempDirectory("graft_zonemap_zm_").toString + "/m"
+      graft.GraftSession.prepareTable(spark, "graft_q136_zprep",
+        s"$dir/lineitem.parquet", out, Seq("l_orderkey", "l_partkey"),
+        Nil, nFiles = membershipDemoFiles, manifestPath = Some(mf),
+        equiDepth = true)
+      out
+    }
+
+  /** q136: the INGEST RECIPE end to end — `prepareTable` with TWO zone
+    * columns (equi-depth Z-order on (l_orderkey, l_partkey)), a PERSISTED
+    * manifest, and catalog stats, then a pruned range scan on the SECOND
+    * column — exactly the predicate a single-column (orderkey) clustering
+    * serves not at all: Z-locality bounds every file's l_partkey envelope
+    * to ~¼ of rank space, so a 15 % partkey range skips the ¾ of files
+    * whose strip misses it. The oracle recomputes from the unpruned
+    * table; `pruned` pins real skips; the durable-manifest half (a fresh
+    * memo loading #files rows with ZERO data-dir jobs) is spec-pinned in
+    * ZoneMapsSpec. */
+  def q136ZOrderPrepared(spark: SparkSession, dir: String): DataFrame = {
+    val cdir = preparedZLineitem(spark, dir)
+    val manifest = manifestRows(spark, cdir, Seq("l_orderkey", "l_partkey"))
+    // the probed strip: [12.5 %, 25 %) of the partkey domain, derived from
+    // the manifest's own envelopes (zero extra jobs), so the query is
+    // SF-independent and the oracle recomputes the identical bounds
+    val kmin = manifest.flatMap(r =>
+      Option(r.getAs[java.lang.Long]("l_partkey_min")).map(_.longValue)).min
+    val kmax = manifest.flatMap(r =>
+      Option(r.getAs[java.lang.Long]("l_partkey_max")).map(_.longValue)).max
+    val lo = kmin + (kmax - kmin) / 8
+    val hi = kmin + (kmax - kmin) / 4
+    val files = pruneFiles(manifest, "l_partkey", lo, hi)
+    readFiles(spark, cdir, files)
+      .where(col("l_partkey") >= lo && col("l_partkey") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        (round(sum(col("l_quantity")), 4) + lit(0.0)).as("sum_qty"))
+      .withColumn("files_total", lit(manifest.length))
+      .withColumn("pruned", lit(files.length < manifest.length))
+  }
+
+  /** q137: metadata-only aggregate, end to end — count(*) + the shipdate
+    * extremes of the clustered lineitem answered from the manifest alone
+    * (a 1-row local relation; the only job is the memoized manifest's
+    * one-time build, attributed to `_shared_zonemap_manifest` in the
+    * bench). The oracle recomputes all three from the full table, so a
+    * manifest that miscounts a file or carries a loose envelope
+    * hash-fails. */
+  def q137MetadataAgg(spark: SparkSession, dir: String): DataFrame =
+    statsOnlyAggregate(spark, clusteredLineitem(spark, dir), "l_shipdate")
+
+  /** q138: zone-map-served top-k — the latest 100 lineitem rows by ship
+    * date, reading ONLY the tail file(s) of the date-clustered layout
+    * ([[topTailFiles]]); the orderBy+limit on the pruned scan plans as
+    * TakeOrderedAndProject (heap-clipped partial top-k, no global sort).
+    * Ordering by the FULL projected tuple makes the boundary multiset
+    * deterministic (rows tied on every output column are interchangeable),
+    * so the result hash-checks against the oracle's identical ORDER BY …
+    * LIMIT. `pruned` pins that the scan really skipped files (100 rows ≪
+    * one file's share of the 8-file layout). */
+  def q138ZoneMapTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cdir = clusteredLineitem(spark, dir)
+    val total = manifestRows(spark, cdir, Seq("l_shipdate")).length
+    val files = topTailFiles(spark, cdir, "l_shipdate", 100L)
+    readFiles(spark, cdir, files)
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_quantity").asc)
+      .limit(100)
+      .select(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+      .withColumn("files_total", lit(total))
+      .withColumn("pruned", lit(files.length < total))
   }
 
   /** q133: zone-map-pruned scan, end to end — cluster lineitem by ship

@@ -190,7 +190,7 @@ class ZoneMapsSpec extends AnyFunSuite {
   test("prepareTable: one call yields clustering + manifest + catalog stats") {
     val out = Files.createTempDirectory("graft_zm_prep_").toString + "/t"
     val name = GraftSession.prepareTable(spark, "graft_zm_prep_spec",
-      s"$sf/orders.parquet", out, "o_orderdate",
+      s"$sf/orders.parquet", out, Seq("o_orderdate"),
       Seq("o_custkey"), nFiles = 4)
     // catalog table live with column stats (NDV present after ANALYZE)
     val rel = spark.table(name).queryExecution.optimizedPlan
@@ -227,7 +227,7 @@ class ZoneMapsSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft_zm_reprep_").toString + "/t"
     def run(): Long = {
       GraftSession.prepareTable(spark, "graft_zm_reprep_spec",
-        s"$sf/orders.parquet", out, "o_orderdate", Nil, nFiles = 3)
+        s"$sf/orders.parquet", out, Seq("o_orderdate"), Nil, nFiles = 3)
       // a prune over the CURRENT files — a stale manifest would hand
       // spark.read.parquet paths deleted by the second clusteredWrite
       ZoneMaps.prunedRead(spark, out, "o_orderdate",
@@ -238,6 +238,279 @@ class ZoneMapsSpec extends AnyFunSuite {
     val second = run() // re-ingest: every part file is rewritten
     assert(first == second && second == tables.orders.count())
     spark.sql("DROP TABLE IF EXISTS graft_zm_reprep_spec")
+  }
+
+  test("membership pruning: scattered keys skip files the envelope cannot") {
+    val d = Files.createTempDirectory("graft_zm_mem_").toString
+    ZoneMaps.clusteredWrite(tables.lineitem, "l_partkey", d, 8)
+    // scattered keys spanning the whole domain (0..199 at this SF): the
+    // single [min, max] envelope overlaps EVERY file, so envelope-grade
+    // join pruning keeps all 8 — the structural gap membership closes
+    val keyVals = Seq(3L, 99L, 197L)
+    val dim = spark.createDataFrame(keyVals.map(Tuple1(_))).toDF("k")
+    val envelope = ZoneMaps.joinPruneFiles(spark, d, "l_partkey", dim, "k")
+    assert(envelope.length == 8,
+      s"envelope-only pruning should keep all 8 files, kept ${envelope.length}")
+    val member = ZoneMaps.membershipPruneFiles(
+      ZoneMaps.membershipRows(spark, d, "l_partkey"), "l_partkey",
+      keyVals.toArray)
+    assert(member.length <= keyVals.length,
+      s"three scattered keys can hit at most 3 disjoint-range files, kept ${member.length}")
+    assert(member.nonEmpty)
+    // parity: the membership-pruned join equals the naive join — the join
+    // equality is the residual, bloom false positives only over-keep
+    val got = ZoneMaps.membershipPrunedRead(spark, d, "l_partkey", dim, "k")
+      .join(dim, col("l_partkey") === col("k")).count()
+    val want = spark.read.parquet(d)
+      .join(dim, col("l_partkey") === col("k")).count()
+    assert(got == want && want > 0)
+  }
+
+  test("membership pruning: blooms reject absent keys inside the envelope") {
+    // fact keys: EVEN values only — an odd probe key falls inside some
+    // file's [min, max] but exists nowhere; the range test alone keeps the
+    // file, the bloom rejects it
+    val d = Files.createTempDirectory("graft_zm_gap_").toString
+    val fact = spark.range(0, 500).selectExpr("id * 2 as k", "id as payload")
+    ZoneMaps.clusteredWrite(fact.toDF(), "k", d, 4)
+    val rows = ZoneMaps.membershipRows(spark, d, "k")
+    val odd = Array(101L, 301L, 501L, 701L)
+    assert(ZoneMaps.membershipPruneFiles(rows, "k", odd).isEmpty,
+      "absent keys inside the envelope must be bloom-rejected")
+    // present keys still keep exactly their files (no false negatives)
+    val present = Array(100L, 700L)
+    val kept = ZoneMaps.membershipPruneFiles(rows, "k", present)
+    assert(kept.nonEmpty && kept.length <= 2)
+    val dim = spark.createDataFrame(odd.toSeq.map(Tuple1(_))).toDF("k")
+    assert(ZoneMaps.membershipPrunedRead(spark, d, "k", dim, "k").count() == 0)
+  }
+
+  test("distributed membership probe equals the driver-side path") {
+    val d = Files.createTempDirectory("graft_zm_dist_").toString
+    ZoneMaps.clusteredWrite(tables.lineitem, "l_partkey", d, 8)
+    val keys = Array(3L, 99L, 101L, 197L) // present + near-miss values
+    val driverSide = ZoneMaps.membershipPruneFiles(
+      ZoneMaps.membershipRows(spark, d, "l_partkey"), "l_partkey", keys).sorted
+    val distributed = ZoneMaps.membershipPruneFilesDistributed(
+      ZoneMaps.buildMembership(spark, d, "l_partkey",
+        expectedKeysPerFile = 1L << 13), "l_partkey", keys).sorted
+    assert(distributed.sameElements(driverSide) && driverSide.nonEmpty)
+  }
+
+  test("membership pruning: wide dim falls back to envelope pruning (bounded driver)") {
+    val d = Files.createTempDirectory("graft_zm_wide_").toString
+    ZoneMaps.clusteredWrite(tables.lineitem, "l_partkey", d, 8)
+    val dim = spark.createDataFrame(Seq(3L, 99L, 197L).map(Tuple1(_))).toDF("k")
+    val fb = ZoneMaps.membershipPrunedRead(spark, d, "l_partkey", dim, "k",
+      maxKeys = 2)
+    val env = ZoneMaps.joinPrunedRead(spark, d, "l_partkey", dim, "k")
+    assert(fb.inputFiles.sorted.sameElements(env.inputFiles.sorted),
+      "over-maxKeys dim must take the envelope route")
+    // empty dim prunes everything
+    assert(ZoneMaps.membershipPrunedRead(spark, d, "l_partkey",
+      dim.where(lit(false)), "k").count() == 0)
+  }
+
+  test("pruneFiles: mixed-width numeric bounds prune; incomparable types error clearly") {
+    val d = Files.createTempDirectory("graft_zm_mixed_").toString
+    ZoneMaps.clusteredWrite(tables.lineitem, "l_orderkey", d, 4)
+    val man = ZoneMaps.manifestRows(spark, d, Seq("l_orderkey"))
+    // Int bounds over the LONG zone column — must match the Long-bound
+    // answer, not throw ClassCastException
+    val viaInt = ZoneMaps.pruneFiles(man, "l_orderkey",
+      Int.box(3), Int.box(100)).sorted
+    val viaLong = ZoneMaps.pruneFiles(man, "l_orderkey", 3L, 100L).sorted
+    assert(viaInt.sameElements(viaLong) && viaLong.nonEmpty)
+    // Double bounds straddling exactly: still exact (decimal compare)
+    val viaDouble = ZoneMaps.pruneFiles(man, "l_orderkey",
+      Double.box(3.0), Double.box(100.0)).sorted
+    assert(viaDouble.sameElements(viaLong))
+    val e = intercept[IllegalArgumentException] {
+      ZoneMaps.pruneFiles(man, "l_orderkey", "three", "hundred")
+    }
+    assert(e.getMessage.contains("not comparable"))
+  }
+
+  test("refreshManifest purges memos for OTHER column sets of the same dir") {
+    val d = Files.createTempDirectory("graft_zm_stale_").toString
+    ZoneMaps.clusteredWrite(tables.orders, "o_orderkey", d, 3)
+    // memoize a manifest under a DIFFERENT column set
+    val stale = ZoneMaps.manifestRows(spark, d, Seq("o_custkey"))
+    assert(stale.length == 3)
+    // rewrite the dir (every part file replaced), refresh on another set
+    ZoneMaps.clusteredWrite(tables.orders, "o_orderkey", d, 4)
+    ZoneMaps.refreshManifest(spark, d, Seq("o_orderkey"))
+    // the o_custkey memo must have been purged too: a stale one would
+    // hand spark.read.parquet the deleted 3-file paths → FileNotFound
+    val fresh = ZoneMaps.manifestRows(spark, d, Seq("o_custkey"))
+    assert(fresh.length == 4)
+    val lo = tables.orders.agg(min(col("o_custkey"))).head().getLong(0)
+    val hi = tables.orders.agg(max(col("o_custkey"))).head().getLong(0)
+    val full = ZoneMaps.prunedRead(spark, d, "o_custkey", lo, hi + 1,
+      lit(lo), lit(hi + 1))
+    assert(full.count() == tables.orders.count())
+  }
+
+  test("persisted manifest serves a fresh session with ZERO data-dir access") {
+    val base = Files.createTempDirectory("graft_zm_durable_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    GraftSession.prepareTable(spark, "graft_zm_durable_spec",
+      s"$sf/orders.parquet", out, Seq("o_orderkey"), Nil,
+      nFiles = 4, manifestPath = Some(mf))
+    // this session: the recipe seeded the memo; pruning works immediately
+    val man = ZoneMaps.manifestRows(spark, out, Seq("o_orderkey"))
+    assert(man.length == 4)
+    // simulate a fresh session AND prove the load touches only the
+    // manifest: drop the memos, DELETE the data files, then load + prune —
+    // any data-dir access would throw
+    ZoneMaps.dropMemos(spark, out)
+    val dataFiles = new java.io.File(out).listFiles()
+    val moved = Files.createTempDirectory("graft_zm_moved_").toString
+    dataFiles.foreach(f => f.renameTo(new java.io.File(moved, f.getName)))
+    val loaded = ZoneMaps.loadManifest(spark, out, Seq("o_orderkey"), mf)
+    assert(loaded.length == 4 &&
+      loaded.map(_.getAs[Long]("n_rows")).sum == tables.orders.count())
+    val cut = loaded.map(_.getAs[Long]("o_orderkey_max")).min
+    val some = ZoneMaps.pruneFiles(loaded, "o_orderkey", 0L, cut)
+    assert(some.nonEmpty && some.length < 4)
+    spark.sql("DROP TABLE IF EXISTS graft_zm_durable_spec")
+  }
+
+  test("prepareTable refuses srcDir == outDir (and nesting)") {
+    val d = Files.createTempDirectory("graft_zm_guard_").toString
+    intercept[IllegalArgumentException] {
+      GraftSession.prepareTable(spark, "graft_zm_guard_spec", d, d,
+        Seq("o_orderkey"), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      GraftSession.prepareTable(spark, "graft_zm_guard_spec", d, s"$d/sub",
+        Seq("o_orderkey"), Nil)
+    }
+  }
+
+  test("equi-depth Z-order: an outlier key no longer kills pruning on the mass") {
+    // skewed fixture: lineitem keys plus ONE far outlier in k1 — linear
+    // value-space bucketing collapses every normal k1 into bucket 0, so
+    // the layout degenerates to k2-only clustering and a k1 range keeps
+    // every file; rank-space (equi-depth) bucketing is outlier-immune
+    val skewed = tables.lineitem
+      .selectExpr("l_orderkey as k1", "l_partkey as k2", "l_quantity as v")
+      .unionByName(spark.sql("SELECT CAST(1000000000 AS BIGINT) k1, " +
+        "CAST(0 AS BIGINT) k2, CAST(1.0 AS DOUBLE) v"))
+    val dLin = Files.createTempDirectory("graft_zm_zlin_").toString
+    val dEd = Files.createTempDirectory("graft_zm_zed_").toString
+    ZoneMaps.clusteredWriteZ(skewed, "k1", "k2", dLin, 8)
+    ZoneMaps.clusteredWriteZ(skewed, "k1", "k2", dEd, 8, equiDepth = true)
+    val manLin = ZoneMaps.manifestRows(spark, dLin, Seq("k1"))
+    val manEd = ZoneMaps.manifestRows(spark, dEd, Seq("k1"))
+    // a 1/8th range over the NORMAL key mass (domain 0..199 at this SF)
+    val keptLin = ZoneMaps.pruneFiles(manLin, "k1", 0L, 25L).length
+    val keptEd = ZoneMaps.pruneFiles(manEd, "k1", 0L, 25L).length
+    assert(keptLin >= 7,
+      s"linear bucketing under an outlier should degenerate (kept $keptLin/8)")
+    assert(keptEd <= 4,
+      s"equi-depth bucketing should keep pruning under the outlier (kept $keptEd/8)")
+    // correctness never depends on the layout: pruned ≡ naive on both
+    for (dz <- Seq(dLin, dEd)) {
+      val pruned = ZoneMaps.prunedRead(spark, dz, "k1", 0L, 25L,
+        lit(0L), lit(25L)).count()
+      val naive = spark.read.parquet(dz)
+        .where(col("k1") >= 0L && col("k1") < 25L).count()
+      assert(pruned == naive && naive > 0)
+    }
+  }
+
+  test("incrementalBuild tolerates manifest file names a URI parser rejects") {
+    val man = manifest
+    val schema = man.head.schema
+    val fake = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any]("/tmp/no such dir/part 0001 with spaces.parquet", 0L,
+        null, null, 0L), schema)
+    // the fake standing row names a vanished file with spaces: it must be
+    // dropped (not throw IllegalArgumentException from URI.create)
+    val maintained = ZoneMaps.incrementalBuild(
+      spark, dir, Seq("l_shipdate"), man :+ fake.asInstanceOf[org.apache.spark.sql.Row])
+    assert(maintained.length == man.length)
+  }
+
+  test("q135 registered query: scattered keys, pruned flag true, matches naive") {
+    val got = SparkEntry.queries("q135_membership_prune")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Boolean]("pruned")))
+    assert(got.forall(_.getAs[Int]("files_total") == ZoneMaps.membershipDemoFiles))
+    val want = tables.lineitem.join(tables.part,
+        col("l_partkey") === col("p_partkey"))
+      .where(pmod(col("p_partkey"), lit(398L)) === 7)
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n"), (round(sum(col("l_quantity")), 4) + lit(0.0)).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("n_rows"),
+      r.getAs[Double]("sum_qty"))).toSet == want)
+  }
+
+  test("q136 registered query: recipe layout prunes the SECOND column, matches naive") {
+    val got = SparkEntry.queries("q136_zorder_prepared")(spark, sf).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Boolean]("pruned")))
+    val mm = tables.lineitem
+      .agg(min(col("l_partkey")), max(col("l_partkey"))).head()
+    val lo = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 8
+    val hi = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 4
+    val want = tables.lineitem
+      .where(col("l_partkey") >= lo && col("l_partkey") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), (round(sum(col("l_quantity")), 4) + lit(0.0)).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("n_rows"),
+      r.getAs[Double]("sum_qty"))).toSet == want)
+  }
+
+  test("q137: metadata-only aggregate answers from the manifest with zero data jobs") {
+    val got = SparkEntry.queries("q137_metadata_agg")(spark, sf).head()
+    val want = tables.lineitem.agg(count(lit(1)),
+      min(col("l_shipdate")), max(col("l_shipdate"))).head()
+    assert(got.getAs[Long]("n_rows") == want.getLong(0))
+    // extremes equal the table's (normalize either temporal external form)
+    def norm(a: Any): Any = a match {
+      case t: java.sql.Timestamp =>
+        t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      case x => x
+    }
+    assert(norm(got.getAs[Any]("l_shipdate_min")) == norm(want.get(1)))
+    assert(norm(got.getAs[Any]("l_shipdate_max")) == norm(want.get(2)))
+    // and it really is metadata-only: with the manifest memoized, the same
+    // call succeeds even if the data directory were gone — structurally, a
+    // 1-row local relation has no file sources
+    val plan = SparkEntry.queries("q137_metadata_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), s"metadata-only plan must not scan files:\n$plan")
+  }
+
+  test("q138/topTailFiles: top-k by zone reads only tail files, matches full sort") {
+    val got = SparkEntry.queries("q138_zonemap_topk")(spark, sf).collect()
+    assert(got.length == 100)
+    assert(got.forall(_.getAs[Boolean]("pruned")))
+    val want = tables.lineitem
+      .orderBy(col("l_shipdate").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_quantity").asc)
+      .limit(100)
+      .select(col("l_shipdate").cast("string"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    val gotT = got.map(r => (String.valueOf(r.get(0)), r.getAs[Long]("l_orderkey"),
+      r.getAs[Int]("l_linenumber"), r.getAs[Double]("l_quantity"))).toSeq
+    assert(gotT.map(t => (t._2, t._3, t._4)).sorted ==
+      want.map(t => (t._2, t._3, t._4)).sorted)
+    // the tail prune is strict, and the covering law holds for any k on
+    // the clustered layout: taken files hold >= k rows
+    val files = ZoneMaps.topTailFiles(spark, dir, "l_shipdate", 50L)
+    assert(files.nonEmpty && files.length < 6)
+    val inTail = spark.read.parquet(files.toIndexedSeq: _*).count()
+    assert(inTail >= 50L)
+    // empty manifest edge: k over an all-null column set
+    assert(ZoneMaps.topTailFiles(spark, dir, "l_shipdate", Long.MaxValue)
+      .length == 6, "k beyond the table keeps every non-null file")
   }
 
   test("q133 registered query: pruned flag true, groups match naive") {
