@@ -68,7 +68,7 @@ object Bench {
     val allNames = Seq("_probe_overhead_a") ++ Seq("_shared_shingles", "_shared_weighted_shingles",
       "_shared_shingle_arrays", "_shared_weighted_arrays",
       "_shared_lsh_pairs", "_shared_cws_sig",
-      "_shared_jaccard_pairs", "_shared_edit_pairs",
+      "_shared_jaccard_pairs", "_shared_weighted_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
       "_shared_knn_graph", "_shared_srp_pairs", "_shared_srp_probe",
       "_shared_tokens", "_shared_zonemap_layout", "_shared_zonemap_manifest") ++
@@ -118,6 +118,8 @@ object Bench {
               Tables(spark, sfDir).embeddings, nBands = 8, rowsPerBand = 8).count()
           else if (name == "_shared_jaccard_pairs")
             graft.dedup.Dedup.sharedJaccardPairs(Tables(spark, sfDir).documents).count()
+          else if (name == "_shared_weighted_pairs")
+            graft.dedup.Dedup.sharedWeightedJaccardPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_edit_pairs")
             graft.dedup.Dedup.sharedEditPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_ivf_index")

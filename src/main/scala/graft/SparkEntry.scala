@@ -294,7 +294,7 @@ object SparkEntry {
     "d12_containment"     -> ((s, d) => Dedup.containmentPairs(t(s, d).documents)),
     // d13: rarity-weighted Jaccard — integer /1e6 weights, exact long
     // sums, integer threshold test; the score is the one final division
-    "d13_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccardPairs(t(s, d).documents)),
+    "d13_weighted_jaccard" -> ((s, d) => Dedup.sharedWeightedJaccardPairs(t(s, d).documents)),
     // d14: the CWS weighted-MinHash sketch route for d13 — candidates are
     // probabilistic at tau=0.5 (genuinely lossy banding, unlike d03's
     // 0.9998 at 0.8) so the driver check is rows-only; DedupSpec pins

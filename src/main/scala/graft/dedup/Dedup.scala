@@ -94,6 +94,22 @@ object Dedup {
       (docs.queryExecution.analyzed.semanticHash(), math.round(threshold * 1e6), k))(
       ngramJaccardPairs(docs, threshold, k).persist())
 
+  private val weightedPairsMemo =
+    new graft.SessionKeyedCache[(Int, Long, Int), DataFrame](_.unpersist(blocking = false))
+
+  /** The memoized, persisted d13 weighted-pair frame — the
+    * [[sharedJaccardPairs]] discipline for the weighted family: d13 and
+    * d40's exact route ask for the identical frame, so the exact weighted
+    * verification (the family's most expensive member) is paid once per
+    * (session, docs, threshold, k) and every later caller reads the
+    * persisted result. Benched as `_shared_weighted_pairs`. */
+  def sharedWeightedJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
+                                 k: Int = 3): DataFrame =
+    weightedPairsMemo.getOrElseUpdate(
+      docs.sparkSession,
+      (docs.queryExecution.analyzed.semanticHash(), math.round(threshold * 1e6), k))(
+      weightedJaccardPairs(docs, threshold, k).persist())
+
   /** d17: near-dup evidence report — for every d02 pair, the RAREST
     * shingles the two documents share (rank by corpus df, then shingle;
     * top `k` serialized). p12 is the audit artifact for decontamination
@@ -1379,7 +1395,8 @@ object Dedup {
   def weightedJaccardAuto(docs: DataFrame, threshold: Double = 0.5,
                           k: Int = 3): DataFrame =
     if (graft.plans.StatsRoute.exactAffordable(docs))
-      weightedJaccardPairs(docs, threshold, k).withColumn("route", lit("exact"))
+      sharedWeightedJaccardPairs(docs, threshold, k)
+        .withColumn("route", lit("exact"))
     else
       weightedMinHashLshPairs(docs, threshold, k = k)
         .withColumn("route", lit("cws"))

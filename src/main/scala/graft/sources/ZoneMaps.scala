@@ -715,6 +715,7 @@ object ZoneMaps extends Logging {
     * bounded, so the total cost is (tail files) not (table sort). */
   def topTailFiles(spark: SparkSession, dir: String, zoneCol: String,
                    k: Long): Array[String] = {
+    if (k <= 0) return Array.empty
     val man = manifestRows(spark, dir, Seq(zoneCol))
     val ord = Ordering.fromLessThan[Any](cmp(_, _) < 0)
     val nonNull = man.filter(_.getAs[Any](s"${zoneCol}_max") != null)

@@ -329,6 +329,40 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("membership-pruned join equals the naive join on arbitrary key layouts") = {
+    // arbitrary fact key multisets (gaps, duplicates, negatives) against
+    // arbitrary dim key sets: the bloom-pruned scan joined on the key must
+    // equal the unpruned join — false positives only over-keep, envelope
+    // restriction and bloom rejection must never lose a matching row —
+    // and the surviving file set must be a subset of the envelope path's
+    val factKeys: Gen[List[Long]] = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 120L)))
+    val dimKeys: Gen[List[Long]] = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-60L, 140L)))
+    Prop.forAllNoShrink(factKeys, dimKeys, Gen.chooseNum(1, 6)) {
+      (fk, dk, nFiles) =>
+        val dir = tmp("graft_prop_member_")
+        val fact = fk.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+          .toDF("k", "payload")
+        graft.sources.ZoneMaps.clusteredWrite(fact, "k", dir, nFiles)
+        val dim = dk.map(Tuple1(_)).toDF("dk").distinct()
+        val pruned = graft.sources.ZoneMaps
+          .membershipPrunedRead(spark, dir, "k", dim, "dk")
+        val got = pruned.join(dim, col("k") === col("dk"))
+          .groupBy().agg(count(lit(1)), coalesce(sum(col("payload")), lit(0L)))
+          .head()
+        val want = spark.read.parquet(dir).join(dim, col("k") === col("dk"))
+          .groupBy().agg(count(lit(1)), coalesce(sum(col("payload")), lit(0L)))
+          .head()
+        val envelope = graft.sources.ZoneMaps
+          .joinPruneFiles(spark, dir, "k", dim, "dk").toSet
+        val member = graft.sources.ZoneMaps.membershipPruneFiles(
+          graft.sources.ZoneMaps.membershipRows(spark, dir, "k"), "k",
+          dk.distinct.sorted.toArray).toSet
+        got == want && member.subsetOf(envelope)
+    }
+  }
+
   property("JS divergence is bounded by ln 2, zero iff distributions match") = {
     val word = Gen.oneOf("a", "b", "c", "d", "e")
     val doc = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
