@@ -955,10 +955,18 @@ object SparkEntry {
     // manifest alone (zero data-dir access); oracle recomputes from table
     "q137_metadata_agg" -> ((s, d) =>
       graft.sources.ZoneMaps.q137MetadataAgg(s, d)),
+    // q139: q135's membership pruning through the DISTRIBUTED probe (the
+    // manifest stays a DataFrame — the >=1e5-files form); same oracle
+    "q139_membership_distributed" -> ((s, d) =>
+      graft.sources.ZoneMaps.q139MembershipDistributed(s, d)),
     // q138: zone-map top-k — latest-100 by shipdate reading only the tail
     // file(s); TakeOrderedAndProject on the pruned scan, no global sort
     "q138_zonemap_topk" -> ((s, d) =>
       graft.sources.ZoneMaps.q138ZoneMapTopK(s, d)),
+    // q140: metadata-interior range count — interior files counted from
+    // the manifest unopened, only the <=2 boundary files scanned
+    "q140_count_in_range" -> ((s, d) =>
+      graft.sources.ZoneMaps.q140CountInRange(s, d)),
     // p53: mixture diversity — effective source count exp(H) off the
     // 6-dp p08 weights; exp derives from the ROUNDED entropy
     "p53_mixture_diversity" -> ((s, d) =>
@@ -5011,12 +5019,29 @@ object SparkEntry {
         |FROM lineitem, b
         |WHERE l_partkey >= lo AND l_partkey < hi
         |GROUP BY 1""".stripMargin,
+    // q139: q135's oracle verbatim — the distributed probe must reproduce
+    // the identical survivor semantics (the join equality is the residual)
+    "q139_membership_distributed" ->
+      """SELECT p_partkey AS partkey, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 16 AS files_total, TRUE AS pruned
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p_partkey % 398 = 7
+        |GROUP BY 1""".stripMargin,
     // q137: the same three aggregates from the full table; the engine side
     // answers from the manifest alone (envelope extremes + Σ n_rows)
     "q137_metadata_agg" ->
       """SELECT count(*) AS n_rows, min(l_shipdate) AS l_shipdate_min,
         | max(l_shipdate) AS l_shipdate_max, 8 AS files_total
         |FROM lineitem""".stripMargin,
+    // q140: the same two-year count from the full table; the engine side
+    // answers interior files from the manifest and scans only boundaries
+    "q140_count_in_range" ->
+      """SELECT count(*) AS n_rows, 8 AS files_total,
+        | TRUE AS boundary_bounded, TRUE AS cheaper_than_scan
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
     // q138: the same total-tuple-ordered top-100; the engine side reads
     // only the tail files of the date-clustered layout
     "q138_zonemap_topk" ->

@@ -702,6 +702,44 @@ object ZoneMaps extends Logging {
       lit(man.length).as("files_total"))
   }
 
+  /** Metadata-interior range count — `count(*) WHERE zoneCol ∈ [lo, hi)`
+    * with the INTERIOR answered from the manifest and only the BOUNDARY
+    * files scanned: a file whose whole envelope sits inside the range
+    * (and holds no NULLs — NULL rows fail the range predicate) contributes
+    * its exact `n_rows` without being opened; only files STRADDLING an
+    * endpoint are scanned and filtered. On a clustered layout that is ≤2
+    * files regardless of range width — a year-wide count over a 10⁵-file
+    * table costs two file scans plus a driver fold, where even
+    * [[prunedRead]] would scan every overlapping file. Returns
+    * (n_rows, files_scanned, files_total). */
+  def countInRange(spark: SparkSession, dir: String, zoneCol: String,
+                   lo: Any, hi: Any, loCol: Column, hiCol: Column): DataFrame = {
+    val man = manifestRows(spark, dir, Seq(zoneCol))
+    val overlapping = man.filter { r =>
+      val mn = r.getAs[Any](s"${zoneCol}_min")
+      val mx = r.getAs[Any](s"${zoneCol}_max")
+      mn != null && mx != null && cmp(mx, lo) >= 0 && cmp(mn, hi) < 0
+    }
+    val (interior, boundary) = overlapping.partition { r =>
+      cmp(r.getAs[Any](s"${zoneCol}_min"), lo) >= 0 &&
+        cmp(r.getAs[Any](s"${zoneCol}_max"), hi) < 0 &&
+        r.getAs[Long](s"${zoneCol}_nulls") == 0L
+    }
+    val interiorRows = interior.map(_.getAs[Long]("n_rows")).sum
+    val scanned = boundary.map(_.getAs[String]("file"))
+    val boundaryCount =
+      if (scanned.isEmpty) spark.range(1).select(lit(0L).as("c"))
+      else {
+        val df = spark.read.parquet(scanned.toIndexedSeq: _*)
+        val dt = df.schema(zoneCol).dataType
+        df.where(col(zoneCol) >= loCol.cast(dt) && col(zoneCol) < hiCol.cast(dt))
+          .agg(count(lit(1)).as("c"))
+      }
+    boundaryCount.select((col("c") + lit(interiorRows)).as("n_rows"),
+      lit(scanned.length).as("files_scanned"),
+      lit(man.length).as("files_total"))
+  }
+
   /** Zone-map-served top-k — ORDER BY zoneCol DESC LIMIT k reading only
     * the TAIL files (the "latest k events" query, which at 100 TB must
     * not sort the table): take files in descending-max order until their
@@ -858,6 +896,58 @@ object ZoneMaps extends Logging {
         col("l_quantity"))
       .withColumn("files_total", lit(total))
       .withColumn("pruned", lit(files.length < total))
+  }
+
+  /** q139: the DISTRIBUTED membership probe end to end — q135's exact
+    * semantics (same scattered dim slice, same unpruned oracle) with the
+    * survivor set computed by [[membershipPruneFilesDistributed]]: the
+    * manifest is probed as a DataFrame (never collected whole), the form
+    * that holds past ~10⁵ files where the per-file blooms outgrow the
+    * driver. Registering both paths keeps the driver/distributed parity
+    * under the oracle gate permanently, not just under the spec. */
+  def q139MembershipDistributed(spark: SparkSession, dir: String): DataFrame = {
+    val cdir = clusteredLineitemByPart(spark, dir)
+    val dim = graft.Tables(spark, dir).part
+      .where(pmod(col("p_partkey"), lit(398L)) === 7)
+      .select(col("p_partkey"))
+    val keys = dim.select(col("p_partkey").cast("long").as("k"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val total = membershipRows(spark, cdir, "l_partkey").length
+    val files = membershipPruneFilesDistributed(
+      buildMembership(spark, cdir, "l_partkey", expectedKeysPerFile = 1L << 13),
+      "l_partkey", keys)
+    readFiles(spark, cdir, files)
+      .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey").as("partkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        (round(sum(col("l_quantity")), 4) + lit(0.0)).as("sum_qty"))
+      .withColumn("files_total", lit(total))
+      .withColumn("pruned", lit(files.length < total))
+  }
+
+  /** q140: metadata-interior range count, end to end — the 1996–1998
+    * two-year count over the date-clustered lineitem: interior files
+    * contribute their manifest `n_rows` unopened, only the two boundary
+    * files are scanned and filtered ([[countInRange]]). The oracle
+    * recomputes the count from the full table, so a manifest miscount, a
+    * mis-classified interior file, or a boundary filter slip all
+    * hash-fail; `files_scanned` pins how little was read (strictly fewer
+    * files than even a pruned scan of the same range would open). */
+  def q140CountInRange(spark: SparkSession, dir: String): DataFrame = {
+    val cdir = clusteredLineitem(spark, dir)
+    val lo = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val hi = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val scanWould = pruneFiles(manifestRows(spark, cdir, Seq("l_shipdate")),
+      "l_shipdate", lo, hi).length
+    countInRange(spark, cdir, "l_shipdate", lo, hi,
+        lit("1996-01-01 00:00:00").cast("timestamp_ntz"),
+        lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+      // booleans, not raw counts: ≤2 boundary files is the disjoint-layout
+      // LAW (one straddler per endpoint); the exact count depends on where
+      // range-sampled file cuts land, which no oracle should pin
+      .select(col("n_rows"), col("files_total"),
+        (col("files_scanned") <= 2).as("boundary_bounded"),
+        (col("files_scanned") < lit(scanWould)).as("cheaper_than_scan"))
   }
 
   /** q133: zone-map-pruned scan, end to end — cluster lineitem by ship

@@ -328,6 +328,35 @@ object EventStreams {
       }
   }
 
+  /** Streaming zone-map manifest maintenance — the metadata layer kept
+    * current WHILE the ingest stream writes: each micro-batch APPENDS its
+    * rows as new parquet files under `dir`, then the standing file-grain
+    * manifest folds forward via [[graft.sources.ZoneMaps.incrementalBuild]]
+    * — the one listing serves both sides, only the batch's NEW files are
+    * scanned (per-file stats are immutable, so the merge is row union),
+    * and the maintained manifest equals a from-scratch build of the
+    * directory after every batch (spec-pinned). This is the p58/p21
+    * mergeable-maintenance discipline at the file grain: a query session
+    * loading the manifest ([[graft.sources.ZoneMaps.loadManifest]])
+    * prunes against data that landed seconds ago without any ingest-side
+    * coordination beyond the append. `onBatch` receives (manifest rows,
+    * batchId). */
+  def maintainZoneMapStream(rowStream: DataFrame, dir: String,
+                            cols: Seq[String],
+                            onBatch: (Array[Row], Long) => Unit): DataStreamWriter[Row] = {
+    val standing =
+      new java.util.concurrent.atomic.AtomicReference[Array[Row]](Array.empty)
+    rowStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(dir)
+        val updated = graft.sources.ZoneMaps.incrementalBuild(
+          batch.sparkSession, dir, cols, standing.get)
+        standing.set(updated)
+        onBatch(updated, batchId)
+      }
+  }
+
   /** Streaming t38 — Count-Min sketch maintenance: each micro-batch's
     * (d, bucket, c) counter table folds into the standing depth×width
     * state by plain ADDITION (counters of a union are the sum of the

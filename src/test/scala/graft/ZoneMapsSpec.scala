@@ -513,6 +513,52 @@ class ZoneMapsSpec extends AnyFunSuite {
       .length == 6, "k beyond the table keeps every non-null file")
   }
 
+  test("q139: distributed probe reproduces q135's rows exactly") {
+    val a = SparkEntry.queries("q135_membership_prune")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("n_rows"),
+        r.getAs[Double]("sum_qty"))).toSet
+    val b = SparkEntry.queries("q139_membership_distributed")(spark, sf).collect()
+    assert(b.forall(_.getAs[Boolean]("pruned")))
+    assert(b.map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("n_rows"),
+      r.getAs[Double]("sum_qty"))).toSet == a && a.nonEmpty)
+  }
+
+  test("countInRange: interior from the manifest, boundary scanned, equals naive") {
+    // the suite layout: 6 disjoint shipdate files over ~7 years
+    val lo = ts("1996-01-01T00:00:00Z"); val hi = ts("1999-01-01T00:00:00Z")
+    val got = ZoneMaps.countInRange(spark, dir, "l_shipdate", lo, hi,
+      tsCol("1996-01-01 00:00:00"), tsCol("1999-01-01 00:00:00")).head()
+    val want = tables.lineitem
+      .where(col("l_shipdate") >= tsCol("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsCol("1999-01-01 00:00:00")).count()
+    assert(got.getAs[Long]("n_rows") == want && want > 0)
+    // disjoint layout law: at most one straddler per endpoint
+    assert(got.getAs[Int]("files_scanned") <= 2)
+    assert(got.getAs[Int]("files_total") == 6)
+    // empty range: zero rows, zero scans
+    val none = ZoneMaps.countInRange(spark, dir, "l_shipdate",
+      ts("1990-01-01T00:00:00Z"), ts("1991-01-01T00:00:00Z"),
+      tsCol("1990-01-01 00:00:00"), tsCol("1991-01-01 00:00:00")).head()
+    assert(none.getAs[Long]("n_rows") == 0L && none.getAs[Int]("files_scanned") == 0)
+    // full-domain range: every row, still only the (<=2) edge files opened
+    val all = ZoneMaps.countInRange(spark, dir, "l_shipdate",
+      ts("1990-01-01T00:00:00Z"), ts("2030-01-01T00:00:00Z"),
+      tsCol("1990-01-01 00:00:00"), tsCol("2030-01-01 00:00:00")).head()
+    assert(all.getAs[Long]("n_rows") == tables.lineitem.count())
+    assert(all.getAs[Int]("files_scanned") == 0,
+      "a range containing every envelope scans nothing")
+  }
+
+  test("q140 registered query: count matches naive, boundary-bounded and cheaper") {
+    val got = SparkEntry.queries("q140_count_in_range")(spark, sf).head()
+    val want = tables.lineitem
+      .where(col("l_shipdate") >= tsCol("1996-01-01 00:00:00") &&
+        col("l_shipdate") < tsCol("1998-01-01 00:00:00")).count()
+    assert(got.getAs[Long]("n_rows") == want && want > 0)
+    assert(got.getAs[Boolean]("boundary_bounded"))
+    assert(got.getAs[Boolean]("cheaper_than_scan"))
+  }
+
   test("q133 registered query: pruned flag true, groups match naive") {
     val got = SparkEntry.queries("q133_zonemap_prune")(spark, sf)
     val rows = got.collect()
