@@ -71,7 +71,8 @@ object Bench {
       "_shared_jaccard_pairs", "_shared_weighted_pairs", "_shared_edit_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
       "_shared_knn_graph", "_shared_srp_pairs", "_shared_srp_probe",
-      "_shared_tokens", "_shared_zonemap_layout", "_shared_zonemap_manifest") ++
+      "_shared_tokens", "_shared_zonemap_layout", "_shared_zonemap_manifest",
+      "_shared_index_parity") ++
       qHead ++ Seq("_probe_overhead_m") ++ qTail ++ Seq("_probe_overhead_z")
     // local-iteration subset (SPARK_GRAFT_ONLY=d13_weighted_jaccard,...);
     // the driver never sets it, so round artifacts always cover everything
@@ -136,6 +137,8 @@ object Bench {
             graft.sources.ZoneMaps.warmDemoLayouts(spark, sfDir)
           else if (name == "_shared_zonemap_manifest")
             graft.sources.ZoneMaps.warmDemoManifests(spark, sfDir)
+          else if (name == "_shared_index_parity")
+            graft.similarity.Knn.warmParityRebuilds(Tables(spark, sfDir).embeddings)
           else if (name.startsWith("_probe_overhead"))
             spark.range(0L, 3200L, 1L, 32)
               .selectExpr("id % 97 as k", "id")

@@ -64,7 +64,8 @@ object GraftSession {
   def ensureOptimizations(s: SparkSession): Unit = {
     val rules = s.experimental.extraOptimizations
     val missing = Seq(graft.plans.PushCostlyProjectionThroughJoin,
-      graft.plans.RewriteLowCardWindow).filterNot(rules.contains)
+      graft.plans.RewriteLowCardWindow,
+      graft.plans.ApplyZoneMapIndex).filterNot(rules.contains)
     if (missing.nonEmpty)
       s.experimental.extraOptimizations = rules ++ missing
     val strategies = s.experimental.extraStrategies
@@ -118,51 +119,86 @@ object GraftSession {
     *   1. cluster by the dominant scan-predicate column(s): ONE zone
     *      column → range clustering
     *      ([[graft.sources.ZoneMaps.clusteredWrite]] — disjoint file
-    *      envelopes); TWO → Z-order
-    *      ([[graft.sources.ZoneMaps.clusteredWriteZ]] — one layout
-    *      serving range predicates on EITHER column; `equiDepth` picks
-    *      rank-space buckets for skewed keys);
-    *   2. build the zone-map manifest over ALL zone columns — memoized for
-    *      this session, and PERSISTED when `manifestPath` is given (the
-    *      production form: a fresh session calls
+    *      envelopes); TWO to FOUR → Z-order
+    *      ([[graft.sources.ZoneMaps.clusteredWriteZN]] — one layout
+    *      serving range predicates on ANY of the columns; `equiDepth`
+    *      picks rank-space buckets for skewed keys);
+    *   2. build the zone-map manifest over ALL zone columns (+ per-file
+    *      key Bloom filters for `bloomCols` — the membership grade) —
+    *      memoized for this session, and PERSISTED when `manifestPath` is
+    *      given (the production form: a fresh session calls
     *      [[graft.sources.ZoneMaps.loadManifest]] and prunes for the cost
     *      of #files manifest rows, never re-scanning the data);
     *   3. register as a catalog table and ANALYZE column stats with CBO on
     *      ([[analyzeForStats]]) — NDV feeds
     *      [[graft.plans.RewriteLowCardWindow]]'s stats trigger and size
     *      stats feed its small-input bypass, join planning, and d38-style
-    *      operator routing.
+    *      operator routing;
+    *   4. turn on PLANNER-TRANSPARENT pruning
+    *      ([[graft.sources.ZoneMapFileIndex.enable]] +
+    *      [[graft.plans.ApplyZoneMapIndex]]): raw SQL / `spark.table`
+    *      over the registered table serves file-pruned scans with no
+    *      ZoneMaps API call — the manifest becomes a table FORMAT, not
+    *      just a library feature.
     * Pay the clustering scan once per ingest batch; every downstream query
     * gets pruning + stats for free. Returns the catalog table name. */
   def prepareTable(s: SparkSession, name: String, srcDir: String,
                    outDir: String, zoneCols: Seq[String],
                    statsCols: Seq[String], nFiles: Int = 64,
                    manifestPath: Option[String] = None,
-                   equiDepth: Boolean = false): String = {
+                   equiDepth: Boolean = false,
+                   bloomCols: Seq[String] = Nil): String = {
     // clusteredWrite overwrites outDir while reading srcDir: the same (or
     // a nested) directory would race the scan against its own deletion —
-    // refuse loudly instead of losing the source
-    val srcN = java.nio.file.Paths.get(
-      srcDir.stripPrefix("file:")).toAbsolutePath.normalize
-    val outN = java.nio.file.Paths.get(
-      outDir.stripPrefix("file:")).toAbsolutePath.normalize
-    require(!outN.startsWith(srcN) && !srcN.startsWith(outN),
-      s"prepareTable: outDir ($outN) must not equal or nest with srcDir ($srcN)")
+    // refuse loudly instead of losing the source. Normalize through
+    // hadoop Path URIs (scheme + authority + path) so scheme-qualified
+    // forms ('hdfs://nn/x' vs '/x', 'file:///x' vs '/x') compare by what
+    // they NAME, not how they are spelled — the incrementalBuild
+    // discipline
+    def normParts(p: String): (String, Seq[String]) = {
+      val u = new org.apache.hadoop.fs.Path(p).toUri
+      // scheme-less relative paths resolve against the local cwd (the only
+      // filesystem a relative spec can mean here); qualified paths keep
+      // their own scheme+authority as the namespace
+      val abs =
+        if (u.getScheme == null && !u.getPath.startsWith("/"))
+          java.nio.file.Paths.get(u.getPath).toAbsolutePath.normalize.toString
+        else java.nio.file.Paths.get("/", u.getPath).normalize.toString
+      (s"${Option(u.getScheme).getOrElse("file")}://${Option(u.getAuthority).getOrElse("")}",
+        abs.split('/').filter(_.nonEmpty).toSeq)
+    }
+    val (srcFs, srcSegs) = normParts(srcDir)
+    val (outFs, outSegs) = normParts(outDir)
+    require(srcFs != outFs || (!srcSegs.startsWith(outSegs) && !outSegs.startsWith(srcSegs)),
+      s"prepareTable: outDir ($outDir) must not equal or nest with srcDir ($srcDir)")
+    require(bloomCols.forall(zoneCols.contains),
+      s"prepareTable: bloomCols ($bloomCols) must be among zoneCols ($zoneCols)")
     zoneCols match {
       case Seq(a) => graft.sources.ZoneMaps.clusteredWrite(
         s.read.parquet(srcDir), a, outDir, nFiles)
-      case Seq(a, b) => graft.sources.ZoneMaps.clusteredWriteZ(
-        s.read.parquet(srcDir), a, b, outDir, nFiles, equiDepth)
+      case cs if cs.lengthCompare(2) >= 0 && cs.lengthCompare(4) <= 0 =>
+        graft.sources.ZoneMaps.clusteredWriteZN(
+          s.read.parquet(srcDir), cs, outDir, nFiles, equiDepth)
       case _ => throw new IllegalArgumentException(
-        s"prepareTable: 1 (range) or 2 (Z-order) zone columns, got $zoneCols")
+        s"prepareTable: 1 (range) or 2-4 (Z-order) zone columns, got $zoneCols")
     }
     // REFRESH, not memoize-once: a second prepareTable over the same
     // outDir (the per-ingest-batch recipe) rewrites every part file, and
     // a stale memoized manifest would prune to deleted paths
     manifestPath match {
-      case Some(p) => graft.sources.ZoneMaps.persistManifest(s, outDir, zoneCols, p)
+      case Some(p) =>
+        graft.sources.ZoneMaps.persistManifest(s, outDir, zoneCols, p, bloomCols)
+      case None if bloomCols.nonEmpty =>
+        // no durable path asked for: still seed the session memos (the
+        // refreshManifest discipline, membership included) via one scan
+        val rows = graft.sources.ZoneMaps.refreshManifest(s, outDir, zoneCols)
+        bloomCols.foreach(c =>
+          graft.sources.ZoneMaps.membershipRows(s, outDir, c))
+        rows
       case None => graft.sources.ZoneMaps.refreshManifest(s, outDir, zoneCols)
     }
+    graft.sources.ZoneMapFileIndex.enable(s, outDir, zoneCols, bloomCols)
+    ensureOptimizations(s)
     analyzeForStats(s, name, outDir,
       (zoneCols ++ statsCols.filterNot(zoneCols.contains)).toSeq)
   }

@@ -75,6 +75,12 @@ final class SessionKeyedCache[K, V](onDrop: V => Unit = (_: V) => ()) {
     Option(m.put((spark, key), value))
   }
 
+  /** The memoized value if present — a pure read that never populates
+    * (the consult path for layers that must not trigger the builder,
+    * e.g. transparent pruning peeking at membership memos). */
+  def peek(spark: SparkSession, key: K): Option[V] =
+    Option(m.get((spark, key)))
+
   /** Drop every entry of `spark` whose key matches `pred`, running onDrop
     * on the evicted values — the targeted-invalidation hook (e.g. a table
     * directory was rewritten, so every memo derived from it is stale

@@ -455,36 +455,18 @@ object SparkEntry {
     // rebuilt cell — is, so the oracle hash-checks the full row universe
     // (a dropped, duplicated or re-assigned row breaks it). Cell-level
     // values + serve parity remain spec'd in KnnSpec.
-    "s11_index_upsert"    -> ((s, d) => {
-      val emb = t(s, d).embeddings
-      val standing = emb.where(col("vec_id") % 5 =!= 0)
-      val batch = emb.where(col("vec_id") % 5 === 0)
-      val centers = Knn.trainIvf(standing)
-      val upserted = Knn.upsertIvfIndex(
-        Knn.assigned(standing, centers), centers, batch)
-      val rebuilt = Knn.assigned(emb, centers)
-        .select(col("vec_id"), col("cell").as("cell_rebuilt"))
-      upserted.join(rebuilt, Seq("vec_id"), "full_outer")
-        .select(col("vec_id"), (col("vec_id") % 5 === 0).as("is_new"),
-          (col("cell") === col("cell_rebuilt")).as("cell_match"))
-    }),
+    // the rebuilt control arm is memoized+persisted in Knn and warmed by
+    // the bench's _shared_index_parity pseudo-entry, so this entry times
+    // the maintained serve (round-13 attribution ask)
+    "s11_index_upsert"    -> ((s, d) => Knn.upsertParityFrame(t(s, d).embeddings)),
     // s31: tombstone-delete maintenance — the forget path for the serving
     // index (s11's missing half): broadcast anti-join removes the batch,
     // survivors never re-assigned. Registered as the EXACT-PARITY frame
     // (s11's discipline): full-outer vs the survivor rebuild, so an
     // undeleted tombstone, a lost survivor, or a re-assigned cell all
     // break the oracle hash. Serve parity + replay idempotence in KnnSpec.
-    "s31_index_delete"    -> ((s, d) => {
-      val emb = t(s, d).embeddings
-      val centers = Knn.trainIvf(emb)
-      val kept = Knn.deleteFromIvfIndex(Knn.assigned(emb, centers),
-        emb.where(col("vec_id") % 7 === 0))
-      val rebuilt = Knn.assigned(emb.where(col("vec_id") % 7 =!= 0), centers)
-        .select(col("vec_id"), col("cell").as("cell_rebuilt"))
-      kept.join(rebuilt, Seq("vec_id"), "full_outer")
-        .select(col("vec_id"),
-          (col("cell") === col("cell_rebuilt")).as("cell_match"))
-    }),
+    // rebuilt control arm shared+warmed like s11 (see _shared_index_parity)
+    "s31_index_delete"    -> ((s, d) => Knn.deleteParityFrame(t(s, d).embeddings)),
     "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
     // serializes it to CSV because the driver's hash compare (like any
@@ -794,8 +776,11 @@ object SparkEntry {
     // integer-ppm shares; expectation constants live in the spec
     "q96_benford"         -> ((s, d) => Relational5.q96Benford(t(s, d))),
     // t31: DEFLATE compression-ratio gate — deterministic (fixed zlib
-    // level) but not SQL-expressible (DuckDB cannot deflate) → rows-only,
-    // the t08 class; TextQueriesSpec pins ordering/exactness laws
+    // level). DuckDB cannot deflate, so the oracle reads the committed
+    // INDEPENDENTLY-generated fixture (python zlib, tools/
+    // gen_t31_fixture.py) keyed by (doc_id, md5(text)) — promoted from
+    // rows-only to an EXACT hash-checked oracle in round 13;
+    // TextQueriesSpec still pins the ordering/exactness laws
     "t31_compress_ratio"  -> ((s, d) => TextQueries.compressRatio(t(s, d).documents)),
     // s25: kNN-graph topology profile — degree/clustering/2-hop reach in
     // exact integers off the undirected s08 closure; vertex-keyed joins,
@@ -877,6 +862,16 @@ object SparkEntry {
       Dedup.weightedJaccardAuto(t(s, d).documents)),
     "s32_knn_auto" -> ((s, d) =>
       Knn.knnAuto(t(s, d).embeddings)),
+    // d41/d42/s33: the same StatsRoute rule over the remaining baseline/
+    // scale pairs — d12's containment index join, d19's edit block join,
+    // s08's exact kNN graph; small corpora route exact, conf-flip specs
+    // pin the banded/IVF paths and the subset law
+    "d41_containment_auto" -> ((s, d) =>
+      Dedup.containmentAuto(t(s, d).documents)),
+    "d42_edit_auto" -> ((s, d) =>
+      Dedup.editAuto(t(s, d).documents)),
+    "s33_knn_graph_auto" -> ((s, d) =>
+      Knn.knnGraphAuto(t(s, d).embeddings)),
     // s26: per-dim embedding drift between deterministic corpus halves;
     // |dims|-row output, rounded means with exact rounded-diffs
     "s26_embedding_drift" -> ((s, d) => graft.similarity.Report.embeddingDrift(t(s, d).embeddings)),
@@ -963,6 +958,15 @@ object SparkEntry {
     // file(s); TakeOrderedAndProject on the pruned scan, no global sort
     "q138_zonemap_topk" -> ((s, d) =>
       graft.sources.ZoneMaps.q138ZoneMapTopK(s, d)),
+    // q141: PLANNER-TRANSPARENT pruning — the q136 prepared catalog table
+    // queried as RAW SQL TEXT; the ApplyZoneMapIndex rule + the manifest-
+    // backed FileIndex prune the scan with zero ZoneMaps API calls
+    "q141_transparent_sql" -> ((s, d) =>
+      graft.sources.ZoneMaps.q141TransparentSql(s, d)),
+    // q142: three-column Z-order — the ingest recipe at arity 3, pruned
+    // range scan on the THIRD zone column
+    "q142_zorder3" -> ((s, d) =>
+      graft.sources.ZoneMaps.q142ZOrder3(s, d)),
     // q140: metadata-interior range count — interior files counted from
     // the manifest unopened, only the <=2 boundary files scanned
     "q140_count_in_range" -> ((s, d) =>
@@ -2243,6 +2247,24 @@ object SparkEntry {
         |SELECT s1, s2, z1.n AS n1, z2.n AS n2, n_common,
         | CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common) AS jaccard
         |FROM cm JOIN sz z1 ON z1.source = s1 JOIN sz z2 ON z2.source = s2""".stripMargin,
+    // t31: DuckDB cannot deflate, so n_deflate comes from the committed
+    // fixture (generated INDEPENDENTLY by python zlib — length-identical
+    // to the JVM Deflater at level 6, both wrap zlib; see
+    // tools/gen_t31_fixture.py). The join pins (doc_id, md5(text)) so a
+    // regenerated corpus fails loudly by row count instead of silently
+    // passing; n_bytes and ratio recompute SQL-side off the fixture's
+    // n_deflate, so the engine's byte count and rounding are checked too
+    "t31_compress_ratio" ->
+      """WITH f AS (SELECT * FROM '/root/repo/tools/fixtures/t31_deflate.parquet')
+        |SELECT d.doc_id,
+        | CAST(octet_length(encode(coalesce(d.text, ''))) AS BIGINT) AS n_bytes,
+        | f.n_deflate,
+        | CASE WHEN octet_length(encode(coalesce(d.text, ''))) = 0 THEN NULL
+        |      ELSE round(CAST(f.n_deflate AS DOUBLE)
+        |             / octet_length(encode(coalesce(d.text, ''))), 6) + 0.0
+        | END AS ratio
+        |FROM documents d JOIN f
+        |  ON d.doc_id = f.doc_id AND md5(coalesce(d.text, '')) = f.text_md5""".stripMargin,
     // t14: same tokenization as t12/t13; rank window per source, the q52
     // regression aggregates over exact-integer-derived ln values
     // t30: per-doc (tokens, types) exact longs → ln → the same rounded
@@ -2379,17 +2401,12 @@ object SparkEntry {
         |SELECT *, noise_frac <= 0.01 AS clean FROM f""".stripMargin,
     // s08: s01's scoring and ranking with every vector as a query — same
     // round(cos, 8) + neighbor_id tiebreak, so order can never disagree
-    "s08_knn_graph" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |scored AS (
-        | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-        |  round(list_cosine_similarity(q.v, n.v), 8) AS cos
-        | FROM e q JOIN e n ON n.vec_id <> q.vec_id),
-        |ranked AS (SELECT query_id, neighbor_id, cos,
-        | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
-        | FROM scored)
-        |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
-        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    "s08_knn_graph" -> knnGraphSql,
+    // s33: s08's oracle with the stats route pinned (small corpus => exact)
+    "s33_knn_graph_auto" ->
+      s"""WITH base AS ($knnGraphSql)
+        |SELECT query_id, "rank", neighbor_id, cos, 'exact' AS route
+        |FROM base""".stripMargin,
     // s12: the oracle replays the same deterministic greedy trajectory as
     // chained CTE steps — round(list_distance, 6) = round(√l2Sq, 6) and
     // the (mind DESC, vec_id) pick order is total, so the k selections
@@ -2986,6 +3003,10 @@ object SparkEntry {
     // common/|A| — the engine's asymmetric prefix filter must reproduce
     // this exact directed set
     "d12_containment" -> containmentSql,
+    // d41: d12's oracle with the stats route pinned (small corpus => exact)
+    "d41_containment_auto" ->
+      s"""WITH base AS ($containmentSql)
+        |SELECT d1, d2, containment, 'exact' AS route FROM base""".stripMargin,
     "d02_ngram_jaccard" -> ngramJaccardSql,
     "d03_minhash_lsh"   -> ngramJaccardSql,
     // d39: d02's oracle with the stats route pinned (small corpus => exact)
@@ -3076,6 +3097,10 @@ object SparkEntry {
     // the same lower bound the Spark block join exploits; dist INT parity,
     // sim the identical IEEE 1 − d/maxlen
     "d19_edit_dedup" -> editPairsSql,
+    // d42: d19's oracle with the stats route pinned (small corpus => exact)
+    "d42_edit_auto" ->
+      s"""WITH base AS ($editPairsSql)
+        |SELECT d1, d2, dist, sim, 'exact' AS route FROM base""".stripMargin,
     // d28: the same brute-force pair set, grid LEFT-joined so zero-pair
     // cuts still emit rows; counts exact
     "d28_edit_curve" ->
@@ -5028,6 +5053,33 @@ object SparkEntry {
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE p_partkey % 398 = 7
         |GROUP BY 1""".stripMargin,
+    // q141: the unpruned table under the identical domain-relative bounds;
+    // the engine side is RAW SQL over the prepared table, pruned by the
+    // transparent FileIndex (a wrong skip loses rows and hash-fails)
+    "q141_transparent_sql" ->
+      """WITH b AS (SELECT
+        |  min(l_partkey) + (max(l_partkey) - min(l_partkey)) // 2 AS lo,
+        |  min(l_partkey) + (max(l_partkey) - min(l_partkey)) * 5 // 8 AS hi
+        | FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 16 AS files_total, TRUE AS pruned
+        |FROM lineitem, b
+        |WHERE l_partkey >= lo AND l_partkey < hi
+        |GROUP BY 1""".stripMargin,
+    // q142: the unpruned table under the same third-column band; the
+    // engine side reproduces it from the 3-way-Z-pruned file subset
+    "q142_zorder3" ->
+      """WITH b AS (SELECT
+        |  min(l_suppkey) + (max(l_suppkey) - min(l_suppkey)) * 9 // 16 AS lo,
+        |  min(l_suppkey) + (max(l_suppkey) - min(l_suppkey)) * 15 // 16 AS hi
+        | FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 16 AS files_total, TRUE AS pruned
+        |FROM lineitem, b
+        |WHERE l_suppkey >= lo AND l_suppkey < hi
+        |GROUP BY 1""".stripMargin,
     // q137: the same three aggregates from the full table; the engine side
     // answers from the manifest alone (envelope extremes + Σ n_rows)
     "q137_metadata_agg" ->
@@ -5865,6 +5917,19 @@ object SparkEntry {
        |FROM m JOIN s2 USING (doc_id)""".stripMargin
 
   // d12's oracle, reused as a CTE by d20
+  // s08's exact kNN-graph SQL, shared by the s33 route-pinned oracle
+  private val knnGraphSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |scored AS (
+      | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |  round(list_cosine_similarity(q.v, n.v), 8) AS cos
+      | FROM e q JOIN e n ON n.vec_id <> q.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos,
+      | row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      | FROM scored)
+      |SELECT query_id, CAST(rnk AS INT) AS "rank", neighbor_id, cos
+      |FROM ranked WHERE rnk <= 5""".stripMargin
+
   private val containmentSql: String =
     """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id,

@@ -1401,6 +1401,109 @@ object Dedup {
       weightedMinHashLshPairs(docs, threshold, k = k)
         .withColumn("route", lit("cws"))
 
+  /** Banded-MinHash candidate pairs over a shingle frame — the shared
+    * candidate generator behind every LSH-routed scale path: (d1, d2)
+    * with d1 < d2 where some band's signature slice collides. Cost is
+    * banding-bounded (fixed-size signatures, one (band, bucket) shuffle),
+    * never all-pairs; recall is the d23 S-curve of the (bands, rows)
+    * choice. Verification is the CALLER's — each auto operator applies
+    * its own exact kernel to the candidates, so precision is always 1. */
+  private def lshCandidatePairs(sh: DataFrame, bands: Int,
+                                rowsPerBand: Int): DataFrame = {
+    val buckets = bandBuckets(minhashAgg(sh, bands * rowsPerBand), bands, rowsPerBand)
+    buckets.select(col("doc_id").as("d1"), col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("d2"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** The LSH-routed CONTAINMENT scale path — d12's semantics (directed
+    * pairs, containment = |A∩B| / |A| ≥ τ) with candidates from MinHash
+    * banding instead of the full prefix-filtered posting join: candidates
+    * verify with the SAME exact array-intersection count, so emitted
+    * pairs are a verbatim subset of d12's (precision 1). Honest recall
+    * caveat, scaladoc'd not hidden: banding collides on JACCARD, so a
+    * contained-short-in-long pair whose Jaccard is far below the banding
+    * curve can be missed — the class d12's exact index join exists for.
+    * At scale that is the standing trade: the banded route bounds the
+    * candidate volume; when the short-in-long class matters, run d12's
+    * exact route on the (smaller) suspect slice. Both orientations of a
+    * candidate verify (containment is directed). */
+  def containmentLshPairs(docs: DataFrame, threshold: Double = 0.9,
+                          bands: Int = 16, rowsPerBand: Int = 2,
+                          k: Int = 3): DataFrame = {
+    val sh = sharedShingles(docs, k)
+    val cand = lshCandidatePairs(sh, bands, rowsPerBand)
+    val both = cand.unionAll(cand.select(col("d2").as("d1"), col("d1").as("d2")))
+    val sets = sharedShingleArrays(sh)
+    both
+      .join(sets.select(col("doc_id").as("d1"), col("shset").as("s1"), col("n").as("n1")), "d1")
+      .join(sets.select(col("doc_id").as("d2"), col("shset").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          col("n1").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** d41: stats-routed CONTAINMENT dedup — [[graft.plans.StatsRoute]]'s
+    * rule over the d12 pair: a corpus the planner PROVES small runs the
+    * exact asymmetric prefix-filtered index join ([[containmentPairs]] —
+    * full recall on the short-in-long class); larger or UNKNOWN routes to
+    * the banded candidates verified with the same exact containment
+    * ([[containmentLshPairs]] — a verbatim subset, recall priced by the
+    * d23 curve and the Jaccard-vs-containment gap). The `route` column
+    * makes the decision auditable and oracle-pinnable. */
+  def containmentAuto(docs: DataFrame, threshold: Double = 0.9,
+                      k: Int = 3): DataFrame =
+    if (graft.plans.StatsRoute.exactAffordable(docs))
+      containmentPairs(docs, threshold, k).withColumn("route", lit("exact"))
+    else
+      containmentLshPairs(docs, threshold, k = k).withColumn("route", lit("lsh"))
+
+  /** The LSH-routed EDIT-DISTANCE scale path — d19's semantics (ordered
+    * pairs, thresholded Levenshtein + normalized sim) with candidates
+    * from MinHash banding instead of the exact length-band block join:
+    * candidates verify with the SAME native bounded-DP kernel, so
+    * emitted rows are a verbatim subset of d19's (precision 1; dist and
+    * sim identical where emitted). Recall caveat, honest: banding
+    * collides on shingle Jaccard, which tracks edit distance only for
+    * texts long enough to shingle — d19's exact length blocking stays
+    * the route for short-text corpora, and the auto routes there exactly
+    * when the planner proves the corpus small enough to afford it. */
+  def editLshPairs(docs: DataFrame, maxDist: Int = 32,
+                   bands: Int = 16, rowsPerBand: Int = 2,
+                   k: Int = 3): DataFrame = {
+    import graft.plans.EditFilter
+    require(maxDist >= 1, s"maxDist=$maxDist must be >= 1")
+    val cand = lshCandidatePairs(sharedShingles(docs, k), bands, rowsPerBand)
+    val txt = docs.select(col("doc_id"), col("text"), length(col("text")).as("l"))
+    cand
+      .join(txt.select(col("doc_id").as("d1"), col("text").as("t1"),
+        col("l").as("l1")), "d1")
+      .join(txt.select(col("doc_id").as("d2"), col("text").as("t2"),
+        col("l").as("l2")), "d2")
+      .where(abs(col("l1") - col("l2")) <= maxDist)
+      .withColumn("dist", EditFilter.levBounded(col("t1"), col("t2"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("d1"), col("d2"), col("dist"),
+        when(greatest(col("l1"), col("l2")) === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("dist").cast("double")
+            / greatest(col("l1"), col("l2")).cast("double")).as("sim"))
+  }
+
+  /** d42: stats-routed EDIT-DISTANCE dedup — the rule over the d19 pair:
+    * provably small → the exact length-band block join
+    * ([[editDistancePairs]], full recall by the |Δlen| pigeonhole);
+    * larger or unknown → banded candidates verified with the same
+    * bounded-Levenshtein kernel ([[editLshPairs]], verbatim subset).
+    * Auditable `route` column, oracle-pinned at test SF. */
+  def editAuto(docs: DataFrame, maxDist: Int = 32, k: Int = 3): DataFrame =
+    if (graft.plans.StatsRoute.exactAffordable(docs))
+      editDistancePairs(docs, maxDist).withColumn("route", lit("exact"))
+    else
+      editLshPairs(docs, maxDist, k = k).withColumn("route", lit("lsh"))
+
   /** d23: the banded-LSH parameter planner — the S-curve
     * P[candidate](s) = 1 − (1 − s^r)^b tabulated over a similarity grid
     * for each (bands, rowsPerBand) configuration, with each config's

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftExtensions.descriptors.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => PushCostlyProjectionThroughJoin)
     e.injectOptimizerRule(_ => RewriteLowCardWindow)
+    e.injectOptimizerRule(_ => ApplyZoneMapIndex)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -79,6 +79,29 @@ object PlanLint {
       else None
     }
 
+  /** A scan of a [[graft.sources.ZoneMapFileIndex.enable]]-registered
+    * prepared table whose FileIndex is NOT the manifest-backed one — the
+    * transparent-pruning rule ([[ApplyZoneMapIndex]]) silently not firing.
+    * At 100 TB this is the difference between a metadata consult and a
+    * full file listing+scan of ~10⁵ files the ingest recipe already paid
+    * to make skippable. Needs the frame (not just the plan) for the
+    * session the registry is keyed by. */
+  def unprunedPreparedScans(df: DataFrame): Seq[Finding] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation
+          if !hfs.location.isInstanceOf[graft.sources.ZoneMapFileIndex] &&
+            graft.sources.ZoneMapFileIndex
+              .registeredFor(df.sparkSession, hfs.location).isDefined =>
+          Seq(Finding("unpruned-prepared-scan",
+            s"scan of prepared dir ${hfs.location.rootPaths.mkString(",")} " +
+              "bypasses the zone-map FileIndex"))
+        case _ => Nil
+      }
+    }.flatten
+  }
+
   def scalaUdfs(plan: LogicalPlan): Seq[Finding] = {
     val n = plan.collect { case p =>
       p.expressions.map(e => e.collect { case u: ScalaUDF => u }.size).sum
@@ -89,6 +112,7 @@ object PlanLint {
   /** All lints over a frame's optimized plan (what a user calls). */
   def lint(df: DataFrame): Seq[Finding] = {
     val plan = df.queryExecution.optimizedPlan
-    lowCardWindows(plan) ++ unboundedNonEquiJoins(plan) ++ scalaUdfs(plan)
+    lowCardWindows(plan) ++ unboundedNonEquiJoins(plan) ++ scalaUdfs(plan) ++
+      unprunedPreparedScans(df)
   }
 }

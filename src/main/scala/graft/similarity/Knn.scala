@@ -497,6 +497,65 @@ object Knn {
         array_min(dists(col("v"), cents)).getField("cell").as("cell"))
   }
 
+  /** The from-scratch REBUILT sides of the s11/s31 exact-parity frames —
+    * pure VERIFICATION artifacts (the serve path never needs them),
+    * memoized + persisted per (session, corpus) so the bench attributes
+    * their cost to the `_shared_index_parity` pseudo-entry (the round-8
+    * shared-materialization discipline) and the s11/s31 entries time the
+    * MAINTAINED serve, not the parity check's control arm. */
+  private val parityMemo =
+    new graft.SessionKeyedCache[(Int, String), DataFrame](_.unpersist(blocking = false))
+
+  private def upsertRebuilt(emb: DataFrame): DataFrame =
+    parityMemo.getOrElseUpdate(emb.sparkSession,
+      (emb.queryExecution.analyzed.semanticHash(), "upsert")) {
+      val centers = modelFor(emb.where(col("vec_id") % 5 =!= 0), 10)
+      assigned(emb, centers)
+        .select(col("vec_id"), col("cell").as("cell_rebuilt")).persist()
+    }
+
+  private def deleteRebuilt(emb: DataFrame): DataFrame =
+    parityMemo.getOrElseUpdate(emb.sparkSession,
+      (emb.queryExecution.analyzed.semanticHash(), "delete")) {
+      val centers = modelFor(emb, 10)
+      assigned(emb.where(col("vec_id") % 7 =!= 0), centers)
+        .select(col("vec_id"), col("cell").as("cell_rebuilt")).persist()
+    }
+
+  /** Bench attribution hook: materialize both parity rebuilds so their
+    * one-time cost lands on `_shared_index_parity`. */
+  private[graft] def warmParityRebuilds(emb: DataFrame): Long =
+    upsertRebuilt(emb).count() + deleteRebuilt(emb).count()
+
+  /** s11's registered frame: the exact-parity CONTRACT of
+    * [[upsertIvfIndex]] — every vector present exactly once, upserted
+    * cell ≡ from-scratch-rebuilt cell (full-outer join, so a dropped,
+    * duplicated or re-assigned row breaks the oracle hash). The rebuilt
+    * side is the memoized [[upsertRebuilt]]; the maintained side (frozen
+    * centers assign ONLY the batch) runs per call — it IS the serve
+    * being measured. */
+  def upsertParityFrame(emb: DataFrame): DataFrame = {
+    val standing = emb.where(col("vec_id") % 5 =!= 0)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val centers = modelFor(standing, 10)
+    val upserted = upsertIvfIndex(assigned(standing, centers), centers, batch)
+    upserted.join(upsertRebuilt(emb), Seq("vec_id"), "full_outer")
+      .select(col("vec_id"), (col("vec_id") % 5 === 0).as("is_new"),
+        (col("cell") === col("cell_rebuilt")).as("cell_match"))
+  }
+
+  /** s31's registered frame: [[deleteFromIvfIndex]]'s exact-parity
+    * contract vs the survivor rebuild ([[deleteRebuilt]], memoized) —
+    * an undeleted tombstone, a lost survivor, or a re-assigned cell all
+    * break the oracle hash. */
+  def deleteParityFrame(emb: DataFrame): DataFrame = {
+    val centers = modelFor(emb, 10)
+    val kept = deleteFromIvfIndex(assigned(emb, centers),
+      emb.where(col("vec_id") % 7 === 0))
+    kept.join(deleteRebuilt(emb), Seq("vec_id"), "full_outer")
+      .select(col("vec_id"), (col("cell") === col("cell_rebuilt")).as("cell_match"))
+  }
+
   /** s11: incremental serving-index maintenance — fold a batch of NEW
     * vectors into an existing IVF index WITHOUT retraining the model or
     * re-assigning the standing corpus: the FROZEN centers assign the batch
@@ -575,6 +634,26 @@ object Knn {
       val cells = graft.plans.StatsRoute.grownCells(
         emb, "spark.graft.knn.cellBytes")
       ivf(emb, queryPred, k, nProbe, nCells = cells)
+        .withColumn("route", lit("ivf"))
+    }
+
+  /** s33: stats-routed kNN GRAPH — the rule over the s08 pair
+    * ([[knnGraph]] exact all-pairs baseline / [[knnGraphIvf]] cell-pruned
+    * scale route, the declared pairing in [[knnGraph]]'s scaladoc):
+    * provably small → exact (the n² dot products are affordable and
+    * recall 1 is free); larger or UNKNOWN → IVF with cells grown from
+    * the measured bytes ([[graft.plans.StatsRoute.grownCells]]), so the
+    * quadratic graph build can never fire on an input the planner could
+    * not size. Identical (query_id, rank, neighbor_id, cos) semantics
+    * (IVF recall < 1 when a true neighbor lives in an unprobed cell —
+    * spec-bounded in KnnSpec); auditable, oracle-pinnable `route`. */
+  def knnGraphAuto(emb: DataFrame, k: Int = 5, nProbe: Int = 3): DataFrame =
+    if (graft.plans.StatsRoute.exactAffordable(emb))
+      knnGraph(emb, k).withColumn("route", lit("exact"))
+    else {
+      val cells = graft.plans.StatsRoute.grownCells(
+        emb, "spark.graft.knn.cellBytes")
+      knnGraphIvf(emb, k, nProbe, nCells = cells)
         .withColumn("route", lit("ivf"))
     }
 

@@ -329,32 +329,66 @@ object EventStreams {
   }
 
   /** Streaming zone-map manifest maintenance — the metadata layer kept
-    * current WHILE the ingest stream writes: each micro-batch APPENDS its
+    * current WHILE the ingest stream writes: each micro-batch lands its
     * rows as new parquet files under `dir`, then the standing file-grain
     * manifest folds forward via [[graft.sources.ZoneMaps.incrementalBuild]]
     * — the one listing serves both sides, only the batch's NEW files are
     * scanned (per-file stats are immutable, so the merge is row union),
     * and the maintained manifest equals a from-scratch build of the
-    * directory after every batch (spec-pinned). This is the p58/p21
-    * mergeable-maintenance discipline at the file grain: a query session
-    * loading the manifest ([[graft.sources.ZoneMaps.loadManifest]])
-    * prunes against data that landed seconds ago without any ingest-side
-    * coordination beyond the append. `onBatch` receives (manifest rows,
-    * batchId). */
+    * directory after every batch (spec-pinned). `bloomCols` maintains the
+    * MEMBERSHIP grade under the same contract (a file's key bloom is as
+    * immutable as its envelope). This is the p58/p21 mergeable-maintenance
+    * discipline at the file grain: a query session loading the manifest
+    * ([[graft.sources.ZoneMaps.loadManifest]]) prunes against data that
+    * landed seconds ago without any ingest-side coordination beyond the
+    * append. `onBatch` receives (manifest rows, batchId).
+    *
+    * Idempotent commit (the exactly-once half foreachBatch leaves to the
+    * sink): the batch writes to a hidden staging dir (underscore-prefixed
+    * — invisible to Spark's listing), then each part renames to a
+    * batchId-DETERMINISTIC name, skipping names that already exist — so a
+    * replayed micro-batch (identical content by the Structured Streaming
+    * replay contract) re-lands the SAME file names instead of appending
+    * duplicates, and a crash mid-commit completes on retry. Only then
+    * does the manifest fold forward, so it never indexes a half-committed
+    * batch as final. */
   def maintainZoneMapStream(rowStream: DataFrame, dir: String,
                             cols: Seq[String],
-                            onBatch: (Array[Row], Long) => Unit): DataStreamWriter[Row] = {
+                            onBatch: (Array[Row], Long) => Unit,
+                            bloomCols: Seq[String] = Nil): DataStreamWriter[Row] = {
     val standing =
       new java.util.concurrent.atomic.AtomicReference[Array[Row]](Array.empty)
     rowStream.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(dir)
+        idempotentBatchAppend(dir, batch, batchId)
         val updated = graft.sources.ZoneMaps.incrementalBuild(
-          batch.sparkSession, dir, cols, standing.get)
+          batch.sparkSession, dir, cols, standing.get, bloomCols)
         standing.set(updated)
         onBatch(updated, batchId)
       }
+  }
+
+  /** [[maintainZoneMapStream]]'s commit step, factored out so the
+    * idempotence contract is directly testable: stage the batch under a
+    * hidden dir, rename each part to a batchId-deterministic name SKIPPING
+    * names that already exist, drop the staging dir. Re-delivering the
+    * same (batch, batchId) — the foreachBatch replay shape — lands zero
+    * new files; a crash between renames completes on the retry. */
+  private[graft] def idempotentBatchAppend(dir: String, batch: DataFrame,
+                                           batchId: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      batch.sparkSession.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(dir, s"_graft_staging_b$batchId")
+    batch.write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dst = new org.apache.hadoop.fs.Path(dir, f"b$batchId%06d-$i%05d.parquet")
+      if (!fs.exists(dst)) fs.rename(p.getPath, dst)
+    }
+    fs.delete(staging, true)
+    ()
   }
 
   /** Streaming t38 — Count-Min sketch maintenance: each micro-batch's

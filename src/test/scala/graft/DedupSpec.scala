@@ -625,6 +625,43 @@ class DedupSpec extends AnyFunSuite {
     } finally spark.conf.unset(graft.plans.StatsRoute.ceilingKey)
   }
 
+  test("d41/d42: containment + edit stats routing — small exact, conf-flip to LSH, subset law") {
+    val docs = tables.documents
+    // provably-small corpus: both autos are the exact baselines verbatim
+    val d41 = Dedup.containmentAuto(docs).collect()
+    assert(d41.nonEmpty && d41.forall(_.getAs[String]("route") == "exact"))
+    val exactC = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(d41.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      == exactC)
+    val d42 = Dedup.editAuto(docs).collect()
+    assert(d42.nonEmpty && d42.forall(_.getAs[String]("route") == "exact"))
+    val exactE = Dedup.editDistancePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(d42.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      == exactE)
+    // conf flip: the banded routes verify with the SAME exact kernels, so
+    // every emitted row is a verbatim member of the exact set (precision
+    // 1); recall is the banding's (spec'd by presence of the planted dups)
+    spark.conf.set(graft.plans.StatsRoute.ceilingKey, "0")
+    try {
+      val lshC = Dedup.containmentAuto(docs).collect()
+      assert(lshC.forall(_.getAs[String]("route") == "lsh"))
+      assert(lshC.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet.subsetOf(exactC), "banded containment must be a subset of exact")
+      assert(lshC.nonEmpty, "the planted near-dups must survive banding")
+      val lshE = Dedup.editAuto(docs).collect()
+      assert(lshE.forall(_.getAs[String]("route") == "lsh"))
+      assert(lshE.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .toSet.subsetOf(exactE), "banded edit pairs must be a subset of exact")
+    } finally spark.conf.unset(graft.plans.StatsRoute.ceilingKey)
+    // unknown-size inputs route to scale (the load-bearing default)
+    val src = docs.select(col("doc_id"), col("text"))
+    val rddBacked = spark.createDataFrame(src.rdd, src.schema)
+    assert(Dedup.containmentAuto(rddBacked).collect()
+      .forall(_.getAs[String]("route") == "lsh"))
+  }
+
   test("d23: S-curve values match the JVM multiplication chains; curve laws hold") {
     val rows = Dedup.lshPlanCurve(spark).collect()
       .map(r => ((r.getInt(0), r.getInt(1), r.getDouble(2)),

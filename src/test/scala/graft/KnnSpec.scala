@@ -510,4 +510,32 @@ class KnnSpec extends AnyFunSuite {
       .forall(_.getAs[String]("route") == "ivf"),
       "unknown-size input must take the IVF route")
   }
+
+  test("s33: kNN-graph stats routing — small exact, conf-flip to IVF, recall floor") {
+    import org.apache.spark.sql.functions.col
+    val rows = Knn.knnGraphAuto(tables.embeddings).collect()
+    assert(rows.forall(_.getAs[String]("route") == "exact"))
+    val exact = Knn.knnGraph(tables.embeddings).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getDouble(3))).toSet == exact,
+      "small route must be the exact graph verbatim")
+    spark.conf.set(graft.plans.StatsRoute.ceilingKey, "0")
+    try {
+      val ivfRows = Knn.knnGraphAuto(tables.embeddings).collect()
+      assert(ivfRows.forall(_.getAs[String]("route") == "ivf"))
+      // every emitted edge carries its exactly-computed cosine; recall
+      // floor vs the exact graph (the s02/s08 cell-probe class)
+      val exactEdges = exact.map(t => (t._1, t._3))
+      val ivfEdges = ivfRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+      val recall = (exactEdges intersect ivfEdges).size.toDouble / exactEdges.size
+      assert(recall >= 0.2, s"graph recall=$recall below the cell-probe floor")
+    } finally spark.conf.unset(graft.plans.StatsRoute.ceilingKey)
+    // unknown-size input must take the scale route
+    val src = tables.embeddings.select(col("vec_id"), col("embedding"))
+    val rddBacked = spark.createDataFrame(src.rdd, src.schema)
+    assert(Knn.knnGraphAuto(rddBacked).collect()
+      .forall(_.getAs[String]("route") == "ivf"),
+      "unknown-size input must take the IVF graph route")
+  }
 }

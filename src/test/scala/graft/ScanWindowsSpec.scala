@@ -263,6 +263,25 @@ class ScanWindowsSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("full-surface audit: every prepared-table scan rides the zone-map FileIndex") {
+    // the round-13 transparent-pruning gate: once a directory is
+    // registered (prepareTable / ZoneMapFileIndex.enable), ANY query plan
+    // scanning it must carry the manifest-backed FileIndex — the
+    // ApplyZoneMapIndex rule silently not firing is exactly the class of
+    // regression a lint must catch (the rule's effect is invisible in
+    // results, only in scan cost). Queries over unregistered dirs
+    // trivially produce no findings; q141 (and any raw-SQL consumer of
+    // the prepared demo tables) is the live positive case.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = try fn(spark, sf)
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        graft.plans.PlanLint.unprunedPreparedScans(df)
+          .map(f => s"$name: ${f.detail}")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("full-surface audit: no low-cardinality-partition window over unbounded input") {
     // the round-8 judge finding, promoted to a standing gate over EVERY
     // registered query: a window partitioned by nothing or by a known

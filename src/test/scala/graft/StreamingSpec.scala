@@ -888,25 +888,29 @@ class StreamingSpec extends AnyFunSuite {
     var perBatch = Vector.empty[(Long, Array[org.apache.spark.sql.Row])]
     val q = EventStreams.maintainZoneMapStream(
       mem.toDF().toDF("k", "v"), dir, Seq("k"),
-      (rows, id) => perBatch :+= (id, rows)).start()
+      (rows, id) => perBatch :+= (id, rows),
+      bloomCols = Seq("k")).start()
     mem.addData((1L, 0.5), (7L, 1.5), (3L, 2.5)); q.processAllAvailable()
     mem.addData((40L, 3.5), (55L, 4.5)); q.processAllAvailable()
     mem.addData((2L, 5.5)); q.processAllAvailable(); q.stop()
     assert(perBatch.length == 3)
     def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
       (r.getAs[String]("file"), r.getAs[Long]("n_rows"),
-        r.getAs[Long]("k_min"), r.getAs[Long]("k_max"))).toSet
-    // the final maintained manifest equals a from-scratch build, and the
-    // standing rows never change across batches (files are immutable)
-    val fresh = ZoneMaps.build(spark, dir, Seq("k")).collect()
+        r.getAs[Long]("k_min"), r.getAs[Long]("k_max"),
+        r.getAs[Array[Byte]]("k_bloom").toSeq)).toSet
+    // the final maintained manifest equals a from-scratch build — blooms
+    // included (a file's key bloom is as immutable as its envelope) —
+    // and the standing rows never change across batches
+    val fresh = ZoneMaps.build(spark, dir, Seq("k"),
+      bloomCols = Seq("k")).collect()
     assert(canon(perBatch.last._2) == canon(fresh))
     assert(perBatch.last._2.map(_.getAs[Long]("n_rows")).sum == 6L)
     val firstFiles = canon(perBatch.head._2)
     assert(firstFiles.subsetOf(canon(perBatch.last._2)),
       "standing manifest rows must survive maintenance verbatim")
-    // and the maintained manifest drives pruning over the streamed table
-    val pruned = ZoneMaps.membershipPruneFiles(
-      ZoneMaps.buildMembership(spark, dir, "k", 1L << 10).collect(),
+    // and the MAINTAINED rows drive membership pruning directly — the
+    // streamed table's metadata layer is bloom-grade without any rebuild
+    val pruned = ZoneMaps.membershipPruneFiles(perBatch.last._2,
       "k", Array(40L, 55L))
     assert(pruned.nonEmpty && pruned.length < fresh.length)
   }

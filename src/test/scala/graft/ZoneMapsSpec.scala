@@ -576,4 +576,296 @@ class ZoneMapsSpec extends AnyFunSuite {
       r.getAs[Long]("n_rows"), r.getAs[Double]("sum_qty"))).toSet
     assert(gotSet == want)
   }
+
+  // ---- transparent (planner-applied) pruning -------------------------------
+
+  /** Every FileSourceScanExec in the FINAL adaptive plan (descending into
+    * materialized stages). */
+  private def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(s.plan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+    case o => o.children.flatMap(fileScans)
+  }
+
+  test("transparent pruning: raw SQL over a prepared table scans exactly the explicit survivor set") {
+    val base = Files.createTempDirectory("graft_zm_transp_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    GraftSession.prepareTable(spark, "graft_zm_transparent_spec",
+      s"$sf/orders.parquet", out, Seq("o_orderkey"), Nil,
+      nFiles = 4, manifestPath = Some(mf))
+    val man = ZoneMaps.manifestRows(spark, out, Seq("o_orderkey"))
+    val gmin = man.map(_.getAs[Long]("o_orderkey_min")).min
+    val cut = man.map(_.getAs[Long]("o_orderkey_max")).min // first file's max
+    val sqlText = "SELECT count(*) AS c FROM graft_zm_transparent_spec " +
+      s"WHERE o_orderkey < $cut"
+    val df = spark.sql(sqlText)
+    val Array(r) = df.collect()
+    // correctness: the pruned raw-SQL scan equals the unpruned filter
+    assert(r.getLong(0) ==
+      tables.orders.where(col("o_orderkey") < cut).count())
+    // the plan rides the manifest-backed FileIndex...
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location
+      .isInstanceOf[graft.sources.ZoneMapFileIndex]),
+      "prepared-table scan must ride ZoneMapFileIndex")
+    // ...and scanned EXACTLY the explicit API's survivor set, < total
+    val explicit = ZoneMaps.pruneFiles(man, "o_orderkey", gmin, cut)
+    assert(explicit.length < man.length)
+    assert(scans.map(_.metrics("numFiles").value).sum == explicit.length,
+      "transparent scan must open exactly the explicit prunedRead survivors")
+    // the lint accepts the swapped plan and flags a rule-less one
+    assert(graft.plans.PlanLint.unprunedPreparedScans(df).isEmpty)
+    val rules = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      rules.filterNot(_ == graft.plans.ApplyZoneMapIndex)
+    try {
+      val bare = spark.sql(sqlText)
+      assert(graft.plans.PlanLint.unprunedPreparedScans(bare).nonEmpty,
+        "lint must flag a prepared-table scan the rule did not swap")
+    } finally spark.experimental.extraOptimizations = rules
+    spark.sql("DROP TABLE IF EXISTS graft_zm_transparent_spec")
+  }
+
+  test("transparent pruning: IN-list on a bloom column prunes past the envelope") {
+    val base = Files.createTempDirectory("graft_zm_transpm_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    GraftSession.prepareTable(spark, "graft_zm_transpm_spec",
+      s"$sf/lineitem.parquet", out, Seq("l_partkey"), Nil,
+      nFiles = 8, manifestPath = Some(mf), bloomCols = Seq("l_partkey"))
+    val man = ZoneMaps.manifestRows(spark, out, Seq("l_partkey"))
+    // two scattered keys: one near each end of the domain — the envelope
+    // keeps every in-range file, the blooms keep only the homes
+    val gmin = man.map(_.getAs[Long]("l_partkey_min")).min
+    val gmax = man.map(_.getAs[Long]("l_partkey_max")).max
+    val keys = Array(gmin, gmax).sorted
+    val df = spark.sql("SELECT count(*) AS c FROM graft_zm_transpm_spec " +
+      s"WHERE l_partkey IN (${keys.mkString(", ")})")
+    val Array(r) = df.collect()
+    assert(r.getLong(0) ==
+      tables.lineitem.where(col("l_partkey").isin(keys.toSeq: _*)).count())
+    val mrows = ZoneMaps.membershipRows(spark, out, "l_partkey")
+    val byBloom = ZoneMaps.membershipPruneFiles(mrows, "l_partkey", keys)
+    assert(byBloom.length < man.length, "blooms must skip files")
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.map(_.metrics("numFiles").value).sum == byBloom.length,
+      "transparent IN-scan must open exactly the bloom survivors")
+    spark.sql("DROP TABLE IF EXISTS graft_zm_transpm_spec")
+  }
+
+  test("q141 registered query: raw-SQL result matches naive, pruned flag true") {
+    val got = SparkEntry.queries("q141_transparent_sql")(spark, sf).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("pruned")))
+    val mm = tables.lineitem
+      .agg(min(col("l_partkey")), max(col("l_partkey"))).head()
+    val lo = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    val hi = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 5 / 8
+    val want = tables.lineitem
+      .where(col("l_partkey") >= lo && col("l_partkey") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), (round(sum(col("l_quantity")), 4) + lit(0.0)).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(r => (r.getAs[String]("l_returnflag"),
+      r.getAs[Long]("n_rows"), r.getAs[Double]("sum_qty"))).toSet == want)
+  }
+
+  // ---- N-column Z-order ----------------------------------------------------
+
+  test("clusteredWriteZN: a 3-column layout prunes on EVERY column; 2-column cannot serve the third") {
+    val df3 = tables.lineitem.selectExpr("l_orderkey AS a", "l_partkey AS b",
+      "l_suppkey AS c", "l_quantity AS v")
+    val d3 = Files.createTempDirectory("graft_zm_z3_").toString
+    val d2 = Files.createTempDirectory("graft_zm_z2_").toString
+    ZoneMaps.clusteredWriteZN(df3, Seq("a", "b", "c"), d3, 16)
+    ZoneMaps.clusteredWriteZN(df3, Seq("a", "b"), d2, 16)
+    for (cn <- Seq("a", "b", "c")) {
+      val man = ZoneMaps.manifestRows(spark, d3, Seq(cn))
+      val lo = man.map(_.getAs[Long](s"${cn}_min")).min
+      val hi = man.map(_.getAs[Long](s"${cn}_max")).max
+      // a ~1/4-wide band INSIDE the upper half must skip files on EVERY
+      // interleaved column (a band straddling the 1/2 point would overlap
+      // both MSB cells of the probed column and prune nothing — the
+      // correct no-prune answer, not the property under test)
+      val bLo = lo + (hi - lo) * 9 / 16; val bHi = lo + (hi - lo) * 13 / 16
+      val kept = ZoneMaps.pruneFiles(man, cn, bLo, bHi).length
+      assert(kept < man.length, s"3-col layout must prune on '$cn' (kept $kept/16)")
+      // pruned ≡ naive
+      assert(ZoneMaps.prunedRead(spark, d3, cn, bLo, bHi,
+        lit(bLo), lit(bHi)).count() ==
+        spark.read.parquet(d3).where(col(cn) >= bLo && col(cn) < bHi).count())
+    }
+    // contrast: the 2-column layout leaves 'c' envelopes spanning the
+    // domain — the same band prunes nothing
+    val man2 = ZoneMaps.manifestRows(spark, d2, Seq("c"))
+    val lo2 = man2.map(_.getAs[Long]("c_min")).min
+    val hi2 = man2.map(_.getAs[Long]("c_max")).max
+    val kept2 = ZoneMaps.pruneFiles(man2, "c",
+      lo2 + (hi2 - lo2) * 3 / 8, lo2 + (hi2 - lo2) * 5 / 8).length
+    assert(kept2 == man2.length,
+      s"(a,b)-only layout should not separate 'c' (kept $kept2/16)")
+  }
+
+  test("clusteredWriteZN: working-column collisions refuse loudly; arity bounds enforced") {
+    val df = tables.orders.selectExpr("o_orderkey AS a", "o_custkey AS b",
+      "o_orderkey AS _gzm_0")
+    val d = Files.createTempDirectory("graft_zm_zguard_").toString
+    intercept[IllegalArgumentException] {
+      ZoneMaps.clusteredWriteZN(df, Seq("a", "b"), d, 4)
+    }
+    intercept[IllegalArgumentException] {
+      ZoneMaps.clusteredWriteZN(tables.orders, Seq("o_orderkey"), d, 4)
+    }
+    intercept[IllegalArgumentException] {
+      ZoneMaps.clusteredWriteZN(tables.lineitem,
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity"), d, 4)
+    }
+  }
+
+  test("q142 registered query: third-column band matches naive, pruned flag true") {
+    val got = SparkEntry.queries("q142_zorder3")(spark, sf).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("pruned")))
+    val mm = tables.lineitem
+      .agg(min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val lo = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 9 / 16
+    val hi = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 15 / 16
+    val want = tables.lineitem
+      .where(col("l_suppkey") >= lo && col("l_suppkey") < hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), (round(sum(col("l_quantity")), 4) + lit(0.0)).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(r => (r.getAs[String]("l_returnflag"),
+      r.getAs[Long]("n_rows"), r.getAs[Double]("sum_qty"))).toSet == want)
+  }
+
+  // ---- durable + incremental MEMBERSHIP manifest ---------------------------
+
+  test("persisted membership manifest serves a fresh session with zero data-dir access") {
+    val base = Files.createTempDirectory("graft_zm_mdur_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    ZoneMaps.clusteredWrite(tables.lineitem, "l_partkey", out, 8)
+    ZoneMaps.persistManifest(spark, out, Seq("l_partkey"), mf,
+      bloomCols = Seq("l_partkey"))
+    val mrows = ZoneMaps.membershipRows(spark, out, "l_partkey")
+    val man = ZoneMaps.manifestRows(spark, out, Seq("l_partkey"))
+    val gmin = man.map(_.getAs[Long]("l_partkey_min")).min
+    val gmax = man.map(_.getAs[Long]("l_partkey_max")).max
+    val keys = Array(gmin, gmax).sorted
+    val before = ZoneMaps.membershipPruneFiles(mrows, "l_partkey", keys).toSet
+    assert(before.nonEmpty && before.size < man.length)
+    // fresh session simulation: drop memos, DELETE the data, re-load —
+    // the membership memo must reseed from the manifest parquet alone
+    ZoneMaps.dropMemos(spark, out)
+    val moved = Files.createTempDirectory("graft_zm_mdur_moved_").toString
+    new java.io.File(out).listFiles().foreach(f =>
+      f.renameTo(new java.io.File(moved, f.getName)))
+    val loaded = ZoneMaps.loadManifest(spark, out, Seq("l_partkey"), mf)
+    assert(loaded.length == 8)
+    val reloaded = ZoneMaps.membershipRows(spark, out, "l_partkey")
+    assert(ZoneMaps.membershipPruneFiles(reloaded, "l_partkey", keys).toSet
+      == before, "post-load membership pruning must equal pre-deletion")
+  }
+
+  test("incrementalBuild maintains blooms batch-only, equal to a from-scratch membership build") {
+    val d = Files.createTempDirectory("graft_zm_minc_").toString
+    val (first, second) = (tables.orders.where(col("o_orderkey") % 2 === 0),
+      tables.orders.where(col("o_orderkey") % 2 =!= 0))
+    first.coalesce(2).write.mode("append").parquet(d)
+    val standing = ZoneMaps.build(spark, d, Seq("o_custkey"),
+      bloomCols = Seq("o_custkey")).collect()
+    second.coalesce(2).write.mode("append").parquet(d)
+    val maintained = ZoneMaps.incrementalBuild(spark, d, Seq("o_custkey"),
+      standing, bloomCols = Seq("o_custkey"))
+    val fresh = ZoneMaps.build(spark, d, Seq("o_custkey"),
+      bloomCols = Seq("o_custkey")).collect()
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      (r.getAs[String]("file"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("o_custkey_min"), r.getAs[Long]("o_custkey_max"),
+        r.getAs[Array[Byte]]("o_custkey_bloom").toSeq)
+    }.toSet
+    assert(canon(maintained) == canon(fresh),
+      "maintained membership manifest must equal from-scratch (blooms included)")
+  }
+
+  test("idempotentBatchAppend: a replayed micro-batch lands ZERO new files") {
+    val d = Files.createTempDirectory("graft_zm_idem_").resolve("t").toString
+    val batch = tables.nation.select(col("n_nationkey").as("k"))
+    graft.streaming.EventStreams.idempotentBatchAppend(d, batch, 0L)
+    val afterOnce = spark.read.parquet(d).count()
+    val filesOnce = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // the foreachBatch replay shape: same content, same batchId
+    graft.streaming.EventStreams.idempotentBatchAppend(d, batch, 0L)
+    assert(spark.read.parquet(d).count() == afterOnce, "replay must not duplicate rows")
+    assert(new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet == filesOnce)
+    // a NEW batch id appends
+    graft.streaming.EventStreams.idempotentBatchAppend(d, batch, 1L)
+    assert(spark.read.parquet(d).count() == 2 * afterOnce)
+  }
+
+  // ---- ADVICE hardening ----------------------------------------------------
+
+  test("topTailFiles: NULL zone rows in tail files never shrink the scanned set below k") {
+    val d = Files.createTempDirectory("graft_zm_nulltail_").toString
+    // hand-placed layout: file A holds 1..100, file B holds 901..1000 plus
+    // 150 NULLs. Counting raw n_rows would stop at B (250 ≥ 150) even
+    // though B holds only 100 NON-NULL values — the 150th value lives in A
+    import spark.implicits._
+    (1L to 100L).toDF("v").coalesce(1).write.mode("append").parquet(d)
+    ((901L to 1000L).map(java.lang.Long.valueOf) ++
+      Seq.fill(150)(null.asInstanceOf[java.lang.Long]))
+      .toDF("v").coalesce(1).write.mode("append").parquet(d)
+    val files = ZoneMaps.topTailFiles(spark, d, "v", 150L)
+    val topPruned = spark.read.parquet(files.toIndexedSeq: _*)
+      .orderBy(col("v").desc_nulls_last).limit(150)
+      .collect().flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSeq
+    val topFull = spark.read.parquet(d)
+      .orderBy(col("v").desc_nulls_last).limit(150)
+      .collect().flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSeq
+    assert(topPruned == topFull,
+      "tail-file top-k over a null-bearing tail must equal the full sort")
+    assert(files.length == 2, "both files are needed once nulls are discounted")
+  }
+
+  test("statsOnlyAggregate emits extremes in the COLUMN's own type") {
+    val d = Files.createTempDirectory("graft_zm_stype_").toString
+    tables.nation.select(col("n_nationkey").cast("int").as("k"))
+      .coalesce(2).write.mode("overwrite").parquet(d)
+    val got = ZoneMaps.statsOnlyAggregate(spark, d, "k")
+    assert(got.schema("k_min").dataType ==
+      org.apache.spark.sql.types.IntegerType,
+      s"metadata-only min must keep the INT source type, got ${got.schema("k_min").dataType}")
+    val r = got.head()
+    val want = spark.read.parquet(d).agg(count(lit(1)), min(col("k")), max(col("k"))).head()
+    assert(r.getAs[Long]("n_rows") == want.getLong(0))
+    assert(r.getAs[Int]("k_min") == want.getInt(1))
+    assert(r.getAs[Int]("k_max") == want.getInt(2))
+  }
+
+  test("prepareTable overlap guard understands scheme-qualified URIs") {
+    val d = Files.createTempDirectory("graft_zm_uriguard_").toString
+    // 'file:///x' vs '/x' name the same directory — must refuse
+    intercept[IllegalArgumentException] {
+      GraftSession.prepareTable(spark, "graft_zm_uriguard_spec",
+        s"file://$d", d, Seq("o_orderkey"), Nil)
+    }
+    // scheme-qualified nesting must refuse too (no fs access needed — the
+    // guard fires before any read)
+    intercept[IllegalArgumentException] {
+      GraftSession.prepareTable(spark, "graft_zm_uriguard_spec",
+        "hdfs://nn/warehouse/t", "hdfs://nn/warehouse/t/out",
+        Seq("o_orderkey"), Nil)
+    }
+    // different filesystems can never nest — allowed past the guard (the
+    // local read then fails on the nonexistent path, which is fine)
+    intercept[Exception] {
+      GraftSession.prepareTable(spark, "graft_zm_uriguard_spec",
+        s"$d/nope_src", s"$d/nope_out", Seq("o_orderkey"), Nil)
+    }
+  }
 }
