@@ -69,6 +69,7 @@ object Bench {
       "_shared_shingle_arrays", "_shared_weighted_arrays",
       "_shared_lsh_pairs", "_shared_cws_sig",
       "_shared_jaccard_pairs", "_shared_weighted_pairs", "_shared_edit_pairs",
+      "_shared_containment_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
       "_shared_knn_graph", "_shared_srp_pairs", "_shared_srp_probe",
       "_shared_tokens", "_shared_zonemap_layout", "_shared_zonemap_manifest",
@@ -123,6 +124,8 @@ object Bench {
             graft.dedup.Dedup.sharedWeightedJaccardPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_edit_pairs")
             graft.dedup.Dedup.sharedEditPairs(Tables(spark, sfDir).documents).count()
+          else if (name == "_shared_containment_pairs")
+            graft.dedup.Dedup.sharedContainmentPairs(Tables(spark, sfDir).documents).count()
           else if (name == "_shared_ivf_index")
             graft.similarity.Knn.ivfIndex(Tables(spark, sfDir).embeddings).count()
           else if (name == "_shared_ivfpq_index")

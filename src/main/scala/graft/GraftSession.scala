@@ -202,4 +202,26 @@ object GraftSession {
     analyzeForStats(s, name, outDir,
       (zoneCols ++ statsCols.filterNot(zoneCols.contains)).toSeq)
   }
+
+  /** The QUERY-SESSION half of the durable recipe — [[prepareTable]] is
+    * the per-ingest-batch call; `openTable` is what a fresh session (a
+    * query service at startup) runs to get everything back WITHOUT
+    * touching the data: load the persisted manifest (#files rows, zero
+    * data-dir jobs — bloom columns re-seed the membership memo too),
+    * register the catalog table, and turn transparent pruning on, so the
+    * very first raw-SQL query scans only manifest survivors. Returns the
+    * catalog table name. */
+  def openTable(s: SparkSession, name: String, dir: String,
+                zoneCols: Seq[String], manifestPath: String): String = {
+    val rows = graft.sources.ZoneMaps.loadManifest(s, dir, zoneCols, manifestPath)
+    val bloomCols = rows.headOption
+      .map(_.schema.fieldNames.filter(_.endsWith("_bloom"))
+        .map(_.stripSuffix("_bloom")).toSeq)
+      .getOrElse(Nil)
+    graft.sources.ZoneMapFileIndex.enable(s, dir, zoneCols, bloomCols)
+    ensureOptimizations(s)
+    if (!s.catalog.tableExists(name))
+      s.sql(s"CREATE TABLE $name USING parquet LOCATION '$dir'")
+    name
+  }
 }

@@ -291,7 +291,7 @@ object SparkEntry {
     // d12: directed containment (quote/superset) pairs — hashed shingles
     // vs the oracle's string shingles, the d02/d03 collision-free
     // precedent; containment is one unrounded division both sides
-    "d12_containment"     -> ((s, d) => Dedup.containmentPairs(t(s, d).documents)),
+    "d12_containment"     -> ((s, d) => Dedup.sharedContainmentPairs(t(s, d).documents)),
     // d13: rarity-weighted Jaccard — integer /1e6 weights, exact long
     // sums, integer threshold test; the score is the one final division
     "d13_weighted_jaccard" -> ((s, d) => Dedup.sharedWeightedJaccardPairs(t(s, d).documents)),

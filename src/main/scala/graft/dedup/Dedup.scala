@@ -762,6 +762,23 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double = 0.9, k: Int = 3): DataFrame =
     containmentPairsOf(sharedShingles(docs, k), threshold)
 
+  /** Session-scoped memo for d12's pair frame — the [[sharedEditPairs]]
+    * lifecycle: d12 and d41's exact route consume the same
+    * (docs, threshold, k) directed pair set, so the asymmetric
+    * prefix-filtered index join (the family's most expensive verify)
+    * runs once per session, not once per consumer. */
+  private val containmentMemo =
+    new graft.SessionKeyedCache[(Int, Long, Int), DataFrame](
+      _.unpersist(blocking = false))
+
+  /** The memoized, persisted d12 pair frame for (docs, threshold, k). */
+  def sharedContainmentPairs(docs: DataFrame, threshold: Double = 0.9,
+                             k: Int = 3): DataFrame =
+    containmentMemo.getOrElseUpdate(
+      docs.sparkSession, (docs.queryExecution.analyzed.semanticHash(),
+        java.lang.Double.doubleToLongBits(threshold), k))(
+      containmentPairs(docs, threshold, k).persist())
+
   /** See [[containmentPairs]]; core over a caller-managed shingle set. */
   def containmentPairsOf(sh: DataFrame, threshold: Double = 0.9): DataFrame = {
     val num = math.round(threshold * 1e6)
@@ -1457,7 +1474,7 @@ object Dedup {
   def containmentAuto(docs: DataFrame, threshold: Double = 0.9,
                       k: Int = 3): DataFrame =
     if (graft.plans.StatsRoute.exactAffordable(docs))
-      containmentPairs(docs, threshold, k).withColumn("route", lit("exact"))
+      sharedContainmentPairs(docs, threshold, k).withColumn("route", lit("exact"))
     else
       containmentLshPairs(docs, threshold, k = k).withColumn("route", lit("lsh"))
 
@@ -1500,7 +1517,7 @@ object Dedup {
     * Auditable `route` column, oracle-pinned at test SF. */
   def editAuto(docs: DataFrame, maxDist: Int = 32, k: Int = 3): DataFrame =
     if (graft.plans.StatsRoute.exactAffordable(docs))
-      editDistancePairs(docs, maxDist).withColumn("route", lit("exact"))
+      sharedEditPairs(docs, maxDist).withColumn("route", lit("exact"))
     else
       editLshPairs(docs, maxDist, k = k).withColumn("route", lit("lsh"))
 

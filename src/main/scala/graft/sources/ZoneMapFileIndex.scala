@@ -110,6 +110,11 @@ object ZoneMapFileIndex {
     ()
   }
 
+  /** Drop `dir`'s transparent registration (the [[ZoneMaps.dropMemos]]
+    * fresh-session simulation hook; also the opt-out). */
+  private[graft] def disable(spark: SparkSession, dir: String): Unit =
+    registry.purgeKeys(spark, _ == normPath(dir))
+
   /** The registration for a single-root FileIndex, if any — exact
     * directory match (a scan listing explicit FILES under the dir, e.g.
     * the explicit `prunedRead` API's survivor scan, has different roots

@@ -232,12 +232,13 @@ object ZoneMaps extends Logging {
 
   private val manifestCache = new SessionKeyedCache[(String, Seq[String]), Array[Row]]()
 
-  /** Drop every manifest/membership memo for `dir` (test + lifecycle
-    * hook — simulates a fresh session for one table without draining the
-    * whole session's caches). */
+  /** Drop every manifest/membership memo AND the transparent-pruning
+    * registration for `dir` (test + lifecycle hook — simulates a fresh
+    * session for one table without draining the whole session's caches). */
   private[graft] def dropMemos(spark: SparkSession, dir: String): Unit = {
     manifestCache.purgeKeys(spark, _._1 == dir)
     membershipCache.purgeKeys(spark, _._1 == dir)
+    ZoneMapFileIndex.disable(spark, dir)
   }
 
   /** Collected manifest rows, built at most once per (session, dir, cols).

@@ -631,6 +631,35 @@ class ZoneMapsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_zm_transparent_spec")
   }
 
+  test("openTable: a fresh session regains transparent pruning from the persisted manifest alone") {
+    val base = Files.createTempDirectory("graft_zm_open_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    GraftSession.prepareTable(spark, "graft_zm_open_spec",
+      s"$sf/orders.parquet", out, Seq("o_orderkey"), Nil,
+      nFiles = 4, manifestPath = Some(mf))
+    val man = ZoneMaps.manifestRows(spark, out, Seq("o_orderkey"))
+    val gmin = man.map(_.getAs[Long]("o_orderkey_min")).min
+    val cut = man.map(_.getAs[Long]("o_orderkey_max")).min
+    // fresh-session simulation: memos AND the transparent registration gone
+    ZoneMaps.dropMemos(spark, out)
+    spark.sql("DROP TABLE IF EXISTS graft_zm_open_spec")
+    GraftSession.openTable(spark, "graft_zm_open_spec", out,
+      Seq("o_orderkey"), mf)
+    val df = spark.sql(
+      s"SELECT count(*) AS c FROM graft_zm_open_spec WHERE o_orderkey < $cut")
+    val Array(r) = df.collect()
+    assert(r.getLong(0) == tables.orders.where(col("o_orderkey") < cut).count())
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(_.relation.location
+      .isInstanceOf[graft.sources.ZoneMapFileIndex]))
+    val explicit = ZoneMaps.pruneFiles(
+      ZoneMaps.manifestRows(spark, out, Seq("o_orderkey")), "o_orderkey",
+      gmin, cut)
+    assert(explicit.length < 4 &&
+      scans.map(_.metrics("numFiles").value).sum == explicit.length)
+    spark.sql("DROP TABLE IF EXISTS graft_zm_open_spec")
+  }
+
   test("transparent pruning: IN-list on a bloom column prunes past the envelope") {
     val base = Files.createTempDirectory("graft_zm_transpm_").toString
     val out = s"$base/t"; val mf = s"$base/m"
