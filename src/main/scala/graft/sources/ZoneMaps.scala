@@ -1126,7 +1126,9 @@ object ZoneMaps extends Logging {
     val keys = boundedDimKeys(dim, "p_partkey").getOrElse(sys.error(
       "q139: demo dim slice exceeded the membership key guard"))
     val manifest = spark.read.parquet(persistedPartManifest(spark, dir))
-    val total = manifest.count().toInt
+    // files_total from the (warmed) driver memo — the #files count is
+    // metadata the session already holds; no count() job per call
+    val total = membershipRows(spark, cdir, "l_partkey").length
     val files = membershipPruneFilesDistributed(manifest, "l_partkey", keys)
     readFiles(spark, cdir, files)
       .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
