@@ -642,16 +642,22 @@ object SparkEntry {
     // t19: encoding-noise score — integer regex counts of replacement/
     // control/mojibake chars, one guarded unrounded division; zero shuffle
     "t19_encoding_noise"  -> ((s, d) => TextQueries.t19EncodingNoise(t(s, d))),
-    // t08: trained-BPE subword stats — deterministic (tie-broken training,
-    // greedy encode) but not SQL-reproducible → rows-only driver check;
-    // BpeSpec pins hand-derived merges, the concat-identity law and codegen
+    // t08: trained-BPE encode — registered as the EXACT-PARITY frame (the
+    // s11 discipline for trained-model operators, promoted from rows-only
+    // in round 13): the production greedy-min-rank encoder must agree
+    // PER DOCUMENT with the independent training-order-REPLAY encoder
+    // (two disjoint control flows over the same fitted merges — equal by
+    // BPE's constituent ordering), and that contract IS SQL-expressible:
+    // the oracle pins the full row universe, the exact token counts, and
+    // all-true parity. Subword values/bounds stay pinned in BpeSpec.
     "t08_bpe_encode"      -> ((s, d) => {
       val docs = t(s, d).documents
       val model = graft.functions.Bpe.sharedModel(docs)
       docs.select(col("doc_id"),
         graft.functions.TextFns.tokenCount(col("text")).as("n_tokens"),
-        org.apache.spark.sql.functions.size(
-          graft.functions.Bpe.encode(col("text"), model)).as("n_subwords"))
+        (graft.functions.Bpe.encode(col("text"), model) ===
+          graft.functions.Bpe.encodeReplay(col("text"), model))
+          .as("encode_match"))
     }),
     "m01_media_features"  -> ((s, d) =>
       Multimodal.extractFeatures(s, Multimodal.asMedia(t(s, d).documents))
@@ -2247,6 +2253,15 @@ object SparkEntry {
         |SELECT s1, s2, z1.n AS n1, z2.n AS n2, n_common,
         | CAST(n_common AS DOUBLE) / (z1.n + z2.n - n_common) AS jaccard
         |FROM cm JOIN sz z1 ON z1.source = s1 JOIN sz z2 ON z2.source = s2""".stripMargin,
+    // t08: the parity CONTRACT is SQL-expressible even though the trained
+    // merges aren't (the s11 rule): full row universe, the same
+    // empty-token-inclusive whitespace token count as t01, all-true
+    // greedy-vs-replay agreement
+    "t08_bpe_encode" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+        | TRUE AS encode_match
+        |FROM documents""".stripMargin,
     // t31: DuckDB cannot deflate, so n_deflate comes from the committed
     // fixture (generated INDEPENDENTLY by python zlib — length-identical
     // to the JVM Deflater at level 6, both wrap zlib; see

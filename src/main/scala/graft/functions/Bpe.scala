@@ -61,6 +61,40 @@ object Bpe {
     /** Whitespace-split then per-word encode, flattened. */
     def encodeText(text: String): Array[String] =
       text.toLowerCase.split(" ", -1).iterator.flatMap(encodeWord).toArray
+
+    /** The INDEPENDENT reference encoder — training-order REPLAY: apply
+      * each merge rule in rank order, exhaustively (left-to-right
+      * non-overlapping passes to a fixpoint), instead of [[encodeWord]]'s
+      * greedy lowest-rank-adjacent-pair loop. Equivalent by BPE's
+      * constituent ordering (rule k's elements are products of ranks < k,
+      * so after ranks 0..k−1 are exhausted every occurrence rule k will
+      * ever see exists; Sennrich et al. 2016), but shares NO control flow
+      * with the greedy path — the t08 parity frame pins the two
+      * implementations equal on every document, the s11 exact-parity
+      * discipline for a trained-model operator. */
+    def encodeWordReplay(w: String): Vector[String] = {
+      if (w.isEmpty) return Vector.empty
+      var parts = w.toCharArray.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        var changed = true
+        while (changed && parts.length > 1) {
+          changed = false
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < parts.length) {
+            if (i < parts.length - 1 && parts(i) == a && parts(i + 1) == b) {
+              out += (a + b); i += 2; changed = true
+            } else { out += parts(i); i += 1 }
+          }
+          parts = out.result()
+        }
+      }
+      parts
+    }
+
+    /** [[encodeText]] through the replay encoder. */
+    def encodeTextReplay(text: String): Array[String] =
+      text.toLowerCase.split(" ", -1).iterator.flatMap(encodeWordReplay).toArray
   }
 
   private val models = new graft.SessionKeyedCache[(Int, Int, Int), Model]()
@@ -130,4 +164,11 @@ object Bpe {
     * expression — scan-local). */
   def encode(text: Column, model: Model): Column =
     ColumnBridge.toColumn(graft.plans.BpeEncode(ColumnBridge.toExpression(text), model))
+
+  /** [[Model.encodeTextReplay]] as a column — the independent
+    * training-order-replay encoder the t08 parity frame compares
+    * [[encode]] against (also a native codegen expression). */
+  def encodeReplay(text: Column, model: Model): Column =
+    ColumnBridge.toColumn(
+      graft.plans.BpeEncodeReplay(ColumnBridge.toExpression(text), model))
 }

@@ -41,7 +41,10 @@ class BpeSpec extends AnyFunSuite {
   }
 
   test("corpus stats: per doc, n_tokens <= n_subwords <= n_chars-ish bounds hold") {
-    val out = SparkEntry.queries("t08_bpe_encode")(spark, sf)
+    val model = Bpe.sharedModel(tables.documents)
+    val out = tables.documents.select(col("doc_id"),
+        graft.functions.TextFns.tokenCount(col("text")).as("n_tokens"),
+        size(Bpe.encode(col("text"), model)).as("n_subwords"))
       .as[(Long, Int, Int)].collect()
     assert(out.length === tables.documents.count())
     out.foreach { case (id, nTok, nSub) =>
@@ -53,6 +56,28 @@ class BpeSpec extends AnyFunSuite {
       .as[Long].collect()(0)
     assert(out.map(_._3.toLong).sum < totalChars,
       "trained merges must compress below character-level splitting")
+  }
+
+  test("replay encoder ≡ greedy encoder: hand cases, random words, and the full corpus frame") {
+    // hand cases exercising rank interaction: a later rule's product can
+    // never feed an earlier rule (constituent ordering), so training-order
+    // replay and greedy-min-rank agree
+    val corpus = Seq((1L, "ab ab ab ac abc abc")).toDF("doc_id", "text")
+    val m = Bpe.train(corpus, nMerges = 10)
+    for (w <- Seq("abac", "abc", "aaa", "abab", "xyabc", ""))
+      assert(m.encodeWordReplay(w) === m.encodeWord(w), s"word '$w'")
+    val model = Bpe.sharedModel(tables.documents)
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(14)))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString // tiny alphabet: dense merges
+      assert(model.encodeWordReplay(w) === model.encodeWord(w), s"word '$w'")
+    }
+    // the registered t08 parity frame: full row universe, all-true match
+    val rows = SparkEntry.queries("t08_bpe_encode")(spark, sf).collect()
+    assert(rows.length === tables.documents.count())
+    assert(rows.forall(_.getAs[Boolean]("encode_match")),
+      "greedy and replay encoders must agree on every document")
   }
 
   test("training is deterministic across registry resets") {
