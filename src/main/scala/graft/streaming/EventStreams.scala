@@ -385,7 +385,12 @@ object EventStreams {
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
     parts.zipWithIndex.foreach { case (p, i) =>
       val dst = new org.apache.hadoop.fs.Path(dir, f"b$batchId%06d-$i%05d.parquet")
-      if (!fs.exists(dst)) fs.rename(p.getPath, dst)
+      // rename failures must be LOUD: a silent false here would drop the
+      // staged part when the staging dir is deleted below (the staging
+      // dir lives inside `dir`, so same-filesystem rename is guaranteed)
+      if (!fs.exists(dst))
+        require(fs.rename(p.getPath, dst),
+          s"idempotentBatchAppend: rename ${p.getPath} -> $dst failed")
     }
     fs.delete(staging, true)
     ()
