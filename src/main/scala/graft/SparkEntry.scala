@@ -973,6 +973,11 @@ object SparkEntry {
     // range scan on the THIRD zone column
     "q142_zorder3" -> ((s, d) =>
       graft.sources.ZoneMaps.q142ZOrder3(s, d)),
+    // q143: transparent MEMBERSHIP pruning — raw SQL IN-list over an
+    // openTable'd catalog table; the FileIndex probes the persisted
+    // per-file blooms the manifest load seeded
+    "q143_transparent_membership" -> ((s, d) =>
+      graft.sources.ZoneMaps.q143TransparentMembership(s, d)),
     // q140: metadata-interior range count — interior files counted from
     // the manifest unopened, only the <=2 boundary files scanned
     "q140_count_in_range" -> ((s, d) =>
@@ -5094,6 +5099,17 @@ object SparkEntry {
         | 16 AS files_total, TRUE AS pruned
         |FROM lineitem, b
         |WHERE l_suppkey >= lo AND l_suppkey < hi
+        |GROUP BY 1""".stripMargin,
+    // q143: the unpruned table under the same scattered key set (the
+    // oracle derives it by the same mod rule); the engine side is RAW SQL
+    // whose scan the transparent bloom probe pruned — a wrong skip loses
+    // rows and hash-fails
+    "q143_transparent_membership" ->
+      """SELECT l_partkey AS partkey, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 16 AS files_total, TRUE AS pruned
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_partkey % 398 = 7)
         |GROUP BY 1""".stripMargin,
     // q137: the same three aggregates from the full table; the engine side
     // answers from the manifest alone (envelope extremes + Σ n_rows)

@@ -914,7 +914,8 @@ object ZoneMaps extends Logging {
         Seq("l_orderkey")).length +
       membershipRows(spark, clusteredLineitemByPart(spark, dir),
         "l_partkey").length +
-      persistedPartManifest(spark, dir).length
+      persistedPartManifest(spark, dir).length +
+      openedPartTable(spark, dir).length
 
   /** q134: join-driven file pruning, end to end — the dim side is the
     * lowest eighth of the orderkey domain (the time-correlated-ingest
@@ -1038,6 +1039,50 @@ object ZoneMaps extends Logging {
         (round(sum(col("l_quantity")), 4) + lit(0.0)).as("sum_qty"))
       .withColumn("files_total", lit(manifest.length))
       .withColumn("pruned", lit(files.length < manifest.length))
+  }
+
+  /** The part-clustered demo layout opened as a TRANSPARENT catalog table
+    * (the [[graft.GraftSession.openTable]] recipe over
+    * [[clusteredLineitemByPart]] + [[persistedPartManifest]]) — memoized
+    * per session so q143 times the serve, not the session-open. */
+  private def openedPartTable(spark: SparkSession, dir: String): String =
+    clusteredCache.getOrElseUpdate(spark, s"$dir#bypartopen") {
+      graft.GraftSession.openTable(spark, "graft_q143_bypart",
+        clusteredLineitemByPart(spark, dir), Seq("l_partkey"),
+        persistedPartManifest(spark, dir))
+    }
+
+  /** q143: PLANNER-TRANSPARENT MEMBERSHIP pruning end to end — q135's
+    * scattered-key semantics as RAW SQL TEXT over an
+    * [[graft.GraftSession.openTable]]-opened catalog table: the `IN`
+    * list pushes into `listFiles`, [[ZoneMapFileIndex]] probes the
+    * PERSISTED per-file blooms (seeded by the manifest load — no data
+    * scan), and the scan opens only the files some key lands in — where
+    * the envelope alone keeps everything (the q135 contrast). Registered
+    * so the transparent bloom path sits under the oracle gate
+    * permanently, exactly as q139 keeps the distributed probe there.
+    * `pruned` pins real skips via the explicit survivor set; the spec
+    * pins the RAW-SQL plan's file count equal to it. */
+  def q143TransparentMembership(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureOptimizations(spark)
+    val table = openedPartTable(spark, dir)
+    val dim = graft.Tables(spark, dir).part
+      .where(pmod(col("p_partkey"), lit(398L)) === 7)
+      .select(col("p_partkey"))
+    val keys = boundedDimKeys(dim, "p_partkey").getOrElse(sys.error(
+      "q143: demo dim slice exceeded the membership key guard"))
+    val cdir = clusteredLineitemByPart(spark, dir)
+    val mrows = membershipRows(spark, cdir, "l_partkey")
+    val files = membershipPruneFiles(mrows, "l_partkey", keys)
+    spark.sql(
+      s"""SELECT l_partkey AS partkey,
+         |       COUNT(*) AS n_rows,
+         |       round(sum(l_quantity), 4) + 0.0 AS sum_qty
+         |FROM $table
+         |WHERE l_partkey IN (${keys.mkString(", ")})
+         |GROUP BY l_partkey""".stripMargin)
+      .withColumn("files_total", lit(mrows.length))
+      .withColumn("pruned", lit(files.length < mrows.length))
   }
 
   /** q136: the INGEST RECIPE end to end — `prepareTable` with TWO zone

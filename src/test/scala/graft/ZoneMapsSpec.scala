@@ -686,6 +686,29 @@ class ZoneMapsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_zm_transpm_spec")
   }
 
+  test("q143 registered query: transparent bloom IN-scan opens exactly the membership survivors") {
+    val df = SparkEntry.queries("q143_transparent_membership")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("pruned")))
+    // matches the naive unpruned join semantics
+    val want = tables.lineitem.join(tables.part,
+        col("l_partkey") === col("p_partkey"))
+      .where(pmod(col("p_partkey"), lit(398L)) === 7)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"), (round(sum(col("l_quantity")), 4) + lit(0.0)).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.map(r => (r.getAs[Long]("partkey"), r.getAs[Long]("n_rows"),
+      r.getAs[Double]("sum_qty"))).toSet == want)
+    // the raw-SQL plan rode the manifest-backed index and opened exactly
+    // the bloom survivor set (fewer files than the envelope would keep)
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(_.relation.location
+      .isInstanceOf[graft.sources.ZoneMapFileIndex]))
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    assert(scanned < ZoneMaps.membershipDemoFiles,
+      s"bloom IN-scan must skip files (opened $scanned/16)")
+  }
+
   test("q141 registered query: raw-SQL result matches naive, pruned flag true") {
     val got = SparkEntry.queries("q141_transparent_sql")(spark, sf).collect()
     assert(got.nonEmpty && got.forall(_.getAs[Boolean]("pruned")))
