@@ -99,6 +99,18 @@ object GraftSession {
   def analyzeForStats(s: SparkSession, name: String, parquetDir: String,
                       columns: Seq[String]): String = {
     s.conf.set("spark.sql.cbo.enabled", "true")
+    ensureExternalTable(s, name, parquetDir)
+    s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS " +
+      columns.mkString(", "))
+    name
+  }
+
+  /** Register `name` as an external parquet table at `parquetDir`,
+    * RE-POINTING it if a table of that name exists at another location —
+    * a stale location would silently serve the old directory (and dodge
+    * the transparent-pruning registration keyed by the new one). */
+  private def ensureExternalTable(s: SparkSession, name: String,
+                                  parquetDir: String): Unit = {
     val existing = s.catalog.tableExists(name)
     val sameLocation = existing && {
       try s.sql(s"DESCRIBE TABLE EXTENDED $name").collect().exists(r =>
@@ -108,9 +120,6 @@ object GraftSession {
     if (existing && !sameLocation) s.sql(s"DROP TABLE IF EXISTS $name")
     if (!existing || !sameLocation)
       s.sql(s"CREATE TABLE $name USING parquet LOCATION '$parquetDir'")
-    s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS " +
-      columns.mkString(", "))
-    name
   }
 
   /** The INGEST RECIPE — one call turns a raw parquet directory into a
@@ -220,8 +229,7 @@ object GraftSession {
       .getOrElse(Nil)
     graft.sources.ZoneMapFileIndex.enable(s, dir, zoneCols, bloomCols)
     ensureOptimizations(s)
-    if (!s.catalog.tableExists(name))
-      s.sql(s"CREATE TABLE $name USING parquet LOCATION '$dir'")
+    ensureExternalTable(s, name, dir)
     name
   }
 }

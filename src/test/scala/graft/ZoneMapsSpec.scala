@@ -709,6 +709,22 @@ class ZoneMapsSpec extends AnyFunSuite {
       s"bloom IN-scan must skip files (opened $scanned/16)")
   }
 
+  test("q143 survives a session-cache release: openTable re-points a stale catalog table") {
+    // the cross-suite shape that broke round 13's first cut: a release
+    // drops the layout/manifest/registry memos (so the demo layout lands
+    // in a FRESH temp dir on rebuild) while the CATALOG table survives —
+    // openTable must re-point it, or raw SQL silently serves the old
+    // directory and dodges the transparent index
+    SparkEntry.queries("q143_transparent_membership")(spark, sf).collect()
+    SessionCaches.release(spark)
+    val df = SparkEntry.queries("q143_transparent_membership")(spark, sf)
+    df.collect()
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty && scans.forall(_.relation.location
+      .isInstanceOf[graft.sources.ZoneMapFileIndex]),
+      "post-release q143 must ride the zone-map index on the fresh layout")
+  }
+
   test("q141 registered query: raw-SQL result matches naive, pruned flag true") {
     val got = SparkEntry.queries("q141_transparent_sql")(spark, sf).collect()
     assert(got.nonEmpty && got.forall(_.getAs[Boolean]("pruned")))
