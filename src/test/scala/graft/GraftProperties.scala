@@ -363,6 +363,65 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  property("transparent pruning preserves filter semantics on arbitrary layouts and predicates") = {
+    // arbitrary key multisets × arbitrary pushed-filter shapes (range,
+    // one-sided bounds, equality, IN) over a ZoneMapFileIndex-registered
+    // dir: a plain spark.read.parquet(dir).where(pred) — zero ZoneMaps
+    // API calls — must equal the row-level ground truth computed in
+    // memory. Misunderstood shapes may prune nothing; understood ones may
+    // only skip files no qualifying row lives in — either way the result
+    // is exact, which is the transparent layer's whole contract.
+    val factKeys: Gen[List[Long]] = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50L, 120L)))
+    val predGen: Gen[(Int, Long, Long, List[Long])] = for {
+      kind <- Gen.chooseNum(0, 4)
+      a <- Gen.chooseNum(-60L, 140L); b <- Gen.chooseNum(-60L, 140L)
+      ins <- Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-60L, 140L)))
+    } yield (kind, math.min(a, b), math.max(a, b), ins)
+    Prop.forAllNoShrink(factKeys, predGen, Gen.chooseNum(1, 6)) {
+      (fk, p, nFiles) =>
+        val dir = tmp("graft_prop_transp_")
+        val fact = fk.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+          .toDF("k", "payload")
+        graft.sources.ZoneMaps.clusteredWrite(fact, "k", dir, nFiles)
+        graft.sources.ZoneMaps.refreshManifest(spark, dir, Seq("k"))
+        graft.sources.ZoneMaps.membershipRows(spark, dir, "k") // seed blooms
+        graft.sources.ZoneMapFileIndex.enable(spark, dir, Seq("k"), Seq("k"))
+        GraftSession.ensureOptimizations(spark)
+        val (kind, lo, hi, ins) = p
+        val pred = kind match {
+          case 0 => col("k") >= lo && col("k") < hi
+          case 1 => col("k") >= lo
+          case 2 => col("k") < hi
+          case 3 => col("k") === lo
+          case _ => col("k").isin(ins: _*)
+        }
+        val keep: Long => Boolean = kind match {
+          case 0 => k => k >= lo && k < hi
+          case 1 => k => k >= lo
+          case 2 => k => k < hi
+          case 3 => k => k == lo
+          case _ => val s = ins.toSet; k => s(k)
+        }
+        val df = spark.read.parquet(dir).where(pred)
+        val got = df.agg(count(lit(1)),
+          coalesce(sum(col("payload")), lit(0L))).head()
+        val expRows = fk.zipWithIndex.filter { case (k, _) => keep(k) }
+        val swapped = df.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.isInstanceOf[graft.sources.ZoneMapFileIndex]
+              case _ => false
+            }
+        }.getOrElse(false)
+        got.getLong(0) == expRows.size.toLong &&
+          got.getLong(1) == expRows.map(_._2.toLong).sum &&
+          swapped
+    }
+  }
+
   property("JS divergence is bounded by ln 2, zero iff distributions match") = {
     val word = Gen.oneOf("a", "b", "c", "d", "e")
     val doc = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
