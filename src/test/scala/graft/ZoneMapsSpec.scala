@@ -812,6 +812,27 @@ class ZoneMapsSpec extends AnyFunSuite {
 
   // ---- durable + incremental MEMBERSHIP manifest ---------------------------
 
+  test("prepareTable with bloomCols but no manifestPath seeds session membership memos") {
+    val base = Files.createTempDirectory("graft_zm_bnm_").toString
+    GraftSession.prepareTable(spark, "graft_zm_bnm_spec",
+      s"$sf/lineitem.parquet", s"$base/t", Seq("l_partkey"), Nil,
+      nFiles = 8, bloomCols = Seq("l_partkey"))
+    // the membership memo is live: a scattered two-key dim prunes via
+    // blooms with no further build, and the pruned join equals naive
+    val man = ZoneMaps.manifestRows(spark, s"$base/t", Seq("l_partkey"))
+    val gmin = man.map(_.getAs[Long]("l_partkey_min")).min
+    val gmax = man.map(_.getAs[Long]("l_partkey_max")).max
+    import spark.implicits._
+    val dim = Seq(gmin, gmax).toDF("dk")
+    val pruned = ZoneMaps.membershipPrunedRead(spark, s"$base/t",
+      "l_partkey", dim, "dk")
+    val got = pruned.join(dim, col("l_partkey") === col("dk")).count()
+    val want = spark.read.parquet(s"$base/t")
+      .join(dim, col("l_partkey") === col("dk")).count()
+    assert(got == want && want > 0)
+    spark.sql("DROP TABLE IF EXISTS graft_zm_bnm_spec")
+  }
+
   test("persisted membership manifest serves a fresh session with zero data-dir access") {
     val base = Files.createTempDirectory("graft_zm_mdur_").toString
     val out = s"$base/t"; val mf = s"$base/m"
