@@ -40,7 +40,10 @@ import graft.SessionKeyedCache
   *     whose manifest carries a bloom AND whose memo is already seeded
   *     (prepareTable / loadManifest) — `mightContainLong` is the exact
   *     hash the build inserted with, so no false negatives;
-  *   - a filter shape the extractor does not understand contributes no
+  *   - the evaluator follows the boolean structure: AND intersects
+  *     survivor sets, OR unions them (a two-tail `k < a OR k >= b` skips
+  *     the interior files) and only when BOTH branches are constrained;
+  *     a filter shape the extractor does not understand contributes no
   *     constraint (scan everything it matches — never a wrong skip);
   *   - NULL envelopes (all-NULL files) only drop under null-rejecting
   *     range/equality predicates, which is what reaches dataFilters.
@@ -135,90 +138,115 @@ object ZoneMapFileIndex {
 
   /** The survivor file set for `dataFilters`, or None when no pushed
     * filter constrains a zone column (scan everything — the lossless
-    * default). Driver-side over the memoized manifest rows. */
+    * default). Conjuncts intersect; inside a conjunct the evaluator
+    * recurses the boolean structure — AND intersects (an unconstrained
+    * side is neutral), OR unions and is usable ONLY when BOTH sides are
+    * constrained (one open side makes the disjunction unbounded, so it
+    * contributes nothing — never a wrong skip). Driver-side over the
+    * memoized manifest rows. */
   private[graft] def survivors(spark: SparkSession, dir: String,
                                zoneCols: Seq[String], bloomCols: Seq[String],
                                dataFilters: Seq[Expression]): Option[Set[String]] = {
-    val constraints = dataFilters.flatMap(extract(_, zoneCols.toSet))
-    if (constraints.isEmpty) return None
-    // intersect the per-constraint survivor sets; every set is computed
-    // against the column's own manifest memo (seeded by prepareTable /
-    // loadManifest — single-column keys carry the full multi-column rows)
-    val sets = constraints.map { case (c, con) =>
-      val man = ZoneMaps.manifestRows(spark, dir, Seq(c))
-      val byEnvelope = man.filter { r =>
-        val mn = r.getAs[Any](s"${c}_min")
-        val mx = r.getAs[Any](s"${c}_max")
-        mn != null && mx != null &&
-          con.lo.forall { case (lo, inc) =>
-            val d = ZoneMaps.cmpExternal(mx, lo); if (inc) d >= 0 else d > 0 } &&
-          con.hi.forall { case (hi, inc) =>
-            val d = ZoneMaps.cmpExternal(mn, hi); if (inc) d <= 0 else d < 0 }
-      }.map(_.getAs[String]("file"))
-      val files = con.keys match {
-        case Some(ks) if bloomCols.contains(c) =>
-          // only if the membership memo is ALREADY seeded — transparent
-          // serving must never trigger a fact-data scan to build blooms
-          ZoneMaps.membershipRowsIfSeeded(spark, dir, c) match {
-            case Some(mrows) =>
-              val byBloom =
-                ZoneMaps.membershipPruneFiles(mrows, c, ks).toSet
-              byEnvelope.filter(byBloom.contains)
-            case None => byEnvelope
-          }
-        case _ => byEnvelope
-      }
-      files.map(normPath).toSet
-    }
-    Some(sets.reduce(_ intersect _))
+    val sets = dataFilters.flatMap(
+      survivorsOf(spark, dir, zoneCols.toSet, bloomCols.toSet, _))
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
   }
 
-  /** Extract (column, constraint) from one pushed conjunct. Unsupported
-    * shapes yield Nil — never a wrong skip. Only literal bounds count;
+  /** Survivor set of ONE predicate subtree; None = no usable constraint
+    * (all files). */
+  private def survivorsOf(spark: SparkSession, dir: String, zone: Set[String],
+                          bloom: Set[String],
+                          e: Expression): Option[Set[String]] = e match {
+    case And(l, r) =>
+      (survivorsOf(spark, dir, zone, bloom, l),
+        survivorsOf(spark, dir, zone, bloom, r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+    case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+      for (a <- survivorsOf(spark, dir, zone, bloom, l);
+           b <- survivorsOf(spark, dir, zone, bloom, r)) yield a union b
+    case leaf => extractLeaf(leaf, zone).map { case (c, con) =>
+      filesFor(spark, dir, bloom, c, con)
+    }
+  }
+
+  /** The files a single (column, constraint) keeps — envelope test, then
+    * the bloom probe when the column has a SEEDED membership memo
+    * (transparent serving must never trigger a fact-data scan to build
+    * blooms mid-query). Every set is computed against the column's own
+    * manifest memo (seeded by prepareTable / loadManifest — single-column
+    * keys carry the full multi-column rows). */
+  private def filesFor(spark: SparkSession, dir: String, bloom: Set[String],
+                       c: String, con: Constraint): Set[String] = {
+    val man = ZoneMaps.manifestRows(spark, dir, Seq(c))
+    val byEnvelope = man.filter { r =>
+      val mn = r.getAs[Any](s"${c}_min")
+      val mx = r.getAs[Any](s"${c}_max")
+      mn != null && mx != null &&
+        con.lo.forall { case (lo, inc) =>
+          val d = ZoneMaps.cmpExternal(mx, lo); if (inc) d >= 0 else d > 0 } &&
+        con.hi.forall { case (hi, inc) =>
+          val d = ZoneMaps.cmpExternal(mn, hi); if (inc) d <= 0 else d < 0 }
+    }.map(_.getAs[String]("file"))
+    val files = con.keys match {
+      case Some(ks) if bloom.contains(c) =>
+        ZoneMaps.membershipRowsIfSeeded(spark, dir, c) match {
+          case Some(mrows) =>
+            val byBloom = ZoneMaps.membershipPruneFiles(mrows, c, ks).toSet
+            byEnvelope.filter(byBloom.contains)
+          case None => byEnvelope
+        }
+      case _ => byEnvelope
+    }
+    files.map(normPath).toSet
+  }
+
+  /** Extract (column, constraint) from one comparison leaf. Unsupported
+    * shapes yield None — never a wrong skip. Only literal bounds count;
     * non-deterministic or attribute-vs-attribute comparisons are ignored. */
-  private def extract(e: Expression,
-                      zone: Set[String]): Seq[(String, Constraint)] = e match {
-    case And(l, r) => extract(l, zone) ++ extract(r, zone)
+  private def extractLeaf(e: Expression,
+                          zone: Set[String]): Option[(String, Constraint)] = e match {
     case GreaterThanOrEqual(a: Attribute, Literal(v, dt)) if zone(a.name) && v != null =>
-      Seq(a.name -> Constraint(Some((ext(v, dt), true)), None, None))
+      Some(a.name -> Constraint(Some((ext(v, dt), true)), None, None))
     case GreaterThan(a: Attribute, Literal(v, dt)) if zone(a.name) && v != null =>
-      Seq(a.name -> Constraint(Some((ext(v, dt), false)), None, None))
+      Some(a.name -> Constraint(Some((ext(v, dt), false)), None, None))
     case LessThanOrEqual(a: Attribute, Literal(v, dt)) if zone(a.name) && v != null =>
-      Seq(a.name -> Constraint(None, Some((ext(v, dt), true)), None))
+      Some(a.name -> Constraint(None, Some((ext(v, dt), true)), None))
     case LessThan(a: Attribute, Literal(v, dt)) if zone(a.name) && v != null =>
-      Seq(a.name -> Constraint(None, Some((ext(v, dt), false)), None))
+      Some(a.name -> Constraint(None, Some((ext(v, dt), false)), None))
     // literal-first orientations (the optimizer does not canonicalize
     // every source of pushed filters)
     case GreaterThanOrEqual(Literal(v, dt), a: Attribute) if zone(a.name) && v != null =>
-      Seq(a.name -> Constraint(None, Some((ext(v, dt), true)), None))
+      Some(a.name -> Constraint(None, Some((ext(v, dt), true)), None))
     case GreaterThan(Literal(v, dt), a: Attribute) if zone(a.name) && v != null =>
-      Seq(a.name -> Constraint(None, Some((ext(v, dt), false)), None))
+      Some(a.name -> Constraint(None, Some((ext(v, dt), false)), None))
     case LessThanOrEqual(Literal(v, dt), a: Attribute) if zone(a.name) && v != null =>
-      Seq(a.name -> Constraint(Some((ext(v, dt), true)), None, None))
+      Some(a.name -> Constraint(Some((ext(v, dt), true)), None, None))
     case LessThan(Literal(v, dt), a: Attribute) if zone(a.name) && v != null =>
-      Seq(a.name -> Constraint(Some((ext(v, dt), false)), None, None))
+      Some(a.name -> Constraint(Some((ext(v, dt), false)), None, None))
     case EqualTo(a: Attribute, Literal(v, dt)) if zone(a.name) && v != null =>
       val x = ext(v, dt)
-      Seq(a.name -> Constraint(Some((x, true)), Some((x, true)), longsOf(Seq(x))))
+      Some(a.name -> Constraint(Some((x, true)), Some((x, true)), longsOf(Seq(x))))
     case EqualTo(Literal(v, dt), a: Attribute) if zone(a.name) && v != null =>
       val x = ext(v, dt)
-      Seq(a.name -> Constraint(Some((x, true)), Some((x, true)), longsOf(Seq(x))))
+      Some(a.name -> Constraint(Some((x, true)), Some((x, true)), longsOf(Seq(x))))
     case In(a: Attribute, list) if zone(a.name) && list.nonEmpty &&
         list.forall { case Literal(v, _) => v != null; case _ => false } =>
       val xs = list.collect { case Literal(v, dt) => ext(v, dt) }
-      inConstraint(a.name, xs)
+      Some(inConstraint(a.name, xs))
     case InSet(a: Attribute, hset) if zone(a.name) && hset.nonEmpty &&
         !hset.contains(null) =>
       // InSet holds CATALYST values of the attribute's type
       val xs = hset.toSeq.map(v => ext(v, a.dataType))
-      inConstraint(a.name, xs)
-    case _ => Nil
+      Some(inConstraint(a.name, xs))
+    case _ => None
   }
 
-  private def inConstraint(name: String, xs: Seq[Any]): Seq[(String, Constraint)] = {
+  private def inConstraint(name: String, xs: Seq[Any]): (String, Constraint) = {
     val ord = Ordering.fromLessThan[Any](ZoneMaps.cmpExternal(_, _) < 0)
-    Seq(name -> Constraint(Some((xs.min(ord), true)), Some((xs.max(ord), true)),
-      longsOf(xs)))
+    name -> Constraint(Some((xs.min(ord), true)), Some((xs.max(ord), true)),
+      longsOf(xs))
   }
 
   /** Catalyst internal value → external comparable (the form manifest rows

@@ -374,7 +374,7 @@ object GraftProperties extends Properties("graft") {
     val factKeys: Gen[List[Long]] = Gen.chooseNum(5, 60).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(-50L, 120L)))
     val predGen: Gen[(Int, Long, Long, List[Long])] = for {
-      kind <- Gen.chooseNum(0, 4)
+      kind <- Gen.chooseNum(0, 6)
       a <- Gen.chooseNum(-60L, 140L); b <- Gen.chooseNum(-60L, 140L)
       ins <- Gen.chooseNum(1, 6).flatMap(n =>
         Gen.listOfN(n, Gen.chooseNum(-60L, 140L)))
@@ -395,14 +395,18 @@ object GraftProperties extends Properties("graft") {
           case 1 => col("k") >= lo
           case 2 => col("k") < hi
           case 3 => col("k") === lo
-          case _ => col("k").isin(ins: _*)
+          case 4 => col("k").isin(ins: _*)
+          case 5 => col("k") < lo || col("k") >= hi // two-tail disjunction
+          case _ => col("k") === lo || (col("k") > lo && col("k") <= hi)
         }
         val keep: Long => Boolean = kind match {
           case 0 => k => k >= lo && k < hi
           case 1 => k => k >= lo
           case 2 => k => k < hi
           case 3 => k => k == lo
-          case _ => val s = ins.toSet; k => s(k)
+          case 4 => val s = ins.toSet; k => s(k)
+          case 5 => k => k < lo || k >= hi
+          case _ => k => k == lo || (k > lo && k <= hi)
         }
         val df = spark.read.parquet(dir).where(pred)
         val got = df.agg(count(lit(1)),

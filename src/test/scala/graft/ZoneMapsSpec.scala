@@ -709,6 +709,33 @@ class ZoneMapsSpec extends AnyFunSuite {
       s"bloom IN-scan must skip files (opened $scanned/16)")
   }
 
+  test("transparent pruning: a two-tail OR skips the interior files") {
+    val base = Files.createTempDirectory("graft_zm_or_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    GraftSession.prepareTable(spark, "graft_zm_or_spec",
+      s"$sf/orders.parquet", out, Seq("o_orderkey"), Nil,
+      nFiles = 4, manifestPath = Some(mf))
+    val man = ZoneMaps.manifestRows(spark, out, Seq("o_orderkey"))
+    val gmin = man.map(_.getAs[Long]("o_orderkey_min")).min
+    val gmax = man.map(_.getAs[Long]("o_orderkey_max")).max
+    val lo = man.map(_.getAs[Long]("o_orderkey_max")).min  // first file's max
+    val hi = man.map(_.getAs[Long]("o_orderkey_min")).max  // last file's min
+    val df = spark.sql("SELECT count(*) AS c FROM graft_zm_or_spec " +
+      s"WHERE o_orderkey <= $lo OR o_orderkey >= $hi")
+    val Array(r) = df.collect()
+    assert(r.getLong(0) == tables.orders
+      .where(col("o_orderkey") <= lo || col("o_orderkey") >= hi).count())
+    // scanned ≡ the UNION of the two tails' explicit survivor sets, < 4
+    val expected = (ZoneMaps.pruneFiles(man, "o_orderkey", gmin, lo,
+      hiInclusive = true) ++
+      ZoneMaps.pruneFiles(man, "o_orderkey", hi, gmax + 1)).toSet
+    assert(expected.size < 4, "the interior files must be skippable")
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.map(_.metrics("numFiles").value).sum == expected.size,
+      "two-tail OR must open exactly the union of the tail survivors")
+    spark.sql("DROP TABLE IF EXISTS graft_zm_or_spec")
+  }
+
   test("q143 survives a session-cache release: openTable re-points a stale catalog table") {
     // the cross-suite shape that broke round 13's first cut: a release
     // drops the layout/manifest/registry memos (so the demo layout lands
