@@ -72,7 +72,9 @@ object Bench {
       "_shared_containment_pairs",
       "_shared_ivf_index", "_shared_ivfpq_index", "_shared_pq_index",
       "_shared_knn_graph", "_shared_srp_pairs", "_shared_srp_probe",
-      "_shared_tokens", "_shared_zonemap_layout", "_shared_zonemap_manifest",
+      "_shared_tokens", "_shared_zonemap_layout_r", "_shared_zonemap_layout_z2",
+      "_shared_zonemap_layout_z3", "_shared_zonemap_layout_w",
+      "_shared_zonemap_manifest",
       "_shared_index_parity") ++
       qHead ++ Seq("_probe_overhead_m") ++ qTail ++ Seq("_probe_overhead_z")
     // local-iteration subset (SPARK_GRAFT_ONLY=d13_weighted_jaccard,...);
@@ -136,8 +138,14 @@ object Bench {
             graft.similarity.GraphSearch.sharedEdges(Tables(spark, sfDir).embeddings).count()
           else if (name == "_shared_tokens")
             graft.operators.TextQueries.sharedTokens(Tables(spark, sfDir).documents).count()
-          else if (name == "_shared_zonemap_layout")
-            graft.sources.ZoneMaps.warmDemoLayouts(spark, sfDir)
+          else if (name == "_shared_zonemap_layout_r")
+            graft.sources.ZoneMaps.warmDemoLayoutsRange(spark, sfDir)
+          else if (name == "_shared_zonemap_layout_z2")
+            graft.sources.ZoneMaps.warmDemoLayoutsZ2(spark, sfDir)
+          else if (name == "_shared_zonemap_layout_z3")
+            graft.sources.ZoneMaps.warmDemoLayoutsZ3(spark, sfDir)
+          else if (name == "_shared_zonemap_layout_w")
+            graft.sources.ZoneMaps.warmDemoLayoutsWrite(spark, sfDir)
           else if (name == "_shared_zonemap_manifest")
             graft.sources.ZoneMaps.warmDemoManifests(spark, sfDir)
           else if (name == "_shared_index_parity")

@@ -65,7 +65,8 @@ object GraftSession {
     val rules = s.experimental.extraOptimizations
     val missing = Seq(graft.plans.PushCostlyProjectionThroughJoin,
       graft.plans.RewriteLowCardWindow,
-      graft.plans.ApplyZoneMapIndex).filterNot(rules.contains)
+      graft.plans.ApplyZoneMapIndex,
+      graft.plans.MaintainZoneManifestOnWrite).filterNot(rules.contains)
     if (missing.nonEmpty)
       s.experimental.extraOptimizations = rules ++ missing
     val strategies = s.experimental.extraStrategies
@@ -109,8 +110,8 @@ object GraftSession {
     * RE-POINTING it if a table of that name exists at another location —
     * a stale location would silently serve the old directory (and dodge
     * the transparent-pruning registration keyed by the new one). */
-  private def ensureExternalTable(s: SparkSession, name: String,
-                                  parquetDir: String): Unit = {
+  private[graft] def ensureExternalTable(s: SparkSession, name: String,
+                                         parquetDir: String): Unit = {
     val existing = s.catalog.tableExists(name)
     val sameLocation = existing && {
       try s.sql(s"DESCRIBE TABLE EXTENDED $name").collect().exists(r =>
@@ -197,16 +198,14 @@ object GraftSession {
     manifestPath match {
       case Some(p) =>
         graft.sources.ZoneMaps.persistManifest(s, outDir, zoneCols, p, bloomCols)
-      case None if bloomCols.nonEmpty =>
+      case None =>
         // no durable path asked for: still seed the session memos (the
-        // refreshManifest discipline, membership included) via one scan
-        val rows = graft.sources.ZoneMaps.refreshManifest(s, outDir, zoneCols)
-        bloomCols.foreach(c =>
-          graft.sources.ZoneMaps.membershipRows(s, outDir, c))
-        rows
-      case None => graft.sources.ZoneMaps.refreshManifest(s, outDir, zoneCols)
+        // refreshManifest discipline, membership included) via ONE scan —
+        // bloomCols ride the same build
+        graft.sources.ZoneMaps.refreshManifest(s, outDir, zoneCols, bloomCols)
     }
-    graft.sources.ZoneMapFileIndex.enable(s, outDir, zoneCols, bloomCols)
+    graft.sources.ZoneMapFileIndex.enable(s, outDir, zoneCols, bloomCols,
+      manifestPath)
     ensureOptimizations(s)
     analyzeForStats(s, name, outDir,
       (zoneCols ++ statsCols.filterNot(zoneCols.contains)).toSeq)
@@ -227,7 +226,8 @@ object GraftSession {
       .map(_.schema.fieldNames.filter(_.endsWith("_bloom"))
         .map(_.stripSuffix("_bloom")).toSeq)
       .getOrElse(Nil)
-    graft.sources.ZoneMapFileIndex.enable(s, dir, zoneCols, bloomCols)
+    graft.sources.ZoneMapFileIndex.enable(s, dir, zoneCols, bloomCols,
+      Some(manifestPath))
     ensureOptimizations(s)
     ensureExternalTable(s, name, dir)
     name

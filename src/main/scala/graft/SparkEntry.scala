@@ -467,7 +467,13 @@ object SparkEntry {
     // break the oracle hash. Serve parity + replay idempotence in KnnSpec.
     // rebuilt control arm shared+warmed like s11 (see _shared_index_parity)
     "s31_index_delete"    -> ((s, d) => Knn.deleteParityFrame(t(s, d).embeddings)),
-    "s02_knn_ivf"         -> ((s, d) => Knn.ivf(t(s, d).embeddings)),
+    // s02 registered as its EXACT-PARITY frame (round-14 promotion, the
+    // s11 recipe on the trained model): every vector exactly once, each
+    // assigned cell provably the lexicographic argmin over the centers —
+    // SQL-pinnable where the raw top-k serve (recall < 1 by design) is
+    // not; the serve itself stays recall-spec'd in KnnSpec and exercised
+    // by s10/s22/s32 and the shared index entries
+    "s02_knn_ivf"         -> ((s, d) => Knn.ivfAssignmentParity(t(s, d).embeddings)),
     // the library surface returns qvec: array<tinyint>; the registered query
     // serializes it to CSV because the driver's hash compare (like any
     // row-hash harness) needs scalar cells
@@ -978,6 +984,16 @@ object SparkEntry {
     // per-file blooms the manifest load seeded
     "q143_transparent_membership" -> ((s, d) =>
       graft.sources.ZoneMaps.q143TransparentMembership(s, d)),
+    // q144: WRITE-SIDE transparency — plain SQL INSERT INTO a prepared
+    // catalog table folds the manifest forward inside the command
+    // (MaintainZoneManifestOnWrite); the raw-SQL tail query then prunes
+    // INCLUDING the inserted file
+    "q144_insert_maintained" -> ((s, d) =>
+      graft.sources.ZoneMaps.q144InsertMaintained(s, d)),
+    // q145: NULL-predicate pruning — IS NOT NULL skips ALL-NULL files off
+    // the manifest's exact per-file null counts (sparse optional fields)
+    "q145_null_prune" -> ((s, d) =>
+      graft.sources.ZoneMaps.q145NullPrune(s, d)),
     // q140: metadata-interior range count — interior files counted from
     // the manifest unopened, only the <=2 boundary files scanned
     "q140_count_in_range" -> ((s, d) =>
@@ -1149,6 +1165,18 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The t31 DEFLATE fixture, resolved at RUNTIME relative to the working
+    * directory (the verify harness runs from the repo root), falling back
+    * to the canonical checkout path — a hardcoded absolute path would
+    * break (or silently read stale data) on any relocated checkout. */
+  private lazy val t31FixturePath: String = {
+    val rel = java.nio.file.Paths.get("tools", "fixtures", "t31_deflate.parquet")
+    val candidates = Seq(rel.toAbsolutePath.normalize,
+      java.nio.file.Paths.get("/root/repo").resolve(rel))
+    candidates.find(java.nio.file.Files.exists(_))
+      .getOrElse(candidates.head).toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2275,7 +2303,7 @@ object SparkEntry {
     // passing; n_bytes and ratio recompute SQL-side off the fixture's
     // n_deflate, so the engine's byte count and rounding are checked too
     "t31_compress_ratio" ->
-      """WITH f AS (SELECT * FROM '/root/repo/tools/fixtures/t31_deflate.parquet')
+      s"""WITH f AS (SELECT * FROM '$t31FixturePath')
         |SELECT d.doc_id,
         | CAST(octet_length(encode(coalesce(d.text, ''))) AS BIGINT) AS n_bytes,
         | f.n_deflate,
@@ -3425,6 +3453,11 @@ object SparkEntry {
     // pins the full row universe and all-true parity
     "s11_index_upsert" ->
       "SELECT vec_id, vec_id % 5 = 0 AS is_new, TRUE AS cell_match FROM embeddings",
+    // s02: the assignment-optimality contract — full row universe, every
+    // assigned cell the argmin (the trained centers aren't SQL-expressible;
+    // the OPTIMALITY of the assignment under them is)
+    "s02_knn_ivf" ->
+      "SELECT vec_id, TRUE AS cell_optimal FROM embeddings",
     "s31_index_delete" ->
       "SELECT vec_id, TRUE AS cell_match FROM embeddings WHERE vec_id % 7 <> 0",
     // s32: s01's oracle with the stats route pinned (small corpus => exact)
@@ -5110,6 +5143,33 @@ object SparkEntry {
         | 16 AS files_total, TRUE AS pruned
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_partkey % 398 = 7)
+        |GROUP BY 1""".stripMargin,
+    // q144: lineitem UNION ALL its own 1998-06+ tail slice (the inserted
+    // copy), under the same tail predicate — the engine side is raw SQL
+    // over the prepared table AFTER a plain INSERT INTO, pruned by the
+    // maintained manifest (a lost inserted row or a wrong skip hash-fails);
+    // files_total = 8 clustered + 1 inserted (REPARTITION(1))
+    "q144_insert_maintained" ->
+      """WITH u AS (SELECT * FROM lineitem
+        |  UNION ALL
+        |  SELECT * FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00')
+        |SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 9 AS files_total, TRUE AS pruned
+        |FROM u
+        |WHERE l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    // q145: the derived sparse column's semantics recomputed from lineitem
+    // (l_retqty IS NULL exactly on 'N' rows, quantity elsewhere); the
+    // engine side reads the null-clustered layout with IS NOT NULL pruned
+    // to files whose null count < row count
+    "q145_null_prune" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_retqty,
+        | 8 AS files_total, TRUE AS pruned
+        |FROM lineitem
+        |WHERE l_returnflag <> 'N'
         |GROUP BY 1""".stripMargin,
     // q137: the same three aggregates from the full table; the engine side
     // answers from the manifest alone (envelope extremes + Σ n_rows)

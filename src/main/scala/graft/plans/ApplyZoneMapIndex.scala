@@ -31,9 +31,9 @@ object ApplyZoneMapIndex extends Rule[LogicalPlan] {
     case lr: LogicalRelation => lr.relation match {
       case hfs: HadoopFsRelation if !hfs.location.isInstanceOf[ZoneMapFileIndex] =>
         ZoneMapFileIndex.registeredFor(hfs.sparkSession, hfs.location) match {
-          case Some((dir, zoneCols, bloomCols)) =>
+          case Some(reg) =>
             val zm = new ZoneMapFileIndex(
-              hfs.sparkSession, hfs.location, dir, zoneCols, bloomCols)
+              hfs.sparkSession, hfs.location, reg.dir, reg.zoneCols, reg.bloomCols)
             lr.copy(relation = hfs.copy(location = zm)(hfs.sparkSession))
           case None => lr
         }

@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => PushCostlyProjectionThroughJoin)
     e.injectOptimizerRule(_ => RewriteLowCardWindow)
     e.injectOptimizerRule(_ => ApplyZoneMapIndex)
+    e.injectOptimizerRule(_ => MaintainZoneManifestOnWrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -5,12 +5,13 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo,
-  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
-  LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe,
+  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull,
+  IsNull, LessThan, LessThanOrEqual, Literal, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   PartitionDirectory}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.SessionKeyedCache
 
@@ -46,14 +47,28 @@ import graft.SessionKeyedCache
   *     a filter shape the extractor does not understand contributes no
   *     constraint (scan everything it matches — never a wrong skip);
   *   - NULL envelopes (all-NULL files) only drop under null-rejecting
-  *     range/equality predicates, which is what reaches dataFilters.
+  *     range/equality predicates, which is what reaches dataFilters;
+  *     `IS NULL` / `IS NOT NULL` prune off the manifest's own per-file
+  *     `<c>_nulls` / `n_rows` counts (exact counts, not sketches);
+  *   - STALE-MANIFEST GUARD: a directory file the manifest does not know
+  *     (appended behind the maintenance paths — another writer, a plain
+  *     `df.write.mode("append")`, a crashed half-ingest) is ALWAYS kept:
+  *     `keep(f) || !universe(f)`. Delta/Iceberg get this for free because
+  *     their log IS the listing; here the real listing is the source of
+  *     truth, so unknown files ride through unpruned (correctness
+  *     restored, prune lost — the right trade) with a loud warning and a
+  *     [[ZoneMapFileIndex.staleServes]] counter tick. Fold the manifest
+  *     forward ([[ZoneMaps.incrementalBuild]] / `prepareTable`) to get
+  *     pruning back — in-session `INSERT INTO` paths do this
+  *     automatically via [[graft.plans.MaintainZoneManifestOnWrite]].
   *
   * Scale notes: the manifest consult is driver-side over #files rows (the
   * same object every table format's planner holds); the underlying
   * listing is delegated, so partition-pruning and listing parallelism are
-  * untouched. At ≥10⁵ files the distributed probe
-  * ([[ZoneMaps.membershipPruneFilesDistributed]]) is the drop-in for the
-  * bloom branch.
+  * untouched. Above `spark.graft.zonemap.distributedProbeFiles` manifest
+  * rows the bloom probe routes through the distributed form
+  * ([[ZoneMaps.membershipPruneFilesDistributed]]) — the StatsRoute
+  * discipline: proven-small probes driver-side, big fans out.
   */
 final class ZoneMapFileIndex(
     spark: SparkSession,
@@ -66,7 +81,18 @@ final class ZoneMapFileIndex(
   override def partitionSchema: StructType = underlying.partitionSchema
   override def inputFiles: Array[String] = underlying.inputFiles
   override def sizeInBytes: Long = underlying.sizeInBytes
-  override def refresh(): Unit = underlying.refresh()
+
+  /** `REFRESH TABLE` must mean what it says: besides re-listing the
+    * underlying index, purge EVERY manifest/membership memo for this dir
+    * AND the transparent registration ([[ZoneMaps.dropMemos]]) — a
+    * refreshed table serves the real listing until the ingest recipe
+    * (`prepareTable` / `openTable`) re-registers it with a manifest that
+    * matches the directory again. */
+  override def refresh(): Unit = {
+    underlying.refresh()
+    ZoneMaps.dropMemos(spark, dir)
+  }
+
   override def metadataOpsTimeNs: Option[Long] = underlying.metadataOpsTimeNs
 
   override def listFiles(partitionFilters: Seq[Expression],
@@ -74,10 +100,22 @@ final class ZoneMapFileIndex(
     val base = underlying.listFiles(partitionFilters, dataFilters)
     ZoneMapFileIndex.survivors(spark, dir, zoneCols, bloomCols, dataFilters) match {
       case None => base
-      case Some(keep) =>
+      case Some((keep, universe)) =>
+        var unknown = 0
         val kept = base.map { pd =>
-          pd.copy(files = pd.files.filter(f =>
-            keep(ZoneMapFileIndex.normPath(f.getPath.toString))))
+          pd.copy(files = pd.files.filter { f =>
+            val n = ZoneMapFileIndex.normPath(f.getPath.toString)
+            // the stale-manifest guard: a file the manifest has never seen
+            // must NEVER be skipped — over-keep, warn, count
+            if (!universe(n)) { unknown += 1; true } else keep(n)
+          })
+        }
+        if (unknown > 0) {
+          ZoneMapFileIndex.staleServes.incrementAndGet()
+          logWarning(s"zone-map manifest for $dir is STALE: $unknown " +
+            "directory file(s) absent from the manifest were kept unpruned " +
+            "— fold the manifest forward (ZoneMaps.incrementalBuild / " +
+            "prepareTable) to restore pruning")
         }
         logInfo(s"zone-map transparent prune on $dir: " +
           s"${kept.map(_.files.length).sum}/${base.map(_.files.length).sum} files")
@@ -88,118 +126,240 @@ final class ZoneMapFileIndex(
 
 object ZoneMapFileIndex {
 
-  /** Session registry of transparently-pruned directories:
-    * normalized dir → (dir as the manifest memos key it, zoneCols,
-    * bloomCols). [[graft.GraftSession.prepareTable]] registers;
+  /** A prepared directory's transparent registration: the dir string AS
+    * THE MANIFEST MEMOS KEY IT (the build/loadManifest argument), its zone
+    * and bloom columns, and — when the ingest recipe persisted one — the
+    * durable manifest path, so in-session write paths
+    * ([[graft.plans.MaintainZoneManifestOnWrite]]) can fold the PERSISTED
+    * manifest forward too, not just the session memo. */
+  final case class Registration(dir: String, zoneCols: Seq[String],
+                                bloomCols: Seq[String],
+                                manifestPath: Option[String])
+
+  /** Session registry of transparently-pruned directories, keyed by
+    * scheme://authority/path (two directories with the same path on
+    * DIFFERENT filesystems — `file:///x` vs `hdfs://nn/x` — must not
+    * collide: a scan of one must never ride a manifest built over the
+    * other). [[graft.GraftSession.prepareTable]] registers;
     * [[graft.plans.ApplyZoneMapIndex]] consults on every plan.
     * Session-keyed like every engine memo: a fresh session re-registers
     * via [[enable]] (typically right after [[ZoneMaps.loadManifest]] —
     * #files rows, zero data jobs). */
-  private val registry =
-    new SessionKeyedCache[String, (String, Seq[String], Seq[String])]()
+  private val registry = new SessionKeyedCache[String, Registration]()
 
+  /** Count of `listFiles` calls that met a directory file the manifest
+    * did not know (and kept it unpruned) — the observable half of the
+    * stale-manifest guard, readable by specs and ops checks. */
+  private[graft] val staleServes = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Normalize a file path string to its DECODED filesystem path for set
+    * membership across the two spellings the layer must reconcile:
+    * manifest rows carry `input_file_name()` strings (URL-ENCODED — Spark
+    * stores scan paths percent-escaped, `%20` for a space), while
+    * `FileStatus.getPath.toString` is UNENCODED. A single-arg
+    * `java.net.URI` parse decodes the escaped form exactly the way Spark
+    * itself decodes it (SparkPath's round-trip); strings that fail that
+    * parse (raw spaces) or that would lose a query/fragment-looking
+    * suffix (`#`/`?` are legal in file names and hadoop Path treats them
+    * literally) fall back to hadoop `Path`, whose constructor encodes and
+    * whose `toUri.getPath` decodes. Either route lands on the same
+    * decoded form, so both spellings of one file always match. */
   private[graft] def normPath(p: String): String =
-    try new Path(p).toUri.getPath
-    catch { case _: IllegalArgumentException => p }
+    (try {
+      val u = new java.net.URI(p)
+      if (u.getFragment == null && u.getQuery == null) Option(u.getPath)
+      else None
+    } catch { case _: java.net.URISyntaxException => None })
+      .filter(_ != null)
+      .getOrElse(
+        try new Path(p).toUri.getPath
+        catch { case _: IllegalArgumentException => p })
+
+  /** The registry key: scheme + authority + decoded path, scheme-less
+    * specs defaulting to `file` (the [[graft.GraftSession.prepareTable]]
+    * normParts convention — a relative/bare local path and its
+    * `file:`-qualified spelling name the same directory). */
+  private[graft] def registryKey(p: String): String = {
+    val (scheme, auth) =
+      try {
+        val u = new Path(p).toUri
+        (Option(u.getScheme).getOrElse("file"),
+          Option(u.getAuthority).getOrElse(""))
+      } catch { case _: IllegalArgumentException => ("file", "") }
+    s"$scheme://$auth${normPath(p)}"
+  }
 
   /** Turn transparent pruning ON for `dir` in this session. Idempotent;
     * call after the manifest memo is seeded (prepareTable does both).
     * `dir` must be the SAME string the manifest memos were seeded under
-    * (the build/loadManifest argument) — the registry keys by normalized
-    * path but keeps the verbatim string for memo lookups. */
+    * (the build/loadManifest argument) — the registry keys by
+    * scheme://authority/path but keeps the verbatim string for memo
+    * lookups. `manifestPath` records the persisted manifest (when the
+    * recipe wrote one) so in-session write paths can fold it forward. */
   def enable(spark: SparkSession, dir: String, zoneCols: Seq[String],
-             bloomCols: Seq[String] = Nil): Unit = {
-    registry.put(spark, normPath(dir), (dir, zoneCols, bloomCols))
+             bloomCols: Seq[String] = Nil,
+             manifestPath: Option[String] = None): Unit = {
+    registry.put(spark, registryKey(dir),
+      Registration(dir, zoneCols, bloomCols, manifestPath))
     ()
   }
 
   /** Drop `dir`'s transparent registration (the [[ZoneMaps.dropMemos]]
     * fresh-session simulation hook; also the opt-out). */
   private[graft] def disable(spark: SparkSession, dir: String): Unit =
-    registry.purgeKeys(spark, _ == normPath(dir))
+    registry.purgeKeys(spark, _ == registryKey(dir))
 
   /** The registration for a single-root FileIndex, if any — exact
     * directory match (a scan listing explicit FILES under the dir, e.g.
     * the explicit `prunedRead` API's survivor scan, has different roots
     * and is deliberately not re-pruned). */
   def registeredFor(spark: SparkSession,
-                    location: FileIndex): Option[(String, Seq[String], Seq[String])] =
+                    location: FileIndex): Option[Registration] =
     location.rootPaths match {
-      case Seq(single) => registry.peek(spark, normPath(single.toString))
+      case Seq(single) => registry.peek(spark, registryKey(single.toString))
       case _ => None
     }
 
+  /** The registration for a directory STRING (the write-path consult —
+    * [[graft.plans.MaintainZoneManifestOnWrite]] matches insert commands
+    * by their output path, before any FileIndex exists for the write). */
+  private[graft] def registeredForDir(spark: SparkSession,
+                                      dir: String): Option[Registration] =
+    registry.peek(spark, registryKey(dir))
+
   /** One extracted constraint on a zone column: an interval with
-    * inclusive/exclusive ends (None = unbounded), plus an optional
-    * key SET for membership-grade pruning. */
+    * inclusive/exclusive ends (None = unbounded), an optional key SET for
+    * membership-grade pruning, an optional NULLNESS demand (Some(false) =
+    * `IS NOT NULL` keeps files with at least one non-null row; Some(true)
+    * = `IS NULL` keeps files with at least one null), and an optional
+    * string PREFIX (`LIKE 'p%'` / `startswith`) tested bytewise against
+    * the envelope in UTF-8 binary order — the order Spark's own min/max
+    * aggregates use. */
   private final case class Constraint(lo: Option[(Any, Boolean)],
                                       hi: Option[(Any, Boolean)],
-                                      keys: Option[Array[Long]])
+                                      keys: Option[Array[Long]],
+                                      nulls: Option[Boolean] = None,
+                                      prefix: Option[String] = None)
 
-  /** The survivor file set for `dataFilters`, or None when no pushed
-    * filter constrains a zone column (scan everything — the lossless
-    * default). Conjuncts intersect; inside a conjunct the evaluator
-    * recurses the boolean structure — AND intersects (an unconstrained
-    * side is neutral), OR unions and is usable ONLY when BOTH sides are
-    * constrained (one open side makes the disjunction unbounded, so it
-    * contributes nothing — never a wrong skip). Driver-side over the
+  /** The survivor file set AND the manifest's file universe for
+    * `dataFilters`, or None when no pushed filter constrains a zone
+    * column (scan everything — the lossless default). Conjuncts
+    * intersect; inside a conjunct the evaluator recurses the boolean
+    * structure — AND intersects (an unconstrained side is neutral), OR
+    * unions and is usable ONLY when BOTH sides are constrained (one open
+    * side makes the disjunction unbounded, so it contributes nothing —
+    * never a wrong skip). The universe is what the caller's
+    * stale-manifest guard needs: membership in `keep` is only meaningful
+    * for files the manifest has actually indexed. Driver-side over the
     * memoized manifest rows. */
   private[graft] def survivors(spark: SparkSession, dir: String,
                                zoneCols: Seq[String], bloomCols: Seq[String],
-                               dataFilters: Seq[Expression]): Option[Set[String]] = {
+                               dataFilters: Seq[Expression])
+      : Option[(Set[String], Set[String])] = {
     val sets = dataFilters.flatMap(
       survivorsOf(spark, dir, zoneCols.toSet, bloomCols.toSet, _))
-    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+    if (sets.isEmpty) None
+    else Some((sets.map(_._1).reduce(_ intersect _),
+      sets.map(_._2).reduce(_ union _)))
   }
 
-  /** Survivor set of ONE predicate subtree; None = no usable constraint
-    * (all files). */
+  /** (Survivor set, universe) of ONE predicate subtree; None = no usable
+    * constraint (all files). */
   private def survivorsOf(spark: SparkSession, dir: String, zone: Set[String],
                           bloom: Set[String],
-                          e: Expression): Option[Set[String]] = e match {
+                          e: Expression): Option[(Set[String], Set[String])] = e match {
     case And(l, r) =>
       (survivorsOf(spark, dir, zone, bloom, l),
         survivorsOf(spark, dir, zone, bloom, r)) match {
-        case (Some(a), Some(b)) => Some(a intersect b)
+        case (Some((a, ua)), Some((b, ub))) => Some((a intersect b, ua union ub))
         case (a, b) => a.orElse(b)
       }
     case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
-      for (a <- survivorsOf(spark, dir, zone, bloom, l);
-           b <- survivorsOf(spark, dir, zone, bloom, r)) yield a union b
+      for ((a, ua) <- survivorsOf(spark, dir, zone, bloom, l);
+           (b, ub) <- survivorsOf(spark, dir, zone, bloom, r))
+        yield (a union b, ua union ub)
     case leaf => extractLeaf(leaf, zone).map { case (c, con) =>
       filesFor(spark, dir, bloom, c, con)
     }
   }
 
-  /** The files a single (column, constraint) keeps — envelope test, then
-    * the bloom probe when the column has a SEEDED membership memo
-    * (transparent serving must never trigger a fact-data scan to build
-    * blooms mid-query). Every set is computed against the column's own
-    * manifest memo (seeded by prepareTable / loadManifest — single-column
-    * keys carry the full multi-column rows). */
+  /** The (files kept, file universe) a single (column, constraint) yields
+    * — nullness test off the manifest's exact `<c>_nulls`/`n_rows`
+    * counts, envelope test, prefix test, then the bloom probe when the
+    * column has a SEEDED membership memo (transparent serving must never
+    * trigger a fact-data scan to build blooms mid-query). Every set is
+    * computed against the column's own manifest memo (seeded by
+    * prepareTable / loadManifest — single-column keys carry the full
+    * multi-column rows). */
   private def filesFor(spark: SparkSession, dir: String, bloom: Set[String],
-                       c: String, con: Constraint): Set[String] = {
+                       c: String, con: Constraint): (Set[String], Set[String]) = {
     val man = ZoneMaps.manifestRows(spark, dir, Seq(c))
+    val ranged = con.lo.nonEmpty || con.hi.nonEmpty
     val byEnvelope = man.filter { r =>
       val mn = r.getAs[Any](s"${c}_min")
       val mx = r.getAs[Any](s"${c}_max")
-      mn != null && mx != null &&
+      val nullsOk = con.nulls.forall { wantNull =>
+        val nRows = r.getAs[Number]("n_rows").longValue
+        val nNulls = Option(r.getAs[Any](s"${c}_nulls"))
+          .map(_.asInstanceOf[Number].longValue).getOrElse(0L)
+        if (wantNull) nNulls > 0 else nNulls < nRows
+      }
+      val rangeOk = !ranged || (mn != null && mx != null &&
         con.lo.forall { case (lo, inc) =>
           val d = ZoneMaps.cmpExternal(mx, lo); if (inc) d >= 0 else d > 0 } &&
         con.hi.forall { case (hi, inc) =>
-          val d = ZoneMaps.cmpExternal(mn, hi); if (inc) d <= 0 else d < 0 }
+          val d = ZoneMaps.cmpExternal(mn, hi); if (inc) d <= 0 else d < 0 })
+      val prefixOk = con.prefix.forall { p =>
+        mn != null && mx != null && prefixOverlaps(mn.toString, mx.toString, p)
+      }
+      nullsOk && rangeOk && prefixOk
     }.map(_.getAs[String]("file"))
     val files = con.keys match {
       case Some(ks) if bloom.contains(c) =>
         ZoneMaps.membershipRowsIfSeeded(spark, dir, c) match {
           case Some(mrows) =>
-            val byBloom = ZoneMaps.membershipPruneFiles(mrows, c, ks).toSet
+            val byBloom = bloomProbe(spark, mrows, c, ks)
             byEnvelope.filter(byBloom.contains)
           case None => byEnvelope
         }
       case _ => byEnvelope
     }
-    files.map(normPath).toSet
+    (files.map(normPath).toSet,
+      man.map(r => normPath(r.getAs[String]("file"))).toSet)
+  }
+
+  /** The membership probe with the size-triggered route (the StatsRoute
+    * discipline): at or below `spark.graft.zonemap.distributedProbeFiles`
+    * manifest rows the driver probes the memoized blooms directly; above
+    * it the rows fan out and each partition probes its own files' blooms
+    * ([[ZoneMaps.membershipPruneFilesDistributed]] — only surviving paths
+    * come back). Both routes share the envelope-restrict + `mightContainLong`
+    * kernel, spec-pinned identical. */
+  private def bloomProbe(spark: SparkSession, mrows: Array[org.apache.spark.sql.Row],
+                         c: String, ks: Array[Long]): Set[String] = {
+    val threshold = spark.conf
+      .get("spark.graft.zonemap.distributedProbeFiles", "65536").toInt
+    if (mrows.length <= threshold)
+      ZoneMaps.membershipPruneFiles(mrows, c, ks).toSet
+    else {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(mrows: _*), mrows.head.schema)
+      ZoneMaps.membershipPruneFilesDistributed(df, c, ks).toSet
+    }
+  }
+
+  /** Could a file whose [min, max] string envelope is [mn, mx] contain a
+    * string starting with `p`? Bytewise in UTF-8 binary order (Spark's
+    * min/max order for strings): yes iff mx >= p AND the first |p| bytes
+    * of mn are <= p. Exact interval logic, no next-prefix increment —
+    * works for any prefix including ones ending in 0xFF bytes. */
+  private def prefixOverlaps(mn: String, mx: String, p: String): Boolean = {
+    val pb = UTF8String.fromString(p).getBytes
+    val mnb = UTF8String.fromString(mn).getBytes
+    val mxb = UTF8String.fromString(mx).getBytes
+    java.util.Arrays.compareUnsigned(mxb, pb) >= 0 &&
+      java.util.Arrays.compareUnsigned(
+        java.util.Arrays.copyOf(mnb, math.min(mnb.length, pb.length)), pb) <= 0
   }
 
   /** Extract (column, constraint) from one comparison leaf. Unsupported
@@ -231,6 +391,36 @@ object ZoneMapFileIndex {
     case EqualTo(Literal(v, dt), a: Attribute) if zone(a.name) && v != null =>
       val x = ext(v, dt)
       Some(a.name -> Constraint(Some((x, true)), Some((x, true)), longsOf(Seq(x))))
+    // null-safe equality: `<=> NULL` IS the IS NULL test; a non-null
+    // literal prunes exactly like `=` (a row matching `a <=> v` has a
+    // non-null a equal to v)
+    case EqualNullSafe(a: Attribute, Literal(v, dt)) if zone(a.name) =>
+      if (v == null) Some(a.name -> Constraint(None, None, None, Some(true)))
+      else {
+        val x = ext(v, dt)
+        Some(a.name -> Constraint(Some((x, true)), Some((x, true)), longsOf(Seq(x))))
+      }
+    case EqualNullSafe(Literal(v, dt), a: Attribute) if zone(a.name) =>
+      if (v == null) Some(a.name -> Constraint(None, None, None, Some(true)))
+      else {
+        val x = ext(v, dt)
+        Some(a.name -> Constraint(Some((x, true)), Some((x, true)), longsOf(Seq(x))))
+      }
+    // nullness: the manifest's per-file null counts are exact, so
+    // `IS NOT NULL` skips all-NULL files (sparse optional fields are
+    // endemic in scraped corpora) and `IS NULL` skips fully-populated ones
+    case IsNotNull(a: Attribute) if zone(a.name) =>
+      Some(a.name -> Constraint(None, None, None, Some(false)))
+    case IsNull(a: Attribute) if zone(a.name) =>
+      Some(a.name -> Constraint(None, None, None, Some(true)))
+    // string prefix (`LIKE 'p%'` pushes down as StartsWith): an interval
+    // test against the envelope in UTF-8 binary order; the empty prefix
+    // matches every non-null string, which the bytewise test handles
+    // (every envelope overlaps the empty prefix), so the constraint
+    // degrades to keep-everything-non-null — never a wrong skip
+    case StartsWith(a: Attribute, Literal(v, StringType))
+        if zone(a.name) && v != null =>
+      Some(a.name -> Constraint(None, None, None, None, Some(v.toString)))
     case In(a: Attribute, list) if zone(a.name) && list.nonEmpty &&
         list.forall { case Literal(v, _) => v != null; case _ => false } =>
       val xs = list.collect { case Literal(v, dt) => ext(v, dt) }

@@ -365,33 +365,54 @@ object EventStreams {
         val updated = graft.sources.ZoneMaps.incrementalBuild(
           batch.sparkSession, dir, cols, standing.get, bloomCols)
         standing.set(updated)
+        // fold the SESSION memos forward too: a transparent scan of `dir`
+        // in this session must consult rows that know the new files, or
+        // it rides the stale-manifest guard (correct but unpruned)
+        graft.sources.ZoneMaps.seedMaintained(
+          batch.sparkSession, dir, cols, updated, bloomCols)
         onBatch(updated, batchId)
       }
   }
 
   /** [[maintainZoneMapStream]]'s commit step, factored out so the
-    * idempotence contract is directly testable: stage the batch under a
-    * hidden dir, rename each part to a batchId-deterministic name SKIPPING
-    * names that already exist, drop the staging dir. Re-delivering the
-    * same (batch, batchId) — the foreachBatch replay shape — lands zero
-    * new files; a crash between renames completes on the retry. */
+    * idempotence contract is directly testable — idempotent at BATCH
+    * granularity, not per part: an underscore-prefixed (listing-invisible)
+    * marker file `_graft_committed_b<batchId>` is written only after
+    * every part of the batch has renamed into place, and a call that
+    * finds the marker is a pure no-op. Per-part skip-if-exists alone is
+    * NOT idempotent: a replayed micro-batch that stages a different part
+    * count or row-to-part split (changed parallelism, AQE, a crash
+    * between renames) would mix old and new index-named parts and
+    * duplicate or drop rows. With the marker: a replay after commit lands
+    * zero files regardless of how it partitions; a retry after a crash
+    * MID-commit (no marker) first clears the half-renamed `b<batchId>-*`
+    * leftovers, then lands the full staged set — the directory ends with
+    * exactly one copy of the batch either way. */
   private[graft] def idempotentBatchAppend(dir: String, batch: DataFrame,
                                            batchId: Long): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       batch.sparkSession.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(dir, f"_graft_committed_b$batchId%06d")
     val staging = new org.apache.hadoop.fs.Path(dir, s"_graft_staging_b$batchId")
+    if (fs.exists(marker)) { fs.delete(staging, true); return }
     batch.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging)
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
+    // marker absent => the batch never committed; any b<batchId> parts are
+    // a crashed attempt's leftovers and must go before the fresh renames
+    // (a differently-partitioned retry would otherwise interleave sets)
+    fs.globStatus(new org.apache.hadoop.fs.Path(dir, f"b$batchId%06d-*.parquet"))
+      .foreach(s => fs.delete(s.getPath, false))
     parts.zipWithIndex.foreach { case (p, i) =>
       val dst = new org.apache.hadoop.fs.Path(dir, f"b$batchId%06d-$i%05d.parquet")
       // rename failures must be LOUD: a silent false here would drop the
       // staged part when the staging dir is deleted below (the staging
       // dir lives inside `dir`, so same-filesystem rename is guaranteed)
-      if (!fs.exists(dst))
-        require(fs.rename(p.getPath, dst),
-          s"idempotentBatchAppend: rename ${p.getPath} -> $dst failed")
+      require(fs.rename(p.getPath, dst),
+        s"idempotentBatchAppend: rename ${p.getPath} -> $dst failed")
     }
+    require(fs.createNewFile(marker),
+      s"idempotentBatchAppend: marker $marker already exists mid-commit")
     fs.delete(staging, true)
     ()
   }

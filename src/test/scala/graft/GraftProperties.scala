@@ -371,10 +371,16 @@ object GraftProperties extends Properties("graft") {
     // memory. Misunderstood shapes may prune nothing; understood ones may
     // only skip files no qualifying row lives in — either way the result
     // is exact, which is the transparent layer's whole contract.
-    val factKeys: Gen[List[Long]] = Gen.chooseNum(5, 60).flatMap(n =>
-      Gen.listOfN(n, Gen.chooseNum(-50L, 120L)))
+    // ~1 in 6 keys is NULL, so layouts carry all-NULL-envelope files and
+    // the nullness kinds (7/8/9) exercise the `<c>_nulls`-count pruning;
+    // range/equality/IN kinds double as the null-REJECTING contract (a
+    // NULL key never qualifies, and all-NULL files may be skipped)
+    val factKeys: Gen[List[Option[Long]]] = Gen.chooseNum(5, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        5 -> Gen.chooseNum(-50L, 120L).map(Some(_)),
+        1 -> Gen.const(Option.empty[Long]))))
     val predGen: Gen[(Int, Long, Long, List[Long])] = for {
-      kind <- Gen.chooseNum(0, 6)
+      kind <- Gen.chooseNum(0, 9)
       a <- Gen.chooseNum(-60L, 140L); b <- Gen.chooseNum(-60L, 140L)
       ins <- Gen.chooseNum(1, 6).flatMap(n =>
         Gen.listOfN(n, Gen.chooseNum(-60L, 140L)))
@@ -397,16 +403,22 @@ object GraftProperties extends Properties("graft") {
           case 3 => col("k") === lo
           case 4 => col("k").isin(ins: _*)
           case 5 => col("k") < lo || col("k") >= hi // two-tail disjunction
-          case _ => col("k") === lo || (col("k") > lo && col("k") <= hi)
+          case 6 => col("k") === lo || (col("k") > lo && col("k") <= hi)
+          case 7 => col("k").isNotNull
+          case 8 => col("k").isNull
+          case _ => col("k") <=> lo
         }
-        val keep: Long => Boolean = kind match {
-          case 0 => k => k >= lo && k < hi
-          case 1 => k => k >= lo
-          case 2 => k => k < hi
-          case 3 => k => k == lo
-          case 4 => val s = ins.toSet; k => s(k)
-          case 5 => k => k < lo || k >= hi
-          case _ => k => k == lo || (k > lo && k <= hi)
+        val keep: Option[Long] => Boolean = kind match {
+          case 0 => _.exists(k => k >= lo && k < hi)
+          case 1 => _.exists(_ >= lo)
+          case 2 => _.exists(_ < hi)
+          case 3 => _.contains(lo)
+          case 4 => val s = ins.toSet; _.exists(s)
+          case 5 => _.exists(k => k < lo || k >= hi)
+          case 6 => _.exists(k => k == lo || (k > lo && k <= hi))
+          case 7 => _.isDefined
+          case 8 => _.isEmpty
+          case _ => _.contains(lo)
         }
         val df = spark.read.parquet(dir).where(pred)
         val got = df.agg(count(lit(1)),

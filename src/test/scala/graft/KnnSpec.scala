@@ -204,6 +204,14 @@ class KnnSpec extends AnyFunSuite {
     Knn.clearIvfModels(spark)
   }
 
+  test("s02 parity frame: full row universe, every assigned cell the argmin") {
+    val got = SparkEntry.queries("s02_knn_ivf")(spark, sf).collect()
+    assert(got.length == tables.embeddings.count(),
+      "every corpus vector exactly once (full-outer pins drops AND dupes)")
+    assert(got.forall(r => !r.isNullAt(1) && r.getAs[Boolean]("cell_optimal")),
+      "the indexed cell must be the lexicographic (d2, cell) argmin")
+  }
+
   test("s11: upserted index equals the full rebuild; serving parity is exact") {
     import org.apache.spark.sql.functions._
     val emb = tables.embeddings
