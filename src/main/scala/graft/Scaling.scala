@@ -54,9 +54,23 @@ object Scaling {
     "d05_embedding_dup" -> "embeddings",
     "d06_embedding_dup_ivf" -> "embeddings",
     "s01_knn_brute" -> "embeddings", "s02_knn_ivf" -> "embeddings",
+    "x_d06_ivf_pairs" -> "embeddings", "x_s02_ivf_serve" -> "embeddings",
     "t03_quality" -> "documents", "t08_bpe_encode" -> "documents",
     "p02_decontaminate" -> "documents", "p05_pack_sequences" -> "documents",
     "p21_shard_manifest" -> "documents", "p57_chunk_windows" -> "documents")
+
+  /** Scaling-only probes (`x_` prefix — not part of the correctness
+    * surface): the round-14 promotions re-registered s02/d06 as
+    * exact-parity frames (corpus-LINEAR assignment checks), so the
+    * quadratic-baseline-vs-scale-route CONTRAST — d05's all-pairs vs the
+    * IVF-bucketed pair generator, s01's q×n vs the served IVF top-k —
+    * keeps being measured here against the same serve functions the
+    * routed operators (d38/s32) dispatch to. */
+  val direct: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "x_s02_ivf_serve" -> ((s, d) =>
+      graft.similarity.Knn.ivf(Tables(s, d).embeddings)),
+    "x_d06_ivf_pairs" -> ((s, d) =>
+      graft.dedup.Dedup.embeddingDupPairsIvf(Tables(s, d).embeddings)))
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
@@ -74,7 +88,8 @@ object Scaling {
       case Some(s) =>
         val keep = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
         subset.filter(p => keep(p._1))
-      case None => subset.filter(p => SparkEntry.queries.contains(p._1))
+      case None => subset.filter(p =>
+        SparkEntry.queries.contains(p._1) || direct.contains(p._1))
     }
     // sf -> query -> median sec; also record the scan-side row counts so
     // the summary ties exponents to actual input growth, not nominal SF
@@ -93,7 +108,9 @@ object Scaling {
         val samples = (1 to reps).map { _ =>
           SessionCaches.release(spark)
           val t0 = System.nanoTime()
-          val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          val ok = try {
+            SparkEntry.queries.getOrElse(name, direct(name))(spark, sfDir)
+              .count(); true }
             catch { case e: Throwable =>
               System.err.println(s"SCALING FAIL $name @ $sfDir: $e"); false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

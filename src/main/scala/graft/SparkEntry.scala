@@ -353,7 +353,12 @@ object SparkEntry {
     "d05_embedding_dup"   -> ((s, d) => Dedup.embeddingDupPairs(t(s, d).embeddings)),
     // approximate by design (recall spec'd vs d05 in DedupSpec, like s02):
     // rows-only driver check, no SQL oracle
-    "d06_embedding_dup_ivf" -> ((s, d) => Dedup.embeddingDupPairsIvf(t(s, d).embeddings)),
+    // d06 registered as its EXACT-PARITY frame (round-14 promotion, the
+    // s02 recipe at nProbe arity): the JVM bucketing kernel's probed
+    // cells vs the Catalyst replay, all-true over the full row universe;
+    // the pair surface stays gated by d05's exact oracle + DedupSpec's
+    // verbatim-subset/recall-floor specs + d38's route
+    "d06_embedding_dup_ivf" -> ((s, d) => Dedup.embeddingIvfProbeParity(t(s, d).embeddings)),
     "d07_dup_clusters"    -> ((s, d) => graft.dedup.Clusters.dupClusters(t(s, d).documents)),
     // d22: edit-distance dup clusters — the d07 closure over d19's exact
     // pair graph, so the whole chain is brute-force-equal and exact-oracled
@@ -491,7 +496,11 @@ object SparkEntry {
     // s05: product-quantized ADC search — approximate by design (codebook
     // distortion), so rows-only driver check; PqSpec pins codes/ADC sums on
     // planted codebooks and recall vs the exact-L2 ranking (the s02 pattern)
-    "s05_knn_pq"          -> ((s, d) => graft.similarity.Pq.pq(t(s, d).embeddings)),
+    // s05 registered as its EXACT-PARITY frame (round-14 promotion, the
+    // s02 recipe per subspace): every stored code provably the
+    // lexicographic argmin over its codebook; the ADC serve stays
+    // recall-spec'd in PqSpec with s06 as the family's registered serve
+    "s05_knn_pq"          -> ((s, d) => graft.similarity.Pq.pqEncodeParity(t(s, d).embeddings)),
     // s06: IVF-PQ (cell pruning + residual PQ codes + ADC + exact re-rank)
     // — approximate like s02/s05, rows-only; recall spec'd in IvfPqSpec
     "s06_knn_ivfpq"       -> ((s, d) => graft.similarity.IvfPq.ivfPq(t(s, d).embeddings)),
@@ -3458,6 +3467,14 @@ object SparkEntry {
     // the OPTIMALITY of the assignment under them is)
     "s02_knn_ivf" ->
       "SELECT vec_id, TRUE AS cell_optimal FROM embeddings",
+    // d06: the probed-cell parity contract — the JVM bucketing kernel and
+    // the Catalyst replay agree on every vector's nProbe cell list
+    "d06_embedding_dup_ivf" ->
+      "SELECT vec_id, TRUE AS probe_match FROM embeddings",
+    // s05: the per-subspace encode-optimality contract — every stored PQ
+    // code the argmin over its (non-SQL-expressible) trained codebook
+    "s05_knn_pq" ->
+      "SELECT vec_id, TRUE AS codes_optimal FROM embeddings",
     "s31_index_delete" ->
       "SELECT vec_id, TRUE AS cell_match FROM embeddings WHERE vec_id % 7 <> 0",
     // s32: s01's oracle with the stats route pinned (small corpus => exact)

@@ -1270,6 +1270,50 @@ object Dedup {
     s
   }
 
+  /** d06's REGISTERED frame (the s02 recipe at nProbe arity — round-14
+    * promotion): per corpus vector, the probed cell LIST the
+    * [[embeddingDupPairsIvf]] JVM kernel buckets by (its tight
+    * d²-then-sort loop) must equal the Catalyst replay — `slice(array_sort
+    * (dists), 1, nProbe).cell` over the same literal centers. Both arms
+    * accumulate Σ(vᵢ−cᵢ)² in index order ([[graft.plans.VectorExprs]]'s
+    * `l2Sq` is the expression twin of the kernel loop), so the doubles are
+    * IEEE-identical and the (d2, cell) lexicographic order is exact — the
+    * trained-model bucketing becomes SQL-pinnable (full row universe,
+    * all-true agreement) even though the cell ids aren't SQL-expressible.
+    * The PAIR semantics stay gated elsewhere: d05 is the exact-oracled
+    * baseline, DedupSpec pins d06's pairs as a verbatim subset of d05's
+    * with a recall floor, and d38 routes between them. */
+  def embeddingIvfProbeParity(emb: DataFrame, nCells: Int = 10,
+                              nProbe: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cs = graft.similarity.Knn.sharedCenters(emb, nCells)
+    val bc = spark.sparkContext.broadcast(cs)
+    val np = math.min(nProbe, cs.length)
+    val kernel = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].rdd
+      .map { case (id, v) =>
+        val cents = bc.value
+        val d2 = new Array[Double](cents.length)
+        var c = 0
+        while (c < cents.length) {
+          var s = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cents(c)(i); s += t * t; i += 1 }
+          d2(c) = s; c += 1
+        }
+        (id, d2.zipWithIndex.sortBy { case (d, cell) => (d, cell) }
+          .take(np).map(_._2).toSeq)
+      }.toDF("vec_id", "cells_kernel")
+    val cents = graft.similarity.Knn.centsLit(cs)
+    val replay = emb.select(col("vec_id"),
+      transform(slice(array_sort(
+        graft.similarity.Knn.dists(col("embedding").cast("array<double>"), cents)),
+        1, np), s => s.getField("cell")).as("cells_replay"))
+    kernel.join(replay, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"),
+        (col("cells_kernel") === col("cells_replay")).as("probe_match"))
+  }
+
   /** d06: IVF-bucketed embedding near-dup pairs — the at-scale counterpart
     * of the exact [[embeddingDupPairs]] baseline. Each vector is assigned
     * map-side to its `nProbe` nearest KMeans cells (the same literal-

@@ -473,7 +473,7 @@ object Knn {
   private[graft] def sharedCenters(emb: DataFrame, nCells: Int): Array[Array[Double]] =
     modelFor(emb, nCells)
 
-  private def centsLit(centers: Array[Array[Double]]): Column =
+  private[graft] def centsLit(centers: Array[Array[Double]]): Column =
     array(centers.zipWithIndex.toIndexedSeq.map {
       case (c, i) => struct(lit(i).as("cell"), array(c.toIndexedSeq.map(lit(_)): _*).as("cv"))
     }: _*)
@@ -481,7 +481,7 @@ object Knn {
   // distances to every centroid as (d2, cell) structs: struct comparison
   // is lexicographic, so array_min IS the argmin (ties → lower cell) and
   // array_sort + slice yields the nProbe nearest cells
-  private def dists(vec: Column, cents: Column): Column =
+  private[graft] def dists(vec: Column, cents: Column): Column =
     transform(cents, c => struct(
       VectorFns.l2Sq(vec, c.getField("cv")).as("d2"),
       c.getField("cell").as("cell")))

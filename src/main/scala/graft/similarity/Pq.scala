@@ -192,6 +192,32 @@ object Pq {
       pqEncodeRefine(emb, cb).persist())
   }
 
+  /** s05's REGISTERED frame (the s02 assignment-optimality recipe per
+    * SUBSPACE — round-14 promotion): every corpus vector present exactly
+    * once, and in EVERY subspace the stored code's (d2, code) struct
+    * equals the lexicographic `array_min` over the codebook — the same
+    * deterministic expression [[codesExpr]] minimized, re-evaluated, so
+    * equality is IEEE-exact. This pins the trained-codebook ENCODE (the
+    * index that serves every ADC query) under a SQL oracle even though
+    * the codebooks aren't SQL-expressible; the ADC serve itself stays
+    * recall-spec'd in PqSpec and registered through s06 (the family's
+    * serve representative) and the shared index entries. */
+  def pqEncodeParity(emb: DataFrame, m: Int = 8,
+                     codebookSize: Int = 16): DataFrame = {
+    val cb = modelFor(emb, m, codebookSize)
+    val idx = encodedIndex(emb, m, codebookSize)
+    val opt = idx.select(col("vec_id"),
+      (0 until cb.length).map { s =>
+        val dists = transform(bookLit(cb, s), c => struct(
+          VectorFns.l2Sq(subVec(col("v"), cb, s), c.getField("cv")).as("d2"),
+          c.getField("code").as("code")))
+        element_at(dists, element_at(col("codes"), s + 1).cast("int") + 1) ===
+          array_min(dists)
+      }.reduce(_ && _).as("codes_optimal"))
+    emb.select(col("vec_id")).join(opt, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"), col("codes_optimal"))
+  }
+
   /** s05: ADC top-k — every query's per-subspace distance table to all k
     * centroids is computed ONCE (query side, broadcast); a corpus row
     * costs m array lookups. Ranking uses round(adist, 8) with neighbor-id

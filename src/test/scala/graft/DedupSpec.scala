@@ -545,6 +545,14 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d06 parity frame: kernel's probed cells equal the Catalyst replay on every vector") {
+    val got = SparkEntry.queries("d06_embedding_dup_ivf")(spark, sf).collect()
+    assert(got.length == tables.embeddings.count(),
+      "every corpus vector exactly once (full-outer pins drops AND dupes)")
+    assert(got.forall(r => !r.isNullAt(1) && r.getAs[Boolean]("probe_match")),
+      "the JVM bucketing kernel and the expression replay must agree bit-for-bit")
+  }
+
   test("d38: stats routing — provably-small exact, large-or-unknown IVF, conf-driven flip") {
     import org.apache.spark.sql.functions.col
     // parquet-backed test corpus: stats prove it under the 32 MB ceiling

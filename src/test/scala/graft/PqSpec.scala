@@ -66,6 +66,14 @@ class PqSpec extends AnyFunSuite {
     assert(recall >= 0.7, f"PQ recall@5 = $recall%.2f below floor on this corpus")
   }
 
+  test("s05 parity frame: full row universe, every code the per-subspace argmin") {
+    val got = SparkEntry.queries("s05_knn_pq")(spark, sf).collect()
+    assert(got.length == emb.count(),
+      "every corpus vector exactly once (full-outer pins drops AND dupes)")
+    assert(got.forall(r => !r.isNullAt(1) && r.getAs[Boolean]("codes_optimal")),
+      "each stored code must be the lexicographic (d2, code) argmin")
+  }
+
   test("the PQ registry trains once per (corpus, m, k): second call replans nothing new") {
     Pq.clearPqModels(spark)
     val a = Pq.pq(emb).collect()

@@ -34,9 +34,14 @@ class SurfaceSmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("the scaling harness subset names only registered queries") {
-    val missing = Scaling.subset.map(_._1).filterNot(SparkEntry.queries.contains)
+  test("the scaling harness subset names only registered queries or its own direct probes") {
+    val missing = Scaling.subset.map(_._1)
+      .filterNot(n => SparkEntry.queries.contains(n) || Scaling.direct.contains(n))
     assert(missing.isEmpty,
-      s"Scaling.subset references unregistered queries: $missing")
+      s"Scaling.subset references unresolvable queries: $missing")
+    // direct probes are scaling-only by contract: never on the
+    // correctness surface, and x_-prefixed so artifacts self-describe
+    assert(Scaling.direct.keys.forall(n =>
+      n.startsWith("x_") && !SparkEntry.queries.contains(n)))
   }
 }

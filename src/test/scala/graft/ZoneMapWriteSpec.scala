@@ -335,7 +335,7 @@ class ZoneMapWriteSpec extends AnyFunSuite {
     // cleared, not interleaved
     EventStreams.idempotentBatchAppend(dir, batch.repartition(2), 3L)
     assert(spark.read.parquet(dir).count() == 1000)
-    assert(spark.read.parquet(dir).agg(sum(col("id"))).head.getLong(0) ==
+    assert(spark.read.parquet(dir).agg(sum(col("id"))).head().getLong(0) ==
       (0L until 1000L).sum)
   }
 
@@ -428,6 +428,32 @@ class ZoneMapWriteSpec extends AnyFunSuite {
     // empty prefix degrades losslessly (keeps everything)
     assert(spark.read.parquet(dir).where(col("s").startsWith(""))
       .count() == words.length)
+  }
+
+  test("transparent pruning serves TIMESTAMP range predicates from raw SQL") {
+    val base = Files.createTempDirectory("graft_zmw_ts_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    GraftSession.prepareTable(spark, "graft_zmw_ts",
+      s"$sf/lineitem.parquet", out, Seq("l_shipdate"), Nil,
+      nFiles = 6, manifestPath = Some(mf))
+    val q = "SELECT count(*) AS c FROM graft_zmw_ts WHERE " +
+      "l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND " +
+      "l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'"
+    tables.lineitem.createOrReplaceTempView("graft_zmw_ts_src")
+    val want = spark.sql(q.replace("graft_zmw_ts", "graft_zmw_ts_src"))
+      .collect().head.getLong(0)
+    val df = spark.sql(q)
+    assert(df.collect().head.getLong(0) == want)
+    assert(ridesIndex(df))
+    // temporal bounds normalize across the TIMESTAMP/NTZ physical forms:
+    // scanned ≡ the explicit API's survivor set, strictly < total
+    val man = ZoneMaps.manifestRows(spark, out, Seq("l_shipdate"))
+    val explicit = ZoneMaps.pruneFiles(man, "l_shipdate",
+      java.time.LocalDateTime.parse("1996-01-01T00:00:00"),
+      java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+    assert(explicit.length < man.length)
+    assert(scannedFiles(spark.sql(q)) == explicit.length)
+    spark.sql("DROP TABLE IF EXISTS graft_zmw_ts")
   }
 
   // ---- distributed bloom probe route ----------------------------------------
