@@ -1003,6 +1003,10 @@ object SparkEntry {
     // the manifest's exact per-file null counts (sparse optional fields)
     "q145_null_prune" -> ((s, d) =>
       graft.sources.ZoneMaps.q145NullPrune(s, d)),
+    // q146: derived-temporal pruning — `year(ts) = y` maps to its exact
+    // interval preimage on the clustered column and skips whole files
+    "q146_year_prune" -> ((s, d) =>
+      graft.sources.ZoneMaps.q146YearPrune(s, d)),
     // q140: metadata-interior range count — interior files counted from
     // the manifest unopened, only the <=2 boundary files scanned
     "q140_count_in_range" -> ((s, d) =>
@@ -5187,6 +5191,16 @@ object SparkEntry {
         | 8 AS files_total, TRUE AS pruned
         |FROM lineitem
         |WHERE l_returnflag <> 'N'
+        |GROUP BY 1""".stripMargin,
+    // q146: the same year-band aggregate from plain lineitem (the engine
+    // side's table carries an extra inserted 1998-tail copy, which the
+    // 1996 predicate excludes); files_total = 8 clustered + 1 inserted
+    "q146_year_prune" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 4) + 0.0 AS sum_qty,
+        | 9 AS files_total, TRUE AS pruned
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996
         |GROUP BY 1""".stripMargin,
     // q137: the same three aggregates from the full table; the engine side
     // answers from the manifest alone (envelope extremes + Σ n_rows)

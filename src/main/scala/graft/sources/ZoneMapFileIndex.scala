@@ -5,12 +5,14 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualNullSafe,
-  EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull,
-  IsNull, LessThan, LessThanOrEqual, Literal, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  BinaryComparison, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual, Literal, StartsWith, Year}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   PartitionDirectory}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType,
+  StringType, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.SessionKeyedCache
@@ -430,7 +432,107 @@ object ZoneMapFileIndex {
       // InSet holds CATALYST values of the attribute's type
       val xs = hset.toSeq.map(v => ext(v, a.dataType))
       Some(inConstraint(a.name, xs))
+    case bc: BinaryComparison => derivedLeaf(bc, zone)
     case _ => None
+  }
+
+  /** DERIVED-temporal pruning: comparisons on `year(c)` and
+    * `CAST(c AS DATE)` where c is a zone column. Both derivations are
+    * MONOTONE non-decreasing in c, so every comparison has an exact
+    * interval PREIMAGE on the column itself:
+    *
+    *   year(c) =  y  ⟺ c ∈ [Jan1(y), Jan1(y+1))
+    *   year(c) >  y  ⟺ c >= Jan1(y+1)        year(c) >= y ⟺ c >= Jan1(y)
+    *   year(c) <  y  ⟺ c <  Jan1(y)          year(c) <= y ⟺ c <  Jan1(y+1)
+    *   cast(c AS DATE) = d ⟺ c ∈ [d 00:00, d+1day 00:00)   (ranges alike)
+    *
+    * These are the everyday shapes a date-clustered corpus is probed with
+    * — without the preimage the filter reaches the scan but skips NO
+    * files (the extractor sees no attribute leaf). Soundness guards:
+    * DateType and TIMESTAMP_NTZ derivations are timezone-free; a
+    * TIMESTAMP (instant) column only qualifies when the cast's zone is
+    * UTC — the same wall-time frame [[ZoneMaps]] normalizes manifest
+    * envelopes into — otherwise no constraint (never a wrong skip).
+    * Bound construction failures (year overflow) also yield None. */
+  private def derivedLeaf(bc: BinaryComparison,
+                          zone: Set[String]): Option[(String, Constraint)] = {
+    // the preimage interval [floor, next) of one derived VALUE, plus the
+    // derived column's name — None when the shape/zone/timezone rules out
+    def preimage(e: Expression, v: Any): Option[(String, Any, Any)] = e match {
+      case Year(DateSide(a, ok)) if ok && zone(a.name) => v match {
+        case y: java.lang.Integer =>
+          scala.util.Try((a.name,
+            yearFloor(a.dataType, y), yearFloor(a.dataType, y + 1))).toOption
+        case _ => None
+      }
+      case Cast(a: Attribute, DateType, tz, _)
+          if zone(a.name) && zoneOk(a.dataType, tz) => v match {
+        case d: java.lang.Integer => // catalyst DateType literal = epoch days
+          scala.util.Try {
+            val ld = java.time.LocalDate.ofEpochDay(d.longValue)
+            (a.name, java.time.LocalDateTime.of(ld, java.time.LocalTime.MIDNIGHT),
+              java.time.LocalDateTime.of(ld.plusDays(1), java.time.LocalTime.MIDNIGHT))
+          }.toOption
+        case _ => None
+      }
+      case _ => None
+    }
+    def derivedFirst(lo: Any, hi: Any): Option[Constraint] = bc match {
+      case _: EqualTo | _: EqualNullSafe =>
+        Some(Constraint(Some((lo, true)), Some((hi, false)), None))
+      case _: GreaterThanOrEqual => Some(Constraint(Some((lo, true)), None, None))
+      case _: GreaterThan => Some(Constraint(Some((hi, true)), None, None))
+      case _: LessThan => Some(Constraint(None, Some((lo, false)), None))
+      case _: LessThanOrEqual => Some(Constraint(None, Some((hi, false)), None))
+      case _ => None
+    }
+    // literal-first flips the operator: y >= year(c) ⟺ year(c) <= y, …
+    def literalFirst(lo: Any, hi: Any): Option[Constraint] = bc match {
+      case _: EqualTo | _: EqualNullSafe =>
+        Some(Constraint(Some((lo, true)), Some((hi, false)), None))
+      case _: GreaterThanOrEqual => Some(Constraint(None, Some((hi, false)), None))
+      case _: GreaterThan => Some(Constraint(None, Some((lo, false)), None))
+      case _: LessThan => Some(Constraint(Some((hi, true)), None, None))
+      case _: LessThanOrEqual => Some(Constraint(Some((lo, true)), None, None))
+      case _ => None
+    }
+    (bc.left, bc.right) match {
+      case (d, Literal(v, _)) if v != null =>
+        for ((c, lo, hi) <- preimage(d, v); con <- derivedFirst(lo, hi))
+          yield c -> con
+      case (Literal(v, _), d) if v != null =>
+        for ((c, lo, hi) <- preimage(d, v); con <- literalFirst(lo, hi))
+          yield c -> con
+      case _ => None
+    }
+  }
+
+  /** `year()`'s operand: the attribute itself (DateType) or the
+    * analyzer-inserted `Cast(attr AS DATE)` over a timestamp attribute —
+    * with the timezone soundness flag. */
+  private object DateSide {
+    def unapply(e: Expression): Option[(Attribute, Boolean)] = e match {
+      case a: Attribute if a.dataType == DateType => Some((a, true))
+      case Cast(a: Attribute, DateType, tz, _) => Some((a, zoneOk(a.dataType, tz)))
+      case _ => None
+    }
+  }
+
+  /** Jan 1 of `y` in the column's own external value space. */
+  private def yearFloor(dt: DataType, y: Int): Any = dt match {
+    case DateType => java.time.LocalDate.of(y, 1, 1)
+    case _ => java.time.LocalDateTime.of(y, 1, 1, 0, 0)
+  }
+
+  /** Is the derivation timezone-sound for this column type? Instant
+    * timestamps only under a UTC cast zone (the manifest's normalization
+    * frame); NTZ and DateType are wall-time already. */
+  private def zoneOk(dt: DataType, tz: Option[String]): Boolean = dt match {
+    case TimestampNTZType | DateType => true
+    case TimestampType => tz.exists(z =>
+      try java.time.ZoneId.of(z).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false })
+    case _ => false
   }
 
   private def inConstraint(name: String, xs: Seq[Any]): (String, Constraint) = {

@@ -1203,6 +1203,34 @@ object ZoneMaps extends Logging {
       .withColumn("pruned", lit(files.length < man.length))
   }
 
+  /** q146: DERIVED-temporal pruning end to end — the everyday analyst
+    * predicate `WHERE year(ts) = y` as raw SQL over the insert-maintained
+    * catalog table ([[preparedInsertTable]] — so this also re-exercises
+    * the write-side fold): the transparent index maps the comparison to
+    * its exact interval preimage [Jan1(y), Jan1(y+1)) on the column
+    * itself and skips every file whose envelope misses the year band —
+    * including the INSERTED 1998-tail file. Without the preimage the
+    * filter reaches the scan but prunes nothing (no attribute leaf for
+    * the extractor). Oracle recomputes from lineitem (the inserted tail
+    * is entirely 1998+, so the 1996 band is unaffected by the insert). */
+  def q146YearPrune(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.ensureOptimizations(spark)
+    val cdir = preparedInsertTable(spark, dir)
+    val man = manifestRows(spark, cdir, Seq("l_shipdate"))
+    val files = pruneFiles(man, "l_shipdate",
+      java.time.LocalDateTime.parse("1996-01-01T00:00:00"),
+      java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+    spark.sql(
+      """SELECT l_returnflag,
+        |       COUNT(*) AS n_rows,
+        |       round(sum(l_quantity), 4) + 0.0 AS sum_qty
+        |FROM graft_q144_ins
+        |WHERE year(l_shipdate) = 1996
+        |GROUP BY l_returnflag""".stripMargin)
+      .withColumn("files_total", lit(man.length))
+      .withColumn("pruned", lit(files.length < man.length))
+  }
+
   /** The NULL-pruning demo layout: lineitem with a SPARSE OPTIONAL column
     * (`l_retqty` = quantity when the line was returned-or-accepted, NULL
     * on the ~half of rows flagged 'N' — the endemic scraped-corpus shape),

@@ -456,6 +456,55 @@ class ZoneMapWriteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft_zmw_ts")
   }
 
+  test("year(ts) and CAST(ts AS DATE) prune via their interval preimages") {
+    val base = Files.createTempDirectory("graft_zmw_yr_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    GraftSession.prepareTable(spark, "graft_zmw_yr",
+      s"$sf/lineitem.parquet", out, Seq("l_shipdate"), Nil,
+      nFiles = 6, manifestPath = Some(mf))
+    val man = ZoneMaps.manifestRows(spark, out, Seq("l_shipdate"))
+    tables.lineitem.createOrReplaceTempView("graft_zmw_yr_src")
+    def both(pred: String): (Long, Long) = {
+      val q = s"SELECT count(*) AS c FROM graft_zmw_yr WHERE $pred"
+      val want = spark.sql(q.replace("graft_zmw_yr", "graft_zmw_yr_src"))
+        .collect().head.getLong(0)
+      val got = spark.sql(q).collect().head.getLong(0)
+      assert(got == want, s"$pred: got $got want $want")
+      (scannedFiles(spark.sql(q)), want)
+    }
+    // equality: the 1996 band overlaps a strict file subset
+    val expl96 = ZoneMaps.pruneFiles(man, "l_shipdate",
+      java.time.LocalDateTime.parse("1996-01-01T00:00:00"),
+      java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+    val (s1, w1) = both("year(l_shipdate) = 1996")
+    assert(w1 > 0 && expl96.length < man.length && s1 == expl96.length)
+    // range: >= 1998 keeps only the tail file(s)
+    val (s2, _) = both("year(l_shipdate) >= 1998")
+    assert(s2 < man.length)
+    // literal-first orientation flips the operator, same preimage
+    val (s2b, _) = both("1998 <= year(l_shipdate)")
+    assert(s2b == s2)
+    // cast-to-date equality: a one-day band
+    val (s3, w3) = both("CAST(l_shipdate AS DATE) = DATE '1996-06-15'")
+    assert(w3 > 0 && s3 < man.length)
+    // a year outside every envelope scans nothing
+    val (s4, w4) = both("year(l_shipdate) = 2050")
+    assert(w4 == 0 && s4 == 0)
+    spark.sql("DROP TABLE IF EXISTS graft_zmw_yr")
+  }
+
+  test("q146 registered query: year-band prune matches naive, pruned flag true") {
+    val got = SparkEntry.queries("q146_year_prune")(spark, sf).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("pruned")))
+    val want = tables.lineitem.where(year(col("l_shipdate").cast("date")) === 1996)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("l_quantity")), 4) + lit(0.0)).as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.map(r => (r.getAs[String]("l_returnflag"),
+      r.getAs[Long]("n_rows"), r.getAs[Double]("sum_qty"))).toSet == want)
+  }
+
   // ---- distributed bloom probe route ----------------------------------------
 
   test("the distributed bloom probe route yields the identical survivor set") {
