@@ -221,11 +221,13 @@ object GraftSession {
     * catalog table name. */
   def openTable(s: SparkSession, name: String, dir: String,
                 zoneCols: Seq[String], manifestPath: String): String = {
-    val rows = graft.sources.ZoneMaps.loadManifest(s, dir, zoneCols, manifestPath)
-    val bloomCols = rows.headOption
-      .map(_.schema.fieldNames.filter(_.endsWith("_bloom"))
-        .map(_.stripSuffix("_bloom")).toSeq)
-      .getOrElse(Nil)
+    graft.sources.ZoneMaps.loadManifest(s, dir, zoneCols, manifestPath)
+    // bloom columns come from the manifest FILE's schema (a footer read):
+    // above the persisted-consult threshold loadManifest's returned rows
+    // deliberately DROP the bloom fields, but membership pruning is still
+    // live (served from the persisted manifest executor-side)
+    val bloomCols = s.read.parquet(manifestPath).schema.fieldNames
+      .filter(_.endsWith("_bloom")).map(_.stripSuffix("_bloom")).toSeq
     graft.sources.ZoneMapFileIndex.enable(s, dir, zoneCols, bloomCols,
       Some(manifestPath))
     ensureOptimizations(s)

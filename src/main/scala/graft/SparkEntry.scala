@@ -310,10 +310,17 @@ object SparkEntry {
     // recursive-CTE oracle verbatim
     "d15_incremental_clusters" -> ((s, d) => {
       val docs = t(s, d).documents
+      // the standing sub-corpus' LSH pairs are EXACTLY the full corpus'
+      // pairs with both endpoints below the cut: band buckets are per-doc
+      // (a doc's signature ignores the rest of the corpus) and the verify
+      // jaccard is per-pair — so the standing arm rides the memoized
+      // shared pair frame instead of re-running a second signature/band/
+      // verify pipeline over the sub-corpus (r15: ~10 fewer jobs, same
+      // pairs, same labels, same d07-shared oracle)
+      val pairs = Dedup.minHashLshPairs(docs).select(col("d1"), col("d2"))
       val standing = graft.dedup.Clusters.connectedComponents(
-        Dedup.minHashLshPairs(docs.where(col("doc_id") < 250)).select(col("d1"), col("d2")))
-      val batch = Dedup.minHashLshPairs(docs).select(col("d1"), col("d2"))
-        .where(col("d1") >= 250 || col("d2") >= 250)
+        pairs.where(col("d1") < 250 && col("d2") < 250))
+      val batch = pairs.where(col("d1") >= 250 || col("d2") >= 250)
       graft.dedup.Clusters.clusterTable(
         graft.dedup.Clusters.mergeClusters(standing, batch))
     }),
@@ -341,11 +348,23 @@ object SparkEntry {
     // per corpus vector, exact cosines (the rare fully-exact s-member)
     "s23_coverage_gap"    -> ((s, d) => Knn.coverageGap(t(s, d).embeddings)),
     // d21: edit-distance admission — d10's batch convention; the length-
-    // band blocking is exact, so the decision IS the brute-force one
+    // band blocking is exact, so the decision IS the brute-force one.
+    // Rides the memoized d19 pair frame (r15, the d10/d15 rule): the
+    // exact symmetric pair set restricted to cross-side endpoints is
+    // EXACTLY the cross-side pair set (both equal brute force), so the
+    // admission verdict is identical without a second blocking+verify
+    // pipeline over the sides.
     "d21_incremental_editdup" -> ((s, d) => {
       val docs = t(s, d).documents
-      Dedup.incrementalEditDup(
-        docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+      val p = Dedup.sharedEditPairs(docs).select(col("d1"), col("d2"))
+      val crossIn = p
+        .where(col("d1") % 3 === 0 && col("d2") % 3 =!= 0)
+        .select(col("d1").as("doc_id"))
+        .unionAll(p.where(col("d2") % 3 === 0 && col("d1") % 3 =!= 0)
+          .select(col("d2").as("doc_id")))
+        .distinct()
+      docs.where(col("doc_id") % 3 === 0).select(col("doc_id"))
+        .join(crossIn, Seq("doc_id"), "left_anti")
     }),
     "d02_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(t(s, d).documents)),
     "d03_minhash_lsh"     -> ((s, d) => Dedup.minHashLshPairs(t(s, d).documents)),
@@ -372,11 +391,23 @@ object SparkEntry {
     }),
     // d10: near-dup admission — same batch convention as d08; LSH
     // candidates + exact verify hash-match the exact-jaccard oracle (the
-    // d03 banding-recall precedent)
+    // d03 banding-recall precedent). The cross-side pair probe rides the
+    // memoized full pair frame (the d15 rule, r15): a cross pair collides
+    // in a band iff it collides in the full corpus (band buckets are
+    // per-doc, 16×4 on both paths) and the verify jaccard is per-pair, so
+    // the admission verdict is IDENTICAL to crossNearDupPairs' — without
+    // re-paying a second signature/band/verify pipeline per side.
     "d10_incremental_neardup" -> ((s, d) => {
       val docs = t(s, d).documents
-      Dedup.incrementalNearDup(
-        docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0))
+      val p = Dedup.minHashLshPairs(docs).select(col("d1"), col("d2"))
+      val crossIn = p
+        .where(col("d1") % 3 === 0 && col("d2") % 3 =!= 0)
+        .select(col("d1").as("doc_id"))
+        .unionAll(p.where(col("d2") % 3 === 0 && col("d1") % 3 =!= 0)
+          .select(col("d2").as("doc_id")))
+        .distinct()
+      docs.where(col("doc_id") % 3 === 0).select(col("doc_id"))
+        .join(crossIn, Seq("doc_id"), "left_anti")
     }),
     // d09: SemDeDup-style semantic clusters — cluster resolution over the
     // d06 pair family; approximate pairs (d06 recall spec) → rows-only

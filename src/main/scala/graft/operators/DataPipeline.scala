@@ -1570,11 +1570,21 @@ object DataPipeline {
     * (band, bucket) exchange, per-candidate verify, one |contaminated|-
     * sized window. */
   def nearDupContaminationReport(docs: DataFrame,
-                                 evalPred: Column = col("doc_id") % 10 === 0,
+                                 evalPredOf: Column => Column = _ % 10 === 0,
                                  threshold: Double = 0.8): DataFrame = {
-    val pairs = Dedup.crossNearDupPairs(
-      existing = docs.where(evalPred), incoming = docs.where(!evalPred),
-      threshold = threshold)
+    // r15 (the d10/d15 rule): the cross-side candidate set is EXACTLY the
+    // memoized symmetric pair frame restricted to one-endpoint-per-side —
+    // band buckets are per-doc and the verify jaccard per-pair, so the
+    // report is identical without a second signature/band/verify pipeline
+    // over each side. evalPredOf is the eval test as a doc_id-column
+    // function so it can be applied to either pair endpoint.
+    val p = Dedup.minHashLshPairs(docs, threshold)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val pairs = p
+      .where(evalPredOf(col("d2")) && !evalPredOf(col("d1")))
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .unionAll(p.where(evalPredOf(col("d1")) && !evalPredOf(col("d2")))
+        .select(col("d2").as("d1"), col("d1").as("d2"), col("jaccard")))
     val w = Window.partitionBy(col("d1"))
       .orderBy(col("jaccard").desc, col("d2").asc)
     pairs.withColumn("rn", row_number().over(w))

@@ -130,6 +130,12 @@ object Relational5 {
         round(col("l_quantity"), 0).cast("long").as("qty"))
       .groupBy(col("l_returnflag"), col("cents"))
       .agg(sum(col("qty")).as("w"))
+    // r15 measured note: a ScanWindows.prefixSums bucket-parallel variant
+    // was tried (the #flags-partition window caps parallelism at ≤4) and
+    // REVERTED — at bench scale the histogram is price-cardinality-bounded
+    // and the plain window costs ~0.2 s, while the prefix-scan's extra
+    // offsets pass + join cost ~+0.4 s. The window input is already the
+    // pre-aggregated histogram, so the corpus never hits the window.
     val wRun = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -752,7 +758,10 @@ object Relational5 {
     * rounded division; the top-50 cut orders by (co DESC, p1, p2) —
     * total, so the page is deterministic (the q79 rule). */
   def q93BasketAffinity(t: Tables, topK: Int = 50): DataFrame = {
-    val items = t.lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    // collect_set IS the per-order distinct — a separate .distinct() would
+    // add a second corpus-wide exchange on (orderkey, partkey) for rows
+    // the set aggregation dedups anyway (r15: 2 corpus exchanges → 1)
+    val items = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
     // one basket aggregation, then pairs generated MAP-SIDE from the
     // sorted basket array (no self-join, no second orderkey exchange):
     // each ordered pair emits exactly once via the index-windowed slice

@@ -781,11 +781,17 @@ object TextQueries {
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("a"))
-    val tokTot = st.groupBy(col("token")).agg(sum(col("a")).as("tok_total"))
+    // r15: tok_total as a token-partitioned window sum instead of a
+    // separate groupBy + self-join — the join re-exchanged BOTH st and the
+    // token totals on token; the window needs ONE exchange of st and no
+    // join (rows per token ≤ #sources, so window chains are tiny). Same
+    // exact integer totals.
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
     val srcTot = st.groupBy(col("source")).agg(sum(col("a")).as("src_total"))
     val grand = st.agg(sum(col("a")).as("n_total"))
     val cells = st
-      .join(tokTot, "token").join(broadcast(srcTot), "source")
+      .withColumn("tok_total", sum(col("a")).over(wTok))
+      .join(broadcast(srcTot), "source")
       .crossJoin(broadcast(grand))
       .where(col("tok_total") >= minDf)
       .select(col("source"), col("token"), col("a"),

@@ -75,7 +75,17 @@ final case class MaintainZoneManifestInsert(
   override def run(spark: org.apache.spark.sql.classic.SparkSession,
                    child: SparkPlan): Seq[Row] = {
     val res = delegate.run(spark, child)
-    ZoneMaps.foldManifestForward(spark, reg)
+    // the write is COMMITTED at this point: a fold failure must not make
+    // the statement look failed (a caller's retry would duplicate the
+    // inserted rows). The stale-manifest guard keeps every later scan
+    // correct without the fold — degrade to unpruned, loudly.
+    try ZoneMaps.foldManifestForward(spark, reg)
+    catch { case scala.util.control.NonFatal(e) =>
+      logWarning(s"zone-map manifest fold after INSERT into ${reg.dir} " +
+        s"failed — the insert itself committed; pruning is degraded (the " +
+        s"stale-manifest guard keeps results correct) until the next " +
+        s"maintenance call (ZoneMaps.incrementalBuild / prepareTable): $e")
+    }
     res
   }
 

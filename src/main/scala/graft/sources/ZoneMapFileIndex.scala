@@ -318,9 +318,17 @@ object ZoneMapFileIndex {
     }.map(_.getAs[String]("file"))
     val files = con.keys match {
       case Some(ks) if bloom.contains(c) =>
-        ZoneMaps.membershipRowsIfSeeded(spark, dir, c) match {
-          case Some(mrows) =>
+        ZoneMaps.membershipSourceIfSeeded(spark, dir, c) match {
+          case Some(Left(mrows)) =>
             val byBloom = bloomProbe(spark, mrows, c, ks)
+            byEnvelope.filter(byBloom.contains)
+          case Some(Right(manifestPath)) =>
+            // the persisted-consult route: blooms are probed EXECUTOR-side
+            // straight off the durable manifest (never collected — the
+            // driver memo holds envelopes only); only surviving file names
+            // come back. Identical survivor kernel as the memo route.
+            val byBloom = ZoneMaps.membershipPruneFilesDistributed(
+              spark.read.parquet(manifestPath), c, ks).toSet
             byEnvelope.filter(byBloom.contains)
           case None => byEnvelope
         }
@@ -339,8 +347,12 @@ object ZoneMapFileIndex {
     * kernel, spec-pinned identical. */
   private def bloomProbe(spark: SparkSession, mrows: Array[org.apache.spark.sql.Row],
                          c: String, ks: Array[Long]): Set[String] = {
-    val threshold = spark.conf
-      .get("spark.graft.zonemap.distributedProbeFiles", "65536").toInt
+    // tolerant parse: a malformed session value degrades to the default
+    // (driver-side probe) instead of failing every membership-pruned query
+    // with a NumberFormatException at planning time
+    val threshold = scala.util.Try(spark.conf
+      .get("spark.graft.zonemap.distributedProbeFiles", "65536").toInt)
+      .getOrElse(65536)
     if (mrows.length <= threshold)
       ZoneMaps.membershipPruneFiles(mrows, c, ks).toSet
     else {

@@ -232,12 +232,32 @@ object ZoneMaps extends Logging {
 
   private val manifestCache = new SessionKeyedCache[(String, Seq[String]), Array[Row]]()
 
+  /** (dir, keyCol) → persisted manifest path, for tables whose membership
+    * probe serves EXECUTOR-SIDE from the durable manifest instead of
+    * driver-memoized bloom rows — the ≥10⁵-file route (see
+    * [[loadManifest]]). The driver then holds envelopes only: at 10⁶
+    * files × ~10 KB of bloom each, memoizing bloom rows is ~10 GB of
+    * driver heap re-serialized per probe, while the persisted parquet
+    * manifest is exactly the object [[membershipPruneFilesDistributed]]
+    * wants — scanned executor-side, only surviving file NAMES collected. */
+  private val persistedMembershipCache = new SessionKeyedCache[(String, String), String]()
+
+  /** Manifest row count above which [[loadManifest]] keeps bloom bytes OFF
+    * the driver and routes membership probes through the persisted
+    * manifest ([[membershipPruneFilesDistributed]]). Conf-tunable; an
+    * unparseable value degrades to the default, never fails the query. */
+  private[sources] def persistedConsultThreshold(spark: SparkSession): Long =
+    scala.util.Try(
+      spark.conf.get("spark.graft.zonemap.persistedConsultRows", "65536").toLong)
+      .getOrElse(65536L)
+
   /** Drop every manifest/membership memo AND the transparent-pruning
     * registration for `dir` (test + lifecycle hook — simulates a fresh
     * session for one table without draining the whole session's caches). */
   private[graft] def dropMemos(spark: SparkSession, dir: String): Unit = {
     manifestCache.purgeKeys(spark, _._1 == dir)
     membershipCache.purgeKeys(spark, _._1 == dir)
+    persistedMembershipCache.purgeKeys(spark, _._1 == dir)
     ZoneMapFileIndex.disable(spark, dir)
   }
 
@@ -266,6 +286,7 @@ object ZoneMaps extends Logging {
     // the now-deleted files and would prune to FileNotFound at scan time
     manifestCache.purgeKeys(spark, _._1 == dir)
     membershipCache.purgeKeys(spark, _._1 == dir)
+    persistedMembershipCache.purgeKeys(spark, _._1 == dir)
     // `bloomCols` rides the SAME build (one scan carries envelopes AND
     // blooms — cheaper than a separate buildMembership pass) and seeds the
     // membership memo, so bloom-carrying session rows stay maintainable by
@@ -301,6 +322,7 @@ object ZoneMaps extends Logging {
                                     bloomCols: Seq[String] = Nil): Unit = {
     manifestCache.purgeKeys(spark, _._1 == dir)
     membershipCache.purgeKeys(spark, _._1 == dir)
+    persistedMembershipCache.purgeKeys(spark, _._1 == dir)
     seed(spark, dir, cols, rows)
     bloomCols.foreach { c =>
       membershipCache.put(spark, (dir, c), rows)
@@ -319,22 +341,118 @@ object ZoneMaps extends Logging {
     * directory — one stats scan, never wrong. */
   private[graft] def foldManifestForward(
       spark: SparkSession, reg: ZoneMapFileIndex.Registration): Unit = {
+    // the PERSISTED-CONSULT route (the table was loaded above
+    // `spark.graft.zonemap.persistedConsultRows` — driver memo holds
+    // envelopes only): fold the durable manifest forward as a DataFrame
+    // union, so bloom bytes never tour the driver on the write path either
+    val persistedRoute = reg.manifestPath.filter(_ =>
+      reg.bloomCols.exists(c =>
+        persistedMembershipCache.peek(spark, (reg.dir, c)).isDefined))
+    persistedRoute match {
+      case Some(p) => foldPersistedManifest(spark, reg, p)
+      case None =>
+        val memo = manifestCache.peek(spark, (reg.dir, reg.zoneCols))
+          .getOrElse(Array.empty[Row])
+        // a standing memo without the registration's bloom fields (legacy
+        // seeding) cannot row-union with bloom-carrying fresh rows — rebuild
+        val standing =
+          if (reg.bloomCols.forall(c => memo.headOption.forall(
+            _.schema.fieldNames.contains(s"${c}_bloom")))) memo
+          else Array.empty[Row]
+        val updated = incrementalBuild(spark, reg.dir, reg.zoneCols, standing,
+          reg.bloomCols)
+        seedMaintained(spark, reg.dir, reg.zoneCols, updated, reg.bloomCols)
+        reg.manifestPath.foreach { p =>
+          if (updated.nonEmpty)
+            spark.createDataFrame(
+              java.util.Arrays.asList(updated: _*), updated.head.schema)
+              .coalesce(1).write.mode("overwrite").parquet(p)
+          else {
+            // INSERT OVERWRITE from an empty source leaves zero data files;
+            // a durable manifest still naming the vanished files would seed
+            // a fresh session with stale rows (explicit prunedRead then
+            // reads nonexistent paths). Land an EMPTY manifest with the
+            // standing schema; with no schema to name, drop the manifest —
+            // loadManifest fails loudly instead of serving deleted files.
+            memo.headOption.map(_.schema)
+              .orElse(scala.util.Try(spark.read.parquet(p).schema).toOption)
+            match {
+              case Some(sch) => spark.createDataFrame(
+                java.util.Collections.emptyList[Row](), sch)
+                .coalesce(1).write.mode("overwrite").parquet(p)
+              case None =>
+                val hp = new org.apache.hadoop.fs.Path(p)
+                hp.getFileSystem(spark.sessionState.newHadoopConf())
+                  .delete(hp, true)
+                ()
+            }
+          }
+        }
+    }
+  }
+
+  /** The DataFrame-native fold for persisted-consult tables: compute the
+    * fresh-file set from the envelope memo (names only — never blooms),
+    * keep the durable manifest's rows for still-present files via a
+    * broadcast semi-join on the file name, union the fresh files' stats
+    * (ONE scan of just the inserted files, blooms aggregated
+    * executor-side), land the result at a scratch sibling and swap it in —
+    * parquet cannot overwrite a path it is reading. The driver touches
+    * file-name strings and envelope rows only; re-seeds follow the same
+    * envelopes-only policy [[loadManifest]] applied. */
+  private def foldPersistedManifest(spark: SparkSession,
+                                    reg: ZoneMapFileIndex.Registration,
+                                    p: String): Unit = {
+    def norm(f: String): String = ZoneMapFileIndex.normPath(f)
     val memo = manifestCache.peek(spark, (reg.dir, reg.zoneCols))
       .getOrElse(Array.empty[Row])
-    // a standing memo without the registration's bloom fields (legacy
-    // seeding) cannot row-union with bloom-carrying fresh rows — rebuild
-    val standing =
-      if (reg.bloomCols.forall(c => memo.headOption.forall(
-        _.schema.fieldNames.contains(s"${c}_bloom")))) memo
-      else Array.empty[Row]
-    val updated = incrementalBuild(spark, reg.dir, reg.zoneCols, standing,
-      reg.bloomCols)
-    seedMaintained(spark, reg.dir, reg.zoneCols, updated, reg.bloomCols)
-    reg.manifestPath.foreach { p =>
-      if (updated.nonEmpty)
-        spark.createDataFrame(
-          java.util.Arrays.asList(updated: _*), updated.head.schema)
-          .coalesce(1).write.mode("overwrite").parquet(p)
+    val listing = spark.read.parquet(reg.dir).inputFiles
+    val current = listing.map(norm).toSet
+    val known = memo.map(r => norm(r.getAs[String]("file"))).toSet
+    val fresh = listing.filterNot(f => known(norm(f)))
+    val man = spark.read.parquet(p)
+    // keep rows for files still present — raw manifest spellings (the memo
+    // rows ARE collected manifest rows, so the strings match exactly)
+    val keptNames = memo.map(_.getAs[String]("file"))
+      .filter(f => current(norm(f)))
+    val keptDf = man.join(
+      broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(keptNames.map(org.apache.spark.sql.Row(_)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file",
+            org.apache.spark.sql.types.StringType))))),
+      Seq("file"), "left_semi")
+    val statCols = (reg.zoneCols ++
+      reg.bloomCols.filterNot(reg.zoneCols.contains)).toSeq
+    val aggs = count(lit(1)).as("n_rows") +: (statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"))
+    } ++ reg.bloomCols.map(c => bloomAgg(col(c), 1L << 13, 0.01)
+      .as(s"${c}_bloom")))
+    val nextDf =
+      if (fresh.isEmpty) keptDf
+      else keptDf.unionByName(
+        spark.read.parquet(fresh.toIndexedSeq.map(readablePath): _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*),
+        allowMissingColumns = false)
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val tmp = new org.apache.hadoop.fs.Path(p + "__fold_next")
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    nextDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hp, true)
+    require(fs.rename(tmp, hp),
+      s"foldPersistedManifest: swap $tmp -> $hp failed after fold write")
+    // re-seed under the loadManifest policy (the table IS the big route)
+    manifestCache.purgeKeys(spark, _._1 == reg.dir)
+    membershipCache.purgeKeys(spark, _._1 == reg.dir)
+    persistedMembershipCache.purgeKeys(spark, _._1 == reg.dir)
+    val rows = spark.read.parquet(p)
+      .drop(reg.bloomCols.map(c => s"${c}_bloom"): _*).collect()
+    seed(spark, reg.dir, reg.zoneCols, rows)
+    reg.bloomCols.foreach { c =>
+      persistedMembershipCache.put(spark, (reg.dir, c), p)
+      manifestCache.put(spark, (reg.dir, Seq(c)), rows)
     }
   }
 
@@ -405,6 +523,18 @@ object ZoneMaps extends Logging {
                                               keyCol: String): Option[Array[Row]] =
     membershipCache.peek(spark, (dir, keyCol))
 
+  /** The membership consult's SOURCE for (dir, keyCol), if seeded: either
+    * the driver-memoized bloom rows (Left — the ≤threshold route) or the
+    * persisted manifest's path (Right — the big-table route, probed
+    * executor-side with zero driver-resident bloom bytes). None when
+    * neither is seeded — the transparent serve path then skips membership
+    * pruning rather than scanning fact data to build blooms mid-query. */
+  private[graft] def membershipSourceIfSeeded(
+      spark: SparkSession, dir: String,
+      keyCol: String): Option[Either[Array[Row], String]] =
+    membershipCache.peek(spark, (dir, keyCol)).map(Left(_))
+      .orElse(persistedMembershipCache.peek(spark, (dir, keyCol)).map(Right(_)))
+
   /** Files whose [min, max] envelope overlaps the predicate interval
     * [lo, hi) — inclusive lower, exclusive upper, the natural shape for
     * date/timestamp ranges ([lo, hi] with `hiInclusive`, the natural shape
@@ -474,19 +604,37 @@ object ZoneMaps extends Logging {
     * looks up (dir, Seq(zoneCol)), and a multi-column manifest row carries
     * every tracked column's envelope — and, when the persisted manifest
     * carries `<c>_bloom` columns, the MEMBERSHIP memo for each, so bloom
-    * pruning is fresh-session durable exactly like envelope pruning. */
+    * pruning is fresh-session durable exactly like envelope pruning.
+    *
+    * SIZE-ROUTED consult (the 100 TB rung): above
+    * `spark.graft.zonemap.persistedConsultRows` manifest rows
+    * ([[persistedConsultThreshold]]), the driver memo keeps ENVELOPES ONLY
+    * — the `<c>_bloom` columns are dropped BEFORE the collect, so parquet
+    * column pruning means zero bloom bytes ever reach the driver — and
+    * membership probes route through the persisted manifest executor-side
+    * ([[membershipPruneFilesDistributed]] over
+    * `spark.read.parquet(manifestPath)`; only surviving file NAMES come
+    * back). At 10⁶ files × ~10 KB of bloom, driver-memoized bloom rows are
+    * ~10 GB of heap re-serialized per probe; envelopes are a few MB. The
+    * survivor sets are identical on either route (same
+    * envelope-restrict + `mightContainLong` kernel — conf-flip spec). */
   def loadManifest(spark: SparkSession, dir: String, cols: Seq[String],
                    manifestPath: String): Array[Row] = {
     val df = spark.read.parquet(manifestPath)
-    val rows = df.collect()
+    val bloomFields = df.schema.fieldNames.filter(_.endsWith("_bloom")).toSeq
+    // #rows from parquet footers — a metadata-only job, no bloom bytes move
+    val big = bloomFields.nonEmpty && df.count() > persistedConsultThreshold(spark)
+    val rows =
+      if (big) df.drop(bloomFields: _*).collect()
+      else df.collect()
     seed(spark, dir, cols, rows)
-    df.schema.fieldNames.filter(_.endsWith("_bloom"))
-      .map(_.stripSuffix("_bloom")).foreach { c =>
-        membershipCache.put(spark, (dir, c), rows)
-        // the same rows carry the bloom column's envelope too ([[build]]
-        // tracks min/max/nulls for every bloom column)
-        manifestCache.put(spark, (dir, Seq(c)), rows)
-      }
+    bloomFields.map(_.stripSuffix("_bloom")).foreach { c =>
+      if (big) persistedMembershipCache.put(spark, (dir, c), manifestPath)
+      else membershipCache.put(spark, (dir, c), rows)
+      // the same rows carry the bloom column's envelope too ([[build]]
+      // tracks min/max/nulls for every bloom column)
+      manifestCache.put(spark, (dir, Seq(c)), rows)
+    }
     rows
   }
 
@@ -503,6 +651,7 @@ object ZoneMaps extends Logging {
                       bloomCols: Seq[String] = Nil): Array[Row] = {
     manifestCache.purgeKeys(spark, _._1 == dir)
     membershipCache.purgeKeys(spark, _._1 == dir)
+    persistedMembershipCache.purgeKeys(spark, _._1 == dir)
     writeManifest(spark, dir, cols, manifestPath, bloomCols)
     loadManifest(spark, dir, cols, manifestPath)
   }

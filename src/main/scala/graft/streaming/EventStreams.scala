@@ -394,7 +394,9 @@ object EventStreams {
       batch.sparkSession.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(dir, f"_graft_committed_b$batchId%06d")
     val staging = new org.apache.hadoop.fs.Path(dir, s"_graft_staging_b$batchId")
-    if (fs.exists(marker)) { fs.delete(staging, true); return }
+    if (committedBatchIds(fs, dir).contains(batchId)) {
+      fs.delete(staging, true); return
+    }
     batch.write.mode("overwrite").parquet(staging.toString)
     val parts = fs.listStatus(staging)
       .filter(_.getPath.getName.startsWith("part-")).sortBy(_.getPath.getName)
@@ -414,6 +416,69 @@ object EventStreams {
     require(fs.createNewFile(marker),
       s"idempotentBatchAppend: marker $marker already exists mid-commit")
     fs.delete(staging, true)
+    compactCommitMarkers(fs, dir)
+    ()
+  }
+
+  private val LedgerName = "_graft_commits"
+  private val LedgerNextName = "_graft_commits_next"
+
+  /** Every committed batchId discoverable in `dir`: the ledger, the
+    * ledger's scratch sibling, and any standing per-batch marker files —
+    * the union is what makes [[compactCommitMarkers]]'s swap safe at every
+    * crash point (an id leaves the marker file only after it is durable in
+    * the renamed ledger; a torn scratch write is rejected line-by-line
+    * while the old ledger and the marker both still name the id). */
+  private[graft] def committedBatchIds(fs: org.apache.hadoop.fs.FileSystem,
+                                       dir: String): Set[Long] = {
+    def ledgerIds(p: org.apache.hadoop.fs.Path): Set[Long] =
+      if (!fs.exists(p)) Set.empty
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          // accept only COMPLETE well-formed lines: a crash mid-write can
+          // tear the final line, and a torn id must not be trusted (it is
+          // still covered by its marker / the previous ledger)
+          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
+        finally in.close()
+      }
+    val markers = fs.globStatus(
+      new org.apache.hadoop.fs.Path(dir, "_graft_committed_b*"))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("_graft_committed_b").toLong).toOption)
+      .toSet
+    markers ++
+      ledgerIds(new org.apache.hadoop.fs.Path(dir, LedgerName)) ++
+      ledgerIds(new org.apache.hadoop.fs.Path(dir, LedgerNextName))
+  }
+
+  /** Fold per-batch commit markers into the single `_graft_commits` ledger
+    * (one line per batchId) so a long-running stream keeps O(1) commit
+    * objects in the directory instead of one marker file per micro-batch
+    * (~500k/year at a batch a minute — every listStatus/globStatus walks
+    * them and object stores bill the LIST). The marker file stays the
+    * atomic COMMIT POINT (createNewFile); this compaction runs after it.
+    * Crash-safe by ordering: (1) write the scratch ledger with every known
+    * id, (2) drop the old ledger, (3) rename scratch → ledger, (4) delete
+    * the folded markers. At any interruption every id is still named by a
+    * marker, the old ledger, or the complete scratch —
+    * [[committedBatchIds]] reads the union. All names are
+    * underscore-prefixed: listing-invisible to Spark scans. */
+  private[graft] def compactCommitMarkers(fs: org.apache.hadoop.fs.FileSystem,
+                                          dir: String): Unit = {
+    val ids = committedBatchIds(fs, dir)
+    if (ids.isEmpty) return
+    val ledger = new org.apache.hadoop.fs.Path(dir, LedgerName)
+    val next = new org.apache.hadoop.fs.Path(dir, LedgerNextName)
+    val out = fs.create(next, true)
+    try out.write(ids.toSeq.sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(ledger, false)
+    require(fs.rename(next, ledger),
+      s"compactCommitMarkers: swap $next -> $ledger failed")
+    fs.globStatus(new org.apache.hadoop.fs.Path(dir, "_graft_committed_b*"))
+      .foreach(s => fs.delete(s.getPath, false))
     ()
   }
 

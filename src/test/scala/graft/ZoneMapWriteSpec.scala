@@ -323,11 +323,17 @@ class ZoneMapWriteSpec extends AnyFunSuite {
     val batch = spark.range(0, 1000).toDF("id")
     EventStreams.idempotentBatchAppend(dir, batch.repartition(4), 3L)
     assert(spark.read.parquet(dir).count() == 1000)
-    // simulate the crash: the marker never landed, and one part is missing
+    // simulate the crash: the commit record never landed (neither the
+    // marker nor its ledger fold — compaction normally folds the marker
+    // into _graft_commits right after commit), and one part is missing
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sessionState.newHadoopConf())
     val marker = new org.apache.hadoop.fs.Path(dir, f"_graft_committed_b${3L}%06d")
-    assert(fs.delete(marker, false), "test setup: marker must exist")
+    fs.delete(marker, false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_commits"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_commits_next"), false)
+    assert(!graft.streaming.EventStreams.committedBatchIds(fs, dir).contains(3L),
+      "test setup: the commit record must be gone")
     val one = new java.io.File(dir).listFiles()
       .filter(_.getName.matches("b000003-.*\\.parquet")).head
     assert(one.delete())
@@ -531,5 +537,109 @@ class ZoneMapWriteSpec extends AnyFunSuite {
         "both probe routes must keep the identical survivor set")
     } finally spark.conf.unset("spark.graft.zonemap.distributedProbeFiles")
     spark.sql("DROP TABLE IF EXISTS graft_zmw_dist")
+  }
+
+  // ---- persisted-consult route (blooms never on the driver) -----------------
+
+  test("persisted-consult route: identical survivors, zero bloom bytes on the driver") {
+    val base = Files.createTempDirectory("graft_zmw_pc_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    GraftSession.prepareTable(spark, "graft_zmw_pc",
+      s"$sf/lineitem.parquet", out, Seq("l_partkey"), Nil,
+      nFiles = 8, manifestPath = Some(mf), bloomCols = Seq("l_partkey"))
+    val man = ZoneMaps.manifestRows(spark, out, Seq("l_partkey"))
+    val gmin = man.map(_.getAs[Long]("l_partkey_min")).min
+    val gmax = man.map(_.getAs[Long]("l_partkey_max")).max
+    val q = "SELECT count(*) AS c FROM graft_zmw_pc " +
+      s"WHERE l_partkey IN ($gmin, $gmax)"
+    val want = tables.lineitem
+      .where(col("l_partkey").isin(gmin, gmax)).count()
+    // default route: memo rows carry the blooms, probed driver-side
+    val memoScan = scannedFiles(spark.sql(q))
+    assert(spark.sql(q).collect().head.getLong(0) == want)
+    assert(ZoneMaps.membershipSourceIfSeeded(spark, out, "l_partkey")
+      .exists(_.isLeft))
+    // flip: a fresh session opens the same table ABOVE the threshold —
+    // the driver memo must hold envelopes only, the probe must serve
+    // executor-side from the persisted manifest, survivors identical
+    spark.conf.set("spark.graft.zonemap.persistedConsultRows", "0")
+    try {
+      ZoneMaps.dropMemos(spark, out) // fresh-session simulation
+      GraftSession.openTable(spark, "graft_zmw_pc", out, Seq("l_partkey"), mf)
+      val rows = ZoneMaps.manifestRows(spark, out, Seq("l_partkey"))
+      assert(rows.length == man.length)
+      assert(rows.forall(r =>
+        !r.schema.fieldNames.exists(_.endsWith("_bloom"))),
+        "the persisted route must keep bloom bytes OFF the driver memo")
+      assert(ZoneMaps.membershipSourceIfSeeded(spark, out, "l_partkey")
+        .exists(_.isRight), "membership must be seeded as the persisted path")
+      val df = spark.sql(q)
+      assert(df.collect().head.getLong(0) == want)
+      assert(ridesIndex(df))
+      assert(scannedFiles(spark.sql(q)) == memoScan,
+        "memo and persisted routes must keep the identical survivor set")
+    } finally spark.conf.unset("spark.graft.zonemap.persistedConsultRows")
+    spark.sql("DROP TABLE IF EXISTS graft_zmw_pc")
+  }
+
+  test("INSERT under the persisted-consult route folds the durable manifest; memo stays envelope-only") {
+    val base = Files.createTempDirectory("graft_zmw_pcw_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    spark.conf.set("spark.graft.zonemap.persistedConsultRows", "0")
+    try {
+      GraftSession.prepareTable(spark, "graft_zmw_pcw",
+        s"$sf/lineitem.parquet", out, Seq("l_partkey"), Nil,
+        nFiles = 8, manifestPath = Some(mf), bloomCols = Seq("l_partkey"))
+      val filesBefore = spark.read.parquet(mf).count()
+      val gmax = ZoneMaps.manifestRows(spark, out, Seq("l_partkey"))
+        .map(_.getAs[Long]("l_partkey_max")).max
+      tables.lineitem.where(col("l_partkey") === gmax)
+        .createOrReplaceTempView("graft_zmw_pcw_src")
+      spark.sql("INSERT INTO graft_zmw_pcw " +
+        "SELECT /*+ REPARTITION(1) */ * FROM graft_zmw_pcw_src")
+      // the DURABLE manifest folded forward (knows the inserted file)...
+      assert(spark.read.parquet(mf).count() == filesBefore + 1)
+      // ...bloom fields intact in the durable rows, absent from the memo
+      assert(spark.read.parquet(mf).schema.fieldNames
+        .contains("l_partkey_bloom"))
+      val rows = ZoneMaps.manifestRows(spark, out, Seq("l_partkey"))
+      assert(rows.length == filesBefore + 1)
+      assert(rows.forall(r =>
+        !r.schema.fieldNames.exists(_.endsWith("_bloom"))))
+      assert(ZoneMaps.membershipSourceIfSeeded(spark, out, "l_partkey")
+        .exists(_.isRight))
+      // the raw-SQL probe sees the doubled key EXACTLY and still prunes
+      val want = 2 * tables.lineitem.where(col("l_partkey") === gmax).count()
+      val df = spark.sql(
+        s"SELECT count(*) AS c FROM graft_zmw_pcw WHERE l_partkey = $gmax")
+      assert(df.collect().head.getLong(0) == want)
+      assert(scannedFiles(spark.sql(
+        s"SELECT count(*) AS c FROM graft_zmw_pcw WHERE l_partkey = $gmax"))
+        < filesBefore + 1,
+        "the maintained manifest must still prune after the fold")
+    } finally spark.conf.unset("spark.graft.zonemap.persistedConsultRows")
+    spark.sql("DROP TABLE IF EXISTS graft_zmw_pcw")
+  }
+
+  // ---- commit-marker compaction ---------------------------------------------
+
+  test("50 streamed batches keep O(1) commit objects; every batch stays replay-proof") {
+    import graft.streaming.EventStreams
+    val dir = Files.createTempDirectory("graft_zmw_ledger_").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val batch = spark.range(0, 10).toDF("id")
+    (0L until 50L).foreach(EventStreams.idempotentBatchAppend(dir, batch, _))
+    assert(spark.read.parquet(dir).count() == 500)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    // one ledger, zero (or one transient) marker files — never one per batch
+    assert(names.count(_.startsWith("_graft_committed_b")) <= 1,
+      s"markers must compact into the ledger, saw: ${names.mkString(", ")}")
+    assert(names.contains("_graft_commits"))
+    assert(EventStreams.committedBatchIds(fs, dir) == (0L until 50L).toSet)
+    // replays of ledger-recorded (marker-less) batches land nothing
+    EventStreams.idempotentBatchAppend(dir, batch.repartition(3), 0L)
+    EventStreams.idempotentBatchAppend(dir, batch.repartition(3), 49L)
+    assert(spark.read.parquet(dir).count() == 500)
   }
 }
