@@ -148,20 +148,14 @@ object Dedup {
           xxhash64((0 until shingleK).map(j => element_at(col("toks"), j + 1)): _*))
           .otherwise(xxhash64(col("shingle"))))
       .select(col("doc_id"), col("shingle"), col("h"))
-    // document frequency is only consumed for shingles that SURVIVE the
-    // pair join (inner join on h below), so restrict the corpus-wide
-    // aggregation to the pair docs' shingle hashes BEFORE the exchange
-    // (a pair-bounded broadcast semi-join): the df exchange carries the
-    // candidates' shingles, not every distinct shingle in the corpus.
-    // The key set comes off the MEMOIZED shared shingle frame (one cheap
-    // scan of the persisted frame semi-joined to the pair docs), not a
-    // re-shingling of the pair docs. Counts for the kept shingles still
-    // scan the whole corpus — exact.
-    val shShared = sharedShingles(docs, shingleK)
-    val dfKeys = shShared.join(broadcast(pairDocs), Seq("doc_id"), "left_semi")
-      .select(col("shingle")).distinct()
-    val df = shShared
-      .join(broadcast(dfKeys), Seq("shingle"), "left_semi")
+    // r15 measured note: a pair-bounded broadcast semi-join restricting
+    // this aggregation to the candidates' shingle hashes was tried (the
+    // df exchange then carries candidate shingles, not the vocabulary)
+    // and REVERTED — the extra key-set job + broadcast cost more than the
+    // vocabulary-width exchange saves at bench scale (2.2 → 3.1 s in the
+    // same-box idle bench). At 100 TB the restriction wins; it composes
+    // with a StatsRoute-style size trigger if that scale is reached.
+    val df = sharedShingles(docs, shingleK)
       .groupBy(col("shingle").as("h")).agg(count(lit(1)).as("df"))
     val shared = sh.select(col("doc_id").as("d1"), col("shingle"), col("h"))
       .join(broadcast(pairs), Seq("d1"))

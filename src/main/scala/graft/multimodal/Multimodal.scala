@@ -195,9 +195,25 @@ object Multimodal {
   private val frameHashMemo =
     new graft.SessionKeyedCache[(Int, Int, Int), DataFrame](_.unpersist(blocking = false))
 
+  /** m06's verified pair frame memoized per (media plan, threshold,
+    * framing params) — the minHashLshPairs precedent (r15): m06 serves it
+    * and m08's closure consumes the SAME pair set, so the frame self-join
+    * + verify runs once per session; the frame is ∝ real near-dup pairs. */
+  private val videoPairMemo =
+    new graft.SessionKeyedCache[(Int, Long, Int, Int), DataFrame](
+      _.unpersist(blocking = false))
+
   def videoNearDups(spark: SparkSession, media: DataFrame,
                     threshold: Double = 0.5,
-                    frameBytes: Int = 256, everyN: Int = 4): DataFrame = {
+                    frameBytes: Int = 256, everyN: Int = 4): DataFrame =
+    videoPairMemo.getOrElseUpdate(
+      spark, (media.queryExecution.analyzed.semanticHash(),
+        java.lang.Double.doubleToLongBits(threshold), frameBytes, everyN))(
+      videoNearDupsOf(spark, media, threshold, frameBytes, everyN).persist())
+
+  private def videoNearDupsOf(spark: SparkSession, media: DataFrame,
+                              threshold: Double,
+                              frameBytes: Int, everyN: Int): DataFrame = {
     val frames = frameHashMemo.getOrElseUpdate(
       spark, (media.queryExecution.analyzed.semanticHash(), frameBytes, everyN))(
       frameSample(spark, media, frameBytes, everyN).toDF()

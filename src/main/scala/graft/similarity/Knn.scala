@@ -141,6 +141,12 @@ object Knn {
     * rides the scoring join as the probe side with the query copy
     * broadcast — at 100 TB the exact graph is the correctness baseline
     * and [[knnGraphIvf]] is the served path, exactly as d05 is to d06. */
+  // r15 measured note: a session memo (the sharedShingles lifecycle) was
+  // tried here — s08 pays, s25/s33 serve — and REVERTED: the cached edge
+  // frame made s25's multi-branch profile SLOWER (4.6 s vs 3.7 s first
+  // run, 2.8 s vs 1.8 s warm — six InMemoryTableScan decodes beat the
+  // planner's own exchange reuse only for the trivial s33 consumer), a
+  // net loss across the three consumers.
   def knnGraph(emb: DataFrame, k: Int = 5): DataFrame = {
     val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val q = v.select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -980,13 +980,18 @@ object ZoneMaps extends Logging {
     * #files-row parquet. This is the production serve shape item q139
     * proves: the probe consults a persisted metadata TABLE, never
     * re-scanning fact data to rebuild blooms per call. */
-  private def persistedPartManifest(spark: SparkSession, dir: String): String =
+  private def persistedPartManifest(spark: SparkSession, dir: String): String = {
+    // resolved OUTSIDE this key's memo lambda — nested computeIfAbsent on
+    // one ConcurrentHashMap throws on a bin collision (the openedPartTable
+    // note; latent flake, r15)
+    val cdir = clusteredLineitemByPart(spark, dir)
     clusteredCache.getOrElseUpdate(spark, s"$dir#partmanifest") {
       val out = Files.createTempDirectory("graft_zonemap_mm_").toString + "/m"
-      writeManifest(spark, clusteredLineitemByPart(spark, dir),
-        Seq("l_partkey"), out, bloomCols = Seq("l_partkey"))
+      writeManifest(spark, cdir, Seq("l_partkey"), out,
+        bloomCols = Seq("l_partkey"))
       out
     }
+  }
 
   /** q135: membership-grade join pruning, end to end — the dim is a
     * SCATTERED ~0.25 % part-key slice (`p_partkey % 398 = 7`: six keys
@@ -1294,12 +1299,20 @@ object ZoneMaps extends Logging {
     * (the [[graft.GraftSession.openTable]] recipe over
     * [[clusteredLineitemByPart]] + [[persistedPartManifest]]) — memoized
     * per session so q143 times the serve, not the session-open. */
-  private def openedPartTable(spark: SparkSession, dir: String): String =
+  private def openedPartTable(spark: SparkSession, dir: String): String = {
+    // resolve the nested memo entries BEFORE entering this key's memo:
+    // a getOrElseUpdate inside another getOrElseUpdate on the SAME
+    // ConcurrentHashMap is a recursive computeIfAbsent — it throws
+    // IllegalStateException("Recursive update") whenever the two keys
+    // land in one bin (temp-dir names randomize per session, so this was
+    // a latent flake, seen r15)
+    val cdir = clusteredLineitemByPart(spark, dir)
+    val mf = persistedPartManifest(spark, dir)
     clusteredCache.getOrElseUpdate(spark, s"$dir#bypartopen") {
       graft.GraftSession.openTable(spark, "graft_q143_bypart",
-        clusteredLineitemByPart(spark, dir), Seq("l_partkey"),
-        persistedPartManifest(spark, dir))
+        cdir, Seq("l_partkey"), mf)
     }
+  }
 
   /** The WRITE-SIDE transparency demo table: `prepareTable` over lineitem
     * (range-clustered by l_shipdate, persisted manifest), then ONE SQL

@@ -125,7 +125,11 @@ class TextFnsSpec extends AnyFunSuite {
   }
 
   test("t06 plan: LM broadcast to the corpus side — no sort-merge join on token") {
-    val df = graft.operators.TextQueries.t06UnigramPpl(tables)
+    // assert on the KERNEL plan: the registered t06 serves the session-
+    // memoized persisted frame (r15), whose executed plan is an
+    // InMemoryTableScan — the broadcast rule this spec pins lives in the
+    // plan that BUILDS the frame
+    val df = graft.operators.TextQueries.unigramPplOf(tables.documents)
     df.collect()
     val p = SparkTestSession.finalPlan(df)
     assert(p.contains("BroadcastExchange"), s"LM must broadcast:\n$p")
