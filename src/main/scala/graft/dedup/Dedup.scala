@@ -148,14 +148,29 @@ object Dedup {
           xxhash64((0 until shingleK).map(j => element_at(col("toks"), j + 1)): _*))
           .otherwise(xxhash64(col("shingle"))))
       .select(col("doc_id"), col("shingle"), col("h"))
-    // r15 measured note: a pair-bounded broadcast semi-join restricting
-    // this aggregation to the candidates' shingle hashes was tried (the
-    // df exchange then carries candidate shingles, not the vocabulary)
-    // and REVERTED — the extra key-set job + broadcast cost more than the
-    // vocabulary-width exchange saves at bench scale (2.2 → 3.1 s in the
-    // same-box idle bench). At 100 TB the restriction wins; it composes
-    // with a StatsRoute-style size trigger if that scale is reached.
-    val df = sharedShingles(docs, shingleK)
+    // SIZE-ROUTED document frequency (the StatsRoute discipline — r16,
+    // closing r15's measured-and-deferred note): the df aggregate is the
+    // one remaining corpus-VOCABULARY-wide exchange on this path. When the
+    // plan PROVES the corpus small (bench/test scale), the plain aggregate
+    // is cheaper — r15 measured the restriction NEGATIVE at sf0.1 (2.2 →
+    // 3.1 s same-box: the extra key-set job + broadcast cost more than the
+    // narrow exchange saves). Above the exact-route ceiling (or when the
+    // size is UNKNOWN) the vocabulary exchange is unbounded at 100 TB, so
+    // restrict the aggregation's INPUT to the candidates' shingle hashes
+    // with a broadcast semi-join BEFORE the groupBy: every corpus
+    // occurrence of a surviving hash is still counted (the semi-join drops
+    // whole groups, never rows within a group), so each kept `df` value is
+    // identical — and the dropped groups were discarded by the inner
+    // `join(df, "h")` below anyway. Conf-flip spec pins both routes equal.
+    val dfSource = sharedShingles(docs, shingleK)
+    val dfInput =
+      if (graft.plans.StatsRoute.exactAffordable(docs)) dfSource
+      else {
+        val candidateHashes = sh.select(col("h")).distinct()
+        dfSource.join(broadcast(candidateHashes),
+          dfSource("shingle") === candidateHashes("h"), "left_semi")
+      }
+    val df = dfInput
       .groupBy(col("shingle").as("h")).agg(count(lit(1)).as("df"))
     val shared = sh.select(col("doc_id").as("d1"), col("shingle"), col("h"))
       .join(broadcast(pairs), Seq("d1"))

@@ -320,6 +320,37 @@ class DedupSpec extends AnyFunSuite {
       s"df-2 shingles rank before the df-6 chrome, ties by shingle text: $ev")
   }
 
+  test("d17: the size-routed df restriction yields identical evidence rows") {
+    val docs = tables.documents
+    Dedup.releaseShingles(spark)
+    // the pair-incident doc restriction is itself a LeftSemi on BOTH
+    // routes — the routed plan must carry one MORE (the df restriction)
+    def semiJoins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }.length
+    val baseDf = Dedup.pairEvidence(docs)
+    val baseSemis = semiJoins(baseDf)
+    val base = baseDf.orderBy("d1", "d2").collect()
+    // force the BIG route (plan size above the exact ceiling): the document-
+    // frequency aggregation's input is semi-joined down to the candidates'
+    // shingle hashes BEFORE the exchange — counts per surviving hash are
+    // untouched (the semi-join drops whole groups, never rows in a group),
+    // so the evidence rows must be byte-identical
+    spark.conf.set(graft.plans.StatsRoute.ceilingKey, "1")
+    try {
+      val routed = Dedup.pairEvidence(docs)
+      // +2: the restriction's own semi-join on the candidate hashes, plus
+      // the candidate frame re-referencing `sh` (which carries the
+      // pair-incident doc semi-join in its lineage)
+      assert(semiJoins(routed) == baseSemis + 2,
+        "the big route must restrict the df aggregate with the extra semi-join")
+      assert(routed.orderBy("d1", "d2").collect().sameElements(base),
+        "both document-frequency routes must produce identical evidence")
+    } finally spark.conf.unset(graft.plans.StatsRoute.ceilingKey)
+  }
+
   test("d29: nearest dup picks each doc's max-jaccard neighbor with the id tiebreak") {
     import spark.implicits._
     // 1 and 2 are identical (J = 1); 3 overlaps both at a lower J; ties
