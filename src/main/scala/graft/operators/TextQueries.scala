@@ -152,8 +152,14 @@ object TextQueries {
       .agg(countDistinct(col("token")).cast("double").as("vocab"))
     val lm2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
-    val lm1 = lm2.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val logp = lm2.join(lm1, Seq("w1")).crossJoin(broadcast(vocab))
+    // prefix counts as a w1-partitioned window SUM over the bigram table
+    // (the t27/t18 recipe — guide §2.4): the former groupBy(w1) + join-back
+    // re-exchanged the vocabulary-bounded LM twice and planned a join;
+    // the window needs ONE w1 exchange and c1 is the same exact long sum
+    // of c12 per prefix, attached to every bigram row in place.
+    val wPrefix = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val logp = lm2.withColumn("c1", sum(col("c12")).over(wPrefix))
+      .crossJoin(broadcast(vocab))
       .select(col("bigram"), log((col("c12") + 1) / (col("c1") + col("vocab"))).as("logp"))
     bg.join(broadcast(logp), Seq("bigram"))
       .groupBy(col("doc_id"))

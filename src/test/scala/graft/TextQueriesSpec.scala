@@ -253,6 +253,24 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(d1.count() > 0 && d2.count() > 0)
   }
 
+  test("t09: prefix counts ride a w1 window — the LM join-back is gone") {
+    val t = tables
+    val df = TextQueries.t09BigramPpl(t)
+    val plan = df.queryExecution.optimizedPlan
+    // the r16 shape: bigram counts → w1-partitioned window sum (c1) →
+    // broadcast score join. The former lm2 ⋈ lm1 prefix join re-exchanged
+    // the vocabulary-bounded LM twice; exactly TWO joins remain (the 1-row
+    // vocab crossJoin + the corpus ⋈ broadcast LM scoring join)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.length == 2,
+      s"expected 2 joins (vocab cross + scoring), got ${joins.length}:\n$plan")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.nonEmpty, s"the prefix count must be a window sum over w1:\n$plan")
+    TextQueries.releaseTokens(spark)
+  }
+
   test("t19: encoding-noise counts match hand-planted damage") {
     import spark.implicits._
     val docs = Seq(
