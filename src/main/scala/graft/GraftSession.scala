@@ -106,6 +106,81 @@ object GraftSession {
     name
   }
 
+  /** Catalog stats written DIRECTLY from just-built zone-map manifest rows
+    * — ANALYZE-equivalent table metadata WITHOUT the second full data scan
+    * per ingest (guide §1.2/§6: the manifest build already aggregated
+    * per-file `n_rows`/min/max/nulls for every zone column; `ANALYZE TABLE`
+    * re-scanned the whole directory to fold the same numbers globally).
+    * Exact folds: rowCount = Σ n_rows; each zone column's min/max is the
+    * extreme of its file envelopes and nullCount the sum of per-file null
+    * counts — identical values to what ANALYZE's scan computes. sizeInBytes
+    * comes from the file listing (driver metadata, no data touched — the
+    * same listing ANALYZE's basic-stats step does).
+    *
+    * NDV is deliberately NOT set: it is the one statistic that cannot fold
+    * from per-file envelopes without carrying per-file sketches, and for
+    * the ingest recipe's CLUSTERING columns it only feeds
+    * [[graft.plans.RewriteLowCardWindow]]'s low-card trigger (NDV ≤ 1024)
+    * — a zone/clustering key is high-NDV by construction, so absent-NDV
+    * and measured-NDV route those plans identically, and size/rowCount
+    * (which DO fold exactly) are what StatsRoute and join planning read.
+    * Callers needing NDV on other columns pass `statsCols` to
+    * [[prepareTable]] and get the ANALYZE scan for exactly those. String
+    * zone columns contribute nullCount only (Spark's catalog does not
+    * round-trip string min/max). Non-string min/max land through the same
+    * `CatalogColumnStat` serialization ANALYZE uses. */
+  private[graft] def statsFromManifest(s: SparkSession, name: String,
+      parquetDir: String, zoneCols: Seq[String],
+      rows: Array[org.apache.spark.sql.Row]): String = {
+    import org.apache.spark.sql.catalyst.{CatalystTypeConverters, TableIdentifier}
+    import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
+    import org.apache.spark.sql.catalyst.plans.logical.ColumnStat
+    import org.apache.spark.sql.types._
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    ensureExternalTable(s, name, parquetDir)
+    require(rows.nonEmpty, s"statsFromManifest($name): empty manifest")
+    val ord = Ordering.fromLessThan[Any](
+      graft.sources.ZoneMaps.cmpExternal(_, _) < 0)
+    val rowCount = rows.map(_.getAs[Number]("n_rows").longValue).sum
+    def minMaxSupported(dt: DataType): Boolean = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+    val colStats = zoneCols.flatMap { c =>
+      scala.util.Try {
+        val dt = rows.head.schema(s"${c}_min").dataType
+        val mins = rows.map(_.getAs[Any](s"${c}_min")).filter(_ != null)
+        val maxs = rows.map(_.getAs[Any](s"${c}_max")).filter(_ != null)
+        val nulls = rows.map(r => Option(r.getAs[Any](s"${c}_nulls"))
+          .map(_.asInstanceOf[Number].longValue).getOrElse(0L)).sum
+        val toCat = CatalystTypeConverters.createToCatalystConverter(dt)
+        val stat = ColumnStat(
+          distinctCount = None,
+          min = if (mins.isEmpty || !minMaxSupported(dt)) None
+                else Some(toCat(mins.min(ord))),
+          max = if (maxs.isEmpty || !minMaxSupported(dt)) None
+                else Some(toCat(maxs.max(ord))),
+          nullCount = Some(BigInt(nulls)),
+          avgLen = Some(dt.defaultSize.toLong),
+          maxLen = Some(dt.defaultSize.toLong))
+        c -> stat.toCatalogColumnStat(c, dt)
+      }.toOption
+    }.toMap
+    val dirPath = new org.apache.hadoop.fs.Path(parquetDir)
+    val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
+    val sizeInBytes = scala.util.Try(
+      fs.getContentSummary(dirPath).getLength).getOrElse(0L)
+    val ident = TableIdentifier(name)
+    s.sessionState.catalog.alterTableStats(ident, Some(
+      CatalogStatistics(BigInt(sizeInBytes), Some(BigInt(rowCount)), colStats)))
+    // drop any cached relation so the next spark.table(name) plans with the
+    // fresh stats (the same invalidation ANALYZE performs)
+    s.sessionState.catalog.refreshTable(ident)
+    name
+  }
+
   /** Register `name` as an external parquet table at `parquetDir`,
     * RE-POINTING it if a table of that name exists at another location —
     * a stale location would silently serve the old directory (and dodge
@@ -195,7 +270,7 @@ object GraftSession {
     // REFRESH, not memoize-once: a second prepareTable over the same
     // outDir (the per-ingest-batch recipe) rewrites every part file, and
     // a stale memoized manifest would prune to deleted paths
-    manifestPath match {
+    val manRows = manifestPath match {
       case Some(p) =>
         graft.sources.ZoneMaps.persistManifest(s, outDir, zoneCols, p, bloomCols)
       case None =>
@@ -207,8 +282,19 @@ object GraftSession {
     graft.sources.ZoneMapFileIndex.enable(s, outDir, zoneCols, bloomCols,
       manifestPath)
     ensureOptimizations(s)
-    analyzeForStats(s, name, outDir,
-      (zoneCols ++ statsCols.filterNot(zoneCols.contains)).toSeq)
+    // catalog stats from the manifest rows the recipe JUST aggregated —
+    // saves ANALYZE's second full scan of outDir per ingest (guide §1.2:
+    // fewer passes; see [[statsFromManifest]] for the exactness argument).
+    // The ANALYZE scan remains for callers asking for NON-zone statsCols
+    // (their stats aren't in the manifest) and behind the conf flip
+    // `spark.graft.stats.fromManifest=false` (the A/B spec's lever).
+    val extraStats = statsCols.filterNot(zoneCols.contains)
+    val fromManifest = scala.util.Try(
+      s.conf.get("spark.graft.stats.fromManifest", "true").toBoolean)
+      .getOrElse(true)
+    if (!fromManifest || extraStats.nonEmpty || manRows.isEmpty)
+      analyzeForStats(s, name, outDir, (zoneCols ++ extraStats).toSeq)
+    else statsFromManifest(s, name, outDir, zoneCols, manRows)
   }
 
   /** The QUERY-SESSION half of the durable recipe — [[prepareTable]] is
@@ -226,7 +312,9 @@ object GraftSession {
     // above the persisted-consult threshold loadManifest's returned rows
     // deliberately DROP the bloom fields, but membership pruning is still
     // live (served from the persisted manifest executor-side)
-    val bloomCols = s.read.parquet(manifestPath).schema.fieldNames
+    val bloomCols = s.read.parquet(
+      graft.sources.ZoneMaps.resolveManifestPath(s, manifestPath))
+      .schema.fieldNames
       .filter(_.endsWith("_bloom")).map(_.stripSuffix("_bloom")).toSeq
     graft.sources.ZoneMapFileIndex.enable(s, dir, zoneCols, bloomCols,
       Some(manifestPath))

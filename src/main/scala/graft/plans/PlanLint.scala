@@ -102,6 +102,32 @@ object PlanLint {
     }.flatten
   }
 
+  /** A scan of a registered prepared table whose directory has SERVED
+    * STALE at least once (transparent `listFiles` met directory files the
+    * manifest did not know and kept them unpruned — correct, but the
+    * pruning the ingest recipe paid for is partially off). The per-dir
+    * counters ([[graft.sources.ZoneMapFileIndex.staleServesFor]]) make the
+    * audit table-scoped instead of the process-global number: lint a query
+    * and learn WHICH of its tables needs its manifest folded forward. */
+  def staleServedScans(df: DataFrame): Seq[Finding] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case hfs: HadoopFsRelation =>
+          graft.sources.ZoneMapFileIndex
+            .registeredFor(df.sparkSession, hfs.location).toSeq
+            .filter(reg =>
+              graft.sources.ZoneMapFileIndex.staleServesFor(reg.dir) > 0)
+            .map(reg => Finding("stale-served-scan",
+              s"prepared dir ${reg.dir} served " +
+                s"${graft.sources.ZoneMapFileIndex.staleServesFor(reg.dir)} " +
+                "stale scan(s) — fold the manifest forward " +
+                "(ZoneMaps.incrementalBuild / prepareTable) to restore pruning"))
+        case _ => Nil
+      }
+    }.flatten
+  }
+
   def scalaUdfs(plan: LogicalPlan): Seq[Finding] = {
     val n = plan.collect { case p =>
       p.expressions.map(e => e.collect { case u: ScalaUDF => u }.size).sum
@@ -113,6 +139,6 @@ object PlanLint {
   def lint(df: DataFrame): Seq[Finding] = {
     val plan = df.queryExecution.optimizedPlan
     lowCardWindows(plan) ++ unboundedNonEquiJoins(plan) ++ scalaUdfs(plan) ++
-      unprunedPreparedScans(df)
+      unprunedPreparedScans(df) ++ staleServedScans(df)
   }
 }

@@ -642,4 +642,217 @@ class ZoneMapWriteSpec extends AnyFunSuite {
     EventStreams.idempotentBatchAppend(dir, batch.repartition(3), 49L)
     assert(spark.read.parquet(dir).count() == 500)
   }
+
+  test("compaction deletes only the snapshotted markers — a late marker survives") {
+    import graft.streaming.EventStreams
+    val dir = Files.createTempDirectory("graft_zmw_snap_").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def marker(id: Long) =
+      new org.apache.hadoop.fs.Path(dir, f"_graft_committed_b$id%06d")
+    fs.createNewFile(marker(1)); fs.createNewFile(marker(2))
+    val snapshot = EventStreams.committedBatchIds(fs, dir)
+    assert(snapshot == Set(1L, 2L))
+    // a concurrent writer lands its marker AFTER the snapshot was taken —
+    // the old re-glob delete would erase batch 3's ONLY commit record and
+    // a replay of it would append duplicate rows
+    fs.createNewFile(marker(3))
+    EventStreams.compactCommitMarkersOf(fs, dir, snapshot)
+    assert(!fs.exists(marker(1)) && !fs.exists(marker(2)),
+      "snapshotted markers fold into the ledger and are deleted")
+    assert(fs.exists(marker(3)),
+      "a marker landing after the snapshot must survive the delete")
+    assert(EventStreams.committedBatchIds(fs, dir) == Set(1L, 2L, 3L))
+  }
+
+  test("a torn ledger tail never reads as a phantom smaller id") {
+    import graft.streaming.EventStreams
+    val dir = Files.createTempDirectory("graft_zmw_torn_").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val ledger = new org.apache.hadoop.fs.Path(dir, "_graft_commits")
+    def writeLedger(txt: String): Unit = {
+      val out = fs.create(ledger, true)
+      try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // a crash mid-write tears the final line into a numeric PREFIX of the
+    // real id (here '345' of a padded id): it must be REJECTED — trusting
+    // it would mark batch 345 committed and a future batch 345 would be
+    // silently skipped
+    writeLedger(f"${12L}%020d\n" + "345")
+    assert(EventStreams.committedBatchIds(fs, dir) == Set(12L))
+    // legacy (unpadded) lines are still honored when newline-terminated
+    writeLedger("7\n" + f"${9L}%020d\n")
+    assert(EventStreams.committedBatchIds(fs, dir) == Set(7L, 9L))
+    // an unterminated legacy line is indistinguishable from a tear: reject
+    writeLedger("8")
+    assert(EventStreams.committedBatchIds(fs, dir) == Set.empty[Long])
+  }
+
+  // ---- fold swap atomicity & bloom sizing -----------------------------------
+
+  test("fold swap is rename-aside: a reader mid-swap still resolves; the next fold self-heals") {
+    val base = Files.createTempDirectory("graft_zmw_swap_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    spark.conf.set("spark.graft.zonemap.persistedConsultRows", "0")
+    try {
+      GraftSession.prepareTable(spark, "graft_zmw_swap",
+        s"$sf/lineitem.parquet", out, Seq("l_partkey"), Nil,
+        nFiles = 4, manifestPath = Some(mf), bloomCols = Seq("l_partkey"))
+      val nFiles = spark.read.parquet(mf).count()
+      // simulate a fold crash BETWEEN the two swap renames: the manifest is
+      // parked at its sibling, nothing at the primary path — the window the
+      // old delete-then-rename swap left unreadable
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      val hp = new org.apache.hadoop.fs.Path(mf)
+      val prev = new org.apache.hadoop.fs.Path(mf + "__fold_prev")
+      assert(fs.rename(hp, prev))
+      // a READER (a fresh query session opening the table) resolves the
+      // parked manifest instead of failing hard
+      ZoneMaps.dropMemos(spark, out)
+      GraftSession.openTable(spark, "graft_zmw_swap", out,
+        Seq("l_partkey"), mf)
+      val gmax = ZoneMaps.manifestRows(spark, out, Seq("l_partkey"))
+        .map(_.getAs[Long]("l_partkey_max")).max
+      val df = spark.sql(
+        s"SELECT count(*) AS c FROM graft_zmw_swap WHERE l_partkey = $gmax")
+      assert(df.collect().head.getLong(0) ==
+        tables.lineitem.where(col("l_partkey") === gmax).count())
+      assert(ridesIndex(df))
+      // the next WRITE path self-heals: the fold restores the primary path
+      // first, folds forward, and leaves no parked sibling behind
+      tables.lineitem.where(col("l_partkey") === gmax)
+        .createOrReplaceTempView("graft_zmw_swap_src")
+      spark.sql("INSERT INTO graft_zmw_swap " +
+        "SELECT /*+ REPARTITION(1) */ * FROM graft_zmw_swap_src")
+      assert(fs.exists(hp), "the fold must restore the primary manifest path")
+      assert(!fs.exists(prev),
+        "the parked sibling is dropped once the fold completes")
+      assert(spark.read.parquet(mf).count() == nFiles + 1)
+    } finally {
+      spark.conf.unset("spark.graft.zonemap.persistedConsultRows")
+      spark.sql("DROP TABLE IF EXISTS graft_zmw_swap")
+    }
+  }
+
+  test("fold sizes fresh-file blooms to the standing manifest's width") {
+    val base = Files.createTempDirectory("graft_zmw_bsz_").toString
+    val out = s"$base/t"; val mf = s"$base/m"
+    spark.conf.set("spark.graft.zonemap.persistedConsultRows", "0")
+    try {
+      ZoneMaps.clusteredWrite(tables.lineitem, "l_partkey", out, 4)
+      // a table built with 8× the fold's old hardcoded per-file key count
+      ZoneMaps.writeManifest(spark, out, Seq("l_partkey"), mf,
+        bloomCols = Seq("l_partkey"), expectedKeysPerFile = 1L << 16)
+      val standingLen = spark.read.parquet(mf)
+        .select(octet_length(col("l_partkey_bloom")).as("len"))
+        .collect().map(_.getInt(0)).distinct
+      assert(standingLen.length == 1)
+      ZoneMaps.loadManifest(spark, out, Seq("l_partkey"), mf)
+      ZoneMapFileIndex.enable(spark, out, Seq("l_partkey"),
+        Seq("l_partkey"), Some(mf))
+      GraftSession.ensureOptimizations(spark)
+      GraftSession.ensureExternalTable(spark, "graft_zmw_bsz", out)
+      val gmax = ZoneMaps.manifestRows(spark, out, Seq("l_partkey"))
+        .map(_.getAs[Long]("l_partkey_max")).max
+      tables.lineitem.where(col("l_partkey") === gmax)
+        .createOrReplaceTempView("graft_zmw_bsz_src")
+      spark.sql("INSERT INTO graft_zmw_bsz " +
+        "SELECT /*+ REPARTITION(1) */ * FROM graft_zmw_bsz_src")
+      // the folded manifest's FRESH row carries a bloom of the STANDING
+      // width — the old fold aggregated it at the 2^13 default and silently
+      // degraded its false-positive rate
+      val lens = spark.read.parquet(mf)
+        .select(octet_length(col("l_partkey_bloom")).as("len"))
+        .collect().map(_.getInt(0)).distinct
+      assert(lens.toSeq == standingLen.toSeq,
+        s"fresh-file bloom width ${lens.mkString(",")} must match the " +
+          s"standing manifest's ${standingLen.mkString(",")}")
+    } finally {
+      spark.conf.unset("spark.graft.zonemap.persistedConsultRows")
+      spark.sql("DROP TABLE IF EXISTS graft_zmw_bsz")
+    }
+  }
+
+  // ---- manifest-derived catalog stats ---------------------------------------
+
+  test("prepareTable catalog stats fold from the manifest — ANALYZE parity, one scan fewer") {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val base = Files.createTempDirectory("graft_zmw_stats_").toString
+    def prepared(name: String, sub: String): Unit =
+      GraftSession.prepareTable(spark, name, s"$sf/lineitem.parquet",
+        s"$base/$sub/t", Seq("l_orderkey", "l_partkey"), Nil,
+        nFiles = 4, manifestPath = Some(s"$base/$sub/m"))
+    prepared("graft_zmw_stats_mf", "mf") // default: stats from the manifest
+    spark.conf.set("spark.graft.stats.fromManifest", "false")
+    try prepared("graft_zmw_stats_an", "an") // flip: the ANALYZE scan
+    finally spark.conf.unset("spark.graft.stats.fromManifest")
+    def stats(n: String) = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(n)).stats.get
+    val m = stats("graft_zmw_stats_mf"); val a = stats("graft_zmw_stats_an")
+    assert(m.rowCount.contains(BigInt(tables.lineitem.count())))
+    assert(m.rowCount == a.rowCount)
+    Seq("l_orderkey", "l_partkey").foreach { c =>
+      val cm = m.colStats(c); val ca = a.colStats(c)
+      assert(cm.min == ca.min && cm.max == ca.max,
+        s"$c min/max must fold to ANALYZE's exact values")
+      assert(cm.nullCount == ca.nullCount)
+      // NDV is the one stat the manifest cannot fold — documented absent
+      assert(cm.distinctCount.isEmpty && ca.distinctCount.nonEmpty)
+    }
+    // both routes plan with CBO stats and answer identically
+    def q(n: String) = spark.sql(s"SELECT count(*) AS c, sum(l_quantity) " +
+      s"AS s FROM $n WHERE l_orderkey <= 100").collect().toSeq
+    assert(q("graft_zmw_stats_mf") == q("graft_zmw_stats_an"))
+    spark.sql("DROP TABLE IF EXISTS graft_zmw_stats_mf")
+    spark.sql("DROP TABLE IF EXISTS graft_zmw_stats_an")
+  }
+
+  // ---- per-dir stale-serve audit --------------------------------------------
+
+  test("PlanLint.staleServedScans: the staled table reports, clean tables stay clean") {
+    val base = Files.createTempDirectory("graft_zmw_audit_").toString
+    val out1 = s"$base/one/t"; val out2 = s"$base/two/t"
+    GraftSession.prepareTable(spark, "graft_zmw_audit1",
+      s"$sf/orders.parquet", out1, Seq("o_orderkey"), Nil, nFiles = 4,
+      manifestPath = Some(s"$base/one/m"))
+    GraftSession.prepareTable(spark, "graft_zmw_audit2",
+      s"$sf/orders.parquet", out2, Seq("o_orderkey"), Nil, nFiles = 4,
+      manifestPath = Some(s"$base/two/m"))
+    val man = ZoneMaps.manifestRows(spark, out1, Seq("o_orderkey"))
+    val gmax = man.map(_.getAs[Long]("o_orderkey_max")).max
+    val q1 = s"SELECT count(*) AS c FROM graft_zmw_audit1 " +
+      s"WHERE o_orderkey > ${gmax - 50}"
+    val q2 = s"SELECT count(*) AS c FROM graft_zmw_audit2 " +
+      s"WHERE o_orderkey > ${gmax - 50}"
+    val clean = spark.sql(q1); clean.collect()
+    assert(graft.plans.PlanLint.staleServedScans(clean).isEmpty)
+    // stale out1 behind the manifest's back (the oob-append fixture)
+    val side = s"$base/side"
+    tables.orders.where(col("o_orderkey") > gmax - 50).coalesce(1)
+      .write.parquet(side)
+    val part = new java.io.File(side).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(out1, "oob-" + part.getName))
+    spark.catalog.refreshTable("graft_zmw_audit1")
+    val staled = spark.sql(q1); staled.collect() // ticks the per-dir counter
+    val findings = graft.plans.PlanLint.staleServedScans(staled)
+    assert(findings.nonEmpty && findings.forall(_.rule == "stale-served-scan"),
+      "a query over the staled table must report the per-dir stale serve")
+    assert(findings.exists(_.detail.contains(out1)))
+    // the OTHER prepared table's queries stay clean — the audit is
+    // table-scoped, not the process-global counter
+    val other = spark.sql(q2); other.collect()
+    assert(graft.plans.PlanLint.staleServedScans(other).isEmpty)
+    // the registered q144 insert-maintained table reports clean too (its
+    // folds run inside the INSERT — listFiles never meets unknown files)
+    val q144 = SparkEntry.queries("q144_insert_maintained")(spark, sf)
+    q144.collect()
+    assert(graft.plans.PlanLint.staleServedScans(q144).isEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_zmw_audit1")
+    spark.sql("DROP TABLE IF EXISTS graft_zmw_audit2")
+  }
 }
