@@ -435,12 +435,28 @@ object EventStreams {
       if (!fs.exists(p)) Set.empty
       else {
         val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          // accept only COMPLETE well-formed lines: a crash mid-write can
-          // tear the final line, and a torn id must not be trusted (it is
-          // still covered by its marker / the previous ledger)
-          .flatMap(l => scala.util.Try(l.trim.toLong).toOption).toSet
-        finally in.close()
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        // accept only SELF-VALIDATING lines: a crash mid-write can tear the
+        // final line into a numeric PREFIX of a real id ('123' → '12'),
+        // which would read as a phantom committed id and silently skip that
+        // batch on replay. The ledger writes fixed-width 20-digit ids, so a
+        // torn new-format line is short and rejected; legacy unpadded lines
+        // are accepted only when newline-TERMINATED (only the final,
+        // unterminated chunk of a file can be torn). A rejected id is still
+        // covered by its marker / the previous ledger.
+        val chunks = txt.split("\n", -1)
+        chunks.iterator.zipWithIndex.flatMap { case (raw, i) =>
+          val l = raw.stripSuffix("\r").trim
+          val terminated = i < chunks.length - 1
+          if (l.length == 20 && l.forall(_.isDigit))
+            scala.util.Try(l.toLong).toOption
+          else if (terminated && l.nonEmpty && l.length < 20 &&
+              l.forall(_.isDigit))
+            scala.util.Try(l.toLong).toOption
+          else None
+        }.toSet
       }
     val markers = fs.globStatus(
       new org.apache.hadoop.fs.Path(dir, "_graft_committed_b*"))
@@ -465,20 +481,39 @@ object EventStreams {
     * [[committedBatchIds]] reads the union. All names are
     * underscore-prefixed: listing-invisible to Spark scans. */
   private[graft] def compactCommitMarkers(fs: org.apache.hadoop.fs.FileSystem,
-                                          dir: String): Unit = {
-    val ids = committedBatchIds(fs, dir)
+                                          dir: String): Unit =
+    compactCommitMarkersOf(fs, dir, committedBatchIds(fs, dir))
+
+  /** The compaction step over an EXPLICIT id snapshot — factored out so
+    * the snapshot/delete race is directly testable: a marker that lands
+    * after the snapshot was taken must survive the delete step below. */
+  private[graft] def compactCommitMarkersOf(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      ids: Set[Long]): Unit = {
     if (ids.isEmpty) return
     val ledger = new org.apache.hadoop.fs.Path(dir, LedgerName)
     val next = new org.apache.hadoop.fs.Path(dir, LedgerNextName)
     val out = fs.create(next, true)
-    try out.write(ids.toSeq.sorted.mkString("", "\n", "\n")
+    // fixed-width 20-digit ids: self-validating against torn tails (see
+    // [[committedBatchIds]] — a torn prefix of a padded id is short and
+    // rejected instead of parsing as a smaller phantom id)
+    try out.write(ids.toSeq.sorted.map(id => f"$id%020d")
+      .mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.delete(ledger, false)
     require(fs.rename(next, ledger),
       s"compactCommitMarkers: swap $next -> $ledger failed")
-    fs.globStatus(new org.apache.hadoop.fs.Path(dir, "_graft_committed_b*"))
-      .foreach(s => fs.delete(s.getPath, false))
+    // delete ONLY the markers belonging to the snapshot `ids` just folded
+    // (names are derivable from the ids): a concurrent writer landing its
+    // marker between the snapshot and this delete keeps its only commit
+    // record — a re-glob here would silently unrecord that batch and a
+    // replay would append duplicate rows
+    ids.foreach { id =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(dir, f"_graft_committed_b$id%06d"),
+        false)
+    }
     ()
   }
 
