@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes through sbt's logger by default, which prefixes
+// every stdout line with "[info] " — the harness that tails our stdout for
+// the bench's compact one-line JSON has recorded "parsed": null in every
+// round to date, and a prefixed line is the one thing its JSON scan could
+// plausibly trip on that we control. StdoutOutput passes the forked JVM's
+// stdout through RAW, so the emitted JSON lines start at column 0.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

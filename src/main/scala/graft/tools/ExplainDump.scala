@@ -19,6 +19,15 @@ object ExplainDump {
       else args.drop(3).toSeq
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
+    // optional session conf overrides ("k=v;k=v") — lets a plan dump show a
+    // size-routed operator's ABOVE-threshold shape (e.g. d17's candidate-
+    // bounded df route) without synthesizing a big corpus
+    sys.env.get("SPARK_GRAFT_EXPLAIN_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ => ()
+      }
+    })
     Files.createDirectories(Paths.get(outDir))
     names.foreach { name =>
       try {
