@@ -16,13 +16,16 @@ import graft.GraftSession
   * p34 — the round-15/16 rewrite targets) on AMPLIFIED copies of the sf0.1
   * inputs, where data cost dominates the job-overhead floor:
   *
-  *   - documents ×m: copy i remaps doc_id by +i·(max+1) and interleaves a
-  *     copy-specific marker token between every pair of tokens (i = 0 keeps
-  *     the original text), so every k≥2-shingle of copy i contains the
-  *     marker and NO shingle is shared across copies — near-dup structure
-  *     replicates PER COPY and the pair/cluster workload grows linearly in
-  *     m instead of quadratically (plain replication would make every doc
-  *     an m-way duplicate and measure a different, blown-up problem);
+  *   - documents ×m: copy i remaps doc_id by +i·(max+1) and SUFFIXES every
+  *     token with a copy-specific marker (i = 0 keeps the original text) —
+  *     a per-copy renaming of the token alphabet, so each copy's shingle
+  *     set is ISOMORPHIC to the original's (identical per-copy jaccard
+  *     structure, identical pair counts) while NO shingle is shared across
+  *     copies: the pair/cluster workload grows exactly linearly in m.
+  *     (Plain replication would make every doc an m-way duplicate and
+  *     measure a quadratically blown-up problem; an earlier interleaved-
+  *     marker variant created token-level shingles that INFLATED pair
+  *     density in the marked copies — both measure the wrong thing.);
   *   - lineitem ×m: copy i remaps l_orderkey by +i·(max+1) (part keys keep
   *     their domain, so q93's per-part basket counts grow m-fold — the
   *     real growth mode of a co-occurrence table).
@@ -61,7 +64,7 @@ object ScalingUp {
       if (i == 0) copy
       else copy.withColumn("text",
         array_join(transform(split(col("text"), " "),
-          t => concat(t, lit(s" zz${i}qq"))), " "))
+          t => concat(t, lit(s"zz${i}qq"))), " "))
     }
     docCopies.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
